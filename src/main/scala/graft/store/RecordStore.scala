@@ -1,0 +1,165 @@
+package graft.store
+
+import graft.core.{DatalakeRecord, Metadata}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Spark-row shape of a metadata document (snake_case to match the wire
+  * format of the reference, `README.md:105-115`). */
+final case class MetadataRow(
+    version: Int,
+    start: Long,
+    end: Option[Long],
+    where: String,
+    what: String,
+    work_id: Option[String],
+    path: String,
+    id: String,
+    hash: String)
+
+/** Spark-row shape of one index record (one per file × day-bucket).
+  *
+  * Replaces the reference's DynamoDB row (`record.py:51-65`): the composite
+  * `time_index_key = "<bucket>:<what>"` becomes the (time_bucket, what)
+  * partition pair, so time queries are partition-pruned scans.
+  */
+final case class RecordRow(
+    version: Int,
+    url: String,
+    time_bucket: Long,
+    what: String,
+    where: String,
+    work_id: Option[String],
+    create_time: Long,
+    size: Long,
+    metadata: MetadataRow)
+
+object RecordRow {
+  def fromCore(r: DatalakeRecord): RecordRow =
+    RecordRow(r.version, r.url, r.timeBucket, r.what, r.where, r.workId,
+      r.createTime, r.size, fromMeta(r.metadata))
+
+  def fromMeta(m: Metadata): MetadataRow =
+    MetadataRow(m.version, m.start, m.end, m.where, m.what, m.workId,
+      m.path, m.id, m.hash)
+
+  def toMeta(m: MetadataRow): Metadata =
+    Metadata(m.version, m.start, m.end, m.where, m.what, m.work_id,
+      m.path, m.id, m.hash)
+}
+
+/** Partitioned-Parquet record table replacing {DynamoDB primary index +
+  * work-id GSI} of the reference (`README.md:154-202`).
+  *
+  * Layout: partitioned by (`time_bucket`, `what`) — the reference's
+  * `time_index_key` *is* the partition directory. This both prunes time
+  * queries to the touched day-buckets and spreads writes across whats
+  * (the reference's hot-key-avoidance rationale, `README.md:189-202`,
+  * holds at 100 TB: one day × one what is a handful of files, compactable
+  * independently). Work-id queries scan with a pushed-down `work_id`
+  * predicate; at large scale a Z-order or secondary bucketed copy can be
+  * added without changing this API.
+  */
+final class RecordStore(spark: SparkSession, path: String) {
+  import spark.implicits._
+
+  /** Append records idempotently: within-batch duplicate (id, time_bucket)
+    * pairs collapse to one row, mirroring the dup-tolerant DynamoDB put
+    * (`storage.py:64-73` — same key overwrites). */
+  def append(records: Seq[DatalakeRecord]): Unit =
+    appendDs(records.map(RecordRow.fromCore).toDS())
+
+  def appendDs(ds: Dataset[RecordRow]): Unit =
+    ds.withColumn("__dedup_id", col("metadata.id"))
+      .dropDuplicates("time_bucket", "__dedup_id")
+      .drop("__dedup_id")
+      .write
+      .mode(SaveMode.Append)
+      .partitionBy("time_bucket", "what")
+      .parquet(path)
+
+  def exists: Boolean =
+    new java.io.File(path).exists()
+
+  /** Full table as DataFrame; partition columns are restored to their
+    * logical types. */
+  def records: DataFrame =
+    spark.read
+      .schema(RecordStore.schema)
+      .option("basePath", path)
+      .parquet(path)
+}
+
+object RecordStore {
+  val metadataSchema: StructType = StructType(Seq(
+    StructField("version", IntegerType, nullable = false),
+    StructField("start", LongType, nullable = false),
+    StructField("end", LongType, nullable = true),
+    StructField("where", StringType, nullable = false),
+    StructField("what", StringType, nullable = false),
+    StructField("work_id", StringType, nullable = true),
+    StructField("path", StringType, nullable = false),
+    StructField("id", StringType, nullable = false),
+    StructField("hash", StringType, nullable = false)))
+
+  val schema: StructType = StructType(Seq(
+    StructField("version", IntegerType, nullable = false),
+    StructField("url", StringType, nullable = false),
+    StructField("time_bucket", LongType, nullable = false),
+    StructField("what", StringType, nullable = false),
+    StructField("where", StringType, nullable = false),
+    StructField("work_id", StringType, nullable = true),
+    StructField("create_time", LongType, nullable = false),
+    StructField("size", LongType, nullable = false),
+    StructField("metadata", metadataSchema, nullable = false)))
+}
+
+/** Compacted latest table replacing the reference's 1-row-per-
+  * `what:where` DynamoDB table (`storage.py:78-137`).
+  *
+  * The conditional put (`attribute_not_exists OR old.start <= new.start`,
+  * `storage.py:82`) becomes a read-merge-rewrite keyed by (what, where):
+  * per upsert batch, group to per-key argmax by (start, create_time) then
+  * union with the existing table and keep the winner. The table is tiny
+  * (one row per what×where pair) so a full rewrite per batch is the
+  * Spark-native move; on Delta this would be a MERGE.
+  */
+final class LatestStore(spark: SparkSession, path: String) {
+  import spark.implicits._
+
+  private def target = new java.io.File(path)
+
+  def exists: Boolean = target.exists()
+
+  def latest: DataFrame =
+    spark.read.schema(RecordStore.schema).parquet(path)
+
+  /** Monotone upsert: newest (metadata.start, create_time) per (what,
+    * where) wins, replay-safe (applying the same batch twice is a no-op). */
+  def upsert(batch: DataFrame): Unit = {
+    val incoming =
+      if (exists) latest.unionByName(batch.select(latest.columns.map(col).toSeq: _*))
+      else batch
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"what", $"where")
+      .orderBy($"metadata.start".desc, $"create_time".desc, $"metadata.id".desc)
+    val winners = incoming
+      .withColumn("__rn", row_number().over(w))
+      .filter($"__rn" === 1)
+      .drop("__rn")
+    // rewrite via temp dir then atomic-ish swap (local FS; on object
+    // stores this is a Delta/Iceberg transactional replace)
+    val tmp = path + ".tmp"
+    winners.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val dir = new java.io.File(path)
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+    new java.io.File(tmp).renameTo(dir)
+  }
+}
