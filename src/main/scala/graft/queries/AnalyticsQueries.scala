@@ -1,0 +1,221 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational analytics over the TPC-H-ish tables: scans, broadcast +
+  * shuffle joins, partial aggregation, windows, rollup, semi/anti joins.
+  *
+  * The reference needs none of these directly (its querier is key-lookup
+  * shaped), but they are the capabilities Catalyst gives the engine "for
+  * free" (SURVEY §2.3) and the headline bench queries.
+  *
+  * Money math is done in DECIMAL so results are exact and deterministic
+  * under any partitioning/aggregation order — double sums would differ
+  * between runs and engines.
+  */
+object AnalyticsQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    s.read.parquet(s"$dir/$n.parquet")
+
+  private val dec = "decimal(18,2)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TPC-H Q1-shaped pricing summary: single scan, partial-agg friendly
+    "q1_pricing_summary" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" <= lit("2000-01-01").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity".cast(dec)).cast(dec).as("sum_qty"),
+          sum($"l_extendedprice".cast(dec)).cast(dec).as("sum_base_price"),
+          sum($"l_extendedprice".cast(dec) *
+            (lit(1) - $"l_discount").cast(dec)).cast("decimal(18,4)")
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // TPC-H Q3-shaped: broadcast the filtered dimension, shuffle-join the
+    // facts, top-k via TakeOrderedAndProject
+    "q3_top_orders" -> ((s, dir) => {
+      import s.implicits._
+      val cust = t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+        .select($"c_custkey")
+      val ord = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+      val li = t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .groupBy($"o_orderkey", $"o_orderdate")
+        .agg(sum($"l_extendedprice".cast(dec) *
+          (lit(1) - $"l_discount").cast(dec)).cast("decimal(18,4)")
+          .as("revenue"))
+        .select($"o_orderkey", to_date($"o_orderdate").as("o_orderdate"),
+          $"revenue")
+        .orderBy($"revenue".desc, $"o_orderkey")
+        .limit(10)
+    }),
+
+    // TPC-H Q5-shaped multi-way join: nation/region broadcast, the rest
+    // shuffle on their keys
+    "q5_region_revenue" -> ((s, dir) => {
+      import s.implicits._
+      val region = t(s, dir, "region").filter($"r_name" === "EUROPE")
+      val nation = t(s, dir, "nation")
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val supp = t(s, dir, "supplier")
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
+        .join(supp, $"l_suppkey" === $"s_suppkey" &&
+          $"s_nationkey" === $"c_nationkey")
+        .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"n_name")
+        .agg(sum($"l_extendedprice".cast(dec) *
+          (lit(1) - $"l_discount").cast(dec)).cast("decimal(18,4)")
+          .as("revenue"))
+        .orderBy($"n_name")
+    }),
+
+    // running window aggregate over a unique total order
+    "q_window_running" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"l_suppkey")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem")
+        .filter($"l_suppkey" <= 3)
+        .withColumn("running_qty",
+          sum($"l_quantity".cast(dec)).over(w).cast(dec))
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"running_qty")
+        .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
+    }),
+
+    // rollup (grouping-sets family)
+    "q_rollup_agg" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .rollup($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum($"o_totalprice".cast(dec)).cast(dec).as("sum_price"))
+        .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+          coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+          $"n", $"sum_price")
+        .orderBy($"status", $"priority")
+    }),
+
+    // distinct aggregation (expand + two-phase agg under the hood)
+    "q_distinct_agg" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_suppkey")
+        .agg(count(lit(1)).as("n_lines"),
+          countDistinct($"l_partkey").as("n_parts"),
+          countDistinct($"l_orderkey").as("n_orders"))
+        .orderBy($"l_suppkey")
+    }),
+
+    // anti join: customers with no orders
+    "q_anti_join" -> ((s, dir) => {
+      import s.implicits._
+      val ord = t(s, dir, "orders").select($"o_custkey")
+      t(s, dir, "customer")
+        .join(ord, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    }),
+
+    // semi join + aggregation: active customers per segment
+    "q_semi_agg" -> ((s, dir) => {
+      import s.implicits._
+      val ord = t(s, dir, "orders").select($"o_custkey")
+      t(s, dir, "customer")
+        .join(ord, $"c_custkey" === $"o_custkey", "left_semi")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_active"),
+          sum($"c_acctbal".cast(dec)).cast(dec).as("sum_bal"))
+        .orderBy($"c_mktsegment")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DECIMAL(18,2)) AS running_qty
+        |FROM lineitem WHERE l_suppkey <= 3
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_rollup_agg" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT l_suppkey, count(*) AS n_lines,
+        |       count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_semi_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_active,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_bal
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+}

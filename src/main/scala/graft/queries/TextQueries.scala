@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data text pipeline over the `documents` table: exact dedup,
+  * quality scoring, token counting, language-marker scoring, document
+  * fingerprinting, n-gram Jaccard near-dup, and MD5-based MinHash
+  * signatures (oracle-checkable because both engines share md5 and
+  * byte-lexicographic string min).
+  *
+  * Everything is codegen'd builtin functions over one scan — no UDFs — so
+  * at 100 TB each query is a single map-side pass plus (where needed) one
+  * shuffle on the group key.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Jaccard pairs are blocked on (lang, n_chars bucket) so the join is a
+    * pruned equi-join, not a cross product — at scale this is the standard
+    * blocking trick (same shape as LSH banding). */
+  private val SlugRe = "^[a-z0-9_-]+$"
+  private val TokenRe = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  private val Stopwords = "\\b(the|a|an|of|and|to|in|is|it|for)\\b"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // exact dedup by content hash (hash-groupBy; the union simulates a
+    // corpus with 10% duplicated docs)
+    "q_dedup_exact" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      d.unionByName(d.filter($"doc_id" % 10 === 0))
+        .groupBy(md5($"text").as("content_hash"))
+        .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("canonical_doc"))
+        .orderBy($"content_hash")
+    }),
+
+    // quality scoring: integer-only signals (word/punct/stopword/digit
+    // counts) so the oracle comparison is exact
+    "q_text_quality" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(
+        $"doc_id",
+        length($"text").as("n_chars_actual"),
+        size(split(trim($"text"), "\\s+")).as("n_words"),
+        regexp_count($"text", lit("[.,!?;:]")).as("n_punct"),
+        regexp_count(lower($"text"), lit(Stopwords)).as("n_stopwords"),
+        regexp_count($"text", lit("[0-9]")).as("n_digits"))
+        .orderBy($"doc_id")
+    }),
+
+    // BPE-ish token counting via regex classes
+    "q_token_count" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(
+        $"doc_id",
+        regexp_count(lower($"text"), lit(TokenRe)).as("n_tokens"),
+        regexp_count(lower($"text"), lit("[a-z]+")).as("n_word_tokens"),
+        regexp_count(lower($"text"), lit("[0-9]+")).as("n_num_tokens"))
+        .orderBy($"doc_id")
+    }),
+
+    // language-ID by marker-word counts (n-gram heuristic, deterministic)
+    "q_lang_markers" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .withColumn("en_score",
+          regexp_count(lower($"text"), lit("\\b(the|and|of|is|with)\\b")))
+        .withColumn("fr_score",
+          regexp_count(lower($"text"), lit("\\b(le|la|et|les|des)\\b")))
+        .withColumn("de_score",
+          regexp_count(lower($"text"), lit("\\b(der|die|das|und|mit)\\b")))
+        .withColumn("es_score",
+          regexp_count(lower($"text"), lit("\\b(el|los|las|y|con)\\b")))
+        .withColumn("predicted_lang",
+          when($"en_score" >= greatest($"fr_score", $"de_score", $"es_score"), "en")
+            .when($"fr_score" >= greatest($"de_score", $"es_score"), "fr")
+            .when($"de_score" >= $"es_score", "de")
+            .otherwise("es"))
+        .select($"doc_id", $"en_score", $"fr_score", $"de_score",
+          $"es_score", $"predicted_lang")
+        .orderBy($"doc_id")
+    }),
+
+    // document fingerprint: md5 of whitespace-normalized lowercase text
+    "q_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(
+        $"doc_id",
+        md5(lower(regexp_replace(trim($"text"), "\\s+", " ")))
+          .as("fingerprint"))
+        .orderBy($"doc_id")
+    }),
+
+    // n-gram (word-set) Jaccard near-dup pairs, blocked on (lang, size
+    // bucket); the threshold test 4*|∩| >= |∪| (J >= 0.25) stays in exact
+    // integer arithmetic
+    "q_ngram_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      val base = docs(s, dir).select(
+        $"doc_id", $"lang", expr("n_chars div 100").cast("int").as("size_bucket"),
+        array_distinct(split(lower(trim($"text")), "\\s+")).as("words"))
+      val a = base.select($"doc_id".as("doc_a"), $"lang", $"size_bucket",
+        $"words".as("words_a"))
+      val b = base.select($"doc_id".as("doc_b"), $"lang", $"size_bucket",
+        $"words".as("words_b"))
+      a.join(b, Seq("lang", "size_bucket"))
+        .filter($"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b",
+          size(array_intersect($"words_a", $"words_b")).as("inter_size"),
+          (size($"words_a") + size($"words_b") -
+            size(array_intersect($"words_a", $"words_b"))).as("union_size"))
+        .filter($"inter_size" * 4 >= $"union_size")
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
+    // MinHash signatures over 3-word shingles with md5 hash family; two
+    // 4-row bands for LSH bucketing — min over hex strings is
+    // byte-lexicographic in both engines, so the signature is
+    // oracle-checkable
+    "q_minhash_sig" -> ((s, dir) => {
+      import s.implicits._
+      val withShingles = docs(s, dir)
+        .withColumn("w", split(lower(trim($"text")), "\\s+"))
+        .withColumn("shingles", expr(
+          "transform(sequence(0, greatest(size(w) - 3, 0)), " +
+            "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+      val hashCols = (0 until 8).map { k =>
+        expr(s"array_min(transform(shingles, s -> md5(concat(s, '#$k'))))")
+          .as(s"h$k")
+      }
+      withShingles
+        .select(($"doc_id" +: hashCols): _*)
+        .withColumn("band0", md5(concat($"h0", $"h1", $"h2", $"h3")))
+        .withColumn("band1", md5(concat($"h4", $"h5", $"h6", $"h7")))
+        .orderBy($"doc_id")
+    }))
+
+  private def jaccardCte =
+    """WITH base AS (
+      |  SELECT doc_id, lang, CAST(n_chars // 100 AS INT) AS size_bucket,
+      |         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS words
+      |  FROM documents)
+      |""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_copies,
+        |       min(doc_id) AS canonical_doc
+        |FROM (SELECT * FROM documents
+        |      UNION ALL SELECT * FROM documents WHERE doc_id % 10 = 0)
+        |GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+
+    "q_text_quality" ->
+      """SELECT doc_id, length(text) AS n_chars_actual,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_words,
+        |  len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+        |  len(regexp_extract_all(lower(text),
+        |      '\b(the|a|an|of|and|to|in|is|it|for)\b')) AS n_stopwords,
+        |  len(regexp_extract_all(text, '[0-9]')) AS n_digits
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+')) AS n_word_tokens,
+        |  len(regexp_extract_all(lower(text), '[0-9]+')) AS n_num_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_lang_markers" ->
+      """SELECT doc_id, en_score, fr_score, de_score, es_score,
+        |  CASE WHEN en_score >= greatest(fr_score, de_score, es_score) THEN 'en'
+        |       WHEN fr_score >= greatest(de_score, es_score) THEN 'fr'
+        |       WHEN de_score >= es_score THEN 'de'
+        |       ELSE 'es' END AS predicted_lang
+        |FROM (SELECT doc_id,
+        |  len(regexp_extract_all(lower(text), '\b(the|and|of|is|with)\b')) AS en_score,
+        |  len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS fr_score,
+        |  len(regexp_extract_all(lower(text), '\b(der|die|das|und|mit)\b')) AS de_score,
+        |  len(regexp_extract_all(lower(text), '\b(el|los|las|y|con)\b')) AS es_score
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_ngram_jaccard" -> (jaccardCte +
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  len(list_intersect(a.words, b.words)) AS inter_size,
+        |  len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))
+        |    AS union_size
+        |FROM base a JOIN base b
+        |  ON a.lang = b.lang AND a.size_bucket = b.size_bucket
+        | AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.words, b.words)) * 4 >=
+        |      len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))
+        |ORDER BY doc_a, doc_b""".stripMargin),
+
+    "q_minhash_sig" ->
+      ("""WITH sh AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      generate_series(1, greatest(len(w) - 2, 1)),
+        |      i -> concat_ws(' ', w[i], w[i+1], w[i+2])) AS shingles
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(lower(trim(text)), '\s+') AS w
+        |        FROM documents))
+        |SELECT doc_id, """ +
+        (0 until 8).map(k =>
+          s"list_min(list_transform(shingles, s -> md5(s || '#$k'))) AS h$k")
+          .mkString(", ") +
+        """, md5(h0 || h1 || h2 || h3) AS band0,
+          |  md5(h4 || h5 || h6 || h7) AS band1
+          |FROM sh ORDER BY doc_id""".stripMargin).stripMargin)
+}
