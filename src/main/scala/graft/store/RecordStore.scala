@@ -71,13 +71,40 @@ final class RecordStore(spark: SparkSession, path: String) {
     appendDs(records.map(RecordRow.fromCore).toDS())
 
   def appendDs(ds: Dataset[RecordRow]): Unit =
-    ds.withColumn("__dedup_id", col("metadata.id"))
+    appendDf(ds.toDF(), dedupAgainstExisting = false)
+
+  /** Append with optional cross-batch idempotence: when
+    * `dedupAgainstExisting`, rows whose (time_bucket, id) already exist are
+    * dropped via an anti-join that only reads the bucket partitions touched
+    * by this batch (partition-pruned, so the cost is bounded by batch span,
+    * not table size — the 30-bucket ingest cap guarantees that). This is
+    * the replay-safety the reference gets from DynamoDB's idempotent put
+    * (`storage.py:64-73`) under at-least-once delivery. */
+  def appendDf(df: DataFrame, dedupAgainstExisting: Boolean): Unit = {
+    val deduped = df
+      .withColumn("__dedup_id", col("metadata.id"))
       .dropDuplicates("time_bucket", "__dedup_id")
+    val toWrite =
+      if (dedupAgainstExisting && exists) {
+        val buckets = deduped.select(min("time_bucket"), max("time_bucket"))
+          .collect().head
+        if (buckets.isNullAt(0)) deduped
+        else {
+          val existing = records
+            .filter(col("time_bucket")
+              .between(buckets.getLong(0), buckets.getLong(1)))
+            .select(col("time_bucket"),
+              col("metadata.id").as("__dedup_id"))
+          deduped.join(existing, Seq("time_bucket", "__dedup_id"), "left_anti")
+        }
+      } else deduped
+    toWrite
       .drop("__dedup_id")
       .write
       .mode(SaveMode.Append)
       .partitionBy("time_bucket", "what")
       .parquet(path)
+  }
 
   def exists: Boolean =
     new java.io.File(path).exists()

@@ -1,0 +1,143 @@
+package graft.streaming
+
+import graft.core._
+import graft.store.{LatestStore, MetadataRow, RecordRow, RecordStore}
+import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Per-message ingestion telemetry (`ingester.py:27-65`, README.md:264-306):
+  * `{version, status: success|error, start, duration, records[]}`. */
+final case class ReportRecord(
+    url: String,
+    size: Long,
+    create_time: Long,
+    metadata: MetadataRow)
+
+final case class IngesterReport(
+    version: Int,
+    status: String,
+    start: Long,
+    duration: Double,
+    records: Seq[ReportRecord],
+    message: Option[String])
+
+final case class IngestResult(
+    records: Seq[RecordRow],
+    report: IngesterReport)
+
+/** Message handler reproducing `Ingester.handler` (`ingester.py:88-114`):
+  * parse the notification, dispatch per event (Put/CompleteMultipartUpload
+  * ⇒ add, Copy ⇒ update — identical for an idempotent store, other names ⇒
+  * UnsupportedS3Event, `s3:TestEvent` ⇒ no-op), resolve each url through
+  * the content store, and expand into per-bucket records.
+  *
+  * SAFE exceptions (bad notification/event/metadata/time-range/missing
+  * file, `ingester.py:16-25`) produce an error report and the stream
+  * continues; anything else re-raises (poison-pill stops the stream).
+  */
+final class Ingester(
+    contentStore: ContentStore,
+    clock: () => Long = () => System.currentTimeMillis())
+  extends Serializable {
+
+  def handle(notificationJson: String): IngestResult = {
+    val startMs = clock()
+    val collected = scala.collection.mutable.LinkedHashMap.empty[String, RecordRow]
+    try {
+      val n = S3Notification.parse(notificationJson)
+      n.events.foreach { e =>
+        if (!S3Notification.EventsWithRecords.contains(e.eventName))
+          throw new UnsupportedS3Event(
+            s"Datalake does not support S3 publish event type ${e.eventName}.")
+        val (meta, size, createTime) = contentStore.fetch(e.s3Url)
+        DatalakeRecord.listFromMetadata(meta, e.s3Url, createTime, size)
+          .foreach(r => collected(r.url + "#" + r.timeBucket) =
+            RecordRow.fromCore(r))
+      }
+      IngestResult(collected.values.toSeq,
+        IngesterReport(0, "success", startMs,
+          (clock() - startMs) / 1000.0, reportRecords(collected), None))
+    } catch {
+      case e: Exception if Ingester.isSafe(e) =>
+        IngestResult(Nil,
+          IngesterReport(0, "error", startMs, (clock() - startMs) / 1000.0,
+            reportRecords(collected), Some(e.getMessage)))
+    }
+  }
+
+  /** Report lists each distinct url once (`ingester.py:61-65` keys records
+    * by url). */
+  private def reportRecords(
+      collected: scala.collection.mutable.LinkedHashMap[String, RecordRow])
+    : Seq[ReportRecord] = {
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, ReportRecord]
+    collected.values.foreach { r =>
+      seen.getOrElseUpdate(r.url,
+        ReportRecord(r.url, r.size, r.create_time, r.metadata))
+    }
+    seen.values.toSeq
+  }
+}
+
+object Ingester {
+  /** `SAFE_EXCEPTIONS` (`ingester.py:16-25`). */
+  def isSafe(e: Throwable): Boolean = e match {
+    case _: InvalidS3Notification | _: InvalidS3Event |
+         _: UnsupportedTimeRange | _: NoSuchDatalakeFile |
+         _: InvalidDatalakeMetadata | _: UnsupportedS3Event => true
+    case _ => false
+  }
+}
+
+/** Structured Streaming replacement for the SQS-driven pipeline
+  * (`ingester.py:131-137` + `queue.py:50-78`): a file source watches a
+  * notification directory (one JSON document per file — the reference's
+  * inotify/SQS delivery unit), each micro-batch parses + expands records
+  * on the executors, and `foreachBatch` writes the records table, merges
+  * the latest table, and appends the report side-output. The reference's
+  * at-least-once + idempotent-put contract becomes dedup-on-append +
+  * monotone latest MERGE, which is replay-safe (T3, strictly stronger).
+  */
+final class StreamingIngester(
+    spark: SparkSession,
+    contentStore: ContentStore,
+    recordStore: RecordStore,
+    latestStore: Option[LatestStore] = None,
+    reportPath: Option[String] = None,
+    clock: () => Long = () => System.currentTimeMillis()) {
+
+  import spark.implicits._
+
+  private val ingester = new Ingester(contentStore, clock)
+
+  def processBatch(batch: Dataset[String]): Unit = {
+    val ing = ingester
+    val results = batch.map(ing.handle).persist()
+    try {
+      val records = results.flatMap(_.records)
+      recordStore.appendDf(records.toDF(), dedupAgainstExisting = true)
+      latestStore.foreach(_.upsert(records.toDF()))
+      reportPath.foreach { p =>
+        results.map(_.report).write.mode(SaveMode.Append).json(p)
+      }
+    } finally results.unpersist()
+  }
+
+  /** Start the stream over a directory of notification JSON files. */
+  def start(
+      notificationDir: String,
+      checkpointDir: String,
+      availableNow: Boolean = false): StreamingQuery = {
+    val raw = spark.readStream
+      .option("wholetext", "true")
+      .text(notificationDir)
+      .as[String]
+    val writer = raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((batch: Dataset[String], _: Long) => processBatch(batch))
+    // AvailableNow ⇒ drain-then-stop (the reference's listen(timeout) test
+    // mode, `queue.py:52-66`); default ⇒ continuous micro-batches.
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+}

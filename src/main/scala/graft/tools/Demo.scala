@@ -66,6 +66,46 @@ object Demo {
       .filter(s => s.contains("PartitionFilters") || s.contains("PushedFilters"))
       .foreach(s => println("PLAN: " + s.trim.take(600)))
 
+    // --- full ingest path: push → notification → stream → query ---
+    import graft.sources.LocalContentStore
+    import graft.streaming.StreamingIngester
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.{Files, Paths}
+
+    val contentRoot = dir + "/content"
+    val cs = new LocalContentStore(contentRoot)
+    val srcFile = Files.write(Paths.get(dir, "app.log"),
+      "hello datalake\n".getBytes(StandardCharsets.UTF_8))
+    val now = System.currentTimeMillis()
+    val (url, meta) = cs.push(srcFile, Map(
+      "what" -> "applog", "where" -> "demo-host", "work_id" -> null,
+      "start" -> now, "end" -> (now + 3600 * 1000L)))
+    println(s"PUSHED: $url hash=${meta.hash}")
+
+    val notifDir = dir + "/notifications"
+    Files.createDirectories(Paths.get(notifDir))
+    val key = url.stripPrefix("file://")
+    val msg = (s"""{"Records":[{"eventVersion":"2.0","eventName":""" +
+      s""""ObjectCreated:Put","s3":{"bucket":{"name":""},""" +
+      s""""object":{"key":"$key"}}}]}""")
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    Files.write(Paths.get(notifDir, "n1.json"),
+      s"""{"Message": "$msg"}""".getBytes(StandardCharsets.UTF_8))
+
+    val ingStore = new RecordStore(spark, dir + "/ingested")
+    val latest = new graft.store.LatestStore(spark, dir + "/latest")
+    val streamQ = new StreamingIngester(
+      spark, new LocalContentStore(""), ingStore, Some(latest),
+      Some(dir + "/reports"))
+      .start(notifDir, dir + "/ckpt", availableNow = true)
+    streamQ.awaitTermination(120000)
+    println("INGESTED-ROWS: " + ingStore.records.count())
+    val qi = new ArchiveQuerier(ingStore, Some(latest), useLatestTable = true)
+    println("INGEST-QUERY: " +
+      qi.queryByTime(now - 1000, now + 1000, "applog").records.map(_.url))
+    println("INGEST-LATEST: " +
+      qi.queryLatest("applog", "demo-host").map(_.metadata.hash))
+
     spark.stop()
   }
 }
