@@ -1,0 +1,147 @@
+package graft.tools
+
+import graft.api.ApiV0
+import graft.core._
+import graft.query.ArchiveQuerier
+import graft.sources.LocalContentStore
+import graft.store.{LatestStore, RecordStore}
+import graft.streaming.{Ingester, StreamingIngester}
+import org.apache.spark.sql.SparkSession
+import org.json4s.jackson.JsonMethods
+
+/** CLI verbs mirroring the reference's `datalake` script surface
+  * (`client/datalake/scripts/cli.py`): push / list / fetch / latest /
+  * translate, plus `ingest-dir` standing in for the enqueue/uploader pair
+  * (T4) over the streaming ingester.
+  *
+  * Environment: GRAFT_ROOT selects the warehouse directory (content store,
+  * record table, latest table all live under it).
+  */
+object Cli {
+
+  private def spark(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-cli")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def root: String =
+    sys.env.getOrElse("GRAFT_ROOT", sys.props("java.io.tmpdir") + "/graft")
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "push" :: file :: rest =>
+      val opts = parseOpts(rest)
+      val cs = new LocalContentStore(s"$root/content")
+      val fields: Map[String, Any] = Map(
+        "what" -> opts.getOrElse("what",
+          fail("--what is required")),
+        "where" -> opts.getOrElse("where", "localhost"),
+        "work_id" -> opts.get("work-id").orNull,
+        "start" -> opts.getOrElse("start", "now"),
+      ) ++ opts.get("end").map("end" -> _) ++
+        opts.get("path-translation").map { te =>
+          "what" -> Translator(te).translate(
+            java.nio.file.Paths.get(file).toAbsolutePath.toString)
+        }
+      val (url, meta) = cs.push(java.nio.file.Paths.get(file), fields)
+      // synchronous ingest (the reference's push→S3→SQS→ingester loop,
+      // collapsed for the local warehouse)
+      val s = spark()
+      val rec = DatalakeRecord.listFromMetadata(meta, url,
+        System.currentTimeMillis(), java.nio.file.Files.size(
+          java.nio.file.Paths.get(file)))
+      new RecordStore(s, s"$root/records").append(rec)
+      println(url)
+
+    case "list" :: what :: rest =>
+      val opts = parseOpts(rest)
+      val s = spark()
+      val q = new ArchiveQuerier(new RecordStore(s, s"$root/records"))
+      val params = Map("what" -> what) ++ opts.view.filterKeys(
+        Set("start", "end", "work_id", "where", "cursor")).toMap
+      val parsed = ApiV0.validateFilesParams(params)
+      val page = parsed.workId match {
+        case Some(w) => q.queryByWorkId(w, parsed.what, parsed.where, parsed.cursor)
+        case None => q.queryByTime(parsed.start.get, parsed.end.get,
+          parsed.what, parsed.where, parsed.cursor)
+      }
+      println(JsonMethods.pretty(JsonMethods.render(
+        ApiV0.filesResponse(page, "local://graft", params))))
+
+    case "latest" :: what :: where :: rest =>
+      val opts = parseOpts(rest)
+      val lookback = ApiV0.validateLookback(opts.getOrElse("lookback", "14"))
+      val s = spark()
+      val q = new ArchiveQuerier(new RecordStore(s, s"$root/records"),
+        Some(new LatestStore(s, s"$root/latest")), useLatestTable = false)
+      q.queryLatest(what, where, lookback) match {
+        case Some(r) => println(JsonMethods.pretty(JsonMethods.render(
+          ApiV0.recordJson(r, "local://graft"))))
+        case None =>
+          System.err.println(ApiV0.errorJson(
+            ApiV0.noSuchLatest(what, where, lookback)))
+          sys.exit(1)
+      }
+
+    case "fetch" :: url :: rest =>
+      val opts = parseOpts(rest)
+      val cs = new LocalContentStore(s"$root/content")
+      val (meta, _, _) = cs.fetch(url)
+      val fname = ApiV0.filenameFromTemplate(opts.get("template"), meta)
+      val in = cs.open(url)
+      try java.nio.file.Files.copy(in, java.nio.file.Paths.get(fname),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+      println(fname)
+
+    case "translate" :: expression :: path :: Nil =>
+      println(Translator(expression).translate(path))
+
+    case "ingest-dir" :: notifDir :: Nil =>
+      val s = spark()
+      val q = new StreamingIngester(s, new LocalContentStore(s"$root/content"),
+        new RecordStore(s, s"$root/records"),
+        Some(new LatestStore(s, s"$root/latest")),
+        Some(s"$root/reports"))
+        .start(notifDir, s"$root/checkpoints/ingest", availableNow = true)
+      q.awaitTermination()
+      println("drained " + notifDir)
+
+    case other =>
+      System.err.println(
+        s"""unknown command: ${other.mkString(" ")}
+           |usage:
+           |  push <file> --what W [--where H] [--start T] [--end T]
+           |              [--work-id ID] [--path-translation EXPR]
+           |  list <what> [--start T --end T | --work_id ID] [--where H]
+           |              [--cursor C]
+           |  latest <what> <where> [--lookback DAYS]
+           |  fetch <url> [--template TPL]
+           |  translate <expression> <path>
+           |  ingest-dir <notification-dir>""".stripMargin)
+      sys.exit(2)
+  }
+
+  private def parseOpts(args: List[String]): Map[String, String] = {
+    def loop(rest: List[String], acc: Map[String, String]): Map[String, String] =
+      rest match {
+        case key :: value :: tail if key.startsWith("--") =>
+          loop(tail, acc + (key.stripPrefix("--") -> value))
+        case Nil => acc
+        case bad => fail(s"cannot parse arguments near: ${bad.mkString(" ")}")
+      }
+    loop(args, Map.empty)
+  }
+
+  private def fail(msg: String): Nothing = {
+    System.err.println(msg)
+    sys.exit(2)
+  }
+}
