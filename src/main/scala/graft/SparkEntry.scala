@@ -22,11 +22,13 @@ object SparkEntry {
     ArchiveQueries.queries ++
       AnalyticsQueries.queries ++
       TextQueries.queries ++
-      VectorQueries.queries
+      VectorQueries.queries ++
+      PipelineQueries.queries
 
   def oracleSql: Map[String, String] =
     ArchiveQueries.oracleSql ++
       AnalyticsQueries.oracleSql ++
       TextQueries.oracleSql ++
-      VectorQueries.oracleSql
+      VectorQueries.oracleSql ++
+      PipelineQueries.oracleSql
 }

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One multimodal asset: opaque binary payload + typed metadata. */
+final case class MediaAsset(
+    asset_id: Long,
+    media_type: String,
+    payload: Array[Byte])
+
+/** Extracted features for one asset. */
+final case class MediaFeatures(
+    asset_id: Long,
+    media_type: String,
+    n_bytes: Long,
+    content_hash: String,
+    width: Int,
+    height: Int,
+    n_frames: Int,
+    feature_vec: Array[Float])
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed in batch form per partition.
+  *
+  * The actual media decoding is STUBBED (no image/audio libraries in this
+  * environment — see `decodeStub`): it derives deterministic fake
+  * dimensions/frames/features from the bytes. Everything around it — the
+  * binary-column schema, per-partition batch shape, partition sizing, and
+  * the decode → feature-extract → (optional) dedup pipeline — is the real
+  * Spark plumbing a production decoder would drop into.
+  *
+  * Scale notes: payloads stay in one column so Parquet keeps them out of
+  * predicate scans (column pruning means metadata-only queries never read
+  * bytes); `repartition` before the decode controls batch memory; the
+  * decode itself is `mapPartitions`, the JVM analogue of `mapInPandas`
+  * batching.
+  */
+object Multimodal {
+
+  /** STUB decoder — replace with a real codec binding in production.
+    * Deterministic in the payload bytes so tests are stable. */
+  def decodeStub(a: MediaAsset): MediaFeatures = {
+    val hash = graft.core.Blake2b.hexDigest(a.payload)
+    // fake dimensions derived from content; a real impl would parse the
+    // container header instead
+    val h = java.lang.Long.parseLong(hash.take(8), 16)
+    val width = (h % 1920 + 1).toInt
+    val height = ((h >> 16) % 1080 + 1).toInt
+    val frames = a.media_type match {
+      case "video" => (a.payload.length % 240) + 1
+      case "audio" => (a.payload.length % 48000) + 1
+      case _ => 1
+    }
+    val vec = Array.tabulate(8) { i =>
+      ((java.lang.Long.parseLong(hash.substring(i * 2, i * 2 + 2), 16)
+        / 255.0f) * 2 - 1)
+    }
+    MediaFeatures(a.asset_id, a.media_type, a.payload.length.toLong,
+      hash, width, height, frames, vec)
+  }
+
+  /** Decode + feature-extract over binary columns, batched per partition.
+    * `batchPartitions` bounds per-task memory for large payloads. */
+  def extractFeatures(
+      assets: Dataset[MediaAsset],
+      batchPartitions: Int = 0): Dataset[MediaFeatures] = {
+    import assets.sparkSession.implicits._
+    val repartitioned =
+      if (batchPartitions > 0) assets.repartition(batchPartitions)
+      else assets
+    repartitioned.mapPartitions(_.map(decodeStub))
+  }
+
+  /** Synthesize a MediaAsset table from the documents table (the test
+    * environment has no real media): text bytes become the payload, the
+    * media type cycles deterministically. */
+  def assetsFromDocuments(docs: DataFrame): Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    docs.select(
+      col("doc_id").as("asset_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+      encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaAsset]
+  }
+
+  /** Full pipeline as a DataFrame (for the query battery): synthesize →
+    * decode(stub) → features + per-type stats-friendly projection. */
+  def pipeline(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    extractFeatures(assetsFromDocuments(docs))
+      .toDF()
+      .select(col("asset_id"), col("media_type"), col("n_bytes"),
+        col("content_hash"), col("width"), col("height"), col("n_frames"))
+      .orderBy(col("asset_id"))
+  }
+}

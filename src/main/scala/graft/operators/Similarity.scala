@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate nearest-neighbor search over an embedding column.
+  *
+  * The scale path is IVF-style: a coarse quantizer (per-cell centroid)
+  * splits the corpus into cells; a query probes only the `nprobe` nearest
+  * cells. Brute force within probed cells stays a broadcast join against
+  * the (small) query set, so the 100 TB plan is: one centroid pass
+  * (cached), then a partition-pruned scan of the probed cells only.
+  */
+object Similarity {
+
+  /** Per-cell mean vector via posexplode + groupBy(cell, dim) — the
+    * elementwise-average shape that scales to any dimension. */
+  def centroids(
+      emb: DataFrame,
+      cellCol: String = "label"): DataFrame =
+    emb
+      .select(col(cellCol).as("cell"),
+        posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+          .as(Seq("dim", "component")))
+      .groupBy("cell", "dim")
+      .agg(avg("component").as("mean_component"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("dim"), col("mean_component"))))
+        .as("pairs"))
+      .select(col("cell"),
+        expr("transform(pairs, p -> p.mean_component)").as("centroid"))
+
+  private val Dot =
+    "aggregate(zip_with(%s, %s, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+
+  private def cosExpr(a: String, b: String): String =
+    s"${Dot.format(a, b)} / (sqrt(${Dot.format(a, a)}) * sqrt(${Dot.format(b, b)}))"
+
+  /** IVF top-k: queries are assigned to their `nprobe` nearest cells by
+    * centroid cosine, then brute-force ranked only within those cells. */
+  def ivfTopK(
+      emb: DataFrame,
+      queryIds: Seq[Long],
+      k: Int = 5,
+      nprobe: Int = 2,
+      cellCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = centroids(emb, cellCol)
+    val queries = emb.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qv"))
+    // probe assignment: nprobe nearest centroids per query
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cent_sim").desc, col("cell"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("cent_sim", expr(cosExpr("qv", "centroid")))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter(col("probe_rank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    // search only the probed cells
+    val cands = emb.select(col("vec_id").as("cand_id"),
+      col(cellCol).as("cell"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cv"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    cands.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos_sim", round(expr(cosExpr("qv", "cv")), 4))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("cell"), col("rank"),
+        col("cos_sim").cast("decimal(9,4)").as("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Random-hyperplane LSH bucketing: `nbits` deterministic pseudo-random
+    * hyperplanes (components derived from xxhash64(bit, dim) mapped to
+    * ±1), signature = sign pattern of the projections. Vectors sharing a
+    * signature bucket are ANN candidates. */
+  def hyperplaneLsh(emb: DataFrame, nbits: Int = 12): DataFrame = {
+    val signBits = (0 until nbits).map { b =>
+      val proj =
+        s"""aggregate(
+           |  zip_with(v, transform(sequence(0, size(v) - 1),
+           |    d -> CASE WHEN xxhash64($b, d) % 2 = 0 THEN 1D ELSE -1D END),
+           |    (x, s) -> x * s),
+           |  0D, (acc, x) -> acc + x)""".stripMargin
+      s"CASE WHEN ($proj) > 0 THEN shiftleft(1L, $b) ELSE 0L END"
+    }
+    emb
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("lsh_bucket", expr(
+        s"""aggregate(array(${signBits.mkString(", ")}), 0L,
+           |  (acc, x) -> acc | x)""".stripMargin))
+      .drop("v")
+  }
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSuite {
+
+  lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank", "en"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bend", "en"),
+      (3L, "completely different text about spark query engines and columnar storage", "en"),
+      (4L, "the quick brown fox jumps over the lazy dog near the river bank", "en"))
+      .toDF("doc_id", "text", "lang")
+  }
+
+  test("simhash: identical docs share hash; near-dups are close; distinct far") {
+    val h = Dedup.simhash(docs).select("doc_id", "simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) === h(4L)) // identical text → identical simhash
+    val nearDist = java.lang.Long.bitCount(h(1L) ^ h(2L))
+    val farDist = java.lang.Long.bitCount(h(1L) ^ h(3L))
+    assert(nearDist < farDist)
+    assert(nearDist <= 16, s"one-word change moved $nearDist bits")
+  }
+
+  test("simhashPairs surfaces the exact-dup pair at hamming 0") {
+    val pairs = Dedup.simhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.contains((1L, 4L, 0)))
+  }
+
+  test("minhashCandidates finds exact and near duplicates") {
+    val cands = Dedup.minhashCandidates(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(cands.get((1L, 4L)).contains(8)) // identical → all 8 hashes match
+    assert(!cands.contains((1L, 3L)), "unrelated docs must not collide")
+  }
+
+  test("ivfTopK returns k ranked neighbors from probed cells") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    // 3 clusters around orthogonal axes
+    val vecs = (0 until 60).map { i =>
+      val cell = i % 3
+      val base = Array.fill(8)(0.05f * rng.nextFloat())
+      base(cell) = 1.0f + 0.1f * rng.nextFloat()
+      (i.toLong, base.toSeq, cell)
+    }
+    val emb = vecs.toDF("vec_id", "embedding", "label")
+    val top = Similarity.ivfTopK(emb, queryIds = Seq(0L, 1L), k = 3, nprobe = 1)
+    val rows = top.collect()
+    assert(rows.length === 6) // 2 queries × k=3
+    // all neighbors of query 0 (cluster 0) come from cluster 0
+    assert(rows.filter(_.getLong(0) == 0L).forall(_.getInt(2) === 0))
+    // ranks are 1..k and similarities non-increasing
+    val q0 = rows.filter(_.getLong(0) == 0L).sortBy(_.getInt(3))
+    assert(q0.map(_.getInt(3)).toSeq === Seq(1, 2, 3))
+    val sims = q0.map(_.getDecimal(4).doubleValue())
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("hyperplaneLsh groups identical vectors, deterministic buckets") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Seq(-1.0f, 0.5f, -0.5f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val b1 = Similarity.hyperplaneLsh(emb).select("vec_id", "lsh_bucket")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b1(1L) === b1(2L))
+    val b2 = Similarity.hyperplaneLsh(emb).select("vec_id", "lsh_bucket")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b1 === b2) // deterministic across runs
+  }
+
+  test("multimodal pipeline: schema, determinism, payload-derived features") {
+    val out = Multimodal.pipeline(docs.withColumnRenamed("lang", "source"))
+    val rows = out.collect()
+    assert(rows.length === 4)
+    assert(out.columns.toSeq === Seq("asset_id", "media_type", "n_bytes",
+      "content_hash", "width", "height", "n_frames"))
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    // identical payloads (docs 1 and 4) → identical hash and dimensions
+    assert(byId(1L).getString(3) === byId(4L).getString(3))
+    assert(byId(1L).getInt(4) === byId(4L).getInt(4))
+    // media type cycles by id
+    assert(byId(1L).getString(1) === "audio")
+    assert(byId(2L).getString(1) === "video")
+    assert(byId(3L).getString(1) === "image")
+    // bytes counted from the payload
+    assert(byId(3L).getLong(2) > 0)
+  }
+
+  test("extractFeatures batches per partition with typed encoders") {
+    import spark.implicits._
+    val assets = Multimodal.assetsFromDocuments(docs)
+    val feats = Multimodal.extractFeatures(assets, batchPartitions = 2)
+    assert(feats.rdd.getNumPartitions === 2)
+    assert(feats.collect().map(_.feature_vec.length).forall(_ === 8))
+  }
+}
