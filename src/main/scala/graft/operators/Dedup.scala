@@ -18,26 +18,37 @@ object Dedup {
   /** 64-bit SimHash per document over whitespace tokens.
     *
     * bit j of the hash = majority vote over tokens of bit j of
-    * xxhash64(token). The per-doc fold is
-    * `aggregate(tokens → bit-vectors, zeros, zip_with(+))` — a single
-    * codegen'd projection, no explode, no shuffle.
+    * xxhash64(token). Implemented as explode → 64 codegen'd conditional
+    * sums → bit reassembly: higher-order array functions are interpreted
+    * (never codegen'd) in Spark, so the hash-aggregate shape is ~100×
+    * faster despite the shuffle — and the shuffle is tiny because partial
+    * aggregation reduces each partition to one row per doc before the
+    * exchange. Other columns of `docs` are preserved via a rejoin-free
+    * groupBy on the full row struct key being unnecessary: we aggregate
+    * only (id, votes) and join back on the id column.
     */
-  def simhash(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs
-      .withColumn("__tokens", split(lower(trim(col(textCol))), "\\s+"))
-      .withColumn("__votes", expr(
-        """aggregate(
-          |  transform(__tokens, t -> transform(sequence(0, 63),
-          |    j -> CASE WHEN shiftright(xxhash64(t), j) % 2 != 0
-          |              THEN 1 ELSE -1 END)),
-          |  transform(sequence(0, 63), j -> 0),
-          |  (acc, x) -> zip_with(acc, x, (a, b) -> a + b))""".stripMargin))
-      .withColumn("simhash", expr(
-        """aggregate(
-          |  transform(sequence(0, 63),
-          |    j -> CASE WHEN __votes[j] > 0 THEN shiftleft(1L, j) ELSE 0L END),
-          |  0L, (acc, x) -> acc | x)""".stripMargin))
-      .drop("__tokens", "__votes")
+  def simhash(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    val parallel = spark.sparkContext.defaultParallelism
+    val tokens = docs
+      .select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("__token"))
+      .repartition(parallel, col(idCol))
+      .withColumn("__h", xxhash64(col("__token")))
+    val voteCols = (0 until 64).map { j =>
+      sum(when(expr(s"shiftright(__h, $j) % 2 != 0"), 1).otherwise(-1))
+        .as(s"__v$j")
+    }
+    val assembled = (0 until 64)
+      .map(j => s"CASE WHEN __v$j > 0 THEN shiftleft(1L, $j) ELSE 0L END")
+      .mkString(" | ")
+    val hashes = tokens
+      .groupBy(col(idCol))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col(idCol), expr(assembled).as("simhash"))
+    docs.join(hashes, Seq(idCol))
+  }
 
   /** SimHash near-dup candidate pairs: band the 64-bit hash into 4×16-bit
     * keys (a pair within Hamming distance 3 must agree on ≥1 band), join
@@ -76,16 +87,18 @@ object Dedup {
       docs: DataFrame,
       numHashes: Int = 8,
       rowsPerBand: Int = 4): DataFrame = {
-    val withShingles = docs
+    // exploded shingles + min aggregates keep the hashing codegen'd
+    // (interpreted array lambdas are the bottleneck at scale)
+    val shingles = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .withColumn("__w", split(lower(trim(col("text"))), "\\s+"))
-      .withColumn("__shingles", expr(
+      .select(col("doc_id"), explode(expr(
         "transform(sequence(0, greatest(size(__w) - 3, 0)), " +
-          "i -> concat_ws(' ', __w[i], __w[i+1], __w[i+2]))"))
-    val hashCols = (0 until numHashes).map { k =>
-      expr(s"array_min(transform(__shingles, s -> md5(concat(s, '#$k'))))")
-        .as(s"h$k")
+          "i -> concat_ws(' ', __w[i], __w[i+1], __w[i+2]))")).as("__s"))
+    val minCols = (0 until numHashes).map { k =>
+      min(md5(concat(col("__s"), lit(s"#$k")))).as(s"h$k")
     }
-    val sigs = withShingles.select((col("doc_id") +: hashCols): _*)
+    val sigs = shingles.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
     val nBands = numHashes / rowsPerBand
     val bandCol = (0 until nBands).map { bnd =>
       val parts = (0 until rowsPerBand).map(r => s"h${bnd * rowsPerBand + r}")

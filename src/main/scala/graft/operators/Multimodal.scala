@@ -89,7 +89,8 @@ object Multimodal {
     * decode(stub) → features + per-type stats-friendly projection. */
   def pipeline(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    extractFeatures(assetsFromDocuments(docs))
+    extractFeatures(assetsFromDocuments(docs),
+      batchPartitions = docs.sparkSession.sparkContext.defaultParallelism)
       .toDF()
       .select(col("asset_id"), col("media_type"), col("n_bytes"),
         col("content_hash"), col("width"), col("height"), col("n_frames"))

@@ -58,7 +58,9 @@ object Similarity {
       .filter(col("probe_rank") <= nprobe)
       .select(col("query_id"), col("qv"), col("cell"))
     // search only the probed cells
-    val cands = emb.select(col("vec_id").as("cand_id"),
+    val cands = emb
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("cand_id"),
       col(cellCol).as("cell"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cv"))
     val wRank = Window.partitionBy(col("query_id"))
@@ -88,6 +90,7 @@ object Similarity {
       s"CASE WHEN ($proj) > 0 THEN shiftleft(1L, $b) ELSE 0L END"
     }
     emb
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
       .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("lsh_bucket", expr(
         s"""aggregate(array(${signBits.mkString(", ")}), 0L,

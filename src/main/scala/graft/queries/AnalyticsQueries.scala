@@ -17,6 +17,8 @@ import org.apache.spark.sql.functions._
   */
 object AnalyticsQueries {
 
+  // plain reads: these queries are scan+agg/join shaped with low per-row
+  // CPU, so an extra re-parallelizing exchange costs more than it saves
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     s.read.parquet(s"$dir/$n.parquet")
 

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
 object PipelineQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    Tables.read(s, dir, "documents")
 
   /** Corpus with planted exact duplicates (10% of docs re-appear under
     * shifted ids) for near-dup candidate generation. */
@@ -24,7 +24,7 @@ object PipelineQueries {
   }
 
   private def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    Tables.read(s, dir, "embeddings")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
 object TextQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    Tables.read(s, dir, "documents")
 
   /** Jaccard pairs are blocked on (lang, n_chars bucket) so the join is a
     * pruned equi-join, not a cross product — at scale this is the standard
@@ -96,23 +96,27 @@ object TextQueries {
     }),
 
     // n-gram (word-set) Jaccard near-dup pairs, blocked on (lang, size
-    // bucket); the threshold test 4*|∩| >= |∪| (J >= 0.25) stays in exact
-    // integer arithmetic
+    // bucket); computed as an inverted-index self-join (explode word →
+    // equi-join → count per pair) so the plan is codegen'd shuffle joins —
+    // the scalable shape — instead of interpreted per-pair set
+    // intersections. The threshold 4*|∩| >= |∪| (J >= 0.25) stays in
+    // exact integer arithmetic.
     "q_ngram_jaccard" -> ((s, dir) => {
       import s.implicits._
       val base = docs(s, dir).select(
         $"doc_id", $"lang", expr("n_chars div 100").cast("int").as("size_bucket"),
         array_distinct(split(lower(trim($"text")), "\\s+")).as("words"))
-      val a = base.select($"doc_id".as("doc_a"), $"lang", $"size_bucket",
-        $"words".as("words_a"))
-      val b = base.select($"doc_id".as("doc_b"), $"lang", $"size_bucket",
-        $"words".as("words_b"))
-      a.join(b, Seq("lang", "size_bucket"))
+        .withColumn("n_words", size($"words"))
+      val words = base.select($"doc_id", $"lang", $"size_bucket", $"n_words",
+        explode($"words").as("word"))
+      val a = words.toDF("doc_a", "lang", "size_bucket", "n_a", "word")
+      val b = words.toDF("doc_b", "lang", "size_bucket", "n_b", "word")
+      a.join(b, Seq("lang", "size_bucket", "word"))
         .filter($"doc_a" < $"doc_b")
-        .select($"doc_a", $"doc_b",
-          size(array_intersect($"words_a", $"words_b")).as("inter_size"),
-          (size($"words_a") + size($"words_b") -
-            size(array_intersect($"words_a", $"words_b"))).as("union_size"))
+        .groupBy($"doc_a", $"doc_b", $"n_a", $"n_b")
+        .agg(count(lit(1)).cast("int").as("inter_size"))
+        .select($"doc_a", $"doc_b", $"inter_size",
+          ($"n_a" + $"n_b" - $"inter_size").as("union_size"))
         .filter($"inter_size" * 4 >= $"union_size")
         .orderBy($"doc_a", $"doc_b")
     }),
@@ -120,20 +124,22 @@ object TextQueries {
     // MinHash signatures over 3-word shingles with md5 hash family; two
     // 4-row bands for LSH bucketing — min over hex strings is
     // byte-lexicographic in both engines, so the signature is
-    // oracle-checkable
+    // oracle-checkable. Shingles are exploded so the 8 md5 minimums run
+    // as one codegen'd hash aggregation (higher-order array functions are
+    // interpreted and ~100× slower).
     "q_minhash_sig" -> ((s, dir) => {
       import s.implicits._
-      val withShingles = docs(s, dir)
+      val shingles = docs(s, dir)
         .withColumn("w", split(lower(trim($"text")), "\\s+"))
-        .withColumn("shingles", expr(
+        .select($"doc_id", explode(expr(
           "transform(sequence(0, greatest(size(w) - 3, 0)), " +
-            "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
-      val hashCols = (0 until 8).map { k =>
-        expr(s"array_min(transform(shingles, s -> md5(concat(s, '#$k'))))")
-          .as(s"h$k")
+            "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("s"))
+      val minCols = (0 until 8).map { k =>
+        min(md5(concat($"s", lit(s"#$k")))).as(s"h$k")
       }
-      withShingles
-        .select(($"doc_id" +: hashCols): _*)
+      shingles
+        .groupBy($"doc_id")
+        .agg(minCols.head, minCols.tail: _*)
         .withColumn("band0", md5(concat($"h0", $"h1", $"h2", $"h3")))
         .withColumn("band1", md5(concat($"h4", $"h5", $"h6", $"h7")))
         .orderBy($"doc_id")

@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
 object VectorQueries {
 
   private def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    Tables.read(s, dir, "embeddings")
 
   /** embedding as double array + precomputed L2 norm. */
   private def embNorm(s: SparkSession, dir: String): DataFrame =

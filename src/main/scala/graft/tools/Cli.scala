@@ -44,7 +44,11 @@ object Cli {
           fail("--what is required")),
         "where" -> opts.getOrElse("where", "localhost"),
         "work_id" -> opts.get("work-id").orNull,
-        "start" -> opts.getOrElse("start", "now"),
+        "start" -> (opts.getOrElse("start", "now") match {
+          case "crtime" => Long.box(graft.sources.Crtime(
+            java.nio.file.Paths.get(file)))
+          case other => other
+        }),
       ) ++ opts.get("end").map("end" -> _) ++
         opts.get("path-translation").map { te =>
           "what" -> Translator(te).translate(
