@@ -106,6 +106,16 @@ object Demo {
     println("INGEST-LATEST: " +
       qi.queryLatest("applog", "demo-host").map(_.metadata.hash))
 
+    // re-hash verification job: blake2b over content as a native
+    // codegen'd expression must reproduce the push-time hash
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    graft.functions.functions.register(spark)
+    val rehash = spark.read.format("binaryFile")
+      .load(url.stripPrefix("file://"))
+      .select(graft.functions.functions.blake2b(col("content")).as("hash"))
+      .collect().head.getString(0)
+    println(s"REHASH: $rehash match=${rehash == meta.hash}")
+
     spark.stop()
   }
 }
