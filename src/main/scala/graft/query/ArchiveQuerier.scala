@@ -31,7 +31,8 @@ final class ArchiveQuerier(
     latestStore: Option[LatestStore] = None,
     useLatestTable: Boolean = false,
     pageSize: Int = ArchiveQuerier.MaxResults,
-    clock: () => Long = () => System.currentTimeMillis()) {
+    clock: () => Long = () => System.currentTimeMillis(),
+    workIdIndex: Option[graft.store.WorkIdIndex] = None) {
 
   import ArchiveQuerier._
 
@@ -98,7 +99,12 @@ final class ArchiveQuerier(
       what: String,
       where: Option[String] = None,
       cursor: Option[Cursor] = None): QueryPage = {
-    val df = store.records
+    // prefer the secondary index (the reference's work-id GSI): its
+    // work_id-prefix partitioning prunes the scan to one directory
+    val df = workIdIndex.filter(_.exists) match {
+      case Some(idx) => idx.lookup(workId, what)
+      case None => store.records
+    }
     var pred: Column = col("work_id") === workId && col("what") === what
     where.foreach(w => pred = pred && col("where") === w)
     cursor.foreach { c =>

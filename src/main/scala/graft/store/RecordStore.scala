@@ -116,6 +116,84 @@ final class RecordStore(spark: SparkSession, path: String) {
       .schema(RecordStore.schema)
       .option("basePath", path)
       .parquet(path)
+
+  /** Compact fragmented partitions: streaming ingest appends one small
+    * file per micro-batch per (bucket, what); this rewrites each touched
+    * partition to `filesPerPartition` files. Only partitions whose file
+    * count exceeds the target are rewritten — the scan is partition-
+    * pruned, so compaction cost follows ingest-touched partitions, not
+    * table size. (On Delta/Iceberg this is OPTIMIZE; on plain parquet we
+    * rewrite via a temp dir and swap.)
+    */
+  def compact(filesPerPartition: Int = 1): Int = {
+    val root = new java.io.File(path)
+    if (!root.exists()) return 0
+    val fragmented =
+      for {
+        bucketDir <- Option(root.listFiles()).getOrElse(Array.empty).toSeq
+        if bucketDir.isDirectory && bucketDir.getName.startsWith("time_bucket=")
+        whatDir <- bucketDir.listFiles().toSeq
+        if whatDir.isDirectory && whatDir.getName.startsWith("what=")
+        files = whatDir.listFiles().count(_.getName.endsWith(".parquet"))
+        if files > filesPerPartition
+      } yield (
+        bucketDir.getName.stripPrefix("time_bucket=").toLong,
+        whatDir.getName.stripPrefix("what="),
+        whatDir)
+    fragmented.foreach { case (bucket, what, dir) =>
+      val part = records
+        .filter(col("time_bucket") === bucket && col("what") === what)
+        .drop("time_bucket", "what")
+      val tmp = new java.io.File(dir.getParentFile, dir.getName + ".compact")
+      part.coalesce(filesPerPartition)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+      tmp.renameTo(dir)
+      // drop writer artifacts that would confuse partition discovery
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName == "_SUCCESS" || f.getName.endsWith(".crc"))
+        .foreach(_.delete())
+    }
+    fragmented.size
+  }
+}
+
+/** Optional secondary copy of the record table laid out for work-id
+  * lookups — the Spark equivalent of the reference's `work-id-index` GSI
+  * (README.md:183-202). Rows are repartitioned by work_id and written
+  * bucketed-by-sort so a work-id query reads a partition-pruned slice
+  * instead of scanning every time bucket. Null work_ids are dropped (the
+  * reference's random `null<id>` sentinel exists precisely because such
+  * rows are never queried by work_id).
+  */
+final class WorkIdIndex(spark: SparkSession, path: String) {
+
+  def exists: Boolean = new java.io.File(path).exists()
+
+  /** (Re)build from the record table: partition by a short work_id prefix
+    * (bounded directory fan-out even with millions of work ids), sort by
+    * (work_id, what) within files for row-group skipping. */
+  def rebuild(store: RecordStore, prefixLen: Int = 2): Unit = {
+    store.records
+      .filter(col("work_id").isNotNull)
+      .withColumn("work_id_prefix",
+        substring(col("work_id"), 0, prefixLen))
+      .repartition(col("work_id_prefix"))
+      .sortWithinPartitions(col("work_id"), col("what"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("work_id_prefix")
+      .parquet(path)
+  }
+
+  def lookup(workId: String, what: String): DataFrame =
+    spark.read.option("basePath", path).parquet(path)
+      .filter(col("work_id_prefix") === workId.take(2) &&
+        col("work_id") === workId && col("what") === what)
+      .drop("work_id_prefix")
 }
 
 object RecordStore {
