@@ -1,0 +1,151 @@
+package graft.sources
+
+import graft.core.{DatalakeRecord, InvalidDatalakeMetadata, Metadata}
+import java.io.{FileInputStream, FileOutputStream}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardWatchEventKinds, WatchService}
+import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
+import scala.collection.mutable
+
+/** Client-side upload queue (T4, `client/datalake/queue.py:78-221`).
+  *
+  * `Enqueuer.enqueue` wraps {version, content, metadata json} into a
+  * bundle file named `<id>.bundle` in the queue directory (the reference
+  * uses a tar named `<id>.tar`; the JDK ships zip, and the envelope
+  * semantics are identical). `Uploader.drain` processes pre-existing
+  * bundles then `listen(timeout)` watches for new ones — dot-files are
+  * skipped, invalid bundles are skipped with a callback (never crash the
+  * uploader), and each successful push invokes the supplied sink.
+  */
+object Bundle {
+
+  val Version = "0"
+
+  def write(queueDir: Path, content: Array[Byte], meta: Metadata): Path = {
+    val target = queueDir.resolve(s"${meta.id}.bundle")
+    val tmp = queueDir.resolve(s".${meta.id}.bundle.partial")
+    val out = new ZipOutputStream(new FileOutputStream(tmp.toFile))
+    try {
+      def entry(name: String, bytes: Array[Byte]): Unit = {
+        out.putNextEntry(new ZipEntry(name))
+        out.write(bytes)
+        out.closeEntry()
+      }
+      entry("version", Version.getBytes(StandardCharsets.UTF_8))
+      entry("content", content)
+      entry("datalake-metadata.json",
+        meta.json.getBytes(StandardCharsets.UTF_8))
+    } finally out.close()
+    // atomic publish so the watcher never sees a half-written bundle
+    Files.move(tmp, target)
+    target
+  }
+
+  def read(bundle: Path): (Array[Byte], Metadata) = {
+    val entries = mutable.Map.empty[String, Array[Byte]]
+    val in = new ZipInputStream(new FileInputStream(bundle.toFile))
+    try {
+      var e = in.getNextEntry
+      while (e != null) {
+        entries(e.getName) = in.readAllBytes()
+        in.closeEntry()
+        e = in.getNextEntry
+      }
+    } finally in.close()
+    val version = entries.get("version")
+      .map(new String(_, StandardCharsets.UTF_8))
+      .getOrElse(throw new InvalidDatalakeMetadata("bundle has no version"))
+    if (version != Version)
+      throw new InvalidDatalakeMetadata(s"unsupported bundle version $version")
+    val meta = Metadata.fromJson(new String(
+      entries.getOrElse("datalake-metadata.json",
+        throw new InvalidDatalakeMetadata("bundle has no metadata")),
+      StandardCharsets.UTF_8))
+    (entries.getOrElse("content",
+      throw new InvalidDatalakeMetadata("bundle has no content")), meta)
+  }
+}
+
+final class Enqueuer(queueDir: String) {
+  Files.createDirectories(Paths.get(queueDir))
+
+  def enqueue(file: Path, fields: Map[String, Any]): Path = {
+    val content = Files.readAllBytes(file)
+    val withHash =
+      if (fields.contains("hash")) fields
+      else fields + ("hash" -> graft.core.Blake2b.hexDigest(content))
+    val withPath =
+      if (withHash.contains("path")) withHash
+      else withHash + ("path" -> file.toAbsolutePath.toString)
+    Bundle.write(Paths.get(queueDir), content, Metadata.build(withPath))
+  }
+}
+
+final class Uploader(
+    queueDir: String,
+    push: (Array[Byte], Metadata) => Unit,
+    onSkip: (Path, Throwable) => Unit = (_, _) => ()) {
+
+  private val dir = Paths.get(queueDir)
+  Files.createDirectories(dir)
+  private val processed = mutable.Set.empty[String]
+
+  /** Process all pre-existing bundles (queue.py:127-139 drains the
+    * backlog before listening). Dot-files and already-processed names are
+    * skipped; invalid bundles are skipped with the callback. */
+  def drain(): Int = {
+    val files = Files.list(dir).iterator()
+    var n = 0
+    while (files.hasNext) {
+      val f = files.next()
+      if (handleOne(f)) n += 1
+    }
+    n
+  }
+
+  private def handleOne(f: Path): Boolean = {
+    val name = f.getFileName.toString
+    if (name.startsWith(".") || processed.contains(name) ||
+      !Files.isRegularFile(f)) return false
+    processed += name
+    try {
+      val (content, meta) = Bundle.read(f)
+      push(content, meta)
+      Files.deleteIfExists(f)
+      true
+    } catch {
+      case e: Exception => onSkip(f, e); false
+    }
+  }
+
+  /** Drain, then watch the directory for up to `timeoutMs` (the
+    * reference's `listen(timeout)` contract: return after the timeout
+    * with no work; loop forever when timeout is None). */
+  def listen(timeoutMs: Option[Long]): Int = {
+    var n = drain()
+    val watcher: WatchService = dir.getFileSystem.newWatchService()
+    dir.register(watcher, StandardWatchEventKinds.ENTRY_CREATE,
+      StandardWatchEventKinds.ENTRY_MODIFY)
+    val deadline = timeoutMs.map(System.currentTimeMillis() + _)
+    try {
+      var running = true
+      while (running) {
+        val remaining = deadline.map(_ - System.currentTimeMillis())
+        if (remaining.exists(_ <= 0)) running = false
+        else {
+          val key = remaining match {
+            case Some(ms) =>
+              watcher.poll(ms, java.util.concurrent.TimeUnit.MILLISECONDS)
+            case None => watcher.take()
+          }
+          if (key != null) {
+            key.pollEvents()
+            key.reset()
+            n += drain()
+          }
+        }
+      }
+    } finally watcher.close()
+    n
+  }
+}

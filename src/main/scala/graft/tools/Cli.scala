@@ -108,6 +108,39 @@ object Cli {
     case "translate" :: expression :: path :: Nil =>
       println(Translator(expression).translate(path))
 
+    case "enqueue" :: file :: rest =>
+      val opts = parseOpts(rest)
+      val bundle = new graft.sources.Enqueuer(s"$root/queue").enqueue(
+        java.nio.file.Paths.get(file),
+        Map(
+          "what" -> opts.getOrElse("what", fail("--what is required")),
+          "where" -> opts.getOrElse("where", "localhost"),
+          "work_id" -> opts.get("work-id").orNull,
+          "start" -> opts.getOrElse("start", "now"),
+        ) ++ opts.get("end").map("end" -> _))
+      println(bundle)
+
+    case "uploader" :: rest =>
+      val opts = parseOpts(rest)
+      val timeout = opts.get("timeout").map(_.toLong)
+      val cs = new LocalContentStore(s"$root/content")
+      val s = spark()
+      val recordStore = new RecordStore(s, s"$root/records")
+      val n = new graft.sources.Uploader(s"$root/queue", (content, meta) => {
+        val tmp = java.nio.file.Files.createTempFile("upload", ".dat")
+        java.nio.file.Files.write(tmp, content)
+        val (url, m) = cs.push(tmp, Map(
+          "what" -> meta.what, "where" -> meta.where,
+          "work_id" -> meta.workId.orNull, "start" -> meta.start,
+          "id" -> meta.id, "hash" -> meta.hash, "path" -> meta.path,
+        ) ++ meta.end.map("end" -> Long.box(_)))
+        recordStore.append(DatalakeRecord.listFromMetadata(
+          m, url, System.currentTimeMillis(), content.length.toLong))
+        java.nio.file.Files.deleteIfExists(tmp)
+      }, (p, e) => System.err.println(s"skipping $p: ${e.getMessage}"))
+        .listen(timeout)
+      println(s"uploaded $n bundles")
+
     case "ingest-dir" :: notifDir :: Nil =>
       val s = spark()
       val q = new StreamingIngester(s, new LocalContentStore(s"$root/content"),
@@ -129,6 +162,8 @@ object Cli {
            |  latest <what> <where> [--lookback DAYS]
            |  fetch <url> [--template TPL]
            |  translate <expression> <path>
+           |  enqueue <file> --what W [--where H] [--start T] [--end T]
+           |  uploader [--timeout MS]
            |  ingest-dir <notification-dir>""".stripMargin)
       sys.exit(2)
   }

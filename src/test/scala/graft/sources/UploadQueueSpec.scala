@@ -1,0 +1,97 @@
+package graft.sources
+
+import graft.core.Metadata
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.mutable
+
+/** Port of the queue/uploader behavior matrix
+  * (client/datalake/tests/test_queue.py:114-263). */
+class UploadQueueSpec extends AnyFunSuite {
+
+  def fields(what: String): Map[String, Any] = Map(
+    "what" -> what, "where" -> "testhost", "work_id" -> null,
+    "start" -> 1430092800000L)
+
+  def newQueue(): (String, java.nio.file.Path) = {
+    val q = Files.createTempDirectory("upq").toString
+    val src = Files.createTempFile("content", ".log")
+    Files.write(src, "log line one\n".getBytes(StandardCharsets.UTF_8))
+    (q, src)
+  }
+
+  test("bundle round-trips content + metadata, hash inferred") {
+    val (q, src) = newQueue()
+    val bundle = new Enqueuer(q).enqueue(src, fields("syslog"))
+    assert(bundle.getFileName.toString.endsWith(".bundle"))
+    val (content, meta) = Bundle.read(bundle)
+    assert(new String(content, StandardCharsets.UTF_8) === "log line one\n")
+    assert(meta.what === "syslog")
+    assert(meta.hash === graft.core.Blake2b.hexDigest(content))
+  }
+
+  test("drain processes backlog and deletes bundles") {
+    val (q, src) = newQueue()
+    val enq = new Enqueuer(q)
+    enq.enqueue(src, fields("a"))
+    enq.enqueue(src, fields("b"))
+    val pushed = mutable.Buffer.empty[String]
+    val up = new Uploader(q, (_, m) => pushed += m.what)
+    assert(up.drain() === 2)
+    assert(pushed.sorted === Seq("a", "b"))
+    assert(Files.list(Paths.get(q)).count() === 0)
+  }
+
+  test("dot-files and invalid bundles are skipped, valid ones proceed") {
+    val (q, src) = newQueue()
+    Files.write(Paths.get(q, ".hidden"), "x".getBytes)
+    Files.write(Paths.get(q, "garbage.bundle"), "not a zip".getBytes)
+    new Enqueuer(q).enqueue(src, fields("good"))
+    val pushed = mutable.Buffer.empty[String]
+    val skipped = mutable.Buffer.empty[String]
+    val up = new Uploader(q, (_, m) => pushed += m.what,
+      (p, _) => skipped += p.getFileName.toString)
+    assert(up.drain() === 1)
+    assert(pushed === Seq("good"))
+    assert(skipped === Seq("garbage.bundle"))
+    // invalid bundle not retried on next drain
+    assert(up.drain() === 0)
+    assert(skipped.size === 1)
+  }
+
+  test("push failure leaves the bundle for inspection, uploader continues") {
+    val (q, src) = newQueue()
+    new Enqueuer(q).enqueue(src, fields("boom"))
+    new Enqueuer(q).enqueue(src, fields("fine"))
+    val pushed = mutable.Buffer.empty[String]
+    val up = new Uploader(q,
+      (_, m) => if (m.what == "boom") sys.error("push failed") else pushed += m.what)
+    assert(up.drain() === 1)
+    assert(pushed === Seq("fine"))
+    assert(Files.list(Paths.get(q)).count() === 1) // boom bundle retained
+  }
+
+  test("listen with timeout picks up bundles written while watching") {
+    val (q, src) = newQueue()
+    val pushed = mutable.Buffer.empty[String]
+    val up = new Uploader(q, (_, m) => pushed += m.what)
+    val writer = new Thread(() => {
+      Thread.sleep(300)
+      new Enqueuer(q).enqueue(src, fields("late"))
+    })
+    writer.start()
+    val n = up.listen(Some(3000L))
+    writer.join()
+    assert(n === 1)
+    assert(pushed === Seq("late"))
+  }
+
+  test("listen with immediate timeout returns after draining backlog") {
+    val (q, src) = newQueue()
+    new Enqueuer(q).enqueue(src, fields("pre"))
+    val pushed = mutable.Buffer.empty[String]
+    assert(new Uploader(q, (_, m) => pushed += m.what).listen(Some(1L)) === 1)
+    assert(pushed === Seq("pre"))
+  }
+}
