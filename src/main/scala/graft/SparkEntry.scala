@@ -23,12 +23,14 @@ object SparkEntry {
       AnalyticsQueries.queries ++
       TextQueries.queries ++
       VectorQueries.queries ++
-      PipelineQueries.queries
+      PipelineQueries.queries ++
+      TemporalQueries.queries
 
   def oracleSql: Map[String, String] =
     ArchiveQueries.oracleSql ++
       AnalyticsQueries.oracleSql ++
       TextQueries.oracleSql ++
       VectorQueries.oracleSql ++
-      PipelineQueries.oracleSql
+      PipelineQueries.oracleSql ++
+      TemporalQueries.oracleSql
 }
