@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+final case class SessionEvent(user_id: Long, event_id: Long, ts_ms: Long)
+
+final case class SessionState(
+    sessionStart: Long,
+    lastTs: Long,
+    nEvents: Long)
+
+final case class SessionOut(
+    user_id: Long,
+    session_start: Long,
+    session_end: Long,
+    n_events: Long)
+
+/** Streaming counterparts of the batch temporal operators: watermarked
+  * tumbling-window aggregation and gap-based sessionization with custom
+  * state (`flatMapGroupsWithState`) — the Structured Streaming surface the
+  * engine exposes for continuous pipelines (SURVEY §2.7 mapping).
+  */
+object StreamOps {
+
+  /** Tumbling-window counts per event_type with a watermark bounding
+    * state (the streaming form of q_hourly_agg). `events` must carry an
+    * event-time timestamp column named `ts`. */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n"))
+
+  /** Gap-based sessionization with explicit state: a session closes (and
+    * is emitted) when its group sees an event more than `gapMs` later.
+    * Batch `Temporal.sessionize` computes the same sessions
+    * retrospectively; this emits them incrementally. (No state timeout:
+    * with ProcessingTimeTimeout Spark schedules continuous empty batches
+    * to poll timers, which burns state-store maintenance forever in a
+    * drained test stream — idle-session flushing belongs to a real
+    * deployment's trigger cadence.)
+    */
+  def sessionizeStream(
+      events: Dataset[SessionEvent],
+      gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[SessionEvent],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              SessionOut(userId, s.sessionStart, s.lastTs, s.nEvents))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts_ms, e.event_id))
+            var current = state.getOption
+            val closed = scala.collection.mutable.Buffer.empty[SessionOut]
+            sorted.foreach { e =>
+              current match {
+                case Some(s) if e.ts_ms - s.lastTs <= gapMs =>
+                  current = Some(s.copy(lastTs = e.ts_ms, nEvents = s.nEvents + 1))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.sessionStart, s.lastTs, s.nEvents)
+                  current = Some(SessionState(e.ts_ms, e.ts_ms, 1))
+                case None =>
+                  current = Some(SessionState(e.ts_ms, e.ts_ms, 1))
+              }
+            }
+            current.foreach(state.update)
+            closed.iterator
+          }
+      }
+  }
+}

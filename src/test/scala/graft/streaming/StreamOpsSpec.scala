@@ -1,0 +1,55 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamOpsSpec extends SparkSuite {
+
+  test("watermarked hourly counts over a drained stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("ts", "event_type")
+    val q = StreamOps.hourlyCounts(df)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("hourly_out").start()
+    def t(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    input.addData((t(0, 10), "click"), (t(0, 40), "click"), (t(0, 50), "view"))
+    q.processAllAvailable()
+    // advance event time far past the watermark so hour 0 finalizes
+    input.addData((t(9, 0), "click"))
+    q.processAllAvailable()
+    val out = spark.table("hourly_out")
+      .select($"hour_start", $"event_type", $"n").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+      .toSet
+    q.stop()
+    assert(out === Set(
+      ("2024-01-01 00:00:00.0", "click", 2L),
+      ("2024-01-01 00:00:00.0", "view", 1L)))
+  }
+
+  test("stateful sessionization emits closed sessions incrementally") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val q = StreamOps.sessionizeStream(input.toDS(), gapMs = 1000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+
+    // session 1: three events within the gap
+    input.addData(SessionEvent(1L, 1L, 0L), SessionEvent(1L, 2L, 500L),
+      SessionEvent(1L, 3L, 900L))
+    q.processAllAvailable()
+    assert(spark.table("sessions_out").count() === 0) // still open
+
+    // a far-future event closes session 1 and opens session 2
+    input.addData(SessionEvent(1L, 4L, 10000L))
+    q.processAllAvailable()
+    val closed = spark.table("sessions_out").as[SessionOut].collect()
+    q.stop()
+    assert(closed.toSeq === Seq(SessionOut(1L, 0L, 900L, 3L)))
+  }
+}
