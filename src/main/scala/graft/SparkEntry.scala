@@ -24,7 +24,8 @@ object SparkEntry {
       TextQueries.queries ++
       VectorQueries.queries ++
       PipelineQueries.queries ++
-      TemporalQueries.queries
+      TemporalQueries.queries ++
+      ScalarQueries.queries
 
   def oracleSql: Map[String, String] =
     ArchiveQueries.oracleSql ++
@@ -32,5 +33,6 @@ object SparkEntry {
       TextQueries.oracleSql ++
       VectorQueries.oracleSql ++
       PipelineQueries.oracleSql ++
-      TemporalQueries.oracleSql
+      TemporalQueries.oracleSql ++
+      ScalarQueries.oracleSql
 }

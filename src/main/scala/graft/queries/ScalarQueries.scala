@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function and set-operation coverage: strings, date parts, JSON
+  * extraction, set ops, percentiles, math — each aligned expression-by-
+  * expression with its DuckDB equivalent (ties and float-formatting
+  * hazards neutralized with rounding + decimal casts).
+  */
+object ScalarQueries {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    ArchiveQueries.ev(s, dir)
+
+  private val EvCte =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, value, props,
+      |         epoch_ms(ts) AS start_ms,
+      |         CASE WHEN event_id % 3 = 0 THEN NULL
+      |              ELSE epoch_ms(ts) + CAST(floor(value * 3600000) AS BIGINT)
+      |         END AS end_ms
+      |  FROM events)
+      |""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_string_funcs" -> ((s, dir) => {
+      import s.implicits._
+      ev(s, dir).select(
+        $"event_id",
+        upper($"event_type").as("upper_type"),
+        lpad($"user_id".cast("string"), 4, "0").as("padded_user"),
+        translate($"event_type", "aeiou", "AEIOU").as("translated"),
+        reverse($"event_type").as("reversed"),
+        substring($"event_type", 2, 3).as("middle"),
+        instr($"event_type", "e").as("first_e"),
+        length(concat_ws("-", $"event_type", $"user_id")).as("key_len"),
+        levenshtein($"event_type", lit("click")).as("edit_dist"))
+        .orderBy($"event_id")
+    }),
+
+    "q_date_parts" -> ((s, dir) => {
+      import s.implicits._
+      ev(s, dir)
+        .withColumn("t", timestamp_millis($"start_ms"))
+        .select($"event_id",
+          year($"t").as("y"), month($"t").as("m"),
+          dayofmonth($"t").as("d"), hour($"t").as("h"),
+          minute($"t").as("mi"),
+          (weekday($"t") + 1).as("iso_dow"),
+          date_format($"t", "yyyy-MM-dd").as("day_str"))
+        .orderBy($"event_id")
+    }),
+
+    "q_json_extract" -> ((s, dir) => {
+      import s.implicits._
+      ev(s, dir).select(
+        $"event_id",
+        get_json_object($"props", "$.k").as("k_str"),
+        get_json_object($"props", "$.k").cast("long").as("k_num"),
+        get_json_object($"props", "$.missing").as("absent"))
+        .orderBy($"event_id")
+    }),
+
+    "q_set_ops" -> ((s, dir) => {
+      import s.implicits._
+      val base = ev(s, dir)
+      def users(t: String) =
+        base.filter($"event_type" === t).select($"user_id").distinct()
+      val both = users("click").intersect(users("purchase"))
+        .withColumn("relation", lit("click_and_purchase"))
+      val clickOnly = users("click").except(users("purchase"))
+        .withColumn("relation", lit("click_only"))
+      both.unionByName(clickOnly)
+        .select($"relation", $"user_id")
+        .orderBy($"relation", $"user_id")
+    }),
+
+    "q_percentiles" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy($"l_returnflag")
+        .agg(
+          expr("CAST(round(percentile(l_quantity, 0.5), 4) AS DECIMAL(12,4))")
+            .as("median_qty"),
+          expr("CAST(round(percentile(l_extendedprice, 0.9), 4) AS DECIMAL(14,4))")
+            .as("p90_price"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    }),
+
+    "q_math_funcs" -> ((s, dir) => {
+      import s.implicits._
+      ev(s, dir).select(
+        $"event_id",
+        expr("CAST(round(sqrt(value), 6) AS DECIMAL(18,6))").as("sqrt_v"),
+        expr("CAST(round(ln(value + 1), 6) AS DECIMAL(18,6))").as("ln_v"),
+        expr("CAST(round(power(value, 2), 4) AS DECIMAL(20,4))").as("sq_v"),
+        expr("CAST(ceil(value) AS BIGINT)").as("ceil_v"),
+        expr("CAST(floor(value) AS BIGINT)").as("floor_v"),
+        abs($"user_id" - 75).as("abs_centered"),
+        pmod($"event_id", lit(7)).as("mod7"))
+        .orderBy($"event_id")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_string_funcs" -> (EvCte +
+      """SELECT event_id,
+        |  upper(event_type) AS upper_type,
+        |  lpad(CAST(user_id AS VARCHAR), 4, '0') AS padded_user,
+        |  translate(event_type, 'aeiou', 'AEIOU') AS translated,
+        |  reverse(event_type) AS reversed,
+        |  substring(event_type, 2, 3) AS middle,
+        |  instr(event_type, 'e') AS first_e,
+        |  length(event_type || '-' || user_id) AS key_len,
+        |  levenshtein(event_type, 'click') AS edit_dist
+        |FROM ev ORDER BY event_id""".stripMargin),
+
+    "q_date_parts" -> (EvCte +
+      """SELECT event_id,
+        |  CAST(extract(year FROM t) AS INT) AS y,
+        |  CAST(extract(month FROM t) AS INT) AS m,
+        |  CAST(extract(day FROM t) AS INT) AS d,
+        |  CAST(extract(hour FROM t) AS INT) AS h,
+        |  CAST(extract(minute FROM t) AS INT) AS mi,
+        |  CAST(isodow(t) AS INT) AS iso_dow,
+        |  strftime(t, '%Y-%m-%d') AS day_str
+        |FROM (SELECT event_id, make_timestamp(start_ms * 1000) AS t FROM ev)
+        |ORDER BY event_id""".stripMargin),
+
+    "q_json_extract" -> (EvCte +
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+        |  json_extract_string(props, '$.missing') AS absent
+        |FROM ev ORDER BY event_id""".stripMargin),
+
+    "q_set_ops" -> (EvCte +
+      """SELECT 'click_and_purchase' AS relation, user_id FROM (
+        |  SELECT DISTINCT user_id FROM ev WHERE event_type = 'click'
+        |  INTERSECT
+        |  SELECT DISTINCT user_id FROM ev WHERE event_type = 'purchase')
+        |UNION ALL
+        |SELECT 'click_only' AS relation, user_id FROM (
+        |  SELECT DISTINCT user_id FROM ev WHERE event_type = 'click'
+        |  EXCEPT
+        |  SELECT DISTINCT user_id FROM ev WHERE event_type = 'purchase')
+        |ORDER BY relation, user_id""".stripMargin),
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  CAST(round(quantile_cont(l_quantity, 0.5), 4) AS DECIMAL(12,4))
+        |    AS median_qty,
+        |  CAST(round(quantile_cont(l_extendedprice, 0.9), 4) AS DECIMAL(14,4))
+        |    AS p90_price,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_math_funcs" -> (EvCte +
+      """SELECT event_id,
+        |  CAST(round(sqrt(value), 6) AS DECIMAL(18,6)) AS sqrt_v,
+        |  CAST(round(ln(value + 1), 6) AS DECIMAL(18,6)) AS ln_v,
+        |  CAST(round(power(value, 2), 4) AS DECIMAL(20,4)) AS sq_v,
+        |  CAST(ceil(value) AS BIGINT) AS ceil_v,
+        |  CAST(floor(value) AS BIGINT) AS floor_v,
+        |  abs(user_id - 75) AS abs_centered,
+        |  event_id % 7 AS mod7
+        |FROM ev ORDER BY event_id""".stripMargin))
+}
