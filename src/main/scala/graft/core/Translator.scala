@@ -107,6 +107,7 @@ object Translator {
               re.charAt(i + 3) != '=' && re.charAt(i + 3) != '!') {
             captureCount += 1
             val close = re.indexOf('>', i + 3)
+            if (close < 0) throw new TranslatorError("unterminated group name")
             names(re.substring(i + 3, close)) = captureCount
           }
           out += c; i += 1

@@ -57,15 +57,25 @@ object Dedup {
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
+      maxHamming: Int = 3): DataFrame =
+    simhashPairsFromHashes(
+      simhash(docs, textCol, idCol)
+        .select(col(idCol).as("doc_id"), col("simhash")),
+      maxHamming)
+
+  /** Candidate generation over precomputed (doc_id, simhash) rows. The
+    * band key masks with `& 65535` — a sign-extending `% 65536` would
+    * give negative hashes different keys for identical 16-bit patterns
+    * and silently lose near-dup pairs. */
+  def simhashPairsFromHashes(
+      hashed: DataFrame,
       maxHamming: Int = 3): DataFrame = {
-    val hashed = simhash(docs, textCol)
-      .select(col(idCol).as("doc_id"), col("simhash"))
     val banded = hashed.select(
       col("doc_id"), col("simhash"),
       explode(expr(
         """transform(sequence(0, 3),
           |  b -> struct(b AS band,
-          |       shiftright(simhash, CAST(b * 16 AS INT)) % 65536 AS key))"""
+          |       shiftright(simhash, CAST(b * 16 AS INT)) & 65535 AS key))"""
           .stripMargin)).as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.band").as("band"), col("bk.key").as("key"))

@@ -56,6 +56,7 @@ final class ArchiveQuerier(
         return QueryPage(Nil, None)
     }
 
+    if (!store.exists) return QueryPage(Nil, None)
     val df = store.records
     var pred: Column =
       col("time_bucket").between(resumeBucket.getOrElse(firstBucket), lastBucket) &&
@@ -99,6 +100,7 @@ final class ArchiveQuerier(
       what: String,
       where: Option[String] = None,
       cursor: Option[Cursor] = None): QueryPage = {
+    if (!store.exists) return QueryPage(Nil, None)
     // prefer the secondary index (the reference's work-id GSI): its
     // work_id-prefix partitioning prunes the scan to one directory
     val df = workIdIndex.filter(_.exists) match {
@@ -166,6 +168,7 @@ final class ArchiveQuerier(
       where: String,
       lookbackDays: Int,
       now: Long): Option[UnpackedRecord] = {
+    if (!store.exists) return None
     val nowBucket = DatalakeRecord.bucketOf(now)
     val minBucket = DatalakeRecord.bucketOf(now - lookbackDays * OneDayMs)
     val df = store.records

@@ -45,6 +45,19 @@ final class LocalContentStore(root: String) extends ContentStore {
     (urlFor(meta.id), meta)
   }
 
+  /** Store content under an ALREADY-validated metadata document verbatim
+    * — no re-normalization (re-running the s/ms heuristic on values that
+    * are already epoch-ms would corrupt pre-1973 timestamps). Used by the
+    * uploader, which receives validated metadata inside bundles. */
+  def pushValidated(content: Array[Byte], meta: Metadata): String = {
+    val dir = dirFor(meta.id)
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("data"), content)
+    Files.write(dir.resolve("metadata.json"),
+      meta.json.getBytes(StandardCharsets.UTF_8))
+    urlFor(meta.id)
+  }
+
   /** Resolve a url to (metadata, size, create_time) — the ingest-side
     * re-read (`record.py:95-122`). */
   override def fetch(url: String): (Metadata, Long, Long) = {

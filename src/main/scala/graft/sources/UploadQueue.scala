@@ -94,13 +94,16 @@ final class Uploader(
     * backlog before listening). Dot-files and already-processed names are
     * skipped; invalid bundles are skipped with the callback. */
   def drain(): Int = {
-    val files = Files.list(dir).iterator()
-    var n = 0
-    while (files.hasNext) {
-      val f = files.next()
-      if (handleOne(f)) n += 1
-    }
-    n
+    val stream = Files.list(dir)
+    try {
+      val files = stream.iterator()
+      var n = 0
+      while (files.hasNext) {
+        val f = files.next()
+        if (handleOne(f)) n += 1
+      }
+      n
+    } finally stream.close()
   }
 
   private def handleOne(f: Path): Boolean = {
@@ -122,10 +125,12 @@ final class Uploader(
     * reference's `listen(timeout)` contract: return after the timeout
     * with no work; loop forever when timeout is None). */
   def listen(timeoutMs: Option[Long]): Int = {
-    var n = drain()
+    // register the watch BEFORE draining the backlog — a bundle written
+    // in between is then guaranteed to produce an event
     val watcher: WatchService = dir.getFileSystem.newWatchService()
     dir.register(watcher, StandardWatchEventKinds.ENTRY_CREATE,
       StandardWatchEventKinds.ENTRY_MODIFY)
+    var n = drain()
     val deadline = timeoutMs.map(System.currentTimeMillis() + _)
     try {
       var running = true

@@ -128,6 +128,18 @@ final class RecordStore(spark: SparkSession, path: String) {
   def compact(filesPerPartition: Int = 1): Int = {
     val root = new java.io.File(path)
     if (!root.exists()) return 0
+    // clear temp dirs from interrupted runs first (dot-prefixed, so Spark
+    // partition discovery never sees them as partitions)
+    def rmRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmRec)
+      f.delete()
+    }
+    for {
+      bucketDir <- Option(root.listFiles()).getOrElse(Array.empty).toSeq
+      if bucketDir.isDirectory
+      stale <- Option(bucketDir.listFiles()).getOrElse(Array.empty)
+      if stale.getName.startsWith(".") && stale.getName.endsWith(".compact")
+    } rmRec(stale)
     val fragmented =
       for {
         bucketDir <- Option(root.listFiles()).getOrElse(Array.empty).toSeq
@@ -144,15 +156,14 @@ final class RecordStore(spark: SparkSession, path: String) {
       val part = records
         .filter(col("time_bucket") === bucket && col("what") === what)
         .drop("time_bucket", "what")
-      val tmp = new java.io.File(dir.getParentFile, dir.getName + ".compact")
+      val tmp = new java.io.File(dir.getParentFile,
+        "." + dir.getName + ".compact")
       part.coalesce(filesPerPartition)
         .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(dir)
-      tmp.renameTo(dir)
+      rmRec(dir)
+      if (!tmp.renameTo(dir))
+        throw new java.io.IOException(
+          s"compaction rename failed: $tmp -> $dir")
       // drop writer artifacts that would confuse partition discovery
       Option(dir.listFiles()).getOrElse(Array.empty)
         .filter(f => f.getName == "_SUCCESS" || f.getName.endsWith(".crc"))
@@ -170,14 +181,15 @@ final class RecordStore(spark: SparkSession, path: String) {
   * reference's random `null<id>` sentinel exists precisely because such
   * rows are never queried by work_id).
   */
-final class WorkIdIndex(spark: SparkSession, path: String) {
+final class WorkIdIndex(spark: SparkSession, path: String,
+    prefixLen: Int = 2) {
 
   def exists: Boolean = new java.io.File(path).exists()
 
   /** (Re)build from the record table: partition by a short work_id prefix
     * (bounded directory fan-out even with millions of work ids), sort by
     * (work_id, what) within files for row-group skipping. */
-  def rebuild(store: RecordStore, prefixLen: Int = 2): Unit = {
+  def rebuild(store: RecordStore): Unit = {
     store.records
       .filter(col("work_id").isNotNull)
       .withColumn("work_id_prefix",
@@ -191,7 +203,7 @@ final class WorkIdIndex(spark: SparkSession, path: String) {
 
   def lookup(workId: String, what: String): DataFrame =
     spark.read.option("basePath", path).parquet(path)
-      .filter(col("work_id_prefix") === workId.take(2) &&
+      .filter(col("work_id_prefix") === workId.take(prefixLen) &&
         col("work_id") === workId && col("what") === what)
       .drop("work_id_prefix")
 }

@@ -59,7 +59,10 @@ final class Ingester(
           (clock() - startMs) / 1000.0, reportRecords(collected), None))
     } catch {
       case e: Exception if Ingester.isSafe(e) =>
-        IngestResult(Nil,
+        // events handled before the failing one keep their records — the
+        // reference stores each record as it goes, so an error part-way
+        // through a multi-event message leaves the earlier files indexed
+        IngestResult(collected.values.toSeq,
           IngesterReport(0, "error", startMs, (clock() - startMs) / 1000.0,
             reportRecords(collected), Some(e.getMessage)))
     }

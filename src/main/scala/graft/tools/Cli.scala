@@ -127,16 +127,10 @@ object Cli {
       val s = spark()
       val recordStore = new RecordStore(s, s"$root/records")
       val n = new graft.sources.Uploader(s"$root/queue", (content, meta) => {
-        val tmp = java.nio.file.Files.createTempFile("upload", ".dat")
-        java.nio.file.Files.write(tmp, content)
-        val (url, m) = cs.push(tmp, Map(
-          "what" -> meta.what, "where" -> meta.where,
-          "work_id" -> meta.workId.orNull, "start" -> meta.start,
-          "id" -> meta.id, "hash" -> meta.hash, "path" -> meta.path,
-        ) ++ meta.end.map("end" -> Long.box(_)))
+        // bundle metadata is already validated/normalized — store verbatim
+        val url = cs.pushValidated(content, meta)
         recordStore.append(DatalakeRecord.listFromMetadata(
-          m, url, System.currentTimeMillis(), content.length.toLong))
-        java.nio.file.Files.deleteIfExists(tmp)
+          meta, url, System.currentTimeMillis(), content.length.toLong))
       }, (p, e) => System.err.println(s"skipping $p: ${e.getMessage}"))
         .listen(timeout)
       println(s"uploaded $n bundles")

@@ -31,6 +31,23 @@ class OperatorsSpec extends SparkSuite {
     assert(pairs.contains((1L, 4L, 0)))
   }
 
+  test("simhash banding handles negative hashes (bit-63 differences)") {
+    // regression: shiftright sign-extends negative simhashes, so band
+    // keys must mask with & 65535 — two hashes identical except bit 63
+    // (Hamming 1) share bands 0-2 and MUST collide
+    import spark.implicits._
+    val base = 0x1234abcd5678efL
+    val hashes = Seq(
+      (1L, base),                 // positive
+      (2L, base | Long.MinValue), // negative, differs only in bit 63
+      (3L, 0x7fffffffffffffffL))
+      .toDF("doc_id", "simhash")
+    val pairs = Dedup.simhashPairsFromHashes(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.contains((1L, 2L, 1)),
+      s"bit-63 pair lost by banding: ${pairs.toSeq}")
+  }
+
   test("minhashCandidates finds exact and near duplicates") {
     val cands = Dedup.minhashCandidates(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap

@@ -120,6 +120,16 @@ class IngesterSpec extends SparkSuite {
     assert(v3.report.message.get.contains("Unsupported event version"))
   }
 
+  test("partial failure keeps records from earlier events (reference parity)") {
+    // the reference stores each event's records before a later event
+    // fails; the error report covers the message, but fileA stays indexed
+    val res = ingester().handle(notification(Seq(
+      s3Event(), // resolves fine
+      s3Event(key = "x/syslog/missing-file.txt")))) // NoSuchDatalakeFile
+    assert(res.report.status === "error")
+    assert(res.records.map(_.metadata.id) === Seq("abc123"))
+  }
+
   test("missing file → NoSuchDatalakeFile error report (safe)") {
     val res = ingester(Map.empty).handle(notification(Seq(s3Event())))
     assert(res.report.status === "error")
