@@ -135,6 +135,18 @@ object Cli {
         .listen(timeout)
       println(s"uploaded $n bundles")
 
+    case "serve" :: rest =>
+      val opts = parseOpts(rest)
+      val s = spark()
+      val q = new ArchiveQuerier(new RecordStore(s, s"$root/records"),
+        Some(new LatestStore(s, s"$root/latest")))
+      val server = new graft.api.ApiServer(q,
+        Some(new LocalContentStore(s"$root/content")),
+        opts.getOrElse("port", "0").toInt)
+      val port = server.start()
+      println(s"listening on http://127.0.0.1:$port")
+      Thread.currentThread().join()
+
     case "ingest-dir" :: notifDir :: Nil =>
       val s = spark()
       val q = new StreamingIngester(s, new LocalContentStore(s"$root/content"),
