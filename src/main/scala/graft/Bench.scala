@@ -24,7 +24,10 @@ object Bench {
     // not absorb session startup
     spark.range(1000000).selectExpr("sum(id)").collect()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val selected =
+      if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
+      else SparkEntry.queries
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch {
