@@ -16,6 +16,7 @@ object Demo {
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("graft-demo")
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -108,13 +109,18 @@ object Demo {
 
     // re-hash verification job: blake2b over content as a native
     // codegen'd expression must reproduce the push-time hash
-    import org.apache.spark.sql.functions.{col, input_file_name}
-    graft.functions.functions.register(spark)
+    import org.apache.spark.sql.functions.col
     val rehash = spark.read.format("binaryFile")
       .load(url.stripPrefix("file://"))
       .select(graft.functions.functions.blake2b(col("content")).as("hash"))
       .collect().head.getString(0)
     println(s"REHASH: $rehash match=${rehash == meta.hash}")
+    // SQL surface injected via GraftExtensions (no register() call)
+    spark.read.format("binaryFile").load(url.stripPrefix("file://"))
+      .createOrReplaceTempView("content_files")
+    val sqlHash = spark.sql("SELECT blake2b(content) AS h FROM content_files")
+      .collect().head.getString(0)
+    println(s"SQL-EXT-HASH: $sqlHash match=${sqlHash == meta.hash}")
 
     spark.stop()
   }
