@@ -89,6 +89,57 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over a candidate-pair graph: each vertex gets
+    * `cluster_id` = the smallest doc id reachable from it — the transitive
+    * closure step that turns pairwise near-dup candidates into dedup
+    * groups (a pair a–b plus b–c must collapse into one {a,b,c} group).
+    *
+    * Min-label propagation: labels start as own id and each round takes
+    * the min over neighbors, iterating to fixed point (≤ graph diameter
+    * rounds; near-dup clusters are small cliques so 2–3 in practice,
+    * `maxIterations` bounds adversarial chains). Each round is one
+    * shuffle join + aggregate; lineage is cut with localCheckpoint so the
+    * loop does not compound the plan.
+    *
+    * @param vertices single column `doc_id`
+    * @param edges columns `doc_a`, `doc_b`
+    */
+  def connectedComponents(
+      vertices: DataFrame,
+      edges: DataFrame,
+      maxIterations: Int = 20): DataFrame = {
+    val undirected = edges.select(col("doc_a"), col("doc_b"))
+      .union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = vertices
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint()
+    var iteration = 0
+    var converged = false
+    while (!converged && iteration < maxIterations) {
+      val neighborMin = undirected
+        .join(labels, undirected("doc_b") === labels("doc_id"))
+        .groupBy(undirected("doc_a").as("doc_id"))
+        .agg(min(col("cluster_id")).as("neighbor_min"))
+      val updated = labels
+        .join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"),
+            coalesce(col("neighbor_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      val changed = updated.alias("u")
+        .join(labels.alias("l"), Seq("doc_id"))
+        .filter(col("u.cluster_id") =!= col("l.cluster_id"))
+        .limit(1).count()
+      labels = updated
+      converged = changed == 0
+      iteration += 1
+    }
+    labels
+  }
+
   /** MinHash-LSH candidate pairs on top of the md5 minhash signatures
     * (same family as `TextQueries.q_minhash_sig`): docs sharing either
     * 4-hash band are candidates; `min_band_matches` of the 8 component

@@ -121,6 +121,31 @@ object TextQueries {
         .orderBy($"doc_a", $"doc_b")
     }),
 
+    // transitive near-dup clustering: Jaccard candidate pairs (same
+    // blocked inverted-index computation as q_ngram_jaccard) closed into
+    // connected components — cluster_id = min reachable doc_id; the
+    // oracle computes the same closure with a recursive CTE
+    "q_dedup_clusters" -> ((s, dir) => {
+      import s.implicits._
+      val base = docs(s, dir).select(
+        $"doc_id", $"lang", expr("n_chars div 100").cast("int").as("size_bucket"),
+        array_distinct(split(lower(trim($"text")), "\\s+")).as("words"))
+        .withColumn("n_words", size($"words"))
+      val words = base.select($"doc_id", $"lang", $"size_bucket", $"n_words",
+        explode($"words").as("word"))
+      val a = words.toDF("doc_a", "lang", "size_bucket", "n_a", "word")
+      val b = words.toDF("doc_b", "lang", "size_bucket", "n_b", "word")
+      val pairs = a.join(b, Seq("lang", "size_bucket", "word"))
+        .filter($"doc_a" < $"doc_b")
+        .groupBy($"doc_a", $"doc_b", $"n_a", $"n_b")
+        .agg(count(lit(1)).cast("int").as("inter_size"))
+        .filter($"inter_size" * 4 >= $"n_a" + $"n_b" - $"inter_size")
+        .select($"doc_a", $"doc_b")
+      graft.operators.Dedup.connectedComponents(
+        docs(s, dir).select($"doc_id"), pairs)
+        .orderBy($"doc_id")
+    }),
+
     // MinHash signatures over 3-word shingles with md5 hash family; two
     // 4-row bands for LSH bucketing — min over hex strings is
     // byte-lexicographic in both engines, so the signature is
@@ -153,6 +178,28 @@ object TextQueries {
       |""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_dedup_clusters" ->
+      ("""WITH RECURSIVE base AS (
+        |  SELECT doc_id, lang, CAST(n_chars // 100 AS INT) AS size_bucket,
+        |         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS words
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM base a JOIN base b
+        |    ON a.lang = b.lang AND a.size_bucket = b.size_bucket
+        |   AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.words, b.words)) * 4 >=
+        |        len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))),
+        |edges AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(doc, other) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION SELECT doc_a, doc_b FROM edges
+        |  UNION SELECT r.doc, e.doc_b FROM reach r JOIN edges e ON r.other = e.doc_a)
+        |SELECT doc AS doc_id, min(other) AS cluster_id
+        |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin),
+
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_copies,
         |       min(doc_id) AS canonical_doc

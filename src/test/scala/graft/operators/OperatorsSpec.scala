@@ -55,6 +55,27 @@ class OperatorsSpec extends SparkSuite {
     assert(!cands.contains((1L, 3L)), "unrelated docs must not collide")
   }
 
+  test("connectedComponents closes chains transitively, keeps singletons") {
+    import spark.implicits._
+    val vertices = (1L to 7L).toDF("doc_id")
+    // components: {1,2,3} via chain 1-2, 2-3; {5,6}; singletons 4, 7
+    val edges = Seq((2L, 1L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(vertices, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("connectedComponents converges on a long chain (diameter > 2)") {
+    import spark.implicits._
+    val n = 12L
+    val vertices = (1L to n).toDF("doc_id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(vertices, edges)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(got === Array(1L)) // one component labeled by its min id
+  }
+
   test("ivfTopK returns k ranked neighbors from probed cells") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
