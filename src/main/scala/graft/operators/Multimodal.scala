@@ -85,6 +85,24 @@ object Multimodal {
       .as[MediaAsset]
   }
 
+  /** Frame sampling for video/audio assets: up to `k` evenly-spaced
+    * frame indices per asset (deterministic — index i of k spans
+    * [0, n_frames)), exploded to one row per sampled frame. The stub
+    * "frame" is a hash of (content, index); a real decoder would seek and
+    * decode at the index. */
+  def sampleFrames(features: Dataset[MediaFeatures], k: Int = 4): DataFrame = {
+    import features.sparkSession.implicits._
+    features.toDF()
+      .filter(col("media_type").isin("video", "audio"))
+      .withColumn("frame_idx", explode(expr(
+        s"array_distinct(transform(sequence(0, $k - 1), " +
+          "i -> CAST(i * n_frames / $k AS INT)))".replace("$k", k.toString))))
+      .select(col("asset_id"), col("media_type"), col("n_frames"),
+        col("frame_idx"),
+        md5(concat(col("content_hash"), lit(":"), col("frame_idx")))
+          .as("frame_stub"))
+  }
+
   /** Full pipeline as a DataFrame (for the query battery): synthesize →
     * decode(stub) → features + per-type stats-friendly projection. */
   def pipeline(docs: DataFrame): DataFrame = {

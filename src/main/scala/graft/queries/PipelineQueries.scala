@@ -57,7 +57,16 @@ object PipelineQueries {
 
     // multimodal decode(stub) + feature-extract pipeline
     "q_multimodal_features" -> ((s, dir) =>
-      Multimodal.pipeline(docs(s, dir))))
+      Multimodal.pipeline(docs(s, dir))),
+
+    // frame sampling over the synthesized video/audio assets
+    "q_frame_sample" -> ((s, dir) => {
+      val feats = Multimodal.extractFeatures(
+        Multimodal.assetsFromDocuments(docs(s, dir)),
+        batchPartitions = s.sparkContext.defaultParallelism)
+      Multimodal.sampleFrames(feats)
+        .orderBy(col("asset_id"), col("frame_idx"))
+    }))
 
   /** All rows-only: hashing (xxhash64) and the stub decoder have no DuckDB
     * equivalent; the driver records the weaker rows>0 check. */

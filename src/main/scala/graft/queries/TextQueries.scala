@@ -121,6 +121,20 @@ object TextQueries {
         .orderBy($"doc_a", $"doc_b")
     }),
 
+    // corpus vocabulary statistics: token frequencies + document
+    // frequencies, top 50 — the vocabulary-building pass of a BPE-ish
+    // tokenizer pipeline
+    "q_vocab_topk" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .select($"doc_id", explode(split(lower(trim($"text")), "\\s+")).as("word"))
+        .groupBy($"word")
+        .agg(count(lit(1)).as("term_freq"),
+          countDistinct($"doc_id").as("doc_freq"))
+        .orderBy($"term_freq".desc, $"word")
+        .limit(50)
+    }),
+
     // transitive near-dup clustering: Jaccard candidate pairs (same
     // blocked inverted-index computation as q_ngram_jaccard) closed into
     // connected components — cluster_id = min reachable doc_id; the
@@ -178,6 +192,14 @@ object TextQueries {
       |""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_vocab_topk" ->
+      """SELECT word, count(*) AS term_freq,
+        |       count(DISTINCT doc_id) AS doc_freq
+        |FROM (SELECT doc_id,
+        |        unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |      FROM documents)
+        |GROUP BY word ORDER BY term_freq DESC, word LIMIT 50""".stripMargin,
+
     "q_dedup_clusters" ->
       ("""WITH RECURSIVE base AS (
         |  SELECT doc_id, lang, CAST(n_chars // 100 AS INT) AS size_bucket,

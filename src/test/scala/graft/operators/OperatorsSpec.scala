@@ -114,6 +114,42 @@ class OperatorsSpec extends SparkSuite {
     assert(b1 === b2) // deterministic across runs
   }
 
+  test("saltedJoin equals plain join on skewed data") {
+    import spark.implicits._
+    // one hot key (90% of rows) + tail
+    val big = ((1 to 900).map(i => (7L, s"r$i")) ++
+      (1 to 100).map(i => (i.toLong % 5, s"t$i"))).toDF("k", "payload")
+    val small = Seq((7L, "hot"), (0L, "a"), (1L, "b"), (2L, "c"),
+      (3L, "d"), (4L, "e")).toDF("k", "dim")
+    val plain = big.join(small, Seq("k")).select("k", "payload", "dim")
+      .collect().map(_.toSeq).toSet
+    val salted = SkewJoin.saltedJoin(big, small, "k").select("k", "payload", "dim")
+      .collect().map(_.toSeq).toSet
+    assert(salted === plain)
+    assert(salted.size === 1000)
+  }
+
+  test("sampleFrames: deterministic evenly-spaced indices, media filter") {
+    import spark.implicits._
+    val feats = Multimodal.extractFeatures(
+      Multimodal.assetsFromDocuments(docs.withColumnRenamed("lang", "source")))
+    val frames = Multimodal.sampleFrames(feats, k = 4).collect()
+    // image assets (doc 3) excluded
+    assert(!frames.map(_.getLong(0)).contains(3L))
+    // indices within range and unique per asset
+    val byAsset = frames.groupBy(_.getLong(0))
+    byAsset.foreach { case (_, rows) =>
+      val nFrames = rows.head.getInt(2)
+      val idxs = rows.map(_.getInt(3))
+      assert(idxs.distinct.length === idxs.length)
+      assert(idxs.forall(i => i >= 0 && i < math.max(nFrames, 1)))
+    }
+    // deterministic across runs
+    val again = Multimodal.sampleFrames(feats, k = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getString(4))).toSet
+    assert(again === frames.map(r => (r.getLong(0), r.getInt(3), r.getString(4))).toSet)
+  }
+
   test("multimodal pipeline: schema, determinism, payload-derived features") {
     val out = Multimodal.pipeline(docs.withColumnRenamed("lang", "source"))
     val rows = out.collect()
