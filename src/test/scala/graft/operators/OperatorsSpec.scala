@@ -99,6 +99,25 @@ class OperatorsSpec extends SparkSuite {
     assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
   }
 
+  test("int8 quantization round-trips within scale/2 error") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(0.0f, 0.5f, 1.0f, -1.0f)),
+      (2L, Seq(3.0f, 3.0f, 3.0f, 3.0f))) // constant vector edge case
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.dequantizeInt8(Similarity.quantizeInt8(emb))
+      .select("vec_id", "embedding", "dequantized", "scale").collect()
+    rows.foreach { r =>
+      val orig = r.getSeq[Float](1).map(_.toDouble)
+      val deq = r.getSeq[Double](2)
+      val scale = r.getDouble(3)
+      orig.zip(deq).foreach { case (o, d) =>
+        assert(math.abs(o - d) <= scale / 2 + 1e-9,
+          s"vec ${r.getLong(0)}: $o vs $d (scale $scale)")
+      }
+    }
+  }
+
   test("hyperplaneLsh groups identical vectors, deterministic buckets") {
     import spark.implicits._
     val emb = Seq(
