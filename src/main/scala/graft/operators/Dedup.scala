@@ -23,9 +23,8 @@ object Dedup {
     * (never codegen'd) in Spark, so the hash-aggregate shape is ~100×
     * faster despite the shuffle — and the shuffle is tiny because partial
     * aggregation reduces each partition to one row per doc before the
-    * exchange. Other columns of `docs` are preserved via a rejoin-free
-    * groupBy on the full row struct key being unnecessary: we aggregate
-    * only (id, votes) and join back on the id column.
+    * exchange. Only (id, votes) is aggregated; the hash joins back to
+    * `docs` on the id column so all other columns survive.
     */
   def simhash(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
