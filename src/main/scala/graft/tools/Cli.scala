@@ -135,6 +135,19 @@ object Cli {
         .listen(timeout)
       println(s"uploaded $n bundles")
 
+    case "maintain" :: rest =>
+      val opts = parseOpts(rest)
+      val s = spark()
+      val store = new RecordStore(s, s"$root/records")
+      val compacted = store.compact(
+        opts.getOrElse("files-per-partition", "1").toInt)
+      println(s"compacted $compacted partitions")
+      if (store.exists) {
+        val idx = new graft.store.WorkIdIndex(s, s"$root/work-id-index")
+        idx.rebuild(store)
+        println("work-id index rebuilt")
+      }
+
     case "serve" :: rest =>
       val opts = parseOpts(rest)
       val s = spark()
@@ -170,6 +183,8 @@ object Cli {
            |  translate <expression> <path>
            |  enqueue <file> --what W [--where H] [--start T] [--end T]
            |  uploader [--timeout MS]
+           |  maintain [--files-per-partition N]
+           |  serve [--port P]
            |  ingest-dir <notification-dir>""".stripMargin)
       sys.exit(2)
   }
