@@ -201,6 +201,18 @@ final class WorkIdIndex(spark: SparkSession, path: String,
       .parquet(path)
   }
 
+  /** Incremental maintenance: append one ingest batch's rows (the
+    * streaming path — a full rebuild per batch would scan the whole
+    * record table). Bucket-duplicate rows are fine: work-id queries
+    * dedup by id within a page exactly like the reference's GSI reads. */
+  def append(batch: DataFrame): Unit =
+    batch
+      .filter(col("work_id").isNotNull)
+      .withColumn("work_id_prefix", substring(col("work_id"), 0, prefixLen))
+      .write.mode(SaveMode.Append)
+      .partitionBy("work_id_prefix")
+      .parquet(path)
+
   def lookup(workId: String, what: String): DataFrame =
     spark.read.option("basePath", path).parquet(path)
       .filter(col("work_id_prefix") === workId.take(prefixLen) &&

@@ -149,8 +149,12 @@ class IngesterSpec extends SparkSuite {
     val recordStore = new RecordStore(spark, tmpDir("rec") + "/t")
     val latestStore = new LatestStore(spark, tmpDir("lat") + "/t")
     val reportDir = tmpDir("reports") + "/r"
-    val ing = new StreamingIngester(spark, new FakeContentStore(Map(url -> metaJson)),
-      recordStore, Some(latestStore), Some(reportDir), () => 123000L)
+    val withWid = metaJson.replace(""""work_id": null""", """"work_id": "w-77"""")
+    val widIndex = new graft.store.WorkIdIndex(spark, tmpDir("wix") + "/i")
+    val ing = new StreamingIngester(spark,
+      new FakeContentStore(Map(url -> withWid)),
+      recordStore, Some(latestStore), Some(reportDir), () => 123000L,
+      Some(widIndex))
 
     def writeNotif(name: String, content: String): Unit =
       Files.write(Paths.get(notifDir, name),
@@ -179,5 +183,10 @@ class IngesterSpec extends SparkSuite {
     val page = new ArchiveQuerier(recordStore)
       .queryByTime(1430092800000L, 1430096400000L, "syslog")
     assert(page.records.map(_.metadata.id) === Seq("abc123"))
+
+    // the incrementally-maintained work-id index serves the lookup
+    val viaIndex = new ArchiveQuerier(recordStore, workIdIndex = Some(widIndex))
+      .queryByWorkId("w-77", "syslog")
+    assert(viaIndex.records.map(_.metadata.id) === Seq("abc123"))
   }
 }
