@@ -38,7 +38,9 @@ object ArchiveQueries {
           .otherwise($"start_ms" + floor($"value" * 3600000).cast("long")))
   }
 
-  private val EvCte =
+  /** Shared DuckDB CTE matching `ev` — referenced by every events-based
+    * oracle so the two derivations can never drift apart. */
+  private[queries] val EvCte =
     """WITH ev AS (
       |  SELECT event_id, user_id, event_type, value, props,
       |         epoch_ms(ts) AS start_ms,

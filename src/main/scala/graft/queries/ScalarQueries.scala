@@ -13,16 +13,6 @@ object ScalarQueries {
   private def ev(s: SparkSession, dir: String): DataFrame =
     ArchiveQueries.ev(s, dir)
 
-  private val EvCte =
-    """WITH ev AS (
-      |  SELECT event_id, user_id, event_type, value, props,
-      |         epoch_ms(ts) AS start_ms,
-      |         CASE WHEN event_id % 3 = 0 THEN NULL
-      |              ELSE epoch_ms(ts) + CAST(floor(value * 3600000) AS BIGINT)
-      |         END AS end_ms
-      |  FROM events)
-      |""".stripMargin
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_string_funcs" -> ((s, dir) => {
@@ -105,7 +95,7 @@ object ScalarQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
-    "q_string_funcs" -> (EvCte +
+    "q_string_funcs" -> (ArchiveQueries.EvCte +
       """SELECT event_id,
         |  upper(event_type) AS upper_type,
         |  lpad(CAST(user_id AS VARCHAR), 4, '0') AS padded_user,
@@ -117,7 +107,7 @@ object ScalarQueries {
         |  levenshtein(event_type, 'click') AS edit_dist
         |FROM ev ORDER BY event_id""".stripMargin),
 
-    "q_date_parts" -> (EvCte +
+    "q_date_parts" -> (ArchiveQueries.EvCte +
       """SELECT event_id,
         |  CAST(extract(year FROM t) AS INT) AS y,
         |  CAST(extract(month FROM t) AS INT) AS m,
@@ -129,14 +119,14 @@ object ScalarQueries {
         |FROM (SELECT event_id, make_timestamp(start_ms * 1000) AS t FROM ev)
         |ORDER BY event_id""".stripMargin),
 
-    "q_json_extract" -> (EvCte +
+    "q_json_extract" -> (ArchiveQueries.EvCte +
       """SELECT event_id,
         |  json_extract_string(props, '$.k') AS k_str,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
         |  json_extract_string(props, '$.missing') AS absent
         |FROM ev ORDER BY event_id""".stripMargin),
 
-    "q_set_ops" -> (EvCte +
+    "q_set_ops" -> (ArchiveQueries.EvCte +
       """SELECT 'click_and_purchase' AS relation, user_id FROM (
         |  SELECT DISTINCT user_id FROM ev WHERE event_type = 'click'
         |  INTERSECT
@@ -157,7 +147,7 @@ object ScalarQueries {
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
-    "q_math_funcs" -> (EvCte +
+    "q_math_funcs" -> (ArchiveQueries.EvCte +
       """SELECT event_id,
         |  CAST(round(sqrt(value), 6) AS DECIMAL(18,6)) AS sqrt_v,
         |  CAST(round(ln(value + 1), 6) AS DECIMAL(18,6)) AS ln_v,

@@ -76,18 +76,8 @@ object TemporalQueries {
         .orderBy($"day_bucket")
     }))
 
-  private val EvCte =
-    """WITH ev AS (
-      |  SELECT event_id, user_id, event_type, value, props,
-      |         epoch_ms(ts) AS start_ms,
-      |         CASE WHEN event_id % 3 = 0 THEN NULL
-      |              ELSE epoch_ms(ts) + CAST(floor(value * 3600000) AS BIGINT)
-      |         END AS end_ms
-      |  FROM events)
-      |""".stripMargin
-
   val oracleSql: Map[String, String] = Map(
-    "q_asof_join" -> (EvCte +
+    "q_asof_join" -> (ArchiveQueries.EvCte +
       """SELECT p.event_id, p.user_id, p.start_ms,
         |       v.view_event_id, p.start_ms - v.view_start_ms AS gap_ms
         |FROM (SELECT user_id, event_id, start_ms FROM ev
@@ -99,7 +89,7 @@ object TemporalQueries {
         |  ON p.user_id = v.user_id AND v.view_start_ms <= p.start_ms
         |ORDER BY p.event_id""".stripMargin),
 
-    "q_overlap_join" -> (EvCte +
+    "q_overlap_join" -> (ArchiveQueries.EvCte +
       """, err AS (
         |  SELECT user_id, event_id, start_ms,
         |         coalesce(end_ms, start_ms) AS end_eff
@@ -110,7 +100,7 @@ object TemporalQueries {
         | AND a.start_ms <= b.end_eff AND b.start_ms <= a.end_eff
         |ORDER BY a.user_id, a_event_id, b_event_id""".stripMargin),
 
-    "q_sessionize" -> (EvCte +
+    "q_sessionize" -> (ArchiveQueries.EvCte +
       """, marked AS (
         |  SELECT user_id, start_ms,
         |    CASE WHEN lag(start_ms) OVER w IS NULL
@@ -128,7 +118,7 @@ object TemporalQueries {
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin),
 
-    "q_pivot_daily" -> (EvCte +
+    "q_pivot_daily" -> (ArchiveQueries.EvCte +
       """SELECT start_ms // 86400000 AS day_bucket,
         |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
         |  count(*) FILTER (WHERE event_type = 'error') AS n_error,
