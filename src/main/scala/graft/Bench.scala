@@ -27,20 +27,26 @@ object Bench {
     val selected =
       if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
       else SparkEntry.queries
+    args.filterNot(SparkEntry.queries.keySet).foreach(a =>
+      System.err.println(s"[bench] unknown query name ignored: $a"))
     // best-of-N per query (default 2): the first execution pays plan
     // compilation + codegen; steady-state throughput is the honest number
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val runs = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var failed = false
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch {
           case e: Throwable =>
+            failed = true
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      // a failed query must not report its time-to-error as a result
+      name -> (if (failed) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

@@ -89,23 +89,32 @@ final class ApiServer(
         "NoSuchFile", "no content store attached"))
       case Some(cs) =>
         val url = cs.urlFor(fileId)
-        val (meta, _, _) =
+        val (meta, size, _) =
           try cs.fetch(url)
           catch {
             case _: graft.core.NoSuchDatalakeFile =>
               throw QueryValidationError("NoSuchFile", s"no such file: $fileId")
           }
-        val bytes = {
-          val in = cs.open(url)
-          try in.readAllBytes() finally in.close()
-        }
-        val headers = ex.getResponseHeaders
-        headers.set("Content-Type",
-          ContentSniffer.contentType(meta.path).getOrElse("text/plain"))
-        ContentSniffer.contentEncoding(bytes.take(ContentSniffer.HeaderBytes))
-          .foreach(headers.set("Content-Encoding", _))
-        ex.sendResponseHeaders(200, bytes.length.toLong)
-        ex.getResponseBody.write(bytes)
+        // stream with a fixed buffer — only the sniff header is held in
+        // memory, so multi-GB objects relay without buffering
+        val in = cs.open(url)
+        try {
+          val header = in.readNBytes(ContentSniffer.HeaderBytes)
+          val headers = ex.getResponseHeaders
+          headers.set("Content-Type",
+            ContentSniffer.contentType(meta.path).getOrElse("text/plain"))
+          ContentSniffer.contentEncoding(header)
+            .foreach(headers.set("Content-Encoding", _))
+          ex.sendResponseHeaders(200, size)
+          val out = ex.getResponseBody
+          out.write(header)
+          val buf = new Array[Byte](64 * 1024)
+          var n = in.read(buf)
+          while (n >= 0) {
+            if (n > 0) out.write(buf, 0, n)
+            n = in.read(buf)
+          }
+        } finally in.close()
     }
 
   private def sendError(ex: HttpExchange, status: Int,

@@ -14,6 +14,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectFunction((
       FunctionIdentifier("blake2b"),
       new ExpressionInfo(classOf[Blake2bExpr].getName, "blake2b"),
-      exprs => Blake2bExpr(exprs.head)))
+      exprs => functions.blake2bBuilder(exprs)))
   }
 }

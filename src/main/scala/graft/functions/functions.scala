@@ -46,10 +46,19 @@ object functions {
   def blake2b(c: Column): Column =
     Bridge.column(Blake2bExpr(Bridge.expression(c.cast(BinaryType))))
 
+  /** Arity-checked expression builder shared by every registration path. */
+  def blake2bBuilder(
+      exprs: Seq[Expression]): Blake2bExpr = {
+    if (exprs.length != 1)
+      throw new IllegalArgumentException(
+        s"blake2b requires exactly one argument, got ${exprs.length}")
+    Blake2bExpr(exprs.head)
+  }
+
   /** Register blake2b for SQL usage plus the UDF-surface functions. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "blake2b", exprs => Blake2bExpr(exprs.head), "scala_udf")
+      "blake2b", blake2bBuilder, "scala_udf")
     // Translator (C7): expression is a constructor argument so the
     // compiled regex is reused across rows
     spark.udf.register("normalize_date",

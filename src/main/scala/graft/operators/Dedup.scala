@@ -136,6 +136,10 @@ object Dedup {
       converged = changed == 0
       iteration += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIterations rounds " +
+          "(component diameter exceeds the cap — raise maxIterations)")
     labels
   }
 

@@ -75,10 +75,10 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Per-vector int8 quantization (min/max affine): each embedding is
-    * mapped to bytes in [0, 255] with its own (scale, offset) pair kept
-    * for dequantization — 4× smaller vectors for ANN candidate scans,
-    * with exact reconstruction bounds from the stored scale. */
+  /** Per-vector int8 quantization (min/max affine): each embedding maps
+    * to TINYINT values in [-128, 127] (genuinely 1 byte per component —
+    * 4× smaller than float32) with its own (scale, vmin) pair kept for
+    * dequantization; reconstruction error is bounded by scale/2. */
   def quantizeInt8(emb: DataFrame): DataFrame =
     emb
       .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
@@ -87,13 +87,13 @@ object Similarity {
       .withColumn("scale",
         expr("CASE WHEN vmax = vmin THEN 1D ELSE (vmax - vmin) / 255D END"))
       .withColumn("qvec", expr(
-        "transform(v, x -> CAST(round((x - vmin) / scale) AS INT))"))
+        "transform(v, x -> CAST(round((x - vmin) / scale) - 128 AS TINYINT))"))
       .drop("v")
 
-  /** Dequantize back to doubles: `x ≈ q * scale + vmin`. */
+  /** Dequantize back to doubles: `x ≈ (q + 128) * scale + vmin`. */
   def dequantizeInt8(quantized: DataFrame): DataFrame =
     quantized.withColumn("dequantized",
-      expr("transform(qvec, q -> q * scale + vmin)"))
+      expr("transform(qvec, q -> (CAST(q AS INT) + 128) * scale + vmin)"))
 
   /** Random-hyperplane LSH bucketing: `nbits` deterministic pseudo-random
     * hyperplanes (components derived from xxhash64(bit, dim) mapped to

@@ -61,7 +61,8 @@ object RecordRow {
   * predicate; at large scale a Z-order or secondary bucketed copy can be
   * added without changing this API.
   */
-final class RecordStore(spark: SparkSession, path: String) {
+final class RecordStore(spark: SparkSession, path: String,
+    workIdIndex: Option[WorkIdIndex] = None) {
   import spark.implicits._
 
   /** Append records idempotently: within-batch duplicate (id, time_bucket)
@@ -98,12 +99,16 @@ final class RecordStore(spark: SparkSession, path: String) {
           deduped.join(existing, Seq("time_bucket", "__dedup_id"), "left_anti")
         }
       } else deduped
-    toWrite
-      .drop("__dedup_id")
+    val finalRows = toWrite.drop("__dedup_id")
+    finalRows
       .write
       .mode(SaveMode.Append)
       .partitionBy("time_bucket", "what")
       .parquet(path)
+    // every writer maintains the secondary index — hooking here (not in
+    // individual callers) keeps the index consistent for push, uploader,
+    // and streaming alike
+    workIdIndex.foreach(_.append(finalRows))
   }
 
   def exists: Boolean =
@@ -214,7 +219,12 @@ final class WorkIdIndex(spark: SparkSession, path: String,
       .parquet(path)
 
   def lookup(workId: String, what: String): DataFrame =
-    spark.read.option("basePath", path).parquet(path)
+    // explicit schema: an index whose batches all had null work_ids is an
+    // empty directory, which schema inference cannot read
+    spark.read
+      .schema(WorkIdIndex.schema)
+      .option("basePath", path)
+      .parquet(path)
       .filter(col("work_id_prefix") === workId.take(prefixLen) &&
         col("work_id") === workId && col("what") === what)
       .drop("work_id_prefix")
@@ -291,4 +301,10 @@ final class LatestStore(spark: SparkSession, path: String) {
     }
     new java.io.File(tmp).renameTo(dir)
   }
+}
+
+object WorkIdIndex {
+  /** Record schema plus the prefix partition column. */
+  val schema: StructType =
+    RecordStore.schema.add(StructField("work_id_prefix", StringType))
 }

@@ -107,8 +107,7 @@ final class StreamingIngester(
     recordStore: RecordStore,
     latestStore: Option[LatestStore] = None,
     reportPath: Option[String] = None,
-    clock: () => Long = () => System.currentTimeMillis(),
-    workIdIndex: Option[graft.store.WorkIdIndex] = None) {
+    clock: () => Long = () => System.currentTimeMillis()) {
 
   import spark.implicits._
 
@@ -121,7 +120,6 @@ final class StreamingIngester(
       val records = results.flatMap(_.records)
       recordStore.appendDf(records.toDF(), dedupAgainstExisting = true)
       latestStore.foreach(_.upsert(records.toDF()))
-      workIdIndex.foreach(_.append(records.toDF()))
       reportPath.foreach { p =>
         results.map(_.report).write.mode(SaveMode.Append).json(p)
       }

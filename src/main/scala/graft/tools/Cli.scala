@@ -35,6 +35,15 @@ object Cli {
   private def root: String =
     sys.env.getOrElse("GRAFT_ROOT", sys.props("java.io.tmpdir") + "/graft")
 
+  /** The warehouse record store; attaches the work-id index when one has
+    * been built (`maintain`) so every writer keeps it current and every
+    * work-id query takes the pruned path. */
+  private def recordStore(s: SparkSession): (RecordStore, Option[graft.store.WorkIdIndex]) = {
+    val idx = new graft.store.WorkIdIndex(s, s"$root/work-id-index")
+    val attached = if (idx.exists) Some(idx) else None
+    (new RecordStore(s, s"$root/records", attached), attached)
+  }
+
   def main(args: Array[String]): Unit = args.toList match {
     case "push" :: file :: rest =>
       val opts = parseOpts(rest)
@@ -61,13 +70,14 @@ object Cli {
       val rec = DatalakeRecord.listFromMetadata(meta, url,
         System.currentTimeMillis(), java.nio.file.Files.size(
           java.nio.file.Paths.get(file)))
-      new RecordStore(s, s"$root/records").append(rec)
+      recordStore(s)._1.append(rec)
       println(url)
 
     case "list" :: what :: rest =>
       val opts = parseOpts(rest)
       val s = spark()
-      val q = new ArchiveQuerier(new RecordStore(s, s"$root/records"))
+      val (store, idx) = recordStore(s)
+      val q = new ArchiveQuerier(store, workIdIndex = idx)
       val params = Map("what" -> what) ++ opts.view.filterKeys(
         Set("start", "end", "work_id", "where", "cursor")).toMap
       val parsed = ApiV0.validateFilesParams(params)
@@ -125,11 +135,11 @@ object Cli {
       val timeout = opts.get("timeout").map(_.toLong)
       val cs = new LocalContentStore(s"$root/content")
       val s = spark()
-      val recordStore = new RecordStore(s, s"$root/records")
+      val store = recordStore(s)._1
       val n = new graft.sources.Uploader(s"$root/queue", (content, meta) => {
         // bundle metadata is already validated/normalized — store verbatim
         val url = cs.pushValidated(content, meta)
-        recordStore.append(DatalakeRecord.listFromMetadata(
+        store.append(DatalakeRecord.listFromMetadata(
           meta, url, System.currentTimeMillis(), content.length.toLong))
       }, (p, e) => System.err.println(s"skipping $p: ${e.getMessage}"))
         .listen(timeout)
@@ -138,7 +148,7 @@ object Cli {
     case "maintain" :: rest =>
       val opts = parseOpts(rest)
       val s = spark()
-      val store = new RecordStore(s, s"$root/records")
+      val store = recordStore(s)._1
       val compacted = store.compact(
         opts.getOrElse("files-per-partition", "1").toInt)
       println(s"compacted $compacted partitions")
@@ -151,8 +161,9 @@ object Cli {
     case "serve" :: rest =>
       val opts = parseOpts(rest)
       val s = spark()
-      val q = new ArchiveQuerier(new RecordStore(s, s"$root/records"),
-        Some(new LatestStore(s, s"$root/latest")))
+      val (store, idx) = recordStore(s)
+      val q = new ArchiveQuerier(store,
+        Some(new LatestStore(s, s"$root/latest")), workIdIndex = idx)
       val server = new graft.api.ApiServer(q,
         Some(new LocalContentStore(s"$root/content")),
         opts.getOrElse("port", "0").toInt)
@@ -163,7 +174,7 @@ object Cli {
     case "ingest-dir" :: notifDir :: Nil =>
       val s = spark()
       val q = new StreamingIngester(s, new LocalContentStore(s"$root/content"),
-        new RecordStore(s, s"$root/records"),
+        recordStore(s)._1,
         Some(new LatestStore(s, s"$root/latest")),
         Some(s"$root/reports"))
         .start(notifDir, s"$root/checkpoints/ingest", availableNow = true)

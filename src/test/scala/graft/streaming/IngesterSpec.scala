@@ -146,15 +146,15 @@ class IngesterSpec extends SparkSuite {
 
   test("streaming end-to-end: files → records + latest + reports, replay-safe") {
     val notifDir = tmpDir("notif")
-    val recordStore = new RecordStore(spark, tmpDir("rec") + "/t")
+    val widIndex = new graft.store.WorkIdIndex(spark, tmpDir("wix") + "/i")
+    val recordStore = new RecordStore(spark, tmpDir("rec") + "/t",
+      workIdIndex = Some(widIndex))
     val latestStore = new LatestStore(spark, tmpDir("lat") + "/t")
     val reportDir = tmpDir("reports") + "/r"
     val withWid = metaJson.replace(""""work_id": null""", """"work_id": "w-77"""")
-    val widIndex = new graft.store.WorkIdIndex(spark, tmpDir("wix") + "/i")
     val ing = new StreamingIngester(spark,
       new FakeContentStore(Map(url -> withWid)),
-      recordStore, Some(latestStore), Some(reportDir), () => 123000L,
-      Some(widIndex))
+      recordStore, Some(latestStore), Some(reportDir), () => 123000L)
 
     def writeNotif(name: String, content: String): Unit =
       Files.write(Paths.get(notifDir, name),
