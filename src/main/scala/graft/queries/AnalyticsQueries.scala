@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   * shaped), but they are the capabilities Catalyst gives the engine "for
   * free" (SURVEY §2.3) and the headline bench queries.
   *
-  * Money math is done in DECIMAL so results are exact and deterministic
-  * under any partitioning/aggregation order — double sums would differ
-  * between runs and engines.
+  * Money math: each double source column is rounded to a scaled BIGINT
+  * per row (cents, or 1e-4 dollars for price×discount products) BEFORE any
+  * aggregation, so every sum/window is exact integer arithmetic —
+  * deterministic under any partitioning/aggregation order AND byte-stable
+  * across engines (double/decimal outputs hash differently between Spark
+  * parquet and DuckDB even when values agree; integer outputs do not).
   */
 object AnalyticsQueries {
 
@@ -22,7 +25,13 @@ object AnalyticsQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     s.read.parquet(s"$dir/$n.parquet")
 
-  private val dec = "decimal(18,2)"
+  // per-row scaled-integer projections (round() is half-away-from-zero in
+  // both Spark and DuckDB, and the input doubles are bit-identical parquet)
+  private val QtyC = "CAST(round(l_quantity * 100) AS BIGINT)"
+  private val PriceC = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+  private val DiscC = "CAST(round(l_discount * 100) AS BIGINT)"
+  // extendedprice×(1−discount) in units of 1e-4 dollars, exactly
+  private val Disc4 = s"$PriceC * (100 - $DiscC)"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -33,11 +42,9 @@ object AnalyticsQueries {
         .filter($"l_shipdate" <= lit("2000-01-01").cast("timestamp"))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          sum($"l_quantity".cast(dec)).cast(dec).as("sum_qty"),
-          sum($"l_extendedprice".cast(dec)).cast(dec).as("sum_base_price"),
-          sum($"l_extendedprice".cast(dec) *
-            (lit(1) - $"l_discount").cast(dec)).cast("decimal(18,4)")
-            .as("sum_disc_price"),
+          sum(expr(QtyC)).as("sum_qty_c"),
+          sum(expr(PriceC)).as("sum_base_price_c"),
+          sum(expr(Disc4)).as("sum_disc_price_4"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
     }),
@@ -55,12 +62,10 @@ object AnalyticsQueries {
       li.join(ord, $"l_orderkey" === $"o_orderkey")
         .join(broadcast(cust), $"o_custkey" === $"c_custkey")
         .groupBy($"o_orderkey", $"o_orderdate")
-        .agg(sum($"l_extendedprice".cast(dec) *
-          (lit(1) - $"l_discount").cast(dec)).cast("decimal(18,4)")
-          .as("revenue"))
+        .agg(sum(expr(Disc4)).as("revenue_4"))
         .select($"o_orderkey", to_date($"o_orderdate").as("o_orderdate"),
-          $"revenue")
-        .orderBy($"revenue".desc, $"o_orderkey")
+          $"revenue_4")
+        .orderBy($"revenue_4".desc, $"o_orderkey")
         .limit(10)
     }),
 
@@ -81,9 +86,7 @@ object AnalyticsQueries {
         .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
         .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
         .groupBy($"n_name")
-        .agg(sum($"l_extendedprice".cast(dec) *
-          (lit(1) - $"l_discount").cast(dec)).cast("decimal(18,4)")
-          .as("revenue"))
+        .agg(sum(expr(Disc4)).as("revenue_4"))
         .orderBy($"n_name")
     }),
 
@@ -95,9 +98,8 @@ object AnalyticsQueries {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "lineitem")
         .filter($"l_suppkey" <= 3)
-        .withColumn("running_qty",
-          sum($"l_quantity".cast(dec)).over(w).cast(dec))
-        .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"running_qty")
+        .withColumn("running_qty_c", sum(expr(QtyC)).over(w))
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"running_qty_c")
         .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
     }),
 
@@ -107,10 +109,11 @@ object AnalyticsQueries {
       t(s, dir, "orders")
         .rollup($"o_orderstatus", $"o_orderpriority")
         .agg(count(lit(1)).as("n"),
-          sum($"o_totalprice".cast(dec)).cast(dec).as("sum_price"))
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .as("sum_price_c"))
         .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
           coalesce($"o_orderpriority", lit("ALL")).as("priority"),
-          $"n", $"sum_price")
+          $"n", $"sum_price_c")
         .orderBy($"status", $"priority")
     }),
 
@@ -143,17 +146,17 @@ object AnalyticsQueries {
         .join(ord, $"c_custkey" === $"o_custkey", "left_semi")
         .groupBy($"c_mktsegment")
         .agg(count(lit(1)).as("n_active"),
-          sum($"c_acctbal".cast(dec)).cast(dec).as("sum_bal"))
+          sum(expr("CAST(round(c_acctbal * 100) AS BIGINT)")).as("sum_bal_c"))
         .orderBy($"c_mktsegment")
     }))
 
   val oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |           CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS sum_disc_price,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_price_4,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-01-01'
@@ -162,19 +165,19 @@ object AnalyticsQueries {
 
     "q3_top_orders" ->
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |           CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS revenue
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_4
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY o_orderkey, o_orderdate
-        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+        |ORDER BY revenue_4 DESC, o_orderkey LIMIT 10""".stripMargin,
 
     "q5_region_revenue" ->
       """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |           CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS revenue
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_4
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -186,11 +189,11 @@ object AnalyticsQueries {
 
     "q_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) OVER (
         |    PARTITION BY l_suppkey
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |    AS DECIMAL(18,2)) AS running_qty
+        |    AS BIGINT) AS running_qty_c
         |FROM lineitem WHERE l_suppkey <= 3
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
 
@@ -198,7 +201,7 @@ object AnalyticsQueries {
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |       coalesce(o_orderpriority, 'ALL') AS priority,
         |       count(*) AS n,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
         |FROM orders
         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
@@ -216,7 +219,7 @@ object AnalyticsQueries {
 
     "q_semi_agg" ->
       """SELECT c_mktsegment, count(*) AS n_active,
-        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_bal
+        |       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_c
         |FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)

@@ -213,8 +213,10 @@ object ArchiveQueries {
         .withColumn("hour_bucket", expr("start_ms div 3600000"))
         .groupBy($"hour_bucket", $"event_type")
         .agg(count(lit(1)).as("n"),
-          sum($"value".cast("decimal(18,6)")).cast("decimal(18,6)")
-            .as("sum_value"))
+          // per-row micro-scaled BIGINT before the sum: integer aggregation
+          // is exact and byte-stable across engines
+          sum(expr("CAST(round(value * 1000000) AS BIGINT)"))
+            .as("sum_value_micro"))
         .orderBy($"hour_bucket", $"event_type")
     }),
 
@@ -322,8 +324,8 @@ object ArchiveQueries {
     "q_hourly_agg" -> (EvCte +
       """SELECT start_ms // 3600000 AS hour_bucket, event_type,
         |       count(*) AS n,
-        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))
-        |         AS sum_value
+        |       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+        |         AS sum_value_micro
         |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     "q_report_stats" -> (EvCte +

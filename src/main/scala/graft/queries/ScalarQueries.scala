@@ -1,12 +1,16 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scalar-function and set-operation coverage: strings, date parts, JSON
   * extraction, set ops, percentiles, math — each aligned expression-by-
-  * expression with its DuckDB equivalent (ties and float-formatting
-  * hazards neutralized with rounding + decimal casts).
+  * expression with its DuckDB equivalent. Fractional results are emitted
+  * as scale-0-rounded scaled BIGINTs (never double/decimal): a scale-0
+  * `round` of an identically-computed IEEE double agrees bit-for-bit
+  * across engines, while `round(x, n)` for n>0 and double→decimal casts
+  * do not.
   */
 object ScalarQueries {
 
@@ -67,15 +71,29 @@ object ScalarQueries {
         .orderBy($"relation", $"user_id")
     }),
 
+    // exact discrete percentiles (value at 1-indexed rank ceil(p*n) of the
+    // sorted multiset) computed entirely in integer arithmetic: both the
+    // scaled values and the target ranks are BIGINTs, so the result is
+    // bit-identical across engines — interpolating percentiles emit
+    // doubles, which are not hash-stable cross-engine
     "q_percentiles" -> ((s, dir) => {
       import s.implicits._
-      s.read.parquet(s"$dir/lineitem.parquet")
+      val li = s.read.parquet(s"$dir/lineitem.parquet").select(
+        $"l_returnflag",
+        expr("CAST(round(l_quantity * 100) AS BIGINT)").as("qty_c"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c"))
+      val grp = Window.partitionBy($"l_returnflag")
+      val wq = grp.orderBy($"qty_c")
+      val wp = grp.orderBy($"price_c")
+      li.withColumn("n_grp", count(lit(1)).over(grp))
+        .withColumn("rq", row_number().over(wq))
+        .withColumn("rp", row_number().over(wp))
         .groupBy($"l_returnflag")
         .agg(
-          expr("CAST(round(percentile(l_quantity, 0.5), 4) AS DECIMAL(12,4))")
-            .as("median_qty"),
-          expr("CAST(round(percentile(l_extendedprice, 0.9), 4) AS DECIMAL(14,4))")
-            .as("p90_price"),
+          max(when($"rq" === expr("(n_grp + 1) div 2"), $"qty_c"))
+            .as("median_qty_c"),
+          max(when($"rp" === expr("(9 * n_grp + 9) div 10"), $"price_c"))
+            .as("p90_price_c"),
           count(lit(1)).as("n"))
         .orderBy($"l_returnflag")
     }),
@@ -84,9 +102,11 @@ object ScalarQueries {
       import s.implicits._
       ev(s, dir).select(
         $"event_id",
-        expr("CAST(round(sqrt(value), 6) AS DECIMAL(18,6))").as("sqrt_v"),
-        expr("CAST(round(ln(value + 1), 6) AS DECIMAL(18,6))").as("ln_v"),
-        expr("CAST(round(power(value, 2), 4) AS DECIMAL(20,4))").as("sq_v"),
+        // sqrt is IEEE-correctly-rounded, so bits match across engines;
+        // value*value (not power) keeps the square a plain IEEE multiply
+        expr("CAST(round(sqrt(value) * 1000000) AS BIGINT)").as("sqrt_v_micro"),
+        expr("CAST(round(ln(value + 1) * 1000000) AS BIGINT)").as("ln_v_micro"),
+        expr("CAST(round(value * value * 10000) AS BIGINT)").as("sq_v_4"),
         expr("CAST(ceil(value) AS BIGINT)").as("ceil_v"),
         expr("CAST(floor(value) AS BIGINT)").as("floor_v"),
         abs($"user_id" - 75).as("abs_centered"),
@@ -139,19 +159,30 @@ object ScalarQueries {
         |ORDER BY relation, user_id""".stripMargin),
 
     "q_percentiles" ->
-      """SELECT l_returnflag,
-        |  CAST(round(quantile_cont(l_quantity, 0.5), 4) AS DECIMAL(12,4))
-        |    AS median_qty,
-        |  CAST(round(quantile_cont(l_extendedprice, 0.9), 4) AS DECIMAL(14,4))
-        |    AS p90_price,
+      """WITH li AS (
+        |  SELECT l_returnflag,
+        |         CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_returnflag, qty_c, price_c,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n_grp,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY qty_c) AS rq,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY price_c) AS rp
+        |  FROM li)
+        |SELECT l_returnflag,
+        |  CAST(max(CASE WHEN rq = (n_grp + 1) // 2 THEN qty_c END) AS BIGINT)
+        |    AS median_qty_c,
+        |  CAST(max(CASE WHEN rp = (9 * n_grp + 9) // 10 THEN price_c END) AS BIGINT)
+        |    AS p90_price_c,
         |  count(*) AS n
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_math_funcs" -> (ArchiveQueries.EvCte +
       """SELECT event_id,
-        |  CAST(round(sqrt(value), 6) AS DECIMAL(18,6)) AS sqrt_v,
-        |  CAST(round(ln(value + 1), 6) AS DECIMAL(18,6)) AS ln_v,
-        |  CAST(round(power(value, 2), 4) AS DECIMAL(20,4)) AS sq_v,
+        |  CAST(round(sqrt(value) * 1000000) AS BIGINT) AS sqrt_v_micro,
+        |  CAST(round(ln(value + 1) * 1000000) AS BIGINT) AS ln_v_micro,
+        |  CAST(round(value * value * 10000) AS BIGINT) AS sq_v_4,
         |  CAST(ceil(value) AS BIGINT) AS ceil_v,
         |  CAST(floor(value) AS BIGINT) AS floor_v,
         |  abs(user_id - 75) AS abs_centered,

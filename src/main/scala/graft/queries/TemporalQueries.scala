@@ -110,8 +110,9 @@ object TemporalQueries {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY start_ms)),
         |sessions AS (
         |  SELECT user_id, start_ms,
-        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY start_ms
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY start_ms
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
         |  FROM marked)
         |SELECT user_id, session_id, count(*) AS n_events,
         |       min(start_ms) AS session_start, max(start_ms) AS session_end

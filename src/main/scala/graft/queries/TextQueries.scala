@@ -122,8 +122,10 @@ object TextQueries {
     }),
 
     // TF-IDF: top-3 scoring terms per document — term frequencies and
-    // document frequencies stay integer-exact; the idf product is rounded
-    // to 6 decimals before ranking for cross-engine determinism
+    // document frequencies stay integer-exact; the idf product is emitted
+    // as a micro-scaled BIGINT (scale-0 round of an identically-computed
+    // double) so both the value and the ranking it drives are bit-stable
+    // across engines
     "q_tfidf_top_terms" -> ((s, dir) => {
       import s.implicits._
       val d = docs(s, dir)
@@ -135,13 +137,13 @@ object TextQueries {
       val dfreq = terms.groupBy($"word")
         .agg(countDistinct($"doc_id").as("df"))
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"doc_id").orderBy($"score".desc, $"word")
+        .partitionBy($"doc_id").orderBy($"score_micro".desc, $"word")
       terms.join(dfreq, "word")
-        .withColumn("score",
-          expr(s"CAST(round(tf * ln($nDocs / CAST(df AS DOUBLE)), 6) AS DECIMAL(18,6))"))
+        .withColumn("score_micro", expr(
+          s"CAST(round(tf * ln($nDocs / CAST(df AS DOUBLE)) * 1000000) AS BIGINT)"))
         .withColumn("rank", row_number().over(w))
         .filter($"rank" <= 3)
-        .select($"doc_id", $"rank", $"word", $"tf", $"df", $"score")
+        .select($"doc_id", $"rank", $"word", $"tf", $"df", $"score_micro")
         .orderBy($"doc_id", $"rank")
     }),
 
@@ -228,12 +230,12 @@ object TextQueries {
         |n AS (SELECT count(*) AS n_docs FROM documents),
         |scored AS (
         |  SELECT t.doc_id, t.word, t.tf, d.df,
-        |    CAST(round(t.tf * ln(n.n_docs / CAST(d.df AS DOUBLE)), 6)
-        |         AS DECIMAL(18,6)) AS score
+        |    CAST(round(t.tf * ln(n.n_docs / CAST(d.df AS DOUBLE)) * 1000000)
+        |         AS BIGINT) AS score_micro
         |  FROM terms t JOIN dfreq d ON t.word = d.word CROSS JOIN n)
-        |SELECT doc_id, rank, word, tf, df, score
+        |SELECT doc_id, rank, word, tf, df, score_micro
         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
-        |        ORDER BY score DESC, word) AS rank FROM scored)
+        |        ORDER BY score_micro DESC, word) AS rank FROM scored)
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "q_vocab_topk" ->

@@ -8,8 +8,10 @@ import org.apache.spark.sql.functions._
   *
   * Cosine is computed with builtin higher-order functions (`zip_with` +
   * `aggregate`) after casting to double — sequential left-to-right
-  * summation matches DuckDB's list functions bit-for-bit, and results are
-  * rounded to 4 decimals before ranking for cross-engine determinism.
+  * summation matches DuckDB's list functions bit-for-bit. Similarities
+  * are emitted as micro-scaled BIGINT (`round(sim * 1e6)`): a scale-0
+  * round of an identically-computed double is byte-stable across engines,
+  * whereas double/decimal outputs are not.
   *
   * Scale path: the brute-force top-k broadcasts the (small) query set and
   * computes partial top-k per partition (TakeOrderedAndProject after a
@@ -44,14 +46,13 @@ object VectorQueries {
       val c = base
         .select($"vec_id".as("cand_id"), $"v".as("cv"), $"norm".as("cnorm"))
       val w = Window.partitionBy($"query_id")
-        .orderBy($"cos_sim".desc, $"cand_id")
+        .orderBy($"cos_sim_micro".desc, $"cand_id")
       c.join(broadcast(q), $"query_id" =!= $"cand_id")
-        .withColumn("cos_sim",
-          round(expr(DotExpr) / ($"qnorm" * $"cnorm"), 4))
+        .withColumn("cos_sim_micro", expr(
+          s"CAST(round($DotExpr / (qnorm * cnorm) * 1000000) AS BIGINT)"))
         .withColumn("rank", row_number().over(w))
         .filter($"rank" <= 5)
-        .select($"query_id", $"cand_id", $"rank",
-          $"cos_sim".cast("decimal(9,4)").as("cos_sim"))
+        .select($"query_id", $"cand_id", $"rank", $"cos_sim_micro")
         .orderBy($"query_id", $"rank")
     }),
 
@@ -66,11 +67,10 @@ object VectorQueries {
         $"v".as("cv"), $"norm".as("cnorm"))
       a.join(b, Seq("label"))
         .filter($"vec_a" < $"vec_b")
-        .withColumn("cos_sim",
-          round(expr(DotExpr) / ($"qnorm" * $"cnorm"), 4))
-        .filter($"cos_sim" > 0.3)
-        .select($"vec_a", $"vec_b", $"label",
-          $"cos_sim".cast("decimal(9,4)").as("cos_sim"))
+        .withColumn("cos_sim_micro", expr(
+          s"CAST(round($DotExpr / (qnorm * cnorm) * 1000000) AS BIGINT)"))
+        .filter($"cos_sim_micro" > 300000L)
+        .select($"vec_a", $"vec_b", $"label", $"cos_sim_micro")
         .orderBy($"vec_a", $"vec_b")
     }),
 
@@ -83,8 +83,8 @@ object VectorQueries {
         .agg(count(lit(1)).as("n_vectors"),
           min($"vec_id").as("min_vec_id"),
           max($"vec_id").as("max_vec_id"),
-          sum($"norm".cast("decimal(18,6)")).cast("decimal(18,6)")
-            .as("sum_norm"))
+          sum(expr("CAST(round(norm * 1000000) AS BIGINT)"))
+            .as("sum_norm_micro"))
         .orderBy($"label")
     }))
 
@@ -98,12 +98,14 @@ object VectorQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_cosine_topk" -> (BaseCte +
-      """SELECT query_id, cand_id, rank, CAST(cos_sim AS DECIMAL(9,4)) AS cos_sim
+      """SELECT query_id, cand_id, rank, cos_sim_micro
         |FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-        |    round(list_inner_product(q.v, c.v) / (q.norm * c.norm), 4) AS cos_sim,
+        |    CAST(round(list_inner_product(q.v, c.v) / (q.norm * c.norm)
+        |               * 1000000) AS BIGINT) AS cos_sim_micro,
         |    row_number() OVER (PARTITION BY q.vec_id
-        |      ORDER BY round(list_inner_product(q.v, c.v) / (q.norm * c.norm), 4) DESC,
+        |      ORDER BY CAST(round(list_inner_product(q.v, c.v) / (q.norm * c.norm)
+        |               * 1000000) AS BIGINT) DESC,
         |               c.vec_id) AS rank
         |  FROM base q JOIN base c ON q.vec_id <> c.vec_id
         |  WHERE q.vec_id < 5)
@@ -111,15 +113,17 @@ object VectorQueries {
 
     "q_cosine_dup_pairs" -> (BaseCte +
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
-        |  CAST(round(list_inner_product(a.v, b.v) / (a.norm * b.norm), 4)
-        |       AS DECIMAL(9,4)) AS cos_sim
+        |  CAST(round(list_inner_product(a.v, b.v) / (a.norm * b.norm)
+        |       * 1000000) AS BIGINT) AS cos_sim_micro
         |FROM base a JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE round(list_inner_product(a.v, b.v) / (a.norm * b.norm), 4) > 0.3
+        |WHERE CAST(round(list_inner_product(a.v, b.v) / (a.norm * b.norm)
+        |      * 1000000) AS BIGINT) > 300000
         |ORDER BY vec_a, vec_b""".stripMargin),
 
     "q_label_centroid_stats" -> (BaseCte +
       """SELECT label, count(*) AS n_vectors, min(vec_id) AS min_vec_id,
         |  max(vec_id) AS max_vec_id,
-        |  CAST(sum(CAST(norm AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_norm
+        |  CAST(sum(CAST(round(norm * 1000000) AS BIGINT)) AS BIGINT)
+        |    AS sum_norm_micro
         |FROM base GROUP BY label ORDER BY label""".stripMargin))
 }

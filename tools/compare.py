@@ -1,15 +1,23 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate.
 
-Usage: python3 tools/compare.py <verify_out_dir> <sf_dir>
+Usage: python3 tools/compare.py <verify_out_dir> <sf_dir> [--strict]
 
 Reads each <verify_out_dir>/<name>/ parquet (written by graft.Verify), runs
 the matching SQL from oracle_sql.json in DuckDB against the sf_dir parquet
 tables, sorts columns by name, sorts rows, and compares values cell-by-cell
 (floats to 6 significant decimals). Exit 0 iff all match.
+
+--strict mimics the driver's hash gate: cells compare EXACTLY (floats by
+their IEEE bit pattern, decimals by full string), and any query whose
+output contains a float/decimal/hugeint column on either side is flagged
+NONINT — those are the columns that historically hash-mismatch across
+engines even when values agree.
 """
+import decimal
 import json
 import math
+import struct
 import sys
 from pathlib import Path
 
@@ -17,6 +25,8 @@ import duckdb
 import pyarrow.parquet as pq
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+STRICT = False
 
 
 def norm_cell(v):
@@ -27,12 +37,26 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
+        if STRICT:
+            return struct.pack("<d", v).hex()
         return f"{v:.6g}"
+    if isinstance(v, decimal.Decimal) and STRICT:
+        return "dec:" + str(v)
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, list):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
     return str(v)
+
+
+def nonint_cols(cols, rows):
+    """Columns whose values are float or Decimal (hash-fragile types)."""
+    bad = set()
+    for r in rows[:200]:
+        for c, v in zip(cols, r):
+            if isinstance(v, (float, decimal.Decimal)):
+                bad.add(c)
+    return sorted(bad)
 
 
 def normalize(cols, rows):
@@ -53,7 +77,7 @@ def main(out_dir, sf_dir):
         if p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
-    failures, passed, rows_only = [], 0, 0
+    failures, passed, rows_only, nonint = [], 0, 0, []
     names = sorted(d.name for d in out_dir.iterdir() if d.is_dir())
     for name in names:
         files = list((out_dir / name).glob("*.parquet"))
@@ -77,6 +101,11 @@ def main(out_dir, sf_dir):
         except Exception as e:
             failures.append((name, f"duckdb error: {e}"))
             continue
+        if STRICT:
+            frag = sorted(set(nonint_cols(s_cols, s_rows)) |
+                          set(nonint_cols(d_cols, d_rows)))
+            if frag:
+                nonint.append((name, frag))
         sc, sr = normalize(s_cols, s_rows)
         dc, dr = normalize(d_cols, d_rows)
         if sc != dc:
@@ -98,8 +127,11 @@ def main(out_dir, sf_dir):
     print(f"\n{passed} oracle-matched, {rows_only} rows-only, {len(failures)} failed")
     for name, msg in failures:
         print(f"FAIL {name}: {msg}")
-    return 1 if failures else 0
+    for name, cols in nonint:
+        print(f"NONINT {name}: hash-fragile output columns {cols}")
+    return 1 if failures or nonint else 0
 
 
 if __name__ == "__main__":
+    STRICT = "--strict" in sys.argv[3:]
     sys.exit(main(sys.argv[1], sys.argv[2]))
