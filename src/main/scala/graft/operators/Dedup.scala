@@ -27,19 +27,20 @@ object Dedup {
     * `docs` on the id column so all other columns survive.
     */
   def simhash(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", nBits: Int = 64,
+      tokenHashExpr: String = "xxhash64(__token)"): DataFrame = {
     val spark = docs.sparkSession
     val parallel = spark.sparkContext.defaultParallelism
     val tokens = docs
       .select(col(idCol),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("__token"))
       .repartition(parallel, col(idCol))
-      .withColumn("__h", xxhash64(col("__token")))
-    val voteCols = (0 until 64).map { j =>
-      sum(when(expr(s"shiftright(__h, $j) % 2 != 0"), 1).otherwise(-1))
+      .withColumn("__h", expr(tokenHashExpr))
+    val voteCols = (0 until nBits).map { j =>
+      sum(when(expr(s"(shiftright(__h, $j) & 1) = 1"), 1).otherwise(-1))
         .as(s"__v$j")
     }
-    val assembled = (0 until 64)
+    val assembled = (0 until nBits)
       .map(j => s"CASE WHEN __v$j > 0 THEN shiftleft(1L, $j) ELSE 0L END")
       .mkString(" | ")
     val hashes = tokens
@@ -48,6 +49,20 @@ object Dedup {
       .select(col(idCol), expr(assembled).as("simhash"))
     docs.join(hashes, Seq(idCol))
   }
+
+  /** Token hash shared by both engines: BIGINT from the first 15 hex chars
+    * of md5 (60 bits, always positive) — DuckDB parses the same value with
+    * `('0x' || substring(md5(t), 1, 15))::BIGINT`, which is what makes the
+    * md5 simhash variant oracle-checkable. */
+  val Md5TokenHash =
+    "CAST(conv(substring(md5(__token), 1, 15), 16, 10) AS BIGINT)"
+
+  /** 60-bit SimHash over an md5 hash family — identical semantics to
+    * [[simhash]] but oracle-checkable (DuckDB shares md5); the xxhash64
+    * default stays the fast path for production use. */
+  def simhashMd5(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    simhash(docs, textCol, idCol, nBits = 60, tokenHashExpr = Md5TokenHash)
 
   /** SimHash near-dup candidate pairs: band the 64-bit hash into 4×16-bit
     * keys (a pair within Hamming distance 3 must agree on ≥1 band), join
@@ -62,19 +77,33 @@ object Dedup {
         .select(col(idCol).as("doc_id"), col("simhash")),
       maxHamming)
 
+  /** [[simhashPairs]] over the md5/60-bit simhash variant (4×15-bit
+    * bands) — the oracle-checkable twin. */
+  def simhashPairsMd5(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxHamming: Int = 3): DataFrame =
+    simhashPairsFromHashes(
+      simhashMd5(docs, textCol, idCol)
+        .select(col(idCol).as("doc_id"), col("simhash")),
+      maxHamming, bandBits = 15)
+
   /** Candidate generation over precomputed (doc_id, simhash) rows. The
-    * band key masks with `& 65535` — a sign-extending `% 65536` would
-    * give negative hashes different keys for identical 16-bit patterns
+    * band key masks with `& ((1<<bandBits)-1)` — a sign-extending modulo
+    * would give negative hashes different keys for identical bit patterns
     * and silently lose near-dup pairs. */
   def simhashPairsFromHashes(
       hashed: DataFrame,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      bandBits: Int = 16): DataFrame = {
+    val mask = (1L << bandBits) - 1
     val banded = hashed.select(
       col("doc_id"), col("simhash"),
       explode(expr(
-        """transform(sequence(0, 3),
-          |  b -> struct(b AS band,
-          |       shiftright(simhash, CAST(b * 16 AS INT)) & 65535 AS key))"""
+        s"""transform(sequence(0, 3),
+           |  b -> struct(b AS band,
+           |       shiftright(simhash, CAST(b * $bandBits AS INT)) & $mask AS key))"""
           .stripMargin)).as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.band").as("band"), col("bk.key").as("key"))

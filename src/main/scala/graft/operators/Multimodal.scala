@@ -40,8 +40,18 @@ object Multimodal {
 
   /** STUB decoder — replace with a real codec binding in production.
     * Deterministic in the payload bytes so tests are stable. */
-  def decodeStub(a: MediaAsset): MediaFeatures = {
-    val hash = graft.core.Blake2b.hexDigest(a.payload)
+  def decodeStub(a: MediaAsset): MediaFeatures =
+    decodeWithHash(a, graft.core.Blake2b.hexDigest(a.payload))
+
+  /** STUB decoder keyed on md5 instead of blake2b: identical feature
+    * derivation, but oracle-checkable because DuckDB shares md5 (and can
+    * parse the same hex prefixes with `('0x' || …)::BIGINT`). */
+  def decodeStubMd5(a: MediaAsset): MediaFeatures = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    decodeWithHash(a, digest.digest(a.payload).map("%02x".format(_)).mkString)
+  }
+
+  private def decodeWithHash(a: MediaAsset, hash: String): MediaFeatures = {
     // fake dimensions derived from content; a real impl would parse the
     // container header instead
     val h = java.lang.Long.parseLong(hash.take(8), 16)
@@ -64,12 +74,13 @@ object Multimodal {
     * `batchPartitions` bounds per-task memory for large payloads. */
   def extractFeatures(
       assets: Dataset[MediaAsset],
-      batchPartitions: Int = 0): Dataset[MediaFeatures] = {
+      batchPartitions: Int = 0,
+      decoder: MediaAsset => MediaFeatures = decodeStub): Dataset[MediaFeatures] = {
     import assets.sparkSession.implicits._
     val repartitioned =
       if (batchPartitions > 0) assets.repartition(batchPartitions)
       else assets
-    repartitioned.mapPartitions(_.map(decodeStub))
+    repartitioned.mapPartitions(_.map(decoder))
   }
 
   /** Synthesize a MediaAsset table from the documents table (the test
@@ -92,11 +103,13 @@ object Multimodal {
     * decode at the index. */
   def sampleFrames(features: Dataset[MediaFeatures], k: Int = 4): DataFrame = {
     import features.sparkSession.implicits._
+    // floor() is explicit so the truncation direction is engine-agnostic
+    // (a bare CAST(double AS INT) truncates in Spark but rounds in DuckDB)
     features.toDF()
       .filter(col("media_type").isin("video", "audio"))
       .withColumn("frame_idx", explode(expr(
         s"array_distinct(transform(sequence(0, $k - 1), " +
-          "i -> CAST(i * n_frames / $k AS INT)))".replace("$k", k.toString))))
+          "i -> CAST(floor(i * n_frames / $k) AS INT)))".replace("$k", k.toString))))
       .select(col("asset_id"), col("media_type"), col("n_frames"),
         col("frame_idx"),
         md5(concat(col("content_hash"), lit(":"), col("frame_idx")))
@@ -105,10 +118,13 @@ object Multimodal {
 
   /** Full pipeline as a DataFrame (for the query battery): synthesize →
     * decode(stub) → features + per-type stats-friendly projection. */
-  def pipeline(docs: DataFrame): DataFrame = {
+  def pipeline(
+      docs: DataFrame,
+      decoder: MediaAsset => MediaFeatures = decodeStub): DataFrame = {
     import docs.sparkSession.implicits._
     extractFeatures(assetsFromDocuments(docs),
-      batchPartitions = docs.sparkSession.sparkContext.defaultParallelism)
+      batchPartitions = docs.sparkSession.sparkContext.defaultParallelism,
+      decoder = decoder)
       .toDF()
       .select(col("asset_id"), col("media_type"), col("n_bytes"),
         col("content_hash"), col("width"), col("height"), col("n_frames"))

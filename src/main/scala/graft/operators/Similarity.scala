@@ -95,6 +95,41 @@ object Similarity {
     quantized.withColumn("dequantized",
       expr("transform(qvec, q -> (CAST(q AS INT) + 128) * scale + vmin)"))
 
+  /** ±1 hyperplane components derived from md5 parity: component (b, d)
+    * is −1 iff the first hex char of md5("b:d") is odd. Deterministic and
+    * recomputable in any engine with md5 — DuckDB derives the identical
+    * planes in SQL, which makes the md5 LSH variant oracle-checkable. */
+  def md5PlaneSigns(nbits: Int, dim: Int): Array[Array[Double]] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nbits, dim) { (b, d) =>
+      val hex = digest.digest(s"$b:$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if ("13579bdf".contains(hex.charAt(0))) -1.0 else 1.0
+    }
+  }
+
+  /** Hyperplane LSH with md5-derived planes embedded as literal arrays:
+    * the planes are model parameters computed once on the driver (the
+    * broadcast-constants shape — at scale this is strictly better than
+    * re-hashing per row), and the sign/projection arithmetic matches the
+    * DuckDB oracle bit-for-bit (sequential left-to-right double sums). */
+  def hyperplaneLshMd5(emb: DataFrame, nbits: Int = 12, dim: Int = 64): DataFrame = {
+    val signs = md5PlaneSigns(nbits, dim)
+    val signBits = (0 until nbits).map { b =>
+      val arr = signs(b).map(s => if (s < 0) "-1D" else "1D").mkString(", ")
+      val proj =
+        s"""aggregate(zip_with(v, array($arr), (x, s) -> x * s),
+           |  0D, (acc, x) -> acc + x)""".stripMargin
+      s"CASE WHEN ($proj) > 0 THEN shiftleft(1L, $b) ELSE 0L END"
+    }
+    emb
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("lsh_bucket", expr(
+        s"""aggregate(array(${signBits.mkString(", ")}), 0L,
+           |  (acc, x) -> acc | x)""".stripMargin))
+      .drop("v")
+  }
+
   /** Random-hyperplane LSH bucketing: `nbits` deterministic pseudo-random
     * hyperplanes (components derived from xxhash64(bit, dim) mapped to
     * ±1), signature = sign pattern of the projections. Vectors sharing a

@@ -4,9 +4,17 @@ import graft.operators.{Dedup, Multimodal, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Rows-only queries (no SQL oracle — the hashing/decoding primitives are
-  * not expressible in DuckDB) wiring the pipeline operators into the
-  * driver battery. Each plants duplicates where the synthetic corpus has
+/** Pipeline-operator battery (dedup hashing, ANN, quantization,
+  * multimodal) wired for DuckDB oracle checking: every hash is md5-based
+  * (the one hash family both engines share — DuckDB parses the same hex
+  * prefixes with `('0x' || …)::BIGINT`), fractional outputs are
+  * micro-scaled BIGINTs, and the stub media decoder is keyed on md5.
+  * xxhash64-based fast variants of the same operators remain available on
+  * the operator objects; only `q_ann_ivf_topk` stays rows-only (its
+  * centroids are double averages whose partial-aggregation order differs
+  * across engines, so no bit-stable oracle exists — see COVERAGE.md).
+  *
+  * Each near-dup query plants duplicates where the synthetic corpus has
   * none so candidate generation provably fires.
   */
 object PipelineQueries {
@@ -28,15 +36,15 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // 64-bit SimHash per document (deduplication: SimHash)
+    // 60-bit md5 SimHash per document (deduplication: SimHash)
     "q_simhash" -> ((s, dir) =>
-      Dedup.simhash(docs(s, dir))
+      Dedup.simhashMd5(docs(s, dir))
         .select(col("doc_id"), col("simhash"))
         .orderBy(col("doc_id"))),
 
     // banded-Hamming SimHash candidates over the planted corpus
     "q_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(planted(s, dir))
+      Dedup.simhashPairsMd5(planted(s, dir))
         .orderBy(col("doc_a"), col("doc_b"))),
 
     // MinHash-LSH candidate pairs over the planted corpus
@@ -48,21 +56,23 @@ object PipelineQueries {
     "q_ann_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(emb(s, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L))),
 
-    // random-hyperplane LSH bucket histogram
+    // random-hyperplane LSH bucket histogram (md5-derived planes)
     "q_hyperplane_lsh" -> ((s, dir) =>
-      Similarity.hyperplaneLsh(emb(s, dir))
+      Similarity.hyperplaneLshMd5(emb(s, dir))
         .groupBy(col("lsh_bucket"))
         .agg(count(lit(1)).as("n_vectors"))
         .orderBy(col("lsh_bucket"))),
 
     // multimodal decode(stub) + feature-extract pipeline
     "q_multimodal_features" -> ((s, dir) =>
-      Multimodal.pipeline(docs(s, dir))),
+      Multimodal.pipeline(docs(s, dir), Multimodal.decodeStubMd5)),
 
     // int8 quantization stats: per-vector quantized representation
     "q_quantize_int8" -> ((s, dir) =>
       Similarity.quantizeInt8(emb(s, dir))
-        .select(col("vec_id"), col("label"), col("vmin"), col("vmax"),
+        .select(col("vec_id"), col("label"),
+          expr("CAST(round(vmin * 1000000) AS BIGINT)").as("vmin_micro"),
+          expr("CAST(round(vmax * 1000000) AS BIGINT)").as("vmax_micro"),
           expr("aggregate(qvec, 0, (acc, q) -> acc + q)").as("qsum"))
         .orderBy(col("vec_id"))),
 
@@ -70,12 +80,173 @@ object PipelineQueries {
     "q_frame_sample" -> ((s, dir) => {
       val feats = Multimodal.extractFeatures(
         Multimodal.assetsFromDocuments(docs(s, dir)),
-        batchPartitions = s.sparkContext.defaultParallelism)
+        batchPartitions = s.sparkContext.defaultParallelism,
+        decoder = Multimodal.decodeStubMd5)
       Multimodal.sampleFrames(feats)
         .orderBy(col("asset_id"), col("frame_idx"))
     }))
 
-  /** All rows-only: hashing (xxhash64) and the stub decoder have no DuckDB
-    * equivalent; the driver records the weaker rows>0 check. */
-  val oracleSql: Map[String, String] = Map.empty
+  // ---- generated DuckDB oracle SQL -------------------------------------
+
+  /** Planted corpus CTE matching [[planted]]. */
+  private val PlantedCte =
+    "d AS (\n" +
+      "  SELECT doc_id, text FROM documents\n" +
+      "  UNION ALL\n" +
+      "  SELECT doc_id + 1000000 AS doc_id, text FROM documents " +
+      "WHERE doc_id % 10 = 0)"
+
+  /** tok/votes/sim CTEs computing the 60-bit md5 simhash over `src`,
+    * mirroring [[Dedup.simhashMd5]] bit for bit. */
+  private def simhashCtes(src: String): String = {
+    val votes = (0 until 60)
+      .map(j => s"sum(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS v$j")
+      .mkString(",\n    ")
+    val assembled = (0 until 60)
+      .map(j => s"(CASE WHEN v$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)")
+      .mkString(" | ")
+    s"""tok AS (
+       |  SELECT doc_id, ('0x' || substring(md5(token), 1, 15))::BIGINT AS h
+       |  FROM (SELECT doc_id,
+       |          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+       |        FROM $src)),
+       |votes AS (
+       |  SELECT doc_id,
+       |    VOTES
+       |  FROM tok GROUP BY doc_id),
+       |sim AS (
+       |  SELECT doc_id, CAST(ASSEMBLED AS BIGINT) AS simhash FROM votes)"""
+      .stripMargin
+      .replace("VOTES", votes)
+      .replace("ASSEMBLED", assembled)
+  }
+
+  /** sh/sig CTEs computing the 8-hash md5 minhash signature over `src`,
+    * mirroring [[Dedup.minhashCandidates]] / `q_minhash_sig`. */
+  private def minhashCtes(src: String): String = {
+    val mins = (0 until 8)
+      .map(k => s"list_min(list_transform(shingles, s -> md5(s || '#$k'))) AS h$k")
+      .mkString(",\n    ")
+    s"""sh AS (
+       |  SELECT doc_id,
+       |    list_transform(
+       |      generate_series(1, greatest(len(w) - 2, 1)),
+       |      i -> concat_ws(' ', w[i], w[i+1], w[i+2])) AS shingles
+       |  FROM (SELECT doc_id,
+       |          string_split_regex(lower(trim(text)), '\\s+') AS w
+       |        FROM $src)),
+       |sig AS (
+       |  SELECT doc_id,
+       |    MINS
+       |  FROM sh)""".stripMargin.replace("MINS", mins)
+  }
+
+  /** Per-vector projections onto the md5-derived hyperplanes, mirroring
+    * [[Similarity.md5PlaneSigns]]: component (b, d) is −1 iff the first
+    * hex char of md5("b:d") is odd. */
+  private def hyperplaneProjSql(nbits: Int): String = {
+    val projs = (0 until nbits).map { b =>
+      s"list_inner_product(v, list_transform(generate_series(1, len(v)), " +
+        s"d -> CASE WHEN instr('13579bdf', substring(md5('$b:' || (d - 1)), 1, 1)) > 0 " +
+        "THEN CAST(-1 AS DOUBLE) ELSE CAST(1 AS DOUBLE) END)) AS p" + b
+    }.mkString(",\n    ")
+    val bucket = (0 until nbits)
+      .map(b => s"(CASE WHEN p$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END)")
+      .mkString(" | ")
+    "WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n" +
+      "proj AS (\n  SELECT vec_id,\n    " + projs + "\n  FROM base)\n" +
+      s"SELECT CAST($bucket AS BIGINT) AS lsh_bucket, count(*) AS n_vectors\n" +
+      "FROM proj GROUP BY 1 ORDER BY 1"
+  }
+
+  /** media-asset CTE mirroring [[Multimodal.assetsFromDocuments]] +
+    * [[Multimodal.decodeStubMd5]]. */
+  private val FeaturesCte =
+    """feat AS (
+      |  SELECT asset_id, media_type, n_bytes, content_hash,
+      |    CAST(hv % 1920 + 1 AS INT) AS width,
+      |    CAST((hv >> 16) % 1080 + 1 AS INT) AS height,
+      |    CAST(CASE media_type WHEN 'video' THEN n_bytes % 240 + 1
+      |                         WHEN 'audio' THEN n_bytes % 48000 + 1
+      |                         ELSE 1 END AS INT) AS n_frames
+      |  FROM (
+      |    SELECT asset_id, media_type, n_bytes, content_hash,
+      |           ('0x' || substring(content_hash, 1, 8))::BIGINT AS hv
+      |    FROM (
+      |      SELECT doc_id AS asset_id,
+      |        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+      |             WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |        strlen(text) AS n_bytes,
+      |        md5(text) AS content_hash
+      |      FROM documents)))""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q_simhash" -> ("WITH " + simhashCtes("documents") +
+      "\nSELECT doc_id, simhash FROM sim ORDER BY doc_id"),
+
+    "q_simhash_pairs" -> ("WITH " + PlantedCte + ",\n" + simhashCtes("d") +
+      """,
+        |banded AS (
+        |  SELECT doc_id, simhash, b.band,
+        |         (simhash >> (b.band * 15)) & 32767 AS key
+        |  FROM sim CROSS JOIN
+        |       (SELECT unnest(generate_series(0, 3)) AS band) b)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |FROM banded a JOIN banded b
+        |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin),
+
+    "q_minhash_lsh_pairs" -> ("WITH " + PlantedCte + ",\n" + minhashCtes("d") +
+      (",\nbanded AS (\n" +
+        "  SELECT doc_id, 0 AS band, md5(h0 || h1 || h2 || h3) AS key FROM sig\n" +
+        "  UNION ALL\n" +
+        "  SELECT doc_id, 1 AS band, md5(h4 || h5 || h6 || h7) AS key FROM sig)\n" +
+        "SELECT DISTINCT p.doc_a, p.doc_b,\n  (" +
+        (0 until 8).map(k => s"(CASE WHEN sa.h$k = sb.h$k THEN 1 ELSE 0 END)")
+          .mkString(" + ") + ") AS matching_hashes\n" +
+        "FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b\n" +
+        "      FROM banded a JOIN banded b\n" +
+        "        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id) p\n" +
+        "JOIN sig sa ON sa.doc_id = p.doc_a\n" +
+        "JOIN sig sb ON sb.doc_id = p.doc_b\n" +
+        "ORDER BY doc_a, doc_b")),
+
+    "q_hyperplane_lsh" -> hyperplaneProjSql(12),
+
+    "q_multimodal_features" -> ("WITH " + FeaturesCte +
+      "\nSELECT asset_id, media_type, n_bytes, content_hash, width, height, " +
+      "n_frames\nFROM feat ORDER BY asset_id"),
+
+    "q_frame_sample" -> ("WITH " + FeaturesCte +
+      """
+        |SELECT asset_id, media_type, n_frames, frame_idx,
+        |       md5(content_hash || ':' || frame_idx) AS frame_stub
+        |FROM (
+        |  SELECT asset_id, media_type, n_frames, content_hash,
+        |    unnest(list_distinct(list_transform(generate_series(0, 3),
+        |      i -> CAST(floor(i * n_frames / 4) AS INT)))) AS frame_idx
+        |  FROM feat WHERE media_type IN ('video', 'audio'))
+        |ORDER BY asset_id, frame_idx""".stripMargin),
+
+    "q_quantize_int8" ->
+      """WITH base AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |mm AS (
+        |  SELECT vec_id, label, v,
+        |         list_min(v) AS vmin, list_max(v) AS vmax FROM base),
+        |q AS (
+        |  SELECT vec_id, label, v, vmin, vmax,
+        |    CASE WHEN vmax = vmin THEN CAST(1 AS DOUBLE)
+        |         ELSE (vmax - vmin) / 255 END AS scale
+        |  FROM mm)
+        |SELECT vec_id, label,
+        |  CAST(round(vmin * 1000000) AS BIGINT) AS vmin_micro,
+        |  CAST(round(vmax * 1000000) AS BIGINT) AS vmax_micro,
+        |  CAST(list_sum(list_transform(v,
+        |    x -> CAST(round((x - vmin) / scale) - 128 AS BIGINT))) AS BIGINT)
+        |    AS qsum
+        |FROM q ORDER BY vec_id""".stripMargin)
 }

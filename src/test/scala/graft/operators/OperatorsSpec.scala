@@ -48,6 +48,47 @@ class OperatorsSpec extends SparkSuite {
       s"bit-63 pair lost by banding: ${pairs.toSeq}")
   }
 
+  test("simhashMd5: 60-bit hashes, same near/far structure as xxhash64") {
+    val h = Dedup.simhashMd5(docs).select("doc_id", "simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h.values.forall(v => v >= 0 && v < (1L << 60))) // 60-bit positive
+    assert(h(1L) === h(4L))
+    val nearDist = java.lang.Long.bitCount(h(1L) ^ h(2L))
+    val farDist = java.lang.Long.bitCount(h(1L) ^ h(3L))
+    assert(nearDist < farDist)
+  }
+
+  test("simhashPairsMd5 surfaces the exact-dup pair at hamming 0") {
+    val pairs = Dedup.simhashPairsMd5(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.contains((1L, 4L, 0)))
+  }
+
+  test("hyperplaneLshMd5: identical vectors share buckets; planes are ±1") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq.fill(64)(1.0f)),
+      (2L, Seq.fill(64)(1.0f)),
+      (3L, (0 until 64).map(i => if (i % 2 == 0) -1.0f else 0.5f)))
+      .toDF("vec_id", "embedding")
+    val b = Similarity.hyperplaneLshMd5(emb).select("vec_id", "lsh_bucket")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(1L) === b(2L))
+    val signs = Similarity.md5PlaneSigns(12, 64)
+    assert(signs.flatten.forall(s => s == 1.0 || s == -1.0))
+    assert(signs.flatten.count(_ < 0) > 0) // not degenerate
+  }
+
+  test("decodeStubMd5 is content-addressed like the blake2b stub") {
+    val a1 = MediaAsset(1L, "video", "hello".getBytes("UTF-8"))
+    val a2 = MediaAsset(2L, "video", "hello".getBytes("UTF-8"))
+    val f1 = Multimodal.decodeStubMd5(a1)
+    val f2 = Multimodal.decodeStubMd5(a2)
+    assert(f1.content_hash === f2.content_hash)
+    assert(f1.content_hash.length === 32) // md5 hex
+    assert(f1.width === f2.width && f1.height === f2.height)
+  }
+
   test("minhashCandidates finds exact and near duplicates") {
     val cands = Dedup.minhashCandidates(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
