@@ -50,8 +50,11 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failed queries (−1 markers) are excluded from the headline total so
+    // an error can never improve the reported aggregate
+    val failedCount = results.count(_._2 < 0)
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedCount,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

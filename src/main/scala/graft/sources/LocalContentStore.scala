@@ -21,10 +21,19 @@ final class LocalContentStore(root: String) extends ContentStore {
   def urlFor(id: String): String = s"file://${dirFor(id)}/data"
 
   /** Push a file: hash it (blake2b-16, the reference's content hash,
-    * `dlfile.py:221-235`), validate/normalize metadata, copy content, and
-    * write the metadata sidecar. Returns the storage url.
-    * Mirrors `Archive.prepare_metadata_and_push` (`archive.py:186-199`). */
-  def push(sourcePath: Path, fields: Map[String, Any]): (String, Metadata) = {
+    * `dlfile.py:221-235`), validate/normalize metadata, upload content,
+    * and write the metadata sidecar. Returns the storage url.
+    * Mirrors `Archive.prepare_metadata_and_push` (`archive.py:186-199`).
+    *
+    * Content larger than `chunkSize` goes through the multipart protocol
+    * (`archive.py:212-257`: TransferConfig with multipart_threshold =
+    * multipart_chunksize = 100 MB by default): parts are written
+    * independently to a hidden upload dir — each is individually
+    * retryable, the unit S3 multipart gives you — then committed by
+    * concatenation + atomic move, so a reader never observes a partial
+    * object. */
+  def push(sourcePath: Path, fields: Map[String, Any],
+      chunkSize: Int = LocalContentStore.DefaultChunkSize): (String, Metadata) = {
     val withHash =
       if (fields.contains("hash")) fields
       else {
@@ -38,8 +47,12 @@ final class LocalContentStore(root: String) extends ContentStore {
     val meta = Metadata.build(withPath)
     val dir = dirFor(meta.id)
     Files.createDirectories(dir)
-    Files.copy(sourcePath, dir.resolve("data"),
-      StandardCopyOption.REPLACE_EXISTING)
+    if (Files.size(sourcePath) >= chunkSize)
+      LocalContentStore.multipartUpload(sourcePath, dir.resolve("data"),
+        chunkSize)
+    else
+      Files.copy(sourcePath, dir.resolve("data"),
+        StandardCopyOption.REPLACE_EXISTING)
     Files.write(dir.resolve("metadata.json"),
       meta.json.getBytes(StandardCharsets.UTF_8))
     (urlFor(meta.id), meta)
@@ -77,8 +90,74 @@ final class LocalContentStore(root: String) extends ContentStore {
     new BufferedInputStream(new FileInputStream(p.toFile))
   }
 
+  /** Open the content as a chunk-buffered [[StreamingFile]] (the
+    * reference's `fetch(url, stream=True)` shape, `archive.py:365-377`):
+    * large objects are read incrementally, never materialized whole. */
+  def openStreaming(url: String,
+      chunkSize: Int = StreamingFile.IterSize): StreamingFile =
+    StreamingFile.fromInputStream(open(url), chunkSize)
+
   /** Resolve any `<scheme>://` url to a local path — the store is
     * scheme-agnostic so ingest fixtures can carry s3-style urls. */
   private def pathOf(url: String): Path =
     Paths.get(url.replaceFirst("^[a-z0-9]+://", ""))
+}
+
+object LocalContentStore {
+
+  /** The reference's `CHUNK_SIZE()` default (`archive.py:47-48`):
+    * 100 MB multipart threshold and chunk size. */
+  val DefaultChunkSize: Int = 100 * 1024 * 1024
+
+  /** Multipart upload against the local store: stage `chunkSize` parts in
+    * a hidden sibling dir (each part an independent, retryable write),
+    * then complete by concatenating into a temp object promoted with an
+    * atomic move. Returns the number of parts written. */
+  def multipartUpload(source: Path, target: Path, chunkSize: Int): Int = {
+    require(chunkSize > 0, s"chunkSize must be positive: $chunkSize")
+    val uploadDir = target.resolveSibling("." + target.getFileName + ".upload")
+    if (Files.exists(uploadDir)) deleteRecursively(uploadDir)
+    Files.createDirectories(uploadDir)
+    val in = new BufferedInputStream(new FileInputStream(source.toFile))
+    var nParts = 0
+    try {
+      val buf = new Array[Byte](chunkSize)
+      var eof = false
+      while (!eof) {
+        var off = 0
+        var n = 0
+        while (off < chunkSize && n >= 0) {
+          n = in.read(buf, off, chunkSize - off)
+          if (n > 0) off += n
+        }
+        if (n < 0) eof = true
+        if (off > 0) {
+          Files.write(uploadDir.resolve(f"part-$nParts%05d"),
+            java.util.Arrays.copyOf(buf, off))
+          nParts += 1
+        }
+      }
+    } finally in.close()
+    // complete: concatenate parts in order into a temp object, promote
+    val tmp = target.resolveSibling("." + target.getFileName + ".tmp")
+    val out = Files.newOutputStream(tmp)
+    try {
+      (0 until nParts).foreach { i =>
+        Files.copy(uploadDir.resolve(f"part-$i%05d"), out)
+      }
+    } finally out.close()
+    Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(uploadDir)
+    nParts
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.iterator().forEachRemaining(deleteRecursively(_))
+      finally s.close()
+    }
+    Files.deleteIfExists(p)
+  }
 }

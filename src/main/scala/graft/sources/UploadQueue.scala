@@ -110,10 +110,20 @@ final class Uploader(
     val name = f.getFileName.toString
     if (name.startsWith(".") || processed.contains(name) ||
       !Files.isRegularFile(f)) return false
-    processed += name
+    // a bundle is marked processed only when the push succeeded (the file
+    // is then deleted) or its format is permanently invalid — a transient
+    // push failure leaves it eligible for the next drain(), preserving
+    // the reference queue's keep-retrying contract (queue.py:127-139)
+    val parsed =
+      try Some(Bundle.read(f))
+      catch {
+        case e: Exception =>
+          processed += name; onSkip(f, e); return false
+      }
     try {
-      val (content, meta) = Bundle.read(f)
+      val (content, meta) = parsed.get
       push(content, meta)
+      processed += name
       Files.deleteIfExists(f)
       true
     } catch {

@@ -111,8 +111,7 @@ final class RecordStore(spark: SparkSession, path: String,
     workIdIndex.foreach(_.append(finalRows))
   }
 
-  def exists: Boolean =
-    new java.io.File(path).exists()
+  def exists: Boolean = Fs.exists(spark, path)
 
   /** Full table as DataFrame; partition columns are restored to their
     * logical types. */
@@ -127,52 +126,48 @@ final class RecordStore(spark: SparkSession, path: String,
     * partition to `filesPerPartition` files. Only partitions whose file
     * count exceeds the target are rewritten — the scan is partition-
     * pruned, so compaction cost follows ingest-touched partitions, not
-    * table size. (On Delta/Iceberg this is OPTIMIZE; on plain parquet we
-    * rewrite via a temp dir and swap.)
+    * table size. All directory manipulation goes through the Hadoop FS
+    * API (see [[Fs]]): rewrite into a dot-prefixed temp dir, then a
+    * backup-checked swap — a crash mid-swap leaves either the old or the
+    * new partition in place, never neither. (On Delta/Iceberg this is
+    * OPTIMIZE.)
     */
   def compact(filesPerPartition: Int = 1): Int = {
-    val root = new java.io.File(path)
-    if (!root.exists()) return 0
-    // clear temp dirs from interrupted runs first (dot-prefixed, so Spark
-    // partition discovery never sees them as partitions)
-    def rmRec(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmRec)
-      f.delete()
-    }
+    import org.apache.hadoop.fs.Path
+    val f = Fs.fs(spark, path)
+    val root = new Path(path)
+    if (!f.exists(root)) return 0
+    // clear temp/backup dirs from interrupted runs first (dot-prefixed,
+    // so Spark partition discovery never sees them as partitions)
     for {
-      bucketDir <- Option(root.listFiles()).getOrElse(Array.empty).toSeq
-      if bucketDir.isDirectory
-      stale <- Option(bucketDir.listFiles()).getOrElse(Array.empty)
-      if stale.getName.startsWith(".") && stale.getName.endsWith(".compact")
-    } rmRec(stale)
+      bucketDir <- f.listStatus(root).toSeq if bucketDir.isDirectory
+      stale <- f.listStatus(bucketDir.getPath)
+      n = stale.getPath.getName
+      if (n.startsWith(".") && n.endsWith(".compact")) || n.endsWith(".old")
+    } f.delete(stale.getPath, true)
     val fragmented =
       for {
-        bucketDir <- Option(root.listFiles()).getOrElse(Array.empty).toSeq
-        if bucketDir.isDirectory && bucketDir.getName.startsWith("time_bucket=")
-        whatDir <- bucketDir.listFiles().toSeq
-        if whatDir.isDirectory && whatDir.getName.startsWith("what=")
-        files = whatDir.listFiles().count(_.getName.endsWith(".parquet"))
+        bucketDir <- f.listStatus(root).toSeq
+        if bucketDir.isDirectory &&
+          bucketDir.getPath.getName.startsWith("time_bucket=")
+        whatDir <- f.listStatus(bucketDir.getPath).toSeq
+        if whatDir.isDirectory && whatDir.getPath.getName.startsWith("what=")
+        files = f.listStatus(whatDir.getPath)
+          .count(_.getPath.getName.endsWith(".parquet"))
         if files > filesPerPartition
       } yield (
-        bucketDir.getName.stripPrefix("time_bucket=").toLong,
-        whatDir.getName.stripPrefix("what="),
-        whatDir)
+        bucketDir.getPath.getName.stripPrefix("time_bucket=").toLong,
+        whatDir.getPath.getName.stripPrefix("what="),
+        whatDir.getPath)
     fragmented.foreach { case (bucket, what, dir) =>
       val part = records
         .filter(col("time_bucket") === bucket && col("what") === what)
         .drop("time_bucket", "what")
-      val tmp = new java.io.File(dir.getParentFile,
-        "." + dir.getName + ".compact")
+      val tmp = new Path(dir.getParent, "." + dir.getName + ".compact")
       part.coalesce(filesPerPartition)
         .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      rmRec(dir)
-      if (!tmp.renameTo(dir))
-        throw new java.io.IOException(
-          s"compaction rename failed: $tmp -> $dir")
-      // drop writer artifacts that would confuse partition discovery
-      Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName == "_SUCCESS" || f.getName.endsWith(".crc"))
-        .foreach(_.delete())
+      Fs.swap(spark, tmp.toString, dir.toString)
+      Fs.dropWriterArtifacts(spark, dir.toString)
     }
     fragmented.size
   }
@@ -189,7 +184,7 @@ final class RecordStore(spark: SparkSession, path: String,
 final class WorkIdIndex(spark: SparkSession, path: String,
     prefixLen: Int = 2) {
 
-  def exists: Boolean = new java.io.File(path).exists()
+  def exists: Boolean = Fs.exists(spark, path)
 
   /** (Re)build from the record table: partition by a short work_id prefix
     * (bounded directory fan-out even with millions of work ids), sort by
@@ -264,18 +259,24 @@ object RecordStore {
   * (one row per what×where pair) so a full rewrite per batch is the
   * Spark-native move; on Delta this would be a MERGE.
   */
-final class LatestStore(spark: SparkSession, path: String) {
+final class LatestStore(spark: SparkSession, path: String,
+    outputFiles: Int = 1) {
   import spark.implicits._
 
-  private def target = new java.io.File(path)
-
-  def exists: Boolean = target.exists()
+  def exists: Boolean = Fs.exists(spark, path)
 
   def latest: DataFrame =
     spark.read.schema(RecordStore.schema).parquet(path)
 
   /** Monotone upsert: newest (metadata.start, create_time) per (what,
-    * where) wins, replay-safe (applying the same batch twice is a no-op). */
+    * where) wins, replay-safe (applying the same batch twice is a no-op).
+    *
+    * The rewrite lands in a dot-prefixed temp dir and is promoted with
+    * [[Fs.swap]] (backup-then-rename, every rename checked) — the live
+    * table is renamed aside, never deleted before its replacement is in
+    * place. `repartition(outputFiles)` (not `coalesce`) keeps the merge
+    * computation parallel upstream of the final write; raise
+    * `outputFiles` when |what×where| stops fitting one file. */
   def upsert(batch: DataFrame): Unit = {
     val incoming =
       if (exists) latest.unionByName(batch.select(latest.columns.map(col).toSeq: _*))
@@ -287,19 +288,12 @@ final class LatestStore(spark: SparkSession, path: String) {
       .withColumn("__rn", row_number().over(w))
       .filter($"__rn" === 1)
       .drop("__rn")
-    // rewrite via temp dir then atomic-ish swap (local FS; on object
-    // stores this is a Delta/Iceberg transactional replace)
-    val tmp = path + ".tmp"
-    winners.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
-    val dir = new java.io.File(path)
-    if (dir.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(dir)
-    }
-    new java.io.File(tmp).renameTo(dir)
+    val parent = new org.apache.hadoop.fs.Path(path).getParent
+    val name = new org.apache.hadoop.fs.Path(path).getName
+    val tmp = new org.apache.hadoop.fs.Path(parent, s".$name.tmp").toString
+    winners.repartition(outputFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    Fs.swap(spark, tmp, path)
   }
 }
 

@@ -53,11 +53,24 @@ object Demo {
     }
     println(s"TIME-QUERY: total=$n pages=$pages (expect 250, 3)")
 
-    val wi = q.queryByWorkId("work-1", "nginx")
-    println(s"WORKID-P1: ${wi.records.size} hasCursor=${wi.cursor.isDefined} (expect 100, true)")
-    val wi2 = q.queryByWorkId("work-1", "nginx",
-      cursor = Some(Cursor.fromSerialized(wi.cursor.get.serialized)))
-    println(s"WORKID-P2: ${wi2.records.size} hasCursor=${wi2.cursor.isDefined} (expect 25, false)")
+    // work-id pagination: raw pages hold ≤100 index rows, but a file
+    // appears once per day-bucket it spans and the querier dedups per
+    // page (F4) — so page sizes vary; the contract is "every matching
+    // file exactly once across the chain" (125 here: the i%2==0 half)
+    var wiCursor: Option[Cursor] = None
+    var wiIds = Vector.empty[String]
+    var wiPages = 0
+    var wiLoop = true
+    while (wiLoop) {
+      val p = q.queryByWorkId("work-1", "nginx",
+        cursor = wiCursor.map(c => Cursor.fromSerialized(c.serialized)))
+      wiIds ++= p.records.map(_.metadata.id)
+      wiPages += 1
+      wiCursor = p.cursor
+      wiLoop = wiCursor.isDefined
+    }
+    println(s"WORKID-CHAIN: total=${wiIds.size} unique=${wiIds.distinct.size} " +
+      s"pages=$wiPages (expect 125, 125 — every file once, no dups)")
 
     println("LATEST(miss): " + q.queryLatest("nginx", "srv1"))
 
