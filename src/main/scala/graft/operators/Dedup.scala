@@ -29,12 +29,14 @@ object Dedup {
   def simhash(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", nBits: Int = 64,
       tokenHashExpr: String = "xxhash64(__token)"): DataFrame = {
-    val spark = docs.sparkSession
-    val parallel = spark.sparkContext.defaultParallelism
+    // no repartition here: the aggregation below shuffles on the id
+    // anyway, and an unconditional exchange would re-shuffle the whole
+    // corpus on well-partitioned production tables (callers that read
+    // unsplittable single-row-group test files re-parallelize at the
+    // source — Tables.read)
     val tokens = docs
       .select(col(idCol),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("__token"))
-      .repartition(parallel, col(idCol))
       .withColumn("__h", expr(tokenHashExpr))
     val voteCols = (0 until nBits).map { j =>
       sum(when(expr(s"(shiftright(__h, $j) & 1) = 1"), 1).otherwise(-1))
@@ -150,19 +152,21 @@ object Dedup {
         .join(labels, undirected("doc_b") === labels("doc_id"))
         .groupBy(undirected("doc_a").as("doc_id"))
         .agg(min(col("cluster_id")).as("neighbor_min"))
+      // carry a per-row changed flag through the checkpoint so
+      // convergence detection is a trivial scan of the materialized
+      // round result — no extra join or recomputation per round
       val updated = labels
         .join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"),
             coalesce(col("neighbor_min"), col("cluster_id")))
-            .as("cluster_id"))
+            .as("new_cluster_id"),
+          (col("neighbor_min").isNotNull &&
+            col("neighbor_min") < col("cluster_id")).as("__changed"))
         .localCheckpoint()
-      val changed = updated.alias("u")
-        .join(labels.alias("l"), Seq("doc_id"))
-        .filter(col("u.cluster_id") =!= col("l.cluster_id"))
-        .limit(1).count()
+      converged = updated.filter(col("__changed")).isEmpty
       labels = updated
-      converged = changed == 0
+        .select(col("doc_id"), col("new_cluster_id").as("cluster_id"))
       iteration += 1
     }
     if (!converged)
@@ -181,9 +185,9 @@ object Dedup {
       numHashes: Int = 8,
       rowsPerBand: Int = 4): DataFrame = {
     // exploded shingles + min aggregates keep the hashing codegen'd
-    // (interpreted array lambdas are the bottleneck at scale)
+    // (interpreted array lambdas are the bottleneck at scale); no
+    // repartition — see simhash
     val shingles = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .withColumn("__w", split(lower(trim(col("text"))), "\\s+"))
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, greatest(size(__w) - 3, 0)), " +

@@ -33,8 +33,12 @@ object Similarity {
   private val Dot =
     "aggregate(zip_with(%s, %s, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
 
-  private def cosExpr(a: String, b: String): String =
+  /** Cosine of two double-array columns as a SQL expression (sequential
+    * left-to-right sums — bit-stable across engines). */
+  def cosineExpr(a: String, b: String): String =
     s"${Dot.format(a, b)} / (sqrt(${Dot.format(a, a)}) * sqrt(${Dot.format(b, b)}))"
+
+  private def cosExpr(a: String, b: String): String = cosineExpr(a, b)
 
   /** IVF top-k: queries are assigned to their `nprobe` nearest cells by
     * centroid cosine, then brute-force ranked only within those cells. */
@@ -57,22 +61,69 @@ object Similarity {
       .withColumn("probe_rank", row_number().over(wProbe))
       .filter(col("probe_rank") <= nprobe)
       .select(col("query_id"), col("qv"), col("cell"))
-    // search only the probed cells
+    // search only the probed cells (no repartition: the broadcast join
+    // below is map-side, so an exchange here would shuffle the corpus
+    // for nothing on well-partitioned tables)
     val cands = emb
-      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
       .select(col("vec_id").as("cand_id"),
       col(cellCol).as("cell"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cv"))
     val wRank = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("cand_id"))
+      .orderBy(col("cos_sim_micro").desc, col("cand_id"))
     cands.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("cos_sim", round(expr(cosExpr("qv", "cv")), 4))
+      .withColumn("cos_sim_micro", expr(
+        s"CAST(round(${cosExpr("qv", "cv")} * 1000000) AS BIGINT)"))
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cand_id"), col("cell"), col("rank"),
-        col("cos_sim").cast("decimal(9,4)").as("cos_sim"))
+        col("cos_sim_micro"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Cosine near-duplicate pairs blocked on the cell/label column, with a
+    * hot-block guard: pair generation inside one label is O(n²/label), so
+    * any label whose population exceeds `maxBlock` is sub-bucketed by
+    * [[hyperplaneLshMd5]] (`subBits` planes → 2^subBits buckets) and only
+    * same-bucket pairs are compared — the standard LSH trade of bounded
+    * candidate volume for a little recall on the hot block. Labels under
+    * the cap keep exact within-label comparison, so results are unchanged
+    * unless the guard actually fires. The hot-label list is a driver-side
+    * broadcast-sized aggregate (one row per label).
+    *
+    * Output: (vec_a, vec_b, label, cos_sim_micro), vec_a < vec_b,
+    * cos_sim_micro > `thresholdMicro`. */
+  def cosineDupPairs(
+      emb: DataFrame,
+      thresholdMicro: Long = 300000L,
+      maxBlock: Long = 100000L,
+      subBits: Int = 4,
+      dim: Int = 64): DataFrame = {
+    val hot = emb.groupBy(col("label")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBlock)
+      .select("label").collect().map(_.get(0)).toSeq
+    val bucketed =
+      if (hot.isEmpty) emb.withColumn("__blk", lit(0L))
+      else hyperplaneLshMd5(emb, subBits, dim)
+        .withColumn("__blk",
+          when(col("label").isInCollection(hot), col("lsh_bucket"))
+            .otherwise(lit(0L)))
+        .drop("lsh_bucket")
+    val withBlk = bucketed
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("norm", expr(
+        "sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x))"))
+    val a = withBlk.select(col("vec_id").as("vec_a"), col("label"),
+      col("__blk"), col("v").as("qv"), col("norm").as("qnorm"))
+    val b = withBlk.select(col("vec_id").as("vec_b"), col("label"),
+      col("__blk"), col("v").as("cv"), col("norm").as("cnorm"))
+    a.join(b, Seq("label", "__blk"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim_micro", expr(
+        "CAST(round(aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, " +
+          "(acc, x) -> acc + x) / (qnorm * cnorm) * 1000000) AS BIGINT)"))
+      .filter(col("cos_sim_micro") > thresholdMicro)
+      .select(col("vec_a"), col("vec_b"), col("label"), col("cos_sim_micro"))
   }
 
   /** Per-vector int8 quantization (min/max affine): each embedding maps
@@ -145,7 +196,6 @@ object Similarity {
       s"CASE WHEN ($proj) > 0 THEN shiftleft(1L, $b) ELSE 0L END"
     }
     emb
-      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
       .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("lsh_bucket", expr(
         s"""aggregate(array(${signBits.mkString(", ")}), 0L,

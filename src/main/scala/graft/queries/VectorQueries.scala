@@ -57,20 +57,13 @@ object VectorQueries {
     }),
 
     // near-duplicate pairs by cosine threshold, blocked on label
-    // (embedding-cosine near-dup dedup)
+    // (embedding-cosine near-dup dedup) — via the hot-label-guarded
+    // operator: labels under the cap (all of them on this data) compare
+    // exactly, so the oracle stays bit-exact; an oversized label would be
+    // LSH-sub-bucketed instead of going quadratic
     "q_cosine_dup_pairs" -> ((s, dir) => {
       import s.implicits._
-      val base = embNorm(s, dir)
-      val a = base.select($"vec_id".as("vec_a"), $"label",
-        $"v".as("qv"), $"norm".as("qnorm"))
-      val b = base.select($"vec_id".as("vec_b"), $"label",
-        $"v".as("cv"), $"norm".as("cnorm"))
-      a.join(b, Seq("label"))
-        .filter($"vec_a" < $"vec_b")
-        .withColumn("cos_sim_micro", expr(
-          s"CAST(round($DotExpr / (qnorm * cnorm) * 1000000) AS BIGINT)"))
-        .filter($"cos_sim_micro" > 300000L)
-        .select($"vec_a", $"vec_b", $"label", $"cos_sim_micro")
+      graft.operators.Similarity.cosineDupPairs(emb(s, dir))
         .orderBy($"vec_a", $"vec_b")
     }),
 

@@ -136,8 +136,66 @@ class OperatorsSpec extends SparkSuite {
     // ranks are 1..k and similarities non-increasing
     val q0 = rows.filter(_.getLong(0) == 0L).sortBy(_.getInt(3))
     assert(q0.map(_.getInt(3)).toSeq === Seq(1, 2, 3))
-    val sims = q0.map(_.getDecimal(4).doubleValue())
+    val sims = q0.map(_.getLong(4))
     assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("CellIndex.topK reads only probed cells (partition-pruned scan)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val vecs = (0 until 60).map { i =>
+      val cell = i % 3
+      val base = Array.fill(8)(0.05f * rng.nextFloat())
+      base(cell) = 1.0f + 0.1f * rng.nextFloat()
+      (i.toLong, base.toSeq, cell)
+    }
+    val emb = vecs.toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("cellidx").toString
+    val idx = new CellIndex(spark, dir)
+    idx.build(emb)
+    val queries = emb.filter($"vec_id" < 2)
+      .select($"vec_id".as("query_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qv"))
+    val top = idx.topK(queries, k = 3, nprobe = 1)
+    val rows = top.collect()
+    assert(rows.length === 6) // 2 queries × k=3
+    // queries 0 and 1 sit in clusters 0 and 1 → neighbors come from there
+    assert(rows.filter(_.getLong(0) == 0L).forall(_.getInt(2) === 0))
+    assert(rows.filter(_.getLong(0) == 1L).forall(_.getInt(2) === 1))
+    // the vectors scan is partition-pruned to the two probed cells
+    val vecScans = top.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.partitionFilters.nonEmpty => f
+    }
+    assert(vecScans.nonEmpty, "no partition-filtered scan in the plan")
+    val scan = vecScans.head
+    assert(scan.partitionFilters.mkString(",").contains("cell"))
+    assert(scan.selectedPartitions.partitionCount === 2,
+      s"expected 2 of 3 cells read, got ${scan.selectedPartitions.partitionCount}")
+  }
+
+  test("cosineDupPairs: hot label routed through LSH sub-buckets, bounded") {
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    // label 0 is hot (40 vectors), label 1 cold (10)
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Seq.fill(8)(rng.nextFloat() * 2 - 1), if (i < 40) 0 else 1)
+    }
+    val emb = vecs.toDF("vec_id", "embedding", "label")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // threshold below -1 ⇒ every compared pair is emitted
+    val exact = pairs(Similarity.cosineDupPairs(emb,
+      thresholdMicro = -2000000L, maxBlock = 1000L, dim = 8))
+    val guarded = pairs(Similarity.cosineDupPairs(emb,
+      thresholdMicro = -2000000L, maxBlock = 20L, subBits = 2, dim = 8))
+    // cold label untouched by the guard
+    assert(guarded.filter(_._3 == 1) === exact.filter(_._3 == 1))
+    // hot label candidate volume strictly bounded below all-pairs
+    assert(guarded.count(_._3 == 0) < exact.count(_._3 == 0))
+    assert(guarded.count(_._3 == 0) > 0)
+    // the guard only prunes — it never invents pairs
+    assert(guarded.subsetOf(exact))
   }
 
   test("int8 quantization round-trips within scale/2 error") {
