@@ -15,6 +15,7 @@ import org.json4s.jackson.JsonMethods
   *   - `GET /v0/archive/latest/<what>/<where>[?lookback=…]`
   *   - `GET /v0/archive/files/<id>/data` (content relay when a content
   *     store is attached, with sniffed Content-Type/Encoding)
+  *   - `GET /v0/archive/files/<id>/metadata` (decorated metadata document)
   *
   * Errors use the reference's `{message, code}` body with 400/404 codes.
   * Built on the JDK's HttpServer — the query engine stays the Spark
@@ -47,6 +48,7 @@ final class ApiServer(
         case "/v0/archive/files/" => filesGet(ex, params)
         case LatestPath(what, where) => latestGet(ex, what, where, params)
         case DataPath(fileId) => dataGet(ex, fileId)
+        case MetadataPath(fileId) => metadataGet(ex, fileId)
         case _ => sendError(ex, 404,
           QueryValidationError("NoSuchEndpoint", s"unknown path $path"))
       }
@@ -59,6 +61,7 @@ final class ApiServer(
 
   private val LatestPath = "/v0/archive/latest/([^/]+)/([^/]+)".r
   private val DataPath = "/v0/archive/files/([^/]+)/data".r
+  private val MetadataPath = "/v0/archive/files/([^/]+)/metadata".r
 
   private def filesGet(ex: HttpExchange, params: Map[String, String]): Unit = {
     val q = ApiV0.validateFilesParams(params)
@@ -115,6 +118,23 @@ final class ApiServer(
             n = in.read(buf)
           }
         } finally in.close()
+    }
+
+  /** `/files/<id>/metadata` (`v0.py:498-527`): the metadata document
+    * decorated with `start_iso`/`end_iso`. */
+  private def metadataGet(ex: HttpExchange, fileId: String): Unit =
+    contentStore match {
+      case None => sendError(ex, 404, QueryValidationError(
+        "NoSuchFile", "no content store attached"))
+      case Some(cs) =>
+        val meta =
+          try cs.fetch(cs.urlFor(fileId))._1
+          catch {
+            case _: graft.core.NoSuchDatalakeFile =>
+              throw QueryValidationError("NoSuchFile", s"no such file: $fileId")
+          }
+        send(ex, 200, JsonMethods.compact(JsonMethods.render(
+          ApiV0.metadataJson(meta))))
     }
 
   private def sendError(ex: HttpExchange, status: Int,

@@ -75,27 +75,33 @@ object ApiV0 {
     * decoration (`v0.py:47-63,394-407`); `end` forced present. */
   def recordJson(r: UnpackedRecord, baseUrl: String): JObject = {
     val m = r.metadata
-    val metadataJson = JObject(
+    JObject(List(
+      "url" -> JString(r.url),
+      "http_url" ->
+        JString(s"$baseUrl/v0/archive/files/${m.id}/data"),
+      "metadata" -> metadataJson(Metadata(m.version, m.start, m.end,
+        m.where, m.what, m.work_id, m.path, m.id, m.hash))) ++
+      r.createTime.map(ct => "create_time" -> JLong(ct): JField).toList ++
+      r.size.map(sz => "size" -> JLong(sz): JField).toList)
+  }
+
+  /** Metadata document decorated with `start_iso`/`end_iso`
+    * (`add_utc_metadata`, `v0.py:47-63`) — also the body of the
+    * `/files/<id>/metadata` route (`v0.py:498-527`). */
+  def metadataJson(m: Metadata): JObject =
+    JObject(
       "version" -> JInt(m.version),
       "start" -> JLong(m.start),
       "end" -> m.end.map(JLong(_)).getOrElse(JNull),
       "where" -> JString(m.where),
       "what" -> JString(m.what),
-      "work_id" -> m.work_id.map(JString(_)).getOrElse(JNull),
+      "work_id" -> m.workId.map(JString(_)).getOrElse(JNull),
       "path" -> JString(m.path),
       "id" -> JString(m.id),
       "hash" -> JString(m.hash),
       "start_iso" -> JString(unixMsToUtcIso(m.start)),
       "end_iso" -> m.end.map(e => JString(unixMsToUtcIso(e)))
         .getOrElse(JNull))
-    JObject(List(
-      "url" -> JString(r.url),
-      "http_url" ->
-        JString(s"$baseUrl/v0/archive/files/${m.id}/data"),
-      "metadata" -> metadataJson) ++
-      r.createTime.map(ct => "create_time" -> JLong(ct): JField).toList ++
-      r.size.map(sz => "size" -> JLong(sz): JField).toList)
-  }
 
   /** `{records, next}` page envelope (`v0.py:410-419`): `next` is the
     * request url with the serialized cursor swapped in. */

@@ -32,6 +32,15 @@ final class NoSuchDatalakeFile(msg: String) extends DatalakeError(msg)
 /** Translator expression / application errors. translator.py:24-99 */
 final class TranslatorError(msg: String) extends DatalakeError(msg)
 
+/** HTTP archive API returned an error response.
+  * client/datalake/common/errors.py (DatalakeHttpError),
+  * client/datalake/archive.py:175-185 (_check_http_response). */
+final class DatalakeHttpError(msg: String) extends DatalakeError(msg)
+
+/** Fetch url outside the configured storage/http bases, or an unusable
+  * filename template. client/datalake/archive.py:82-91,418-423 */
+final class InvalidDatalakePath(msg: String) extends DatalakeError(msg)
+
 /** Query-parameter validation errors with the reference API's error codes.
   * api/datalake_api/v0.py:153-191; tested api/tests/test_bad_queries.py.
   */

@@ -35,6 +35,13 @@ object Cli {
   private def root: String =
     sys.env.getOrElse("GRAFT_ROOT", sys.props("java.io.tmpdir") + "/graft")
 
+  /** HTTP-mode switch (reference `DATALAKE_HTTP_URL`, `archive.py:169-173`):
+    * when `--http-url` or GRAFT_HTTP_URL is present, list / latest / fetch /
+    * cat go through [[graft.api.ArchiveClient]] instead of in-process. */
+  private def httpClient(opts: Map[String, String]): Option[graft.api.ArchiveClient] =
+    opts.get("http-url").orElse(sys.env.get("GRAFT_HTTP_URL"))
+      .map(new graft.api.ArchiveClient(_))
+
   /** The warehouse record store; attaches the work-id index when one has
     * been built (`maintain`) so every writer keeps it current and every
     * work-id query takes the pruned path. */
@@ -75,6 +82,15 @@ object Cli {
 
     case "list" :: what :: rest =>
       val opts = parseOpts(rest)
+      httpClient(opts) match {
+        case Some(client) =>
+          client.list(what, opts.get("start"), opts.get("end"),
+            opts.get("where"), opts.get("work_id"))
+            .foreach(r => println(JsonMethods.compact(
+              JsonMethods.render(r.toJValue))))
+          return
+        case None =>
+      }
       val s = spark()
       val (store, idx) = recordStore(s)
       val q = new ArchiveQuerier(store, workIdIndex = idx)
@@ -91,6 +107,18 @@ object Cli {
 
     case "latest" :: what :: where :: rest =>
       val opts = parseOpts(rest)
+      httpClient(opts) match {
+        case Some(client) =>
+          try println(JsonMethods.pretty(JsonMethods.render(
+            client.latest(what, where,
+              opts.get("lookback").map(_.toInt)).toJValue)))
+          catch {
+            case e: graft.core.DatalakeHttpError =>
+              System.err.println(e.getMessage); sys.exit(1)
+          }
+          return
+        case None =>
+      }
       val lookback = ApiV0.validateLookback(opts.getOrElse("lookback", "14"))
       val s = spark()
       val q = new ArchiveQuerier(new RecordStore(s, s"$root/records"),
@@ -106,14 +134,32 @@ object Cli {
 
     case "fetch" :: url :: rest =>
       val opts = parseOpts(rest)
-      val cs = new LocalContentStore(s"$root/content")
-      val (meta, _, _) = cs.fetch(url)
-      val fname = ApiV0.filenameFromTemplate(opts.get("template"), meta)
-      val in = cs.open(url)
-      try java.nio.file.Files.copy(in, java.nio.file.Paths.get(fname),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      finally in.close()
-      println(fname)
+      httpClient(opts) match {
+        case Some(client) =>
+          println(client.fetchToFilename(url, opts.get("template")))
+        case None =>
+          val cs = new LocalContentStore(s"$root/content")
+          val (meta, _, _) = cs.fetch(url)
+          val fname = ApiV0.filenameFromTemplate(opts.get("template"), meta)
+          val in = cs.open(url)
+          try java.nio.file.Files.copy(in, java.nio.file.Paths.get(fname),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          finally in.close()
+          println(fname)
+      }
+
+    // `datalake cat` (`cli.py:288-302`): relay content to stdout
+    case "cat" :: url :: rest =>
+      val opts = parseOpts(rest)
+      httpClient(opts) match {
+        case Some(client) => client.cat(url, System.out)
+        case None =>
+          val cs = new LocalContentStore(s"$root/content")
+          val in = cs.open(url)
+          try in.transferTo(System.out)
+          finally in.close()
+      }
+      System.out.flush()
 
     case "translate" :: expression :: path :: Nil =>
       println(Translator(expression).translate(path))
@@ -191,6 +237,8 @@ object Cli {
            |              [--cursor C]
            |  latest <what> <where> [--lookback DAYS]
            |  fetch <url> [--template TPL]
+           |  cat <url>
+           |  (list/latest/fetch/cat honor --http-url or GRAFT_HTTP_URL)
            |  translate <expression> <path>
            |  enqueue <file> --what W [--where H] [--start T] [--end T]
            |  uploader [--timeout MS]
