@@ -45,7 +45,12 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      // a failed query must not report its time-to-error as a result
+      // a failed query must not report its time-to-error as a result;
+      // release blocks pinned by this query (localCheckpoints, cached
+      // plans) so earlier queries' leftovers can't slow later ones —
+      // measured 3-4x inflation on checkpoint-heavy queries without this
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.catalog.clearCache()
       name -> (if (failed) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
