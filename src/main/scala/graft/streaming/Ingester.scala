@@ -126,6 +126,36 @@ final class StreamingIngester(
     } finally results.unpersist()
   }
 
+  /** Drain a [[NotificationQueue]] through the Spark ingest path with the
+    * reference's at-least-once contract (`sqs_queue.py:52-66`): claim up
+    * to `maxBatch` messages, process them as ONE Spark batch (records +
+    * latest + report in the same pass), and delete the claims only after
+    * the batch commits. A crash mid-batch deletes nothing — every message
+    * redelivers after its visibility timeout, and the store's
+    * anti-join/monotone-merge idempotence makes the replay a no-op.
+    * Returns the number of messages processed before the queue stayed
+    * empty for `idleTimeoutMs`. */
+  def drainQueue(
+      queue: NotificationQueue,
+      maxBatch: Int = 100,
+      idleTimeoutMs: Long = 1000L): Int = {
+    var total = 0
+    var continue = true
+    while (continue) {
+      queue.receive(idleTimeoutMs) match {
+        case None => continue = false
+        case Some(first) =>
+          // batch up whatever else is immediately available
+          val claimed = first +: Iterator.continually(queue.receive(0L))
+            .take(maxBatch - 1).takeWhile(_.isDefined).flatten.toSeq
+          processBatch(spark.createDataset(claimed.map(_.body)))
+          claimed.foreach(m => queue.delete(m.handle))
+          total += claimed.size
+      }
+    }
+    total
+  }
+
   /** Start the stream over a directory of notification JSON files. */
   def start(
       notificationDir: String,

@@ -217,6 +217,19 @@ object Cli {
       println(s"listening on http://127.0.0.1:$port")
       Thread.currentThread().join()
 
+    // SQS-contract drain (visibility timeout + redelivery) over the
+    // directory transport — sqs_queue.py:52-66 semantics
+    case "ingest-queue" :: queueDir :: rest =>
+      val opts = parseOpts(rest)
+      val s = spark()
+      val n = new StreamingIngester(s, new LocalContentStore(s"$root/content"),
+        recordStore(s)._1,
+        Some(new LatestStore(s, s"$root/latest")),
+        Some(s"$root/reports"))
+        .drainQueue(new graft.streaming.DirNotificationQueue(queueDir),
+          idleTimeoutMs = opts.getOrElse("timeout", "1000").toLong)
+      println(s"ingested $n notifications")
+
     case "ingest-dir" :: notifDir :: Nil =>
       val s = spark()
       val q = new StreamingIngester(s, new LocalContentStore(s"$root/content"),
@@ -244,7 +257,8 @@ object Cli {
            |  uploader [--timeout MS]
            |  maintain [--files-per-partition N]
            |  serve [--port P]
-           |  ingest-dir <notification-dir>""".stripMargin)
+           |  ingest-dir <notification-dir>
+           |  ingest-queue <queue-dir> [--timeout MS]""".stripMargin)
       sys.exit(2)
   }
 
