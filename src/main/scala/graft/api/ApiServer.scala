@@ -45,6 +45,12 @@ final class ApiServer(
       val path = ex.getRequestURI.getPath
       val params = parseQuery(Option(ex.getRequestURI.getRawQuery))
       path match {
+        // archive status (`v0.py:110-133`): the base url clients push to
+        case "/v0/archive/" => send(ex, 200,
+          JsonMethods.compact(JsonMethods.render(org.json4s.JObject(
+            "storage_url" -> contentStore.map(cs =>
+              org.json4s.JString(cs.storageUrl): org.json4s.JValue
+            ).getOrElse(org.json4s.JNull)))))
         case "/v0/archive/files/" => filesGet(ex, params)
         case LatestPath(what, where) => latestGet(ex, what, where, params)
         case DataPath(fileId) => dataGet(ex, fileId)

@@ -167,6 +167,14 @@ final class ArchiveClient(
     }
   }
 
+  /** `/v0/archive/` status document (`v0.py:110-133`): the base url
+    * clients push content to, when the deployment exposes one. */
+  def storageUrl(): Option[String] =
+    (getJson(s"$httpUrl/v0/archive/") \ "storage_url") match {
+      case JString(s) => Some(s)
+      case _ => None
+    }
+
   /** Most-recent record for (what, where) within the lookback window
     * (`archive.py:159-167`); `DatalakeHttpError` on a 404 miss. */
   def latest(

@@ -20,6 +20,10 @@ final class LocalContentStore(root: String) extends ContentStore {
 
   def urlFor(id: String): String = s"file://${dirFor(id)}/data"
 
+  /** Base url clients push to (the `/v0/archive/` status document,
+    * `v0.py:110-133` `DATALAKE_STORAGE_URL`). */
+  def storageUrl: String = s"file://$root"
+
   /** Push a file: hash it (blake2b-16, the reference's content hash,
     * `dlfile.py:221-235`), validate/normalize metadata, upload content,
     * and write the metadata sidecar. Returns the storage url.

@@ -84,10 +84,10 @@ object Cli {
       val opts = parseOpts(rest)
       httpClient(opts) match {
         case Some(client) =>
+          val format = opts.getOrElse("format", "json")
           client.list(what, opts.get("start"), opts.get("end"),
             opts.get("where"), opts.get("work_id"))
-            .foreach(r => println(JsonMethods.compact(
-              JsonMethods.render(r.toJValue))))
+            .foreach(r => println(formatRecord(r, format)))
           return
         case None =>
       }
@@ -247,7 +247,7 @@ object Cli {
            |  push <file> --what W [--where H] [--start T] [--end T]
            |              [--work-id ID] [--path-translation EXPR]
            |  list <what> [--start T --end T | --work_id ID] [--where H]
-           |              [--cursor C]
+           |              [--cursor C] [--format url|http|json|json-pretty|human]
            |  latest <what> <where> [--lookback DAYS]
            |  fetch <url> [--template TPL]
            |  cat <url>
@@ -261,6 +261,35 @@ object Cli {
            |  ingest-queue <queue-dir> [--timeout MS]""".stripMargin)
       sys.exit(2)
   }
+
+  /** The reference CLI's list formatters (`cli.py:210-241`):
+    * url / http / json / json-pretty / human. */
+  private def formatRecord(r: graft.api.ListedRecord, format: String): String =
+    format match {
+      case "url" => r.url
+      case "http" => r.httpUrl.getOrElse("")
+      case "json" => JsonMethods.compact(JsonMethods.render(r.toJValue))
+      case "json-pretty" => JsonMethods.pretty(JsonMethods.render(r.toJValue))
+      case "human" =>
+        // flattened key: value lines, start/end rendered as ISO
+        def fmt(j: org.json4s.JValue, out: StringBuilder): Unit = j match {
+          case org.json4s.JObject(kvs) => kvs.foreach {
+            case ("metadata", v) => fmt(v, out)
+            case (k, v) =>
+              val shown = v match {
+                case org.json4s.JNull => "null"
+                case org.json4s.JString(s) => s
+                case other => JsonMethods.compact(JsonMethods.render(other))
+              }
+              out ++= s"$k: $shown\n"
+          }
+          case _ =>
+        }
+        val sb = new StringBuilder
+        fmt(r.toJValue, sb)
+        sb.result()
+      case other => fail(s"unknown list format: $other")
+    }
 
   private def parseOpts(args: List[String]): Map[String, String] = {
     def loop(rest: List[String], acc: Map[String, String]): Map[String, String] =

@@ -77,6 +77,11 @@ class ArchiveClientSpec extends SparkSuite {
     assert(client.list("clientlog", workId = Some("nothere")).isEmpty)
   }
 
+  test("storage url comes from the archive status document") {
+    val u = client.storageUrl()
+    assert(u.exists(s => s.startsWith("file://") && s.contains("/content")))
+  }
+
   test("latest returns the newest record; miss raises the API error") {
     val r = client.latest("clientlog", "srv1")
     assert(r.metadata.start === t0 + 25000L)
