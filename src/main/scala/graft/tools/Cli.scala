@@ -109,9 +109,9 @@ object Cli {
       val opts = parseOpts(rest)
       httpClient(opts) match {
         case Some(client) =>
-          try println(JsonMethods.pretty(JsonMethods.render(
-            client.latest(what, where,
-              opts.get("lookback").map(_.toInt)).toJValue)))
+          try println(formatRecord(
+            client.latest(what, where, opts.get("lookback").map(_.toInt)),
+            opts.getOrElse("format", "json-pretty")))
           catch {
             case e: graft.core.DatalakeHttpError =>
               System.err.println(e.getMessage); sys.exit(1)
