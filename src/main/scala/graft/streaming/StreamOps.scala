@@ -34,6 +34,23 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("hour_start"), col("event_type"), col("n"))
 
+  /** Streaming exact deduplication — the incremental form of the batch
+    * `Dedup.exact` family for a continuously-ingesting pipeline. Keyed on
+    * `keyCols`; the watermark on `ts` bounds the dedup state (Spark drops
+    * key state older than the watermark), so this runs forever on an
+    * unbounded stream: a duplicate arriving within the watermark window
+    * is suppressed, one arriving later than the watermark is the caller's
+    * late-data policy, exactly `dropDuplicatesWithinWatermark`'s
+    * contract. At 100 TB/day the state store holds only one window's
+    * keys, not history. */
+  def streamingDedup(
+      rows: DataFrame,
+      keyCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    rows
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Gap-based sessionization with explicit state: a session closes (and
     * is emitted) when its group sees an event more than `gapMs` later.
     * Batch `Temporal.sessionize` computes the same sessions

@@ -31,6 +31,35 @@ class StreamOpsSpec extends SparkSuite {
       ("2024-01-01 00:00:00.0", "view", 1L)))
   }
 
+  test("streaming dedup suppresses in-window duplicates, state bounded by watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Int)]
+    val df = input.toDF().toDF("ts", "doc_key", "payload")
+    val q = StreamOps.streamingDedup(df, Seq("doc_key"), watermark = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    def t(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // duplicates inside the watermark window: suppressed
+    input.addData((t(0, 0), "a", 1), (t(0, 1), "a", 2), (t(0, 2), "b", 3))
+    q.processAllAvailable()
+    input.addData((t(0, 3), "a", 4), (t(0, 4), "b", 5), (t(0, 5), "c", 6))
+    q.processAllAvailable()
+    // advance the watermark far past the first window: key state for a/b/c
+    // is dropped, so a re-arrival of "a" is a NEW row (the documented
+    // late-data contract — state is bounded, not historical)
+    input.addData((t(2, 0), "z", 7))
+    q.processAllAvailable()
+    input.addData((t(2, 1), "a", 8))
+    q.processAllAvailable()
+    val out = spark.table("dedup_out")
+      .select($"doc_key", $"payload").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    q.stop()
+    assert(out === Set(("a", 1), ("b", 3), ("c", 6), ("z", 7), ("a", 8)))
+  }
+
   test("stateful sessionization emits closed sessions incrementally") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
