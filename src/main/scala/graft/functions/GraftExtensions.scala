@@ -15,5 +15,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("blake2b"),
       new ExpressionInfo(classOf[Blake2bExpr].getName, "blake2b"),
       exprs => functions.blake2bBuilder(exprs)))
+    extensions.injectFunction((
+      FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "vector_dot"),
+      exprs => functions.vectorDotBuilder(exprs)))
   }
 }

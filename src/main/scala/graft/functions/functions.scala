@@ -2,10 +2,11 @@ package graft.functions
 
 import graft.core.{Blake2b, Metadata, Translator}
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper
-import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** blake2b-16 hex digest as a native Catalyst expression.
@@ -35,6 +36,63 @@ case class Blake2bExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Dot product of two `array<double>` columns as a native codegen'd
+  * expression — the inner loop of every cosine/ANN operator.
+  *
+  * The builtin spelling, `aggregate(zip_with(a, b, (x,y) -> x*y), 0D,
+  * (acc,x) -> acc+x)`, is an interpreted higher-order function: per pair
+  * it allocates the zipped array and evaluates two lambdas per element —
+  * the exact scale hazard SCALE.md documents. This expression is one
+  * fused multiply-add loop over the ArrayData (no allocation, inside
+  * whole-stage codegen) computing the IDENTICAL left-to-right IEEE
+  * double sum, so results — and the micro-scaled BIGINT oracle hashes
+  * derived from them — are bit-for-bit unchanged (DuckDB's
+  * `list_inner_product` sums in the same order).
+  *
+  * Semantics: null if either array is null; summation runs over the
+  * shorter length (callers pass equal-length vectors); element nulls are
+  * not expected (embedding columns are dense).
+  */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vector_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      sum += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column + SQL registration surface for the engine's custom functions
   * (SURVEY §2.8): blake2b (native expression), translate_path and
   * normalize_date (deterministic Scala UDFs). */
@@ -55,10 +113,24 @@ object functions {
     Blake2bExpr(exprs.head)
   }
 
+  /** Native dot product of two `array<double>` columns. */
+  def vectorDot(a: Column, b: Column): Column =
+    Bridge.column(DotProductExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Arity-checked builder for SQL registration. */
+  def vectorDotBuilder(exprs: Seq[Expression]): DotProductExpr = {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"vector_dot requires exactly two arguments, got ${exprs.length}")
+    DotProductExpr(exprs.head, exprs(1))
+  }
+
   /** Register blake2b for SQL usage plus the UDF-surface functions. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "blake2b", blake2bBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vector_dot", vectorDotBuilder, "scala_udf")
     // Translator (C7): expression is a constructor argument so the
     // compiled regex is reused across rows
     spark.udf.register("normalize_date",

@@ -30,8 +30,15 @@ object Similarity {
       .select(col("cell"),
         expr("transform(pairs, p -> p.mean_component)").as("centroid"))
 
-  private val Dot =
-    "aggregate(zip_with(%s, %s, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+  // native codegen'd dot product (graft.functions.DotProductExpr):
+  // identical left-to-right IEEE summation to the interpreted
+  // aggregate(zip_with(...)) spelling, minus the per-pair array
+  // allocation — the inner loop these operators spend their time in.
+  // Callers must have run functions.register (ensureDot below does).
+  private val Dot = "vector_dot(%s, %s)"
+
+  private def ensureDot(df: DataFrame): Unit =
+    graft.functions.functions.register(df.sparkSession)
 
   /** Cosine of two double-array columns as a SQL expression (sequential
     * left-to-right sums — bit-stable across engines). */
@@ -49,6 +56,7 @@ object Similarity {
       nprobe: Int = 2,
       cellCol: String = "label"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    ensureDot(emb)
     val cents = centroids(emb, cellCol)
     val queries = emb.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"),
@@ -99,6 +107,7 @@ object Similarity {
       maxBlock: Long = 100000L,
       subBits: Int = 4,
       dim: Int = 64): DataFrame = {
+    ensureDot(emb)
     val hot = emb.groupBy(col("label")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBlock)
       .select("label").collect().map(_.get(0)).toSeq
@@ -111,8 +120,7 @@ object Similarity {
         .drop("lsh_bucket")
     val withBlk = bucketed
       .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .withColumn("norm", expr(
-        "sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x))"))
+      .withColumn("norm", expr("sqrt(vector_dot(v, v))"))
     val a = withBlk.select(col("vec_id").as("vec_a"), col("label"),
       col("__blk"), col("v").as("qv"), col("norm").as("qnorm"))
     val b = withBlk.select(col("vec_id").as("vec_b"), col("label"),
@@ -120,8 +128,7 @@ object Similarity {
     a.join(b, Seq("label", "__blk"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cos_sim_micro", expr(
-        "CAST(round(aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, " +
-          "(acc, x) -> acc + x) / (qnorm * cnorm) * 1000000) AS BIGINT)"))
+        "CAST(round(vector_dot(qv, cv) / (qnorm * cnorm) * 1000000) AS BIGINT)"))
       .filter(col("cos_sim_micro") > thresholdMicro)
       .select(col("vec_a"), col("vec_b"), col("label"), col("cos_sim_micro"))
   }
@@ -165,12 +172,11 @@ object Similarity {
     * re-hashing per row), and the sign/projection arithmetic matches the
     * DuckDB oracle bit-for-bit (sequential left-to-right double sums). */
   def hyperplaneLshMd5(emb: DataFrame, nbits: Int = 12, dim: Int = 64): DataFrame = {
+    ensureDot(emb)
     val signs = md5PlaneSigns(nbits, dim)
     val signBits = (0 until nbits).map { b =>
       val arr = signs(b).map(s => if (s < 0) "-1D" else "1D").mkString(", ")
-      val proj =
-        s"""aggregate(zip_with(v, array($arr), (x, s) -> x * s),
-           |  0D, (acc, x) -> acc + x)""".stripMargin
+      val proj = s"vector_dot(v, array($arr))"
       s"CASE WHEN ($proj) > 0 THEN shiftleft(1L, $b) ELSE 0L END"
     }
     emb
@@ -186,13 +192,11 @@ object Similarity {
     * ±1), signature = sign pattern of the projections. Vectors sharing a
     * signature bucket are ANN candidates. */
   def hyperplaneLsh(emb: DataFrame, nbits: Int = 12): DataFrame = {
+    ensureDot(emb)
     val signBits = (0 until nbits).map { b =>
       val proj =
-        s"""aggregate(
-           |  zip_with(v, transform(sequence(0, size(v) - 1),
-           |    d -> CASE WHEN xxhash64($b, d) % 2 = 0 THEN 1D ELSE -1D END),
-           |    (x, s) -> x * s),
-           |  0D, (acc, x) -> acc + x)""".stripMargin
+        s"""vector_dot(v, transform(sequence(0, size(v) - 1),
+           |  d -> CASE WHEN xxhash64($b, d) % 2 = 0 THEN 1D ELSE -1D END))""".stripMargin
       s"CASE WHEN ($proj) > 0 THEN shiftleft(1L, $b) ELSE 0L END"
     }
     emb

@@ -6,9 +6,11 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (`Array[Float]`, dim 64).
   *
-  * Cosine is computed with builtin higher-order functions (`zip_with` +
-  * `aggregate`) after casting to double — sequential left-to-right
-  * summation matches DuckDB's list functions bit-for-bit. Similarities
+  * Cosine is computed with the native codegen'd `vector_dot` expression
+  * (`graft.functions.DotProductExpr`) after casting to double — its
+  * sequential left-to-right summation matches both the interpreted
+  * `aggregate(zip_with(...))` spelling and DuckDB's list functions
+  * bit-for-bit, without the per-pair array allocation. Similarities
   * are emitted as micro-scaled BIGINT (`round(sim * 1e6)`): a scale-0
   * round of an identically-computed double is byte-stable across engines,
   * whereas double/decimal outputs are not.
@@ -22,18 +24,18 @@ import org.apache.spark.sql.functions._
   */
 object VectorQueries {
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.functions.register(s)
     Tables.read(s, dir, "embeddings")
+  }
 
   /** embedding as double array + precomputed L2 norm. */
   private def embNorm(s: SparkSession, dir: String): DataFrame =
     emb(s, dir)
       .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .withColumn("norm", expr(
-        "sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x))"))
+      .withColumn("norm", expr("sqrt(vector_dot(v, v))"))
 
-  private val DotExpr =
-    "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+  private val DotExpr = "vector_dot(qv, cv)"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -1,7 +1,7 @@
 package graft.functions
 
 import graft.SparkSuite
-import org.apache.spark.sql.functions.{col, encode, lit}
+import org.apache.spark.sql.functions.{col, encode, expr, lit}
 
 class FunctionsSpec extends SparkSuite {
 
@@ -37,6 +37,38 @@ class FunctionsSpec extends SparkSuite {
     val r = spark.sql(
       "SELECT blake2b(encode('abc', 'UTF-8')) AS h").collect().head
     assert(r.getString(0) === "cf4ab791c62b8d2b2109c90275287816")
+  }
+
+  test("vector_dot matches the interpreted HOF spelling bit-for-bit") {
+    import spark.implicits._
+    // magnitudes spanning 20 orders: any reordering of the summation
+    // would change the IEEE result, so bit equality proves the native
+    // loop sums left-to-right exactly like aggregate(zip_with(...))
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { _ =>
+      val a = Array.fill(64)(rnd.nextDouble() * math.pow(10, rnd.nextInt(20) - 10))
+      val b = Array.fill(64)(rnd.nextDouble() * math.pow(10, rnd.nextInt(20) - 10))
+      (a, b)
+    }
+    val df = rows.toDF("a", "b")
+      .withColumn("native", functions.vectorDot(col("a"), col("b")))
+      .withColumn("hof", expr(
+        "aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+    val collected = df.select("native", "hof").collect()
+    collected.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("vector_dot null propagation and SQL registration") {
+    functions.register(spark)
+    val r = spark.sql(
+      "SELECT vector_dot(array(1D, 2D, 3D), array(4D, 5D, 6D)) AS d")
+      .collect().head
+    assert(r.getDouble(0) === 32.0)
+    assert(spark.sql("SELECT vector_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1D))")
+      .collect().head.isNullAt(0))
   }
 
   test("normalize_date UDF and translate_path UDF") {
