@@ -57,7 +57,7 @@ final class CellIndex(spark: SparkSession, path: String) {
     val cands = vectors
       .filter(col("cell").isInCollection(probedCells))
       .select(col("vec_id").as("cand_id"), col("cell"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cv"))
+        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("cv"))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim_micro").desc, col("cand_id"))
     cands.join(broadcast(probes), Seq("cell"))

@@ -20,7 +20,7 @@ object Similarity {
       cellCol: String = "label"): DataFrame =
     emb
       .select(col(cellCol).as("cell"),
-        posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        posexplode(expr("CAST(embedding AS ARRAY<DOUBLE>)"))
           .as(Seq("dim", "component")))
       .groupBy("cell", "dim")
       .agg(avg("component").as("mean_component"))
@@ -60,7 +60,7 @@ object Similarity {
     val cents = centroids(emb, cellCol)
     val queries = emb.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qv"))
+        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("qv"))
     // probe assignment: nprobe nearest centroids per query
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("cent_sim").desc, col("cell"))
@@ -75,7 +75,7 @@ object Similarity {
     val cands = emb
       .select(col("vec_id").as("cand_id"),
       col(cellCol).as("cell"),
-      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cv"))
+      expr("CAST(embedding AS ARRAY<DOUBLE>)").as("cv"))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim_micro").desc, col("cand_id"))
     cands.join(broadcast(probes), Seq("cell"))
@@ -119,7 +119,7 @@ object Similarity {
             .otherwise(lit(0L)))
         .drop("lsh_bucket")
     val withBlk = bucketed
-      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("v", expr("CAST(embedding AS ARRAY<DOUBLE>)"))
       .withColumn("norm", expr("sqrt(vector_dot(v, v))"))
     val a = withBlk.select(col("vec_id").as("vec_a"), col("label"),
       col("__blk"), col("v").as("qv"), col("norm").as("qnorm"))
@@ -139,7 +139,7 @@ object Similarity {
     * dequantization; reconstruction error is bounded by scale/2. */
   def quantizeInt8(emb: DataFrame): DataFrame =
     emb
-      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("v", expr("CAST(embedding AS ARRAY<DOUBLE>)"))
       .withColumn("vmin", expr("array_min(v)"))
       .withColumn("vmax", expr("array_max(v)"))
       .withColumn("scale",
@@ -180,7 +180,7 @@ object Similarity {
       s"CASE WHEN ($proj) > 0 THEN shiftleft(1L, $b) ELSE 0L END"
     }
     emb
-      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("v", expr("CAST(embedding AS ARRAY<DOUBLE>)"))
       .withColumn("lsh_bucket", expr(
         s"""aggregate(array(${signBits.mkString(", ")}), 0L,
            |  (acc, x) -> acc | x)""".stripMargin))
@@ -200,7 +200,7 @@ object Similarity {
       s"CASE WHEN ($proj) > 0 THEN shiftleft(1L, $b) ELSE 0L END"
     }
     emb
-      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("v", expr("CAST(embedding AS ARRAY<DOUBLE>)"))
       .withColumn("lsh_bucket", expr(
         s"""aggregate(array(${signBits.mkString(", ")}), 0L,
            |  (acc, x) -> acc | x)""".stripMargin))

@@ -32,7 +32,7 @@ object VectorQueries {
   /** embedding as double array + precomputed L2 norm. */
   private def embNorm(s: SparkSession, dir: String): DataFrame =
     emb(s, dir)
-      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("v", expr("CAST(embedding AS ARRAY<DOUBLE>)"))
       .withColumn("norm", expr("sqrt(vector_dot(v, v))"))
 
   private val DotExpr = "vector_dot(qv, cv)"
