@@ -79,8 +79,7 @@ object ApiV0 {
       "url" -> JString(r.url),
       "http_url" ->
         JString(s"$baseUrl/v0/archive/files/${m.id}/data"),
-      "metadata" -> metadataJson(Metadata(m.version, m.start, m.end,
-        m.where, m.what, m.work_id, m.path, m.id, m.hash))) ++
+      "metadata" -> metadataJson(graft.store.RecordRow.toMeta(m))) ++
       r.createTime.map(ct => "create_time" -> JLong(ct): JField).toList ++
       r.size.map(sz => "size" -> JLong(sz): JField).toList)
   }

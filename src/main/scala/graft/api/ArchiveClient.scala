@@ -130,13 +130,15 @@ final class ArchiveClient(
       start: Option[Any] = None,
       end: Option[Any] = None,
       where: Option[String] = None,
-      workId: Option[String] = None): Iterator[ListedRecord] = {
+      workId: Option[String] = None,
+      cursor: Option[String] = None): Iterator[ListedRecord] = {
     val params = Seq(
       "what" -> Some(what),
       "start" -> start.map(s => Metadata.normalizeDate(s).toString),
       "end" -> end.map(e => Metadata.normalizeDate(e).toString),
       "where" -> where,
       "work_id" -> workId,
+      "cursor" -> cursor,
     ).collect { case (k, Some(v)) => k -> v }
     val first = s"$httpUrl/v0/archive/files/?" + params.map { case (k, v) =>
       URLEncoder.encode(k, "UTF-8") + "=" + URLEncoder.encode(v, "UTF-8")
@@ -198,8 +200,8 @@ final class ArchiveClient(
     * whole (`archive.py:293-300` StreamingHTTPFile path). */
   def fetchStreaming(url: String, chunkBytes: Int = 64 * 1024): (Metadata, StreamingFile) = {
     val m = metadataForUrl(url)
-    val body = checked(session.get(url)).body
-    (m, new StreamingFile(chunkIterator(body, chunkBytes)))
+    (m, StreamingFile.fromInputStream(
+      checked(session.get(url)).body, chunkBytes))
   }
 
   /** Metadata for a `/data` url via its `/metadata` sibling
@@ -217,8 +219,14 @@ final class ArchiveClient(
       filenameTemplate: Option[String] = None): String = {
     val m = metadataForUrl(url)
     val fname = ApiV0.filenameFromTemplate(filenameTemplate, m)
-    Option(Paths.get(fname).getParent).foreach(Files.createDirectories(_))
-    streamTo(url, Files.newOutputStream(Paths.get(fname)), closeOut = true)
+    // open the data stream BEFORE touching the target: a failed GET must
+    // not leave a truncated/empty file at the templated path
+    val in = checked(session.get(url)).body
+    try {
+      Option(Paths.get(fname).getParent).foreach(Files.createDirectories(_))
+      Files.copy(in, Paths.get(fname),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally in.close()
     fname
   }
 
@@ -235,13 +243,7 @@ final class ArchiveClient(
       url: String, out: OutputStream, closeOut: Boolean): Long = {
     val in = checked(session.get(url)).body
     try {
-      var total = 0L
-      val buf = new Array[Byte](64 * 1024)
-      var n = in.read(buf)
-      while (n >= 0) {
-        if (n > 0) { out.write(buf, 0, n); total += n }
-        n = in.read(buf)
-      }
+      val total = in.transferTo(out)
       out.flush()
       total
     } finally {
@@ -250,43 +252,37 @@ final class ArchiveClient(
     }
   }
 
-  private def chunkIterator(
-      in: InputStream, chunkBytes: Int): Iterator[Array[Byte]] =
-    new Iterator[Array[Byte]] {
-      private var pending: Array[Byte] = null
-      private var done = false
-      private def refill(): Unit =
-        if (pending == null && !done) {
-          val chunk = in.readNBytes(chunkBytes)
-          if (chunk.isEmpty) { done = true; in.close() }
-          else pending = chunk
-        }
-      def hasNext: Boolean = { refill(); pending != null }
-      def next(): Array[Byte] = {
-        refill()
-        val out = pending; pending = null; out
-      }
-    }
-
   /** `_validate_fetch_url` (`archive.py:281-282,418-423`): only urls under
-    * the configured base, pointing at a `/data` object. */
+    * the configured base, pointing at a `/data` object. The base check is
+    * separator-aware — `http://host:8080.evil.example/...` must not pass
+    * for base `http://host:8080`. */
   private def validateFetchUrl(url: String): Unit = {
-    if (!url.startsWith(httpUrl))
+    if (!url.startsWith(httpUrl + "/"))
       throw new InvalidDatalakePath(
         s"url $url does not start with the configured base $httpUrl.")
     if (!url.endsWith("/data"))
       throw new InvalidDatalakePath(s"$url is not a valid datalake url")
   }
 
-  /** `_check_http_response` (`archive.py:175-185`). */
+  /** `_check_http_response` (`archive.py:175-185`). A 400/404 whose body
+    * is not the API's `{message, code}` JSON (a proxy error page, an
+    * empty body) still surfaces as `DatalakeHttpError`, never as a JSON
+    * parse failure. */
   private def checked(r: HttpSession.Response): HttpSession.Response =
     r.status match {
       case 200 => r
       case 400 | 404 =>
-        val j = JsonMethods.parse(r.bodyString())
-        val msg = (j \ "message") match { case JString(s) => s; case _ => "" }
-        val code = (j \ "code") match { case JString(s) => s; case _ => "" }
-        throw new DatalakeHttpError(s"$msg ($code)")
+        val body = r.bodyString()
+        val parsed =
+          try {
+            val j = JsonMethods.parse(body)
+            (j \ "message", j \ "code") match {
+              case (JString(m), JString(c)) => Some(s"$m ($c)")
+              case _ => None
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+        throw new DatalakeHttpError(parsed.getOrElse(
+          s"Datalake HTTP API failed: $body (${r.status})"))
       case other =>
         throw new DatalakeHttpError(
           s"Datalake HTTP API failed: ${r.bodyString()} ($other)")

@@ -2,10 +2,11 @@ package graft.functions
 
 import graft.core.{Blake2b, Metadata, Translator}
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper
 import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Types.AbstractDataType
 import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -54,10 +55,17 @@ case class Blake2bExpr(child: Expression) extends UnaryExpression {
   * not expected (embedding columns are dense).
   */
 case class DotProductExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vector_dot"
+
+  // implicit coercion: vector_dot(embedding, embedding) on an
+  // array<float> column gets a proper element-widening cast inserted at
+  // analysis (reading float slots as doubles would be silently wrong),
+  // and non-array arguments fail analysis instead of at runtime
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

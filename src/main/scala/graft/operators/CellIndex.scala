@@ -41,6 +41,8 @@ final class CellIndex(spark: SparkSession, path: String) {
     * candidate scan reads only those cells — check the plan for
     * `PartitionFilters: [cell IN (…)]`. */
   def topK(queries: DataFrame, k: Int = 5, nprobe: Int = 2): DataFrame = {
+    // cosineExpr emits vector_dot — make sure it resolves on any session
+    graft.functions.functions.register(queries.sparkSession)
     val cents = centroids
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("cent_sim").desc, col("cell"))

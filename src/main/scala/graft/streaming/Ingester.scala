@@ -142,15 +142,12 @@ final class StreamingIngester(
     var total = 0
     var continue = true
     while (continue) {
-      queue.receive(idleTimeoutMs) match {
-        case None => continue = false
-        case Some(first) =>
-          // batch up whatever else is immediately available
-          val claimed = first +: Iterator.continually(queue.receive(0L))
-            .take(maxBatch - 1).takeWhile(_.isDefined).flatten.toSeq
-          processBatch(spark.createDataset(claimed.map(_.body)))
-          claimed.foreach(m => queue.delete(m.handle))
-          total += claimed.size
+      val claimed = queue.receiveBatch(maxBatch, idleTimeoutMs)
+      if (claimed.isEmpty) continue = false
+      else {
+        processBatch(spark.createDataset(claimed.map(_.body)))
+        claimed.foreach(m => queue.delete(m.handle))
+        total += claimed.size
       }
     }
     total

@@ -17,6 +17,15 @@ trait NotificationQueue {
   def send(body: String): Unit
   /** Claim the next visible message, waiting up to `waitMs` (long poll). */
   def receive(waitMs: Long): Option[Message]
+  /** Claim up to `max` visible messages in one pass (SQS
+    * `MaxNumberOfMessages`); waits up to `waitMs` only while empty.
+    * Default is a receive loop — transports override with a cheaper
+    * single-snapshot claim. */
+  def receiveBatch(max: Int, waitMs: Long): Seq[Message] =
+    receive(waitMs).toSeq.flatMap { first =>
+      first +: Iterator.continually(receive(0L))
+        .take(max - 1).takeWhile(_.isDefined).flatten.toSeq
+    }
   /** Acknowledge successful handling — the message will never redeliver. */
   def delete(handle: String): Unit
 
@@ -99,30 +108,40 @@ final class DirNotificationQueue(
     finally listing.close()
   }
 
-  def receive(waitMs: Long): Option[Message] = {
+  /** Try to claim one listed path; None when a racing consumer won. */
+  private def claim(p: Path, now: Long): Option[Message] = {
+    val base = p.getFileName.toString match {
+      case Inflight(orig, _) => orig
+      case other => other
+    }
+    val claimed = root.resolve(s"$base.inflight.${now + visibilityTimeoutMs}")
+    try {
+      // rename is atomic: of N racing consumers exactly one succeeds
+      Files.move(p, claimed, StandardCopyOption.ATOMIC_MOVE)
+      Some(Message(claimed.getFileName.toString,
+        new String(Files.readAllBytes(claimed), StandardCharsets.UTF_8)))
+    } catch {
+      case _: java.nio.file.NoSuchFileException |
+           _: java.nio.file.FileAlreadyExistsException => None // lost the race
+    }
+  }
+
+  def receive(waitMs: Long): Option[Message] =
+    receiveBatch(1, waitMs).headOption
+
+  /** One directory snapshot claims the whole batch — not a listing (and
+    * sort) per message, which is O(batch × dirsize) on a deep queue. */
+  override def receiveBatch(max: Int, waitMs: Long): Seq[Message] = {
     val giveUp = System.currentTimeMillis() + waitMs
     while (true) {
       val now = System.currentTimeMillis()
-      visible(now).foreach { p =>
-        val base = p.getFileName.toString match {
-          case Inflight(orig, _) => orig
-          case other => other
-        }
-        val claimed = root.resolve(s"$base.inflight.${now + visibilityTimeoutMs}")
-        try {
-          // rename is atomic: of N racing consumers exactly one succeeds
-          Files.move(p, claimed, StandardCopyOption.ATOMIC_MOVE)
-          return Some(Message(claimed.getFileName.toString,
-            new String(Files.readAllBytes(claimed), StandardCharsets.UTF_8)))
-        } catch {
-          case _: java.nio.file.NoSuchFileException |
-               _: java.nio.file.FileAlreadyExistsException => // lost the race
-        }
-      }
-      if (System.currentTimeMillis() >= giveUp) return None
+      val out = visible(now).iterator
+        .map(claim(_, now)).flatten.take(max).toSeq
+      if (out.nonEmpty) return out
+      if (System.currentTimeMillis() >= giveUp) return Nil
       Thread.sleep(pollIntervalMs)
     }
-    None
+    Nil
   }
 
   def delete(handle: String): Unit =

@@ -42,6 +42,18 @@ object Cli {
     opts.get("http-url").orElse(sys.env.get("GRAFT_HTTP_URL"))
       .map(new graft.api.ArchiveClient(_))
 
+  /** Uniform clean-error contract for every HTTP-mode verb: API errors
+    * and bad urls print their message and exit 1, never a stack trace. */
+  private def httpTry[T](f: => T): T =
+    try f
+    catch {
+      case e @ (_: graft.core.DatalakeHttpError |
+                _: graft.core.InvalidDatalakePath |
+                _: graft.core.QueryValidationError) =>
+        System.err.println(e.getMessage)
+        sys.exit(1)
+    }
+
   /** The warehouse record store; attaches the work-id index when one has
     * been built (`maintain`) so every writer keeps it current and every
     * work-id query takes the pruned path. */
@@ -85,9 +97,9 @@ object Cli {
       httpClient(opts) match {
         case Some(client) =>
           val format = opts.getOrElse("format", "json")
-          client.list(what, opts.get("start"), opts.get("end"),
-            opts.get("where"), opts.get("work_id"))
-            .foreach(r => println(formatRecord(r, format)))
+          httpTry(client.list(what, opts.get("start"), opts.get("end"),
+            opts.get("where"), opts.get("work_id"), opts.get("cursor"))
+            .foreach(r => println(formatRecord(r, format))))
           return
         case None =>
       }
@@ -109,13 +121,10 @@ object Cli {
       val opts = parseOpts(rest)
       httpClient(opts) match {
         case Some(client) =>
-          try println(formatRecord(
-            client.latest(what, where, opts.get("lookback").map(_.toInt)),
-            opts.getOrElse("format", "json-pretty")))
-          catch {
-            case e: graft.core.DatalakeHttpError =>
-              System.err.println(e.getMessage); sys.exit(1)
-          }
+          httpTry(println(formatRecord(
+            client.latest(what, where,
+              opts.get("lookback").map(ApiV0.validateLookback)),
+            opts.getOrElse("format", "json-pretty"))))
           return
         case None =>
       }
@@ -136,7 +145,7 @@ object Cli {
       val opts = parseOpts(rest)
       httpClient(opts) match {
         case Some(client) =>
-          println(client.fetchToFilename(url, opts.get("template")))
+          httpTry(println(client.fetchToFilename(url, opts.get("template"))))
         case None =>
           val cs = new LocalContentStore(s"$root/content")
           val (meta, _, _) = cs.fetch(url)
@@ -152,7 +161,7 @@ object Cli {
     case "cat" :: url :: rest =>
       val opts = parseOpts(rest)
       httpClient(opts) match {
-        case Some(client) => client.cat(url, System.out)
+        case Some(client) => httpTry(client.cat(url, System.out))
         case None =>
           val cs = new LocalContentStore(s"$root/content")
           val in = cs.open(url)

@@ -15,3 +15,9 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Re-exports of `private[sql]` types that native-expression authors
+  * need in signatures (e.g. `ExpectsInputTypes.inputTypes`). */
+object Types {
+  type AbstractDataType = org.apache.spark.sql.types.AbstractDataType
+}

@@ -61,6 +61,24 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("vector_dot coerces float arrays instead of misreading slots") {
+    import spark.implicits._
+    functions.register(spark)
+    val df = Seq((Array(1.5f, 2.5f), Array(2.0f, 4.0f))).toDF("a", "b")
+    df.createOrReplaceTempView("fvecs")
+    // array<float> inputs must be widened element-wise at analysis —
+    // reading 4-byte float slots as doubles would return garbage
+    val viaSql = spark.sql("SELECT vector_dot(a, b) FROM fvecs")
+      .collect().head.getDouble(0)
+    assert(viaSql === 13.0)
+    val viaColumn = df.select(
+      functions.vectorDot(col("a"), col("b"))).collect().head.getDouble(0)
+    assert(viaColumn === 13.0)
+    // non-array arguments fail analysis with a clean error, not at runtime
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT vector_dot('x', array(1D))").collect())
+  }
+
   test("vector_dot null propagation and SQL registration") {
     functions.register(spark)
     val r = spark.sql(
