@@ -89,6 +89,19 @@ class FunctionsSpec extends SparkSuite {
       .collect().head.isNullAt(0))
   }
 
+  test("cosine battery plans use the native dot, not interpreted lambdas") {
+    // regression guard: if a cosine path quietly reverts to the
+    // aggregate(zip_with(...)) spelling, the interpreted HOF leaves
+    // whole-stage codegen and the 100 TB inner loop pays for it
+    val s = spark
+    for (name <- Seq("q_cosine_topk", "q_cosine_dup_pairs")) {
+      val plan = graft.SparkEntry.queries(name)(s, "/root/testdata/sf0.001")
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("vector_dot"), name)
+      assert(!plan.contains("aggregate(zip_with"), name)
+    }
+  }
+
   test("normalize_date UDF and translate_path UDF") {
     functions.register(spark)
     assert(spark.sql("SELECT normalize_date('2015-03-20')").collect()

@@ -93,6 +93,18 @@ class NotificationQueueSpec extends SparkSuite {
     assert(bodies.distinct.size === total) // nothing double-claimed
   }
 
+  test("receiveBatch claims up to max from one snapshot, leaves the rest") {
+    val q = queue()
+    (1 to 9).foreach(i => q.send(s"b$i"))
+    val batch = q.receiveBatch(4, 100L)
+    assert(batch.size === 4)
+    assert(batch.map(_.body) === (1 to 4).map(i => s"b$i"))
+    // unclaimed messages stay visible for the next batch
+    val rest = q.receiveBatch(100, 100L)
+    assert(rest.map(_.body) === (5 to 9).map(i => s"b$i"))
+    assert(q.receiveBatch(10, 50L).isEmpty)
+  }
+
   // ---- Spark drain path (at-least-once into the idempotent store) ----
 
   test("drainQueue ingests a batch and redelivery is a store no-op") {
