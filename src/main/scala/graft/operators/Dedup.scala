@@ -124,12 +124,16 @@ object Dedup {
     * closure step that turns pairwise near-dup candidates into dedup
     * groups (a pair a–b plus b–c must collapse into one {a,b,c} group).
     *
-    * Min-label propagation: labels start as own id and each round takes
-    * the min over neighbors, iterating to fixed point (≤ graph diameter
-    * rounds; near-dup clusters are small cliques so 2–3 in practice,
-    * `maxIterations` bounds adversarial chains). Each round is one
-    * shuffle join + aggregate; lineage is cut with localCheckpoint so the
-    * loop does not compound the plan.
+    * Min-label propagation with pointer jumping: labels start as own id;
+    * each round takes the min over neighbors, then shortcuts through the
+    * label's own current label (`cluster_id := label(cluster_id)`). The
+    * jump turns O(diameter) convergence into O(log diameter) — a
+    * 1000-link chain of near-dups (the adversarial shape at 100 TB)
+    * converges in ~10 rounds instead of 1000, and each round stays a
+    * constant number of shuffle joins. Lineage is cut with
+    * localCheckpoint so the loop does not compound the plan; the
+    * per-row changed flag rides through the checkpoint so convergence
+    * detection is a trivial scan, not an extra join.
     *
     * @param vertices single column `doc_id`
     * @param edges columns `doc_a`, `doc_b`
@@ -152,17 +156,26 @@ object Dedup {
         .join(labels, undirected("doc_b") === labels("doc_id"))
         .groupBy(undirected("doc_a").as("doc_id"))
         .agg(min(col("cluster_id")).as("neighbor_min"))
-      // carry a per-row changed flag through the checkpoint so
-      // convergence detection is a trivial scan of the materialized
-      // round result — no extra join or recomputation per round
-      val updated = labels
+      val stepped = labels
         .join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("cluster_id"),
           least(col("cluster_id"),
             coalesce(col("neighbor_min"), col("cluster_id")))
+            .as("step_id"))
+      // pointer jump: follow the tentative label to ITS current label —
+      // labels only ever decrease, so taking the min stays monotone and
+      // the fixed point (per-component min id) is unchanged
+      val parents = labels.select(col("doc_id").as("__pid"),
+        col("cluster_id").as("__parent_label"))
+      val updated = stepped
+        .join(parents, stepped("step_id") === parents("__pid"), "left")
+        .select(stepped("doc_id"),
+          least(col("step_id"),
+            coalesce(col("__parent_label"), col("step_id")))
             .as("new_cluster_id"),
-          (col("neighbor_min").isNotNull &&
-            col("neighbor_min") < col("cluster_id")).as("__changed"))
+          col("cluster_id"))
+        .withColumn("__changed", col("new_cluster_id") < col("cluster_id"))
+        .select(col("doc_id"), col("new_cluster_id"), col("__changed"))
         .localCheckpoint()
       converged = updated.filter(col("__changed")).isEmpty
       labels = updated

@@ -117,6 +117,20 @@ class OperatorsSpec extends SparkSuite {
     assert(got === Array(1L)) // one component labeled by its min id
   }
 
+  test("connectedComponents: pointer jumping beats the diameter bound") {
+    import spark.implicits._
+    // a 64-link chain needs ~63 rounds under plain min-propagation —
+    // far over the 20-round cap; pointer jumping must close it in
+    // O(log n) rounds or this raises the non-convergence error
+    val n = 64L
+    val vertices = (1L to n).toDF("doc_id")
+    // descending ids along the chain so labels genuinely have to travel
+    val edges = (1L until n).map(i => (n - i + 1, n - i)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(vertices, edges, maxIterations = 20)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(got === Array(1L))
+  }
+
   test("ivfTopK returns k ranked neighbors from probed cells") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
