@@ -208,7 +208,9 @@ final class ArchiveClient(
     * (`archive.py:309-315`). */
   def metadataForUrl(url: String): Metadata = {
     validateFetchUrl(url)
-    Metadata.fromJValue(getJson(url.stripSuffix("/data") + "/metadata"))
+    // trusted decode: the server already validated and normalized —
+    // build() would re-run the s/ms heuristic on epoch-ms values
+    Metadata.fromValidatedJValue(getJson(url.stripSuffix("/data") + "/metadata"))
   }
 
   /** Download to a templated filename (`archive.py:317-352`); returns the
@@ -302,7 +304,7 @@ final class ArchiveClient(
       httpUrl = (j \ "http_url") match {
         case JString(s) => Some(s); case _ => None
       },
-      metadata = Metadata.fromJValue(j \ "metadata"),
+      metadata = Metadata.fromValidatedJValue(j \ "metadata"),
       createTime = longOpt(j \ "create_time"),
       size = longOpt(j \ "size"))
   }

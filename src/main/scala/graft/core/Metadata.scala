@@ -199,6 +199,46 @@ object Metadata {
       throw new InvalidDatalakeMetadata(s"$j is not a JSON object")
   }
 
+  /** Trusted decode for server-produced wire metadata: fields are read
+    * verbatim, with NO date re-normalization. `build` re-runs the 1e11
+    * seconds/ms heuristic, which silently multiplies an already-normalized
+    * epoch-ms value below 1e11 (any pre-March-1973 timestamp) by 1000. The
+    * reference client trusts the server's JSON as-is
+    * (`archive.py:309-315` `_get_metadata_from_http_url` →
+    * `response.json()`), so the wire decode path must too; keep [[build]]
+    * for untrusted/loose input only.
+    */
+  def fromValidatedJValue(j: JValue): Metadata = j match {
+    case JObject(kvs) =>
+      val m = kvs.toMap
+      def str(k: String): String = m.get(k) match {
+        case Some(JString(s)) => s
+        case other =>
+          throw new InvalidDatalakeMetadata(
+            s""""$k" missing or not a string in server metadata: $other""")
+      }
+      def longOpt(k: String): Option[Long] = m.get(k) collect {
+        case JInt(i) => i.toLong
+        case JLong(l) => l
+        case JDouble(d) => math.round(d)
+        case JDecimal(d) => d.toLong
+      }
+      Metadata(
+        version = longOpt("version").map(_.toInt).getOrElse(Version),
+        start = longOpt("start").getOrElse(
+          throw new InvalidDatalakeMetadata(
+            """"start" missing in server metadata""")),
+        end = longOpt("end"),
+        where = str("where"),
+        what = str("what"),
+        workId = m.get("work_id") collect { case JString(s) => s },
+        path = str("path"),
+        id = str("id"),
+        hash = str("hash"))
+    case _ =>
+      throw new InvalidDatalakeMetadata(s"$j is not a JSON object")
+  }
+
   def fromJson(s: String): Metadata = {
     if (s == null)
       throw new InvalidDatalakeMetadata("None is not a valid JSON")

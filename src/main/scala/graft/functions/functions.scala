@@ -50,15 +50,21 @@ case class Blake2bExpr(child: Expression) extends UnaryExpression {
   * derived from them — are bit-for-bit unchanged (DuckDB's
   * `list_inner_product` sums in the same order).
   *
-  * Semantics: null if either array is null; summation runs over the
-  * shorter length (callers pass equal-length vectors); element nulls are
-  * not expected (embedding columns are dense).
+  * Semantics — identical to the HOF spelling on every input: null if
+  * either array is null, null if the lengths differ (zip_with pads the
+  * shorter side with null, so the aggregate is null), and null if any
+  * consumed element is null. The element-null check is gated on the
+  * inputs' `containsNull` so provably-dense arrays skip it; for dense
+  * data the branch is never taken and stays predictable.
   */
 case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vector_dot"
+
+  // ragged lengths / element nulls yield null even from non-null inputs
+  override def nullable: Boolean = true
 
   // implicit coercion: vector_dot(embedding, embedding) on an
   // array<float> column gets a proper element-widening cast inserted at
@@ -67,15 +73,31 @@ case class DotProductExpr(left: Expression, right: Expression)
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(DoubleType), ArrayType(DoubleType))
 
+  private def elementsNullable: Boolean = Seq(left, right).exists {
+    _.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    }
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var sum = 0.0
     var i = 0
-    while (i < n) {
-      sum += x.getDouble(i) * y.getDouble(i)
-      i += 1
+    if (elementsNullable) {
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        sum += x.getDouble(i) * y.getDouble(i)
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        sum += x.getDouble(i) * y.getDouble(i)
+        i += 1
+      }
     }
     sum
   }
@@ -86,13 +108,24 @@ case class DotProductExpr(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
+      val nullCheck =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $sum = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $sum += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $sum += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $sum;
+         |  }
          |}
-         |${ev.value} = $sum;
        """.stripMargin
     })
 

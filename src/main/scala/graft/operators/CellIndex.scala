@@ -41,8 +41,13 @@ final class CellIndex(spark: SparkSession, path: String) {
     * candidate scan reads only those cells — check the plan for
     * `PartitionFilters: [cell IN (…)]`. */
   def topK(queries: DataFrame, k: Int = 5, nprobe: Int = 2): DataFrame = {
-    // cosineExpr emits vector_dot — make sure it resolves on any session
-    graft.functions.functions.register(queries.sparkSession)
+    // cosineExpr emits vector_dot — the candidate plan is rooted in THIS
+    // index's session (vectors/centroids), so that registry is the one
+    // that must resolve it; register on the caller's session too in case
+    // the query side analyzes separately
+    graft.functions.functions.register(spark)
+    if (queries.sparkSession ne spark)
+      graft.functions.functions.register(queries.sparkSession)
     val cents = centroids
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("cent_sim").desc, col("cell"))

@@ -96,7 +96,8 @@ object Cli {
       val opts = parseOpts(rest)
       httpClient(opts) match {
         case Some(client) =>
-          val format = opts.getOrElse("format", "json")
+          // the reference CLI defaults list to the bare url lines
+          val format = opts.getOrElse("format", "url")
           httpTry(client.list(what, opts.get("start"), opts.get("end"),
             opts.get("where"), opts.get("work_id"), opts.get("cursor"))
             .foreach(r => println(formatRecord(r, format))))
@@ -124,7 +125,7 @@ object Cli {
           httpTry(println(formatRecord(
             client.latest(what, where,
               opts.get("lookback").map(ApiV0.validateLookback)),
-            opts.getOrElse("format", "json-pretty"))))
+            opts.getOrElse("format", "url"))))
           return
         case None =>
       }
@@ -257,7 +258,7 @@ object Cli {
            |              [--work-id ID] [--path-translation EXPR]
            |  list <what> [--start T --end T | --work_id ID] [--where H]
            |              [--cursor C] [--format url|http|json|json-pretty|human]
-           |  latest <what> <where> [--lookback DAYS]
+           |  latest <what> <where> [--lookback DAYS] [--format F]
            |  fetch <url> [--template TPL]
            |  cat <url>
            |  (list/latest/fetch/cat honor --http-url or GRAFT_HTTP_URL)
@@ -281,9 +282,18 @@ object Cli {
       case "json-pretty" => JsonMethods.pretty(JsonMethods.render(r.toJValue))
       case "human" =>
         // flattened key: value lines, start/end rendered as ISO
+        // (`cli.py` `_ms_to_iso`); null start/end stays "null"
         def fmt(j: org.json4s.JValue, out: StringBuilder): Unit = j match {
           case org.json4s.JObject(kvs) => kvs.foreach {
             case ("metadata", v) => fmt(v, out)
+            case (k @ ("start" | "end"), v) =>
+              val shown = v match {
+                case org.json4s.JInt(ms) => Metadata.toIso8601(ms.toLong)
+                case org.json4s.JLong(ms) => Metadata.toIso8601(ms)
+                case org.json4s.JNull => "null"
+                case other => JsonMethods.compact(JsonMethods.render(other))
+              }
+              out ++= s"$k: $shown\n"
             case (k, v) =>
               val shown = v match {
                 case org.json4s.JNull => "null"

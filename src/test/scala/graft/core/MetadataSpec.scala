@@ -132,4 +132,22 @@ class MetadataSpec extends AnyFunSuite {
     assert(Metadata.toIso8601(1426809600000L) === "2015-03-20T00:00:00.000Z")
     assert(Metadata.toIso8601(1426809600954L) === "2015-03-20T00:00:00.954Z")
   }
+
+  test("trusted wire decode reads epoch-ms verbatim, no s/ms heuristic") {
+    // start = 50e9 ms = 1971-08-02: already-normalized server output below
+    // the 1e11 heuristic threshold. build() would re-multiply by 1000;
+    // the trusted decode must not.
+    val m = Metadata.build(base + ("id" -> "deadbeef"))
+      .copy(start = 50000000000L, end = Some(50000086400L))
+    val decoded = Metadata.fromValidatedJValue(m.toJValue)
+    assert(decoded === m)
+    assert(decoded.start === 50000000000L)
+    // contrast: the untrusted path re-normalizes the same document
+    assert(Metadata.fromJValue(m.toJValue).start === 50000000000000L)
+    // null end and null work_id survive the round trip
+    val m2 = Metadata.build(base + ("id" -> "cafe")).copy(end = None)
+    assert(Metadata.fromValidatedJValue(m2.toJValue) === m2)
+    assertThrows[InvalidDatalakeMetadata](
+      Metadata.fromValidatedJValue(org.json4s.JString("nope")))
+  }
 }

@@ -89,6 +89,30 @@ class FunctionsSpec extends SparkSuite {
       .collect().head.isNullAt(0))
   }
 
+  test("vector_dot matches HOF semantics on ragged and null-element inputs") {
+    functions.register(spark)
+    // the HOF spelling yields NULL for length mismatch (zip_with pads
+    // with null) and for any null element — vector_dot must agree, not
+    // silently sum a prefix or read a null slot as 0.0
+    val cases = Seq(
+      "array(1D, 2D, 3D), array(4D, 5D)", // ragged: shorter right
+      "array(1D), array(4D, 5D, 6D)", // ragged: shorter left
+      "array(1D, CAST(NULL AS DOUBLE), 3D), array(4D, 5D, 6D)", // null elem left
+      "array(1D, 2D, 3D), array(4D, NULL, 6D)") // null elem right
+    for (args <- cases) {
+      val r = spark.sql(
+        s"""SELECT vector_dot($args) AS native,
+           |  aggregate(zip_with($args, (x, y) -> x * y), 0D,
+           |            (acc, x) -> acc + x) AS hof""".stripMargin)
+        .collect().head
+      assert(r.isNullAt(1), s"HOF oracle not null for ($args)")
+      assert(r.isNullAt(0), s"vector_dot not null for ($args)")
+    }
+    // dense equal-length rows are unaffected
+    assert(spark.sql("SELECT vector_dot(array(1D, 2D), array(3D, 4D))")
+      .collect().head.getDouble(0) === 11.0)
+  }
+
   test("cosine battery plans use the native dot, not interpreted lambdas") {
     // regression guard: if a cosine path quietly reverts to the
     // aggregate(zip_with(...)) spelling, the interpreted HOF leaves
