@@ -25,7 +25,8 @@ object SparkEntry {
       VectorQueries.queries ++
       PipelineQueries.queries ++
       TemporalQueries.queries ++
-      ScalarQueries.queries
+      ScalarQueries.queries ++
+      CurationQueries.queries
 
   def oracleSql: Map[String, String] =
     ArchiveQueries.oracleSql ++
@@ -34,5 +35,6 @@ object SparkEntry {
       VectorQueries.oracleSql ++
       PipelineQueries.oracleSql ++
       TemporalQueries.oracleSql ++
-      ScalarQueries.oracleSql
+      ScalarQueries.oracleSql ++
+      CurationQueries.oracleSql
 }

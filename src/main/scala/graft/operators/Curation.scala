@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: intra-document
+  * repetition statistics (the repetition quality filters popularized by the
+  * Gopher/MassiveText data work) and deterministic hash-based stratified
+  * sampling / source mixing.
+  *
+  * Scale shape: `repetitionStats` is explode → two-level hash aggregate —
+  * the n-gram key is (doc, gram) so partial aggregation collapses each
+  * document's grams map-side and the one shuffle carries near-deduplicated
+  * rows; sampling is a pure map-side filter (no shuffle, no RNG state —
+  * the keep decision is a function of the id alone, so re-runs, retries
+  * and incremental loads all agree on every row).
+  */
+object Curation {
+
+  /** Per-document word `n`-gram repetition statistics:
+    *
+    *   - `n_grams`: total n-grams in the document
+    *   - `dup_grams`: n-grams belonging to a gram value that occurs more
+    *     than once (the "fraction of characters in duplicated n-grams"
+    *     family of filters, counted in grams)
+    *   - `top_gram_n`: occurrences of the most frequent gram (the "top
+    *     n-gram fraction" numerator)
+    *
+    * Documents with fewer than `n` words produce no row. Callers derive
+    * boolean quality flags by thresholding (see `q_repetition`).
+    */
+  def repetitionStats(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 3): DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    val gramExpr = (0 until n).map(j => s"__words[i + $j]").mkString(", ")
+    val grams = docs
+      .withColumn("__words",
+        split(regexp_replace(trim(col(textCol)), "\\s+", " "), " "))
+      .where(size(col("__words")) >= n)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, size(__words) - $n), " +
+          s"i -> concat_ws(' ', $gramExpr))")).as("__gram"))
+    grams
+      .groupBy(col(idCol), col("__gram"))
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__cnt")).as("n_grams"),
+        sum(when(col("__cnt") > 1, col("__cnt")).otherwise(0L))
+          .as("dup_grams"),
+        max(col("__cnt")).as("top_gram_n"))
+  }
+
+  /** The sampling bucket: uniform in [0, 100) as a pure function of the
+    * id — the first 60 bits of md5(id) mod 100. md5 (not xxhash64) so
+    * the decision is reproducible in any engine that ships md5. */
+  def sampleBucket(idCol: Column): Column =
+    conv(substring(md5(idCol.cast("string")), 1, 15), 16, 10)
+      .cast("long") % 100
+
+  /** Deterministic Bernoulli sample stratified by `stratumCol`: a row is
+    * kept iff its [[sampleBucket]] < the stratum's percentage rate.
+    * Strata absent from `rates` use `defaultPct`. Typical use: downsample
+    * over-represented languages/sources while keeping all of the rare
+    * ones. Map-side only — no shuffle, no driver state.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      rates: Map[String, Int],
+      defaultPct: Int): DataFrame = {
+    require(defaultPct >= 0 && defaultPct <= 100, "defaultPct in [0,100]")
+    rates.values.foreach(r => require(r >= 0 && r <= 100, "rate in [0,100]"))
+    val rateCol = rates.foldLeft(lit(defaultPct)) { case (acc, (k, pct)) =>
+      when(col(stratumCol) === k, lit(pct)).otherwise(acc)
+    }
+    df.withColumn("sample_bucket", sampleBucket(col(idCol)))
+      .where(col("sample_bucket") < rateCol)
+  }
+}

@@ -1,0 +1,116 @@
+package graft.queries
+
+import graft.operators.Curation
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation battery: repetition quality filters and deterministic
+  * stratified sampling / source mixing over `documents` — the curation
+  * steps a 100 TB training-data pipeline runs between dedup and
+  * tokenization. All outputs are integers (the hash gate's numeric rule)
+  * and every hash is md5 so DuckDB can replay the exact decisions.
+  */
+object CurationQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "documents")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Gopher-style repetition filter: per-doc 3-gram totals, duplicated-
+    // gram mass, top-gram count, and the >20%-duplicated flag. Every 7th
+    // doc gets its text doubled (simulated boilerplate) so the flag path
+    // is exercised — the synthetic corpus has almost no natural
+    // repetition
+    "q_repetition" -> ((s, dir) => {
+      import s.implicits._
+      val planted = docs(s, dir).withColumn("text",
+        when($"doc_id" % 7 === 0, concat_ws(" ", $"text", $"text"))
+          .otherwise($"text"))
+      Curation.repetitionStats(planted, n = 3)
+        .withColumn("flagged",
+          when($"dup_grams" * 5 > $"n_grams", 1).otherwise(0))
+        .orderBy($"doc_id")
+    }),
+
+    // deterministic stratified sampling: downsample the dominant language
+    // to 10%, keep 50% of the rest; the kept set is a pure function of
+    // doc_id so any engine reproduces it row-for-row
+    "q_stratified_sample" -> ((s, dir) => {
+      import s.implicits._
+      Curation.stratifiedSample(docs(s, dir),
+        stratumCol = "lang", idCol = "doc_id",
+        rates = Map("en" -> 10), defaultPct = 50)
+        .select($"doc_id", $"lang", $"sample_bucket")
+        .orderBy($"doc_id")
+    }),
+
+    // dataset mixing: per-source keep rates (a 3-tier curriculum mix),
+    // reported as kept/total per source — the audit table a mixing step
+    // emits before materializing the blend
+    "q_source_mix" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val kept = Curation.stratifiedSample(d,
+        stratumCol = "source", idCol = "doc_id",
+        rates = Map("src0" -> 100, "src1" -> 100, "src2" -> 80,
+          "src3" -> 80, "src4" -> 50),
+        defaultPct = 20)
+        .groupBy($"source").agg(count(lit(1)).as("n_kept"))
+      d.groupBy($"source").agg(count(lit(1)).as("n_total"))
+        .join(kept, Seq("source"), "left")
+        .select($"source", $"n_total",
+          coalesce($"n_kept", lit(0L)).as("n_kept"))
+        .orderBy($"source")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_repetition" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text ELSE text END AS text
+        |  FROM documents
+        |), words AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM planted
+        |), grams AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |  FROM words WHERE len(w) >= 3
+        |), per_gram AS (
+        |  SELECT doc_id, g, count(*) AS cnt FROM grams GROUP BY 1, 2
+        |)
+        |SELECT doc_id,
+        |  CAST(sum(cnt) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_grams,
+        |  CAST(max(cnt) AS BIGINT) AS top_gram_n,
+        |  CASE WHEN sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) * 5 > sum(cnt)
+        |       THEN 1 ELSE 0 END AS flagged
+        |FROM per_gram GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_stratified_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+        |      AS sample_bucket
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, sample_bucket FROM b
+        |WHERE sample_bucket < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+        |ORDER BY doc_id""".stripMargin,
+    "q_source_mix" ->
+      """WITH b AS (
+        |  SELECT source,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+        |      AS sample_bucket
+        |  FROM documents
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(sum(CASE WHEN sample_bucket < CASE source
+        |    WHEN 'src0' THEN 100 WHEN 'src1' THEN 100
+        |    WHEN 'src2' THEN 80 WHEN 'src3' THEN 80
+        |    WHEN 'src4' THEN 50 ELSE 20 END
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM b GROUP BY source ORDER BY source""".stripMargin)
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSuite {
+
+  test("repetitionStats counts total/duplicated/top n-grams per doc") {
+    import spark.implicits._
+    // "a b a b a b" → 3-grams: [a b a, b a b, a b a, b a b] → every gram
+    // duplicated, top count 2; "w x y z" → 2 distinct grams, none dup
+    val docs = Seq(
+      (1L, "a b a b a b"),
+      (2L, "w x y z"),
+      (3L, "one two"), // < 3 words: no row
+      (4L, "  padded   spacing   here  ")).toDF("doc_id", "text")
+    val got = Curation.repetitionStats(docs).orderBy($"doc_id").collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L))
+    val r1 = got(0)
+    assert(r1.getLong(1) === 4L && r1.getLong(2) === 4L && r1.getLong(3) === 2L)
+    val r2 = got(1)
+    assert(r2.getLong(1) === 2L && r2.getLong(2) === 0L && r2.getLong(3) === 1L)
+    // whitespace runs collapse before gram formation
+    val r4 = got(2)
+    assert(r4.getLong(1) === 1L)
+  }
+
+  test("stratifiedSample is deterministic, stratum-rated, and map-only") {
+    import spark.implicits._
+    val df = (0L until 2000L).map(i =>
+      (i, if (i % 4 == 0) "en" else "de")).toDF("id", "lang")
+    val kept = Curation.stratifiedSample(df, "lang", "id",
+      Map("en" -> 10), defaultPct = 50)
+    val counts = kept.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 500 en at 10% and 1500 de at 50%: binomial means 50 and 750
+    assert(counts("en") > 20 && counts("en") < 100)
+    assert(counts("de") > 600 && counts("de") < 900)
+    // exact determinism: same input, same kept set
+    val again = Curation.stratifiedSample(df, "lang", "id",
+      Map("en" -> 10), defaultPct = 50)
+    assert(kept.select("id").collect().toSeq ===
+      again.select("id").collect().toSeq)
+    // rate 0 drops the stratum entirely; rate 100 keeps it whole
+    val extremes = Curation.stratifiedSample(df, "lang", "id",
+      Map("en" -> 0), defaultPct = 100)
+    assert(extremes.filter($"lang" === "en").count() === 0)
+    assert(extremes.filter($"lang" === "de").count() === 1500)
+    // map-only: no Exchange in the physical plan
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("repetition flag thresholds against a hand-built corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"), // all grams identical → flagged
+      (2L, "the quick brown fox jumps over the lazy dog")) // no dup grams
+      .toDF("doc_id", "text")
+    val got = Curation.repetitionStats(docs)
+      .withColumn("flagged",
+        when($"dup_grams" * 5 > $"n_grams", 1).otherwise(0))
+      .orderBy($"doc_id").collect()
+    assert(got(0).getInt(4) === 1)
+    assert(got(1).getInt(4) === 0)
+  }
+}
