@@ -72,29 +72,30 @@ object ScalarQueries {
     }),
 
     // exact discrete percentiles (value at 1-indexed rank ceil(p*n) of the
-    // sorted multiset) computed entirely in integer arithmetic: both the
-    // scaled values and the target ranks are BIGINTs, so the result is
-    // bit-identical across engines — interpolating percentiles emit
-    // doubles, which are not hash-stable cross-engine
+    // sorted multiset) in pure integer arithmetic, via bucket-and-refine
+    // selection (operators.Quantiles) — the row_number()-over-3-partitions
+    // spelling sorts each group in one task, which caps parallelism at
+    // the group count no matter the cluster size
     "q_percentiles" -> ((s, dir) => {
       import s.implicits._
       val li = s.read.parquet(s"$dir/lineitem.parquet").select(
         $"l_returnflag",
         expr("CAST(round(l_quantity * 100) AS BIGINT)").as("qty_c"),
         expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c"))
-      val grp = Window.partitionBy($"l_returnflag")
-      val wq = grp.orderBy($"qty_c")
-      val wp = grp.orderBy($"price_c")
-      li.withColumn("n_grp", count(lit(1)).over(grp))
-        .withColumn("rq", row_number().over(wq))
-        .withColumn("rp", row_number().over(wp))
+      val medQty = graft.operators.Quantiles.exactKth(
+        li, "l_returnflag", "qty_c",
+        Seq("median" -> expr("(__n + 1) div 2")))
         .groupBy($"l_returnflag")
-        .agg(
-          max(when($"rq" === expr("(n_grp + 1) div 2"), $"qty_c"))
-            .as("median_qty_c"),
-          max(when($"rp" === expr("(9 * n_grp + 9) div 10"), $"price_c"))
-            .as("p90_price_c"),
-          count(lit(1)).as("n"))
+        .agg(max($"value").as("median_qty_c"))
+      val p90Price = graft.operators.Quantiles.exactKth(
+        li, "l_returnflag", "price_c",
+        Seq("p90" -> expr("(9 * __n + 9) div 10")))
+        .groupBy($"l_returnflag")
+        .agg(max($"value").as("p90_price_c"))
+      val totals = li.groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+      medQty.join(p90Price, Seq("l_returnflag"))
+        .join(totals, Seq("l_returnflag"))
+        .select($"l_returnflag", $"median_qty_c", $"p90_price_c", $"n")
         .orderBy($"l_returnflag")
     }),
 
