@@ -45,6 +45,42 @@ object CurationQueries {
         .orderBy($"doc_id")
     }),
 
+    // the capstone: the full curation pass a training pipeline runs —
+    // recrawled duplicates collapsed by exact dedup, low-quality and
+    // repetition-flagged docs dropped, the dominant language downsampled,
+    // then an embedding-coverage audit per language. Composes
+    // q_dedup_exact + q_repetition + q_stratified_sample machinery into
+    // one plan (each stage is a hash aggregate or map-side filter; the
+    // embedding join is a plain equi-join AQE can re-plan)
+    "q_curation_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val recrawl = d.filter($"doc_id" % 10 === 0)
+        .withColumn("doc_id", $"doc_id" + 1000)
+      val corpus = d.unionByName(recrawl)
+      val canonical = corpus.groupBy(md5($"text").as("__h"))
+        .agg(min($"doc_id").as("doc_id"))
+      val deduped = corpus.join(
+        canonical.select($"doc_id"), Seq("doc_id"), "left_semi")
+      val withWords = deduped.withColumn("n_words",
+        size(split(trim($"text"), "\\s+")))
+      val flags = Curation.repetitionStats(deduped, n = 3)
+        .select($"doc_id", ($"dup_grams" * 5 > $"n_grams").as("__flagged"))
+      val quality = withWords.join(flags, Seq("doc_id"), "left")
+        .filter($"n_words" >= 15 && !coalesce($"__flagged", lit(false)))
+      val sampled = Curation.stratifiedSample(quality,
+        stratumCol = "lang", idCol = "doc_id",
+        rates = Map("en" -> 50), defaultPct = 100)
+      val emb = Tables.read(s, dir, "embeddings")
+        .select($"vec_id".as("doc_id"), lit(1).as("__has_emb"))
+      sampled.join(emb, Seq("doc_id"), "left")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce($"__has_emb", lit(0))).as("n_with_embedding"),
+          sum($"n_words").as("sum_words"))
+        .orderBy($"lang")
+    }),
+
     // dataset mixing: per-source keep rates (a 3-tier curriculum mix),
     // reported as kept/total per source — the audit table a mixing step
     // emits before materializing the blend
@@ -99,6 +135,49 @@ object CurationQueries {
         |SELECT doc_id, lang, sample_bucket FROM b
         |WHERE sample_bucket < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
         |ORDER BY doc_id""".stripMargin,
+    "q_curation_pipeline" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, lang FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000 AS doc_id, text, lang FROM documents
+        |  WHERE doc_id % 10 = 0
+        |), canonical AS (
+        |  SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)
+        |), deduped AS (
+        |  SELECT c.* FROM corpus c JOIN canonical USING (doc_id)
+        |), words AS (
+        |  SELECT doc_id, lang,
+        |    len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '))
+        |      AS n_words,
+        |    string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM deduped
+        |), grams AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |  FROM words WHERE len(w) >= 3
+        |), per_gram AS (
+        |  SELECT doc_id, g, count(*) AS cnt FROM grams GROUP BY 1, 2
+        |), rep AS (
+        |  SELECT doc_id,
+        |    (sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) * 5 > sum(cnt)) AS flagged
+        |  FROM per_gram GROUP BY doc_id
+        |), quality AS (
+        |  SELECT w.doc_id, w.lang, w.n_words
+        |  FROM words w LEFT JOIN rep USING (doc_id)
+        |  WHERE w.n_words >= 15 AND NOT coalesce(rep.flagged, false)
+        |), sampled AS (
+        |  SELECT doc_id, lang, n_words FROM quality
+        |  WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |          % 100
+        |        < CASE WHEN lang = 'en' THEN 50 ELSE 100 END
+        |)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_with_embedding,
+        |  CAST(sum(n_words) AS BIGINT) AS sum_words
+        |FROM sampled LEFT JOIN embeddings e ON sampled.doc_id = e.vec_id
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_source_mix" ->
       """WITH b AS (
         |  SELECT source,
