@@ -49,10 +49,13 @@ final class CellIndex(spark: SparkSession, path: String) {
     if (queries.sparkSession ne spark)
       graft.functions.functions.register(queries.sparkSession)
     val cents = centroids
+    // micro-rounded probe similarity — same integer-exact ranking as
+    // Similarity.ivfTopK, so index and full-scan variants share an oracle
     val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("cent_sim").desc, col("cell"))
+      .orderBy(col("cent_sim_micro").desc, col("cell"))
     val probes = queries.crossJoin(broadcast(cents))
-      .withColumn("cent_sim", expr(Similarity.cosineExpr("qv", "centroid")))
+      .withColumn("cent_sim_micro", expr(
+        s"CAST(round(${Similarity.cosineExpr("qv", "centroid")} * 1000000) AS BIGINT)"))
       .withColumn("probe_rank", row_number().over(wProbe))
       .filter(col("probe_rank") <= nprobe)
       .select(col("query_id"), col("qv"), col("cell"))

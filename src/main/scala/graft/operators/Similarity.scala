@@ -14,7 +14,18 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Per-cell mean vector via posexplode + groupBy(cell, dim) — the
-    * elementwise-average shape that scales to any dimension. */
+    * elementwise-average shape that scales to any dimension.
+    *
+    * Integer-exact across engines: components are quantized to micro-
+    * scaled BIGINT before summing, so the per-(cell, dim) sum is exact
+    * integer addition (order-independent, unlike a double `avg` whose
+    * partial-aggregation order varies per engine/partitioning), and the
+    * mean is ONE exact-integer-to-double division. Any engine that runs
+    * the same quantize-sum-divide produces bit-identical centroids — the
+    * property the DuckDB oracle for the ANN queries relies on. The
+    * quantization error (≤0.5e-6 per component) is irrelevant for a
+    * coarse quantizer. Sum headroom: micro values are ~1e6-scaled, so a
+    * cell stays double-exact (< 2^53) up to ~9e9 members. */
   def centroids(
       emb: DataFrame,
       cellCol: String = "label"): DataFrame =
@@ -23,10 +34,14 @@ object Similarity {
         posexplode(expr("CAST(embedding AS ARRAY<DOUBLE>)"))
           .as(Seq("dim", "component")))
       .groupBy("cell", "dim")
-      .agg(avg("component").as("mean_component"))
+      .agg(
+        sum(expr("CAST(round(component * 1000000) AS BIGINT)")).as("s_micro"),
+        count(lit(1)).as("n"))
       .groupBy("cell")
-      .agg(array_sort(collect_list(struct(col("dim"), col("mean_component"))))
-        .as("pairs"))
+      .agg(array_sort(collect_list(struct(col("dim"),
+        (col("s_micro").cast("double") /
+          (col("n").cast("double") * lit(1000000.0d)))
+          .as("mean_component")))).as("pairs"))
       .select(col("cell"),
         expr("transform(pairs, p -> p.mean_component)").as("centroid"))
 
@@ -61,11 +76,14 @@ object Similarity {
     val queries = emb.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"),
         expr("CAST(embedding AS ARRAY<DOUBLE>)").as("qv"))
-    // probe assignment: nprobe nearest centroids per query
+    // probe assignment: nprobe nearest centroids per query, ranked on the
+    // micro-rounded similarity (integer-exact cross-engine, like the
+    // candidate rank below) with cell id as the deterministic tie-break
     val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("cent_sim").desc, col("cell"))
+      .orderBy(col("cent_sim_micro").desc, col("cell"))
     val probes = queries.crossJoin(broadcast(cents))
-      .withColumn("cent_sim", expr(cosExpr("qv", "centroid")))
+      .withColumn("cent_sim_micro", expr(
+        s"CAST(round(${cosExpr("qv", "centroid")} * 1000000) AS BIGINT)"))
       .withColumn("probe_rank", row_number().over(wProbe))
       .filter(col("probe_rank") <= nprobe)
       .select(col("query_id"), col("qv"), col("cell"))

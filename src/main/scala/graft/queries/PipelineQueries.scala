@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{CellIndex, Dedup, Multimodal, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -10,14 +10,31 @@ import org.apache.spark.sql.functions._
   * prefixes with `('0x' || …)::BIGINT`), fractional outputs are
   * micro-scaled BIGINTs, and the stub media decoder is keyed on md5.
   * xxhash64-based fast variants of the same operators remain available on
-  * the operator objects; only `q_ann_ivf_topk` stays rows-only (its
-  * centroids are double averages whose partial-aggregation order differs
-  * across engines, so no bit-stable oracle exists — see COVERAGE.md).
+  * the operator objects. The ANN queries are integer-exact end-to-end:
+  * [[Similarity.centroids]] sums micro-quantized BIGINT components
+  * (order-independent) and divides once, so both engines produce
+  * bit-identical centroids, probe assignments, and ranks.
   *
   * Each near-dup query plants duplicates where the synthetic corpus has
   * none so candidate generation provably fires.
   */
 object PipelineQueries {
+
+  /** One materialized [[CellIndex]] per scale-factor dir, built lazily in
+    * a temp dir: Verify builds it once; Bench passes time only the probe
+    * (the honest semantics — an index exists to be built once and probed
+    * many times). */
+  private val cellIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, CellIndex]
+
+  private def cellIndex(s: SparkSession, dir: String): CellIndex =
+    cellIndexCache.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-cellindex-").toString
+      val idx = new CellIndex(s, path)
+      idx.build(Tables.read(s, dir, "embeddings"))
+      idx
+    })
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "documents")
@@ -52,9 +69,21 @@ object PipelineQueries {
       Dedup.minhashCandidates(planted(s, dir))
         .orderBy(col("doc_a"), col("doc_b"))),
 
-    // IVF-style ANN top-k (label cells, nprobe=2)
+    // IVF-style ANN top-k (label cells, nprobe=2) — full-scan variant
     "q_ann_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(emb(s, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L))),
+
+    // ANN top-k via the materialized cell-partitioned index: the
+    // candidate scan reads ONLY the probed cells (PartitionFilters:
+    // [cell IN (…)]) — the scale path, vs ivfTopK's filtered full scan
+    "q_ann_cell_topk" -> ((s, dir) => {
+      val idx = cellIndex(s, dir)
+      val queries = emb(s, dir)
+        .filter(col("vec_id").isInCollection(Seq(0L, 1L, 2L, 3L, 4L)))
+        .select(col("vec_id").as("query_id"),
+          expr("CAST(embedding AS ARRAY<DOUBLE>)").as("qv"))
+      idx.topK(queries, k = 5, nprobe = 2)
+    }),
 
     // random-hyperplane LSH bucket histogram (md5-derived planes)
     "q_hyperplane_lsh" -> ((s, dir) =>
@@ -180,7 +209,58 @@ object PipelineQueries {
       |        md5(text) AS content_hash
       |      FROM documents)))""".stripMargin
 
+  /** Shared ANN oracle mirroring [[Similarity.ivfTopK]] /
+    * [[CellIndex.topK]]: micro-quantized BIGINT component sums → one
+    * exact division per centroid component → micro-rounded probe and
+    * candidate ranks. Both variants compute the same answer (the index
+    * changes WHAT IS READ, not the result), so they share this SQL. */
+  private val AnnOracle: String = {
+    def cos(a: String, b: String) =
+      s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * " +
+        s"sqrt(list_inner_product($b, $b)))"
+    s"""WITH base AS (
+       |  SELECT vec_id, label AS cell, embedding::DOUBLE[] AS v
+       |  FROM embeddings),
+       |comp AS (
+       |  SELECT cell, d, CAST(round(v[d] * 1000000) AS BIGINT) AS c_micro
+       |  FROM (SELECT cell, v,
+       |          unnest(generate_series(1, len(v))) AS d FROM base)),
+       |agg AS (
+       |  SELECT cell, d,
+       |    CAST(sum(c_micro) AS DOUBLE) /
+       |      (CAST(count(*) AS DOUBLE) * 1000000.0) AS m
+       |  FROM comp GROUP BY cell, d),
+       |cents AS (
+       |  SELECT cell, list(m ORDER BY d) AS centroid FROM agg GROUP BY cell),
+       |q AS (
+       |  SELECT vec_id AS query_id, v AS qv FROM base
+       |  WHERE vec_id IN (0, 1, 2, 3, 4)),
+       |probes AS (
+       |  SELECT query_id, qv, cell FROM (
+       |    SELECT q.query_id, q.qv, c.cell,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        CAST(round(${cos("q.qv", "c.centroid")} * 1000000) AS BIGINT)
+       |          DESC, c.cell) AS probe_rank
+       |    FROM q CROSS JOIN cents c)
+       |  WHERE probe_rank <= 2),
+       |cand AS (
+       |  SELECT p.query_id, b.vec_id AS cand_id, b.cell,
+       |    CAST(round(${cos("p.qv", "b.v")} * 1000000) AS BIGINT)
+       |      AS cos_sim_micro
+       |  FROM probes p JOIN base b
+       |    ON b.cell = p.cell AND b.vec_id <> p.query_id)
+       |SELECT query_id, cand_id, cell, rank, cos_sim_micro FROM (
+       |  SELECT cand.*, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim_micro DESC, cand_id) AS rank
+       |  FROM cand)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+
+    "q_ann_ivf_topk" -> AnnOracle,
+
+    "q_ann_cell_topk" -> AnnOracle,
 
     "q_simhash" -> ("WITH " + simhashCtes("documents") +
       "\nSELECT doc_id, simhash FROM sim ORDER BY doc_id"),

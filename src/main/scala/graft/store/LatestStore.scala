@@ -1,0 +1,198 @@
+package graft.store
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Compacted latest table replacing the reference's 1-row-per-
+  * `what:where` DynamoDB table (`storage.py:78-137`), stored as a
+  * versioned-manifest table so readers are never exposed to a partial
+  * rewrite and upserts rewrite only the key buckets a batch touches.
+  *
+  * Layout:
+  * {{{
+  * <path>/manifests/v0000000001.txt   # committed via atomic rename
+  * <path>/data/v0000000001/kp=3/...   # immutable bucket data files
+  * }}}
+  *
+  * A manifest maps each key bucket (`kp = pmod(xxhash64(what, where),
+  * nBuckets)`) to the data version holding its current rows. Commit
+  * protocol: write all data files, then write the next manifest to a
+  * dot-prefixed temp name and `rename` it into place — rename-as-commit
+  * is atomic file creation, so a reader either resolves the old manifest
+  * or the new one, never a half-written table (the failure mode of the
+  * old backup-then-rename dir swap, where a list between the two renames
+  * saw no table at all). Hadoop `rename` refuses an existing destination,
+  * which doubles as optimistic concurrency: a racing writer loses the
+  * rename, re-reads the table state, and retries its merge — the same
+  * conditional-put loop the reference gets from DynamoDB (`storage.py:82`),
+  * and the same manifest-log shape Delta/Iceberg use on object stores
+  * where directory renames are not atomic (data files here are only ever
+  * created and later garbage-collected, never renamed).
+  *
+  * Incremental maintenance: an upsert merges ONLY the buckets present in
+  * the batch — one key touches one bucket, so the rewrite is O(batch
+  * keys / nBuckets of the table), not O(table). Untouched buckets keep
+  * their old manifest entries. Superseded versions beyond `keepVersions`
+  * are vacuumed after commit; `keepVersions >= 2` leaves a window for
+  * in-flight readers on the previous snapshot.
+  */
+final class LatestStore(spark: SparkSession, path: String,
+    nBuckets: Int = 16, keepVersions: Int = 3) {
+  import spark.implicits._
+
+  private val root = new Path(path)
+  private val manifestsDir = new Path(root, "manifests")
+  private val dataDir = new Path(root, "data")
+  private def f = Fs.fs(spark, path)
+
+  private val ManifestName = """v(\d{10})\.txt""".r
+
+  /** true once any version has been committed. */
+  def exists: Boolean =
+    f.exists(manifestsDir) && currentVersion.isDefined
+
+  private def currentVersion: Option[Long] =
+    if (!f.exists(manifestsDir)) None
+    else f.listStatus(manifestsDir).toSeq
+      .flatMap(st => st.getPath.getName match {
+        case ManifestName(n) => Some(n.toLong)
+        case _ => None
+      }).sorted.lastOption
+
+  private def manifestPath(v: Long) =
+    new Path(manifestsDir, f"v$v%010d.txt")
+
+  /** bucket -> data-version dir name (relative, e.g. "v0000000004"). */
+  private def readManifest(v: Long): Map[Int, String] = {
+    val in = f.open(manifestPath(v))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.contains('='))
+      .map { l => val Array(k, d) = l.split("=", 2); k.toInt -> d }
+      .toMap
+    finally in.close()
+  }
+
+  /** Resolve the current (version, bucket map), retrying once if a
+    * concurrent vacuum removed the manifest between list and open. */
+  private def resolve(): Option[(Long, Map[Int, String])] = {
+    var attempts = 0
+    while (attempts < 5) {
+      currentVersion match {
+        case None => return None
+        case Some(v) =>
+          try return Some((v, readManifest(v)))
+          catch { case _: java.io.IOException => attempts += 1 }
+      }
+    }
+    throw new java.io.IOException(s"cannot resolve current manifest under $path")
+  }
+
+  private def bucketLeaf(dataVersion: String, kp: Int): String =
+    new Path(new Path(dataDir, dataVersion), s"kp=$kp").toString
+
+  private def readBuckets(entries: Map[Int, String], buckets: Iterable[Int])
+      : DataFrame = {
+    val leaves = buckets.toSeq.sorted
+      .flatMap(b => entries.get(b).map(bucketLeaf(_, b)))
+      .filter(p => f.exists(new Path(p)))
+    if (leaves.isEmpty) emptyTable
+    else spark.read.schema(RecordStore.schema).parquet(leaves: _*)
+  }
+
+  private def emptyTable: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      RecordStore.schema)
+
+  /** Current snapshot (all buckets of the current manifest). */
+  def latest: DataFrame = resolve() match {
+    case None => emptyTable
+    case Some((_, entries)) => readBuckets(entries, entries.keys)
+  }
+
+  private def withBucket(df: DataFrame): DataFrame =
+    df.withColumn("kp",
+      pmod(xxhash64(col("what"), col("where")), lit(nBuckets)).cast("int"))
+
+  /** Monotone upsert: newest (metadata.start, create_time) per (what,
+    * where) wins; replay-safe (applying the same batch twice is a no-op).
+    * Only buckets containing batch keys are re-merged and rewritten. */
+  def upsert(batch: DataFrame): Unit = {
+    val cols = RecordStore.schema.fieldNames.map(col).toSeq
+    val bucketed = withBucket(batch.select(cols: _*))
+    // per-key batch winners first: bounds the merge input by key count
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"what", $"where")
+      .orderBy($"metadata.start".desc, $"create_time".desc, $"metadata.id".desc)
+    val batchWinners = bucketed
+      .withColumn("__rn", row_number().over(w))
+      .filter($"__rn" === 1).drop("__rn")
+      .localCheckpoint(true) // merge input is stable across commit retries
+    val touched = batchWinners.select("kp").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted // ≤ nBuckets rows
+    if (touched.isEmpty) return
+
+    var attempts = 0
+    var committed = false
+    while (!committed) {
+      attempts += 1
+      if (attempts > 10)
+        throw new java.io.IOException(s"upsert lost $attempts commit races under $path")
+      val (baseV, entries) = resolve().getOrElse((0L, Map.empty[Int, String]))
+      val newV = baseV + 1
+      val newDataVersion = f"v$newV%010d"
+      val existing = withBucket(readBuckets(entries, touched))
+      val merged = existing.unionByName(batchWinners)
+        .withColumn("__rn", row_number().over(w))
+        .filter($"__rn" === 1).drop("__rn")
+      // one shuffle partition per touched bucket -> one file per kp dir
+      merged.repartition(touched.size, col("kp"))
+        .write.mode(SaveMode.Overwrite).partitionBy("kp")
+        .parquet(new Path(dataDir, newDataVersion).toString)
+      val newEntries = entries ++ touched.map(_ -> newDataVersion)
+      committed = commitManifest(newV, newEntries)
+      if (!committed)
+        // lost the race: another writer committed baseV+1 first; drop our
+        // orphaned data version and re-merge against the new state
+        f.delete(new Path(dataDir, newDataVersion), true)
+    }
+    vacuum()
+  }
+
+  /** Write manifest v to a temp name, then rename-as-commit. Returns
+    * false when a concurrent writer already committed this version. */
+  private def commitManifest(v: Long, entries: Map[Int, String]): Boolean = {
+    f.mkdirs(manifestsDir)
+    val tmp = new Path(manifestsDir, f".v$v%010d.txt.tmp")
+    val out = f.create(tmp, true)
+    try out.write(
+      entries.toSeq.sortBy(_._1)
+        .map { case (b, d) => s"$b=$d" }.mkString("", "\n", "\n")
+        .getBytes("UTF-8"))
+    finally out.close()
+    val ok = f.rename(tmp, manifestPath(v))
+    if (!ok) f.delete(tmp, false)
+    ok
+  }
+
+  /** Drop manifests beyond the `keepVersions` most recent, then any data
+    * version no retained manifest references. */
+  private def vacuum(): Unit = {
+    val versions = f.listStatus(manifestsDir).toSeq
+      .flatMap(st => st.getPath.getName match {
+        case ManifestName(n) => Some(n.toLong)
+        case _ => None
+      }).sorted
+    val retained = versions.takeRight(keepVersions)
+    versions.dropRight(keepVersions)
+      .foreach(v => f.delete(manifestPath(v), false))
+    if (f.exists(dataDir)) {
+      val referenced = retained
+        .flatMap(v => scala.util.Try(readManifest(v)).toOption)
+        .flatMap(_.values).toSet
+      f.listStatus(dataDir).toSeq
+        .filter(st => st.isDirectory && !referenced(st.getPath.getName))
+        .foreach(st => f.delete(st.getPath, true))
+    }
+  }
+}

@@ -249,54 +249,6 @@ object RecordStore {
     StructField("metadata", metadataSchema, nullable = false)))
 }
 
-/** Compacted latest table replacing the reference's 1-row-per-
-  * `what:where` DynamoDB table (`storage.py:78-137`).
-  *
-  * The conditional put (`attribute_not_exists OR old.start <= new.start`,
-  * `storage.py:82`) becomes a read-merge-rewrite keyed by (what, where):
-  * per upsert batch, group to per-key argmax by (start, create_time) then
-  * union with the existing table and keep the winner. The table is tiny
-  * (one row per what×where pair) so a full rewrite per batch is the
-  * Spark-native move; on Delta this would be a MERGE.
-  */
-final class LatestStore(spark: SparkSession, path: String,
-    outputFiles: Int = 1) {
-  import spark.implicits._
-
-  def exists: Boolean = Fs.exists(spark, path)
-
-  def latest: DataFrame =
-    spark.read.schema(RecordStore.schema).parquet(path)
-
-  /** Monotone upsert: newest (metadata.start, create_time) per (what,
-    * where) wins, replay-safe (applying the same batch twice is a no-op).
-    *
-    * The rewrite lands in a dot-prefixed temp dir and is promoted with
-    * [[Fs.swap]] (backup-then-rename, every rename checked) — the live
-    * table is renamed aside, never deleted before its replacement is in
-    * place. `repartition(outputFiles)` (not `coalesce`) keeps the merge
-    * computation parallel upstream of the final write; raise
-    * `outputFiles` when |what×where| stops fitting one file. */
-  def upsert(batch: DataFrame): Unit = {
-    val incoming =
-      if (exists) latest.unionByName(batch.select(latest.columns.map(col).toSeq: _*))
-      else batch
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"what", $"where")
-      .orderBy($"metadata.start".desc, $"create_time".desc, $"metadata.id".desc)
-    val winners = incoming
-      .withColumn("__rn", row_number().over(w))
-      .filter($"__rn" === 1)
-      .drop("__rn")
-    val parent = new org.apache.hadoop.fs.Path(path).getParent
-    val name = new org.apache.hadoop.fs.Path(path).getName
-    val tmp = new org.apache.hadoop.fs.Path(parent, s".$name.tmp").toString
-    winners.repartition(outputFiles)
-      .write.mode(SaveMode.Overwrite).parquet(tmp)
-    Fs.swap(spark, tmp, path)
-  }
-}
-
 object WorkIdIndex {
   /** Record schema plus the prefix partition column. */
   val schema: StructType =

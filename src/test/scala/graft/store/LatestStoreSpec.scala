@@ -1,0 +1,104 @@
+package graft.store
+
+import graft.SparkSuite
+import graft.core.{DatalakeRecord, Metadata}
+import org.apache.spark.sql.DataFrame
+
+/** Versioned-manifest latest table: commit atomicity for concurrent
+  * readers, incremental (bucket-scoped) upserts, and version GC. */
+class LatestStoreSpec extends SparkSuite {
+  import spark.implicits._
+
+  val day: Long = DatalakeRecord.TimeBucketSizeMs
+
+  private def batch(keys: Seq[(String, String)], start: Long,
+      createTime: Long): DataFrame =
+    keys.flatMap { case (what, where) =>
+      DatalakeRecord.listFromMetadata(
+        Metadata(0, start, None, where, what, None, "/var/x.log",
+          f"${start + what.hashCode.toLong}%032x", "h"),
+        s"file:///$what/$where", createTime, 2L)
+    }.map(RecordRow.fromCore).toDS().toDF()
+
+  test("upsert of one key rewrites one bucket, not the table") {
+    val dir = tmpDir("lat-incr") + "/t"
+    val store = new LatestStore(spark, dir, nBuckets = 8)
+    // seed: 64 keys spread across all 8 buckets
+    val keys = (1 to 64).map(i => (s"what$i", s"where$i"))
+    store.upsert(batch(keys, 100L * day, 1L))
+    val dataDir = new java.io.File(dir, "data")
+    val v1 = dataDir.listFiles().map(_.getName).sorted
+    assert(v1.length === 1)
+
+    // one key -> the new data version holds exactly ONE kp directory
+    store.upsert(batch(Seq(("what1", "where1")), 200L * day, 2L))
+    val versions = dataDir.listFiles().map(_.getName).sorted
+    assert(versions.length === 2)
+    val v2kps = new java.io.File(dataDir, versions.last)
+      .listFiles().map(_.getName).filter(_.startsWith("kp="))
+    assert(v2kps.length === 1,
+      s"expected 1 rewritten bucket, got ${v2kps.mkString(",")}")
+
+    // the merged view is still complete and the touched key was updated
+    val rows = store.latest.collect()
+    assert(rows.length === 64)
+    val updated = rows.find(r => r.getAs[String]("what") == "what1").get
+    assert(updated.getAs[org.apache.spark.sql.Row]("metadata")
+      .getAs[Long]("start") === 200L * day)
+  }
+
+  test("readers during upserts always see a complete committed snapshot") {
+    val dir = tmpDir("lat-conc") + "/t"
+    val store = new LatestStore(spark, dir, nBuckets = 4)
+    val keys = (1 to 20).map(i => (s"w$i", s"s$i"))
+    store.upsert(batch(keys, 100L * day, 1L))
+
+    @volatile var failure: Option[Throwable] = None
+    @volatile var running = true
+    val observed = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val reader = new Thread(() => {
+      // a second handle on the same path, as a concurrent reader would be
+      val view = new LatestStore(spark, dir, nBuckets = 4)
+      while (running && failure.isEmpty) {
+        try observed.add(view.latest.count())
+        catch { case t: Throwable => failure = Some(t) }
+      }
+    })
+    reader.start()
+    try
+      // 12 upserts while the reader loops: every read must resolve some
+      // committed manifest -> exactly 20 keys, never 0, never partial
+      for (r <- 1 to 12)
+        store.upsert(batch(Seq((s"w${r % 20 + 1}", s"s${r % 20 + 1}")),
+          (100L + r) * day, r.toLong))
+    finally { running = false; reader.join(30000) }
+    assert(failure.isEmpty, s"reader failed: ${failure.map(_.toString)}")
+    assert(!observed.isEmpty)
+    assert(observed.toArray.forall(_ == 20L),
+      s"reader saw partial snapshots: ${observed.toArray.distinct.mkString(",")}")
+  }
+
+  test("vacuum keeps only keepVersions manifests and referenced data") {
+    val dir = tmpDir("lat-gc") + "/t"
+    val store = new LatestStore(spark, dir, nBuckets = 2, keepVersions = 2)
+    for (r <- 1 to 6)
+      store.upsert(batch(Seq(("a", "b")), (100L + r) * day, r.toLong))
+    val manifests = new java.io.File(dir, "manifests")
+      .listFiles().map(_.getName).filter(_.startsWith("v")).sorted
+    assert(manifests.length === 2)
+    // data versions on disk are exactly those the retained manifests name
+    val dataVers = new java.io.File(dir, "data").listFiles().map(_.getName)
+    assert(dataVers.toSet === Set(manifests.last.stripSuffix(".txt")) ||
+      dataVers.forall(v => manifests.map(_.stripSuffix(".txt")).contains(v)))
+    val rows = store.latest.collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[org.apache.spark.sql.Row]("metadata")
+      .getAs[Long]("start") === 106L * day)
+  }
+
+  test("empty store: exists is false and latest is empty") {
+    val store = new LatestStore(spark, tmpDir("lat-empty") + "/t")
+    assert(!store.exists)
+    assert(store.latest.count() === 0)
+  }
+}
