@@ -208,8 +208,12 @@ final class ArchiveClient(
     * (`archive.py:309-315`). */
   def metadataForUrl(url: String): Metadata = {
     validateFetchUrl(url)
-    // trusted decode: the server already validated and normalized —
-    // build() would re-run the s/ms heuristic on epoch-ms values
+    // trusted decode: the server already validated and normalized. This
+    // DELIBERATELY diverges from the reference fetch path, which wraps
+    // the response in File(fd, **m) -> Metadata() and thereby re-runs
+    // the s/ms normalize_date heuristic (archive.py:293-300) — re-scaling
+    // epoch-ms values below 1e11 (pre-1973) a second time. Only the
+    // reference's raw-dict _get_metadata_from_http_url uses trust-as-is.
     Metadata.fromValidatedJValue(getJson(url.stripSuffix("/data") + "/metadata"))
   }
 

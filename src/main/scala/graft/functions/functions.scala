@@ -166,8 +166,14 @@ object functions {
     DotProductExpr(exprs.head, exprs(1))
   }
 
-  /** Register blake2b for SQL usage plus the UDF-surface functions. */
+  /** Register blake2b for SQL usage plus the UDF-surface functions.
+    * Idempotent per session: operators call this defensively from every
+    * entry point, and re-registering an existing function makes
+    * SimpleFunctionRegistry log a replaced-function WARN per call. */
   def register(spark: SparkSession): Unit = {
+    if (spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("vector_dot")))
+      return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "blake2b", blake2bBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

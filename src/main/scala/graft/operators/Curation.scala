@@ -28,6 +28,9 @@ object Curation {
     *
     * Documents with fewer than `n` words produce no row. Callers derive
     * boolean quality flags by thresholding (see `q_repetition`).
+    *
+    * `__words` and `__gram` are reserved working-column names: an input
+    * that already carries either would be clobbered, so it is rejected.
     */
   def repetitionStats(
       docs: DataFrame,
@@ -35,6 +38,8 @@ object Curation {
       idCol: String = "doc_id",
       n: Int = 3): DataFrame = {
     require(n >= 1, s"n-gram order must be >= 1, got $n")
+    Seq("__words", "__gram").foreach(c => require(!docs.columns.contains(c),
+      s"input column '$c' collides with a repetitionStats working column"))
     val gramExpr = (0 until n).map(j => s"__words[i + $j]").mkString(", ")
     val grams = docs
       .withColumn("__words",
@@ -66,6 +71,10 @@ object Curation {
     * Strata absent from `rates` use `defaultPct`. Typical use: downsample
     * over-represented languages/sources while keeping all of the rare
     * ones. Map-side only — no shuffle, no driver state.
+    *
+    * The output carries the decision in a `sample_bucket` column (callers
+    * audit or drop it); that name is therefore reserved, and an input
+    * already containing it is rejected rather than silently clobbered.
     */
   def stratifiedSample(
       df: DataFrame,
@@ -73,6 +82,8 @@ object Curation {
       idCol: String,
       rates: Map[String, Int],
       defaultPct: Int): DataFrame = {
+    require(!df.columns.contains("sample_bucket"),
+      "input column 'sample_bucket' collides with the output bucket column")
     require(defaultPct >= 0 && defaultPct <= 100, "defaultPct in [0,100]")
     rates.values.foreach(r => require(r >= 0 && r <= 100, "rate in [0,100]"))
     val rateCol = rates.foldLeft(lit(defaultPct)) { case (acc, (k, pct)) =>

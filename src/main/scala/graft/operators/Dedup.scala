@@ -119,6 +119,10 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Rounds the most recent [[connectedComponents]] call took to
+    * converge — test instrumentation for the one-action-per-round shape. */
+  @volatile private[graft] var lastConnectedComponentsRounds: Int = 0
+
   /** Connected components over a candidate-pair graph: each vertex gets
     * `cluster_id` = the smallest doc id reachable from it — the transitive
     * closure step that turns pairwise near-dup candidates into dedup
@@ -200,16 +204,23 @@ object Dedup {
             .select(col("doc_id"), col("new_cluster_id"),
               (col("new_cluster_id") < col("__prev")).as("__changed"))
         }
-      // localCheckpoint cuts lineage so the plan stays constant-size per
-      // round. Block accumulation is bounded: maxIterations copies of the
-      // (doc_id, cluster_id) vertex table — O(|V|), dwarfed by the one
-      // |E|-sized edge checkpoint — and spills to disk under pressure.
-      val updated = jumped.localCheckpoint()
-      converged = updated.filter(col("__changed")).isEmpty
+      // LAZY localCheckpoint + a changed-count aggregate as the round's
+      // one materializing action: the count computes every partition, so
+      // checkpoint materialization piggybacks on it and lineage is cut —
+      // convergence detection costs no second pass over the data (the old
+      // eager-checkpoint-then-isEmpty spelling ran one extra job per
+      // round). Block accumulation is bounded: maxIterations copies of
+      // the (doc_id, cluster_id) vertex table — O(|V|), dwarfed by the
+      // one |E|-sized edge checkpoint — and spills to disk under pressure.
+      val updated = jumped.localCheckpoint(false)
+      val changed = updated
+        .agg(count(when(col("__changed"), lit(1)))).first().getLong(0)
+      converged = changed == 0L
       labels = updated
         .select(col("doc_id"), col("new_cluster_id").as("cluster_id"))
       iteration += 1
     }
+    Dedup.lastConnectedComponentsRounds = iteration
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIterations rounds " +

@@ -42,6 +42,11 @@ object Quantiles {
       ranks: Seq[(String, Column)],
       bucketWidth: Long = 4096L): DataFrame = {
     require(ranks.nonEmpty, "at least one rank is required")
+    // the refine window partitions by (group, label): a duplicate label
+    // would mix two buckets' rows in one partition and silently corrupt
+    // the cumulative counts
+    require(ranks.map(_._1).distinct.size == ranks.size,
+      s"rank labels must be distinct, got ${ranks.map(_._1).mkString(", ")}")
     require(bucketWidth > 0, "bucketWidth must be positive")
     val g = col(grpCol)
     val v = col(valCol)

@@ -55,8 +55,11 @@ object CurationQueries {
     "q_curation_pipeline" -> ((s, dir) => {
       import s.implicits._
       val d = docs(s, dir)
+      // recrawl ids offset far past any scale factor's doc_id domain —
+      // a small offset would collide with real ids on larger corpora and
+      // silently merge two distinct documents' grams
       val recrawl = d.filter($"doc_id" % 10 === 0)
-        .withColumn("doc_id", $"doc_id" + 1000)
+        .withColumn("doc_id", $"doc_id" + 1000000000L)
       val corpus = d.unionByName(recrawl)
       val canonical = corpus.groupBy(md5($"text").as("__h"))
         .agg(min($"doc_id").as("doc_id"))
@@ -139,7 +142,7 @@ object CurationQueries {
       """WITH corpus AS (
         |  SELECT doc_id, text, lang FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000 AS doc_id, text, lang FROM documents
+        |  SELECT doc_id + 1000000000 AS doc_id, text, lang FROM documents
         |  WHERE doc_id % 10 = 0
         |), canonical AS (
         |  SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)

@@ -40,12 +40,14 @@ object PipelineQueries {
     Tables.read(s, dir, "documents")
 
   /** Corpus with planted exact duplicates (10% of docs re-appear under
-    * shifted ids) for near-dup candidate generation. */
+    * shifted ids) for near-dup candidate generation. The shift is far
+    * past any scale factor's doc_id domain so planted ids can never
+    * collide with real ones. */
   private def planted(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     d.unionByName(
       d.filter(col("doc_id") % 10 === 0)
-        .withColumn("doc_id", col("doc_id") + 1000000))
+        .withColumn("doc_id", col("doc_id") + 1000000000L))
   }
 
   private def emb(s: SparkSession, dir: String): DataFrame =
@@ -122,7 +124,7 @@ object PipelineQueries {
     "d AS (\n" +
       "  SELECT doc_id, text FROM documents\n" +
       "  UNION ALL\n" +
-      "  SELECT doc_id + 1000000 AS doc_id, text FROM documents " +
+      "  SELECT doc_id + 1000000000 AS doc_id, text FROM documents " +
       "WHERE doc_id % 10 = 0)"
 
   /** tok/votes/sim CTEs computing the 60-bit md5 simhash over `src`,

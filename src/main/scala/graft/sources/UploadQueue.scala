@@ -9,49 +9,37 @@ import scala.collection.mutable
 
 /** Client-side upload queue (T4, `client/datalake/queue.py:78-221`).
   *
-  * `Enqueuer.enqueue` wraps {version, content, metadata json} into a
-  * bundle file named `<id>.bundle` in the queue directory (the reference
-  * uses a tar named `<id>.tar`; the JDK ships zip, and the envelope
-  * semantics are identical). `Uploader.drain` processes pre-existing
-  * bundles then `listen(timeout)` watches for new ones — dot-files are
-  * skipped, invalid bundles are skipped with a callback (never crash the
-  * uploader), and each successful push invokes the supplied sink.
+  * `Enqueuer.enqueue` wraps {content, version, metadata json} into an
+  * uncompressed tar named `<id>.tar` — the exact bundle layout the
+  * reference produces (`dlfile.py:311-327`, `queue.py:101`), so bundles
+  * interoperate in both directions. Zip envelopes written by earlier
+  * graft versions are still readable (sniffed by magic). `Uploader
+  * .drain` processes pre-existing bundles then `listen(timeout)` watches
+  * for new ones — dot-files are skipped, invalid bundles are skipped
+  * with a callback (never crash the uploader), and each successful push
+  * invokes the supplied sink.
   */
 object Bundle {
 
   val Version = "0"
 
   def write(queueDir: Path, content: Array[Byte], meta: Metadata): Path = {
-    val target = queueDir.resolve(s"${meta.id}.bundle")
-    val tmp = queueDir.resolve(s".${meta.id}.bundle.partial")
-    val out = new ZipOutputStream(new FileOutputStream(tmp.toFile))
-    try {
-      def entry(name: String, bytes: Array[Byte]): Unit = {
-        out.putNextEntry(new ZipEntry(name))
-        out.write(bytes)
-        out.closeEntry()
-      }
-      entry("version", Version.getBytes(StandardCharsets.UTF_8))
-      entry("content", content)
-      entry("datalake-metadata.json",
-        meta.json.getBytes(StandardCharsets.UTF_8))
-    } finally out.close()
+    val target = queueDir.resolve(s"${meta.id}.tar")
+    val tmp = queueDir.resolve(s".${meta.id}.tar.partial")
+    val out = new FileOutputStream(tmp.toFile)
+    // same member order as the reference writer (dlfile.py:311-317)
+    try Tar.write(out, Seq(
+      "content" -> content,
+      "version" -> Version.getBytes(StandardCharsets.UTF_8),
+      "datalake-metadata.json" -> meta.json.getBytes(StandardCharsets.UTF_8)))
+    finally out.close()
     // atomic publish so the watcher never sees a half-written bundle
     Files.move(tmp, target)
     target
   }
 
   def read(bundle: Path): (Array[Byte], Metadata) = {
-    val entries = mutable.Map.empty[String, Array[Byte]]
-    val in = new ZipInputStream(new FileInputStream(bundle.toFile))
-    try {
-      var e = in.getNextEntry
-      while (e != null) {
-        entries(e.getName) = in.readAllBytes()
-        in.closeEntry()
-        e = in.getNextEntry
-      }
-    } finally in.close()
+    val entries = readEntries(bundle)
     val version = entries.get("version")
       .map(new String(_, StandardCharsets.UTF_8))
       .getOrElse(throw new InvalidDatalakeMetadata("bundle has no version"))
@@ -63,6 +51,32 @@ object Bundle {
       StandardCharsets.UTF_8))
     (entries.getOrElse("content",
       throw new InvalidDatalakeMetadata("bundle has no content")), meta)
+  }
+
+  private def readEntries(bundle: Path): Map[String, Array[Byte]] = {
+    // zip local-file magic is "PK\3\4"; anything else is treated as tar
+    // (tar has no leading magic — its ustar marker sits at offset 257)
+    val head = {
+      val in = new FileInputStream(bundle.toFile)
+      try in.readNBytes(2) finally in.close()
+    }
+    val isZip = head.length == 2 && head(0) == 'P' && head(1) == 'K'
+    if (!isZip) {
+      val in = new FileInputStream(bundle.toFile)
+      try Tar.read(in) finally in.close()
+    } else {
+      val entries = mutable.Map.empty[String, Array[Byte]]
+      val in = new ZipInputStream(new FileInputStream(bundle.toFile))
+      try {
+        var e = in.getNextEntry
+        while (e != null) {
+          entries(e.getName) = in.readAllBytes()
+          in.closeEntry()
+          e = in.getNextEntry
+        }
+      } finally in.close()
+      entries.toMap
+    }
   }
 }
 

@@ -281,15 +281,25 @@ object Cli {
       case "json" => JsonMethods.compact(JsonMethods.render(r.toJValue))
       case "json-pretty" => JsonMethods.pretty(JsonMethods.render(r.toJValue))
       case "human" =>
-        // flattened key: value lines, start/end rendered as ISO
-        // (`cli.py` `_ms_to_iso`); null start/end stays "null"
+        // flattened key: value lines, start/end rendered as ISO exactly
+        // like `cli.py:210-222`: python datetime.isoformat() emits a
+        // '+00:00' offset and six fractional digits only when the
+        // sub-second part is non-zero, and the `if v:` truthiness test
+        // renders epoch 0 (not just null) as "null"
+        def msToIsoHuman(ms: Long): String =
+          if (ms == 0L) "null"
+          else java.time.format.DateTimeFormatter
+            .ofPattern(if (ms % 1000 == 0) "yyyy-MM-dd'T'HH:mm:ssxxx"
+                       else "yyyy-MM-dd'T'HH:mm:ss.SSS'000'xxx")
+            .withZone(java.time.ZoneOffset.UTC)
+            .format(java.time.Instant.ofEpochMilli(ms))
         def fmt(j: org.json4s.JValue, out: StringBuilder): Unit = j match {
           case org.json4s.JObject(kvs) => kvs.foreach {
             case ("metadata", v) => fmt(v, out)
             case (k @ ("start" | "end"), v) =>
               val shown = v match {
-                case org.json4s.JInt(ms) => Metadata.toIso8601(ms.toLong)
-                case org.json4s.JLong(ms) => Metadata.toIso8601(ms)
+                case org.json4s.JInt(ms) => msToIsoHuman(ms.toLong)
+                case org.json4s.JLong(ms) => msToIsoHuman(ms)
                 case org.json4s.JNull => "null"
                 case other => JsonMethods.compact(JsonMethods.render(other))
               }

@@ -131,6 +131,43 @@ class OperatorsSpec extends SparkSuite {
     assert(got === Array(1L))
   }
 
+  test("connectedComponents runs one action per round (convergence " +
+    "count folded into the round aggregate)") {
+    import spark.implicits._
+    val n = 64L
+    val vertices = (1L to n).toDF("doc_id")
+    val edges = (1L until n).map(i => (n - i + 1, n - i)).toDF("doc_a", "doc_b")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    // AQE schedules every query stage as its own job, which would bury
+    // the per-round action count; without it one action == one job
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val got = Dedup.connectedComponents(vertices, edges, maxIterations = 20)
+        .collect().map(_.getLong(1)).distinct
+      assert(got === Array(1L))
+    } finally {
+      // listener bus is async: give in-flight events time to drain
+      Thread.sleep(2000)
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+    }
+    val rounds = Dedup.lastConnectedComponentsRounds
+    assert(rounds >= 4, s"pointer-jump chain should need several rounds, got $rounds")
+    // exactly ONE action per round: the changed-count aggregate is the
+    // job that also materializes the round's lazy checkpoint. Constant
+    // overhead: the 2 initial eager checkpoints + the final collect. The
+    // old eager-checkpoint-then-isEmpty shape paid 2 jobs per round and
+    // fails this bound.
+    assert(jobs.get() <= rounds + 4,
+      s"expected 1 job per round, got ${jobs.get()} for $rounds rounds")
+  }
+
   test("ivfTopK returns k ranked neighbors from probed cells") {
     import spark.implicits._
     val rng = new scala.util.Random(7)

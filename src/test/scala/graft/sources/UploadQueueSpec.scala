@@ -24,11 +24,62 @@ class UploadQueueSpec extends AnyFunSuite {
   test("bundle round-trips content + metadata, hash inferred") {
     val (q, src) = newQueue()
     val bundle = new Enqueuer(q).enqueue(src, fields("syslog"))
-    assert(bundle.getFileName.toString.endsWith(".bundle"))
+    // reference bundle naming: <id>.tar (queue.py:101)
+    assert(bundle.getFileName.toString.endsWith(".tar"))
     val (content, meta) = Bundle.read(bundle)
     assert(new String(content, StandardCharsets.UTF_8) === "log line one\n")
     assert(meta.what === "syslog")
     assert(meta.hash === graft.core.Blake2b.hexDigest(content))
+  }
+
+  test("reads a bundle produced by the reference implementation") {
+    // src/test/resources/reference-bundle.tar was written by python
+    // tarfile mirroring dlfile.py:305-327 (File.to_bundle): members
+    // content, version, datalake-metadata.json with TarInfo defaults
+    val fixture = Paths.get(
+      getClass.getClassLoader.getResource("reference-bundle.tar").toURI)
+    val (content, meta) = Bundle.read(fixture)
+    assert(new String(content, StandardCharsets.UTF_8) ===
+      "GET / HTTP/1.1 200\nGET /health HTTP/1.1 200\n")
+    assert(meta.what === "nginx")
+    assert(meta.where === "webserver01")
+    assert(meta.id === "0123456789abcdef0123456789abcdef")
+    assert(meta.start === 1426809600000L)
+    assert(meta.end === Some(1426809600954L))
+  }
+
+  test("graft-written bundles parse as plain ustar (member layout parity)") {
+    val (q, src) = newQueue()
+    val bundle = new Enqueuer(q).enqueue(src, fields("parity"))
+    val in = new java.io.FileInputStream(bundle.toFile)
+    val members = try Tar.read(in) finally in.close()
+    // same member set the reference writer produces, content first
+    assert(members.keySet ===
+      Set("content", "version", "datalake-metadata.json"))
+    assert(new String(members("version"), StandardCharsets.UTF_8) === "0")
+  }
+
+  test("zip bundles from earlier graft versions stay readable") {
+    val (q, src) = newQueue()
+    val meta = Metadata.build(fields("legacy") ++ Map(
+      "path" -> src.toAbsolutePath.toString,
+      "hash" -> "00000000000000000000000000000000"))
+    val legacy = Paths.get(q, s"${meta.id}.bundle")
+    val out = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(legacy.toFile))
+    try {
+      def entry(name: String, bytes: Array[Byte]): Unit = {
+        out.putNextEntry(new java.util.zip.ZipEntry(name))
+        out.write(bytes); out.closeEntry()
+      }
+      entry("version", "0".getBytes(StandardCharsets.UTF_8))
+      entry("content", "old content\n".getBytes(StandardCharsets.UTF_8))
+      entry("datalake-metadata.json",
+        meta.json.getBytes(StandardCharsets.UTF_8))
+    } finally out.close()
+    val (content, parsed) = Bundle.read(legacy)
+    assert(new String(content, StandardCharsets.UTF_8) === "old content\n")
+    assert(parsed.what === "legacy")
   }
 
   test("drain processes backlog and deletes bundles") {
