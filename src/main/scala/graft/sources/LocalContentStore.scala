@@ -11,10 +11,11 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   * The reference stores object content at key `"{id}/data"` with the
   * metadata JSON embedded as S3 user-metadata (`archive.py:212-257,
   * 438-442`); the filesystem equivalent keeps a `metadata.json` sidecar
-  * next to `data`. S3 would implement the same interface with the SDK —
-  * content I/O is deliberately not a Spark job (SURVEY §1.3).
+  * next to `data`. A real S3 adapter implements the same [[ObjectStore]]
+  * trait with the SDK and must pass the same `ObjectStoreContract`
+  * suite — content I/O is deliberately not a Spark job (SURVEY §1.3).
   */
-final class LocalContentStore(root: String) extends ContentStore {
+final class LocalContentStore(root: String) extends ObjectStore {
 
   private def dirFor(id: String): Path = Paths.get(root, id)
 
@@ -37,7 +38,7 @@ final class LocalContentStore(root: String) extends ContentStore {
     * concatenation + atomic move, so a reader never observes a partial
     * object. */
   def push(sourcePath: Path, fields: Map[String, Any],
-      chunkSize: Int = LocalContentStore.DefaultChunkSize): (String, Metadata) = {
+      chunkSize: Int): (String, Metadata) = {
     val withHash =
       if (fields.contains("hash")) fields
       else {
@@ -76,14 +77,19 @@ final class LocalContentStore(root: String) extends ContentStore {
   }
 
   /** Resolve a url to (metadata, size, create_time) — the ingest-side
-    * re-read (`record.py:95-122`). */
+    * re-read (`record.py:95-122`). The sidecar was written from
+    * already-validated metadata, so it is decoded TRUSTED: re-running
+    * `fromJson`'s s/ms normalize heuristic here would rescale pre-1973
+    * epoch-ms starts a second time (caught by ObjectStoreContract's
+    * verbatim round-trip test). */
   override def fetch(url: String): (Metadata, Long, Long) = {
     val dataPath = pathOf(url)
     val metaPath = dataPath.getParent.resolve("metadata.json")
     if (!Files.exists(dataPath) || !Files.exists(metaPath))
       throw new NoSuchDatalakeFile(s"no such file: $url")
-    val meta = Metadata.fromJson(
-      new String(Files.readAllBytes(metaPath), StandardCharsets.UTF_8))
+    val meta = Metadata.fromValidatedJValue(
+      org.json4s.jackson.JsonMethods.parse(
+        new String(Files.readAllBytes(metaPath), StandardCharsets.UTF_8)))
     (meta, Files.size(dataPath), Files.getLastModifiedTime(dataPath).toMillis)
   }
 
@@ -97,8 +103,7 @@ final class LocalContentStore(root: String) extends ContentStore {
   /** Open the content as a chunk-buffered [[StreamingFile]] (the
     * reference's `fetch(url, stream=True)` shape, `archive.py:365-377`):
     * large objects are read incrementally, never materialized whole. */
-  def openStreaming(url: String,
-      chunkSize: Int = StreamingFile.IterSize): StreamingFile =
+  def openStreaming(url: String, chunkSize: Int): StreamingFile =
     StreamingFile.fromInputStream(open(url), chunkSize)
 
   /** Resolve any `<scheme>://` url to a local path — the store is
