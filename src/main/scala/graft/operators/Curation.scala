@@ -59,6 +59,58 @@ object Curation {
         max(col("__cnt")).as("top_gram_n"))
   }
 
+  /** Sequence packing: place documents into fixed-capacity token bins in
+    * `idCol` order — the pretraining "concatenate the token stream, cut
+    * every `capacity` tokens" layout. Each doc gets the bin where its
+    * first token lands (`bin = tokens_before DIV capacity`) plus its
+    * offset inside that bin; a doc straddling a boundary continues into
+    * the next bin, exactly like the flattened stream.
+    *
+    * Scalable spelling: tokens_before is a TWO-LEVEL prefix sum, not a
+    * global-order window (which would sort the corpus in ONE task). Docs
+    * are range-bucketed by `idCol DIV rangeSize` (map-side); per-bucket
+    * totals (corpus_size / rangeSize rows — tiny) get a running offset
+    * in one small window; within-bucket prefix sums are per-bucket
+    * windows whose partition size is bounded by `rangeSize`. Parallelism
+    * follows data, and the result is identical to the global cumsum an
+    * oracle computes directly.
+    *
+    * `__bucket` is a reserved working-column name (input rejected if
+    * present).
+    *
+    * @return input columns + (tokens_before, bin, bin_offset)
+    */
+  def packBins(
+      docs: DataFrame,
+      tokensCol: String,
+      idCol: String = "doc_id",
+      capacity: Long = 2048L,
+      rangeSize: Long = 4096L): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    require(rangeSize > 0, s"rangeSize must be positive, got $rangeSize")
+    require(!docs.columns.contains("__bucket"),
+      "input column '__bucket' collides with a packBins working column")
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = docs.withColumn("__bucket",
+      expr(s"$idCol DIV $rangeSize"))
+    val wBuckets = Window.orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("__bucket"))
+      .agg(sum(col(tokensCol).cast("long")).as("__btot"))
+      .withColumn("__boff",
+        coalesce(sum(col("__btot")).over(wBuckets), lit(0L)))
+      .drop("__btot")
+    val wInBucket = Window.partitionBy(col("__bucket")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .join(broadcast(offsets), Seq("__bucket"))
+      .withColumn("tokens_before", col("__boff") +
+        coalesce(sum(col(tokensCol).cast("long")).over(wInBucket), lit(0L)))
+      .withColumn("bin", expr(s"tokens_before DIV $capacity"))
+      .withColumn("bin_offset", col("tokens_before") % capacity)
+      .drop("__bucket", "__boff")
+  }
+
   /** The sampling bucket: uniform in [0, 100) as a pure function of the
     * id — the first 60 bits of md5(id) mod 100. md5 (not xxhash64) so
     * the decision is reproducible in any engine that ships md5. */

@@ -62,6 +62,75 @@ object Similarity {
 
   private def cosExpr(a: String, b: String): String = cosineExpr(a, b)
 
+  /** Distributed Lloyd's k-means over the embedding column — the coarse-
+    * quantizer TRAINING step of an IVF index (the battery's `label` cells
+    * are a given partitioning; a real 100 TB index learns its cells).
+    *
+    * Deterministic and integer-exact cross-engine, the same discipline as
+    * [[centroids]]:
+    *   - seeds: the `k` vectors with the smallest `vec_id`, numbered in
+    *     that order (no RNG — retries/reruns train the identical model);
+    *   - assignment: argmin of squared L2 distance computed from three
+    *     dot products (|v|² − 2·v·c + |c|², each a sequential
+    *     left-to-right sum) micro-rounded to BIGINT, ties broken by
+    *     cluster index. Spelled `min(struct(dist, cluster))` — a hash
+    *     aggregate with map-side partials, NOT a per-vector sort window;
+    *   - update: quantize-sum-divide elementwise mean (order-independent
+    *     integer sums, one exact division per component).
+    *
+    * Per iteration: one broadcast join (k centroids) + two hash
+    * aggregates — no shuffle of the corpus beyond the aggregate's
+    * partials, so wall-clock per round scales with data / cores. A
+    * cluster that loses all members disappears (standard Lloyd behavior;
+    * both engines agree).
+    *
+    * @return (cluster: Int, centroid: Array[Double], n_vectors: Long)
+    *         after `iters` full assign+update rounds.
+    */
+  def kmeans(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    ensureDot(emb)
+    val vecs = emb.select(col("vec_id"),
+      expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+    val seeds = vecs.orderBy(col("vec_id")).limit(k)
+      .select((row_number().over(Window.orderBy(col("vec_id"))) - 1)
+        .as("cluster"), col("v").as("centroid"))
+
+    val distMicro =
+      "CAST(round((vector_dot(v, v) - 2 * vector_dot(v, centroid) " +
+        "+ vector_dot(centroid, centroid)) * 1000000) AS BIGINT)"
+
+    def assign(cents: DataFrame): DataFrame =
+      vecs.crossJoin(broadcast(cents))
+        .withColumn("__dist", expr(distMicro))
+        .groupBy(col("vec_id"), col("v"))
+        .agg(min(struct(col("__dist"), col("cluster"))).as("__best"))
+        .select(col("vec_id"), col("v"), col("__best.cluster").as("cluster"))
+
+    def update(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "component")))
+        .groupBy("cluster", "dim")
+        .agg(sum(expr("CAST(round(component * 1000000) AS BIGINT)")).as("s"),
+          count(lit(1)).as("n"))
+        .groupBy("cluster")
+        .agg(array_sort(collect_list(struct(col("dim"),
+          (col("s").cast("double") /
+            (col("n").cast("double") * lit(1000000.0d))).as("m"))))
+          .as("pairs"))
+        .select(col("cluster"),
+          expr("transform(pairs, p -> p.m)").as("centroid"))
+
+    var cents = seeds
+    for (_ <- 1 to iters) cents = update(assign(cents))
+    assign(cents)
+      .groupBy("cluster").agg(count(lit(1)).as("n_vectors"))
+      .join(cents, Seq("cluster"))
+      .select(col("cluster"), col("centroid"), col("n_vectors"))
+  }
+
   /** IVF top-k: queries are assigned to their `nprobe` nearest cells by
     * centroid cosine, then brute-force ranked only within those cells. */
   def ivfTopK(

@@ -33,6 +33,22 @@ object CurationQueries {
         .orderBy($"doc_id")
     }),
 
+    // sequence packing: documents placed into fixed-capacity token bins
+    // in doc_id order (the "concatenate the token stream, cut every N
+    // tokens" pretraining layout) via the two-level prefix sum — small
+    // rangeSize so the bucket machinery is genuinely exercised at sf0.01
+    "q_pack_bins" -> ((s, dir) => {
+      import s.implicits._
+      val withTokens = docs(s, dir).select($"doc_id",
+        regexp_count(lower($"text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long").as("n_tokens"))
+      Curation.packBins(withTokens, tokensCol = "n_tokens",
+        idCol = "doc_id", capacity = 2048L, rangeSize = 64L)
+        .select($"doc_id", $"n_tokens", $"tokens_before", $"bin",
+          $"bin_offset")
+        .orderBy($"doc_id")
+    }),
+
     // deterministic stratified sampling: downsample the dominant language
     // to 10%, keep 50% of the rest; the kept set is a pure function of
     // doc_id so any engine reproduces it row-for-row
@@ -104,6 +120,25 @@ object CurationQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // the oracle computes tokens_before as ONE global cumulative window —
+    // the semantic definition the two-level prefix sum must reproduce
+    "q_pack_bins" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS tokens_before
+        |  FROM t)
+        |SELECT doc_id, n_tokens, CAST(tokens_before AS BIGINT) AS tokens_before,
+        |  CAST(tokens_before // 2048 AS BIGINT) AS bin,
+        |  CAST(tokens_before % 2048 AS BIGINT) AS bin_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     "q_repetition" ->
       """WITH planted AS (
         |  SELECT doc_id,

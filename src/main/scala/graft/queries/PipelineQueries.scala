@@ -87,6 +87,17 @@ object PipelineQueries {
       idx.topK(queries, k = 5, nprobe = 2)
     }),
 
+    // k-means coarse-quantizer training (k=4, 2 Lloyd rounds,
+    // deterministic seeds) — the index-TRAINING step of IVF; outputs
+    // per-cluster sizes and micro-integer centroid checksums
+    "q_kmeans" -> ((s, dir) =>
+      Similarity.kmeans(emb(s, dir), k = 4, iters = 2)
+        .select(col("cluster"), col("n_vectors"),
+          expr("aggregate(transform(centroid, " +
+            "x -> CAST(round(x * 1000000) AS BIGINT)), 0L, " +
+            "(acc, x) -> acc + x)").as("centroid_sum_micro"))
+        .orderBy(col("cluster"))),
+
     // random-hyperplane LSH bucket histogram (md5-derived planes)
     "q_hyperplane_lsh" -> ((s, dir) =>
       Similarity.hyperplaneLshMd5(emb(s, dir))
@@ -258,11 +269,66 @@ object PipelineQueries {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Unrolled 2-iteration Lloyd mirror of [[Similarity.kmeans]] (k=4):
+    * seeds = 4 smallest vec_ids; each round = micro-BIGINT argmin
+    * assignment (ties by cluster index) + quantize-sum-divide update —
+    * every comparison and centroid bit-identical cross-engine. */
+  private val KmeansOracle: String = {
+    val k = 4
+    def lip(a: String, b: String) = s"list_inner_product($a, $b)"
+    def dist(v: String, c: String) =
+      s"CAST(round((${lip(v, v)} - 2 * ${lip(v, c)} + ${lip(c, c)}) " +
+        "* 1000000) AS BIGINT)"
+    def assignCte(name: String, cents: String) =
+      s"""$name AS (
+         |  SELECT vec_id, v, cluster FROM (
+         |    SELECT b.vec_id, b.v, c.cluster,
+         |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+         |        ${dist("b.v", "c.centroid")}, c.cluster) AS rk
+         |    FROM base b CROSS JOIN $cents c)
+         |  WHERE rk = 1)""".stripMargin
+    def updateCte(name: String, assigned: String) =
+      s"""$name AS (
+         |  SELECT cluster, list(m ORDER BY d) AS centroid FROM (
+         |    SELECT cluster, d,
+         |      CAST(sum(cm) AS DOUBLE) /
+         |        (CAST(count(*) AS DOUBLE) * 1000000.0) AS m
+         |    FROM (SELECT cluster, d,
+         |            CAST(round(v[d] * 1000000) AS BIGINT) AS cm
+         |          FROM (SELECT cluster, v,
+         |                  unnest(generate_series(1, len(v))) AS d
+         |                FROM $assigned))
+         |    GROUP BY cluster, d)
+         |  GROUP BY cluster)""".stripMargin
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+       |           AS cluster,
+       |         v AS centroid
+       |  FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT $k)),
+       |${assignCte("a1", "c0")},
+       |${updateCte("c1", "a1")},
+       |${assignCte("a2", "c1")},
+       |${updateCte("c2", "a2")},
+       |${assignCte("a3", "c2")}
+       |SELECT f.cluster, f.n_vectors, s.centroid_sum_micro
+       |FROM (SELECT cluster, count(*) AS n_vectors FROM a3
+       |      GROUP BY cluster) f
+       |JOIN (SELECT cluster,
+       |        CAST(list_sum(list_transform(centroid,
+       |          x -> round(x * 1000000))) AS BIGINT) AS centroid_sum_micro
+       |      FROM c2) s USING (cluster)
+       |ORDER BY cluster""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
 
     "q_ann_ivf_topk" -> AnnOracle,
 
     "q_ann_cell_topk" -> AnnOracle,
+
+    "q_kmeans" -> KmeansOracle,
 
     "q_simhash" -> ("WITH " + simhashCtes("documents") +
       "\nSELECT doc_id, simhash FROM sim ORDER BY doc_id"),

@@ -51,6 +51,40 @@ class CurationSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("packBins matches the global token-stream cut at any rangeSize") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    // ragged token counts incl. docs larger than the bin capacity
+    val docs = (0L until 300L).map(i =>
+      (i, (1 + rng.nextInt(120)).toLong)).toDF("doc_id", "n_tokens")
+    val rows = docs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    // brute-force definition: cumulative tokens before each doc
+    val expected = rows.scanLeft((0L, 0L, 0L)) {
+      case ((_, _, acc), (id, n)) => (id, acc, acc + n)
+    }.drop(1).map { case (id, before, _) =>
+      id -> ((before, before / 64, before % 64))
+    }.toMap
+    // identical result whatever the bucket granularity — including a
+    // rangeSize of 1 (every doc its own bucket) and one huge bucket
+    for (rangeSize <- Seq(1L, 7L, 64L, 1000L)) {
+      val got = Curation.packBins(docs, "n_tokens", "doc_id",
+        capacity = 64L, rangeSize = rangeSize).collect()
+      assert(got.length === 300)
+      got.foreach { r =>
+        val id = r.getAs[Long]("doc_id")
+        assert((r.getAs[Long]("tokens_before"), r.getAs[Long]("bin"),
+          r.getAs[Long]("bin_offset")) === expected(id),
+          s"doc $id at rangeSize $rangeSize")
+      }
+    }
+    // the big input's prefix-sum window partitions by bucket — the only
+    // unpartitioned window runs over the tiny per-bucket totals
+    val plan = Curation.packBins(docs, "n_tokens", "doc_id", 64L, 7L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__bucket"), plan.take(2000))
+  }
+
   test("repetition flag thresholds against a hand-built corpus") {
     import spark.implicits._
     val docs = Seq(

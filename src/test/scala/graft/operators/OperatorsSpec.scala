@@ -191,6 +191,32 @@ class OperatorsSpec extends SparkSuite {
     assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
   }
 
+  test("kmeans recovers well-separated clusters deterministically") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    // 3 tight clusters around orthogonal axes; seeds (vec_id 0,1,2) land
+    // one per cluster because ids round-robin the clusters
+    val vecs = (0 until 60).map { i =>
+      val c = i % 3
+      val base = Array.fill(8)(0.02f * rng.nextFloat())
+      base(c) = 1.0f + 0.05f * rng.nextFloat()
+      (i.toLong, base.toSeq, c)
+    }
+    val emb = vecs.toDF("vec_id", "embedding", "label")
+    val out = Similarity.kmeans(emb, k = 3, iters = 2)
+      .orderBy($"cluster").collect()
+    assert(out.length === 3)
+    assert(out.map(_.getLong(2)).sum === 60L) // every vector assigned
+    // each learned centroid is dominated by one axis and they differ
+    val domAxes = out.map(_.getSeq[Double](1).zipWithIndex.maxBy(_._1)._2)
+    assert(domAxes.distinct.length === 3)
+    // determinism: a second run trains the identical model
+    val again = Similarity.kmeans(emb, k = 3, iters = 2)
+      .orderBy($"cluster").collect()
+    assert(again.map(r => (r.getInt(0), r.getSeq[Double](1), r.getLong(2)))
+      .toSeq === out.map(r => (r.getInt(0), r.getSeq[Double](1), r.getLong(2))).toSeq)
+  }
+
   test("CellIndex.topK reads only probed cells (partition-pruned scan)") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
