@@ -32,6 +32,61 @@ final class CellIndex(spark: SparkSession, path: String) {
       .write.mode(SaveMode.Overwrite).parquet(centroidsPath)
   }
 
+  /** Build with LEARNED cells: train a k-means coarse quantizer
+    * ([[Similarity.kmeans]] — deterministic seeds, integer-exact
+    * updates), assign every vector to its nearest trained centroid, and
+    * lay the corpus out by that assignment. This is the from-scratch IVF
+    * build — no pre-existing label column required; `k` picks the
+    * partition granularity (at 100 TB: thousands of cells so nprobe/k
+    * bounds the fraction of data a probe reads). */
+  def buildLearned(emb: DataFrame, k: Int, iters: Int = 2): Unit = {
+    graft.functions.functions.register(emb.sparkSession)
+    val model = Similarity.kmeans(emb, k, iters)
+      .select(col("cluster").as("cell"), col("centroid"))
+    // assign by the same micro-BIGINT argmin the trainer used
+    val assigned = emb
+      .withColumn("v", expr("CAST(embedding AS ARRAY<DOUBLE>)"))
+      .crossJoin(broadcast(model))
+      .withColumn("__dist", expr(
+        "CAST(round((vector_dot(v, v) - 2 * vector_dot(v, centroid) " +
+          "+ vector_dot(centroid, centroid)) * 1000000) AS BIGINT)"))
+      .groupBy(emb.columns.map(col).toSeq :+ col("v"): _*)
+      .agg(min(struct(col("__dist"), col("cell"))).as("__best"))
+      .withColumn("cell", col("__best.cell"))
+      .drop("__best", "v")
+    assigned
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cell")
+      .parquet(vectorsPath)
+    model.select(col("cell"), col("centroid"))
+      .write.mode(SaveMode.Overwrite).parquet(centroidsPath)
+  }
+
+  /** Incremental maintenance: route a batch of new vectors to their
+    * nearest existing cells and append — arriving data lands in the
+    * right partitions without rebuilding or re-training (the standard
+    * IVF ingest path; re-train + rebuild only when the corpus drifts).
+    * Centroids are left as trained: a quantizer that shifts with every
+    * batch would silently change probe routing. */
+  def append(newVectors: DataFrame): Unit = {
+    graft.functions.functions.register(newVectors.sparkSession)
+    val model = centroids
+    val assigned = newVectors
+      .withColumn("v", expr("CAST(embedding AS ARRAY<DOUBLE>)"))
+      .crossJoin(broadcast(model))
+      .withColumn("__dist", expr(
+        "CAST(round((vector_dot(v, v) - 2 * vector_dot(v, centroid) " +
+          "+ vector_dot(centroid, centroid)) * 1000000) AS BIGINT)"))
+      .groupBy(newVectors.columns.map(col).toSeq :+ col("v"): _*)
+      .agg(min(struct(col("__dist"), col("cell"))).as("__best"))
+      .withColumn("cell", col("__best.cell"))
+      .drop("__best", "v")
+    assigned
+      .write.mode(SaveMode.Append)
+      .partitionBy("cell")
+      .parquet(vectorsPath)
+  }
+
   def vectors: DataFrame = spark.read.parquet(vectorsPath)
   def centroids: DataFrame = spark.read.parquet(centroidsPath)
 

@@ -251,6 +251,43 @@ class OperatorsSpec extends SparkSuite {
       s"expected 2 of 3 cells read, got ${scan.selectedPartitions.partitionCount}")
   }
 
+  test("CellIndex.buildLearned + append: trained cells route probes and " +
+    "new vectors") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    // 3 orthogonal clusters, NO label column — cells must be learned
+    def mk(id: Long, c: Int): (Long, Seq[Float]) = {
+      val base = Array.fill(8)(0.02f * rng.nextFloat())
+      base(c) = 1.0f + 0.05f * rng.nextFloat()
+      (id, base.toSeq)
+    }
+    val emb = (0 until 60).map(i => mk(i.toLong, i % 3))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("cellidx-l").toString
+    val idx = new CellIndex(spark, dir)
+    idx.buildLearned(emb, k = 3, iters = 2)
+    assert(idx.centroids.count() === 3)
+    // a probe for a cluster-0 query returns cluster-0 members: ids ≡ 0 mod 3
+    val queries = emb.filter($"vec_id" === 0L)
+      .select($"vec_id".as("query_id"),
+        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("qv"))
+    val top = idx.topK(queries, k = 5, nprobe = 1)
+    val neighbors = top.collect().map(_.getLong(1))
+    assert(neighbors.length === 5)
+    assert(neighbors.forall(_ % 3 == 0), neighbors.mkString(","))
+    // append routes a new cluster-1 vector into the cluster-1 partition
+    val before = idx.vectors.filter($"vec_id" === 1000L).count()
+    assert(before === 0)
+    idx.append(Seq(mk(1000L, 1)).toDF("vec_id", "embedding"))
+    val v1 = emb.filter($"vec_id" === 1L)
+      .select($"vec_id".as("query_id"),
+        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("qv"))
+    // the appended vector is findable through the same probed-cell path
+    val found = idx.topK(v1, k = 25, nprobe = 1)
+      .filter($"cand_id" === 1000L).count()
+    assert(found === 1)
+  }
+
   test("cosineDupPairs: hot label routed through LSH sub-buckets, bounded") {
     import spark.implicits._
     val rng = new scala.util.Random(3)
