@@ -48,9 +48,20 @@ final class LatestStore(spark: SparkSession, path: String,
 
   private val ManifestName = """v(\d{10})\.txt""".r
 
-  /** true once any version has been committed. */
+  /** true once any version has been committed (or a pre-manifest flat
+    * table sits at the path — see [[legacyFiles]]). */
   def exists: Boolean =
-    f.exists(manifestsDir) && currentVersion.isDefined
+    (f.exists(manifestsDir) && currentVersion.isDefined) ||
+      legacyFiles.nonEmpty
+
+  /** Parquet files written flat at `path` by the pre-manifest layout
+    * (a whole-table rewrite per upsert). Readable as a snapshot; the
+    * first upsert migrates them into version 1 and removes them. */
+  private def legacyFiles: Seq[Path] =
+    if (!f.exists(root)) Nil
+    else f.listStatus(root).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
 
   private def currentVersion: Option[Long] =
     if (!f.exists(manifestsDir)) None
@@ -104,9 +115,15 @@ final class LatestStore(spark: SparkSession, path: String,
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       RecordStore.schema)
 
-  /** Current snapshot (all buckets of the current manifest). */
+  /** Current snapshot (all buckets of the current manifest; a
+    * pre-manifest flat table reads as-is until the first upsert
+    * migrates it). */
   def latest: DataFrame = resolve() match {
-    case None => emptyTable
+    case None =>
+      val legacy = legacyFiles
+      if (legacy.isEmpty) emptyTable
+      else spark.read.schema(RecordStore.schema)
+        .parquet(legacy.map(_.toString): _*)
     case Some((_, entries)) => readBuckets(entries, entries.keys)
   }
 
@@ -138,23 +155,36 @@ final class LatestStore(spark: SparkSession, path: String,
       attempts += 1
       if (attempts > 10)
         throw new java.io.IOException(s"upsert lost $attempts commit races under $path")
-      val (baseV, entries) = resolve().getOrElse((0L, Map.empty[Int, String]))
+      val resolved = resolve()
+      val (baseV, entries) = resolved.getOrElse((0L, Map.empty[Int, String]))
+      // first-ever commit over a pre-manifest flat table: fold the whole
+      // legacy table into version 1 (all its buckets count as touched)
+      // and remove the flat files once the commit lands
+      val legacy = if (resolved.isEmpty) legacyFiles else Nil
+      val (existing, touchedAll) =
+        if (legacy.nonEmpty) {
+          val legacyDf = withBucket(spark.read.schema(RecordStore.schema)
+            .parquet(legacy.map(_.toString): _*))
+          val legacyKps = legacyDf.select("kp").distinct()
+            .collect().map(_.getInt(0))
+          (legacyDf, (touched ++ legacyKps).distinct.sorted)
+        } else (withBucket(readBuckets(entries, touched)), touched)
       val newV = baseV + 1
       val newDataVersion = f"v$newV%010d"
-      val existing = withBucket(readBuckets(entries, touched))
       val merged = existing.unionByName(batchWinners)
         .withColumn("__rn", row_number().over(w))
         .filter($"__rn" === 1).drop("__rn")
       // one shuffle partition per touched bucket -> one file per kp dir
-      merged.repartition(touched.size, col("kp"))
+      merged.repartition(touchedAll.size, col("kp"))
         .write.mode(SaveMode.Overwrite).partitionBy("kp")
         .parquet(new Path(dataDir, newDataVersion).toString)
-      val newEntries = entries ++ touched.map(_ -> newDataVersion)
+      val newEntries = entries ++ touchedAll.map(_ -> newDataVersion)
       committed = commitManifest(newV, newEntries)
       if (!committed)
         // lost the race: another writer committed baseV+1 first; drop our
         // orphaned data version and re-merge against the new state
         f.delete(new Path(dataDir, newDataVersion), true)
+      else legacy.foreach(p => f.delete(p, false))
     }
     vacuum()
   }

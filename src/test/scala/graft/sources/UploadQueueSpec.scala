@@ -59,6 +59,25 @@ class UploadQueueSpec extends AnyFunSuite {
     assert(new String(members("version"), StandardCharsets.UTF_8) === "0")
   }
 
+  test("tar codec rejects truncated archives and over-long names") {
+    val entries = Seq("content" -> "abc".getBytes(StandardCharsets.UTF_8))
+    val buf = new java.io.ByteArrayOutputStream()
+    Tar.write(buf, entries)
+    val whole = buf.toByteArray
+    // cutting inside the member data must raise, not return partial data
+    val truncated = java.util.Arrays.copyOf(whole, 513)
+    intercept[java.io.EOFException](
+      Tar.read(new java.io.ByteArrayInputStream(truncated)))
+    // names beyond the 100-byte ustar field are refused at write time
+    intercept[IllegalArgumentException](
+      Tar.write(new java.io.ByteArrayOutputStream(),
+        Seq(("x" * 101) -> Array.emptyByteArray)))
+    // a clean round-trip for the same entries
+    val back = Tar.read(new java.io.ByteArrayInputStream(whole))
+    assert(back.keySet === Set("content"))
+    assert(new String(back("content"), StandardCharsets.UTF_8) === "abc")
+  }
+
   test("zip bundles from earlier graft versions stay readable") {
     val (q, src) = newQueue()
     val meta = Metadata.build(fields("legacy") ++ Map(
