@@ -170,7 +170,13 @@ final class LatestStore(spark: SparkSession, path: String,
           (legacyDf, (touched ++ legacyKps).distinct.sorted)
         } else (withBucket(readBuckets(entries, touched)), touched)
       val newV = baseV + 1
-      val newDataVersion = f"v$newV%010d"
+      // data dir carries a writer nonce: two racing writers may both
+      // target manifest version N, and their Spark write jobs must not
+      // collide on one directory (_temporary staging is per-job). The
+      // manifest stores the exact dir name, so ordering still comes from
+      // manifest numbers alone; the loser's orphan dir is deleted below.
+      val newDataVersion =
+        f"v$newV%010d-" + java.util.UUID.randomUUID().toString.take(8)
       val merged = existing.unionByName(batchWinners)
         .withColumn("__rn", row_number().over(w))
         .filter($"__rn" === 1).drop("__rn")
@@ -205,8 +211,18 @@ final class LatestStore(spark: SparkSession, path: String,
     ok
   }
 
-  /** Drop manifests beyond the `keepVersions` most recent, then any data
-    * version no retained manifest references. */
+  /** Drop manifests beyond the `keepVersions` most recent, then the data
+    * versions ONLY those expired manifests referenced (minus any still
+    * referenced by a retained manifest). Deleting by expired-manifest
+    * reference — instead of sweeping every dir no retained manifest
+    * names — is what makes concurrent writers safe: an in-flight
+    * writer's freshly-written dir is referenced by NO manifest yet, and
+    * a delete-the-unreferenced sweep from a racing writer would rip its
+    * `_temporary` staging out from under the active Spark write job
+    * (caught by the racing-writers spec). The cost: a dir whose writer
+    * crashed before committing is never referenced and so never swept —
+    * bounded by crash count, and an offline age-based sweep can reclaim
+    * them. */
   private def vacuum(): Unit = {
     val versions = f.listStatus(manifestsDir).toSeq
       .flatMap(st => st.getPath.getName match {
@@ -214,15 +230,17 @@ final class LatestStore(spark: SparkSession, path: String,
         case _ => None
       }).sorted
     val retained = versions.takeRight(keepVersions)
-    versions.dropRight(keepVersions)
-      .foreach(v => f.delete(manifestPath(v), false))
-    if (f.exists(dataDir)) {
-      val referenced = retained
+    val expired = versions.dropRight(keepVersions)
+    if (expired.nonEmpty) {
+      val alive = retained
         .flatMap(v => scala.util.Try(readManifest(v)).toOption)
         .flatMap(_.values).toSet
-      f.listStatus(dataDir).toSeq
-        .filter(st => st.isDirectory && !referenced(st.getPath.getName))
-        .foreach(st => f.delete(st.getPath, true))
+      val dead = expired
+        .flatMap(v => scala.util.Try(readManifest(v)).toOption)
+        .flatMap(_.values).toSet -- alive
+      // data before manifests: a crash in between re-runs idempotently
+      dead.foreach(d => f.delete(new Path(dataDir, d), true))
+      expired.foreach(v => f.delete(manifestPath(v), false))
     }
   }
 }

@@ -78,18 +78,56 @@ class LatestStoreSpec extends SparkSuite {
       s"reader saw partial snapshots: ${observed.toArray.distinct.mkString(",")}")
   }
 
+  test("racing writers: both upserts land via commit-retry, none lost") {
+    val dir = tmpDir("lat-race") + "/t"
+    val store = new LatestStore(spark, dir, nBuckets = 4)
+    store.upsert(batch((1 to 8).map(i => (s"seed$i", s"s$i")), 100L * day, 1L))
+    // two writers upsert DIFFERENT keys concurrently: whoever loses the
+    // manifest rename must re-merge and retry, so both keys must survive
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val latch = new java.util.concurrent.CountDownLatch(2)
+    for (w <- 1 to 2) {
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          try {
+            val writer = new LatestStore(spark, dir, nBuckets = 4)
+            for (r <- 1 to 3)
+              writer.upsert(batch(Seq((s"w$w-key$r", s"host$w")),
+                (200L + r) * day, (10 * w + r).toLong))
+          } catch { case t: Throwable => failures.add(t) }
+          finally latch.countDown()
+        }
+      })
+    }
+    assert(latch.await(120, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(failures.isEmpty, s"writer failed: ${failures.peek()}")
+    val whats = store.latest.collect().map(_.getAs[String]("what")).toSet
+    // 8 seeds + 3 keys per writer, none lost to the race
+    assert(whats.size === 14, whats.toSeq.sorted.mkString(","))
+    (1 to 3).foreach { r =>
+      assert(whats.contains(s"w1-key$r") && whats.contains(s"w2-key$r"))
+    }
+  }
+
   test("vacuum keeps only keepVersions manifests and referenced data") {
     val dir = tmpDir("lat-gc") + "/t"
     val store = new LatestStore(spark, dir, nBuckets = 2, keepVersions = 2)
     for (r <- 1 to 6)
       store.upsert(batch(Seq(("a", "b")), (100L + r) * day, r.toLong))
-    val manifests = new java.io.File(dir, "manifests")
-      .listFiles().map(_.getName).filter(_.startsWith("v")).sorted
-    assert(manifests.length === 2)
+    val manifestFiles = new java.io.File(dir, "manifests")
+      .listFiles().filter(_.getName.startsWith("v")).sortBy(_.getName)
+    assert(manifestFiles.length === 2)
     // data versions on disk are exactly those the retained manifests name
+    val referenced = manifestFiles.flatMap { f =>
+      val src = scala.io.Source.fromFile(f)
+      try src.getLines().filter(_.contains('='))
+        .map(_.split("=", 2)(1)).toList
+      finally src.close()
+    }.toSet
     val dataVers = new java.io.File(dir, "data").listFiles().map(_.getName)
-    assert(dataVers.toSet === Set(manifests.last.stripSuffix(".txt")) ||
-      dataVers.forall(v => manifests.map(_.stripSuffix(".txt")).contains(v)))
+    assert(dataVers.toSet === referenced)
     val rows = store.latest.collect()
     assert(rows.length === 1)
     assert(rows.head.getAs[org.apache.spark.sql.Row]("metadata")
