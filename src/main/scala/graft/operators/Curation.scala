@@ -111,6 +111,39 @@ object Curation {
       .drop("__bucket", "__boff")
   }
 
+  /** PII scrub patterns applied by [[redact]], in order. Kept inside the
+    * Java-regex ∩ RE2 common subset (no backrefs, no lookaround) so any
+    * engine — including the DuckDB oracle — replays the identical
+    * redaction byte for byte. Order matters (emails are eaten before the
+    * phone pattern can chew on their digits) and is part of the
+    * contract. */
+  val RedactPatterns: Seq[(String, String)] = Seq(
+    "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}" -> "<EMAIL>",
+    "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}" -> "<IP>",
+    "\\+?[0-9][0-9()\\- ]{7,}[0-9]" -> "<PHONE>")
+
+  /** Redact PII-looking spans from `textCol` into typed placeholder
+    * tokens — the scrub pass a training pipeline runs before
+    * tokenization. Pure map-side chain of `regexp_replace` (codegen'd,
+    * no UDF, no shuffle); counts of each replaced class ride along so
+    * the pass doubles as a PII prevalence audit.
+    *
+    * @return input columns + (redacted, n_emails, n_ips, n_phones)
+    */
+  def redact(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val Seq(email, ip, phone) = RedactPatterns.map(_._1)
+    val counted = docs
+      .withColumn("n_emails", regexp_count(col(textCol), lit(email)))
+      .withColumn("n_ips", regexp_count(col(textCol), lit(ip)))
+      .withColumn("n_phones", regexp_count(col(textCol), lit(phone)))
+    RedactPatterns.foldLeft(
+      counted.withColumn("redacted", col(textCol))) {
+      case (df, (pattern, token)) =>
+        df.withColumn("redacted",
+          regexp_replace(col("redacted"), pattern, token))
+    }
+  }
+
   /** The sampling bucket: uniform in [0, 100) as a pure function of the
     * id — the first 60 bits of md5(id) mod 100. md5 (not xxhash64) so
     * the decision is reproducible in any engine that ships md5. */

@@ -33,6 +33,27 @@ object CurationQueries {
         .orderBy($"doc_id")
     }),
 
+    // PII redaction: scrub emails/IPs/phones into typed tokens with
+    // per-class prevalence counts. Every 5th doc gets planted PII
+    // (deterministic, mirrored in the oracle) since the synthetic corpus
+    // has none; md5 of the redacted text makes the byte-exact scrub
+    // hash-checkable
+    "q_redact" -> ((s, dir) => {
+      import s.implicits._
+      val planted = docs(s, dir).withColumn("text",
+        when($"doc_id" % 5 === 0, concat($"text",
+          lit(" Contact: user"), $"doc_id".cast("string"),
+          lit("@example.com from 10.0.0."),
+          ($"doc_id" % 200).cast("string"),
+          lit(" call +1 (555) 010-99"),
+          ($"doc_id" % 10).cast("string")))
+          .otherwise($"text"))
+      graft.operators.Curation.redact(planted)
+        .select($"doc_id", $"n_emails", $"n_ips", $"n_phones",
+          md5($"redacted").as("redacted_md5"))
+        .orderBy($"doc_id")
+    }),
+
     // sequence packing: documents placed into fixed-capacity token bins
     // in doc_id order (the "concatenate the token stream, cut every N
     // tokens" pretraining layout) via the two-level prefix sum — small
@@ -119,7 +140,33 @@ object CurationQueries {
         .orderBy($"source")
     }))
 
+  /** q_redact oracle built from the SAME pattern list the operator
+    * applies ([[Curation.RedactPatterns]]) — one source of truth, no
+    * regex drift between engines. */
+  private val RedactOracle: String = {
+    val replaced = Curation.RedactPatterns.foldLeft("text") {
+      case (acc, (p, tok)) => s"regexp_replace($acc, '$p', '$tok', 'g')"
+    }
+    val counts = Curation.RedactPatterns.map(_._1).zip(
+      Seq("n_emails", "n_ips", "n_phones")).map { case (p, name) =>
+      s"len(regexp_extract_all(text, '$p')) AS $name"
+    }.mkString(",\n    ")
+    s"""WITH planted AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 5 = 0 THEN text || ' Contact: user' ||
+       |      doc_id || '@example.com from 10.0.0.' || (doc_id % 200) ||
+       |      ' call +1 (555) 010-99' || (doc_id % 10)
+       |    ELSE text END AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |    $counts,
+       |    md5($replaced) AS redacted_md5
+       |FROM planted ORDER BY doc_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_redact" -> RedactOracle,
+
     // the oracle computes tokens_before as ONE global cumulative window —
     // the semantic definition the two-level prefix sum must reproduce
     "q_pack_bins" ->

@@ -85,6 +85,28 @@ class CurationSpec extends SparkSuite {
     assert(plan.contains("__bucket"), plan.take(2000))
   }
 
+  test("redact scrubs emails, IPs, and phones into typed tokens") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail alice.smith+x@corp.example.org and bob@b.co today"),
+      (2L, "server 10.22.0.117 talked to 192.168.1.1 at dawn"),
+      (3L, "call +1 (555) 010-9934 or 555 010 1234 now"),
+      (4L, "nothing sensitive here"),
+      (5L, "mixed: c@d.io at 8.8.8.8, dial +44 20 7946 0958"))
+      .toDF("doc_id", "text")
+    val got = Curation.redact(docs).orderBy($"doc_id").collect()
+      .map(r => (r.getAs[String]("redacted"), r.getAs[Int]("n_emails"),
+        r.getAs[Int]("n_ips"), r.getAs[Int]("n_phones")))
+    assert(got(0) === (("mail <EMAIL> and <EMAIL> today", 2, 0, 0)))
+    assert(got(1) === (("server <IP> talked to <IP> at dawn", 0, 2, 0)))
+    assert(got(2) === (("call <PHONE> or <PHONE> now", 0, 0, 2)))
+    assert(got(3) === (("nothing sensitive here", 0, 0, 0)))
+    assert(got(4) === (("mixed: <EMAIL> at <IP>, dial <PHONE>", 1, 1, 1)))
+    // map-only: no Exchange in the plan
+    val plan = Curation.redact(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(500))
+  }
+
   test("repetition flag thresholds against a hand-built corpus") {
     import spark.implicits._
     val docs = Seq(
