@@ -43,17 +43,12 @@ final class CellIndex(spark: SparkSession, path: String) {
     graft.functions.functions.register(emb.sparkSession)
     val model = Similarity.kmeans(emb, k, iters)
       .select(col("cluster").as("cell"), col("centroid"))
-    // assign by the same micro-BIGINT argmin the trainer used
-    val assigned = emb
-      .withColumn("v", expr("CAST(embedding AS ARRAY<DOUBLE>)"))
-      .crossJoin(broadcast(model))
-      .withColumn("__dist", expr(
-        "CAST(round((vector_dot(v, v) - 2 * vector_dot(v, centroid) " +
-          "+ vector_dot(centroid, centroid)) * 1000000) AS BIGINT)"))
-      .groupBy(emb.columns.map(col).toSeq :+ col("v"): _*)
-      .agg(min(struct(col("__dist"), col("cell"))).as("__best"))
-      .withColumn("cell", col("__best.cell"))
-      .drop("__best", "v")
+    val cents = model.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toSeq
+    // assignment is the trainer's own map-side argmin expression — the
+    // partitioned write is then the only data movement in the build
+    val assigned = emb.withColumn("cell", Similarity.nearestCentroidExpr(
+      cents, expr("CAST(embedding AS ARRAY<DOUBLE>)")))
     assigned
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cell")
@@ -70,17 +65,14 @@ final class CellIndex(spark: SparkSession, path: String) {
     * batch would silently change probe routing. */
   def append(newVectors: DataFrame): Unit = {
     graft.functions.functions.register(newVectors.sparkSession)
-    val model = centroids
-    val assigned = newVectors
-      .withColumn("v", expr("CAST(embedding AS ARRAY<DOUBLE>)"))
-      .crossJoin(broadcast(model))
-      .withColumn("__dist", expr(
-        "CAST(round((vector_dot(v, v) - 2 * vector_dot(v, centroid) " +
-          "+ vector_dot(centroid, centroid)) * 1000000) AS BIGINT)"))
-      .groupBy(newVectors.columns.map(col).toSeq :+ col("v"): _*)
-      .agg(min(struct(col("__dist"), col("cell"))).as("__best"))
-      .withColumn("cell", col("__best.cell"))
-      .drop("__best", "v")
+    val cents = centroids.collect()
+      .map(r => (r.getAs[Any]("cell") match {
+        case i: Int => i
+        case l: Long => l.toInt
+      }) -> r.getAs[scala.collection.Seq[Double]]("centroid")).toSeq
+    val assigned = newVectors.withColumn("cell",
+      Similarity.nearestCentroidExpr(
+        cents, expr("CAST(embedding AS ARRAY<DOUBLE>)")))
     assigned
       .write.mode(SaveMode.Append)
       .partitionBy("cell")

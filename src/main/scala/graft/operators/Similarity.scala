@@ -62,6 +62,34 @@ object Similarity {
 
   private def cosExpr(a: String, b: String): String = cosineExpr(a, b)
 
+  /** Map-side nearest-centroid argmin over driver-held centroids:
+    * `array_min` of (dist_micro, cluster) structs — lexicographic min is
+    * exactly the tie-broken argmin the trainer and oracle use. Literal
+    * doubles round-trip the driver exactly, so distances match an
+    * in-engine computation bit for bit, and the expression shuffles
+    * nothing (vs a crossJoin + groupBy argmin, which exchanges the full
+    * corpus). `vCol` must be `array<double>`. */
+  def nearestCentroidExpr(
+      cents: Seq[(Int, scala.collection.Seq[Double])],
+      vCol: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import graft.functions.functions.vectorDot
+    require(cents.nonEmpty, "need at least one centroid")
+    // collection.Seq parameter + toVector: Row.getAs/getSeq hand back
+    // mutable ArraySeq wrappers, and typedlit needs an immutable Seq
+    val centsLit = array(cents.map { case (cl, cv) =>
+      struct(lit(cl).as("cl"), typedlit(cv.toVector).as("cv"))
+    }: _*)
+    array_min(transform(centsLit, c =>
+      struct(
+        round((vectorDot(vCol, vCol) -
+          lit(2.0d) * vectorDot(vCol, c.getField("cv")) +
+          vectorDot(c.getField("cv"), c.getField("cv"))) * lit(1000000.0d))
+          .cast("long").as("d"),
+        c.getField("cl").as("cl"))))
+      .getField("cl")
+  }
+
   /** Distributed Lloyd's k-means over the embedding column — the coarse-
     * quantizer TRAINING step of an IVF index (the battery's `label` cells
     * are a given partitioning; a real 100 TB index learns its cells).
@@ -73,43 +101,37 @@ object Similarity {
     *   - assignment: argmin of squared L2 distance computed from three
     *     dot products (|v|² − 2·v·c + |c|², each a sequential
     *     left-to-right sum) micro-rounded to BIGINT, ties broken by
-    *     cluster index. Spelled `min(struct(dist, cluster))` — a hash
-    *     aggregate with map-side partials, NOT a per-vector sort window;
+    *     cluster index;
     *   - update: quantize-sum-divide elementwise mean (order-independent
     *     integer sums, one exact division per component).
     *
-    * Per iteration: one broadcast join (k centroids) + two hash
-    * aggregates — no shuffle of the corpus beyond the aggregate's
-    * partials, so wall-clock per round scales with data / cores. A
-    * cluster that loses all members disappears (standard Lloyd behavior;
-    * both engines agree).
+    * Shuffle shape (the MLlib KMeans discipline): centroids round-trip
+    * through the driver each round (k×dim doubles — MBs at coarse-
+    * quantizer sizes) and the argmin is a MAP-SIDE expression over that
+    * literal centroid array, so assignment shuffles NOTHING; the only
+    * exchange per round is the centroid-update aggregate whose map-side
+    * partials collapse to ≤ k×dim rows per partition. A `groupBy`-based
+    * argmin would instead shuffle the full corpus (vector included)
+    * every iteration — the dominant cost at scale. A cluster that loses
+    * all members disappears (standard Lloyd behavior; both engines
+    * agree).
     *
     * @return (cluster: Int, centroid: Array[Double], n_vectors: Long)
     *         after `iters` full assign+update rounds.
     */
   def kmeans(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     ensureDot(emb)
     val vecs = emb.select(col("vec_id"),
       expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
-    val seeds = vecs.orderBy(col("vec_id")).limit(k)
-      .select((row_number().over(Window.orderBy(col("vec_id"))) - 1)
-        .as("cluster"), col("v").as("centroid"))
 
-    val distMicro =
-      "CAST(round((vector_dot(v, v) - 2 * vector_dot(v, centroid) " +
-        "+ vector_dot(centroid, centroid)) * 1000000) AS BIGINT)"
+    def assign(cents: Seq[(Int, Seq[Double])]): DataFrame =
+      vecs.withColumn("cluster", nearestCentroidExpr(cents, col("v")))
 
-    def assign(cents: DataFrame): DataFrame =
-      vecs.crossJoin(broadcast(cents))
-        .withColumn("__dist", expr(distMicro))
-        .groupBy(col("vec_id"), col("v"))
-        .agg(min(struct(col("__dist"), col("cluster"))).as("__best"))
-        .select(col("vec_id"), col("v"), col("__best.cluster").as("cluster"))
-
-    def update(assigned: DataFrame): DataFrame =
+    /** Integer-exact per-cluster mean, then collect the (small) model to
+      * the driver for the next round's literal. */
+    def update(assigned: DataFrame): Seq[(Int, Seq[Double])] =
       assigned
         .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "component")))
         .groupBy("cluster", "dim")
@@ -122,12 +144,20 @@ object Similarity {
           .as("pairs"))
         .select(col("cluster"),
           expr("transform(pairs, p -> p.m)").as("centroid"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1))
+        .sortBy(_._1).toSeq
 
-    var cents = seeds
+    var cents: Seq[(Int, Seq[Double])] = vecs.orderBy(col("vec_id")).limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Double](1) }.toSeq
     for (_ <- 1 to iters) cents = update(assign(cents))
+    val session = emb.sparkSession
+    import session.implicits._
+    val model = cents.toDF("cluster", "centroid")
     assign(cents)
       .groupBy("cluster").agg(count(lit(1)).as("n_vectors"))
-      .join(cents, Seq("cluster"))
+      .join(broadcast(model), Seq("cluster"))
       .select(col("cluster"), col("centroid"), col("n_vectors"))
   }
 
