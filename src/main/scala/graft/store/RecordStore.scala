@@ -164,7 +164,12 @@ final class RecordStore(spark: SparkSession, path: String,
         .filter(col("time_bucket") === bucket && col("what") === what)
         .drop("time_bucket", "what")
       val tmp = new Path(dir.getParent, "." + dir.getName + ".compact")
+      // sort the rewrite by (where, start): parquet row-group min/max
+      // stats then let where-prefix and interval queries skip row groups
+      // inside a partition — the poor-man's Z-order, for free during the
+      // rewrite compaction already pays for
       part.coalesce(filesPerPartition)
+        .sortWithinPartitions(col("where"), col("metadata.start"))
         .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       Fs.swap(spark, tmp.toString, dir.toString)
       Fs.dropWriterArtifacts(spark, dir.toString)
