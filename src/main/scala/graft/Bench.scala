@@ -63,7 +63,10 @@ object Bench {
         Some(t)
       } catch {
         case e: Throwable =>
-          failedQ += name
+          // a failure only marks the query failed when NO pass has
+          // succeeded: the solo outlier rerun (and a flaky later pass)
+          // must not erase a valid best-of-N measurement
+          if (!best.contains(name)) failedQ += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           None
       } finally {
@@ -118,9 +121,14 @@ object Bench {
     * directory (the driver writes one per round there); empty when absent
     * or unparsable — outlier detection then simply never fires. */
   private def previousRound(): Map[String, Double] = {
+    val Round = """BENCH_r(\d+)\.json""".r
     val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-    files.sortBy(_.getName).lastOption.flatMap { f =>
+      .flatMap(f => f.getName match {
+        case Round(n) => Some(n.toInt -> f)
+        case _ => None
+      })
+    // numeric round sort: lexicographic name order would pick r9 over r10
+    files.sortBy(_._1).lastOption.map(_._2).flatMap { f =>
       try {
         import org.json4s._
         val text = new String(

@@ -41,19 +41,23 @@ final class CellIndex(spark: SparkSession, path: String) {
     * bounds the fraction of data a probe reads). */
   def buildLearned(emb: DataFrame, k: Int, iters: Int = 2): Unit = {
     graft.functions.functions.register(emb.sparkSession)
-    val model = Similarity.kmeans(emb, k, iters)
-      .select(col("cluster").as("cell"), col("centroid"))
-    val cents = model.collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toSeq
+    // train driver-side: the model is k×dim doubles, and writing it from
+    // the collected value (not the kmeans result plan) avoids re-running
+    // full-corpus assignment passes just to persist k rows
+    val cents = Similarity.kmeansModel(emb, k, iters)
     // assignment is the trainer's own map-side argmin expression — the
     // partitioned write is then the only data movement in the build
     val assigned = emb.withColumn("cell", Similarity.nearestCentroidExpr(
-      cents, expr("CAST(embedding AS ARRAY<DOUBLE>)")))
+      cents.map { case (cl, cv) => (cl: Any) -> cv },
+      expr("CAST(embedding AS ARRAY<DOUBLE>)")))
     assigned
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cell")
       .parquet(vectorsPath)
-    model.select(col("cell"), col("centroid"))
+    val session = spark
+    import session.implicits._
+    cents.map { case (cl, cv) => (cl, cv.toVector) }
+      .toDF("cell", "centroid")
       .write.mode(SaveMode.Overwrite).parquet(centroidsPath)
   }
 
@@ -65,11 +69,11 @@ final class CellIndex(spark: SparkSession, path: String) {
     * batch would silently change probe routing. */
   def append(newVectors: DataFrame): Unit = {
     graft.functions.functions.register(newVectors.sparkSession)
+    // cell ids pass through lit(), so integer AND string-labeled indexes
+    // are appendable — whatever type build()/buildLearned() partitioned by
     val cents = centroids.collect()
-      .map(r => (r.getAs[Any]("cell") match {
-        case i: Int => i
-        case l: Long => l.toInt
-      }) -> r.getAs[scala.collection.Seq[Double]]("centroid")).toSeq
+      .map(r => r.getAs[Any]("cell") ->
+        r.getAs[scala.collection.Seq[Double]]("centroid")).toSeq
     val assigned = newVectors.withColumn("cell",
       Similarity.nearestCentroidExpr(
         cents, expr("CAST(embedding AS ARRAY<DOUBLE>)")))

@@ -122,27 +122,32 @@ object Curation {
     "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}" -> "<IP>",
     "\\+?[0-9][0-9()\\- ]{7,}[0-9]" -> "<PHONE>")
 
+  /** Count-column names paired with [[RedactPatterns]], in order. */
+  val RedactCountColumns: Seq[String] = Seq("n_emails", "n_ips", "n_phones")
+
   /** Redact PII-looking spans from `textCol` into typed placeholder
     * tokens — the scrub pass a training pipeline runs before
     * tokenization. Pure map-side chain of `regexp_replace` (codegen'd,
-    * no UDF, no shuffle); counts of each replaced class ride along so
-    * the pass doubles as a PII prevalence audit.
+    * no UDF, no shuffle).
+    *
+    * Each class is counted on the text AS IT STANDS when that pattern
+    * runs (i.e. after the earlier classes were replaced), so every count
+    * equals the number of placeholder tokens of that class in the
+    * output — counting all classes on the original text instead would
+    * report phantom matches a later pattern never gets to replace (e.g.
+    * a long digit run inside an email's local part looks like a phone,
+    * but the email replacement consumes it first).
     *
     * @return input columns + (redacted, n_emails, n_ips, n_phones)
     */
-  def redact(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val Seq(email, ip, phone) = RedactPatterns.map(_._1)
-    val counted = docs
-      .withColumn("n_emails", regexp_count(col(textCol), lit(email)))
-      .withColumn("n_ips", regexp_count(col(textCol), lit(ip)))
-      .withColumn("n_phones", regexp_count(col(textCol), lit(phone)))
-    RedactPatterns.foldLeft(
-      counted.withColumn("redacted", col(textCol))) {
-      case (df, (pattern, token)) =>
-        df.withColumn("redacted",
-          regexp_replace(col("redacted"), pattern, token))
+  def redact(docs: DataFrame, textCol: String = "text"): DataFrame =
+    RedactPatterns.zip(RedactCountColumns).foldLeft(
+      docs.withColumn("redacted", col(textCol))) {
+      case (df, ((pattern, token), countCol)) =>
+        df.withColumn(countCol, regexp_count(col("redacted"), lit(pattern)))
+          .withColumn("redacted",
+            regexp_replace(col("redacted"), pattern, token))
     }
-  }
 
   /** The sampling bucket: uniform in [0, 100) as a pure function of the
     * id — the first 60 bits of md5(id) mod 100. md5 (not xxhash64) so

@@ -70,13 +70,15 @@ object Similarity {
     * nothing (vs a crossJoin + groupBy argmin, which exchanges the full
     * corpus). `vCol` must be `array<double>`. */
   def nearestCentroidExpr(
-      cents: Seq[(Int, scala.collection.Seq[Double])],
+      cents: Seq[(Any, scala.collection.Seq[Double])],
       vCol: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {
     import graft.functions.functions.vectorDot
     require(cents.nonEmpty, "need at least one centroid")
-    // collection.Seq parameter + toVector: Row.getAs/getSeq hand back
-    // mutable ArraySeq wrappers, and typedlit needs an immutable Seq
+    // cell ids go through lit(), so any literal-able type works (learned
+    // Int clusters, Long or String labels); collection.Seq parameter +
+    // toVector because Row.getAs/getSeq hand back mutable ArraySeq
+    // wrappers and typedlit needs an immutable Seq
     val centsLit = array(cents.map { case (cl, cv) =>
       struct(lit(cl).as("cl"), typedlit(cv.toVector).as("cv"))
     }: _*)
@@ -120,6 +122,23 @@ object Similarity {
     *         after `iters` full assign+update rounds.
     */
   def kmeans(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    val cents = kmeansModel(emb, k, iters)
+    val session = emb.sparkSession
+    import session.implicits._
+    val model = cents.toDF("cluster", "centroid")
+    emb.select(expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+      .withColumn("cluster", nearestCentroidExpr(cents, col("v")))
+      .groupBy("cluster").agg(count(lit(1)).as("n_vectors"))
+      .join(broadcast(model), Seq("cluster"))
+      .select(col("cluster"), col("centroid"), col("n_vectors"))
+  }
+
+  /** The training loop behind [[kmeans]], returning the trained model
+    * driver-side (cluster -> centroid) without the final assignment
+    * pass — callers that only need the quantizer (e.g.
+    * [[CellIndex.buildLearned]]) skip that extra corpus scan. */
+  def kmeansModel(emb: DataFrame, k: Int, iters: Int)
+      : Seq[(Int, Seq[Double])] = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     ensureDot(emb)
@@ -152,13 +171,7 @@ object Similarity {
       .collect().zipWithIndex
       .map { case (r, i) => i -> r.getSeq[Double](1) }.toSeq
     for (_ <- 1 to iters) cents = update(assign(cents))
-    val session = emb.sparkSession
-    import session.implicits._
-    val model = cents.toDF("cluster", "centroid")
-    assign(cents)
-      .groupBy("cluster").agg(count(lit(1)).as("n_vectors"))
-      .join(broadcast(model), Seq("cluster"))
-      .select(col("cluster"), col("centroid"), col("n_vectors"))
+    cents
   }
 
   /** IVF top-k: queries are assigned to their `nprobe` nearest cells by

@@ -142,26 +142,33 @@ object CurationQueries {
 
   /** q_redact oracle built from the SAME pattern list the operator
     * applies ([[Curation.RedactPatterns]]) — one source of truth, no
-    * regex drift between engines. */
+    * regex drift between engines. Mirrors the operator's progressive
+    * semantics: each class is counted on the text after the earlier
+    * classes were replaced, so counts equal emitted tokens. */
   private val RedactOracle: String = {
-    val replaced = Curation.RedactPatterns.foldLeft("text") {
-      case (acc, (p, tok)) => s"regexp_replace($acc, '$p', '$tok', 'g')"
-    }
-    val counts = Curation.RedactPatterns.map(_._1).zip(
-      Seq("n_emails", "n_ips", "n_phones")).map { case (p, name) =>
-      s"len(regexp_extract_all(text, '$p')) AS $name"
-    }.mkString(",\n    ")
+    val steps = Curation.RedactPatterns.zip(Curation.RedactCountColumns)
+    // s0 = planted text; each step counts on s(i-1) and produces s(i)
+    val stages = steps.zipWithIndex.map { case (((p, tok), cname), i) =>
+      s"""s$i AS (
+         |  SELECT doc_id,
+         |    len(regexp_extract_all(t, '$p')) AS $cname,
+         |    regexp_replace(t, '$p', '$tok', 'g') AS t${
+        if (i > 0) s",\n    ${steps.take(i).map(_._2).mkString(", ")}" else ""}
+         |  FROM ${if (i == 0) "planted" else s"s${i - 1}"})"""
+        .stripMargin
+    }.mkString(",\n")
+    val countCols = Curation.RedactCountColumns.mkString(", ")
+    val last = s"s${steps.size - 1}"
     s"""WITH planted AS (
        |  SELECT doc_id,
        |    CASE WHEN doc_id % 5 = 0 THEN text || ' Contact: user' ||
        |      doc_id || '@example.com from 10.0.0.' || (doc_id % 200) ||
        |      ' call +1 (555) 010-99' || (doc_id % 10)
-       |    ELSE text END AS text
-       |  FROM documents)
-       |SELECT doc_id,
-       |    $counts,
-       |    md5($replaced) AS redacted_md5
-       |FROM planted ORDER BY doc_id""".stripMargin
+       |    ELSE text END AS t
+       |  FROM documents),
+       |$stages
+       |SELECT doc_id, $countCols, md5(t) AS redacted_md5
+       |FROM $last ORDER BY doc_id""".stripMargin
   }
 
   val oracleSql: Map[String, String] = Map(

@@ -195,18 +195,52 @@ final class LatestStore(spark: SparkSession, path: String,
     vacuum()
   }
 
-  /** Write manifest v to a temp name, then rename-as-commit. Returns
-    * false when a concurrent writer already committed this version. */
+  /** Write manifest v to a WRITER-UNIQUE temp name, then rename-as-
+    * commit under fail-if-destination-exists semantics. Returns false
+    * when a concurrent writer already committed this version.
+    *
+    * Two hazards this must close (both found by review, one by the
+    * racing-writers spec):
+    *   - the temp name must carry a nonce: a shared `.vN.txt.tmp` lets
+    *     racing writers overwrite each other's staged content, so the
+    *     winner could publish the LOSER's entries;
+    *   - `FileSystem.rename` on the local filesystem is POSIX rename(2),
+    *     which silently REPLACES an existing destination — no CAS. The
+    *     commit therefore goes through `FileContext.rename(…, Rename
+    *     .NONE)`, whose contract is fail-if-exists on every
+    *     implementation (HDFS enforces it natively). For filesystems
+    *     with no FileContext binding (e.g. s3a), it falls back to
+    *     exists-then-rename; in-process racers are additionally
+    *     serialized by a JVM-wide per-table lock, which is what local
+    *     tests and single-driver deployments actually race through. */
   private def commitManifest(v: Long, entries: Map[Int, String]): Boolean = {
     f.mkdirs(manifestsDir)
-    val tmp = new Path(manifestsDir, f".v$v%010d.txt.tmp")
+    val tmp = new Path(manifestsDir,
+      f".v$v%010d-${java.util.UUID.randomUUID().toString.take(8)}.txt.tmp")
     val out = f.create(tmp, true)
     try out.write(
       entries.toSeq.sortBy(_._1)
         .map { case (b, d) => s"$b=$d" }.mkString("", "\n", "\n")
         .getBytes("UTF-8"))
     finally out.close()
-    val ok = f.rename(tmp, manifestPath(v))
+    val target = manifestPath(v)
+    val ok = LatestStore.tableLock(path).synchronized {
+      if (f.exists(target)) false
+      else {
+        try {
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+            target.toUri, spark.sessionState.newHadoopConf())
+          fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.NONE)
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+            // no FileContext binding: best-effort exists+rename (still
+            // inside the JVM lock, which covers in-process racers)
+            !f.exists(target) && f.rename(tmp, target)
+        }
+      }
+    }
     if (!ok) f.delete(tmp, false)
     ok
   }
@@ -232,15 +266,34 @@ final class LatestStore(spark: SparkSession, path: String,
     val retained = versions.takeRight(keepVersions)
     val expired = versions.dropRight(keepVersions)
     if (expired.nonEmpty) {
-      val alive = retained
-        .flatMap(v => scala.util.Try(readManifest(v)).toOption)
-        .flatMap(_.values).toSet
-      val dead = expired
-        .flatMap(v => scala.util.Try(readManifest(v)).toOption)
-        .flatMap(_.values).toSet -- alive
+      // a retained manifest that cannot be read ABORTS the vacuum: its
+      // data dirs belong to the live 'alive' set, and silently treating
+      // a transient read failure as "references nothing" would let the
+      // expired-set sweep delete data the current snapshot still needs
+      val alive =
+        try retained.flatMap(readManifest(_).values).toSet
+        catch { case _: java.io.IOException => return }
+      // an unreadable EXPIRED manifest is merely skipped: its dirs and
+      // its file stay for the next vacuum, which is safe (never deletes
+      // too much) and self-healing (retried every commit)
+      val expiredRefs = expired.map(v =>
+        v -> scala.util.Try(readManifest(v)).toOption)
+      val dead = expiredRefs.flatMap(_._2).flatMap(_.values).toSet -- alive
       // data before manifests: a crash in between re-runs idempotently
       dead.foreach(d => f.delete(new Path(dataDir, d), true))
-      expired.foreach(v => f.delete(manifestPath(v), false))
+      expiredRefs.collect { case (v, Some(_)) => v }
+        .foreach(v => f.delete(manifestPath(v), false))
     }
   }
+}
+
+object LatestStore {
+  /** JVM-wide per-table commit locks: serialize in-process writers so
+    * the commit CAS holds even on filesystems whose rename silently
+    * overwrites (local) or that lack a FileContext binding. */
+  private val tableLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+
+  private[store] def tableLock(path: String): Object =
+    tableLocks.getOrElseUpdate(path, new Object)
 }

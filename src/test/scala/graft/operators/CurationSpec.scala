@@ -92,7 +92,11 @@ class CurationSpec extends SparkSuite {
       (2L, "server 10.22.0.117 talked to 192.168.1.1 at dawn"),
       (3L, "call +1 (555) 010-9934 or 555 010 1234 now"),
       (4L, "nothing sensitive here"),
-      (5L, "mixed: c@d.io at 8.8.8.8, dial +44 20 7946 0958"))
+      (5L, "mixed: c@d.io at 8.8.8.8, dial +44 20 7946 0958"),
+      // a 9-digit run inside the email local part looks like a phone,
+      // but the email replacement consumes it first: counts must match
+      // the tokens actually emitted, so n_phones stays 0
+      (6L, "reach 123456789@acme.example now"))
       .toDF("doc_id", "text")
     val got = Curation.redact(docs).orderBy($"doc_id").collect()
       .map(r => (r.getAs[String]("redacted"), r.getAs[Int]("n_emails"),
@@ -102,6 +106,7 @@ class CurationSpec extends SparkSuite {
     assert(got(2) === (("call <PHONE> or <PHONE> now", 0, 0, 2)))
     assert(got(3) === (("nothing sensitive here", 0, 0, 0)))
     assert(got(4) === (("mixed: <EMAIL> at <IP>, dial <PHONE>", 1, 1, 1)))
+    assert(got(5) === (("reach <EMAIL> now", 1, 0, 0)))
     // map-only: no Exchange in the plan
     val plan = Curation.redact(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(500))
