@@ -122,6 +122,55 @@ object Curation {
     "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}" -> "<IP>",
     "\\+?[0-9][0-9()\\- ]{7,}[0-9]" -> "<PHONE>")
 
+  /** Eval-set decontamination: per corpus document, how many of its word
+    * `n`-grams appear anywhere in `evalSet` — the overlap check run
+    * before training so benchmark text does not leak into the corpus
+    * (docs with `n_hits > 0` are dropped or audited).
+    *
+    * Shape: the eval side's distinct grams are SMALL (eval sets are MBs
+    * even when the corpus is 100 TB) and broadcast; corpus grams are
+    * generated map-side (same explode as [[repetitionStats]]) and
+    * semi-matched by a broadcast left join, so the corpus itself never
+    * shuffles — the only exchange carries per-doc hit counts. Word
+    * splitting matches [[repetitionStats]] (`\s+`, trimmed), and
+    * `__words`/`__gram` are reserved working-column names.
+    *
+    * @return one row per corpus doc: (idCol, n_grams, n_hits)
+    */
+  def contaminationStats(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      n: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    Seq("__words", "__gram").foreach(c =>
+      require(!corpus.columns.contains(c) && !evalSet.columns.contains(c),
+        s"input column '$c' collides with a contaminationStats working column"))
+    val gramExpr = (0 until n).map(j => s"__words[i + $j]").mkString(", ")
+    def grams(df: DataFrame): DataFrame = df
+      .withColumn("__words",
+        split(regexp_replace(trim(col(textCol)), "\\s+", " "), " "))
+      .where(size(col("__words")) >= n)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, size(__words) - $n), " +
+          s"i -> concat_ws(' ', $gramExpr))")).as("__gram"))
+    val evalGrams = grams(evalSet).select("__gram").distinct()
+    val corpusGrams = grams(corpus)
+    val hits = corpusGrams
+      .join(broadcast(evalGrams.withColumn("__hit", lit(1))),
+        Seq("__gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0))).as("n_hits"))
+    // docs too short to produce grams still get a row (0 grams, 0 hits)
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
+
   /** Count-column names paired with [[RedactPatterns]], in order. */
   val RedactCountColumns: Seq[String] = Seq("n_emails", "n_ips", "n_phones")
 

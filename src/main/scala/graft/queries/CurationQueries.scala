@@ -33,6 +33,17 @@ object CurationQueries {
         .orderBy($"doc_id")
     }),
 
+    // eval-set decontamination: every 13th doc plays the benchmark set;
+    // docs sharing any 5-gram with it are flagged (the eval members
+    // themselves fully self-overlap, so the flag path is exercised)
+    "q_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      Curation.contaminationStats(d, d.filter($"doc_id" % 13 === 0), n = 5)
+        .withColumn("contaminated", when($"n_hits" > 0, 1).otherwise(0))
+        .orderBy($"doc_id")
+    }),
+
     // PII redaction: scrub emails/IPs/phones into typed tokens with
     // per-class prevalence counts. Every 5th doc gets planted PII
     // (deterministic, mirrored in the oracle) since the synthetic corpus
@@ -173,6 +184,32 @@ object CurationQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_redact" -> RedactOracle,
+
+    "q_decontaminate" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w) - 3),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+        |           w[i+3] || ' ' || w[i+4])) AS g
+        |  FROM words WHERE len(w) >= 5
+        |), eval_grams AS (
+        |  SELECT DISTINCT g FROM grams WHERE doc_id % 13 = 0
+        |), hits AS (
+        |  SELECT gr.doc_id, count(*) AS n_grams,
+        |         sum(CASE WHEN eg.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+        |  FROM grams gr LEFT JOIN eval_grams eg ON gr.g = eg.g
+        |  GROUP BY gr.doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+        |  CASE WHEN COALESCE(n_hits, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+        |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // the oracle computes tokens_before as ONE global cumulative window —
     // the semantic definition the two-level prefix sum must reproduce

@@ -112,6 +112,26 @@ class CurationSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), plan.take(500))
   }
 
+  test("contaminationStats flags docs overlapping the eval set") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),   // full overlap
+      (2L, "a completely different sentence with no overlap here at all"),
+      (3L, "she said the quick brown fox jumps right past us"), // partial
+      (4L, "too short"))                                     // no 5-grams
+      .toDF("doc_id", "text")
+    val evalSet = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val got = Curation.contaminationStats(corpus, evalSet, n = 5)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got(0) === ((1L, 5L, 5L))) // every gram leaks
+    assert(got(1)._3 === 0L)          // clean doc
+    assert(got(2)._3 === 1L)          // "the quick brown fox jumps"
+    assert(got(3) === ((4L, 0L, 0L))) // gramless doc still reported
+  }
+
   test("repetition flag thresholds against a hand-built corpus") {
     import spark.implicits._
     val docs = Seq(
