@@ -60,12 +60,14 @@ object Bench {
           best(name) = t
           loadAtBest(name) = os.getSystemLoadAverage
         }
+        failedQ -= name // any successful pass clears earlier failures
         Some(t)
       } catch {
         case e: Throwable =>
-          // a failure only marks the query failed when NO pass has
-          // succeeded: the solo outlier rerun (and a flaky later pass)
-          // must not erase a valid best-of-N measurement
+          // a failure only marks the query failed while NO pass has
+          // succeeded (and a later success un-marks it): neither a flaky
+          // early pass nor a failed solo outlier rerun may erase a valid
+          // best-of-N measurement
           if (!best.contains(name)) failedQ += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           None
@@ -124,7 +126,9 @@ object Bench {
     val Round = """BENCH_r(\d+)\.json""".r
     val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
       .flatMap(f => f.getName match {
-        case Round(n) => Some(n.toInt -> f)
+        // toLongOption: an absurdly-numbered stray file must be skipped,
+        // not crash the bench ("empty when unparsable" contract)
+        case Round(n) => n.toLongOption.map(_ -> f)
         case _ => None
       })
     // numeric round sort: lexicographic name order would pick r9 over r10

@@ -48,8 +48,7 @@ final class CellIndex(spark: SparkSession, path: String) {
     // assignment is the trainer's own map-side argmin expression — the
     // partitioned write is then the only data movement in the build
     val assigned = emb.withColumn("cell", Similarity.nearestCentroidExpr(
-      cents.map { case (cl, cv) => (cl: Any) -> cv },
-      expr("CAST(embedding AS ARRAY<DOUBLE>)")))
+      cents, expr("CAST(embedding AS ARRAY<DOUBLE>)")))
     assigned
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cell")

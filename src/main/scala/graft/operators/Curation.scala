@@ -32,23 +32,32 @@ object Curation {
     * `__words` and `__gram` are reserved working-column names: an input
     * that already carries either would be clobbered, so it is rejected.
     */
-  def repetitionStats(
-      docs: DataFrame,
-      textCol: String = "text",
-      idCol: String = "doc_id",
-      n: Int = 3): DataFrame = {
+  /** One (id, __gram) row per word `n`-gram of `textCol` — the shared
+    * tokenization contract behind [[repetitionStats]] and
+    * [[contaminationStats]] (whitespace runs collapse to one space,
+    * text is trimmed, docs shorter than `n` words produce no rows).
+    * `__words`/`__gram` are reserved working-column names. */
+  private def wordGrams(
+      docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n-gram order must be >= 1, got $n")
     Seq("__words", "__gram").foreach(c => require(!docs.columns.contains(c),
-      s"input column '$c' collides with a repetitionStats working column"))
+      s"input column '$c' collides with an n-gram working column"))
     val gramExpr = (0 until n).map(j => s"__words[i + $j]").mkString(", ")
-    val grams = docs
+    docs
       .withColumn("__words",
         split(regexp_replace(trim(col(textCol)), "\\s+", " "), " "))
       .where(size(col("__words")) >= n)
       .select(col(idCol), explode(expr(
         s"transform(sequence(0, size(__words) - $n), " +
           s"i -> concat_ws(' ', $gramExpr))")).as("__gram"))
-    grams
+  }
+
+  def repetitionStats(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 3): DataFrame = {
+    wordGrams(docs, textCol, idCol, n)
       .groupBy(col(idCol), col("__gram"))
       .agg(count(lit(1)).as("__cnt"))
       .groupBy(col(idCol))
@@ -143,20 +152,9 @@ object Curation {
       n: Int = 8,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    require(n >= 1, s"n-gram order must be >= 1, got $n")
-    Seq("__words", "__gram").foreach(c =>
-      require(!corpus.columns.contains(c) && !evalSet.columns.contains(c),
-        s"input column '$c' collides with a contaminationStats working column"))
-    val gramExpr = (0 until n).map(j => s"__words[i + $j]").mkString(", ")
-    def grams(df: DataFrame): DataFrame = df
-      .withColumn("__words",
-        split(regexp_replace(trim(col(textCol)), "\\s+", " "), " "))
-      .where(size(col("__words")) >= n)
-      .select(col(idCol), explode(expr(
-        s"transform(sequence(0, size(__words) - $n), " +
-          s"i -> concat_ws(' ', $gramExpr))")).as("__gram"))
-    val evalGrams = grams(evalSet).select("__gram").distinct()
-    val corpusGrams = grams(corpus)
+    val evalGrams = wordGrams(evalSet, textCol, idCol, n)
+      .select("__gram").distinct()
+    val corpusGrams = wordGrams(corpus, textCol, idCol, n)
     val hits = corpusGrams
       .join(broadcast(evalGrams.withColumn("__hit", lit(1))),
         Seq("__gram"), "left")

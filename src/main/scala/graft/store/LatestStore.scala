@@ -272,7 +272,10 @@ final class LatestStore(spark: SparkSession, path: String,
       // expired-set sweep delete data the current snapshot still needs
       val alive =
         try retained.flatMap(readManifest(_).values).toSet
-        catch { case _: java.io.IOException => return }
+        // NonFatal, not just IOException: a corrupt line also throws
+        // NumberFormatException, and any unreadable RETAINED manifest
+        // must abort the vacuum, never fail the already-landed commit
+        catch { case scala.util.control.NonFatal(_) => return }
       // an unreadable EXPIRED manifest is merely skipped: its dirs and
       // its file stay for the next vacuum, which is safe (never deletes
       // too much) and self-healing (retried every commit)
