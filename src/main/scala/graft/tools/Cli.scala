@@ -274,7 +274,7 @@ object Cli {
 
   /** The reference CLI's list formatters (`cli.py:210-241`):
     * url / http / json / json-pretty / human. */
-  private def formatRecord(r: graft.api.ListedRecord, format: String): String =
+  private[tools] def formatRecord(r: graft.api.ListedRecord, format: String): String =
     format match {
       case "url" => r.url
       case "http" => r.httpUrl.getOrElse("")
