@@ -23,6 +23,12 @@ trait HttpSession {
 
 object HttpSession {
 
+  /** Seconds-valued env override (the reference's float convention, e.g.
+    * `3.05`) converted to ms; the default when absent or unparsable. */
+  private[api] def envTimeoutMs(name: String, defaultMs: Int): Int =
+    sys.env.get(name).flatMap(_.toDoubleOption)
+      .map(s => (s * 1000).toInt).getOrElse(defaultMs)
+
   /** One HTTP response: status, body stream, and the headers the fetch
     * path cares about. `body` must be fully read or closed by the caller.
     */
@@ -39,10 +45,15 @@ object HttpSession {
   }
 
   /** Default JDK `HttpURLConnection` session with the reference's timeout
-    * defaults: 3.05 s connect, 31 s read (`archive.py:51-77`). */
+    * contract (`archive.py:51-77`): 3.05 s connect, 31 s read, each
+    * overridable through the same environment variables the reference
+    * honors (`DATALAKE_CONNECT_TIMEOUT_S` / `DATALAKE_READ_TIMEOUT_S`,
+    * in seconds). */
   final class Default(
-      connectTimeoutMs: Int = 3050,
-      readTimeoutMs: Int = 31000) extends HttpSession {
+      connectTimeoutMs: Int = HttpSession.envTimeoutMs(
+        "DATALAKE_CONNECT_TIMEOUT_S", 3050),
+      readTimeoutMs: Int = HttpSession.envTimeoutMs(
+        "DATALAKE_READ_TIMEOUT_S", 31000)) extends HttpSession {
     def get(url: String): Response = {
       val conn = new URL(url).openConnection()
         .asInstanceOf[HttpURLConnection]

@@ -114,9 +114,13 @@ final class LocalContentStore(root: String) extends ObjectStore {
 
 object LocalContentStore {
 
-  /** The reference's `CHUNK_SIZE()` default (`archive.py:47-48`):
-    * 100 MB multipart threshold and chunk size. */
-  val DefaultChunkSize: Int = 100 * 1024 * 1024
+  /** The reference's `CHUNK_SIZE()` (`archive.py:45-48`): 100 MB
+    * multipart threshold and chunk size, overridable through the same
+    * `DATALAKE_CHUNK_SIZE_MB` environment variable (float MB). */
+  val DefaultChunkSize: Int =
+    sys.env.get("DATALAKE_CHUNK_SIZE_MB").flatMap(_.toDoubleOption)
+      .map(mb => (mb * 1024 * 1024).toInt)
+      .getOrElse(100 * 1024 * 1024)
 
   /** Multipart upload against the local store: stage `chunkSize` parts in
     * a hidden sibling dir (each part an independent, retryable write),

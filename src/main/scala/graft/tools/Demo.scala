@@ -120,6 +120,42 @@ object Demo {
     println("INGEST-LATEST: " +
       qi.queryLatest("applog", "demo-host").map(_.metadata.hash))
 
+    import spark.implicits._
+
+    // versioned latest table: a second upsert rewrites only the touched
+    // bucket and the manifest log arbitrates the snapshot readers see
+    val meta2 = Metadata(0, now + 7200 * 1000L, None, "demo-host", "applog",
+      None, "/var/log/app2.log", "ee" * 16, "ff" * 16)
+    latest.upsert(Seq(graft.store.RecordRow.fromCore(
+      DatalakeRecord.listFromMetadata(meta2, "file:///c2", 2L, 5L).head))
+      .toDS().toDF())
+    val manifests = new java.io.File(dir + "/latest/manifests")
+      .listFiles().map(_.getName).filter(_.startsWith("v")).sorted
+    println(s"LATEST-MANIFESTS: ${manifests.mkString(",")} " +
+      s"rows=${latest.latest.count()}")
+
+    // learned IVF index end-to-end: train k-means cells, build the
+    // partitioned index, probe — and show the probed-cells pruning
+    val rng = new scala.util.Random(42)
+    val demoEmb = (0 until 90).map { i =>
+      val c = i % 3
+      val v = Array.fill(8)(0.05f * rng.nextFloat())
+      v(c) = 1.0f
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val idx = new graft.operators.CellIndex(spark, dir + "/cellidx")
+    idx.buildLearned(demoEmb, k = 3, iters = 2)
+    val probeQ = demoEmb.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"),
+        org.apache.spark.sql.functions.expr(
+          "CAST(embedding AS ARRAY<DOUBLE>)").as("qv"))
+    val annTop = idx.topK(probeQ, k = 3, nprobe = 1)
+    val annPlan = annTop.queryExecution.sparkPlan.toString.split("\n")
+      .filter(_.contains("PartitionFilters")).map(_.trim.take(200))
+    println("ANN-TOPK: " + annTop.collect()
+      .map(r => s"${r.getLong(1)}@${r.getLong(4)}").mkString(", "))
+    annPlan.foreach(s => println("ANN-PLAN: " + s))
+
     // re-hash verification job: blake2b over content as a native
     // codegen'd expression must reproduce the push-time hash
     import org.apache.spark.sql.functions.col
