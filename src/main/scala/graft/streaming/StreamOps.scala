@@ -51,6 +51,42 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming curation: the batch scrub-and-filter pass
+    * ([[graft.operators.Curation]] / `q_curation_pipeline` semantics)
+    * composed for a continuously-ingesting corpus —
+    *
+    *   1. exact dedup on the text hash within the watermark window
+    *      (bounded state, as [[streamingDedup]]);
+    *   2. PII redaction (map-side regexp chain — streams untouched);
+    *   3. minimum-length quality filter on the redacted text;
+    *   4. deterministic stratified downsampling by `stratumCol` (pure
+    *      md5-of-id decision — replays and retries keep identical rows,
+    *      which matters doubly under streaming recovery).
+    *
+    * Everything except the dedup is stateless map work, so the whole
+    * pass adds exactly one piece of streaming state: the dedup keys of
+    * one watermark window. `docs` must carry event-time `ts`, `doc_id`,
+    * `text`, and `stratumCol`. */
+  def streamingCuration(
+      docs: DataFrame,
+      stratumCol: String,
+      rates: Map[String, Int],
+      defaultPct: Int,
+      minWords: Int = 15,
+      watermark: String = "1 hour"): DataFrame = {
+    import graft.operators.Curation
+    val deduped = docs
+      .withColumn("__text_hash", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("__text_hash" :: Nil)
+      .drop("__text_hash")
+    val redacted = Curation.redact(deduped)
+    val quality = redacted.filter(
+      size(split(trim(col("redacted")), "\\s+")) >= minWords)
+    Curation.stratifiedSample(quality, stratumCol, "doc_id",
+      rates, defaultPct)
+  }
+
   /** Gap-based sessionization with explicit state: a session closes (and
     * is emitted) when its group sees an event more than `gapMs` later.
     * Batch `Temporal.sessionize` computes the same sessions

@@ -60,6 +60,35 @@ class StreamOpsSpec extends SparkSuite {
     assert(out === Set(("a", 1), ("b", 3), ("c", 6), ("z", 7), ("a", 8)))
   }
 
+  test("streaming curation: dedup + redact + quality + sampling on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String, String)]
+    val df = input.toDF().toDF("ts", "doc_id", "text", "lang")
+    val q = StreamOps.streamingCuration(df, stratumCol = "lang",
+      rates = Map.empty, defaultPct = 100, minWords = 5,
+      watermark = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("curated_out").start()
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val longText = "contact me at alice@example.org about the " +
+      "quarterly report draft please"
+    input.addData(
+      (t(0), 1L, longText, "en"),          // kept, email redacted
+      (t(1), 2L, longText, "en"),          // exact duplicate: suppressed
+      (t(2), 3L, "too short", "en"),       // quality-filtered
+      (t(3), 4L, "a completely different sentence with many words inside", "en"))
+    q.processAllAvailable()
+    val out = spark.table("curated_out")
+      .select($"doc_id", $"redacted", $"n_emails").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    q.stop()
+    assert(out.map(_._1).sorted === Array(1L, 4L))
+    val doc1 = out.find(_._1 == 1L).get
+    assert(doc1._2.contains("<EMAIL>") && !doc1._2.contains("alice@"))
+    assert(doc1._3 === 1)
+  }
+
   test("stateful sessionization emits closed sessions incrementally") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
