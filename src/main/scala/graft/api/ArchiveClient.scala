@@ -24,10 +24,16 @@ trait HttpSession {
 object HttpSession {
 
   /** Seconds-valued env override (the reference's float convention, e.g.
-    * `3.05`) converted to ms; the default when absent or unparsable. */
+    * `3.05`) converted to ms; the default when absent, unparsable, or
+    * non-positive — a 0 would mean INFINITE to HttpURLConnection (the
+    * opposite of requests' fail-immediately) and a negative value makes
+    * setConnectTimeout throw, so neither is honored. */
   private[api] def envTimeoutMs(name: String, defaultMs: Int): Int =
     sys.env.get(name).flatMap(_.toDoubleOption)
-      .map(s => (s * 1000).toInt).getOrElse(defaultMs)
+      .map(_ * 1000)
+      .filter(ms => ms >= 1 && ms <= Int.MaxValue.toDouble)
+      .map(_.toInt)
+      .getOrElse(defaultMs)
 
   /** One HTTP response: status, body stream, and the headers the fetch
     * path cares about. `body` must be fully read or closed by the caller.

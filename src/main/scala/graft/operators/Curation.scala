@@ -17,26 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** Per-document word `n`-gram repetition statistics:
-    *
-    *   - `n_grams`: total n-grams in the document
-    *   - `dup_grams`: n-grams belonging to a gram value that occurs more
-    *     than once (the "fraction of characters in duplicated n-grams"
-    *     family of filters, counted in grams)
-    *   - `top_gram_n`: occurrences of the most frequent gram (the "top
-    *     n-gram fraction" numerator)
-    *
-    * Documents with fewer than `n` words produce no row. Callers derive
-    * boolean quality flags by thresholding (see `q_repetition`).
-    *
-    * `__words` and `__gram` are reserved working-column names: an input
-    * that already carries either would be clobbered, so it is rejected.
-    */
   /** One (id, __gram) row per word `n`-gram of `textCol` — the shared
     * tokenization contract behind [[repetitionStats]] and
     * [[contaminationStats]] (whitespace runs collapse to one space,
     * text is trimmed, docs shorter than `n` words produce no rows).
-    * `__words`/`__gram` are reserved working-column names. */
+    * `__words`/`__gram` are reserved working-column names: an input
+    * that already carries either would be clobbered, so it is rejected. */
   private def wordGrams(
       docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n-gram order must be >= 1, got $n")
@@ -52,6 +38,20 @@ object Curation {
           s"i -> concat_ws(' ', $gramExpr))")).as("__gram"))
   }
 
+  /** Per-document word `n`-gram repetition statistics:
+    *
+    *   - `n_grams`: total n-grams in the document
+    *   - `dup_grams`: n-grams belonging to a gram value that occurs more
+    *     than once (the "fraction of characters in duplicated n-grams"
+    *     family of filters, counted in grams)
+    *   - `top_gram_n`: occurrences of the most frequent gram (the "top
+    *     n-gram fraction" numerator)
+    *
+    * Documents with fewer than `n` words produce no row (see
+    * [[wordGrams]] for the shared tokenization contract and reserved
+    * column names). Callers derive boolean quality flags by
+    * thresholding (see `q_repetition`).
+    */
   def repetitionStats(
       docs: DataFrame,
       textCol: String = "text",

@@ -116,10 +116,15 @@ object LocalContentStore {
 
   /** The reference's `CHUNK_SIZE()` (`archive.py:45-48`): 100 MB
     * multipart threshold and chunk size, overridable through the same
-    * `DATALAKE_CHUNK_SIZE_MB` environment variable (float MB). */
+    * `DATALAKE_CHUNK_SIZE_MB` environment variable (float MB). Values
+    * that parse but cannot work — non-positive, NaN, or beyond Int
+    * range after MB scaling — fall back to the default rather than
+    * wedging every push. */
   val DefaultChunkSize: Int =
     sys.env.get("DATALAKE_CHUNK_SIZE_MB").flatMap(_.toDoubleOption)
-      .map(mb => (mb * 1024 * 1024).toInt)
+      .map(_ * 1024 * 1024)
+      .filter(b => b >= 1 && b <= Int.MaxValue.toDouble)
+      .map(_.toInt)
       .getOrElse(100 * 1024 * 1024)
 
   /** Multipart upload against the local store: stage `chunkSize` parts in

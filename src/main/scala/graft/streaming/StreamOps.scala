@@ -66,7 +66,8 @@ object StreamOps {
     * Everything except the dedup is stateless map work, so the whole
     * pass adds exactly one piece of streaming state: the dedup keys of
     * one watermark window. `docs` must carry event-time `ts`, `doc_id`,
-    * `text`, and `stratumCol`. */
+    * `text`, and `stratumCol`; `__text_hash` is a reserved working
+    * column. */
   def streamingCuration(
       docs: DataFrame,
       stratumCol: String,
@@ -75,10 +76,12 @@ object StreamOps {
       minWords: Int = 15,
       watermark: String = "1 hour"): DataFrame = {
     import graft.operators.Curation
-    val deduped = docs
-      .withColumn("__text_hash", md5(col("text")))
-      .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark("__text_hash" :: Nil)
+    require(!docs.columns.contains("__text_hash"),
+      "input column '__text_hash' collides with a streamingCuration " +
+        "working column")
+    val deduped = streamingDedup(
+      docs.withColumn("__text_hash", md5(col("text"))),
+      Seq("__text_hash"), watermark)
       .drop("__text_hash")
     val redacted = Curation.redact(deduped)
     val quality = redacted.filter(
