@@ -66,5 +66,16 @@ class StoreMaintenanceSpec extends SparkSuite {
     val b = qPlain.queryByWorkId("w2-id", "job").records.map(_.metadata.id)
     assert(a === b)
     assert(a.nonEmpty)
+
+    // the index scan is partition-pruned to ONE work_id_prefix dir —
+    // the GSI-equivalent locality claim, asserted at the plan level
+    val lookupPlan = idx.lookup("w1-id", "job").queryExecution.sparkPlan
+    val prunedScans = lookupPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.partitionFilters.exists(_.toString.contains("work_id_prefix")) => f
+    }
+    assert(prunedScans.nonEmpty, s"no prefix-pruned scan in:\n$lookupPlan")
+    assert(prunedScans.head.selectedPartitions.partitionCount === 1,
+      "expected exactly one work_id_prefix partition read")
   }
 }
