@@ -85,7 +85,9 @@ object Curation {
     * oracle computes directly.
     *
     * `__bucket` is a reserved working-column name (input rejected if
-    * present).
+    * present). `idCol` values must be unique — the stream position of a
+    * duplicated id would depend on intra-window row order, which Spark
+    * does not define.
     *
     * @return input columns + (tokens_before, bin, bin_offset)
     */

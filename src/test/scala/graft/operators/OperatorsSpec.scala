@@ -215,6 +215,11 @@ class OperatorsSpec extends SparkSuite {
       .orderBy($"cluster").collect()
     assert(again.map(r => (r.getInt(0), r.getSeq[Double](1), r.getLong(2)))
       .toSeq === out.map(r => (r.getInt(0), r.getSeq[Double](1), r.getLong(2))).toSeq)
+    // k beyond the corpus degrades to one cluster per seed vector
+    val tiny = vecs.take(2).toDF("vec_id", "embedding", "label")
+    val overK = Similarity.kmeans(tiny, k = 10, iters = 1).collect()
+    assert(overK.length <= 2)
+    assert(overK.map(_.getLong(2)).sum === 2L)
   }
 
   test("CellIndex.topK reads only probed cells (partition-pruned scan)") {
