@@ -1,0 +1,149 @@
+package graft.store
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** The commit CAS seam: atomically publish `bytes` at `target` iff no
+  * file with that name exists yet, returning whether THIS caller won.
+  *
+  * Every manifested table ([[LatestStore]], [[RecordStore]],
+  * [[WorkIdIndex]]) funnels its manifest commit through this trait, so
+  * the concurrency story lives in exactly one place. The reference gets
+  * the same guarantee from a DynamoDB conditional put
+  * (`storage.py:78-137`: `put_item` with an attribute-not-exists
+  * condition); Delta/Iceberg get it from a LogStore / catalog swap.
+  *
+  * Contract (exercised by CommitterContractSpec for every impl):
+  *   - at most one of N concurrent `putIfAbsent` calls for the same
+  *     target returns true;
+  *   - after a winning call, the target holds exactly the winner's bytes;
+  *   - a losing call leaves no partial or temp file behind that a
+  *     manifest listing would pick up.
+  */
+trait ManifestCommitter {
+  def putIfAbsent(target: Path, bytes: Array[Byte]): Boolean
+}
+
+/** Default committer: write to a writer-unique dot-temp, then
+  * rename-as-commit under fail-if-destination-exists semantics.
+  *
+  * Two hazards this closes (one found by review, one by the racing-
+  * writers spec):
+  *   - the temp name must carry a nonce: a shared `.vN.txt.tmp` lets
+  *     racing writers overwrite each other's staged content, so the
+  *     winner could publish the LOSER's entries;
+  *   - `FileSystem.rename` on the local filesystem is POSIX rename(2),
+  *     which silently REPLACES an existing destination — no CAS. The
+  *     commit therefore goes through `FileContext.rename(…,
+  *     Rename.NONE)`, whose contract is fail-if-exists on every
+  *     implementation (HDFS enforces it natively, atomically). For
+  *     filesystems with no FileContext binding (e.g. s3a), it falls
+  *     back to exists-then-rename — NOT cross-process safe; such
+  *     deployments should wire a [[ConditionalPutCommitter]] instead,
+  *     which is exactly why this seam exists.
+  *
+  * In-process racers (multiple writers in one driver JVM — what local
+  * tests and single-driver deployments actually race through) are
+  * additionally serialized by a JVM-wide per-table lock.
+  */
+final class RenameCommitter(spark: SparkSession, tablePath: String)
+    extends ManifestCommitter {
+
+  private def f = Fs.fs(spark, tablePath)
+
+  def putIfAbsent(target: Path, bytes: Array[Byte]): Boolean = {
+    val tmp = new Path(target.getParent,
+      "." + target.getName + "." +
+        java.util.UUID.randomUUID().toString.take(8) + ".tmp")
+    val out = f.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    val ok = RenameCommitter.tableLock(tablePath).synchronized {
+      if (f.exists(target)) false
+      else {
+        try {
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+            target.toUri, spark.sessionState.newHadoopConf())
+          fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.NONE)
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+            // no FileContext binding: best-effort exists+rename (still
+            // inside the JVM lock, which covers in-process racers)
+            !f.exists(target) && f.rename(tmp, target)
+        }
+      }
+    }
+    if (!ok) f.delete(tmp, false)
+    ok
+  }
+}
+
+object RenameCommitter {
+  /** JVM-wide per-table commit locks: serialize in-process writers so
+    * the commit CAS holds even on filesystems whose rename silently
+    * overwrites (local) or that lack a FileContext binding. */
+  private val tableLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+
+  private[store] def tableLock(path: String): Object =
+    tableLocks.getOrElseUpdate(path, new Object)
+}
+
+/** External conditional-put arbiter — the pluggable mirror of the
+  * reference's DynamoDB conditional put (`storage.py:78-137`). A real
+  * deployment backs this with any store offering put-if-absent
+  * (DynamoDB, etcd, a SQL row with a unique key); the table code never
+  * needs to know which.
+  */
+trait ConditionalPut {
+  /** Record `key` iff absent; true when THIS caller created it. */
+  def putIfAbsent(key: String, value: String): Boolean
+}
+
+/** Process-local arbiter for tests and the two-simulated-processes
+  * contract suite: a ConcurrentHashMap's putIfAbsent is a true CAS, so
+  * this behaves exactly like the DynamoDB table it stands in for —
+  * including across simulated "processes" that share nothing else. */
+final class InMemoryConditionalPut extends ConditionalPut {
+  private val entries =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def putIfAbsent(key: String, value: String): Boolean =
+    entries.putIfAbsent(key, value) == null
+  def contains(key: String): Boolean = entries.containsKey(key)
+}
+
+/** Object-store committer: the external CAS decides the winner BEFORE
+  * any file appears at the target name, so it is safe on stores with no
+  * atomic or fail-if-exists rename at all (plain S3). Only the winner
+  * writes the manifest file — losers never touch the target, so readers
+  * (which list committed manifest names) can never observe a loser's
+  * bytes. The CAS key is the fully-qualified target name: one key per
+  * manifest version per table, exactly the reference's
+  * one-conditional-put-per-version shape. */
+final class ConditionalPutCommitter(
+    spark: SparkSession, tablePath: String, cas: ConditionalPut)
+    extends ManifestCommitter {
+
+  private def f = Fs.fs(spark, tablePath)
+
+  def putIfAbsent(target: Path, bytes: Array[Byte]): Boolean =
+    if (!cas.putIfAbsent(target.toString, "")) false
+    else {
+      // we own this name now, so there is no rename RACE — but on
+      // filesystems with progressive visibility (local, HDFS) a direct
+      // create+write would let a reader list a half-written manifest.
+      // Stage to a dot-temp and promote with a plain rename: atomic on
+      // rename-capable stores; on object stores the PUT itself is
+      // already all-or-nothing.
+      val tmp = new Path(target.getParent,
+        "." + target.getName + "." +
+          java.util.UUID.randomUUID().toString.take(8) + ".tmp")
+      val out = f.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      if (!f.rename(tmp, target))
+        throw new java.io.IOException(
+          s"won the commit CAS for $target but could not publish it")
+      true
+    }
+}

@@ -1,0 +1,215 @@
+package graft.store
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Versioned manifest log shared by every manifested table
+  * ([[LatestStore]], [[RecordStore]], [[WorkIdIndex]]): the generic
+  * machinery behind snapshot-isolated commits on a filesystem.
+  *
+  * Layout under a table `path`:
+  * {{{
+  * <path>/manifests/v0000000001.txt     # committed via the CAS seam
+  * <path>/data/v0000000001-ab12cd34/…   # immutable data dirs
+  * }}}
+  *
+  * A manifest maps each CELL (a table-defined partition unit — a kp
+  * bucket for the latest table, a `time_bucket=…/what=…` leaf for the
+  * record table, a `work_id_prefix=…` dir for the work-id index) to the
+  * ordered list of data dirs currently holding its rows. Commit
+  * protocol: write data dirs first, then publish manifest N+1 through
+  * [[ManifestCommitter.putIfAbsent]] — a reader resolves either the old
+  * manifest or the new one, never a half-written table, and a racing
+  * writer loses the CAS, re-reads, and retries its merge (the same
+  * optimistic loop the reference runs against DynamoDB,
+  * `storage.py:78-137`, and the same manifest-log shape Delta/Iceberg
+  * use on object stores where directory operations are not atomic:
+  * data files are only ever created and later garbage-collected, never
+  * renamed).
+  *
+  * File format: one `cell=dir1,dir2` line per cell, cells URL-encoded
+  * (values never need encoding — dir names are self-assigned). A
+  * single-dir entry serializes as `cell=dir`, byte-identical to the
+  * pre-generalization LatestStore format, so existing tables read
+  * unchanged.
+  */
+final class ManifestLog(spark: SparkSession, path: String,
+    keepVersions: Int = 3,
+    committerOverride: Option[ManifestCommitter] = None) {
+
+  require(keepVersions >= 1, "keepVersions must be >= 1")
+
+  private[store] val root = new Path(path)
+  private[store] val manifestsDir = new Path(root, "manifests")
+  private[store] val dataRoot = new Path(root, "data")
+  private[store] def f = Fs.fs(spark, path)
+  private val committer = committerOverride.getOrElse(
+    new RenameCommitter(spark, path))
+
+  private val ManifestName = """v(\d{10})\.txt""".r
+
+  def currentVersion: Option[Long] =
+    if (!f.exists(manifestsDir)) None
+    else f.listStatus(manifestsDir).toSeq
+      .flatMap(st => st.getPath.getName match {
+        case ManifestName(n) => Some(n.toLong)
+        case _ => None
+      }).sorted.lastOption
+
+  /** true once any version has been committed. */
+  def hasAny: Boolean = currentVersion.isDefined
+
+  def manifestPath(v: Long): Path = new Path(manifestsDir, f"v$v%010d.txt")
+
+  /** cell -> ordered data dir names for version `v`. */
+  def readManifest(v: Long): Map[String, Seq[String]] = {
+    val in = f.open(manifestPath(v))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.contains('='))
+      .map { l =>
+        val Array(k, d) = l.split("=", 2)
+        java.net.URLDecoder.decode(k, "UTF-8") ->
+          d.split(",").toSeq.filter(_.nonEmpty)
+      }
+      .toMap
+    finally in.close()
+  }
+
+  /** Resolve the current (version, entries), retrying if a concurrent
+    * vacuum removed the manifest between list and open. */
+  def resolve(): Option[(Long, Map[String, Seq[String]])] = {
+    var attempts = 0
+    while (attempts < 5) {
+      currentVersion match {
+        case None => return None
+        case Some(v) =>
+          try return Some((v, readManifest(v)))
+          catch { case _: java.io.IOException => attempts += 1 }
+      }
+    }
+    throw new java.io.IOException(s"cannot resolve current manifest under $path")
+  }
+
+  /** Writer-unique data dir name for a commit targeting version `v`.
+    * The version prefix is advisory (ordering comes from manifest
+    * numbers alone); the nonce keeps two racing writers' Spark write
+    * jobs — whose `_temporary` staging must never collide — in
+    * disjoint directories. */
+  def newDataDirName(v: Long): String =
+    f"v$v%010d-" + java.util.UUID.randomUUID().toString.take(8)
+
+  def dataPath(dirName: String): Path = new Path(dataRoot, dirName)
+
+  /** Publish version `v` through the CAS seam; false = lost the race. */
+  def tryCommit(v: Long, entries: Map[String, Seq[String]]): Boolean = {
+    f.mkdirs(manifestsDir)
+    val bytes = entries.toSeq.sortBy(_._1)
+      .map { case (c, dirs) =>
+        java.net.URLEncoder.encode(c, "UTF-8") + "=" + dirs.mkString(",")
+      }
+      .mkString("", "\n", "\n").getBytes("UTF-8")
+    committer.putIfAbsent(manifestPath(v), bytes)
+  }
+
+  /** Resolve-mutate-commit with retry: applies `mutate` to the freshly
+    * resolved entries each attempt (missing table = version 0, empty
+    * entries) and commits the result as the next version. Use when the
+    * DATA being committed does not depend on the base version (appends,
+    * supersede-style compactions) — only the manifest is recomputed on
+    * a lost race, never the data files. Returns the committed version.
+    */
+  def commitRetry(
+      mutate: Map[String, Seq[String]] => Map[String, Seq[String]]): Long = {
+    var attempts = 0
+    while (attempts < 10) {
+      attempts += 1
+      val (v, entries) = resolve().getOrElse((0L, Map.empty[String, Seq[String]]))
+      if (tryCommit(v + 1, mutate(entries))) {
+        vacuum()
+        return v + 1
+      }
+    }
+    throw new java.io.IOException(s"lost $attempts commit races under $path")
+  }
+
+  /** Drop manifests beyond the `keepVersions` most recent, then the
+    * data dirs ONLY those expired manifests referenced (minus any still
+    * referenced by a retained manifest). Deleting by expired-manifest
+    * reference — instead of sweeping every dir no retained manifest
+    * names — is what makes concurrent writers safe: an in-flight
+    * writer's freshly-written dir is referenced by NO manifest yet, and
+    * a delete-the-unreferenced sweep from a racing writer would rip its
+    * `_temporary` staging out from under the active Spark write job
+    * (caught by the racing-writers spec). The cost: a dir whose writer
+    * crashed before committing is never referenced and so never swept —
+    * bounded by crash count; [[vacuumOrphans]] reclaims them offline. */
+  def vacuum(): Unit = {
+    val versions = f.listStatus(manifestsDir).toSeq
+      .flatMap(st => st.getPath.getName match {
+        case ManifestName(n) => Some(n.toLong)
+        case _ => None
+      }).sorted
+    val retained = versions.takeRight(keepVersions)
+    val expired = versions.dropRight(keepVersions)
+    if (expired.nonEmpty) {
+      // a retained manifest that cannot be read ABORTS the vacuum: its
+      // data dirs belong to the live 'alive' set, and silently treating
+      // a transient read failure as "references nothing" would let the
+      // expired-set sweep delete data the current snapshot still needs.
+      // NonFatal, not just IOException: a corrupt line also throws
+      // NumberFormatException, and any unreadable RETAINED manifest
+      // must abort the vacuum, never fail the already-landed commit
+      val alive =
+        try retained.flatMap(readManifest(_).values.flatten).toSet
+        catch { case scala.util.control.NonFatal(_) => return }
+      // an unreadable EXPIRED manifest is merely skipped: its dirs and
+      // its file stay for the next vacuum, which is safe (never deletes
+      // too much) and self-healing (retried every commit)
+      val expiredRefs = expired.map(v =>
+        v -> scala.util.Try(readManifest(v)).toOption)
+      val dead = expiredRefs.flatMap(_._2).flatMap(_.values.flatten)
+        .toSet -- alive -- ManifestLog.Protected
+      // data before manifests: a crash in between re-runs idempotently
+      dead.foreach(d => f.delete(dataPath(d), true))
+      expiredRefs.collect { case (v, Some(_)) => v }
+        .foreach(v => f.delete(manifestPath(v), false))
+    }
+  }
+
+  /** Offline reclamation of crashed-writer leftovers: delete data dirs
+    * under `data/` that (a) no EXISTING manifest references and (b) were
+    * last modified more than `olderThanMs` ago. The age guard is what
+    * keeps an in-flight writer safe — its dir is unreferenced by design
+    * until its commit lands, but it is also FRESH (a directory's mtime
+    * updates as Spark creates its `_temporary` staging and files), so
+    * any threshold comfortably above a write's duration (hours) never
+    * touches it. Run from a maintenance job, not concurrently with a
+    * backlogged writer whose single write outlives the threshold.
+    * Returns the reclaimed dir names. */
+  def vacuumOrphans(olderThanMs: Long): Seq[String] = {
+    if (!f.exists(dataRoot)) return Nil
+    val referenced = (if (!f.exists(manifestsDir)) Nil
+      else f.listStatus(manifestsDir).toSeq
+        .flatMap(st => st.getPath.getName match {
+          case ManifestName(n) => Some(n.toLong)
+          case _ => None
+        }))
+      .flatMap(v => scala.util.Try(readManifest(v)).toOption)
+      .flatMap(_.values.flatten).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val orphans = f.listStatus(dataRoot).toSeq
+      .filter(st => st.isDirectory &&
+        !referenced.contains(st.getPath.getName) &&
+        st.getModificationTime < cutoff)
+      .map(_.getPath.getName)
+    orphans.foreach(d => f.delete(dataPath(d), true))
+    orphans
+  }
+}
+
+object ManifestLog {
+  /** Dir names vacuum must never delete as a unit. "." marks the
+    * table's own root (a migrated pre-manifest tree referenced in
+    * place); deleting it would take the manifests with it. */
+  private[store] val Protected: Set[String] = Set(".", "")
+}

@@ -159,6 +159,23 @@ class LatestStoreSpec extends SparkSuite {
       .getAs[Long]("start") === 100L * day)
   }
 
+  test("vacuumOrphans reclaims a crashed writer's data dir, not a fresh one") {
+    val dir = tmpDir("lat-orphan") + "/t"
+    val store = new LatestStore(spark, dir, nBuckets = 2)
+    store.upsert(batch(Seq(("a", "b")), 100L * day, 1L))
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val orphan = new org.apache.hadoop.fs.Path(dir, "data/v0000000042-deadbeef")
+    f.mkdirs(new org.apache.hadoop.fs.Path(orphan, "kp=0"))
+    f.setTimes(orphan, System.currentTimeMillis() - 48 * 3600 * 1000L, -1)
+    val fresh = new org.apache.hadoop.fs.Path(dir, "data/v0000000043-cafebabe")
+    f.mkdirs(new org.apache.hadoop.fs.Path(fresh, "_temporary"))
+    assert(store.vacuumOrphans(24 * 3600 * 1000L) === Seq("v0000000042-deadbeef"))
+    assert(!f.exists(orphan))
+    assert(f.exists(fresh))
+    assert(store.latest.count() === 1)
+  }
+
   test("empty store: exists is false and latest is empty") {
     val store = new LatestStore(spark, tmpDir("lat-empty") + "/t")
     assert(!store.exists)
