@@ -63,23 +63,40 @@ final class CellIndex(spark: SparkSession, path: String) {
   /** Incremental maintenance: route a batch of new vectors to their
     * nearest existing cells and append — arriving data lands in the
     * right partitions without rebuilding or re-training (the standard
-    * IVF ingest path; re-train + rebuild only when the corpus drifts).
-    * Centroids are left as trained: a quantizer that shifts with every
-    * batch would silently change probe routing. */
-  def append(newVectors: DataFrame): Unit = {
+    * IVF ingest path). Centroids are left as trained: a quantizer that
+    * shifts with every batch would silently change probe routing.
+    *
+    * Returns the batch's assignment-distance statistics (squared-
+    * Euclidean micro-distance to the winning trained centroid), the
+    * observable that makes the "re-train + rebuild when the corpus
+    * drifts" decision measurable: a batch drawn from the trained
+    * distribution reports distances in the trained regime, a drifted
+    * batch reports a jump in mean/p95. Track these per append and
+    * re-train when they trend away from the build-time profile. Cost:
+    * one extra map-side aggregate over the batch (never the corpus). */
+  def append(newVectors: DataFrame): CellIndex.DriftStats = {
     graft.functions.functions.register(newVectors.sparkSession)
     // cell ids pass through lit(), so integer AND string-labeled indexes
     // are appendable — whatever type build()/buildLearned() partitioned by
     val cents = centroids.collect()
       .map(r => r.getAs[Any]("cell") ->
         r.getAs[scala.collection.Seq[Double]]("centroid")).toSeq
-    val assigned = newVectors.withColumn("cell",
-      Similarity.nearestCentroidExpr(
+    val assigned = newVectors.withColumn("__a",
+      Similarity.nearestCentroidStruct(
         cents, expr("CAST(embedding AS ARRAY<DOUBLE>)")))
     assigned
+      .withColumn("cell", col("__a.cl")).drop("__a")
       .write.mode(SaveMode.Append)
       .partitionBy("cell")
       .parquet(vectorsPath)
+    val stats = assigned
+      .select(col("__a.d").as("d"))
+      .agg(count(lit(1)).as("n"), avg(col("d")).as("mean"),
+        expr("percentile(d, 0.95)").as("p95"), max(col("d")).as("mx"))
+      .collect().head
+    if (stats.getLong(0) == 0L) CellIndex.DriftStats(0L, 0.0, 0.0, 0L)
+    else CellIndex.DriftStats(stats.getLong(0), stats.getDouble(1),
+      stats.getDouble(2), stats.getLong(3))
   }
 
   def vectors: DataFrame = spark.read.parquet(vectorsPath)
@@ -130,4 +147,12 @@ final class CellIndex(spark: SparkSession, path: String) {
         col("cos_sim_micro"))
       .orderBy(col("query_id"), col("rank"))
   }
+}
+
+object CellIndex {
+  /** Per-append assignment-distance profile: squared-Euclidean
+    * micro-distances (×1e6, the trainer's own unit) from each appended
+    * vector to its winning trained centroid. */
+  final case class DriftStats(
+      n: Long, meanMicroDist: Double, p95MicroDist: Double, maxMicroDist: Long)
 }

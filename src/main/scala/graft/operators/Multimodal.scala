@@ -23,12 +23,15 @@ final case class MediaFeatures(
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in batch form per partition.
   *
-  * The actual media decoding is STUBBED (no image/audio libraries in this
-  * environment — see `decodeStub`): it derives deterministic fake
-  * dimensions/frames/features from the bytes. Everything around it — the
-  * binary-column schema, per-partition batch shape, partition sizing, and
-  * the decode → feature-extract → (optional) dedup pipeline — is the real
-  * Spark plumbing a production decoder would drop into.
+  * The IMAGE leg decodes for real via JDK ImageIO (`decodeReal`: true
+  * width/height from PNG/JPEG bytes plus a luminance-histogram feature
+  * vector — zero extra dependencies). Audio/video decoding is STUBBED
+  * (no such codecs in the JDK — see `decodeStub`): it derives
+  * deterministic fake dimensions/frames/features from the bytes.
+  * Everything around both — the binary-column schema, per-partition
+  * batch shape, partition sizing, and the decode → feature-extract →
+  * (optional) dedup pipeline — is the real Spark plumbing any further
+  * codec binding would drop into.
   *
   * Scale notes: payloads stay in one column so Parquet keeps them out of
   * predicate scans (column pruning means metadata-only queries never read
@@ -42,6 +45,44 @@ object Multimodal {
     * Deterministic in the payload bytes so tests are stable. */
   def decodeStub(a: MediaAsset): MediaFeatures =
     decodeWithHash(a, graft.core.Blake2b.hexDigest(a.payload))
+
+  /** Real decoder for the IMAGE leg, zero new dependencies: JDK
+    * `javax.imageio.ImageIO` parses PNG/JPEG/GIF/BMP bytes to true
+    * dimensions, and the feature vector is an 8-bin luminance histogram
+    * (normalized to [0,1], deterministic in the pixels). Audio/video
+    * stay on the stub — their codecs aren't in the JDK. Bytes ImageIO
+    * cannot parse (wrong type tag, truncated file) also fall back to
+    * the stub rather than failing the batch, mirroring how a production
+    * decode pipeline quarantines undecodable assets. */
+  def decodeReal(a: MediaAsset): MediaFeatures =
+    if (a.media_type != "image") decodeStub(a)
+    else {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.payload))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (img == null) decodeStub(a)
+      else {
+        val hist = new Array[Long](8)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            // integer ITU-R 601 luma: deterministic, no float rounding
+            val lum = (((rgb >> 16) & 0xff) * 299 +
+              ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+            hist(lum >> 5) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val n = img.getWidth.toLong * img.getHeight
+        MediaFeatures(a.asset_id, a.media_type, a.payload.length.toLong,
+          graft.core.Blake2b.hexDigest(a.payload),
+          img.getWidth, img.getHeight, 1,
+          hist.map(h => h.toFloat / n))
+      }
+    }
 
   /** STUB decoder keyed on md5 instead of blake2b: identical feature
     * derivation, but oracle-checkable because DuckDB shares md5 (and can

@@ -72,6 +72,17 @@ object Similarity {
   def nearestCentroidExpr(
       cents: Seq[(Any, scala.collection.Seq[Double])],
       vCol: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    nearestCentroidStruct(cents, vCol).getField("cl")
+
+  /** The argmin above WITH its micro-distance: a struct `(d, cl)` where
+    * `d` is the squared-Euclidean distance to the winning centroid,
+    * micro-scaled to BIGINT. Callers that want assignment AND a drift
+    * readout (e.g. [[CellIndex.append]]) evaluate this once instead of
+    * running the argmin twice. */
+  def nearestCentroidStruct(
+      cents: Seq[(Any, scala.collection.Seq[Double])],
+      vCol: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {
     import graft.functions.functions.vectorDot
     require(cents.nonEmpty, "need at least one centroid")
@@ -89,7 +100,6 @@ object Similarity {
           vectorDot(c.getField("cv"), c.getField("cv"))) * lit(1000000.0d))
           .cast("long").as("d"),
         c.getField("cl").as("cl"))))
-      .getField("cl")
   }
 
   /** Distributed Lloyd's k-means over the embedding column — the coarse-

@@ -36,6 +36,22 @@ object PipelineQueries {
       idx
     })
 
+  /** The LEARNED twin of [[cellIndex]]: cells come from the k-means
+    * coarse quantizer (`q_kmeans`'s exact training, k=4, 2 Lloyd
+    * rounds), not a given label column — the full train → build → probe
+    * IVF lifecycle under the hash gate. */
+  private val learnedIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, CellIndex]
+
+  private def learnedIndex(s: SparkSession, dir: String): CellIndex =
+    learnedIndexCache.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-cellindex-learned-").toString
+      val idx = new CellIndex(s, path)
+      idx.buildLearned(Tables.read(s, dir, "embeddings"), k = 4, iters = 2)
+      idx
+    })
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "documents")
 
@@ -80,6 +96,19 @@ object PipelineQueries {
     // [cell IN (…)]) — the scale path, vs ivfTopK's filtered full scan
     "q_ann_cell_topk" -> ((s, dir) => {
       val idx = cellIndex(s, dir)
+      val queries = emb(s, dir)
+        .filter(col("vec_id").isInCollection(Seq(0L, 1L, 2L, 3L, 4L)))
+        .select(col("vec_id").as("query_id"),
+          expr("CAST(embedding AS ARRAY<DOUBLE>)").as("qv"))
+      idx.topK(queries, k = 5, nprobe = 2)
+    }),
+
+    // ANN top-k via the LEARNED-cell index: the quantizer is trained by
+    // q_kmeans's exact k-means, the corpus laid out by that assignment,
+    // and the probe runs the same partition-pruned path as
+    // q_ann_cell_topk — train → build → probe end-to-end, hash-gated
+    "q_ann_learned_topk" -> ((s, dir) => {
+      val idx = learnedIndex(s, dir)
       val queries = emb(s, dir)
         .filter(col("vec_id").isInCollection(Seq(0L, 1L, 2L, 3L, 4L)))
         .select(col("vec_id").as("query_id"),
@@ -269,11 +298,14 @@ object PipelineQueries {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
-  /** Unrolled 2-iteration Lloyd mirror of [[Similarity.kmeans]] (k=4):
-    * seeds = 4 smallest vec_ids; each round = micro-BIGINT argmin
-    * assignment (ties by cluster index) + quantize-sum-divide update —
-    * every comparison and centroid bit-identical cross-engine. */
-  private val KmeansOracle: String = {
+  /** Unrolled 2-iteration Lloyd CTE chain mirroring
+    * [[Similarity.kmeansModel]] (k=4): seeds = 4 smallest vec_ids; each
+    * round = micro-BIGINT argmin assignment (ties by cluster index) +
+    * quantize-sum-divide update — every comparison and centroid
+    * bit-identical cross-engine. Ends with `c2` (the trained model) and
+    * `a3` (the final assignment); [[KmeansOracle]] aggregates them and
+    * [[LearnedAnnOracle]] probes them. */
+  private val KmeansCtes: String = {
     val k = 4
     def lip(a: String, b: String) = s"list_inner_product($a, $b)"
     def dist(v: String, c: String) =
@@ -311,7 +343,11 @@ object PipelineQueries {
        |${updateCte("c1", "a1")},
        |${assignCte("a2", "c1")},
        |${updateCte("c2", "a2")},
-       |${assignCte("a3", "c2")}
+       |${assignCte("a3", "c2")}""".stripMargin
+  }
+
+  private val KmeansOracle: String =
+    s"""$KmeansCtes
        |SELECT f.cluster, f.n_vectors, s.centroid_sum_micro
        |FROM (SELECT cluster, count(*) AS n_vectors FROM a3
        |      GROUP BY cluster) f
@@ -320,6 +356,40 @@ object PipelineQueries {
        |          x -> round(x * 1000000))) AS BIGINT) AS centroid_sum_micro
        |      FROM c2) s USING (cluster)
        |ORDER BY cluster""".stripMargin
+
+  /** Learned-cell ANN oracle: [[KmeansCtes]]'s trained model `c2` is the
+    * probe router and its final assignment `a3` the cell layout —
+    * exactly what [[CellIndex.buildLearned]] materializes — then the
+    * probe/rank logic of [[AnnOracle]] verbatim on top. */
+  private val LearnedAnnOracle: String = {
+    def cos(a: String, b: String) =
+      s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * " +
+        s"sqrt(list_inner_product($b, $b)))"
+    s"""$KmeansCtes,
+       |celled AS (
+       |  SELECT vec_id, cluster AS cell, v FROM a3),
+       |q AS (
+       |  SELECT vec_id AS query_id, v AS qv FROM base
+       |  WHERE vec_id IN (0, 1, 2, 3, 4)),
+       |probes AS (
+       |  SELECT query_id, qv, cell FROM (
+       |    SELECT q.query_id, q.qv, c.cluster AS cell,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        CAST(round(${cos("q.qv", "c.centroid")} * 1000000) AS BIGINT)
+       |          DESC, c.cluster) AS probe_rank
+       |    FROM q CROSS JOIN c2 c)
+       |  WHERE probe_rank <= 2),
+       |cand AS (
+       |  SELECT p.query_id, b.vec_id AS cand_id, b.cell,
+       |    CAST(round(${cos("p.qv", "b.v")} * 1000000) AS BIGINT)
+       |      AS cos_sim_micro
+       |  FROM probes p JOIN celled b
+       |    ON b.cell = p.cell AND b.vec_id <> p.query_id)
+       |SELECT query_id, cand_id, cell, rank, cos_sim_micro FROM (
+       |  SELECT cand.*, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim_micro DESC, cand_id) AS rank
+       |  FROM cand)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
   val oracleSql: Map[String, String] = Map(
@@ -327,6 +397,8 @@ object PipelineQueries {
     "q_ann_ivf_topk" -> AnnOracle,
 
     "q_ann_cell_topk" -> AnnOracle,
+
+    "q_ann_learned_topk" -> LearnedAnnOracle,
 
     "q_kmeans" -> KmeansOracle,
 

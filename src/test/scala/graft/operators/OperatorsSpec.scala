@@ -293,6 +293,43 @@ class OperatorsSpec extends SparkSuite {
     assert(found === 1)
   }
 
+  test("CellIndex.append reports drift: far batches raise the distance " +
+    "profile, near batches don't") {
+    import spark.implicits._
+    val rng = new scala.util.Random(29)
+    def mk(id: Long, c: Int, shift: Float): (Long, Seq[Float]) = {
+      val base = Array.fill(8)(0.02f * rng.nextFloat() + shift)
+      base(c) = 1.0f + 0.05f * rng.nextFloat() + shift
+      (id, base.toSeq)
+    }
+    val emb = (0 until 60).map(i => mk(i.toLong, i % 3, 0f))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("cellidx-d").toString
+    val idx = new CellIndex(spark, dir)
+    idx.buildLearned(emb, k = 3, iters = 2)
+
+    // a batch from the trained distribution: distances in the trained regime
+    val near = idx.append(
+      (100 until 110).map(i => mk(i.toLong, i % 3, 0f))
+        .toDF("vec_id", "embedding"))
+    // a drifted batch (every component shifted by +3): the quantizer no
+    // longer fits, and the readout must say so
+    val far = idx.append(
+      (200 until 210).map(i => mk(i.toLong, i % 3, 3f))
+        .toDF("vec_id", "embedding"))
+
+    assert(near.n === 10 && far.n === 10)
+    assert(near.meanMicroDist > 0) // real distances, not zeros
+    assert(far.meanMicroDist > near.meanMicroDist * 100,
+      s"drifted mean ${far.meanMicroDist} vs trained ${near.meanMicroDist}")
+    assert(far.p95MicroDist > near.p95MicroDist * 100)
+    assert(far.maxMicroDist > near.maxMicroDist)
+    // empty batch: a zero readout, not a crash
+    val empty = idx.append(Seq.empty[(Long, Seq[Float])]
+      .toDF("vec_id", "embedding"))
+    assert(empty.n === 0L)
+  }
+
   test("cosineDupPairs: hot label routed through LSH sub-buckets, bounded") {
     import spark.implicits._
     val rng = new scala.util.Random(3)
@@ -411,5 +448,55 @@ class OperatorsSpec extends SparkSuite {
     val feats = Multimodal.extractFeatures(assets, batchPartitions = 2)
     assert(feats.rdd.getNumPartitions === 2)
     assert(feats.collect().map(_.feature_vec.length).forall(_ === 8))
+  }
+
+  test("decodeReal parses true PNG dimensions through extractFeatures") {
+    import spark.implicits._
+    // a real 17x9 PNG rendered in-test: a vertical luminance gradient so
+    // the histogram is nontrivial and fully deterministic
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (y * 255) / (h - 1)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val assets = Seq(
+      MediaAsset(1L, "image", png(17, 9)),
+      MediaAsset(2L, "image", png(320, 200)),
+      MediaAsset(3L, "image", "not a png at all".getBytes("UTF-8")),
+      MediaAsset(4L, "audio", png(4, 4))).toDS()
+    val feats = Multimodal
+      .extractFeatures(assets, decoder = Multimodal.decodeReal)
+      .collect().map(f => f.asset_id -> f).toMap
+
+    assert(feats(1L).width === 17 && feats(1L).height === 9)
+    assert(feats(2L).width === 320 && feats(2L).height === 200)
+    assert(feats(1L).n_frames === 1)
+    // luminance histogram: normalized mass 1, gradient spreads over bins
+    assert(math.abs(feats(1L).feature_vec.sum - 1.0f) < 1e-5)
+    assert(feats(1L).feature_vec.count(_ > 0) >= 7)
+    // blake2b content hash, same addressing as the stub path
+    assert(feats(1L).content_hash ===
+      graft.core.Blake2b.hexDigest(png(17, 9)))
+    // undecodable image bytes fall back to the stub, never fail the batch
+    val stub3 = Multimodal.decodeStub(MediaAsset(3L, "image",
+      "not a png at all".getBytes("UTF-8")))
+    assert((feats(3L).width, feats(3L).height, feats(3L).content_hash) ===
+      ((stub3.width, stub3.height, stub3.content_hash)))
+    assert(feats(3L).feature_vec.toSeq === stub3.feature_vec.toSeq)
+    // audio stays on the stub (no JDK codec)
+    val stub4 = Multimodal.decodeStub(MediaAsset(4L, "audio", png(4, 4)))
+    assert((feats(4L).width, feats(4L).height, feats(4L).n_frames) ===
+      ((stub4.width, stub4.height, stub4.n_frames)))
+    // determinism across runs
+    val again = Multimodal
+      .extractFeatures(assets, decoder = Multimodal.decodeReal)
+      .collect().map(f => f.asset_id -> f).toMap
+    assert(again(1L).feature_vec.toSeq === feats(1L).feature_vec.toSeq)
   }
 }
