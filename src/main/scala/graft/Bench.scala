@@ -18,7 +18,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the bench's one-line JSON contract wants a clean
+    // tail, and the WARN class here is all known noise — localCheckpoint
+    // unpersists between queries (intended; see timeOne's finally),
+    // function re-registration, truncated plan strings. The bench's own
+    // diagnostics go through System.err.println and are unaffected.
+    spark.sparkContext.setLogLevel("ERROR")
     // once per session; operator-level register calls are idempotent no-ops
     graft.functions.functions.register(spark)
 

@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Self-scaled stress profile: sf0.1 is ~17 MB — far too small to stress
+  * 32 cores — so this main synthetically multiplies the corpus
+  * `SPARK_GRAFT_PROFILE_MULT`× (default 64, ~1 GB working set) and runs
+  * the iterative/pair-heavy battery queries on BOTH the base and the
+  * multiplied corpus, recording wall seconds and total shuffle
+  * read/write bytes per query. The ratio pair (time×, shuffle×) against
+  * the corpus multiplier is the scaling curve: a query whose shuffle
+  * grows ~linearly with the corpus at a near-constant bytes-per-row is
+  * shaped right for 100 TB; a superlinear jump flags a pair-explosion
+  * or a partition-count cliff the sf0.1 battery cannot see.
+  *
+  * Corpus construction (deterministic, no RNG):
+  *   - documents: M id-shifted copies; every token in copy k is
+  *     prefixed `c<k>_`, so copies are textually DISJOINT — each copy
+  *     reproduces the original near-dup structure without cross-copy
+  *     gram/shingle collisions. That keeps the workload's duplication
+  *     DENSITY constant while volume scales M×, which is the scaling
+  *     experiment (a replicated-verbatim corpus would instead measure
+  *     the degenerate all-duplicates regime: dup-cluster size M,
+  *     candidate pairs ~M² per doc — a different, pathological test).
+  *   - embeddings: M vec_id-shifted copies (vectors unchanged).
+  *   - lineitem: M verbatim copies (percentiles only see more rows).
+  *   - all other tables: symlinked from the base dir.
+  *
+  * Output: one `PROFILE ...` line per (corpus, query) measurement and a
+  * closing JSON summary line; PROFILE.md holds the analyzed curves.
+  */
+object Profile {
+
+  /** Total shuffle bytes across completed stages; Spark's listener bus
+    * is async, so [[settle]] polls until the counters stop moving. */
+  private final class StageMetrics extends SparkListener {
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val write = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        read.addAndGet(m.shuffleReadMetrics.localBytesRead +
+          m.shuffleReadMetrics.remoteBytesRead)
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    def settle(): (Long, Long) = {
+      var last = (read.get, write.get)
+      var stable = 0
+      var waited = 0
+      while (stable < 2 && waited < 5000) {
+        Thread.sleep(100); waited += 100
+        val now = (read.get, write.get)
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+      last
+    }
+  }
+
+  private val ProfileQueries = Seq(
+    "q_dedup_clusters", "q_simhash_pairs", "q_ngram_jaccard",
+    "q_percentiles", "q_curation_pipeline")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mult = sys.env.getOrElse("SPARK_GRAFT_PROFILE_MULT", "64").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val names = if (args.nonEmpty) args.toSeq else ProfileQueries
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.functions.register(spark)
+    spark.range(1000000).selectExpr("sum(id)").collect() // JVM warmup
+
+    val synDir = buildSynthetic(spark, sfDir, mult)
+    val metrics = new StageMetrics
+    spark.sparkContext.addSparkListener(metrics)
+
+    def run(name: String, dir: String): (Double, Long, Long) = {
+      val (r0, w0) = metrics.settle()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.mode("overwrite").format("noop").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val (r1, w1) = metrics.settle()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.catalog.clearCache()
+      (sec, r1 - r0, w1 - w0)
+    }
+
+    val rows = for (name <- names) yield {
+      // throwaway warm pass on the base corpus: plan compilation +
+      // codegen land here, so BOTH measured runs see steady state and
+      // the ratio is a pure data-scaling curve
+      run(name, sfDir)
+      val (bSec, bR, bW) = run(name, sfDir)
+      println(f"PROFILE base mult=1 q=$name sec=$bSec%.2f " +
+        f"shuffle_read_mb=${bR / 1e6}%.1f shuffle_write_mb=${bW / 1e6}%.1f")
+      val (sSec, sR, sW) = run(name, synDir)
+      println(f"PROFILE scaled mult=$mult q=$name sec=$sSec%.2f " +
+        f"shuffle_read_mb=${sR / 1e6}%.1f shuffle_write_mb=${sW / 1e6}%.1f " +
+        f"time_x=${sSec / bSec}%.1f shuffle_x=${
+          if (bW > 0) sW.toDouble / bW else Double.NaN}%.1f")
+      (name, bSec, bR, bW, sSec, sR, sW)
+    }
+
+    val qjson = rows.map { case (n, bs, br, bw, ss, sr, sw) =>
+      s""""$n":{"base_sec":${f"$bs%.3f"},"base_shuffle_rw":[$br,$bw],""" +
+        s""""scaled_sec":${f"$ss%.3f"},"scaled_shuffle_rw":[$sr,$sw]}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"profile","mult":$mult,"sf":"$sfDir","queries":$qjson}""")
+    spark.stop()
+  }
+
+  /** Materialize the multiplied corpus into a temp dir (see object doc
+    * for the construction); small tables are symlinked. Reuses an
+    * existing dir for the same (sf, mult) within one machine boot. */
+  private def buildSynthetic(spark: SparkSession, sfDir: String, mult: Int)
+      : String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val syn = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft-profile-$tag-x$mult")
+    val done = new java.io.File(syn, "_READY")
+    if (done.exists()) return syn.toString
+    if (syn.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory && java.nio.file.Files.isSymbolicLink(f.toPath) == false)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(syn)
+    }
+    syn.mkdirs()
+    val copies = spark.range(mult).select(col("id").cast("int").as("__k"))
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.crossJoin(broadcast(copies))
+      .select(
+        (col("doc_id") + col("__k").cast("long") * 1000000L).as("doc_id"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          t => concat(lit("c"), col("__k"), lit("_"), t))).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$syn/documents.parquet")
+
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .crossJoin(broadcast(copies))
+      .select((col("vec_id") + col("__k").cast("long") * 1000000L).as("vec_id"),
+        col("embedding"), col("label"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$syn/embeddings.parquet")
+
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .crossJoin(broadcast(copies)).drop("__k")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$syn/lineitem.parquet")
+
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "events")) {
+      val link = java.nio.file.Paths.get(syn.toString, s"$t.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(link,
+          java.nio.file.Paths.get(sfDir, s"$t.parquet"))
+    }
+    done.createNewFile()
+    syn.toString
+  }
+}

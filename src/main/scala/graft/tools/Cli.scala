@@ -213,6 +213,12 @@ object Cli {
         idx.rebuild(store)
         println("work-id index rebuilt")
       }
+      // crashed-writer leftovers (data dirs no manifest references):
+      // age-gated so an in-flight write is never touched
+      opts.get("vacuum-orphans-hours").map(_.toLong).foreach { h =>
+        val swept = store.vacuumOrphans(h * 3600 * 1000L)
+        println(s"vacuumed ${swept.size} orphan data dirs")
+      }
 
     case "serve" :: rest =>
       val opts = parseOpts(rest)
@@ -265,7 +271,7 @@ object Cli {
            |  translate <expression> <path>
            |  enqueue <file> --what W [--where H] [--start T] [--end T]
            |  uploader [--timeout MS]
-           |  maintain [--files-per-partition N]
+           |  maintain [--files-per-partition N] [--vacuum-orphans-hours H]
            |  serve [--port P]
            |  ingest-dir <notification-dir>
            |  ingest-queue <queue-dir> [--timeout MS]""".stripMargin)

@@ -155,6 +155,14 @@ object Demo {
     println("ANN-TOPK: " + annTop.collect()
       .map(r => s"${r.getLong(1)}@${r.getLong(4)}").mkString(", "))
     annPlan.foreach(s => println("ANN-PLAN: " + s))
+    // drift readout: appending in-distribution vs shifted vectors — the
+    // observable behind the "re-train when the corpus drifts" decision
+    val nearDrift = idx.append(Seq((500L, Array.fill(8)(0.05f).toSeq))
+      .toDF("vec_id", "embedding"))
+    val farDrift = idx.append(Seq((501L, Array.fill(8)(5.0f).toSeq))
+      .toDF("vec_id", "embedding"))
+    println(f"ANN-DRIFT: near=${nearDrift.meanMicroDist}%.0f " +
+      f"far=${farDrift.meanMicroDist}%.0f")
 
     // re-hash verification job: blake2b over content as a native
     // codegen'd expression must reproduce the push-time hash
