@@ -167,8 +167,10 @@ object Profile {
         "orders", "events")) {
       val link = java.nio.file.Paths.get(syn.toString, s"$t.parquet")
       if (!java.nio.file.Files.exists(link))
+        // absolute target: a relative sf dir would resolve against the
+        // LINK's directory and dangle
         java.nio.file.Files.createSymbolicLink(link,
-          java.nio.file.Paths.get(sfDir, s"$t.parquet"))
+          java.nio.file.Paths.get(sfDir, s"$t.parquet").toAbsolutePath)
     }
     done.createNewFile()
     syn.toString

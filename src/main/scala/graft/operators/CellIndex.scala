@@ -81,22 +81,31 @@ final class CellIndex(spark: SparkSession, path: String) {
     val cents = centroids.collect()
       .map(r => r.getAs[Any]("cell") ->
         r.getAs[scala.collection.Seq[Double]]("centroid")).toSeq
+    // null/uncastable embeddings have no distance and so no cell —
+    // unroutable and unprobeable, they are excluded rather than written
+    // into a null partition; persist so the batch is evaluated ONCE for
+    // both the write and the stats (and the two can never disagree on a
+    // nondeterministic source)
     val assigned = newVectors.withColumn("__a",
       Similarity.nearestCentroidStruct(
         cents, expr("CAST(embedding AS ARRAY<DOUBLE>)")))
-    assigned
-      .withColumn("cell", col("__a.cl")).drop("__a")
-      .write.mode(SaveMode.Append)
-      .partitionBy("cell")
-      .parquet(vectorsPath)
-    val stats = assigned
-      .select(col("__a.d").as("d"))
-      .agg(count(lit(1)).as("n"), avg(col("d")).as("mean"),
-        expr("percentile(d, 0.95)").as("p95"), max(col("d")).as("mx"))
-      .collect().head
-    if (stats.getLong(0) == 0L) CellIndex.DriftStats(0L, 0.0, 0.0, 0L)
-    else CellIndex.DriftStats(stats.getLong(0), stats.getDouble(1),
-      stats.getDouble(2), stats.getLong(3))
+      .filter(col("__a.d").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      assigned
+        .withColumn("cell", col("__a.cl")).drop("__a")
+        .write.mode(SaveMode.Append)
+        .partitionBy("cell")
+        .parquet(vectorsPath)
+      val stats = assigned
+        .select(col("__a.d").as("d"))
+        .agg(count(lit(1)).as("n"), avg(col("d")).as("mean"),
+          expr("percentile(d, 0.95)").as("p95"), max(col("d")).as("mx"))
+        .collect().head
+      if (stats.getLong(0) == 0L) CellIndex.DriftStats(0L, 0.0, 0.0, 0L)
+      else CellIndex.DriftStats(stats.getLong(0), stats.getDouble(1),
+        stats.getDouble(2), stats.getLong(3))
+    } finally assigned.unpersist(false)
   }
 
   def vectors: DataFrame = spark.read.parquet(vectorsPath)

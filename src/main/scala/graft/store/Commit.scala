@@ -97,8 +97,16 @@ object RenameCommitter {
   * needs to know which.
   */
 trait ConditionalPut {
-  /** Record `key` iff absent; true when THIS caller created it. */
+  /** Record (`key`, `value`) iff `key` absent; true when THIS caller
+    * created it. */
   def putIfAbsent(key: String, value: String): Boolean
+
+  /** The value recorded for `key`, if any. Lets a committer COMPLETE a
+    * commit whose winner crashed between winning the CAS and publishing
+    * the manifest file — without this, a claimed-but-unpublished version
+    * would wedge the table forever (every later writer targets the same
+    * version, loses the CAS, and finds nothing to resolve past). */
+  def get(key: String): Option[String]
 }
 
 /** Process-local arbiter for tests and the two-simulated-processes
@@ -110,40 +118,61 @@ final class InMemoryConditionalPut extends ConditionalPut {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   def putIfAbsent(key: String, value: String): Boolean =
     entries.putIfAbsent(key, value) == null
+  def get(key: String): Option[String] = Option(entries.get(key))
   def contains(key: String): Boolean = entries.containsKey(key)
 }
 
 /** Object-store committer: the external CAS decides the winner BEFORE
   * any file appears at the target name, so it is safe on stores with no
-  * atomic or fail-if-exists rename at all (plain S3). Only the winner
-  * writes the manifest file — losers never touch the target, so readers
-  * (which list committed manifest names) can never observe a loser's
-  * bytes. The CAS key is the fully-qualified target name: one key per
-  * manifest version per table, exactly the reference's
-  * one-conditional-put-per-version shape. */
+  * atomic or fail-if-exists rename at all (plain S3). The CAS entry
+  * carries the manifest CONTENT (like the reference's DynamoDB item,
+  * where the conditional put IS the publish, `storage.py:78-137`): the
+  * winner publishes the file afterwards, and if it crashes in between,
+  * the next loser that finds the version claimed-but-unpublished
+  * completes the publish from the CAS value — the table can never wedge
+  * on a half-landed commit. Losers never write their OWN bytes to the
+  * target, so readers can never observe a losing manifest. The CAS key
+  * is the fully-qualified target name: one key per manifest version per
+  * table. */
 final class ConditionalPutCommitter(
     spark: SparkSession, tablePath: String, cas: ConditionalPut)
     extends ManifestCommitter {
 
   private def f = Fs.fs(spark, tablePath)
 
-  def putIfAbsent(target: Path, bytes: Array[Byte]): Boolean =
-    if (!cas.putIfAbsent(target.toString, "")) false
-    else {
-      // we own this name now, so there is no rename RACE — but on
-      // filesystems with progressive visibility (local, HDFS) a direct
-      // create+write would let a reader list a half-written manifest.
-      // Stage to a dot-temp and promote with a plain rename: atomic on
-      // rename-capable stores; on object stores the PUT itself is
-      // already all-or-nothing.
-      val tmp = new Path(target.getParent,
-        "." + target.getName + "." +
-          java.util.UUID.randomUUID().toString.take(8) + ".tmp")
-      val out = f.create(tmp, true)
-      try out.write(bytes) finally out.close()
-      if (!f.rename(tmp, target))
-        throw new java.io.IOException(
-          s"won the commit CAS for $target but could not publish it")
+  def putIfAbsent(target: Path, bytes: Array[Byte]): Boolean = {
+    val encoded = java.util.Base64.getEncoder.encodeToString(bytes)
+    if (cas.putIfAbsent(target.toString, encoded)) {
+      publish(target, bytes)
       true
+    } else {
+      // lost the CAS — but if the winner crashed before publishing,
+      // complete its commit from the recorded value (idempotent: every
+      // completer writes the same bytes)
+      if (!f.exists(target))
+        cas.get(target.toString).foreach(v =>
+          publish(target, java.util.Base64.getDecoder.decode(v)))
+      false
     }
+  }
+
+  /** Stage to a writer-unique dot-temp and promote with a plain rename:
+    * on filesystems with progressive visibility (local, HDFS) a direct
+    * create+write would let a reader list a half-written manifest; on
+    * object stores the PUT itself is all-or-nothing. A failed rename is
+    * fine iff the target exists (a concurrent completer landed the same
+    * bytes first). */
+  private def publish(target: Path, bytes: Array[Byte]): Unit = {
+    val tmp = new Path(target.getParent,
+      "." + target.getName + "." +
+        java.util.UUID.randomUUID().toString.take(8) + ".tmp")
+    val out = f.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    if (!f.rename(tmp, target)) {
+      f.delete(tmp, false)
+      if (!f.exists(target))
+        throw new java.io.IOException(
+          s"own the commit CAS for $target but cannot publish it")
+    }
+  }
 }

@@ -94,11 +94,81 @@ final class ManifestLog(spark: SparkSession, path: String,
     * The version prefix is advisory (ordering comes from manifest
     * numbers alone); the nonce keeps two racing writers' Spark write
     * jobs — whose `_temporary` staging must never collide — in
-    * disjoint directories. */
-  def newDataDirName(v: Long): String =
-    f"v$v%010d-" + java.util.UUID.randomUUID().toString.take(8)
+    * disjoint directories. `tag` marks the dir's ORIGIN (e.g.
+    * "rebuild") so commit logic can recognize a racing writer of the
+    * same kind by name where a set-diff cannot (two full rebuilds from
+    * an empty snapshot look like plain appends to each other). */
+  def newDataDirName(v: Long, tag: String = ""): String =
+    f"v$v%010d-" + (if (tag.isEmpty) "" else tag + "-") +
+      java.util.UUID.randomUUID().toString.take(8)
 
   def dataPath(dirName: String): Path = new Path(dataRoot, dirName)
+
+  /** Base path a data dir's cell leaves hang off. Dir "." references
+    * the table ROOT itself: a pre-manifest partitioned tree adopted in
+    * place by a pure manifest commit (no file moves, so the migration
+    * is crash- and race-safe); [[vacuum]] protects it. */
+  def cellBase(dirName: String): Path =
+    if (dirName == ".") root else dataPath(dirName)
+
+  /** Relative partition-leaf paths under `dir`, walking one directory
+    * level per prefix (e.g. Seq("time_bucket=", "what=")), exactly as
+    * the partitioned write escaped them — cell keys never need parsing,
+    * only joining back onto a base path. */
+  def listCells(dir: String, levelPrefixes: Seq[String]): Seq[String] = {
+    def walk(p: Path, prefixes: Seq[String]): Seq[String] = prefixes match {
+      case Seq() => Seq("")
+      case pref +: rest =>
+        f.listStatus(p).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith(pref))
+          .flatMap(st => walk(st.getPath, rest)
+            .map(tail => if (tail.isEmpty) st.getPath.getName
+              else st.getPath.getName + "/" + tail))
+    }
+    val base = cellBase(dir)
+    if (!f.exists(base)) Nil else walk(base, levelPrefixes)
+  }
+
+  /** Root-level partition leaves of a table that predates the manifest
+    * log (empty once any manifest exists). */
+  def legacyCells(levelPrefixes: Seq[String]): Seq[String] =
+    if (hasAny) Nil else listCells(".", levelPrefixes)
+
+  /** One-time adoption of a pre-manifest partitioned tree: commit
+    * version 1 referencing the existing leaves in place (dir "."). A
+    * lost CAS means another writer already migrated — equally fine. */
+  def migrateLegacyIfNeeded(levelPrefixes: Seq[String]): Unit = {
+    val cells = legacyCells(levelPrefixes)
+    if (cells.nonEmpty)
+      tryCommit(1L, cells.map(_ -> Seq(".")).toMap)
+  }
+
+  /** Snapshot read: one scan per live data dir (cells listed
+    * explicitly, so a dir's superseded leaves are never read), unioned
+    * — filters and partition pruning push into every branch, and
+    * compaction bounds the fan-in. */
+  def readEntries(entries: Map[String, Seq[String]],
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame = {
+    val dirCells: Seq[(String, Seq[String])] = entries.toSeq
+      .flatMap { case (cell, dirs) => dirs.map(_ -> cell) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted)
+      .toSeq.sortBy(_._1)
+    val scans = dirCells.map { case (dir, cells) =>
+      val base = cellBase(dir)
+      val leaves = cells.map(c => new Path(base, c).toString)
+      spark.read
+        .schema(schema)
+        .option("basePath", base.toString)
+        .parquet(leaves: _*)
+    }
+    scans.reduceOption(_ unionByName _).getOrElse(emptyDf(schema))
+  }
+
+  def emptyDf(schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
   /** Publish version `v` through the CAS seam; false = lost the race. */
   def tryCommit(v: Long, entries: Map[String, Seq[String]]): Boolean = {

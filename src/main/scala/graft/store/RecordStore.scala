@@ -76,7 +76,6 @@ final class RecordStore(spark: SparkSession, path: String,
     committer: Option[ManifestCommitter] = None) {
   import spark.implicits._
 
-  private val root = new Path(path)
   private val log = new ManifestLog(spark, path, keepVersions, committer)
   private def f = Fs.fs(spark, path)
 
@@ -103,7 +102,7 @@ final class RecordStore(spark: SparkSession, path: String,
     * never the data files, because an append's content does not depend
     * on the base version. */
   def appendDf(df: DataFrame, dedupAgainstExisting: Boolean): Unit = {
-    migrateLegacyIfNeeded()
+    log.migrateLegacyIfNeeded(RecordStore.LevelPrefixes)
     val deduped = df
       .withColumn("__dedup_id", col("metadata.id"))
       .dropDuplicates("time_bucket", "__dedup_id")
@@ -128,111 +127,56 @@ final class RecordStore(spark: SparkSession, path: String,
       .mode(SaveMode.Overwrite)
       .partitionBy("time_bucket", "what")
       .parquet(log.dataPath(dirName).toString)
-    val cells = listCells(dirName)
+    val cells = log.listCells(dirName, RecordStore.LevelPrefixes)
     if (cells.isEmpty) {
       // empty batch (or everything deduped away): nothing to commit
       f.delete(log.dataPath(dirName), true)
       return
     }
-    log.commitRetry { entries =>
-      entries ++ cells.map(c => c -> (entries.getOrElse(c, Seq.empty) :+ dirName))
-    }
+    log.commitRetry(RecordStore.appendMutate(cells, dirName))
     // every writer maintains the secondary index — hooking here (not in
     // individual callers) keeps the index consistent for push, uploader,
     // and streaming alike
     workIdIndex.foreach(_.append(finalRows))
   }
 
-  def exists: Boolean = log.hasAny || legacyCells.nonEmpty
+  def exists: Boolean =
+    log.hasAny || log.legacyCells(RecordStore.LevelPrefixes).nonEmpty
 
   /** Full table as DataFrame; partition columns are restored to their
-    * logical types. One scan per live data dir (cells listed explicitly,
-    * so a dir's superseded leaves are never read), unioned — filters and
-    * partition pruning push into every branch, and compaction bounds the
-    * fan-in. */
+    * logical types. See [[ManifestLog.readEntries]] for the scan shape. */
   def records: DataFrame = log.resolve() match {
     case None =>
-      if (legacyCells.nonEmpty)
+      if (log.legacyCells(RecordStore.LevelPrefixes).nonEmpty)
         spark.read
           .schema(RecordStore.schema)
           .option("basePath", path)
           .parquet(path)
-      else emptyTable
-    case Some((_, entries)) => readEntries(entries)
-  }
-
-  private def emptyTable: DataFrame =
-    spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      RecordStore.schema)
-
-  /** Data-dir name "." references the table root itself: a pre-manifest
-    * partitioned tree migrated in place (a pure manifest commit — no
-    * file moves, so the migration is crash- and race-safe). */
-  private def cellBase(dir: String): Path =
-    if (dir == ".") root else log.dataPath(dir)
-
-  private def readEntries(entries: Map[String, Seq[String]]): DataFrame = {
-    val dirCells: Seq[(String, Seq[String])] = entries.toSeq
-      .flatMap { case (cell, dirs) => dirs.map(_ -> cell) }
-      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted)
-      .toSeq.sortBy(_._1)
-    val scans = dirCells.map { case (dir, cells) =>
-      val base = cellBase(dir)
-      val leaves = cells.map(c => new Path(base, c).toString)
-      spark.read
-        .schema(RecordStore.schema)
-        .option("basePath", base.toString)
-        .parquet(leaves: _*)
-    }
-    if (scans.isEmpty) emptyTable else scans.reduce(_ unionByName _)
-  }
-
-  /** Relative `time_bucket=…/what=…` leaf paths under `dir`, exactly as
-    * the partitioned write escaped them — cell keys never need parsing,
-    * only joining back onto a base path. */
-  private def listCells(dir: String): Seq[String] = {
-    val base = cellBase(dir)
-    if (!f.exists(base)) Nil
-    else for {
-      bucketDir <- f.listStatus(base).toSeq
-      if bucketDir.isDirectory &&
-        bucketDir.getPath.getName.startsWith("time_bucket=")
-      whatDir <- f.listStatus(bucketDir.getPath).toSeq
-      if whatDir.isDirectory && whatDir.getPath.getName.startsWith("what=")
-    } yield bucketDir.getPath.getName + "/" + whatDir.getPath.getName
-  }
-
-  private def legacyCells: Seq[String] =
-    if (log.hasAny) Nil else listCells(".")
-
-  /** One-time adoption of a pre-manifest partitioned tree: commit
-    * version 1 referencing the existing leaves in place (dir "."). A
-    * lost CAS means another writer already migrated — equally fine. */
-  private def migrateLegacyIfNeeded(): Unit = {
-    val cells = legacyCells
-    if (cells.nonEmpty)
-      log.tryCommit(1L, cells.map(_ -> Seq(".")).toMap)
+      else log.emptyDf(RecordStore.schema)
+    case Some((_, entries)) => log.readEntries(entries, RecordStore.schema)
   }
 
   private def countParquet(dir: String, cell: String): Int = {
-    val leaf = new Path(cellBase(dir), cell)
+    val leaf = new Path(log.cellBase(dir), cell)
     if (!f.exists(leaf)) 0
     else f.listStatus(leaf).count(_.getPath.getName.endsWith(".parquet"))
   }
 
   /** Compact fragmented cells: streaming ingest appends one small file
     * per micro-batch per (bucket, what); this rewrites each cell whose
-    * live file count exceeds `filesPerPartition` into a single fresh
-    * data dir and commits a manifest superseding those cells' dir lists.
-    * Readers concurrent with the compaction keep resolving complete
-    * snapshots (old manifests and their dirs survive `keepVersions`
-    * commits); appends concurrent with it are preserved by the
-    * snapshot-diff in the commit loop. Cost follows fragmented cells,
-    * not table size. (On Delta/Iceberg this is OPTIMIZE.) Returns the
-    * number of cells rewritten. */
+    * live file count exceeds `filesPerPartition` into (at most)
+    * `filesPerPartition` files in a fresh data dir and commits a
+    * manifest superseding those cells' dir lists. Readers concurrent
+    * with the compaction keep resolving complete snapshots (old
+    * manifests and their dirs survive `keepVersions` commits); appends
+    * concurrent with it are preserved, and a RACING compaction of the
+    * same cell is detected and yielded to, by [[RecordStore.compactMutate]]
+    * in the commit loop. Cost follows fragmented cells, not table size.
+    * (On Delta/Iceberg this is OPTIMIZE.) Returns the number of cells
+    * this call actually rewrote. */
   def compact(filesPerPartition: Int = 1): Int = {
-    migrateLegacyIfNeeded()
+    require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
+    log.migrateLegacyIfNeeded(RecordStore.LevelPrefixes)
     val resolved = log.resolve()
     if (resolved.isEmpty) return 0
     val (_, snapshot) = resolved.get
@@ -240,30 +184,36 @@ final class RecordStore(spark: SparkSession, path: String,
       dirs.map(countParquet(_, cell)).sum > filesPerPartition
     }
     if (fragmented.isEmpty) return 0
-    val newDir = log.newDataDirName(log.currentVersion.getOrElse(0L) + 1)
+    val newDir = log.newDataDirName(
+      log.currentVersion.getOrElse(0L) + 1, tag = "compact")
     // sort the rewrite by (where, start): parquet row-group min/max
     // stats then let where-prefix and interval queries skip row groups
     // inside a partition — the poor-man's Z-order, for free during the
-    // rewrite compaction already pays for. repartition on the cell key
-    // puts each cell's rows in one task -> one file per cell dir.
-    readEntries(fragmented)
-      .repartition(fragmented.size, col("time_bucket"), col("what"))
+    // rewrite compaction already pays for. repartition on (cell key,
+    // salt) puts each cell's rows in `filesPerPartition` tasks -> that
+    // many files per cell dir.
+    log.readEntries(fragmented, RecordStore.schema)
+      .withColumn("__salt",
+        pmod(xxhash64(col("metadata.id")), lit(filesPerPartition)))
+      .repartition(math.max(fragmented.size * filesPerPartition, 1),
+        col("time_bucket"), col("what"), col("__salt"))
       .sortWithinPartitions(col("where"), col("metadata.start"))
+      .drop("__salt")
       .write.mode(SaveMode.Overwrite)
       .partitionBy("time_bucket", "what")
       .parquet(log.dataPath(newDir).toString)
+    @volatile var yielded = Set.empty[String]
     log.commitRetry { current =>
-      current ++ fragmented.keys.map { c =>
-        // keep any dirs appended to this cell AFTER our source snapshot:
-        // their rows are not in the rewrite, so superseding them would
-        // silently drop a concurrent append (the race the snapshot-diff
-        // closes)
-        val addedSince =
-          current.getOrElse(c, Seq.empty).diff(snapshot.getOrElse(c, Seq.empty))
-        c -> (newDir +: addedSince)
-      }
+      val (entries, y) =
+        RecordStore.compactMutate(snapshot, fragmented.keySet, newDir)(current)
+      yielded = y
+      entries
     }
-    fragmented.size
+    if (yielded.size == fragmented.size)
+      // every cell lost to a racing compaction: our dir is fully
+      // unreferenced — reclaim it now rather than waiting for the sweep
+      f.delete(log.dataPath(newDir), true)
+    fragmented.size - yielded.size
   }
 
   /** Offline reclamation of data dirs left by writers that crashed
@@ -287,32 +237,11 @@ final class WorkIdIndex(spark: SparkSession, path: String,
     keepVersions: Int = 3,
     committer: Option[ManifestCommitter] = None) {
 
-  private val root = new Path(path)
   private val log = new ManifestLog(spark, path, keepVersions, committer)
   private def f = Fs.fs(spark, path)
 
-  def exists: Boolean = log.hasAny || legacyCells.nonEmpty
-
-  private def cellBase(dir: String): Path =
-    if (dir == ".") root else log.dataPath(dir)
-
-  private def listCells(dir: String): Seq[String] = {
-    val base = cellBase(dir)
-    if (!f.exists(base)) Nil
-    else f.listStatus(base).toSeq
-      .filter(st => st.isDirectory &&
-        st.getPath.getName.startsWith("work_id_prefix="))
-      .map(_.getPath.getName)
-  }
-
-  private def legacyCells: Seq[String] =
-    if (log.hasAny) Nil else listCells(".")
-
-  private def migrateLegacyIfNeeded(): Unit = {
-    val cells = legacyCells
-    if (cells.nonEmpty)
-      log.tryCommit(1L, cells.map(_ -> Seq(".")).toMap)
-  }
+  def exists: Boolean =
+    log.hasAny || log.legacyCells(WorkIdIndex.LevelPrefixes).nonEmpty
 
   private def withPrefix(df: DataFrame): DataFrame =
     df.filter(col("work_id").isNotNull)
@@ -321,31 +250,35 @@ final class WorkIdIndex(spark: SparkSession, path: String,
   /** (Re)build from the record table into one fresh data dir, committed
     * as a full replacement: every prefix cell points at the new dir
     * only (plus any dirs appended by writers racing the rebuild, which
-    * the snapshot-diff keeps). Readers never see the old and new
-    * layouts mixed. */
+    * the commit mutate keeps — their rows may transiently duplicate
+    * ours, which work-id READS tolerate by design: the querier dedups
+    * by id within a page exactly like the reference's GSI reads). A
+    * RACING rebuild is recognized by its tagged dir name and yielded
+    * to ([[WorkIdIndex.rebuildMutate]]): exactly one replacement wins,
+    * never a doubled index. */
   def rebuild(store: RecordStore): Unit = {
-    migrateLegacyIfNeeded()
+    log.migrateLegacyIfNeeded(WorkIdIndex.LevelPrefixes)
     val snapshot = log.resolve().map(_._2).getOrElse(Map.empty)
-    val newDir = log.newDataDirName(log.currentVersion.getOrElse(0L) + 1)
+    val newDir = log.newDataDirName(
+      log.currentVersion.getOrElse(0L) + 1, tag = "rebuild")
     withPrefix(store.records)
       .repartition(col("work_id_prefix"))
       .sortWithinPartitions(col("work_id"), col("what"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("work_id_prefix")
       .parquet(log.dataPath(newDir).toString)
-    val cells = listCells(newDir)
+    val cells = log.listCells(newDir, WorkIdIndex.LevelPrefixes)
     // empty source (no non-null work_ids): the rebuild still commits, so
     // a stale index empties out instead of keeping superseded entries
     if (cells.isEmpty) f.delete(log.dataPath(newDir), true)
+    @volatile var yielded = false
     log.commitRetry { current =>
-      val keys = (current.keySet ++ cells).toSeq
-      keys.flatMap { c =>
-        val addedSince =
-          current.getOrElse(c, Seq.empty).diff(snapshot.getOrElse(c, Seq.empty))
-        val dirs = (if (cells.contains(c)) Seq(newDir) else Seq.empty) ++ addedSince
-        if (dirs.isEmpty) None else Some(c -> dirs)
-      }.toMap
+      val (entries, y) =
+        WorkIdIndex.rebuildMutate(snapshot, cells, newDir)(current)
+      yielded = y
+      entries
     }
+    if (yielded && cells.nonEmpty) f.delete(log.dataPath(newDir), true)
   }
 
   /** Incremental maintenance: append one ingest batch's rows (the
@@ -353,50 +286,26 @@ final class WorkIdIndex(spark: SparkSession, path: String,
     * record table). Bucket-duplicate rows are fine: work-id queries
     * dedup by id within a page exactly like the reference's GSI reads. */
   def append(batch: DataFrame): Unit = {
-    migrateLegacyIfNeeded()
+    log.migrateLegacyIfNeeded(WorkIdIndex.LevelPrefixes)
     val dirName = log.newDataDirName(log.currentVersion.getOrElse(0L) + 1)
     withPrefix(batch)
       .write.mode(SaveMode.Overwrite)
       .partitionBy("work_id_prefix")
       .parquet(log.dataPath(dirName).toString)
-    val cells = listCells(dirName)
+    val cells = log.listCells(dirName, WorkIdIndex.LevelPrefixes)
     if (cells.isEmpty) { f.delete(log.dataPath(dirName), true); return }
-    log.commitRetry { entries =>
-      entries ++ cells.map(c => c -> (entries.getOrElse(c, Seq.empty) :+ dirName))
-    }
-  }
-
-  private def readEntries(entries: Map[String, Seq[String]]): DataFrame = {
-    val dirCells: Seq[(String, Seq[String])] = entries.toSeq
-      .flatMap { case (cell, dirs) => dirs.map(_ -> cell) }
-      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted)
-      .toSeq.sortBy(_._1)
-    val scans = dirCells.map { case (dir, cells) =>
-      val base = cellBase(dir)
-      val leaves = cells.map(c => new Path(base, c).toString)
-      spark.read
-        .schema(WorkIdIndex.schema)
-        .option("basePath", base.toString)
-        .parquet(leaves: _*)
-    }
-    scans.reduceOption(_ unionByName _).getOrElse(
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        WorkIdIndex.schema))
+    log.commitRetry(RecordStore.appendMutate(cells, dirName))
   }
 
   def lookup(workId: String, what: String): DataFrame = {
     val table = log.resolve() match {
-      case Some((_, entries)) => readEntries(entries)
-      case None if legacyCells.nonEmpty =>
+      case Some((_, entries)) => log.readEntries(entries, WorkIdIndex.schema)
+      case None if log.legacyCells(WorkIdIndex.LevelPrefixes).nonEmpty =>
         spark.read
           .schema(WorkIdIndex.schema)
           .option("basePath", path)
           .parquet(path)
-      case None =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          WorkIdIndex.schema)
+      case None => log.emptyDf(WorkIdIndex.schema)
     }
     table
       .filter(col("work_id_prefix") === workId.take(prefixLen) &&
@@ -410,6 +319,43 @@ final class WorkIdIndex(spark: SparkSession, path: String,
 }
 
 object RecordStore {
+  /** Partition-directory walk for this table's cells. */
+  private[store] val LevelPrefixes = Seq("time_bucket=", "what=")
+
+  /** Commit transform for an append that wrote `cells` into `dirName`:
+    * the new dir joins each touched cell's list; everything else rides
+    * along. Append content never depends on the base version, so a
+    * lost race recomputes only this map. */
+  private[store] def appendMutate(cells: Seq[String], dirName: String)(
+      entries: Map[String, Seq[String]]): Map[String, Seq[String]] =
+    entries ++ cells.map(c =>
+      c -> (entries.getOrElse(c, Seq.empty) :+ dirName))
+
+  /** Commit transform for a compaction that rewrote `fragmented` cells
+    * (their dir lists as of `snapshot`) into `newDir`. A cell some of
+    * whose snapshot dirs are no longer referenced was superseded by a
+    * RACING compaction — superseding it again would double its rows
+    * (both rewrites contain them), so that cell YIELDS to the current
+    * state and our rewrite of it goes unreferenced. Dirs added to a
+    * cell after the snapshot are concurrent appends: their rows are not
+    * in our rewrite, so they are preserved alongside it. Returns (new
+    * entries, yielded cells). Pure — unit-tested directly against
+    * crafted race states. */
+  private[store] def compactMutate(
+      snapshot: Map[String, Seq[String]],
+      fragmented: Set[String],
+      newDir: String)(current: Map[String, Seq[String]])
+      : (Map[String, Seq[String]], Set[String]) = {
+    val yielded = fragmented.filter(c =>
+      snapshot.getOrElse(c, Seq.empty)
+        .diff(current.getOrElse(c, Seq.empty)).nonEmpty)
+    val updates = (fragmented -- yielded).map { c =>
+      c -> (newDir +: current.getOrElse(c, Seq.empty)
+        .diff(snapshot.getOrElse(c, Seq.empty)))
+    }
+    (current ++ updates, yielded)
+  }
+
   val metadataSchema: StructType = StructType(Seq(
     StructField("version", IntegerType, nullable = false),
     StructField("start", LongType, nullable = false),
@@ -434,6 +380,38 @@ object RecordStore {
 }
 
 object WorkIdIndex {
+  private[store] val LevelPrefixes = Seq("work_id_prefix=")
+
+  /** Commit transform for a full rebuild into `newDir` (tagged
+    * "rebuild" in its name): every cell of the new layout points at the
+    * new dir plus post-snapshot appends; stale cells drop. If ANOTHER
+    * rebuild's dir (recognized by tag, not present in our snapshot)
+    * already sits in `current`, ours is concurrent with a replacement
+    * that already landed — committing over it would duplicate every
+    * indexed row, so the whole rebuild yields. Returns (new entries,
+    * yielded). Pure — unit-tested against crafted race states. */
+  private[store] def rebuildMutate(
+      snapshot: Map[String, Seq[String]],
+      cells: Seq[String],
+      newDir: String)(current: Map[String, Seq[String]])
+      : (Map[String, Seq[String]], Boolean) = {
+    val snapshotDirs = snapshot.values.flatten.toSet
+    val racingRebuild = current.values.flatten.exists(d =>
+      d.contains("-rebuild-") && d != newDir && !snapshotDirs.contains(d))
+    if (racingRebuild) (current, true)
+    else {
+      val keys = (current.keySet ++ cells).toSeq
+      val entries = keys.flatMap { c =>
+        val addedSince = current.getOrElse(c, Seq.empty)
+          .diff(snapshot.getOrElse(c, Seq.empty))
+        val dirs =
+          (if (cells.contains(c)) Seq(newDir) else Seq.empty) ++ addedSince
+        if (dirs.isEmpty) None else Some(c -> dirs)
+      }.toMap
+      (entries, false)
+    }
+  }
+
   /** Record schema plus the prefix partition column. */
   val schema: StructType =
     RecordStore.schema.add(StructField("work_id_prefix", StringType))

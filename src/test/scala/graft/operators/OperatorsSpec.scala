@@ -328,6 +328,15 @@ class OperatorsSpec extends SparkSuite {
     val empty = idx.append(Seq.empty[(Long, Seq[Float])]
       .toDF("vec_id", "embedding"))
     assert(empty.n === 0L)
+    // null embeddings are unroutable: excluded from the index (no null
+    // partition) and from the stats, never an NPE
+    val mixed = idx.append(Seq(
+      (300L, Some(mk(300L, 0, 0f)._2)),
+      (301L, Option.empty[Seq[Float]]),
+      (302L, Option.empty[Seq[Float]])).toDF("vec_id", "embedding"))
+    assert(mixed.n === 1L)
+    assert(idx.vectors.filter($"vec_id".isin(301L, 302L)).count() === 0)
+    assert(idx.vectors.filter($"vec_id" === 300L).count() === 1)
   }
 
   test("cosineDupPairs: hot label routed through LSH sub-buckets, bounded") {

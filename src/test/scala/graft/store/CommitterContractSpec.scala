@@ -103,6 +103,24 @@ class CommitterContractSpec extends SparkSuite {
     assert(readAll(target) === "from-a\n")
   }
 
+  test("ConditionalPutCommitter: a loser completes a crashed winner's " +
+    "publish — the table cannot wedge") {
+    val dir = tmpDir("cas-crash")
+    val target = new Path(dir, "manifests/v0000000001.txt")
+    fsOf(dir).mkdirs(target.getParent)
+    val cas = new InMemoryConditionalPut
+    // simulate the winner crashing between CAS and publish: the CAS
+    // entry exists (carrying the winning bytes), the file does not
+    assert(cas.putIfAbsent(target.toString,
+      java.util.Base64.getEncoder.encodeToString("from-a\n".getBytes("UTF-8"))))
+    assert(!fsOf(dir).exists(target))
+    // a later writer loses the CAS but completes the winner's commit
+    val b = new ConditionalPutCommitter(spark, dir, cas)
+    assert(!b.putIfAbsent(target, "from-b\n".getBytes("UTF-8")))
+    assert(fsOf(dir).exists(target), "loser must complete the publish")
+    assert(readAll(target) === "from-a\n", "and with the WINNER's bytes")
+  }
+
   test("LatestStore routed through the conditional-put seam end-to-end") {
     val day = DatalakeRecord.TimeBucketSizeMs
     val session = spark

@@ -173,6 +173,67 @@ class StoreMaintenanceSpec extends SparkSuite {
     assert(store.records.count() === 1)
   }
 
+  test("compactMutate: racing compaction of the same cell yields, " +
+    "concurrent appends survive") {
+    val snap = Map("c1" -> Seq("d1", "d2"), "c2" -> Seq("d3", "d4"))
+    // plain case: no race — both cells supersede
+    val (e0, y0) = RecordStore.compactMutate(snap, Set("c1", "c2"), "dN")(snap)
+    assert(y0 === Set.empty)
+    assert(e0 === Map("c1" -> Seq("dN"), "c2" -> Seq("dN")))
+    // an append landed on c1 after our snapshot: preserved next to dN
+    val appended = snap.updated("c1", Seq("d1", "d2", "dA"))
+    val (e1, y1) = RecordStore.compactMutate(snap, Set("c1", "c2"), "dN")(appended)
+    assert(y1 === Set.empty)
+    assert(e1("c1") === Seq("dN", "dA"))
+    // a RACING compaction already rewrote c1 (snapshot dirs gone):
+    // superseding again would double every row — c1 must yield, c2 not
+    val raced = Map("c1" -> Seq("dOther"), "c2" -> Seq("d3", "d4"))
+    val (e2, y2) = RecordStore.compactMutate(snap, Set("c1", "c2"), "dN")(raced)
+    assert(y2 === Set("c1"))
+    assert(e2("c1") === Seq("dOther"))
+    assert(e2("c2") === Seq("dN"))
+    // racing compaction + an append on top of it: still yield c1, keep all
+    val racedPlus = Map("c1" -> Seq("dOther", "dA"))
+    val (e3, y3) = RecordStore.compactMutate(
+      Map("c1" -> Seq("d1")), Set("c1"), "dN")(racedPlus)
+    assert(y3 === Set("c1"))
+    assert(e3("c1") === Seq("dOther", "dA"))
+  }
+
+  test("rebuildMutate: racing rebuild yields; appends and stale cells " +
+    "handled") {
+    val snap = Map("work_id_prefix=aa" -> Seq("v1-rebuild-x"))
+    // normal rebuild over its own predecessor: full replacement
+    val (e0, y0) = WorkIdIndex.rebuildMutate(
+      snap, Seq("work_id_prefix=aa", "work_id_prefix=bb"), "v2-rebuild-y")(snap)
+    assert(!y0)
+    assert(e0 === Map("work_id_prefix=aa" -> Seq("v2-rebuild-y"),
+      "work_id_prefix=bb" -> Seq("v2-rebuild-y")))
+    // stale cell with no new data and no appends drops out
+    val (e1, _) = WorkIdIndex.rebuildMutate(
+      snap, Seq("work_id_prefix=bb"), "v2-rebuild-y")(snap)
+    assert(!e1.contains("work_id_prefix=aa"))
+    // a concurrent append post-snapshot is preserved
+    val withApp = snap.updated("work_id_prefix=cc", Seq("dA"))
+    val (e2, y2) = WorkIdIndex.rebuildMutate(
+      snap, Seq("work_id_prefix=aa"), "v2-rebuild-y")(withApp)
+    assert(!y2)
+    assert(e2("work_id_prefix=cc") === Seq("dA"))
+    // ANOTHER rebuild (tagged dir not in our snapshot) already landed:
+    // committing ours over it would double the index — yield wholesale.
+    // This also covers two concurrent FIRST rebuilds (empty snapshot).
+    val other = Map("work_id_prefix=aa" -> Seq("v2-rebuild-z"))
+    val (e3, y3) = WorkIdIndex.rebuildMutate(
+      snap, Seq("work_id_prefix=aa"), "v2-rebuild-y")(other)
+    assert(y3)
+    assert(e3 === other)
+    val (e4, y4) = WorkIdIndex.rebuildMutate(
+      Map.empty, Seq("work_id_prefix=aa"), "v1-rebuild-b")(
+      Map("work_id_prefix=aa" -> Seq("v1-rebuild-a")))
+    assert(y4)
+    assert(e4 === Map("work_id_prefix=aa" -> Seq("v1-rebuild-a")))
+  }
+
   test("work-id index rebuild + pruned lookup") {
     val store = new RecordStore(spark, tmpDir("widx") + "/t")
     val withIds = (1 to 20).flatMap { i =>
