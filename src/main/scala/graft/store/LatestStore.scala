@@ -153,4 +153,15 @@ final class LatestStore(spark: SparkSession, path: String,
     * swept by the regular vacuum). See [[ManifestLog.vacuumOrphans]]. */
   def vacuumOrphans(olderThanMs: Long): Seq[String] =
     log.vacuumOrphans(olderThanMs)
+
+  /** Resolvable snapshot versions, oldest first (retention =
+    * `keepVersions` commits). */
+  def versions: Seq[Long] = log.versions
+
+  /** Time travel: the latest table exactly as committed at `version`
+    * (complete immutable snapshot; vacuumed versions throw). */
+  def latestAt(version: Long): DataFrame = {
+    val entries = asBuckets(log.readManifest(version))
+    readBuckets(entries, entries.keys)
+  }
 }

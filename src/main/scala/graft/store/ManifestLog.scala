@@ -59,6 +59,18 @@ final class ManifestLog(spark: SparkSession, path: String,
   /** true once any version has been committed. */
   def hasAny: Boolean = currentVersion.isDefined
 
+  /** All currently resolvable committed versions, oldest first —
+    * bounded by `keepVersions` (vacuum drops older manifests and the
+    * data only they referenced). Each is a complete, immutable
+    * snapshot: the basis for time-travel reads. */
+  def versions: Seq[Long] =
+    if (!f.exists(manifestsDir)) Nil
+    else f.listStatus(manifestsDir).toSeq
+      .flatMap(st => st.getPath.getName match {
+        case ManifestName(n) => Some(n.toLong)
+        case _ => None
+      }).sorted
+
   def manifestPath(v: Long): Path = new Path(manifestsDir, f"v$v%010d.txt")
 
   /** cell -> ordered data dir names for version `v`. */

@@ -221,6 +221,18 @@ final class RecordStore(spark: SparkSession, path: String,
     * [[ManifestLog.vacuumOrphans]]. */
   def vacuumOrphans(olderThanMs: Long): Seq[String] =
     log.vacuumOrphans(olderThanMs)
+
+  /** Resolvable snapshot versions, oldest first (retention =
+    * `keepVersions` commits). */
+  def versions: Seq[Long] = log.versions
+
+  /** Time travel: the table exactly as committed at `version` — every
+    * manifest is a complete immutable snapshot, so a training pipeline
+    * can pin one and re-read IDENTICAL data regardless of concurrent
+    * appends/compactions (within the retention window; a vacuumed
+    * version throws FileNotFound). */
+  def recordsAt(version: Long): DataFrame =
+    log.readEntries(log.readManifest(version), RecordStore.schema)
 }
 
 /** Optional secondary copy of the record table laid out for work-id

@@ -159,6 +159,19 @@ class LatestStoreSpec extends SparkSuite {
       .getAs[Long]("start") === 100L * day)
   }
 
+  test("time travel: latestAt reads the snapshot a version committed") {
+    val store = new LatestStore(spark, tmpDir("lat-tt") + "/t", nBuckets = 4)
+    store.upsert(batch(Seq(("a", "x")), 100L * day, 1L))
+    val v1 = store.versions.last
+    store.upsert(batch(Seq(("a", "x")), 200L * day, 2L))
+    val v2 = store.versions.last
+    def startAt(v: Long): Long =
+      store.latestAt(v).collect().head
+        .getAs[org.apache.spark.sql.Row]("metadata").getAs[Long]("start")
+    assert(startAt(v1) === 100L * day)
+    assert(startAt(v2) === 200L * day)
+  }
+
   test("vacuumOrphans reclaims a crashed writer's data dir, not a fresh one") {
     val dir = tmpDir("lat-orphan") + "/t"
     val store = new LatestStore(spark, dir, nBuckets = 2)

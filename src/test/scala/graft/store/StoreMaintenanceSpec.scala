@@ -173,6 +173,32 @@ class StoreMaintenanceSpec extends SparkSuite {
     assert(store.records.count() === 1)
   }
 
+  test("time travel: recordsAt pins an immutable snapshot across " +
+    "appends, compaction, and vacuum") {
+    val store = new RecordStore(spark, tmpDir("tt") + "/t", keepVersions = 3)
+    store.append(DatalakeRecord.listFromMetadata(meta(1), "file:///1", 1L, 2L))
+    val v1 = store.versions.last
+    store.append(DatalakeRecord.listFromMetadata(meta(2), "file:///2", 1L, 2L))
+    val v2 = store.versions.last
+    assert(store.recordsAt(v1).count() === 1)
+    assert(store.recordsAt(v2).count() === 2)
+    // compaction commits a new version; the pinned snapshots still read
+    // their ORIGINAL data exactly
+    assert(store.compact(filesPerPartition = 1) === 1)
+    assert(store.recordsAt(v1).collect().map(_.getAs[org.apache.spark.sql
+      .Row]("metadata").getAs[String]("id")).toSeq === Seq(f"${1}%032x"))
+    assert(store.recordsAt(v2).count() === 2)
+    assert(store.records.count() === 2)
+    // more commits than keepVersions: v1 vacuums away and now THROWS
+    // (never a silent partial read)
+    for (i <- 3 to 6)
+      store.append(DatalakeRecord.listFromMetadata(meta(i), s"file:///$i", 1L, 2L))
+    assert(!store.versions.contains(v1))
+    intercept[java.io.IOException](store.recordsAt(v1).count())
+    // current view is intact throughout
+    assert(store.records.count() === 6)
+  }
+
   test("compactMutate: racing compaction of the same cell yields, " +
     "concurrent appends survive") {
     val snap = Map("c1" -> Seq("d1", "d2"), "c2" -> Seq("d3", "d4"))
