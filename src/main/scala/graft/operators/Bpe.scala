@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding (BPE) tokenizer TRAINING — the
+  * vocabulary-learning step of an LLM data pipeline (the battery's
+  * `q_token_count` / `q_vocab_topk` cover counting with a FIXED
+  * tokenizer; this learns the merges).
+  *
+  * Scale shape (what makes this 100 TB-ready):
+  *   1. ONE corpus scan collapses the corpus to a word-frequency table
+  *      (`explode(split(text)) → groupBy(word).count`) — the classic
+  *      BPE trick: training is then corpus-size-INDEPENDENT, because
+  *      every subsequent round runs over the (vocab-sized, ~1e5-row)
+  *      word table, never the corpus again.
+  *   2. Each merge round is: explode adjacent symbol pairs weighted by
+  *      word count → hash aggregate (map-side partials) → argmax to
+  *      the driver (one tiny row) → map-side fold applying the merge.
+  *      The only exchange per round carries pair counts.
+  *   3. The pair merge is a left-to-right `aggregate()` fold over the
+  *      symbol array — a SQL higher-order function, no UDF — giving
+  *      standard greedy BPE semantics ("aaaa" + (a,a) → [aa, aa]).
+  *
+  * Determinism: ties in pair counts break lexicographically on the
+  * pair, so retraining reproduces the identical merge list. Words are
+  * terminated with `</w>` (the word-boundary marker of the original
+  * BPE-for-NMT formulation) so merges never cross word boundaries and
+  * end-of-word units are learned separately.
+  */
+object Bpe {
+
+  /** One learned merge: `left`+`right` become one symbol; `count` is
+    * the pair's support when it was chosen. */
+  final case class Merge(left: String, right: String, count: Long)
+
+  /** Word-boundary marker symbol. Multi-char, so it cannot collide
+    * with any single-character initial symbol. */
+  val EndMark = "</w>"
+
+  /** Word-frequency table with each word exploded to its initial
+    * symbol sequence (characters + end marker). */
+  private def wordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .withColumn("symbols",
+        concat(split(col("word"), ""), array(lit(EndMark))))
+      .select(col("symbols"), col("n"))
+
+  /** Adjacent-pair counts over the (word-frequency-weighted) symbol
+    * table: the per-round aggregate. */
+  private def pairCounts(words: DataFrame): DataFrame =
+    words
+      .filter(size(col("symbols")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(symbols) - 2), " +
+          "i -> struct(element_at(symbols, i + 1) AS a, " +
+          "element_at(symbols, i + 2) AS b))")).as("p"),
+        col("n"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("n")).as("cnt"))
+
+  private def sqlLit(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  /** Left-to-right greedy fold applying merge (a, b) to the array held
+    * in `arrayExpr`. */
+  private def mergeFold(arrayExpr: String, a: String, b: String): String =
+    s"""aggregate($arrayExpr, CAST(array() AS ARRAY<STRING>),
+       |  (acc, s) -> IF(size(acc) > 0 AND element_at(acc, -1) = ${sqlLit(a)}
+       |                   AND s = ${sqlLit(b)},
+       |                 concat(slice(acc, 1, size(acc) - 1),
+       |                        array(${sqlLit(a + b)})),
+       |                 concat(acc, array(s))))""".stripMargin
+
+  /** Learn up to `merges` BPE merges from the corpus. Stops early when
+    * no pair reaches `minCount`. Returns merges in training order —
+    * the tokenizer model. */
+  def train(docs: DataFrame, textCol: String = "text",
+      merges: Int = 50, minCount: Long = 2L): Seq[Merge] = {
+    require(merges >= 1, s"merges must be >= 1, got $merges")
+    // the word table is vocab-sized: one materialization replaces a
+    // corpus re-scan per round AND caps the per-round lineage
+    var words = wordTable(docs, textCol).localCheckpoint(true)
+    val learned = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var done = false
+    while (!done && learned.size < merges) {
+      val top = pairCounts(words)
+        .filter(col("cnt") >= minCount)
+        // deterministic argmax: count desc, then pair lexicographic
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b) = (top.head.getString(0), top.head.getString(1))
+        learned += Merge(a, b, top.head.getLong(2))
+        words = words
+          .withColumn("symbols", expr(mergeFold("symbols", a, b)))
+          .select(col("symbols"), col("n"))
+          .localCheckpoint(true)
+      }
+    }
+    learned.toSeq
+  }
+
+  /** Tokenize `textCol` with a trained merge list: per word, apply the
+    * merges IN TRAINING ORDER (the standard BPE encoder) and emit the
+    * flattened token sequence as a `tokens` array column. Map-only —
+    * no shuffle; the merge list rides along inside the expression. */
+  def encode(docs: DataFrame, model: Seq[Merge], textCol: String = "text")
+      : DataFrame = {
+    val initial = s"concat(split(w, ''), array(${sqlLit(EndMark)}))"
+    val folded = model.foldLeft(initial)((acc, m) =>
+      mergeFold(acc, m.left, m.right))
+    docs
+      .withColumn("__words",
+        expr(s"filter(split(lower(trim($textCol)), '\\\\s+'), " +
+          "w -> length(w) > 0)"))
+      .withColumn("tokens",
+        expr(s"flatten(transform(__words, w -> $folded))"))
+      .drop("__words")
+  }
+}

@@ -164,6 +164,15 @@ object Demo {
     println(f"ANN-DRIFT: near=${nearDrift.meanMicroDist}%.0f " +
       f"far=${farDrift.meanMicroDist}%.0f")
 
+    // BPE tokenizer training: one corpus scan -> vocab-sized merge
+    // rounds; encode is map-only
+    val bpeModel = graft.operators.Bpe.train(
+      Seq("low low low low low lower lower",
+        "newest newest newest newest newest newest widest widest widest")
+        .toDF("text"), merges = 3)
+    println("BPE-MERGES: " + bpeModel.map(m =>
+      s"${m.left}+${m.right}@${m.count}").mkString(", "))
+
     // re-hash verification job: blake2b over content as a native
     // codegen'd expression must reproduce the push-time hash
     import org.apache.spark.sql.functions.col

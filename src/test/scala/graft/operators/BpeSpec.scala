@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSuite
+
+/** BPE trainer against the classic worked example (the low/lower/
+  * newest/widest corpus of the original BPE-for-NMT paper), with every
+  * merge hand-computed — including the lexicographic tie-breaks that
+  * make training deterministic. */
+class BpeSpec extends SparkSuite {
+  import spark.implicits._
+
+  // word frequencies: low×5, lower×2, newest×6, widest×3
+  private lazy val corpus = Seq(
+    (Seq.fill(5)("low") ++ Seq.fill(2)("lower")).mkString(" "),
+    (Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "))
+    .toDF("text")
+
+  test("train learns the hand-computed merge sequence with " +
+    "deterministic tie-breaks") {
+    val model = Bpe.train(corpus, merges = 5)
+    // round 1: (e,s) (s,t) (t,</w>) all tie at 9 -> lexicographic (e,s)
+    // round 2: (es,t) vs (t,</w>) tie at 9 -> (es,t)
+    // round 3: (est,</w>) alone at 9
+    // round 4: (l,o) vs (o,w) tie at 7 -> (l,o)
+    // round 5: (lo,w) at 7
+    assert(model.map(m => (m.left, m.right, m.count)) === Seq(
+      ("e", "s", 9L), ("es", "t", 9L), ("est", "</w>", 9L),
+      ("l", "o", 7L), ("lo", "w", 7L)))
+    // retraining reproduces the identical model
+    assert(Bpe.train(corpus, merges = 5) === model)
+  }
+
+  test("train stops early when no pair reaches minCount") {
+    val tiny = Seq("ab cd").toDF("text") // every pair count = 1
+    assert(Bpe.train(tiny, merges = 10, minCount = 2L) === Seq.empty)
+    // with minCount=1 it keeps merging: ties break lexicographically,
+    // ab before cd; the </w> merges interleave by pair order
+    val m1 = Bpe.train(tiny, merges = 2, minCount = 1L)
+    assert(m1.map(m => (m.left, m.right)) === Seq(("a", "b"), ("ab", "</w>")))
+  }
+
+  test("encode applies merges in training order, map-only") {
+    val model = Bpe.train(corpus, merges = 5)
+    val out = Bpe.encode(Seq("Newest LOW").toDF("text"), model)
+    val tokens = out.select("tokens").as[Seq[String]].collect().head
+    // newest -> n e w est</w>; low -> low </w>
+    assert(tokens === Seq("n", "e", "w", "est</w>", "low", "</w>"))
+    // no Exchange anywhere: encoding is a pure map over the corpus
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"encode must not shuffle:\n$plan")
+    // unseen characters survive as singleton symbols
+    val odd = Bpe.encode(Seq("zq").toDF("text"), model)
+      .select("tokens").as[Seq[String]].collect().head
+    assert(odd === Seq("z", "q", "</w>"))
+  }
+
+  test("training scan shape: one corpus pass, vocab-sized rounds") {
+    // the trained model from a 2-row corpus and from the same text
+    // replicated 100x is IDENTICAL (frequencies scale uniformly), and
+    // training time is dominated by the word table, not the corpus
+    val big = (1 to 100).flatMap(_ => Seq(
+      (Seq.fill(5)("low") ++ Seq.fill(2)("lower")).mkString(" "),
+      (Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")))
+      .toDF("text")
+    val small = Bpe.train(corpus, merges = 3)
+    val scaled = Bpe.train(big, merges = 3)
+    assert(scaled.map(m => (m.left, m.right)) ===
+      small.map(m => (m.left, m.right)))
+    assert(scaled.map(_.count) === small.map(_.count * 100))
+  }
+}
