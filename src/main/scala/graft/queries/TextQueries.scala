@@ -27,6 +27,20 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // BPE tokenizer training (4 merges): the distributed merge-learning
+    // loop (one corpus scan -> word-frequency table -> vocab-sized
+    // rounds) emits the learned merge list; the DuckDB oracle unrolls
+    // the identical 4 rounds, so counts, pair choices, AND the
+    // lexicographic tie-breaks must match exactly
+    "q_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Bpe.train(docs(s, dir), merges = 4)
+        .zipWithIndex
+        .map { case (m, i) => (i + 1, m.left, m.right, m.count) }
+        .toDF("merge_rank", "lhs", "rhs", "cnt")
+        .orderBy($"merge_rank")
+    }),
+
     // exact dedup by content hash (hash-groupBy; the union simulates a
     // corpus with 10% duplicated docs)
     "q_dedup_exact" -> ((s, dir) => {
@@ -217,7 +231,50 @@ object TextQueries {
       |  FROM documents)
       |""".stripMargin
 
+  /** Unrolled DuckDB mirror of [[graft.operators.Bpe.train]] for `k`
+    * merges: identical word-frequency base, per-round pair counts, and
+    * argmax tie-breaks. The merge application uses the delimiter trick
+    * (each symbol wrapped in chr(30)…chr(31) and globally replaced):
+    * replace-all over self-delimited symbols is exactly the
+    * left-to-right greedy fold, including adjacent merges ("aaaa" →
+    * [aa, aa]), because no delimiter is shared between matches. */
+  private def bpeOracle(k: Int): String = {
+    val rounds = (1 to k).map { r =>
+      s"""p$r AS (
+         |  SELECT symbols[i] AS a, symbols[i+1] AS b, CAST(sum(n) AS BIGINT) AS cnt
+         |  FROM w${r - 1}, unnest(generate_series(1, len(symbols) - 1)) AS t(i)
+         |  GROUP BY 1, 2),
+         |m$r AS (SELECT a, b, cnt FROM p$r WHERE cnt >= 2
+         |        ORDER BY cnt DESC, a, b LIMIT 1),
+         |w$r AS (
+         |  SELECT n, string_split(trim(replace(
+         |      array_to_string(list_transform(w${r - 1}.symbols,
+         |        s -> chr(30) || s || chr(31)), ''),
+         |      chr(30) || m$r.a || chr(31) || chr(30) || m$r.b || chr(31),
+         |      chr(30) || m$r.a || m$r.b || chr(31)), chr(30) || chr(31)),
+         |    chr(31) || chr(30)) AS symbols
+         |  FROM w${r - 1}, m$r)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to k)
+      .map(r => s"SELECT $r AS merge_rank, a AS lhs, b AS rhs, cnt FROM m$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH words AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+       |    FROM documents)
+       |  WHERE length(word) > 0 GROUP BY word),
+       |w0 AS (
+       |  SELECT n, list_append(string_split(word, ''), '</w>') AS symbols
+       |  FROM words),
+       |$rounds
+       |SELECT * FROM (
+       |$out)
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_bpe_merges" -> bpeOracle(4),
+
     "q_tfidf_top_terms" ->
       """WITH terms AS (
         |  SELECT doc_id, word, count(*) AS tf
