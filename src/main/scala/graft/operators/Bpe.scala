@@ -108,7 +108,13 @@ object Bpe {
   /** Tokenize `textCol` with a trained merge list: per word, apply the
     * merges IN TRAINING ORDER (the standard BPE encoder) and emit the
     * flattened token sequence as a `tokens` array column. Map-only —
-    * no shuffle; the merge list rides along inside the expression. */
+    * no shuffle; the merge list rides along inside the expression.
+    *
+    * The expression nests one `aggregate()` fold per merge —
+    * interpreted HOF lambdas, fine for the tens of merges a test/demo
+    * model carries. A production encoder with thousands of merges
+    * would be a single custom Expression (or mapPartitions) walking a
+    * pair-rank table, not a fold chain. */
   def encode(docs: DataFrame, model: Seq[Merge], textCol: String = "text")
       : DataFrame = {
     val initial = s"concat(split(w, ''), array(${sqlLit(EndMark)}))"

@@ -41,6 +41,18 @@ object TextQueries {
         .orderBy($"merge_rank")
     }),
 
+    // BPE encoding with the trained model: per-doc token sequence
+    // (count + order-sensitive md5) — the map-only encoder leg of the
+    // tokenizer, distributed over the corpus
+    "q_bpe_tokens" -> ((s, dir) => {
+      import s.implicits._
+      val model = graft.operators.Bpe.train(docs(s, dir), merges = 4)
+      graft.operators.Bpe.encode(docs(s, dir), model)
+        .select($"doc_id", size($"tokens").as("n_tokens"),
+          md5(array_join($"tokens", "\u001f")).as("tokens_md5"))
+        .orderBy($"doc_id")
+    }),
+
     // exact dedup by content hash (hash-groupBy; the union simulates a
     // corpus with 10% duplicated docs)
     "q_dedup_exact" -> ((s, dir) => {
@@ -238,7 +250,10 @@ object TextQueries {
     * replace-all over self-delimited symbols is exactly the
     * left-to-right greedy fold, including adjacent merges ("aaaa" →
     * [aa, aa]), because no delimiter is shared between matches. */
-  private def bpeOracle(k: Int): String = {
+  /** Shared CTE chain: word-frequency base + `k` unrolled training
+    * rounds, ending with argmax CTEs `m1..mk` and word tables
+    * `w0..wk`. */
+  private def bpeRounds(k: Int): String = {
     val rounds = (1 to k).map { r =>
       s"""p$r AS (
          |  SELECT symbols[i] AS a, symbols[i+1] AS b, CAST(sum(n) AS BIGINT) AS cnt
@@ -255,10 +270,7 @@ object TextQueries {
          |    chr(31) || chr(30)) AS symbols
          |  FROM w${r - 1}, m$r)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to k)
-      .map(r => s"SELECT $r AS merge_rank, a AS lhs, b AS rhs, cnt FROM m$r")
-      .mkString("\nUNION ALL\n")
-    s"""WITH words AS (
+    s"""words AS (
        |  SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
        |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
        |    FROM documents)
@@ -266,14 +278,54 @@ object TextQueries {
        |w0 AS (
        |  SELECT n, list_append(string_split(word, ''), '</w>') AS symbols
        |  FROM words),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def bpeOracle(k: Int): String = {
+    val out = (1 to k)
+      .map(r => s"SELECT $r AS merge_rank, a AS lhs, b AS rhs, cnt FROM m$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${bpeRounds(k)}
        |SELECT * FROM (
        |$out)
        |ORDER BY merge_rank""".stripMargin
   }
 
+  /** Encoder mirror: the trained merges applied GLOBALLY to each doc's
+    * self-delimited symbol string — matches can only occur within
+    * words (no learned pair crosses a `</w>`), so the global replace
+    * chain equals Spark's per-word fold + flatten. */
+  private def bpeEncodeOracle(k: Int): String = {
+    // single-line fragments on purpose: interpolating multi-line text
+    // into a later `.stripMargin` template re-strips any line that
+    // happens to start with '|' — e.g. a leading '||' concat operator
+    val rep0 =
+      "(SELECT array_to_string(list_transform(" +
+        "filter(string_split_regex(lower(trim(text)), '\\s+'), " +
+        "w -> length(w) > 0), " +
+        "w -> array_to_string(list_transform(string_split(w, ''), " +
+        "c -> chr(30) || c || chr(31)), '') " +
+        "|| chr(30) || '</w>' || chr(31)), ''))"
+    val chained = (1 to k).foldLeft(rep0) { (acc, r) =>
+      s"replace($acc, " +
+        s"(SELECT chr(30) || a || chr(31) || chr(30) || b || chr(31) FROM m$r), " +
+        s"(SELECT chr(30) || a || b || chr(31) FROM m$r))"
+    }
+    s"""WITH ${bpeRounds(k)},
+       |enc AS (
+       |  SELECT doc_id,
+       |    string_split(trim($chained, chr(30) || chr(31)),
+       |      chr(31) || chr(30)) AS tokens
+       |  FROM documents)
+       |SELECT doc_id, CAST(len(tokens) AS INT) AS n_tokens,
+       |       md5(array_to_string(tokens, chr(31))) AS tokens_md5
+       |FROM enc ORDER BY doc_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_bpe_merges" -> bpeOracle(4),
+
+    "q_bpe_tokens" -> bpeEncodeOracle(4),
 
     "q_tfidf_top_terms" ->
       """WITH terms AS (
