@@ -75,6 +75,16 @@ object Bpe {
        |                        array(${sqlLit(a + b)})),
        |                 concat(acc, array(s))))""".stripMargin
 
+  /** Release the block-manager copy behind a localCheckpointed frame
+    * (its analyzed plan is a LogicalRDD over the persisted RDD);
+    * no-op for any other plan shape. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** Learn up to `merges` BPE merges from the corpus. Stops early when
     * no pair reaches `minCount`. Returns merges in training order —
     * the tokenizer model. */
@@ -82,27 +92,33 @@ object Bpe {
       merges: Int = 50, minCount: Long = 2L): Seq[Merge] = {
     require(merges >= 1, s"merges must be >= 1, got $merges")
     // the word table is vocab-sized: one materialization replaces a
-    // corpus re-scan per round AND caps the per-round lineage
+    // corpus re-scan per round AND caps the per-round lineage; each
+    // round's checkpoint releases its predecessor so a long training
+    // run holds ONE copy of the word table, not one per merge
     var words = wordTable(docs, textCol).localCheckpoint(true)
     val learned = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var done = false
-    while (!done && learned.size < merges) {
-      val top = pairCounts(words)
-        .filter(col("cnt") >= minCount)
-        // deterministic argmax: count desc, then pair lexicographic
-        .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1).collect()
-      if (top.isEmpty) done = true
-      else {
-        val (a, b) = (top.head.getString(0), top.head.getString(1))
-        learned += Merge(a, b, top.head.getLong(2))
-        words = words
-          .withColumn("symbols", expr(mergeFold("symbols", a, b)))
-          .select(col("symbols"), col("n"))
-          .localCheckpoint(true)
+    try {
+      while (!done && learned.size < merges) {
+        val top = pairCounts(words)
+          .filter(col("cnt") >= minCount)
+          // deterministic argmax: count desc, then pair lexicographic
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1).collect()
+        if (top.isEmpty) done = true
+        else {
+          val (a, b) = (top.head.getString(0), top.head.getString(1))
+          learned += Merge(a, b, top.head.getLong(2))
+          val next = words
+            .withColumn("symbols", expr(mergeFold("symbols", a, b)))
+            .select(col("symbols"), col("n"))
+            .localCheckpoint(true) // eager: safe to drop the source now
+          releaseCheckpoint(words)
+          words = next
+        }
       }
-    }
-    learned.toSeq
+      learned.toSeq
+    } finally releaseCheckpoint(words)
   }
 
   /** Tokenize `textCol` with a trained merge list: per word, apply the

@@ -311,11 +311,15 @@ object TextQueries {
         s"(SELECT chr(30) || a || chr(31) || chr(30) || b || chr(31) FROM m$r), " +
         s"(SELECT chr(30) || a || b || chr(31) FROM m$r))"
     }
+    // the empty-token filter closes the one cross-engine edge: for an
+    // empty/whitespace-only doc the replace chain yields '', and DuckDB
+    // string_split('', sep) returns [''] where Spark's encode returns
+    // [] — real tokens are never empty, so dropping '' aligns both
     s"""WITH ${bpeRounds(k)},
        |enc AS (
        |  SELECT doc_id,
-       |    string_split(trim($chained, chr(30) || chr(31)),
-       |      chr(31) || chr(30)) AS tokens
+       |    list_filter(string_split(trim($chained, chr(30) || chr(31)),
+       |      chr(31) || chr(30)), t -> t <> '') AS tokens
        |  FROM documents)
        |SELECT doc_id, CAST(len(tokens) AS INT) AS n_tokens,
        |       md5(array_to_string(tokens, chr(31))) AS tokens_md5

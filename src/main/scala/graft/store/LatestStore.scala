@@ -53,11 +53,17 @@ final class LatestStore(spark: SparkSession, path: String,
   private def bucketLeaf(dataVersion: String, kp: Int): String =
     new Path(log.dataPath(dataVersion), s"kp=$kp").toString
 
-  private def readBuckets(entries: Map[Int, String], buckets: Iterable[Int])
-      : DataFrame = {
-    val leaves = buckets.toSeq.sorted
+  /** `strict = false` (current-snapshot reads) tolerates a leaf
+    * vanishing between resolve and scan — the benign race against a
+    * concurrent vacuum, where re-resolving would just pick the newer
+    * manifest anyway. `strict = true` (pinned time-travel reads) does
+    * NOT exist-filter: a pinned snapshot that lost dirs to vacuum must
+    * FAIL, never silently return a partial table. */
+  private def readBuckets(entries: Map[Int, String], buckets: Iterable[Int],
+      strict: Boolean = false): DataFrame = {
+    val all = buckets.toSeq.sorted
       .flatMap(b => entries.get(b).map(bucketLeaf(_, b)))
-      .filter(p => f.exists(new Path(p)))
+    val leaves = if (strict) all else all.filter(p => f.exists(new Path(p)))
     if (leaves.isEmpty) emptyTable
     else spark.read.schema(RecordStore.schema).parquet(leaves: _*)
   }
@@ -159,9 +165,11 @@ final class LatestStore(spark: SparkSession, path: String,
   def versions: Seq[Long] = log.versions
 
   /** Time travel: the latest table exactly as committed at `version`
-    * (complete immutable snapshot; vacuumed versions throw). */
+    * (complete immutable snapshot; vacuumed versions throw — reading
+    * the manifest or any reclaimed leaf fails loudly rather than
+    * returning a silently partial snapshot). */
   def latestAt(version: Long): DataFrame = {
     val entries = asBuckets(log.readManifest(version))
-    readBuckets(entries, entries.keys)
+    readBuckets(entries, entries.keys, strict = true)
   }
 }

@@ -48,21 +48,12 @@ final class ManifestLog(spark: SparkSession, path: String,
 
   private val ManifestName = """v(\d{10})\.txt""".r
 
-  def currentVersion: Option[Long] =
-    if (!f.exists(manifestsDir)) None
-    else f.listStatus(manifestsDir).toSeq
-      .flatMap(st => st.getPath.getName match {
-        case ManifestName(n) => Some(n.toLong)
-        case _ => None
-      }).sorted.lastOption
-
-  /** true once any version has been committed. */
-  def hasAny: Boolean = currentVersion.isDefined
-
   /** All currently resolvable committed versions, oldest first —
     * bounded by `keepVersions` (vacuum drops older manifests and the
     * data only they referenced). Each is a complete, immutable
-    * snapshot: the basis for time-travel reads. */
+    * snapshot: the basis for time-travel reads. The SINGLE listing of
+    * the manifests dir — currentVersion/vacuum/vacuumOrphans all go
+    * through here so the name-pattern invariant lives in one place. */
   def versions: Seq[Long] =
     if (!f.exists(manifestsDir)) Nil
     else f.listStatus(manifestsDir).toSeq
@@ -70,6 +61,11 @@ final class ManifestLog(spark: SparkSession, path: String,
         case ManifestName(n) => Some(n.toLong)
         case _ => None
       }).sorted
+
+  def currentVersion: Option[Long] = versions.lastOption
+
+  /** true once any version has been committed. */
+  def hasAny: Boolean = currentVersion.isDefined
 
   def manifestPath(v: Long): Path = new Path(manifestsDir, f"v$v%010d.txt")
 
@@ -226,13 +222,9 @@ final class ManifestLog(spark: SparkSession, path: String,
     * crashed before committing is never referenced and so never swept —
     * bounded by crash count; [[vacuumOrphans]] reclaims them offline. */
   def vacuum(): Unit = {
-    val versions = f.listStatus(manifestsDir).toSeq
-      .flatMap(st => st.getPath.getName match {
-        case ManifestName(n) => Some(n.toLong)
-        case _ => None
-      }).sorted
-    val retained = versions.takeRight(keepVersions)
-    val expired = versions.dropRight(keepVersions)
+    val vs = versions
+    val retained = vs.takeRight(keepVersions)
+    val expired = vs.dropRight(keepVersions)
     if (expired.nonEmpty) {
       // a retained manifest that cannot be read ABORTS the vacuum: its
       // data dirs belong to the live 'alive' set, and silently treating
@@ -270,12 +262,7 @@ final class ManifestLog(spark: SparkSession, path: String,
     * Returns the reclaimed dir names. */
   def vacuumOrphans(olderThanMs: Long): Seq[String] = {
     if (!f.exists(dataRoot)) return Nil
-    val referenced = (if (!f.exists(manifestsDir)) Nil
-      else f.listStatus(manifestsDir).toSeq
-        .flatMap(st => st.getPath.getName match {
-          case ManifestName(n) => Some(n.toLong)
-          case _ => None
-        }))
+    val referenced = versions
       .flatMap(v => scala.util.Try(readManifest(v)).toOption)
       .flatMap(_.values.flatten).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs

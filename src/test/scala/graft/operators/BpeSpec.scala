@@ -30,6 +30,13 @@ class BpeSpec extends SparkSuite {
     assert(Bpe.train(corpus, merges = 5) === model)
   }
 
+  test("train releases every round's checkpoint (no block leak)") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Bpe.train(corpus, merges = 5)
+    assert(spark.sparkContext.getPersistentRDDs.size === before,
+      "training must not leave cached word tables behind")
+  }
+
   test("train stops early when no pair reaches minCount") {
     val tiny = Seq("ab cd").toDF("text") // every pair count = 1
     assert(Bpe.train(tiny, merges = 10, minCount = 2L) === Seq.empty)

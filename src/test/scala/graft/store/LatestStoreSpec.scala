@@ -170,6 +170,21 @@ class LatestStoreSpec extends SparkSuite {
         .getAs[org.apache.spark.sql.Row]("metadata").getAs[Long]("start")
     assert(startAt(v1) === 100L * day)
     assert(startAt(v2) === 200L * day)
+    // a pinned snapshot whose data was reclaimed must FAIL, never
+    // silently return a partial table: simulate a vacuumed dir by
+    // deleting v1's data version out from under its manifest
+    val f = new org.apache.hadoop.fs.Path(store.latest.inputFiles.head)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val m1 = scala.io.Source.fromInputStream(
+      f.open(new org.apache.hadoop.fs.Path(
+        store.latest.inputFiles.head.split("/data/")(0) +
+          f"/manifests/v$v1%010d.txt")), "UTF-8").getLines()
+      .next().split("=", 2)(1)
+    f.delete(new org.apache.hadoop.fs.Path(
+      store.latest.inputFiles.head.split("/data/")(0) + s"/data/$m1"), true)
+    intercept[Exception](store.latestAt(v1).collect())
+    // the current snapshot still reads fine
+    assert(startAt(v2) === 200L * day)
   }
 
   test("vacuumOrphans reclaims a crashed writer's data dir, not a fresh one") {
