@@ -38,6 +38,45 @@ object Curation {
           s"i -> concat_ws(' ', $gramExpr))")).as("__gram"))
   }
 
+  /** Split documents into fixed-size token windows with overlap — the
+    * chunking pass that precedes embedding or context packing (RAG
+    * indexing, pretraining with long documents). Windows start every
+    * `chunkTokens - overlapTokens` tokens and run to
+    * `min(start + chunkTokens, n)`; a document shorter than one chunk
+    * yields one (short) chunk; an empty document yields none.
+    *
+    * Map-only: tokenize → `posexplode` the window starts → slice. No
+    * shuffle — chunking 100 TB is exactly one pass, and the downstream
+    * consumer chooses its own partitioning. Deterministic (window
+    * geometry is a pure function of the token count), so re-runs and
+    * incremental loads chunk identically.
+    */
+  def chunk(docs: DataFrame, chunkTokens: Int, overlapTokens: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlapTokens")
+    val stride = chunkTokens - overlapTokens
+    docs
+      .withColumn("__toks",
+        expr(s"filter(split(lower(trim($textCol)), '\\\\s+'), " +
+          "t -> length(t) > 0)"))
+      .withColumn("__n", size(col("__toks")))
+      .where(col("__n") > 0)
+      .select(col(idCol),
+        // upper bound n-1-overlap: a start past it would yield a window
+        // fully contained in its predecessor (the useless tail fragment)
+        posexplode(expr(
+          s"sequence(0, greatest(__n - 1 - $overlapTokens, 0), $stride)"))
+          .as(Seq("chunk_idx", "chunk_start")),
+        col("__toks"), col("__n"))
+      .select(col(idCol), col("chunk_idx"), col("chunk_start"),
+        expr(s"slice(__toks, chunk_start + 1, $chunkTokens)").as("chunk"),
+        col("__n"))
+      .withColumn("n_chunk_tokens", size(col("chunk")))
+      .drop("__n")
+  }
+
   /** Per-document word `n`-gram repetition statistics:
     *
     *   - `n_grams`: total n-grams in the document

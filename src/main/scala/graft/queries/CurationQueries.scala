@@ -22,6 +22,17 @@ object CurationQueries {
     // doc gets its text doubled (simulated boilerplate) so the flag path
     // is exercised — the synthetic corpus has almost no natural
     // repetition
+    // fixed-size token chunking with overlap (chunk 64, overlap 16):
+    // the map-only window pass before embedding/packing; checked as
+    // window geometry + order-sensitive chunk hash
+    "q_chunk" -> ((s, dir) => {
+      import s.implicits._
+      Curation.chunk(docs(s, dir), chunkTokens = 64, overlapTokens = 16)
+        .select($"doc_id", $"chunk_idx", $"chunk_start", $"n_chunk_tokens",
+          md5(array_join($"chunk", " ")).as("chunk_md5"))
+        .orderBy($"doc_id", $"chunk_idx")
+    }),
+
     "q_repetition" -> ((s, dir) => {
       import s.implicits._
       val planted = docs(s, dir).withColumn("text",
@@ -184,6 +195,28 @@ object CurationQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_redact" -> RedactOracle,
+
+    // chunk 64 / overlap 16 -> stride 48; start upper bound n-1-overlap
+    // mirrors Curation.chunk's no-contained-tail rule
+    "q_chunk" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                t -> length(t) > 0) AS toks
+        |  FROM documents),
+        |sized AS (
+        |  SELECT doc_id, toks, len(toks) AS n FROM toks WHERE len(toks) > 0),
+        |starts AS (
+        |  SELECT doc_id, toks, n,
+        |    unnest(generate_series(0, greatest(n - 1 - 16, 0), 48)) AS chunk_start
+        |  FROM sized)
+        |SELECT doc_id, CAST(chunk_start // 48 AS INT) AS chunk_idx,
+        |  CAST(chunk_start AS INT) AS chunk_start,
+        |  CAST(len(toks[chunk_start + 1 : least(chunk_start + 64, n)]) AS INT)
+        |    AS n_chunk_tokens,
+        |  md5(array_to_string(toks[chunk_start + 1 : least(chunk_start + 64, n)],
+        |    ' ')) AS chunk_md5
+        |FROM starts ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_decontaminate" ->
       """WITH words AS (

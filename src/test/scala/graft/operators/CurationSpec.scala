@@ -85,6 +85,40 @@ class CurationSpec extends SparkSuite {
     assert(plan.contains("__bucket"), plan.take(2000))
   }
 
+  test("chunk: window geometry, overlap, short docs, and determinism") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),                        // shorter than one chunk
+      (2L, (1 to 113).map(i => s"t$i").mkString(" ")), // 3 windows
+      (3L, "   "),                              // whitespace-only: none
+      (4L, (1 to 112).map(i => s"t$i").mkString(" "))) // exact cover
+      .toDF("doc_id", "text")
+    val out = Curation.chunk(docs, chunkTokens = 64, overlapTokens = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getSeq[String](3), r.getInt(4)))
+      .sortBy(t => (t._1, t._2))
+    // doc 1: one short chunk
+    assert(out.filter(_._1 == 1L).map(t => (t._2, t._3, t._5)).toSeq ===
+      Seq((0, 0, 5)))
+    // doc 2 (113 tokens, stride 48): starts 0/48/96, sizes 64/64/17;
+    // overlap region repeats across consecutive chunks
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.map(t => (t._2, t._3, t._5)).toSeq ===
+      Seq((0, 0, 64), (1, 48, 64), (2, 96, 17)))
+    assert(d2(0)._4.takeRight(16) === d2(1)._4.take(16))
+    // doc 3: filtered out entirely
+    assert(!out.exists(_._1 == 3L))
+    // doc 4 (112 tokens): second window ends exactly at n — no tail
+    assert(out.filter(_._1 == 4L).map(t => (t._2, t._5)).toSeq ===
+      Seq((0, 64), (1, 64)))
+    // chunks reassemble the token stream (dedup the overlaps)
+    val reassembled = d2.flatMap(t => t._4.drop(if (t._2 == 0) 0 else 16))
+    assert(reassembled.toSeq === (1 to 113).map(i => s"t$i"))
+    // map-only: no Exchange in the plan
+    val plan = Curation.chunk(docs, 64, 16).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunk must not shuffle:\n$plan")
+  }
+
   test("redact scrubs emails, IPs, and phones into typed tokens") {
     import spark.implicits._
     val docs = Seq(
