@@ -154,7 +154,12 @@ final class ManifestLog(spark: SparkSession, path: String,
   /** Snapshot read: one scan per live data dir (cells listed
     * explicitly, so a dir's superseded leaves are never read), unioned
     * — filters and partition pruning push into every branch, and
-    * compaction bounds the fan-in. */
+    * compaction bounds the fan-in. One scan PER TABLE is not possible
+    * with the file source: partition discovery refuses leaves whose
+    * `k=v` chains sit under different non-partition parents
+    * (CONFLICTING_DIRECTORY_STRUCTURES — "load them separately and
+    * then union"), so per-dir scans + union IS the supported shape;
+    * collapsing the fan-in further is exactly what compaction is for. */
   def readEntries(entries: Map[String, Seq[String]],
       schema: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.DataFrame = {
