@@ -101,17 +101,28 @@ object Ingester {
   * at-least-once + idempotent-put contract becomes dedup-on-append +
   * monotone latest MERGE, which is replay-safe (T3, strictly stronger).
   */
+/** @param compactEvery when > 0, run `recordStore.compact()` after
+  *        every N ingested batches: each micro-batch appends one small
+  *        file per touched (bucket, what) cell, and without periodic
+  *        compaction a long-running stream fragments the table (and
+  *        widens the per-dir scan union). Safe inline because the
+  *        compaction commit is snapshot-isolated and yields to racing
+  *        writers; readers concurrent with it keep resolving complete
+  *        snapshots. The reference never needed this — DynamoDB has no
+  *        files — so it is an operational knob, not reference parity. */
 final class StreamingIngester(
     spark: SparkSession,
     contentStore: ContentStore,
     recordStore: RecordStore,
     latestStore: Option[LatestStore] = None,
     reportPath: Option[String] = None,
-    clock: () => Long = () => System.currentTimeMillis()) {
+    clock: () => Long = () => System.currentTimeMillis(),
+    compactEvery: Int = 0) {
 
   import spark.implicits._
 
   private val ingester = new Ingester(contentStore, clock)
+  private val batchesSinceCompact = new java.util.concurrent.atomic.AtomicLong
 
   def processBatch(batch: Dataset[String]): Unit = {
     val ing = ingester
@@ -124,6 +135,9 @@ final class StreamingIngester(
         results.map(_.report).write.mode(SaveMode.Append).json(p)
       }
     } finally results.unpersist()
+    if (compactEvery > 0 &&
+        batchesSinceCompact.incrementAndGet() % compactEvery == 0)
+      recordStore.compact()
   }
 
   /** Drain a [[NotificationQueue]] through the Spark ingest path with the

@@ -49,4 +49,37 @@ class NotificationQueueSpec extends SparkSuite {
     assert(ingester.drainQueue(q, idleTimeoutMs = 300L) === 1)
     assert(store.records.count() === afterFirst)
   }
+
+  test("compactEvery keeps a long-running ingest's cell defragmented") {
+    val dir = tmpDir("qcompact")
+    def metaFor(i: Int) = Metadata.build(Map(
+      "what" -> "qlog", "where" -> s"host$i", "work_id" -> null,
+      "start" -> Long.box(1430000000000L + i), "end" -> null,
+      "path" -> s"/var/log/q$i.log", "hash" -> "deadbeef",
+      "id" -> f"fe1ed1e0beef4e06b0d3b2b1e5d1c0$i%02d"))
+    val urls = (1 to 4).map(i => s"s3://datalake-test/q/qlog$i" -> metaFor(i).json)
+    val cs = new FakeContentStore(urls.toMap)
+    val store = new RecordStore(spark, s"$dir/records")
+    // compact after every 2nd batch
+    val ingester = new StreamingIngester(spark, cs, store, compactEvery = 2)
+    def notif(i: Int): String = {
+      val msg = (s"""{"Records": [{"eventVersion": "2.0", """ +
+        s""""eventName": "ObjectCreated:Put", """ +
+        s""""s3": {"bucket": {"name": "datalake-test"}, """ +
+        s""""object": {"key": "q/qlog$i"}}}]}""")
+        .replace("\"", "\\\"")
+      s"""{"Type": "Notification", "Message": "$msg"}"""
+    }
+    val q = queue()
+    // one message per batch (maxBatch = 1) -> 4 batches into ONE cell
+    for (i <- 1 to 4) {
+      q.send(notif(i))
+      assert(ingester.drainQueue(q, maxBatch = 1, idleTimeoutMs = 200L) === 1)
+    }
+    assert(store.records.count() === 4)
+    // 4 single-file appends would leave 4 files; the two compactions
+    // (after batches 2 and 4) collapse the cell back to one
+    assert(store.records.inputFiles.length === 1,
+      s"expected a compacted cell, got ${store.records.inputFiles.length} files")
+  }
 }
