@@ -77,6 +77,20 @@ object Curation {
       .drop("__n")
   }
 
+  /** Deterministic epoch shuffle: the training-order permutation as a
+    * pure function of (epoch, id) — an md5 rank key, so every epoch
+    * reshuffles differently, re-runs and retries replay the identical
+    * order, and no RNG state exists anywhere (the same discipline as
+    * [[stratifiedSample]]). Map-only: this ADDS the key; the consumer
+    * chooses how to realize the order — a global sort for a single
+    * sequential reader, or range-partition on `shuffle_key` +
+    * sort-within-partitions for parallel shard writers (the scalable
+    * form: no single-task sort). */
+  def epochShuffle(df: DataFrame, epoch: Int,
+      idCol: String = "doc_id"): DataFrame =
+    df.withColumn("shuffle_key",
+      md5(concat(lit(epoch.toString), lit(":"), col(idCol).cast("string"))))
+
   /** Per-document word `n`-gram repetition statistics:
     *
     *   - `n_grams`: total n-grams in the document

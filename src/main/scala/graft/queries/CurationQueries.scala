@@ -92,6 +92,22 @@ object CurationQueries {
         .orderBy($"doc_id")
     }),
 
+    // deterministic epoch shuffle: two epochs of md5-ranked training
+    // order — different permutations per epoch, bit-reproducible on
+    // both engines, no RNG state
+    "q_epoch_shuffle" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"epoch").orderBy($"shuffle_key", $"doc_id")
+      Seq(1, 2).map { e =>
+        Curation.epochShuffle(docs(s, dir), e)
+          .select(lit(e).as("epoch"), $"doc_id", $"shuffle_key")
+      }.reduce(_ unionByName _)
+        .withColumn("rank", row_number().over(w))
+        .select($"epoch", $"rank", $"doc_id", $"shuffle_key")
+        .orderBy($"epoch", $"rank")
+    }),
+
     // deterministic stratified sampling: downsample the dominant language
     // to 10%, keep 50% of the rest; the kept set is a pure function of
     // doc_id so any engine reproduces it row-for-row
@@ -262,6 +278,18 @@ object CurationQueries {
         |  CAST(tokens_before // 2048 AS BIGINT) AS bin,
         |  CAST(tokens_before % 2048 AS BIGINT) AS bin_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_epoch_shuffle" ->
+      """WITH e AS (SELECT unnest([1, 2]) AS epoch),
+        |r AS (
+        |  SELECT epoch, doc_id,
+        |    md5(epoch || ':' || doc_id) AS shuffle_key
+        |  FROM e, documents)
+        |SELECT epoch,
+        |  CAST(row_number() OVER (PARTITION BY epoch
+        |    ORDER BY shuffle_key, doc_id) AS INT) AS rank,
+        |  doc_id, shuffle_key
+        |FROM r ORDER BY epoch, rank""".stripMargin,
 
     "q_repetition" ->
       """WITH planted AS (
