@@ -148,10 +148,13 @@ final class ConditionalPutCommitter(
     } else {
       // lost the CAS — but if the winner crashed before publishing,
       // complete its commit from the recorded value (idempotent: every
-      // completer writes the same bytes)
+      // completer writes the same bytes). Best-effort: a failed
+      // recovery must not turn a routine lost race into an error —
+      // every future loser retries it until one lands, which is what
+      // un-wedges the table
       if (!f.exists(target))
-        cas.get(target.toString).foreach(v =>
-          publish(target, java.util.Base64.getDecoder.decode(v)))
+        cas.get(target.toString).foreach(v => scala.util.Try(
+          publish(target, java.util.Base64.getDecoder.decode(v))))
       false
     }
   }
