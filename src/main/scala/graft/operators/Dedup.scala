@@ -66,6 +66,43 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame =
     simhash(docs, textCol, idCol, nBits = 60, tokenHashExpr = Md5TokenHash)
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm): hash every character `k`-gram of the normalized text,
+    * slide a window of `w` consecutive gram hashes, and keep each
+    * window's MINIMUM — the guarantee is that any shared substring of
+    * length ≥ k + w − 1 contributes at least one IDENTICAL fingerprint
+    * to both documents, so partial overlap and containment are caught
+    * where whole-document hashing ([[graft.queries.TextQueries]]'s
+    * `q_fingerprint`) sees nothing. The standard local-substring dedup
+    * for code/boilerplate in LLM corpora.
+    *
+    * Emits per doc the sorted distinct fingerprint values (BIGINTs from
+    * 60-bit md5 prefixes — the cross-engine-exact family). Map-only,
+    * single scan: grams, windows, and minima are all array expressions;
+    * pair generation downstream is an inverted-index equi-join on the
+    * fingerprint value (the [[minhashCandidates]] shape), never
+    * all-pairs. Docs shorter than k + w − 1 chars yield an empty
+    * fingerprint list (nothing to share).
+    */
+  def winnow(docs: DataFrame, k: Int = 8, w: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+    docs
+      .withColumn("__norm",
+        regexp_replace(lower(trim(col(textCol))), "\\s+", " "))
+      .withColumn("__grams", expr(
+        s"""CASE WHEN length(__norm) < $k THEN CAST(array() AS ARRAY<BIGINT>)
+           ELSE transform(sequence(1, length(__norm) - $k + 1),
+             i -> CAST(conv(substring(md5(substring(__norm, i, $k)), 1, 15),
+                            16, 10) AS BIGINT)) END"""))
+      .withColumn("fingerprints", expr(
+        s"""CASE WHEN size(__grams) < $w THEN CAST(array() AS ARRAY<BIGINT>)
+           ELSE array_sort(array_distinct(
+             transform(sequence(1, size(__grams) - $w + 1),
+               j -> array_min(slice(__grams, j, $w))))) END"""))
+      .select(col(idCol), col("fingerprints"))
+  }
+
   /** SimHash near-dup candidate pairs: band the 64-bit hash into 4×16-bit
     * keys (a pair within Hamming distance 3 must agree on ≥1 band), join
     * per band, then verify with exact `bit_count(xor)`. */

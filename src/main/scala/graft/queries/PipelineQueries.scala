@@ -87,6 +87,18 @@ object PipelineQueries {
       Dedup.minhashCandidates(planted(s, dir))
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // winnowing fingerprints (the MOSS local-substring dedup): per-doc
+    // sorted distinct window-min gram hashes — any shared substring of
+    // length >= k+w-1 shows up as an identical fingerprint in both docs
+    "q_winnow" -> ((s, dir) =>
+      Dedup.winnow(docs(s, dir))
+        .select(col("doc_id"),
+          size(col("fingerprints")).as("n_fingerprints"),
+          md5(concat_ws(",",
+            expr("transform(fingerprints, f -> CAST(f AS STRING))")))
+            .as("fp_md5"))
+        .orderBy(col("doc_id"))),
+
     // IVF-style ANN top-k (label cells, nprobe=2) — full-scan variant
     "q_ann_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(emb(s, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L))),
@@ -435,6 +447,28 @@ object PipelineQueries {
         "ORDER BY doc_a, doc_b")),
 
     "q_hyperplane_lsh" -> hyperplaneProjSql(12),
+
+    // k=8 char grams, w=4 windows; coalesce: DuckDB array_to_string of
+    // an empty list is NULL where Spark concat_ws gives ''
+    "q_winnow" ->
+      """WITH norm AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, CASE WHEN length(t) < 8 THEN CAST([] AS BIGINT[])
+        |    ELSE list_transform(generate_series(1, length(t) - 8 + 1),
+        |      i -> ('0x' || substring(md5(substring(t, i, 8)), 1, 15))::BIGINT)
+        |    END AS g
+        |  FROM norm),
+        |fp AS (
+        |  SELECT doc_id, CASE WHEN len(g) < 4 THEN CAST([] AS BIGINT[])
+        |    ELSE list_sort(list_distinct(list_transform(
+        |      generate_series(1, len(g) - 4 + 1),
+        |      j -> list_min(g[j : j + 3])))) END AS f
+        |  FROM grams)
+        |SELECT doc_id, CAST(len(f) AS INT) AS n_fingerprints,
+        |  md5(coalesce(array_to_string(f, ','), '')) AS fp_md5
+        |FROM fp ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_features" -> ("WITH " + FeaturesCte +
       "\nSELECT asset_id, media_type, n_bytes, content_hash, width, height, " +

@@ -89,6 +89,33 @@ class OperatorsSpec extends SparkSuite {
     assert(f1.width === f2.width && f1.height === f2.height)
   }
 
+  test("winnow: shared substrings share fingerprints; whitespace " +
+    "variants are identical; short docs are empty") {
+    import spark.implicits._
+    val boiler = "this license text is repeated verbatim across many files"
+    val d = Seq(
+      (1L, s"alpha document unique prefix $boiler"),
+      (2L, s"totally different material here $boiler and a suffix"),
+      (3L, "no overlap with anything else whatsoever in this one"),
+      (4L, s"  alpha   DOCUMENT unique prefix $boiler "), // ws/case variant of 1
+      (5L, "tiny")).toDF("doc_id", "text")
+    val fp = Dedup.winnow(d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // the guarantee: a shared substring of length >= k+w-1 (11) yields
+    // at least one identical fingerprint — docs 1 and 2 share `boiler`
+    assert((fp(1L) intersect fp(2L)).nonEmpty)
+    // normalization: doc 4 is doc 1 modulo case/whitespace — identical
+    assert(fp(4L) === fp(1L))
+    // a disjoint doc shares nothing with doc 3's content
+    assert((fp(3L) intersect fp(1L)).isEmpty)
+    // shorter than k + w - 1 chars -> no fingerprints
+    assert(fp(5L).isEmpty)
+    // whole-doc fingerprinting (md5 of the full text) catches NONE of
+    // the partial overlaps above — the reason winnowing exists
+    assert(d.filter($"doc_id".isin(1L, 2L))
+      .select(md5($"text")).distinct().count() === 2)
+  }
+
   test("minhashCandidates finds exact and near duplicates") {
     val cands = Dedup.minhashCandidates(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
