@@ -87,20 +87,64 @@ object Dedup {
   def winnow(docs: DataFrame, k: Int = 8, w: Int = 4,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
-    docs
-      .withColumn("__norm",
-        regexp_replace(lower(trim(col(textCol))), "\\s+", " "))
-      .withColumn("__grams", expr(
-        s"""CASE WHEN length(__norm) < $k THEN CAST(array() AS ARRAY<BIGINT>)
-           ELSE transform(sequence(1, length(__norm) - $k + 1),
-             i -> CAST(conv(substring(md5(substring(__norm, i, $k)), 1, 15),
-                            16, 10) AS BIGINT)) END"""))
-      .withColumn("fingerprints", expr(
-        s"""CASE WHEN size(__grams) < $w THEN CAST(array() AS ARRAY<BIGINT>)
-           ELSE array_sort(array_distinct(
-             transform(sequence(1, size(__grams) - $w + 1),
-               j -> array_min(slice(__grams, j, $w))))) END"""))
-      .select(col(idCol), col("fingerprints"))
+    // Each expensive intermediate (normalized text, gram array) is the
+    // ARGUMENT of an enclosing transform — a higher-order function
+    // evaluates its argument exactly once and the inner lambdas
+    // reference the BOUND variable. The naive spelling (withColumn +
+    // lambdas referencing the previous column) lets project-collapsing
+    // inline the upstream expression into every lambda element, and an
+    // inner slice/substring then re-evaluates the whole chain per
+    // element — O(grams × windows × |text|) per row (observed as a
+    // wedged multi-minute task); this shape is linear by construction.
+    val fpExpr =
+      s"""flatten(transform(
+         |  array(regexp_replace(lower(trim($textCol)), '\\\\s+', ' ')),
+         |  t -> IF(length(t) < $k + $w - 1,
+         |          CAST(array() AS ARRAY<BIGINT>),
+         |          flatten(transform(
+         |            array(transform(sequence(1, length(t) - $k + 1),
+         |              i -> CAST(conv(substring(md5(substring(t, i, $k)),
+         |                             1, 15), 16, 10) AS BIGINT))),
+         |            g -> transform(sequence(1, size(g) - $w + 1),
+         |              j -> array_min(slice(g, j, $w))))))))""".stripMargin
+    docs.select(col(idCol),
+      array_sort(array_distinct(expr(fpExpr))).as("fingerprints"))
+  }
+
+  /** Local near-dup pairs from [[winnow]] fingerprints: explode each
+    * doc's fingerprints, drop values whose document frequency exceeds
+    * `maxDf` (ubiquitous boilerplate grams would otherwise fan out
+    * df² pairs each — the hot-block guard every pair generator here
+    * carries), inverted-index self-join on the fingerprint value, and
+    * keep pairs sharing at least `minShared` fingerprints. One shuffle
+    * on the fingerprint key — never all-pairs — so two documents
+    * sharing any run of ≥ k+w−1 characters (minus capped boilerplate)
+    * surface as a candidate pair. */
+  def winnowPairs(docs: DataFrame, k: Int = 8, w: Int = 4,
+      minShared: Int = 3, maxDf: Int = 20,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // MATERIALIZE the exploded fingerprints before fanning out into the
+    // df-filter + both self-join sides: without the barrier, project
+    // collapsing inlines the interpreted gram/window lambdas into every
+    // consumer, and each window's slice re-evaluates the whole upstream
+    // expression chain — O(grams × windows) re-computation per doc, per
+    // side (observed as a wedged 15-minute task on 550 docs). One eager
+    // checkpoint = each fingerprint computed exactly once.
+    val fp = winnow(docs, k, w, textCol, idCol)
+      .select(col(idCol), explode(col("fingerprints")).as("fp"))
+      .localCheckpoint(true)
+    val rare = fp.groupBy("fp")
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select("fp")
+    val pruned = fp.join(rare, "fp")
+    val a = pruned.toDF("fp", "doc_a")
+    val b = pruned.toDF("fp", "doc_b")
+    a.join(b, "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).cast("int").as("shared_fingerprints"))
+      .filter(col("shared_fingerprints") >= minShared)
   }
 
   /** SimHash near-dup candidate pairs: band the 64-bit hash into 4×16-bit

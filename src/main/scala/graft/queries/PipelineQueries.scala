@@ -87,6 +87,14 @@ object PipelineQueries {
       Dedup.minhashCandidates(planted(s, dir))
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // winnowing candidate pairs over the planted corpus: inverted-index
+    // join on fingerprint value with a document-frequency cap (the
+    // hot-fingerprint guard) — planted re-appearances and genuine
+    // substring overlaps both surface
+    "q_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowPairs(planted(s, dir))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // winnowing fingerprints (the MOSS local-substring dedup): per-doc
     // sorted distinct window-min gram hashes — any shared substring of
     // length >= k+w-1 shows up as an identical fingerprint in both docs
@@ -447,6 +455,31 @@ object PipelineQueries {
         "ORDER BY doc_a, doc_b")),
 
     "q_hyperplane_lsh" -> hyperplaneProjSql(12),
+
+    // planted corpus, k=8/w=4, df cap 20, >= 3 shared fingerprints
+    "q_winnow_pairs" ->
+      ("""WITH """ + PlantedCte + """,
+        |norm AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM d),
+        |grams AS (
+        |  SELECT doc_id, list_transform(generate_series(1, length(t) - 7),
+        |      i -> ('0x' || substring(md5(substring(t, i, 8)), 1, 15))::BIGINT)
+        |    AS g
+        |  FROM norm WHERE length(t) >= 8),
+        |fp AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |      generate_series(1, len(g) - 3), j -> list_min(g[j : j + 3]))) AS f
+        |  FROM grams WHERE len(g) >= 4),
+        |ex AS (SELECT doc_id, unnest(f) AS fp FROM fp),
+        |rare AS (SELECT fp FROM ex GROUP BY fp HAVING count(*) <= 20)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(count(*) AS INT) AS shared_fingerprints
+        |FROM (SELECT * FROM ex JOIN rare USING (fp)) a
+        |JOIN (SELECT * FROM ex JOIN rare USING (fp)) b USING (fp)
+        |WHERE a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 3
+        |ORDER BY doc_a, doc_b""").stripMargin,
 
     // k=8 char grams, w=4 windows; coalesce: DuckDB array_to_string of
     // an empty list is NULL where Spark concat_ws gives ''
