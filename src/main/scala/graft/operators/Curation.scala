@@ -56,10 +56,16 @@ object Curation {
     require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
     require(overlapTokens >= 0 && overlapTokens < chunkTokens,
       s"overlap must be in [0, chunkTokens), got $overlapTokens")
+    // the chunks ARE the content a consumer trains on, so the text is
+    // split verbatim — no lowercasing/normalization (that belongs to
+    // the HASHING operators, where only equality matters)
+    Seq("__toks", "__n", "chunk_idx", "chunk_start", "chunk",
+      "n_chunk_tokens").foreach(c => require(!docs.columns.contains(c),
+      s"input column '$c' collides with a chunk working/output column"))
     val stride = chunkTokens - overlapTokens
     docs
       .withColumn("__toks",
-        expr(s"filter(split(lower(trim($textCol)), '\\\\s+'), " +
+        expr(s"filter(split(trim($textCol), '\\\\s+'), " +
           "t -> length(t) > 0)"))
       .withColumn("__n", size(col("__toks")))
       .where(col("__n") > 0)
@@ -87,9 +93,12 @@ object Curation {
     * sort-within-partitions for parallel shard writers (the scalable
     * form: no single-task sort). */
   def epochShuffle(df: DataFrame, epoch: Int,
-      idCol: String = "doc_id"): DataFrame =
+      idCol: String = "doc_id"): DataFrame = {
+    require(!df.columns.contains("shuffle_key"),
+      "input column 'shuffle_key' collides with the shuffle output column")
     df.withColumn("shuffle_key",
       md5(concat(lit(epoch.toString), lit(":"), col(idCol).cast("string"))))
+  }
 
   /** Per-document word `n`-gram repetition statistics:
     *

@@ -17,11 +17,6 @@ object CurationQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // Gopher-style repetition filter: per-doc 3-gram totals, duplicated-
-    // gram mass, top-gram count, and the >20%-duplicated flag. Every 7th
-    // doc gets its text doubled (simulated boilerplate) so the flag path
-    // is exercised — the synthetic corpus has almost no natural
-    // repetition
     // fixed-size token chunking with overlap (chunk 64, overlap 16):
     // the map-only window pass before embedding/packing; checked as
     // window geometry + order-sensitive chunk hash
@@ -33,6 +28,11 @@ object CurationQueries {
         .orderBy($"doc_id", $"chunk_idx")
     }),
 
+    // Gopher-style repetition filter: per-doc 3-gram totals, duplicated-
+    // gram mass, top-gram count, and the >20%-duplicated flag. Every 7th
+    // doc gets its text doubled (simulated boilerplate) so the flag path
+    // is exercised — the synthetic corpus has almost no natural
+    // repetition
     "q_repetition" -> ((s, dir) => {
       import s.implicits._
       val planted = docs(s, dir).withColumn("text",
@@ -217,7 +217,7 @@ object CurationQueries {
     "q_chunk" ->
       """WITH toks AS (
         |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    list_filter(string_split_regex(trim(text), '\s+'),
         |                t -> length(t) > 0) AS toks
         |  FROM documents),
         |sized AS (

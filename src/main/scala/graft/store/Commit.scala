@@ -153,8 +153,17 @@ final class ConditionalPutCommitter(
       // every future loser retries it until one lands, which is what
       // un-wedges the table
       if (!f.exists(target))
-        cas.get(target.toString).foreach(v => scala.util.Try(
-          publish(target, java.util.Base64.getDecoder.decode(v))))
+        cas.get(target.toString).foreach { v =>
+          scala.util.Try(
+            publish(target, java.util.Base64.getDecoder.decode(v)))
+            .failed.foreach(e =>
+              // surfaced, not thrown: the commit loop keeps retrying
+              // recovery, but a persistent publish failure must be
+              // diagnosable — without this line it only ever shows as
+              // "lost N commit races"
+              System.err.println(
+                s"[graft] crashed-winner recovery of $target failed: $e"))
+        }
       false
     }
   }
