@@ -134,6 +134,33 @@ case class DotProductExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Unicode NFC normalization as a native codegen'd expression — the
+  * canonicalization pass run before exact dedup / n-gram hashing so
+  * byte equality means text equality (U+00E9 vs `e`+U+0301 spellings of
+  * the same character otherwise defeat every hash-based operator).
+  *
+  * No Spark builtin exists; a native `Expression` keeps the pass inside
+  * whole-stage codegen. The work is delegated to [[graft.core.TextNorm]],
+  * whose ASCII fast path returns the input buffer untouched — on crawl
+  * corpora the expression is usually a byte scan, not a normalization.
+  */
+case class NfcExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "nfc"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.core.TextNorm.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.TextNorm.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcExpr =
+    copy(child = newChild)
+}
+
 /** Column + SQL registration surface for the engine's custom functions
   * (SURVEY §2.8): blake2b (native expression), translate_path and
   * normalize_date (deterministic Scala UDFs). */
@@ -166,6 +193,18 @@ object functions {
     DotProductExpr(exprs.head, exprs(1))
   }
 
+  /** Unicode NFC normalization of a string column. */
+  def nfc(c: Column): Column =
+    Bridge.column(NfcExpr(Bridge.expression(c.cast(StringType))))
+
+  /** Arity-checked builder for SQL registration. */
+  def nfcBuilder(exprs: Seq[Expression]): NfcExpr = {
+    if (exprs.length != 1)
+      throw new IllegalArgumentException(
+        s"nfc requires exactly one argument, got ${exprs.length}")
+    NfcExpr(exprs.head)
+  }
+
   /** Register blake2b for SQL usage plus the UDF-surface functions.
     * Idempotent per session: operators call this defensively from every
     * entry point, and re-registering an existing function makes
@@ -178,6 +217,8 @@ object functions {
       "blake2b", blake2bBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vector_dot", vectorDotBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc", nfcBuilder, "scala_udf")
     // Translator (C7): expression is a constructor argument so the
     // compiled regex is reused across rows
     spark.udf.register("normalize_date",

@@ -260,6 +260,113 @@ object Curation {
             regexp_replace(col("redacted"), pattern, token))
     }
 
+  /** Cross-document line deduplication — the boilerplate-removal pass of
+    * the C4/CCNet/RefinedWeb family: a line occurring in the corpus more
+    * than `maxOccurrences` times is boilerplate (cookie banners,
+    * nav menus, license headers) and every occurrence is removed.
+    * (C4 proper keeps one surviving occurrence; the remove-all policy is
+    * the RefinedWeb/CCNet variant — at web scale a line repeated across
+    * documents is template noise, not content worth keeping once.)
+    *
+    * Lines are compared VERBATIM (no trimming/lowercasing — the line is
+    * the unit of content); blank (empty or spaces-only) lines are
+    * structural, never counted or removed. Docs whose every line is removed keep a
+    * row with empty `text_clean` so downstream joins see the full id set.
+    *
+    * Scale shape: explode lines → one hash aggregate for corpus counts
+    * (map-side partials collapse repeats); the blocklist — only lines
+    * OVER the threshold, a tiny fraction of distinct lines — broadcasts
+    * into an anti-join against the exploded lines, so the corpus is
+    * shuffled exactly once, for the order-preserving reassembly
+    * (`array_sort` by line index, bounded per-doc). No corpus-sized sort,
+    * no window over the full stream.
+    *
+    * @return one row per input doc:
+    *         (idCol, text_clean, n_lines, n_kept, n_removed)
+    */
+  def lineDedup(
+      docs: DataFrame,
+      maxOccurrences: Int = 1,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(maxOccurrences >= 1,
+      s"maxOccurrences must be >= 1, got $maxOccurrences")
+    Seq("__line", "__line_idx", "text_clean", "n_lines", "n_kept",
+      "n_removed").foreach(c => require(!docs.columns.contains(c),
+      s"input column '$c' collides with a lineDedup working/output column"))
+    // limit -1: trailing empty lines are real lines (Spark's default
+    // split drops them; DuckDB's string_split does not)
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n", -1))
+        .as(Seq("__line_idx", "__line")))
+    val boilerplate = lines
+      .where(trim(col("__line")) =!= "")
+      .groupBy(col("__line")).agg(count(lit(1)).as("__cnt"))
+      .where(col("__cnt") > maxOccurrences)
+      .select(col("__line"))
+    val kept = lines.join(broadcast(boilerplate), Seq("__line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(" +
+            "struct(__line_idx, __line))), s -> s.__line)"), "\n")
+          .as("text_clean"))
+    docs.select(col(idCol),
+      (size(split(col(textCol), "\n", -1))).as("n_lines"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** Markup-strip patterns applied by [[stripMarkup]], in order —
+    * non-content blocks first (script/style/comments, dotall so they
+    * span lines), then remaining tags, then the entity decodes
+    * (`&amp;` LAST so `&amp;lt;` decodes to the text `&lt;`, not to
+    * `<`), then whitespace collapse. Kept inside the Java-regex ∩ RE2
+    * common subset (inline `(?is)` flags, non-greedy `.*?`, no
+    * lookaround) so the DuckDB oracle replays the identical strip byte
+    * for byte — the same single-source-of-truth discipline as
+    * [[RedactPatterns]]. */
+  val MarkupPatterns: Seq[(String, String)] = Seq(
+    "(?is)<script[^>]*>.*?</script>" -> " ",
+    "(?is)<style[^>]*>.*?</style>" -> " ",
+    "(?s)<!--.*?-->" -> " ",
+    "<[^>]+>" -> " ",
+    "&lt;" -> "<",
+    "&gt;" -> ">",
+    "&quot;" -> "\"",
+    "&#39;" -> "'",
+    "&nbsp;" -> " ",
+    "&amp;" -> "&",
+    "\\s+" -> " ")
+
+  /** Strip HTML/XML markup from `textCol` — the extraction pass between
+    * a raw crawl and every text-quality operator (a tag soup document
+    * poisons n-gram stats, language ID and dedup alike). Pure map-side
+    * chain of codegen'd `regexp_replace` (no UDF, no shuffle, no parse
+    * tree — the lexical strip that covers the overwhelming share of
+    * crawl markup; a DOM-fidelity extractor is a different, non-regex
+    * operator).
+    *
+    * @return input columns + (stripped, n_tags) where `n_tags` counts
+    *         tag-like spans in the ORIGINAL text (the audit signal for
+    *         "how markup-heavy was this source")
+    */
+  def stripMarkup(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    Seq("stripped", "n_tags").foreach(c => require(!docs.columns.contains(c),
+      s"input column '$c' collides with a stripMarkup output column"))
+    val stripped = MarkupPatterns.foldLeft(col(textCol)) {
+      case (c, (pattern, repl)) => regexp_replace(c, pattern, repl)
+    }
+    docs
+      .withColumn("n_tags", regexp_count(col(textCol), lit("<[^>]+>")))
+      .withColumn("stripped", trim(stripped))
+  }
+
   /** The sampling bucket: uniform in [0, 100) as a pure function of the
     * id — the first 60 bits of md5(id) mod 100. md5 (not xxhash64) so
     * the decision is reproducible in any engine that ships md5. */

@@ -148,9 +148,67 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_active"),
           sum(expr("CAST(round(c_acctbal * 100) AS BIGINT)")).as("sum_bal_c"))
         .orderBy($"c_mktsegment")
+    }),
+
+    // Z-order layout audit: interleave two 8-bit key dims into a Morton
+    // key, cut the keyspace into 16 coarse buckets (the file boundaries a
+    // clusterByZOrder write would realize), and report per-bucket min-max
+    // spans of BOTH dims — each bucket's top 4 key bits pin both dims to
+    // a 64-wide quarter, the narrow-span property that lets row-group
+    // stats prune scans filtered on EITHER dimension. Map-side key math +
+    // one hash agg.
+    "q_zorder" -> ((s, dir) => {
+      import s.implicits._
+      val x = ($"l_orderkey" % 256).cast("long")
+      val y = ($"l_partkey" % 256).cast("long")
+      t(s, dir, "lineitem")
+        .select(graft.operators.Layout.zorderKey2(x, y, bits = 8).as("zkey"),
+          x.as("x"), y.as("y"))
+        .withColumn("bucket", expr("zkey DIV 4096"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"),
+          min($"x").as("min_x"), max($"x").as("max_x"),
+          min($"y").as("min_y"), max($"y").as("max_y"))
+        .orderBy($"bucket")
     }))
 
+  /** q_zorder oracle: the spread cascade generated from the SAME
+    * (shift, mask) list the operator folds over
+    * ([[graft.operators.Layout.SpreadSteps]]) — one source of truth for
+    * the bit math on both engines. */
+  private val ZOrderOracle: String = {
+    def spreadSql(v: String): String = {
+      val steps = graft.operators.Layout.SpreadSteps.zipWithIndex.map {
+        case ((sh, mask), i) =>
+          val prev = if (i == 0) v else s"${v}s$i"
+          s"((($prev) | (($prev) << $sh)) & $mask) AS ${v}s${i + 1}"
+      }
+      steps.mkString(",\n    ")
+    }
+    val n = graft.operators.Layout.SpreadSteps.size
+    s"""WITH d AS (
+       |  SELECT CAST(l_orderkey % 256 AS BIGINT) AS x,
+       |         CAST(l_partkey % 256 AS BIGINT) AS y
+       |  FROM lineitem),
+       |sx AS (
+       |  SELECT x, y,
+       |    ${spreadSql("x")}
+       |  FROM d),
+       |sy AS (
+       |  SELECT x, y, xs$n,
+       |    ${spreadSql("y")}
+       |  FROM sx),
+       |z AS (
+       |  SELECT x, y, (xs$n | (ys$n << 1)) AS zkey FROM sy)
+       |SELECT zkey // 4096 AS bucket, count(*) AS n,
+       |  min(x) AS min_x, max(x) AS max_x,
+       |  min(y) AS min_y, max(y) AS max_y
+       |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_zorder" -> ZOrderOracle,
+
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,

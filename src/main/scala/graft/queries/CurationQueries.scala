@@ -28,6 +28,71 @@ object CurationQueries {
         .orderBy($"doc_id", $"chunk_idx")
     }),
 
+    // cross-document line dedup (C4/RefinedWeb boilerplate removal):
+    // every doc gets a universal header line, every 3rd a shared footer,
+    // the rest a unique footer, plus a trailing blank line. Lines seen
+    // >5 times corpus-wide vanish everywhere; blank lines survive.
+    // Checked as kept/removed counts + md5 of the reassembled text
+    "q_line_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val planted = docs(s, dir).withColumn("text",
+        concat_ws("\n",
+          lit("SUBSCRIBE to our newsletter today"),
+          $"text",
+          when($"doc_id" % 3 === 0,
+            lit("all rights reserved - terms apply"))
+            .otherwise(concat(lit("footer note "), $"doc_id".cast("string"))),
+          lit("")))
+      Curation.lineDedup(planted, maxOccurrences = 5)
+        .select($"doc_id", $"n_lines", $"n_kept", $"n_removed",
+          md5($"text_clean").as("clean_md5"))
+        .orderBy($"doc_id")
+    }),
+
+    // markup strip: every 4th doc arrives as crawl tag soup (style +
+    // script blocks, a multi-line comment, entities incl. the
+    // double-escape case) — stripped to text byte-for-byte reproducibly;
+    // untouched docs exercise the identity path
+    "q_strip_markup" -> ((s, dir) => {
+      import s.implicits._
+      val planted = docs(s, dir).withColumn("text",
+        when($"doc_id" % 4 === 0, concat(
+          lit("<html><head><style type=\"text/css\">p { color: red; }" +
+            "</style></head><body><h1>Doc "),
+          $"doc_id".cast("string"),
+          lit("</h1><p class=\"body\">"), $"text",
+          lit("</p><script>if (a &lt; b) { run(); }</script>" +
+            "<!-- crawl\nnote --><br/>R&amp;D &#39;q&#39;&nbsp;" +
+            "&amp;lt;tail&gt;</body></html>")))
+          .otherwise($"text"))
+      Curation.stripMarkup(planted)
+        .select($"doc_id", $"n_tags",
+          length($"stripped").as("n_chars_clean"),
+          md5($"stripped").as("stripped_md5"))
+        .orderBy($"doc_id")
+    }),
+
+    // Unicode NFC canonicalization (native codegen'd expression): every
+    // 2nd doc gets composed é (U+00E9), decomposed é (e + U+0301) and
+    // the Angstrom-sign singleton (U+212B → U+00C5 under NFC) appended —
+    // NFC makes the two é spellings byte-identical and rewrites the
+    // singleton (codepoint count drops); odd docs exercise the ASCII
+    // identity fast path
+    "q_nfc" -> ((s, dir) => {
+      import s.implicits._
+      val planted = docs(s, dir).withColumn("text",
+        when($"doc_id" % 2 === 0,
+          concat($"text", lit(" caf\u00e9 cafe\u0301 \u212Bngstr\u00f6m")))
+          .otherwise($"text"))
+      val n = graft.functions.functions.nfc($"text")
+      planted.select($"doc_id",
+        length($"text").as("n_chars_raw"),
+        length(n).as("n_chars_nfc"),
+        when(n =!= $"text", 1).otherwise(0).as("nfc_changed"),
+        md5(n).as("nfc_md5"))
+        .orderBy($"doc_id")
+    }),
+
     // Gopher-style repetition filter: per-doc 3-gram totals, duplicated-
     // gram mass, top-gram count, and the >20%-duplicated flag. Every 7th
     // doc gets its text doubled (simulated boilerplate) so the flag path
@@ -209,8 +274,90 @@ object CurationQueries {
        |FROM $last ORDER BY doc_id""".stripMargin
   }
 
+  /** q_strip_markup oracle generated from the SAME ordered pattern list
+    * the operator folds over ([[Curation.MarkupPatterns]]) — one source
+    * of truth, no regex drift between engines (the [[RedactOracle]]
+    * discipline). */
+  private val StripOracle: String = {
+    def q(s: String) = s.replace("'", "''")
+    val stripExpr = Curation.MarkupPatterns.foldLeft("t") {
+      case (acc, (p, r)) => s"regexp_replace($acc, '${q(p)}', '${q(r)}', 'g')"
+    }
+    s"""WITH planted AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 4 = 0 THEN
+       |      '<html><head><style type="text/css">p { color: red; }' ||
+       |      '</style></head><body><h1>Doc ' || doc_id ||
+       |      '</h1><p class="body">' || text ||
+       |      '</p><script>if (a &lt; b) { run(); }</script>' ||
+       |      '<!-- crawl' || chr(10) ||
+       |      'note --><br/>R&amp;D &#39;q&#39;&nbsp;' ||
+       |      '&amp;lt;tail&gt;</body></html>'
+       |    ELSE text END AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '<[^>]+>')) AS INT) AS n_tags,
+       |  CAST(length(trim($stripExpr)) AS INT) AS n_chars_clean,
+       |  md5(trim($stripExpr)) AS stripped_md5
+       |FROM planted ORDER BY doc_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_redact" -> RedactOracle,
+    "q_strip_markup" -> StripOracle,
+
+    // lines split on chr(10) keep trailing empties on both engines
+    // (Spark split(.., -1) / DuckDB string_split); blank lines are
+    // structural: excluded from boilerplate counting, always kept
+    "q_line_dedup" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    'SUBSCRIBE to our newsletter today' || chr(10) || text ||
+        |    chr(10) ||
+        |    CASE WHEN doc_id % 3 = 0 THEN 'all rights reserved - terms apply'
+        |         ELSE 'footer note ' || doc_id END || chr(10) AS t
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(t, chr(10))) AS line,
+        |    generate_subscripts(string_split(t, chr(10)), 1) AS line_idx
+        |  FROM planted),
+        |boiler AS (
+        |  SELECT line FROM l WHERE trim(line) <> ''
+        |  GROUP BY line HAVING count(*) > 5),
+        |kept AS (
+        |  SELECT l.doc_id, count(*) AS n_kept,
+        |    string_agg(l.line, chr(10) ORDER BY l.line_idx) AS text_clean
+        |  FROM l LEFT JOIN boiler b ON l.line = b.line
+        |  WHERE b.line IS NULL
+        |  GROUP BY l.doc_id),
+        |tot AS (
+        |  SELECT doc_id, len(string_split(t, chr(10))) AS n_lines
+        |  FROM planted)
+        |SELECT t.doc_id, CAST(t.n_lines AS INT) AS n_lines,
+        |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(t.n_lines - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+        |  md5(COALESCE(k.text_clean, '')) AS clean_md5
+        |FROM tot t LEFT JOIN kept k USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+
+    // chr(233)=U+00E9 composed é, chr(769)=U+0301 combining acute,
+    // chr(8491)=U+212B Angstrom sign (NFC singleton -> U+00C5),
+    // chr(246)=U+00F6; length() is codepoints on both engines
+    "q_nfc" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN text || ' caf' || chr(233) || ' cafe' || chr(769) ||
+        |           ' ' || chr(8491) || 'ngstr' || chr(246) || 'm'
+        |      ELSE text END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(t) AS INT) AS n_chars_raw,
+        |  CAST(length(nfc_normalize(t)) AS INT) AS n_chars_nfc,
+        |  CASE WHEN nfc_normalize(t) <> t THEN 1 ELSE 0 END AS nfc_changed,
+        |  md5(nfc_normalize(t)) AS nfc_md5
+        |FROM planted ORDER BY doc_id""".stripMargin,
 
     // chunk 64 / overlap 16 -> stride 48; start upper bound n-1-overlap
     // mirrors Curation.chunk's no-contained-tail rule

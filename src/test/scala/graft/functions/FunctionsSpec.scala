@@ -126,6 +126,41 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("nfc composes decomposed sequences and singletons, byte-stably") {
+    functions.register(spark)
+    import spark.implicits._
+    val composedCafe = "caf\u00e9"
+    val decomposedCafe = "cafe\u0301"
+    val rows = Seq(
+      ("plain ascii stays put", "plain ascii stays put"),
+      (composedCafe, composedCafe),      // already composed: identity
+      (decomposedCafe, composedCafe),    // e + combining acute -> U+00E9
+      ("\u212b", "\u00c5"),              // Angstrom-sign singleton -> A-ring
+      ("A\u030angstro\u0308m", "\u00c5ngstr\u00f6m")) // ring + diaeresis
+      .toDF("raw", "want")
+    val got = rows.select(functions.nfc($"raw").as("got"), $"want").collect()
+    got.foreach(r => assert(r.getString(0) === r.getString(1)))
+    // SQL registration surface
+    assert(spark.sql(s"SELECT nfc('$decomposedCafe')").collect()
+      .head.getString(0) === composedCafe)
+    // null propagates
+    assert(rows.select(functions.nfc(lit(null).cast("string")))
+      .collect().head.isNullAt(0))
+  }
+
+  test("TextNorm.nfc returns the input object when already normalized") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // pure ASCII: byte scan only, same object back
+    val ascii = UTF8String.fromString("nothing to do here")
+    assert(graft.core.TextNorm.nfc(ascii) eq ascii)
+    // non-ASCII but already NFC: quick-check path, same object back
+    val composed = UTF8String.fromString("d\u00e9j\u00e0 vu")
+    assert(graft.core.TextNorm.nfc(composed) eq composed)
+    // genuinely decomposed: normalized copy
+    val decomposed = UTF8String.fromString("de\u0301ja\u0300 vu")
+    assert(graft.core.TextNorm.nfc(decomposed).toString === "d\u00e9j\u00e0 vu")
+  }
+
   test("normalize_date UDF and translate_path UDF") {
     functions.register(spark)
     assert(spark.sql("SELECT normalize_date('2015-03-20')").collect()

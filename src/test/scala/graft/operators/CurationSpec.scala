@@ -179,4 +179,61 @@ class CurationSpec extends SparkSuite {
     assert(got(0).getInt(4) === 1)
     assert(got(1).getInt(4) === 0)
   }
+
+  test("lineDedup removes over-threshold lines, keeps blanks and order") {
+    import spark.implicits._
+    // "boiler" appears 3× (> max 2) → removed everywhere; "rare" 2× →
+    // kept; blank lines never count and never vanish; doc 4 is all
+    // boilerplate → empty text_clean but still a row
+    val docs = Seq(
+      (1L, "boiler\nkeep one\n\nrare"),
+      (2L, "boiler\nrare\nkeep two"),
+      (3L, "keep three\nboiler"),
+      (4L, "boiler")).toDF("doc_id", "text")
+    val got = Curation.lineDedup(docs, maxOccurrences = 2)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got(0) === ((1L, "keep one\n\nrare", 4, 3L, 1L)))
+    assert(got(1) === ((2L, "rare\nkeep two", 3, 2L, 1L)))
+    assert(got(2) === ((3L, "keep three", 2, 1L, 1L)))
+    assert(got(3) === ((4L, "", 1, 0L, 1L)))
+  }
+
+  test("lineDedup: trailing empty lines are preserved lines") {
+    import spark.implicits._
+    // Spark's default split drops trailing empties — the operator must
+    // not (DuckDB's string_split keeps them, and so does a text file)
+    val docs = Seq((1L, "a\nb\n")).toDF("doc_id", "text")
+    val got = Curation.lineDedup(docs, maxOccurrences = 5).collect()(0)
+    assert(got.getInt(2) === 3)          // "a", "b", ""
+    assert(got.getString(1) === "a\nb\n")
+  }
+
+  test("stripMarkup strips blocks, tags, entities; counts original tags") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "<html><body onload=\"x()\"><h1>Title</h1>" +
+        "<script>\nif (a<2) { run(); }\n</script>pre <b>bold</b> post" +
+        "<!-- multi\nline comment --></body></html>"),
+      (2L, "R&amp;D says 2 &lt; 3 &amp;&amp; &#39;quoted&#39;" +
+        "&nbsp;&amp;lt;literal&amp;gt;"),
+      (3L, "no markup at all")).toDF("doc_id", "text")
+    val got = Curation.stripMarkup(docs).orderBy($"doc_id").collect()
+      .map(r => (r.getString(3), r.getInt(2))) // (stripped, n_tags)
+    // raw '<' inside the script body must not derail the block removal
+    assert(got(0)._1 === "Title pre bold post")
+    // double-escaped entities decode ONE level: &amp;lt; → &lt;
+    assert(got(1)._1 === "R&D says 2 < 3 && 'quoted' &lt;literal&gt;")
+    assert(got(1)._2 === 0)
+    assert(got(2)._1 === "no markup at all")
+  }
+
+  test("stripMarkup and lineDedup are collision-guarded") {
+    import spark.implicits._
+    val bad1 = Seq((1L, "x", "y")).toDF("doc_id", "text", "stripped")
+    intercept[IllegalArgumentException](Curation.stripMarkup(bad1))
+    val bad2 = Seq((1L, "x", "y")).toDF("doc_id", "text", "text_clean")
+    intercept[IllegalArgumentException](Curation.lineDedup(bad2))
+  }
 }

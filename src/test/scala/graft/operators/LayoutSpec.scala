@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSuite {
+
+  /** Reference interleave: bit i of x → 2i, bit i of y → 2i+1. */
+  private def morton(x: Long, y: Long, bits: Int): Long = {
+    var z = 0L
+    for (i <- 0 until bits) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+    }
+    z
+  }
+
+  test("zorderKey2 matches the per-bit reference on exhaustive 6-bit + " +
+    "random 16/31-bit inputs") {
+    import spark.implicits._
+    val small = for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)
+    val rnd = new scala.util.Random(42)
+    def draw(bound: Long) = math.floorMod(rnd.nextLong(), bound)
+    val wide = Seq.fill(200)((draw(1L << 16), draw(1L << 16)))
+    val huge = Seq.fill(200)((draw(1L << 31), draw(1L << 31)))
+    for ((pairs, bits) <- Seq((small, 6), (wide, 16), (huge, 31))) {
+      val got = pairs.toDF("x", "y")
+        .select($"x", $"y", Layout.zorderKey2($"x", $"y", bits).as("z"))
+        .collect()
+      got.foreach { r =>
+        val (x, y, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        assert(z === morton(x, y, bits), s"x=$x y=$y bits=$bits")
+      }
+    }
+  }
+
+  test("zorderKey2 masks to the requested bits and rejects bad widths") {
+    import spark.implicits._
+    // values past the mask wrap (documented: callers bucket wider domains)
+    val got = Seq((256L + 5L, 3L)).toDF("x", "y")
+      .select(Layout.zorderKey2($"x", $"y", bits = 8)).collect()(0).getLong(0)
+    assert(got === morton(5L, 3L, 8))
+    intercept[IllegalArgumentException](Layout.zorderKey2(lit(1), lit(1), 0))
+    intercept[IllegalArgumentException](Layout.zorderKey2(lit(1), lit(1), 32))
+  }
+
+  test("clusterByZOrder keeps BOTH dims narrow inside every partition") {
+    import spark.implicits._
+    // a 64×64 uniform grid clustered into 16 files: a single-column sort
+    // would leave the non-sorted dim spanning the full 0..63 range in
+    // every file; z-order clustering must bound the average span of BOTH
+    // dims well below that
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
+      .toDF("x", "y")
+    val clustered = Layout.clusterByZOrder(grid, "x", "y",
+      numPartitions = 16, bits = 6)
+    val spans = clustered
+      .select(spark_partition_id().as("p"), $"x", $"y")
+      .groupBy($"p")
+      .agg((max($"x") - min($"x")).as("sx"), (max($"y") - min($"y")).as("sy"))
+      .collect()
+    assert(spans.length === 16)
+    val avgX = spans.map(_.getLong(1)).sum.toDouble / spans.length
+    val avgY = spans.map(_.getLong(2)).sum.toDouble / spans.length
+    // ideal 16-way z-partitioning of a 64×64 grid: 16×32 or 32×16 cells
+    // (span 15/31 + range-boundary slop); a naive layout gives ~63 on
+    // one of the two dims
+    assert(avgX < 40, s"x span too wide: $avgX")
+    assert(avgY < 40, s"y span too wide: $avgY")
+    // and the zkey column is present for post-write audit, then droppable
+    assert(clustered.columns.contains("zkey"))
+  }
+
+  test("clusterByZOrder rejects a pre-existing zkey column") {
+    import spark.implicits._
+    val df = Seq((1L, 2L, 3L)).toDF("x", "y", "zkey")
+    intercept[IllegalArgumentException](
+      Layout.clusterByZOrder(df, "x", "y", 4))
+  }
+}
