@@ -90,6 +90,54 @@ object StreamOps {
       rates, defaultPct)
   }
 
+  /** Streaming scrub: the raw-crawl head of the curation pipeline
+    * composed in front of [[streamingCuration]] —
+    *
+    *   1. boilerplate line removal against a BATCH-LEARNED blocklist
+    *      (the streaming twin of [[graft.operators.Curation.lineDedup]]:
+    *      corpus-wide line counts need a batch pass; the stream applies
+    *      the learned over-threshold lines as a literal-array filter —
+    *      map-side, no stream-stream join, no state). Runs on RAW lines
+    *      because that is what the batch pass counted — and it must run
+    *      before the markup strip collapses line structure. Blocklists
+    *      are small by construction (only lines over the threshold), and
+    *      the size cap keeps the broadcast honest;
+    *   2. markup strip ([[graft.operators.Curation.stripMarkup]] —
+    *      codegen'd regexp chain, stateless);
+    *   3. Unicode NFC canonicalization (native `nfc` expression) so the
+    *      downstream dedup hash sees ONE byte form per text — composed
+    *      and decomposed spellings of the same document collapse;
+    *   4. the stateful dedup + redact + quality + sample chain of
+    *      [[streamingCuration]] on the scrubbed text.
+    *
+    * Steps 1–3 are stateless map work; total streaming state remains the
+    * one dedup window [[streamingCuration]] already carries. */
+  def streamingScrub(
+      docs: DataFrame,
+      boilerplate: Seq[String],
+      stratumCol: String,
+      rates: Map[String, Int],
+      defaultPct: Int,
+      minWords: Int = 15,
+      watermark: String = "1 hour"): DataFrame = {
+    require(boilerplate.size <= 100000,
+      s"boilerplate blocklist ships as a broadcast literal; " +
+        s"${boilerplate.size} lines is past the 100k sanity cap")
+    import graft.operators.Curation
+    val noBoiler =
+      if (boilerplate.isEmpty) docs
+      else docs.withColumn("text",
+        array_join(
+          filter(split(col("text"), "\n", -1),
+            l => !array_contains(typedLit(boilerplate), l)),
+          "\n"))
+    val cleaned = Curation.stripMarkup(noBoiler)
+      .withColumn("text", graft.functions.functions.nfc(col("stripped")))
+      .drop("stripped", "n_tags")
+    streamingCuration(cleaned, stratumCol, rates, defaultPct,
+      minWords, watermark)
+  }
+
   /** Gap-based sessionization with explicit state: a session closes (and
     * is emitted) when its group sees an event more than `gapMs` later.
     * Batch `Temporal.sessionize` computes the same sessions

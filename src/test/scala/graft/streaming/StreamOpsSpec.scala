@@ -93,6 +93,42 @@ class StreamOpsSpec extends SparkSuite {
     assert(doc1._3 === 1)
   }
 
+  test("streaming scrub: strip + NFC + blocklist ahead of the curation " +
+    "chain") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String, String)]
+    val df = input.toDF().toDF("ts", "doc_id", "text", "lang")
+    val q = StreamOps.streamingScrub(df,
+      boilerplate = Seq("SUBSCRIBE to our newsletter"),
+      stratumCol = "lang", rates = Map.empty, defaultPct = 100,
+      minWords = 5, watermark = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scrub_out").start()
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // decomposed é (e + U+0301) wrapped in markup, plus a boilerplate line
+    val decomposed = "<p>the nice cafe\u0301 on the corner serves " +
+      "breakfast</p>\nSUBSCRIBE to our newsletter"
+    // the same text, composed (U+00E9), different markup: after strip +
+    // NFC the bytes are identical, so the dedup hash must collapse them
+    val composed = "<div>the nice caf\u00e9 on the corner serves " +
+      "breakfast</div>"
+    input.addData(
+      (t(0), 1L, decomposed, "en"),
+      (t(2), 3L, "<b>tiny</b>", "en")) // quality-filtered after strip
+    q.processAllAvailable()
+    input.addData((t(1), 2L, composed, "en")) // later batch: deterministic
+    q.processAllAvailable()
+    val out = spark.table("scrub_out")
+      .select($"doc_id", $"redacted").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    q.stop()
+    assert(out.map(_._1).toSeq === Seq(1L))
+    val text1 = out.head._2
+    // markup and the boilerplate line are gone; the é is composed
+    assert(text1 === "the nice caf\u00e9 on the corner serves breakfast")
+  }
+
   test("stateful sessionization emits closed sessions incrementally") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
