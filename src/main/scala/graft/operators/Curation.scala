@@ -233,6 +233,55 @@ object Curation {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"))
   }
 
+  /** Language-model coverage scoring — the integer-exact cousin of the
+    * CCNet/Wikipedia-LM perplexity quality filter: learn the corpus's
+    * `vocabSize` most frequent word `n`-grams, then score every document
+    * by how much of it is made of those frequent grams. Gibberish, OCR
+    * noise and non-prose score low; ordinary prose scores high. All
+    * outputs are integers (gram counts and an integer-division
+    * percentage), so the decision replays bit-identically anywhere —
+    * no floating-point log-probabilities to drift across engines.
+    *
+    * Shape: vocabulary selection is one hash aggregate over corpus grams
+    * followed by a top-K (`TakeOrderedAndProject` — K rows to the
+    * driver, never the gram table); scoring broadcasts the K-row vocab
+    * into a map-side join against grams generated in place, so the
+    * corpus never shuffles — the only exchange carries per-doc counts
+    * (the [[contaminationStats]] discipline, with the vocabulary learned
+    * from the corpus itself instead of supplied). Ties at the vocabulary
+    * boundary break deterministically by (count DESC, gram ASC).
+    *
+    * @return one row per doc:
+    *         (idCol, n_grams, n_known, coverage_pct ∈ [0,100])
+    */
+  def lmCoverage(
+      docs: DataFrame,
+      n: Int = 2,
+      vocabSize: Int = 500,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val grams = wordGrams(docs, textCol, idCol, n)
+    val vocab = grams
+      .groupBy(col("__gram")).agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("__gram").asc)
+      .limit(vocabSize)
+      .select(col("__gram"), lit(1).as("__known"))
+    val hits = grams
+      .join(broadcast(vocab), Seq("__gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__known"), lit(0))).as("n_known"))
+    docs.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_known"), lit(0L)).as("n_known"))
+      .withColumn("coverage_pct",
+        when(col("n_grams") > 0, expr("n_known * 100 DIV n_grams"))
+          .otherwise(lit(0L)))
+  }
+
   /** Count-column names paired with [[RedactPatterns]], in order. */
   val RedactCountColumns: Seq[String] = Seq("n_emails", "n_ips", "n_phones")
 

@@ -120,6 +120,23 @@ object CurationQueries {
         .orderBy($"doc_id")
     }),
 
+    // LM-coverage quality scoring (integer-exact CCNet-style filter):
+    // vocabulary = the corpus's 300 most frequent word bigrams (count
+    // desc, gram asc tie-break), score = share of each doc's bigrams
+    // drawn from it. Every 11th doc gets shuffled-alphabet gibberish
+    // appended so the low-coverage path is exercised
+    "q_lm_coverage" -> ((s, dir) => {
+      import s.implicits._
+      val planted = docs(s, dir).withColumn("text",
+        when($"doc_id" % 11 === 0, concat($"text",
+          lit(" zq xv qj vx jz wq qx zx vj xq "),
+          md5($"doc_id".cast("string")), lit(" "),
+          md5(($"doc_id" + 1).cast("string"))))
+          .otherwise($"text"))
+      Curation.lmCoverage(planted, n = 2, vocabSize = 300)
+        .orderBy($"doc_id")
+    }),
+
     // PII redaction: scrub emails/IPs/phones into typed tokens with
     // per-class prevalence counts. Every 5th doc gets planted PII
     // (deterministic, mirrored in the oracle) since the synthetic corpus
@@ -340,6 +357,42 @@ object CurationQueries {
         |  md5(COALESCE(k.text_clean, '')) AS clean_md5
         |FROM tot t LEFT JOIN kept k USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+
+    // mirrors Curation.lmCoverage: bigrams over \s+-normalized words,
+    // vocab = top-300 by (count DESC, gram ASC), integer-division pct
+    "q_lm_coverage" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN
+        |      text || ' zq xv qj vx jz wq qx zx vj xq ' ||
+        |      md5(CAST(doc_id AS VARCHAR)) || ' ' ||
+        |      md5(CAST(doc_id + 1 AS VARCHAR))
+        |    ELSE text END AS text
+        |  FROM documents),
+        |words AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM planted),
+        |grams AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w)),
+        |      i -> w[i] || ' ' || w[i+1])) AS g
+        |  FROM words WHERE len(w) >= 2),
+        |counts AS (SELECT g, count(*) AS cnt FROM grams GROUP BY g),
+        |vocab AS (SELECT g FROM counts ORDER BY cnt DESC, g LIMIT 300),
+        |hits AS (
+        |  SELECT gr.doc_id, count(*) AS n_grams,
+        |    sum(CASE WHEN v.g IS NOT NULL THEN 1 ELSE 0 END) AS n_known
+        |  FROM grams gr LEFT JOIN vocab v ON gr.g = v.g
+        |  GROUP BY gr.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(n_known, 0) AS BIGINT) AS n_known,
+        |  CAST(CASE WHEN COALESCE(n_grams, 0) > 0
+        |       THEN COALESCE(n_known, 0) * 100 // n_grams
+        |       ELSE 0 END AS BIGINT) AS coverage_pct
+        |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // chr(233)=U+00E9 composed é, chr(769)=U+0301 combining acute,
     // chr(8491)=U+212B Angstrom sign (NFC singleton -> U+00C5),

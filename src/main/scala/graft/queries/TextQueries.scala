@@ -20,7 +20,27 @@ object TextQueries {
 
   /** Jaccard pairs are blocked on (lang, n_chars bucket) so the join is a
     * pruned equi-join, not a cross product — at scale this is the standard
-    * blocking trick (same shape as LSH banding). */
+    * blocking trick (same shape as LSH banding). Shared by
+    * `q_dedup_clusters` and `q_canonical_select` (same edges, two
+    * downstream policies). */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = docs(s, dir).select(
+      $"doc_id", $"lang", expr("n_chars div 100").cast("int").as("size_bucket"),
+      array_distinct(split(lower(trim($"text")), "\\s+")).as("words"))
+      .withColumn("n_words", size($"words"))
+    val words = base.select($"doc_id", $"lang", $"size_bucket", $"n_words",
+      explode($"words").as("word"))
+    val a = words.toDF("doc_a", "lang", "size_bucket", "n_a", "word")
+    val b = words.toDF("doc_b", "lang", "size_bucket", "n_b", "word")
+    a.join(b, Seq("lang", "size_bucket", "word"))
+      .filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b", $"n_a", $"n_b")
+      .agg(count(lit(1)).cast("int").as("inter_size"))
+      .filter($"inter_size" * 4 >= $"n_a" + $"n_b" - $"inter_size")
+      .select($"doc_a", $"doc_b")
+  }
+
   private val SlugRe = "^[a-z0-9_-]+$"
   private val TokenRe = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
   private val Stopwords = "\\b(the|a|an|of|and|to|in|is|it|for)\\b"
@@ -193,23 +213,32 @@ object TextQueries {
     // oracle computes the same closure with a recursive CTE
     "q_dedup_clusters" -> ((s, dir) => {
       import s.implicits._
-      val base = docs(s, dir).select(
-        $"doc_id", $"lang", expr("n_chars div 100").cast("int").as("size_bucket"),
-        array_distinct(split(lower(trim($"text")), "\\s+")).as("words"))
-        .withColumn("n_words", size($"words"))
-      val words = base.select($"doc_id", $"lang", $"size_bucket", $"n_words",
-        explode($"words").as("word"))
-      val a = words.toDF("doc_a", "lang", "size_bucket", "n_a", "word")
-      val b = words.toDF("doc_b", "lang", "size_bucket", "n_b", "word")
-      val pairs = a.join(b, Seq("lang", "size_bucket", "word"))
-        .filter($"doc_a" < $"doc_b")
-        .groupBy($"doc_a", $"doc_b", $"n_a", $"n_b")
-        .agg(count(lit(1)).cast("int").as("inter_size"))
-        .filter($"inter_size" * 4 >= $"n_a" + $"n_b" - $"inter_size")
-        .select($"doc_a", $"doc_b")
       graft.operators.Dedup.connectedComponents(
-        docs(s, dir).select($"doc_id"), pairs)
+        docs(s, dir).select($"doc_id"), jaccardPairs(s, dir))
         .orderBy($"doc_id")
+    }),
+
+    // canonical selection — the policy step after clustering: within
+    // each near-dup cluster keep ONE document, the longest text with
+    // smallest-doc_id tie-break (the "keep the fullest version" rule a
+    // recrawl-heavy pipeline applies). One hash aggregate over the
+    // cluster table (max of a (score, -id) struct — no per-cluster
+    // window, no sort), so the selection costs one shuffle on top of
+    // the clustering.
+    "q_canonical_select" -> ((s, dir) => {
+      import s.implicits._
+      val clusters = graft.operators.Dedup.connectedComponents(
+        docs(s, dir).select($"doc_id"), jaccardPairs(s, dir))
+      val scored = clusters.join(
+        docs(s, dir).select($"doc_id", length($"text").as("score")),
+        Seq("doc_id"))
+      scored.groupBy($"cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          max(struct($"score", (-$"doc_id").as("neg_id"))).as("__best"))
+        .select($"cluster_id", $"n_members",
+          (-$"__best.neg_id").as("canonical_doc"),
+          $"__best.score".as("canonical_len"))
+        .orderBy($"cluster_id")
     }),
 
     // MinHash signatures over 3-word shingles with md5 hash family; two
@@ -380,6 +409,43 @@ object TextQueries {
         |  UNION SELECT r.doc, e.doc_b FROM reach r JOIN edges e ON r.other = e.doc_a)
         |SELECT doc AS doc_id, min(other) AS cluster_id
         |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin),
+
+    // same clusters as q_dedup_clusters, then keep-longest (doc_id
+    // tie-break) per cluster
+    "q_canonical_select" ->
+      ("""WITH RECURSIVE base AS (
+        |  SELECT doc_id, lang, CAST(n_chars // 100 AS INT) AS size_bucket,
+        |         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS words
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM base a JOIN base b
+        |    ON a.lang = b.lang AND a.size_bucket = b.size_bucket
+        |   AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.words, b.words)) * 4 >=
+        |        len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))),
+        |edges AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(doc, other) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION SELECT doc_a, doc_b FROM edges
+        |  UNION SELECT r.doc, e.doc_b FROM reach r JOIN edges e ON r.other = e.doc_a),
+        |clusters AS (
+        |  SELECT doc AS doc_id, min(other) AS cluster_id
+        |  FROM reach GROUP BY doc),
+        |scored AS (
+        |  SELECT c.cluster_id, d.doc_id, CAST(length(d.text) AS INT) AS score
+        |  FROM clusters c JOIN documents d ON c.doc_id = d.doc_id),
+        |sel AS (
+        |  SELECT cluster_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY score DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY cluster_id) AS n_members
+        |  FROM scored)
+        |SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
+        |  doc_id AS canonical_doc, score AS canonical_len
+        |FROM sel WHERE rn = 1 ORDER BY cluster_id""".stripMargin),
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_copies,

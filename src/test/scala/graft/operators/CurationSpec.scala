@@ -229,6 +229,27 @@ class CurationSpec extends SparkSuite {
     assert(got(2)._1 === "no markup at all")
   }
 
+  test("lmCoverage learns a deterministic vocab and scores coverage") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"),   // grams: "a b", "b c"
+      (2L, "a b d"),   // grams: "a b", "b d"
+      (3L, "zz"))      // no bigrams: still a row, all zeros
+      .toDF("doc_id", "text")
+    // vocabSize 1: "a b" (count 2) wins over "b c"/"b d" (count 1)
+    val got = Curation.lmCoverage(docs, n = 2, vocabSize = 1)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got(0) === ((1L, 2L, 1L, 50L)))
+    assert(got(1) === ((2L, 2L, 1L, 50L)))
+    assert(got(2) === ((3L, 0L, 0L, 0L)))
+    // boundary ties break by gram ASC: with vocabSize 2, "b c" < "b d"
+    // lexicographically so doc 1 gains coverage and doc 2 does not
+    val got2 = Curation.lmCoverage(docs, n = 2, vocabSize = 2)
+      .orderBy($"doc_id").collect().map(r => r.getLong(3))
+    assert(got2.toSeq === Seq(100L, 50L, 0L))
+  }
+
   test("stripMarkup and lineDedup are collision-guarded") {
     import spark.implicits._
     val bad1 = Seq((1L, "x", "y")).toDF("doc_id", "text", "stripped")
