@@ -144,11 +144,17 @@ case class DotProductExpr(left: Expression, right: Expression)
   * whose ASCII fast path returns the input buffer untouched — on crawl
   * corpora the expression is usually a byte scan, not a normalization.
   */
-case class NfcExpr(child: Expression) extends UnaryExpression {
+case class NfcExpr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "nfc"
+
+  // the SQL surface must reject/coerce non-string inputs at analysis —
+  // an unvalidated child reaches codegen as the wrong JVM type and
+  // fails mid-job (the DotProductExpr lesson above)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
 
   override protected def nullSafeEval(input: Any): Any =
     graft.core.TextNorm.nfc(input.asInstanceOf[UTF8String])
@@ -193,9 +199,10 @@ object functions {
     DotProductExpr(exprs.head, exprs(1))
   }
 
-  /** Unicode NFC normalization of a string column. */
+  /** Unicode NFC normalization of a string column (non-string inputs
+    * are coerced at analysis via ImplicitCastInputTypes). */
   def nfc(c: Column): Column =
-    Bridge.column(NfcExpr(Bridge.expression(c.cast(StringType))))
+    Bridge.column(NfcExpr(Bridge.expression(c)))
 
   /** Arity-checked builder for SQL registration. */
   def nfcBuilder(exprs: Seq[Expression]): NfcExpr = {

@@ -377,8 +377,10 @@ object Curation {
     * (`&amp;` LAST so `&amp;lt;` decodes to the text `&lt;`, not to
     * `<`), then whitespace collapse. Kept inside the Java-regex ∩ RE2
     * common subset (inline `(?is)` flags, non-greedy `.*?`, no
-    * lookaround) so the DuckDB oracle replays the identical strip byte
-    * for byte — the same single-source-of-truth discipline as
+    * lookaround — and the whitespace class spelled explicitly, because
+    * `\s` itself is NOT in the subset: Java's includes vertical tab
+    * U+000B, RE2's does not) so the DuckDB oracle replays the identical
+    * strip byte for byte — the same single-source-of-truth discipline as
     * [[RedactPatterns]]. */
   val MarkupPatterns: Seq[(String, String)] = Seq(
     "(?is)<script[^>]*>.*?</script>" -> " ",
@@ -391,7 +393,7 @@ object Curation {
     "&#39;" -> "'",
     "&nbsp;" -> " ",
     "&amp;" -> "&",
-    "\\s+" -> " ")
+    "[ \\t\\n\\x0B\\f\\r]+" -> " ")
 
   /** Strip HTML/XML markup from `textCol` — the extraction pass between
     * a raw crawl and every text-quality operator (a tag soup document

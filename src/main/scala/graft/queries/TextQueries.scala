@@ -355,6 +355,30 @@ object TextQueries {
        |FROM enc ORDER BY doc_id""".stripMargin
   }
 
+  /** The clustering CTE prefix shared by the q_dedup_clusters and
+    * q_canonical_select oracles — ONE copy, mirroring the Spark side's
+    * shared `jaccardPairs`, so the "same edges, two downstream
+    * policies" contract cannot drift in the SQL either. */
+  private val ClusterCte: String =
+    """WITH RECURSIVE base AS (
+      |  SELECT doc_id, lang, CAST(n_chars // 100 AS INT) AS size_bucket,
+      |         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS words
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM base a JOIN base b
+      |    ON a.lang = b.lang AND a.size_bucket = b.size_bucket
+      |   AND a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.words, b.words)) * 4 >=
+      |        len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))),
+      |edges AS (
+      |  SELECT doc_a, doc_b FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(doc, other) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION SELECT doc_a, doc_b FROM edges
+      |  UNION SELECT r.doc, e.doc_b FROM reach r JOIN edges e ON r.other = e.doc_a)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_bpe_merges" -> bpeOracle(4),
 
@@ -389,48 +413,14 @@ object TextQueries {
         |GROUP BY word ORDER BY term_freq DESC, word LIMIT 50""".stripMargin,
 
     "q_dedup_clusters" ->
-      ("""WITH RECURSIVE base AS (
-        |  SELECT doc_id, lang, CAST(n_chars // 100 AS INT) AS size_bucket,
-        |         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS words
-        |  FROM documents),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM base a JOIN base b
-        |    ON a.lang = b.lang AND a.size_bucket = b.size_bucket
-        |   AND a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.words, b.words)) * 4 >=
-        |        len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))),
-        |edges AS (
-        |  SELECT doc_a, doc_b FROM pairs
-        |  UNION SELECT doc_b, doc_a FROM pairs),
-        |reach(doc, other) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION SELECT doc_a, doc_b FROM edges
-        |  UNION SELECT r.doc, e.doc_b FROM reach r JOIN edges e ON r.other = e.doc_a)
+      (ClusterCte + """
         |SELECT doc AS doc_id, min(other) AS cluster_id
         |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin),
 
     // same clusters as q_dedup_clusters, then keep-longest (doc_id
     // tie-break) per cluster
     "q_canonical_select" ->
-      ("""WITH RECURSIVE base AS (
-        |  SELECT doc_id, lang, CAST(n_chars // 100 AS INT) AS size_bucket,
-        |         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS words
-        |  FROM documents),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM base a JOIN base b
-        |    ON a.lang = b.lang AND a.size_bucket = b.size_bucket
-        |   AND a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.words, b.words)) * 4 >=
-        |        len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))),
-        |edges AS (
-        |  SELECT doc_a, doc_b FROM pairs
-        |  UNION SELECT doc_b, doc_a FROM pairs),
-        |reach(doc, other) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION SELECT doc_a, doc_b FROM edges
-        |  UNION SELECT r.doc, e.doc_b FROM reach r JOIN edges e ON r.other = e.doc_a),
+      (ClusterCte + """,
         |clusters AS (
         |  SELECT doc AS doc_id, min(other) AS cluster_id
         |  FROM reach GROUP BY doc),

@@ -121,16 +121,23 @@ object StreamOps {
       minWords: Int = 15,
       watermark: String = "1 hour"): DataFrame = {
     require(boilerplate.size <= 100000,
-      s"boilerplate blocklist ships as a broadcast literal; " +
+      s"boilerplate blocklist ships in the task closure; " +
         s"${boilerplate.size} lines is past the 100k sanity cap")
     import graft.operators.Curation
+    // hash-set membership per line via a closure-shipped Set — a
+    // literal-array `array_contains` would re-scan the whole blocklist
+    // for EVERY line (O(lines × |blocklist|) in the microbatch hot
+    // path); the UDF trades one projection's codegen span for O(1)
+    // lookups, which wins for any blocklist past a handful of entries
     val noBoiler =
       if (boilerplate.isEmpty) docs
-      else docs.withColumn("text",
-        array_join(
-          filter(split(col("text"), "\n", -1),
-            l => !array_contains(typedLit(boilerplate), l)),
-          "\n"))
+      else {
+        val blockSet = boilerplate.toSet
+        val scrubLines = udf((text: String) =>
+          if (text == null) null
+          else text.split("\n", -1).filterNot(blockSet).mkString("\n"))
+        docs.withColumn("text", scrubLines(col("text")))
+      }
     val cleaned = Curation.stripMarkup(noBoiler)
       .withColumn("text", graft.functions.functions.nfc(col("stripped")))
       .drop("stripped", "n_tags")

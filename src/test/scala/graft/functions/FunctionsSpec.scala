@@ -146,6 +146,11 @@ class FunctionsSpec extends SparkSuite {
     // null propagates
     assert(rows.select(functions.nfc(lit(null).cast("string")))
       .collect().head.isNullAt(0))
+    // non-string SQL inputs coerce at analysis (ImplicitCastInputTypes)
+    // instead of reaching codegen as the wrong JVM type
+    assert(spark.sql("SELECT nfc(42)").collect().head.getString(0) === "42")
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT nfc(array(1, 2))").collect())
   }
 
   test("TextNorm.nfc returns the input object when already normalized") {
