@@ -61,7 +61,11 @@ object Profile {
 
   private val ProfileQueries = Seq(
     "q_dedup_clusters", "q_simhash_pairs", "q_ngram_jaccard",
-    "q_percentiles", "q_curation_pipeline")
+    "q_percentiles", "q_curation_pipeline",
+    // round-5 additions with corpus-wide aggregation + broadcast legs:
+    // line counting/blocklist and vocab learning/scoring must both stay
+    // ~linear per unit of corpus
+    "q_line_dedup", "q_lm_coverage")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
