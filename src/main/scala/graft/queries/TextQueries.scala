@@ -18,11 +18,13 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "documents")
 
-  /** Jaccard pairs are blocked on (lang, n_chars bucket) so the join is a
-    * pruned equi-join, not a cross product — at scale this is the standard
-    * blocking trick (same shape as LSH banding). Shared by
-    * `q_dedup_clusters` and `q_canonical_select` (same edges, two
-    * downstream policies). */
+  /** Jaccard near-dup pairs with their intersection/union sizes, blocked
+    * on (lang, n_chars bucket) so the join is a pruned equi-join, not a
+    * cross product — at scale this is the standard blocking trick (same
+    * shape as LSH banding). Threshold 4·|∩| ≥ |∪| (J ≥ 0.25) in exact
+    * integer arithmetic. ONE copy shared by `q_ngram_jaccard` (which
+    * reports the sizes), `q_dedup_clusters` and `q_canonical_select`
+    * (which consume the edges) — same edges, three downstream uses. */
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val base = docs(s, dir).select(
@@ -37,8 +39,9 @@ object TextQueries {
       .filter($"doc_a" < $"doc_b")
       .groupBy($"doc_a", $"doc_b", $"n_a", $"n_b")
       .agg(count(lit(1)).cast("int").as("inter_size"))
-      .filter($"inter_size" * 4 >= $"n_a" + $"n_b" - $"inter_size")
-      .select($"doc_a", $"doc_b")
+      .select($"doc_a", $"doc_b", $"inter_size",
+        ($"n_a" + $"n_b" - $"inter_size").as("union_size"))
+      .filter($"inter_size" * 4 >= $"union_size")
   }
 
   private val SlugRe = "^[a-z0-9_-]+$"
@@ -149,22 +152,7 @@ object TextQueries {
     // exact integer arithmetic.
     "q_ngram_jaccard" -> ((s, dir) => {
       import s.implicits._
-      val base = docs(s, dir).select(
-        $"doc_id", $"lang", expr("n_chars div 100").cast("int").as("size_bucket"),
-        array_distinct(split(lower(trim($"text")), "\\s+")).as("words"))
-        .withColumn("n_words", size($"words"))
-      val words = base.select($"doc_id", $"lang", $"size_bucket", $"n_words",
-        explode($"words").as("word"))
-      val a = words.toDF("doc_a", "lang", "size_bucket", "n_a", "word")
-      val b = words.toDF("doc_b", "lang", "size_bucket", "n_b", "word")
-      a.join(b, Seq("lang", "size_bucket", "word"))
-        .filter($"doc_a" < $"doc_b")
-        .groupBy($"doc_a", $"doc_b", $"n_a", $"n_b")
-        .agg(count(lit(1)).cast("int").as("inter_size"))
-        .select($"doc_a", $"doc_b", $"inter_size",
-          ($"n_a" + $"n_b" - $"inter_size").as("union_size"))
-        .filter($"inter_size" * 4 >= $"union_size")
-        .orderBy($"doc_a", $"doc_b")
+      jaccardPairs(s, dir).orderBy($"doc_a", $"doc_b")
     }),
 
     // TF-IDF: top-3 scoring terms per document — term frequencies and
@@ -214,7 +202,8 @@ object TextQueries {
     "q_dedup_clusters" -> ((s, dir) => {
       import s.implicits._
       graft.operators.Dedup.connectedComponents(
-        docs(s, dir).select($"doc_id"), jaccardPairs(s, dir))
+        docs(s, dir).select($"doc_id"),
+        jaccardPairs(s, dir).select($"doc_a", $"doc_b"))
         .orderBy($"doc_id")
     }),
 
@@ -228,7 +217,8 @@ object TextQueries {
     "q_canonical_select" -> ((s, dir) => {
       import s.implicits._
       val clusters = graft.operators.Dedup.connectedComponents(
-        docs(s, dir).select($"doc_id"), jaccardPairs(s, dir))
+        docs(s, dir).select($"doc_id"),
+        jaccardPairs(s, dir).select($"doc_a", $"doc_b"))
       val scored = clusters.join(
         docs(s, dir).select($"doc_id", length($"text").as("score")),
         Seq("doc_id"))
