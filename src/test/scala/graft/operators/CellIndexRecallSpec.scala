@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Honest-approximation characterization for the cell-probed ANN path:
+  * measures recall@k of `CellIndex.topK` against the exact brute-force
+  * top-k on the sf0.01 embeddings, across probe widths. The battery's
+  * `q_ann_cell_topk` is configured so the probe returns the EXACT
+  * answer (it shares the exact oracle); this spec is the complementary
+  * evidence for the approximate regime a 100 TB deployment actually
+  * runs in — few probes over many cells — where recall must degrade
+  * gracefully and grow monotonically with nprobe (probing more cells
+  * scans a superset of candidates; with the deterministic micro-BIGINT
+  * ranking, a superset can only improve the cut).
+  */
+class CellIndexRecallSpec extends SparkSuite {
+
+  private val sfDir = "/root/testdata/sf0.01"
+  private val K = 5
+
+  private def queriesDf: DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter($"vec_id" % 25 === 0) // 20 query vectors
+      .select($"vec_id".as("query_id"),
+        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("qv"))
+  }
+
+  /** Exact top-K per query by the same micro-BIGINT cosine ranking the
+    * index uses (self-match excluded). */
+  private def exactTopK: Map[Long, Set[Long]] = {
+    import spark.implicits._
+    val cands = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id".as("cand_id"),
+        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("cv"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos_sim_micro".desc, $"cand_id")
+    queriesDf.crossJoin(cands)
+      .filter($"query_id" =!= $"cand_id")
+      .withColumn("cos_sim_micro", expr(
+        s"CAST(round(${Similarity.cosineExpr("qv", "cv")} * 1000000) AS BIGINT)"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= K)
+      .select($"query_id", $"cand_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getLong(1)).toSet
+      }
+  }
+
+  test("cell-probe recall@5 grows monotonically with nprobe and is exact " +
+    "at full probe width") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cellindex-recall")
+      .toString
+    val index = new CellIndex(spark, dir)
+    // 16 learned cells over 500 vectors: small enough that nprobe=16 is
+    // a full scan, large enough that nprobe=1 genuinely misses
+    index.buildLearned(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"), k = 16)
+    val exact = exactTopK
+    val nQueries = exact.size
+    def recallAt(nprobe: Int): Double = {
+      val got = index.topK(queriesDf, k = K, nprobe = nprobe)
+        .select($"query_id", $"cand_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) =>
+          q -> rs.map(_.getLong(1)).toSet
+        }
+      exact.map { case (q, want) =>
+        got.getOrElse(q, Set.empty[Long]).count(want).toDouble / want.size
+      }.sum / nQueries
+    }
+    val curve = Seq(1, 2, 4, 16).map(np => np -> recallAt(np))
+    info(s"recall@$K curve: " + curve.map { case (np, r) =>
+      f"nprobe=$np%2d -> $r%.3f" }.mkString(", "))
+    // monotone: more probes never lose a true neighbor
+    curve.sliding(2).foreach { case Seq((npA, a), (npB, b)) =>
+      assert(a <= b + 1e-9, s"recall fell from nprobe=$npA to $npB")
+    }
+    // full probe width IS the brute-force scan: recall must be exactly 1
+    assert(curve.last._2 === 1.0)
+    // floor for the approximate regime. The synthetic embeddings are
+    // near-uniform random — the WORST case for IVF (cell membership
+    // barely predicts cosine neighborhoods) — so these bounds document
+    // graceful degradation on hostile data, not clustered-data
+    // performance: measured 0.28 / 0.57 at pinning time (deterministic
+    // corpus + deterministic k-means ⇒ stable numbers). Real embedding
+    // corpora are clustered, which is the regime IVF exists for.
+    assert(curve.head._2 >= 0.25,
+      s"nprobe=1 recall ${curve.head._2} collapsed below the uniform-data floor")
+    assert(curve(2)._2 >= 0.5,
+      s"nprobe=4 recall ${curve(2)._2} collapsed below the uniform-data floor")
+  }
+}

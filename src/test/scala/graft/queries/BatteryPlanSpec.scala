@@ -28,6 +28,15 @@ class BatteryPlanSpec extends SparkSuite {
         val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
         if (plan.contains("CartesianProduct"))
           failures += s"$name: CartesianProduct in plan"
+        // design invariants the battery promises (README/SCALE.md):
+        // no Scala UDFs (codegen'd builtins + native expressions only —
+        // UDFs break whole-stage codegen and add per-row serialization)
+        if (plan.contains("UDF("))
+          failures += s"$name: Scala UDF in plan"
+        // and no interpreted aggregate(zip_with(...)) dot products — the
+        // vector paths must stay on the native vector_dot expression
+        if (plan.contains("aggregate(zip_with"))
+          failures += s"$name: interpreted aggregate(zip_with(...)) dot"
       } catch {
         case e: Exception => failures += s"$name: failed to plan: ${e.getMessage}"
       }
