@@ -1,0 +1,117 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Persistent content-fingerprint index for INCREMENTAL exact dedup at
+  * ingestion: each arriving batch is deduplicated against everything
+  * ever ingested by consulting a tiny md5 index — never by rescanning
+  * the corpus — and the survivors' fingerprints are registered for the
+  * next batch. This closes the gap the streaming dedup deliberately
+  * leaves (its state is watermark-bounded, so a duplicate arriving
+  * weeks later passes); here history is complete and durable.
+  *
+  * Scale shape: the index holds (fp, doc_id) only — ~25 bytes/doc, a
+  * few tens of GB for a billions-of-docs corpus — partitioned into
+  * `buckets` md5-prefix cells. A batch's anti-join reads ONLY the
+  * bucket partitions its own fingerprints land in (partition-pruned;
+  * for the common small incremental batch that is a fraction of the
+  * index), and the join itself shuffles just the fp projection, never
+  * document content.
+  *
+  * Concurrency: a versioned-manifest table ([[ManifestLog]]) like the
+  * record/latest stores — ingest writes an immutable bucket-partitioned
+  * data dir and advances the manifest through the commit-CAS retry
+  * loop. The returned new-docs DataFrame is built against the PINNED
+  * pre-ingest snapshot (the resolved entries, not the live table), so
+  * recomputing it after the commit — or after later ingests — yields
+  * the same rows instead of anti-joining against fingerprints this very
+  * batch just registered.
+  *
+  * Idempotence: within-batch duplicate texts collapse to the smallest
+  * `idCol` row; replaying a whole batch (crash retry, at-least-once
+  * delivery) finds every fingerprint already present and commits
+  * nothing.
+  */
+final class FingerprintIndex(spark: SparkSession, path: String,
+    buckets: Int = 256,
+    keepVersions: Int = 3,
+    committer: Option[ManifestCommitter] = None) {
+
+  require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+
+  private val log = new ManifestLog(spark, path, keepVersions, committer)
+  private def f = Fs.fs(spark, path)
+
+  private def bucketCol(fp: org.apache.spark.sql.Column) =
+    pmod(conv(substring(fp, 1, 8), 16, 10).cast("long"), lit(buckets))
+      .cast("int")
+
+  def exists: Boolean = log.hasAny
+
+  /** The committed fingerprint table: (fp, doc_id, bucket). */
+  def fingerprints: DataFrame = log.resolve() match {
+    case None => log.emptyDf(FingerprintIndex.schema)
+    case Some((_, entries)) =>
+      log.readEntries(entries, FingerprintIndex.schema)
+  }
+
+  /** Dedup `batch` against all previously ingested content, register
+    * the survivors, and return them (original columns, plus nothing —
+    * working columns are dropped). */
+  def ingest(batch: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    Seq("__fp", "__bucket", "__min_id").foreach(c =>
+      require(!batch.columns.contains(c),
+        s"input column '$c' collides with a FingerprintIndex working column"))
+    val withFp = batch
+      .withColumn("__fp", md5(col(textCol)))
+      .withColumn("__bucket", bucketCol(col("__fp")))
+    // within-batch canonicalization: smallest id per fingerprint wins
+    // (deterministic under any partitioning, unlike dropDuplicates)
+    val canon = withFp.join(
+      withFp.groupBy(col("__fp")).agg(min(col(idCol)).as("__min_id")),
+      Seq("__fp"))
+      .filter(col(idCol) === col("__min_id"))
+      .drop("__min_id")
+    // pin the pre-ingest snapshot: the anti-join must keep reading THESE
+    // dirs even when recomputed after our own commit advances the table
+    val newDocs = log.resolve() match {
+      case None => canon
+      case Some((_, entries)) =>
+        // partition-pruned history scan: only the buckets this batch
+        // touches (collected bucket ids are ≤ `buckets` ints)
+        val batchBuckets = canon.select(col("__bucket")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val existing = log.readEntries(entries, FingerprintIndex.schema)
+          .filter(col("bucket").isInCollection(batchBuckets))
+          .select(col("fp").as("__fp"))
+        canon.join(existing, Seq("__fp"), "left_anti")
+    }
+    val dirName = log.newDataDirName(log.currentVersion.getOrElse(0L) + 1)
+    newDocs
+      .select(col("__fp").as("fp"), col(idCol).cast("long").as("doc_id"),
+        col("__bucket").as("bucket"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("bucket")
+      .parquet(log.dataPath(dirName).toString)
+    val cells = log.listCells(dirName, FingerprintIndex.LevelPrefixes)
+    if (cells.isEmpty) f.delete(log.dataPath(dirName), true)
+    else log.commitRetry(RecordStore.appendMutate(cells, dirName))
+    newDocs.drop("__fp", "__bucket")
+  }
+
+  /** See [[ManifestLog.vacuum]] / [[ManifestLog.vacuumOrphans]]. */
+  def vacuum(): Unit = log.vacuum()
+  def vacuumOrphans(olderThanMs: Long): Seq[String] =
+    log.vacuumOrphans(olderThanMs)
+}
+
+object FingerprintIndex {
+  val LevelPrefixes: Seq[String] = Seq("bucket=")
+  val schema: StructType = StructType(Seq(
+    StructField("fp", StringType),
+    StructField("doc_id", LongType),
+    StructField("bucket", IntegerType)))
+}

@@ -1,0 +1,84 @@
+package graft.store
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class FingerprintIndexSpec extends SparkSuite {
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("fpindex").toString
+
+  test("ingest dedups within batch, across batches, and replays are no-ops") {
+    import spark.implicits._
+    val idx = new FingerprintIndex(spark, tmp(), buckets = 8)
+    // batch 1: "aaa" appears twice — smallest doc_id wins
+    val b1 = Seq((3L, "aaa"), (1L, "aaa"), (2L, "bbb")).toDF("doc_id", "text")
+    val got1 = idx.ingest(b1).orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got1.toSeq === Seq((1L, "aaa"), (2L, "bbb")))
+    assert(idx.fingerprints.count() === 2)
+    // batch 2: one repeat of history, one genuinely new
+    val b2 = Seq((10L, "aaa"), (11L, "ccc")).toDF("doc_id", "text")
+    val got2 = idx.ingest(b2).collect().map(_.getLong(0))
+    assert(got2.toSeq === Seq(11L))
+    assert(idx.fingerprints.count() === 3)
+    // replay batch 2 wholesale (at-least-once delivery): nothing new,
+    // no table version burned
+    val vBefore = idx.fingerprints.count()
+    assert(idx.ingest(b2).count() === 0)
+    assert(idx.fingerprints.count() === vBefore)
+  }
+
+  test("the returned frame is pinned to the pre-ingest snapshot") {
+    import spark.implicits._
+    val idx = new FingerprintIndex(spark, tmp(), buckets = 8)
+    idx.ingest(Seq((1L, "old")).toDF("doc_id", "text"))
+    val res = idx.ingest(Seq((2L, "fresh")).toDF("doc_id", "text"))
+    // the commit has advanced the index (its fingerprints now include
+    // "fresh") — recomputing the returned plan must still anti-join
+    // against the PRE-ingest snapshot and keep returning the row
+    assert(res.count() === 1)
+    idx.ingest(Seq((3L, "later")).toDF("doc_id", "text"))
+    assert(res.count() === 1) // still stable after further ingests
+  }
+
+  test("history scan is partition-pruned to the batch's buckets") {
+    import spark.implicits._
+    val idx = new FingerprintIndex(spark, tmp(), buckets = 8)
+    idx.ingest((0L until 64L).map(i => (i, s"doc $i")).toDF("doc_id", "text"))
+    // craft a one-doc batch: its single md5 bucket is the only index
+    // partition the anti-join may read
+    val one = Seq((100L, "doc 0")).toDF("doc_id", "text")
+    val bucket = one.select(
+      pmod(conv(substring(md5($"text"), 1, 8), 16, 10).cast("long"), lit(8)))
+      .collect().head.get(0)
+    val plan = {
+      // same pinned-snapshot anti-join ingest() builds, probed via the
+      // public surface: ingest the batch and inspect what it scanned
+      val res = idx.ingest(one)
+      res.queryExecution.executedPlan.toString
+    }
+    assert(plan.contains("PartitionFilters"), "no partition filter in scan")
+    assert(plan.contains(s"bucket#") && plan.contains(s"IN ($bucket)") ||
+      plan.contains(s"isin($bucket)") || plan.contains(s"= $bucket"),
+      s"bucket $bucket not pinned in:\n$plan")
+  }
+
+  test("empty and fully-duplicate batches commit nothing") {
+    import spark.implicits._
+    val idx = new FingerprintIndex(spark, tmp(), buckets = 4)
+    assert(idx.ingest(Seq.empty[(Long, String)].toDF("doc_id", "text"))
+      .count() === 0)
+    assert(!idx.exists)
+    idx.ingest(Seq((1L, "x")).toDF("doc_id", "text"))
+    idx.ingest(Seq((2L, "x")).toDF("doc_id", "text")) // pure duplicate
+    assert(idx.fingerprints.count() === 1)
+  }
+
+  test("working-column collisions are rejected") {
+    import spark.implicits._
+    val idx = new FingerprintIndex(spark, tmp(), buckets = 4)
+    val bad = Seq((1L, "x", "y")).toDF("doc_id", "text", "__fp")
+    intercept[IllegalArgumentException](idx.ingest(bad))
+  }
+}
