@@ -102,6 +102,41 @@ final class FingerprintIndex(spark: SparkSession, path: String,
     newDocs.drop("__fp", "__bucket")
   }
 
+  /** [[ingest]] with REPLAY-STABLE emission: returns the batch rows
+    * that are the registered canonical owner of their fingerprint in
+    * the post-commit index — derived from index STATE, not from the
+    * ingest delta. A fresh batch gets exactly its new canonical rows; a
+    * replayed batch (at-least-once delivery, foreachBatch retry after a
+    * crash between commit and sink) re-derives the IDENTICAL rows from
+    * the fingerprints it registered last time, instead of the empty
+    * delta [[ingest]] would report. This is what makes an
+    * ingest-then-emit micro-batch idempotent end to end.
+    *
+    * Same bucket pruning as [[ingest]]: the ownership join reads only
+    * the index partitions this batch's fingerprints land in. */
+  def ingestResolved(batch: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    ingest(batch, textCol, idCol)
+    Seq("__fp", "__owner").foreach(c => require(!batch.columns.contains(c),
+      s"input column '$c' collides with a FingerprintIndex working column"))
+    val withFp = batch.withColumn("__fp", md5(col(textCol)))
+    val batchBuckets = withFp
+      .select(bucketCol(col("__fp")).as("__bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    // pin the post-commit snapshot (recompute-stable, like ingest's)
+    val owners = log.resolve() match {
+      case None => log.emptyDf(FingerprintIndex.schema)
+      case Some((_, entries)) =>
+        log.readEntries(entries, FingerprintIndex.schema)
+          .filter(col("bucket").isInCollection(batchBuckets))
+    }
+    withFp
+      .join(owners.select(col("fp").as("__fp"),
+        col("doc_id").as("__owner")), Seq("__fp"))
+      .filter(col(idCol) === col("__owner"))
+      .drop("__fp", "__owner")
+  }
+
   /** See [[ManifestLog.vacuum]] / [[ManifestLog.vacuumOrphans]]. */
   def vacuum(): Unit = log.vacuum()
   def vacuumOrphans(olderThanMs: Long): Seq[String] =

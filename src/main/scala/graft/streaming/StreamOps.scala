@@ -145,6 +145,52 @@ object StreamOps {
       minWords, watermark)
   }
 
+  /** Durable-dedup streaming curation: [[streamingScrub]]'s stateless
+    * head (blocklist → markup strip → NFC) composed with a
+    * [[graft.store.FingerprintIndex]] in a `foreachBatch` loop, so
+    * duplicates are suppressed against ALL history — not just the
+    * watermark window the in-stream dedup state can hold. A duplicate
+    * arriving weeks after its original is still dropped.
+    *
+    * Exactly-once effect under at-least-once execution: the index
+    * commit is idempotent and `ingestResolved` re-derives a replayed
+    * batch's emission from index STATE, so a crash anywhere between the
+    * commit and the sink re-emits the identical rows on retry — the
+    * sink sees each canonical document at least once with identical
+    * content, and an idempotent sink (keyed write) converges to exactly
+    * once. Fingerprinting runs AFTER scrub, so byte-level spelling
+    * variants (markup wrappers, decomposed Unicode) of one document
+    * share a fingerprint.
+    *
+    * Returns a started query; stop it to end the stream. */
+  def curateWithHistory(
+      docs: DataFrame,
+      index: graft.store.FingerprintIndex,
+      boilerplate: Seq[String],
+      minWords: Int = 15)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Curation
+    val blockSet = boilerplate.toSet
+    val scrubLines = udf((text: String) =>
+      if (text == null) null
+      else text.split("\n", -1).filterNot(blockSet).mkString("\n"))
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val noBoiler =
+          if (blockSet.isEmpty) batch
+          else batch.withColumn("text", scrubLines(col("text")))
+        val cleaned = Curation.stripMarkup(noBoiler)
+          .withColumn("text", graft.functions.functions.nfc(col("stripped")))
+          .drop("stripped", "n_tags")
+        val canonical = index.ingestResolved(cleaned)
+        val redacted = Curation.redact(canonical)
+        sink(redacted.filter(
+          size(split(trim(col("redacted")), "\\s+")) >= minWords))
+      }
+      .start()
+  }
+
   /** Gap-based sessionization with explicit state: a session closes (and
     * is emitted) when its group sees an event more than `gapMs` later.
     * Batch `Temporal.sessionize` computes the same sessions

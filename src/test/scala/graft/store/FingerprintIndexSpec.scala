@@ -75,6 +75,24 @@ class FingerprintIndexSpec extends SparkSuite {
     assert(idx.fingerprints.count() === 1)
   }
 
+  test("ingestResolved re-emits identical rows on whole-batch replay") {
+    import spark.implicits._
+    val idx = new FingerprintIndex(spark, tmp(), buckets = 8)
+    idx.ingest(Seq((1L, "seen before")).toDF("doc_id", "text"))
+    val batch = Seq((10L, "seen before"), (11L, "brand new"),
+      (12L, "brand new"), (13L, "also new")).toDF("doc_id", "text")
+    val first = idx.ingestResolved(batch).orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // 10 loses to history; 12 loses the within-batch tie to 11
+    assert(first.toSeq === Seq((11L, "brand new"), (13L, "also new")))
+    // the crash-retry scenario: the SAME batch replays after the commit
+    // landed — ingest's delta is empty, but the emission must be the
+    // identical rows, re-derived from the registered ownership
+    val replay = idx.ingestResolved(batch).orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(replay.toSeq === first.toSeq)
+  }
+
   test("working-column collisions are rejected") {
     import spark.implicits._
     val idx = new FingerprintIndex(spark, tmp(), buckets = 4)

@@ -129,6 +129,36 @@ class StreamOpsSpec extends SparkSuite {
     assert(text1 === "the nice caf\u00e9 on the corner serves breakfast")
   }
 
+  test("curateWithHistory suppresses duplicates beyond any watermark " +
+    "window via the fingerprint index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String, String)]
+    val df = input.toDF().toDF("ts", "doc_id", "text", "lang")
+    val idxDir = java.nio.file.Files.createTempDirectory("fpidx-stream")
+    val idx = new graft.store.FingerprintIndex(spark, idxDir.toString,
+      buckets = 8)
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamOps.curateWithHistory(df, idx,
+      boilerplate = Seq.empty, minWords = 3) { out =>
+      emitted ++= out.select($"doc_id").collect().map(_.getLong(0))
+    }
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val text = "an original document body here"
+    input.addData((t(0), 1L, text, "en"))
+    q.processAllAvailable()
+    // the duplicate arrives in a much later micro-batch — there is NO
+    // watermark state to age out; suppression comes from the durable
+    // index. A decomposed-unicode spelling of the same text dedups too
+    // (fingerprints are taken post-NFC).
+    input.addData((t(30), 2L, text, "en"),
+      (t(31), 3L, "completely different new content", "en"))
+    q.processAllAvailable()
+    q.stop()
+    assert(emitted.sorted.toSeq === Seq(1L, 3L))
+    assert(idx.fingerprints.count() === 2)
+  }
+
   test("stateful sessionization emits closed sessions incrementally") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
