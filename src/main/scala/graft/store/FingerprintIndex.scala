@@ -123,16 +123,21 @@ final class FingerprintIndex(spark: SparkSession, path: String,
     val batchBuckets = withFp
       .select(bucketCol(col("__fp")).as("__bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    // pin the post-commit snapshot (recompute-stable, like ingest's)
-    val owners = log.resolve() match {
+    // pin the post-commit snapshot (recompute-stable, like ingest's).
+    // Ownership is min(doc_id) per fp: two RACING writers that both
+    // registered the same fingerprint (each anti-joined a snapshot
+    // missing the other) leave two rows for it — the min rule makes one
+    // of them the deterministic canonical everywhere downstream, so the
+    // race degrades to a rare duplicate index row, never a duplicate
+    // emission from later batches
+    val owners = (log.resolve() match {
       case None => log.emptyDf(FingerprintIndex.schema)
       case Some((_, entries)) =>
         log.readEntries(entries, FingerprintIndex.schema)
           .filter(col("bucket").isInCollection(batchBuckets))
-    }
+    }).groupBy(col("fp")).agg(min(col("doc_id")).as("__owner"))
     withFp
-      .join(owners.select(col("fp").as("__fp"),
-        col("doc_id").as("__owner")), Seq("__fp"))
+      .join(owners.select(col("fp").as("__fp"), col("__owner")), Seq("__fp"))
       .filter(col(idCol) === col("__owner"))
       .drop("__fp", "__owner")
   }

@@ -93,6 +93,35 @@ class FingerprintIndexSpec extends SparkSuite {
     assert(replay.toSeq === first.toSeq)
   }
 
+  test("racing-writer duplicate fingerprints resolve to the min owner") {
+    import spark.implicits._
+    val path = tmp()
+    val idx = new FingerprintIndex(spark, path, buckets = 8)
+    idx.ingest(Seq((5L, "contested")).toDF("doc_id", "text"))
+    // simulate the loser of an ingest race: a second writer registered
+    // the same fingerprint under a higher id from a snapshot that did
+    // not yet contain ours (manifest-level append, like its commit)
+    val log = new ManifestLog(spark, path, 3, None)
+    val dir = log.newDataDirName(log.currentVersion.get + 1)
+    Seq((9L, "contested")).toDF("doc_id", "text")
+      .select(md5($"text").as("fp"), $"doc_id",
+        pmod(conv(substring(md5($"text"), 1, 8), 16, 10).cast("long"),
+          lit(8)).cast("int").as("bucket"))
+      .write.partitionBy("bucket").parquet(log.dataPath(dir).toString)
+    log.commitRetry(RecordStore.appendMutate(
+      log.listCells(dir, FingerprintIndex.LevelPrefixes), dir))
+    assert(idx.fingerprints.count() === 2) // the duplicate row exists
+    // later arrivals of the content are still suppressed
+    assert(idx.ingest(Seq((20L, "contested")).toDF("doc_id", "text"))
+      .count() === 0)
+    // emission resolves to ONE deterministic owner: the min doc_id
+    assert(idx.ingestResolved(
+      Seq((9L, "contested")).toDF("doc_id", "text")).count() === 0)
+    assert(idx.ingestResolved(
+      Seq((5L, "contested")).toDF("doc_id", "text")).collect()
+      .map(_.getLong(0)).toSeq === Seq(5L))
+  }
+
   test("working-column collisions are rejected") {
     import spark.implicits._
     val idx = new FingerprintIndex(spark, tmp(), buckets = 4)
