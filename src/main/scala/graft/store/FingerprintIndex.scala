@@ -1,5 +1,6 @@
 package graft.store
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -18,7 +19,23 @@ import org.apache.spark.sql.types._
   * bucket partitions its own fingerprints land in (partition-pruned;
   * for the common small incremental batch that is a fraction of the
   * index), and the join itself shuffles just the fp projection, never
-  * document content.
+  * document content. Micro-batch ingestion appends one data dir per
+  * commit; run [[compact]] periodically (like the record table's) so
+  * the per-batch union of per-dir scans stays bounded.
+  *
+  * Contracts:
+  *   - `idCol` must be an integral column (stored as BIGINT) — a silent
+  *     cast of e.g. string ids to null would otherwise suppress content
+  *     forever without ever emitting it, so non-integral types are
+  *     rejected up front;
+  *   - rows with NULL `textCol` are DROPPED (not registered, not
+  *     returned): a null document has no content identity, and any
+  *     other policy would either crash the micro-batch loop or register
+  *     a meaningless fingerprint;
+  *   - `buckets` is persisted in a `_buckets` marker at creation and
+  *     validated on every subsequent writer — opening with a different
+  *     value would make the pruned history scan silently miss matching
+  *     partitions.
   *
   * Concurrency: a versioned-manifest table ([[ManifestLog]]) like the
   * record/latest stores — ingest writes an immutable bucket-partitioned
@@ -30,9 +47,9 @@ import org.apache.spark.sql.types._
   * batch just registered.
   *
   * Idempotence: within-batch duplicate texts collapse to the smallest
-  * `idCol` row; replaying a whole batch (crash retry, at-least-once
-  * delivery) finds every fingerprint already present and commits
-  * nothing.
+  * `idCol` row (exact duplicate rows collapse to one); replaying a
+  * whole batch (crash retry, at-least-once delivery) finds every
+  * fingerprint already present and commits nothing.
   */
 final class FingerprintIndex(spark: SparkSession, path: String,
     buckets: Int = 256,
@@ -48,6 +65,44 @@ final class FingerprintIndex(spark: SparkSession, path: String,
     pmod(conv(substring(fp, 1, 8), 16, 10).cast("long"), lit(buckets))
       .cast("int")
 
+  private def bucketsMarker = new Path(path, "_buckets")
+
+  /** Persist-or-validate the bucket count: the stored partitioning is
+    * only consultable with the modulus it was written under. */
+  private def ensureBuckets(): Unit = {
+    if (f.exists(bucketsMarker)) {
+      val in = f.open(bucketsMarker)
+      val stored = try scala.io.Source.fromInputStream(in).mkString.trim.toInt
+      finally in.close()
+      require(stored == buckets,
+        s"index at $path was created with $stored buckets; opened with " +
+          s"$buckets — the pruned history scan would miss matching " +
+          "partitions")
+    } else {
+      // create-if-absent; two racing creators write the same value in
+      // the normal case, and a conflicting loser fails its own require
+      // on the next call
+      try {
+        val out = f.create(bucketsMarker, false)
+        try out.write(buckets.toString.getBytes("UTF-8"))
+        finally out.close()
+      } catch { case _: java.io.IOException => ensureBuckets() }
+    }
+  }
+
+  private def requireIntegralId(batch: DataFrame, idCol: String): Unit =
+    batch.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case t => throw new IllegalArgumentException(
+        s"idCol '$idCol' must be an integral type, got $t — a lossy " +
+          "cast would register null owners and permanently suppress " +
+          "content without emitting it")
+    }
+
+  private def requireNoCollisions(batch: DataFrame, cols: Seq[String]): Unit =
+    cols.foreach(c => require(!batch.columns.contains(c),
+      s"input column '$c' collides with a FingerprintIndex working column"))
+
   def exists: Boolean = log.hasAny
 
   /** The committed fingerprint table: (fp, doc_id, bucket). */
@@ -58,23 +113,27 @@ final class FingerprintIndex(spark: SparkSession, path: String,
   }
 
   /** Dedup `batch` against all previously ingested content, register
-    * the survivors, and return them (original columns, plus nothing —
-    * working columns are dropped). */
+    * the survivors, and return them (original columns; null-`textCol`
+    * rows are dropped — see the class contract). */
   def ingest(batch: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    Seq("__fp", "__bucket", "__min_id").foreach(c =>
-      require(!batch.columns.contains(c),
-        s"input column '$c' collides with a FingerprintIndex working column"))
+    requireNoCollisions(batch, Seq("__fp", "__bucket", "__min_id"))
+    requireIntegralId(batch, idCol)
+    ensureBuckets()
     val withFp = batch
+      .filter(col(textCol).isNotNull)
       .withColumn("__fp", md5(col(textCol)))
       .withColumn("__bucket", bucketCol(col("__fp")))
     // within-batch canonicalization: smallest id per fingerprint wins
-    // (deterministic under any partitioning, unlike dropDuplicates)
+    // (deterministic under any partitioning, unlike dropDuplicates);
+    // the trailing dropDuplicates collapses EXACT repeats of the winner
+    // itself (same id + same text delivered twice in one batch)
     val canon = withFp.join(
       withFp.groupBy(col("__fp")).agg(min(col(idCol)).as("__min_id")),
       Seq("__fp"))
       .filter(col(idCol) === col("__min_id"))
       .drop("__min_id")
+      .dropDuplicates("__fp")
     // pin the pre-ingest snapshot: the anti-join must keep reading THESE
     // dirs even when recomputed after our own commit advances the table
     val newDocs = log.resolve() match {
@@ -116,10 +175,12 @@ final class FingerprintIndex(spark: SparkSession, path: String,
     * the index partitions this batch's fingerprints land in. */
   def ingestResolved(batch: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    // ALL validation precedes the durable ingest side effect
+    requireNoCollisions(batch, Seq("__fp", "__bucket", "__min_id", "__owner"))
     ingest(batch, textCol, idCol)
-    Seq("__fp", "__owner").foreach(c => require(!batch.columns.contains(c),
-      s"input column '$c' collides with a FingerprintIndex working column"))
-    val withFp = batch.withColumn("__fp", md5(col(textCol)))
+    val withFp = batch
+      .filter(col(textCol).isNotNull)
+      .withColumn("__fp", md5(col(textCol)))
     val batchBuckets = withFp
       .select(bucketCol(col("__fp")).as("__bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
@@ -139,7 +200,60 @@ final class FingerprintIndex(spark: SparkSession, path: String,
     withFp
       .join(owners.select(col("fp").as("__fp"), col("__owner")), Seq("__fp"))
       .filter(col(idCol) === col("__owner"))
-      .drop("__fp", "__owner")
+      .drop("__owner")
+      .dropDuplicates("__fp") // exact repeats of the owner row collapse
+      .drop("__fp")
+  }
+
+  /** Rewrite fragmented bucket cells (those whose live file count
+    * exceeds `filesPerPartition`) into fresh single-dir cells,
+    * collapsing any racing-writer duplicate fingerprints to the min
+    * doc_id on the way — the same OPTIMIZE-style maintenance as
+    * [[RecordStore.compact]], sharing its race-yielding commit
+    * transform. Micro-batch ingestion needs this periodically: every
+    * commit adds one data dir, and snapshot reads union one scan per
+    * live dir. Returns the number of cells rewritten. */
+  def compact(filesPerPartition: Int = 1): Int = {
+    require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
+    val resolved = log.resolve()
+    if (resolved.isEmpty) return 0
+    val (_, snapshot) = resolved.get
+    val fragmented = snapshot.filter { case (cell, dirs) =>
+      dirs.map(countParquet(_, cell)).sum > filesPerPartition
+    }
+    if (fragmented.isEmpty) return 0
+    val newDir = log.newDataDirName(
+      log.currentVersion.getOrElse(0L) + 1, tag = "compact")
+    log.readEntries(fragmented, FingerprintIndex.schema)
+      .groupBy(col("fp"), col("bucket"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .withColumn("__salt", pmod(xxhash64(col("fp")), lit(filesPerPartition)))
+      .repartition(math.max(fragmented.size * filesPerPartition, 1),
+        col("bucket"), col("__salt"))
+      // fp-sorted row groups let the anti-join's parquet scan skip by
+      // min/max when Spark pushes fp equality sets down
+      .sortWithinPartitions(col("fp"))
+      .drop("__salt")
+      .select(col("fp"), col("doc_id"), col("bucket"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("bucket")
+      .parquet(log.dataPath(newDir).toString)
+    @volatile var yielded = Set.empty[String]
+    log.commitRetry { current =>
+      val (entries, y) =
+        RecordStore.compactMutate(snapshot, fragmented.keySet, newDir)(current)
+      yielded = y
+      entries
+    }
+    if (yielded.size == fragmented.size)
+      f.delete(log.dataPath(newDir), true)
+    fragmented.size - yielded.size
+  }
+
+  private def countParquet(dir: String, cell: String): Int = {
+    val leaf = new Path(log.cellBase(dir), cell)
+    if (!f.exists(leaf)) 0
+    else f.listStatus(leaf).count(_.getPath.getName.endsWith(".parquet"))
   }
 
   /** See [[ManifestLog.vacuum]] / [[ManifestLog.vacuumOrphans]]. */

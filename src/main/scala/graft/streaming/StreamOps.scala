@@ -112,23 +112,21 @@ object StreamOps {
     *
     * Steps 1–3 are stateless map work; total streaming state remains the
     * one dedup window [[streamingCuration]] already carries. */
-  def streamingScrub(
-      docs: DataFrame,
-      boilerplate: Seq[String],
-      stratumCol: String,
-      rates: Map[String, Int],
-      defaultPct: Int,
-      minWords: Int = 15,
-      watermark: String = "1 hour"): DataFrame = {
+  /** The stateless scrub head shared by [[streamingScrub]] and
+    * [[curateWithHistory]]: boilerplate-line removal against a
+    * batch-learned blocklist, then markup strip, then NFC. Blocklist
+    * membership is a hash-set lookup per line via a closure-shipped
+    * Set — a literal-array `array_contains` would re-scan the whole
+    * blocklist for EVERY line (O(lines × |blocklist|) in the microbatch
+    * hot path); the UDF trades one projection's codegen span for O(1)
+    * lookups, which wins for any blocklist past a handful of entries.
+    * The size cap keeps the task closure honest. */
+  private def scrubHead(docs: DataFrame,
+      boilerplate: Seq[String]): DataFrame = {
     require(boilerplate.size <= 100000,
       s"boilerplate blocklist ships in the task closure; " +
         s"${boilerplate.size} lines is past the 100k sanity cap")
     import graft.operators.Curation
-    // hash-set membership per line via a closure-shipped Set — a
-    // literal-array `array_contains` would re-scan the whole blocklist
-    // for EVERY line (O(lines × |blocklist|) in the microbatch hot
-    // path); the UDF trades one projection's codegen span for O(1)
-    // lookups, which wins for any blocklist past a handful of entries
     val noBoiler =
       if (boilerplate.isEmpty) docs
       else {
@@ -138,12 +136,21 @@ object StreamOps {
           else text.split("\n", -1).filterNot(blockSet).mkString("\n"))
         docs.withColumn("text", scrubLines(col("text")))
       }
-    val cleaned = Curation.stripMarkup(noBoiler)
+    Curation.stripMarkup(noBoiler)
       .withColumn("text", graft.functions.functions.nfc(col("stripped")))
       .drop("stripped", "n_tags")
-    streamingCuration(cleaned, stratumCol, rates, defaultPct,
-      minWords, watermark)
   }
+
+  def streamingScrub(
+      docs: DataFrame,
+      boilerplate: Seq[String],
+      stratumCol: String,
+      rates: Map[String, Int],
+      defaultPct: Int,
+      minWords: Int = 15,
+      watermark: String = "1 hour"): DataFrame =
+    streamingCuration(scrubHead(docs, boilerplate), stratumCol, rates,
+      defaultPct, minWords, watermark)
 
   /** Durable-dedup streaming curation: [[streamingScrub]]'s stateless
     * head (blocklist → markup strip → NFC) composed with a
@@ -158,35 +165,37 @@ object StreamOps {
     * commit and the sink re-emits the identical rows on retry — the
     * sink sees each canonical document at least once with identical
     * content, and an idempotent sink (keyed write) converges to exactly
-    * once. Fingerprinting runs AFTER scrub, so byte-level spelling
-    * variants (markup wrappers, decomposed Unicode) of one document
-    * share a fingerprint.
+    * once. That retry only happens if the query RESTARTS FROM ITS
+    * CHECKPOINT, which is why `checkpointDir` is a required parameter
+    * rather than Spark's default ephemeral temp checkpoint (deleted on
+    * stop, useless after a crash). Fingerprinting runs AFTER scrub, so
+    * byte-level spelling variants (markup wrappers, decomposed Unicode)
+    * of one document share a fingerprint.
+    *
+    * Per batch, the scrubbed frame is persisted: ingest's write,
+    * the two bucket collections, the ownership join and the sink all
+    * reuse one evaluation of the regexp/NFC chain instead of five.
     *
     * Returns a started query; stop it to end the stream. */
   def curateWithHistory(
       docs: DataFrame,
       index: graft.store.FingerprintIndex,
       boilerplate: Seq[String],
+      checkpointDir: String,
       minWords: Int = 15)(
       sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Curation
-    val blockSet = boilerplate.toSet
-    val scrubLines = udf((text: String) =>
-      if (text == null) null
-      else text.split("\n", -1).filterNot(blockSet).mkString("\n"))
     docs.writeStream
       .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val noBoiler =
-          if (blockSet.isEmpty) batch
-          else batch.withColumn("text", scrubLines(col("text")))
-        val cleaned = Curation.stripMarkup(noBoiler)
-          .withColumn("text", graft.functions.functions.nfc(col("stripped")))
-          .drop("stripped", "n_tags")
-        val canonical = index.ingestResolved(cleaned)
-        val redacted = Curation.redact(canonical)
-        sink(redacted.filter(
-          size(split(trim(col("redacted")), "\\s+")) >= minWords))
+        val cleaned = scrubHead(batch, boilerplate).persist()
+        try {
+          val canonical = index.ingestResolved(cleaned)
+          val redacted = Curation.redact(canonical)
+          sink(redacted.filter(
+            size(split(trim(col("redacted")), "\\s+")) >= minWords))
+        } finally cleaned.unpersist(false)
       }
       .start()
   }

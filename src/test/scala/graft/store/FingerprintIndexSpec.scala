@@ -127,5 +127,62 @@ class FingerprintIndexSpec extends SparkSuite {
     val idx = new FingerprintIndex(spark, tmp(), buckets = 4)
     val bad = Seq((1L, "x", "y")).toDF("doc_id", "text", "__fp")
     intercept[IllegalArgumentException](idx.ingest(bad))
+    // and ingestResolved validates BEFORE the durable ingest side effect
+    val bad2 = Seq((1L, "x", "y")).toDF("doc_id", "text", "__owner")
+    intercept[IllegalArgumentException](idx.ingestResolved(bad2))
+    assert(!idx.exists, "validation failure must precede any commit")
+  }
+
+  test("null-text rows are dropped; exact repeated rows collapse to one") {
+    import spark.implicits._
+    val idx = new FingerprintIndex(spark, tmp(), buckets = 4)
+    val batch = Seq((1L, "real"), (2L, null), (3L, "real x2"),
+      (3L, "real x2")).toDF("doc_id", "text")
+    val got = idx.ingest(batch).orderBy($"doc_id").collect()
+      .map(_.getLong(0))
+    assert(got.toSeq === Seq(1L, 3L)) // null dropped, repeat collapsed
+    assert(idx.fingerprints.count() === 2)
+    // same policy on the resolved path (the streaming hot loop)
+    val again = idx.ingestResolved(batch).collect().map(_.getLong(0)).sorted
+    assert(again.toSeq === Seq(1L, 3L))
+  }
+
+  test("non-integral id columns are rejected instead of null-cast") {
+    import spark.implicits._
+    val idx = new FingerprintIndex(spark, tmp(), buckets = 4)
+    val bad = Seq(("doc-1", "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](idx.ingest(bad))
+  }
+
+  test("reopening with a different bucket count is rejected") {
+    import spark.implicits._
+    val path = tmp()
+    new FingerprintIndex(spark, path, buckets = 8)
+      .ingest(Seq((1L, "x")).toDF("doc_id", "text"))
+    val reopened = new FingerprintIndex(spark, path, buckets = 4)
+    intercept[IllegalArgumentException](
+      reopened.ingest(Seq((2L, "y")).toDF("doc_id", "text")))
+  }
+
+  test("compact collapses per-batch dirs and racing duplicates; dedup " +
+    "is unchanged") {
+    import spark.implicits._
+    val path = tmp()
+    val idx = new FingerprintIndex(spark, path, buckets = 2,
+      keepVersions = 2)
+    // many tiny ingests: one data dir per commit
+    for (i <- 0 until 6)
+      idx.ingest(Seq((i.toLong, s"doc $i")).toDF("doc_id", "text"))
+    assert(idx.fingerprints.count() === 6)
+    val rewritten = idx.compact(filesPerPartition = 1)
+    assert(rewritten > 0)
+    assert(idx.fingerprints.count() === 6)
+    // dedup behaviour is identical after the rewrite
+    assert(idx.ingest(Seq((100L, "doc 3")).toDF("doc_id", "text"))
+      .count() === 0)
+    assert(idx.ingest(Seq((101L, "doc new")).toDF("doc_id", "text"))
+      .count() === 1)
+    // a second compact finds nothing fragmented beyond the threshold
+    idx.vacuum()
   }
 }

@@ -139,8 +139,10 @@ class StreamOpsSpec extends SparkSuite {
     val idx = new graft.store.FingerprintIndex(spark, idxDir.toString,
       buckets = 8)
     val emitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ckpt = java.nio.file.Files.createTempDirectory("fpidx-ckpt")
     val q = StreamOps.curateWithHistory(df, idx,
-      boilerplate = Seq.empty, minWords = 3) { out =>
+      boilerplate = Seq.empty, checkpointDir = ckpt.toString,
+      minWords = 3) { out =>
       emitted ++= out.select($"doc_id").collect().map(_.getLong(0))
     }
     def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
