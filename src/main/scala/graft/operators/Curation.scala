@@ -282,6 +282,65 @@ object Curation {
           .otherwise(lit(0L)))
   }
 
+  /** Character-bigram language-model quality score — the probability-
+    * weighted cousin of [[lmCoverage]]: learn a character-bigram model
+    * from the corpus itself (count every adjacent character pair of the
+    * normalized text), then score each document by the average model
+    * probability of its bigrams. Prose written in the corpus's dominant
+    * character distribution scores high; gibberish, encoding mojibake
+    * and OCR noise score low because their character transitions are
+    * rare corpus-wide. This is the smallest member of the
+    * KenLM-perplexity-filter family (CCNet-style) that stays exactly
+    * replayable: probabilities are micro-scaled BIGINTs
+    * (`round(1e6·count/total)` — count·1e6 ≤ 2^53 stays exact in the
+    * IEEE double both engines share), and the per-document aggregate is
+    * an order-independent integer SUM, so no floating-point
+    * accumulation order can drift the score across engines or retries.
+    *
+    * Scale shape: two corpus scans (one to count bigrams, one to
+    * score), both map-side generated in place with the bind-once
+    * nested-transform idiom (see [[graft.operators.Dedup.winnow]] for
+    * why the naive spelling goes quadratic); the model is ≤ |charset|²
+    * rows (a few thousand — broadcast at any corpus size, like
+    * [[lmCoverage]]'s vocabulary) and the only exchanges are the
+    * model's hash aggregate and the per-document score aggregate. The
+    * corpus never shuffles.
+    *
+    * @return one row per doc with ≥ 2 normalized chars:
+    *         (idCol, n_bigrams, score_sum, avg_micro) where `avg_micro`
+    *         is the integer-division mean bigram micro-probability
+    */
+  def charLmScore(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    // Bind-once nested transform: the normalized text is the ARGUMENT
+    // of the outer transform, so the regexp_replace chain evaluates
+    // once per row, not once per bigram. The whitespace class is
+    // spelled explicitly ([ \t\n\x0B\f\r]) because \s differs between
+    // Java regex and RE2 (the oracle's engine) on U+000B.
+    val gramsExpr = expr(
+      s"""flatten(transform(
+         |  array(regexp_replace(lower(trim($textCol)),
+         |                       '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+', ' ')),
+         |  t -> IF(length(t) < 2,
+         |          CAST(array() AS ARRAY<STRING>),
+         |          transform(sequence(1, length(t) - 1),
+         |            i -> substring(t, i, 2)))))""".stripMargin)
+    val grams = docs.select(col(idCol), explode(gramsExpr).as("__g"))
+    val model = grams.groupBy(col("__g")).agg(count(lit(1)).as("__cnt"))
+    val total = model.agg(sum(col("__cnt")).as("__total"))
+    grams
+      .join(broadcast(model), Seq("__g"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        round(col("__cnt") * lit(1000000.0) / col("__total"))
+          .cast("long").as("__p"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__p")).as("score_sum"))
+      .withColumn("avg_micro", expr("score_sum DIV n_bigrams"))
+  }
+
   /** Count-column names paired with [[RedactPatterns]], in order. */
   val RedactCountColumns: Seq[String] = Seq("n_emails", "n_ips", "n_phones")
 

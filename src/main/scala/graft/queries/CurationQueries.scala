@@ -137,6 +137,16 @@ object CurationQueries {
         .orderBy($"doc_id")
     }),
 
+    // character-bigram LM quality score: model = corpus-wide adjacent
+    // char-pair counts over the normalized text, score = average model
+    // probability of each doc's bigrams in micro units. The probability
+    // quantization (round(1e6*cnt/total)) and the order-independent
+    // integer sum make the score replay bit-identically in DuckDB
+    "q_charlm_score" -> ((s, dir) => {
+      import s.implicits._
+      Curation.charLmScore(docs(s, dir)).orderBy($"doc_id")
+    }),
+
     // PII redaction: scrub emails/IPs/phones into typed tokens with
     // per-class prevalence counts. Every 5th doc gets planted PII
     // (deterministic, mirrored in the oracle) since the synthetic corpus
@@ -393,6 +403,33 @@ object CurationQueries {
         |       ELSE 0 END AS BIGINT) AS coverage_pct
         |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // mirrors Curation.charLmScore: explicit whitespace class (\s
+    // differs between engines on U+000B), micro-quantized bigram
+    // probability, integer sum + integer-division mean
+    "q_charlm_score" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(trim(text)),
+        |                   '[ \t\n\x0B\f\r]+', ' ', 'g') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, substring(t, i, 2) AS g
+        |  FROM norm, unnest(generate_series(1, length(t) - 1)) AS u(i)
+        |  WHERE length(t) >= 2),
+        |model AS (SELECT g, CAST(count(*) AS BIGINT) AS cnt
+        |          FROM grams GROUP BY g),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM model),
+        |scored AS (
+        |  SELECT gr.doc_id,
+        |    CAST(round(m.cnt * 1000000.0 / t.total) AS BIGINT) AS p_micro
+        |  FROM grams gr JOIN model m ON gr.g = m.g CROSS JOIN tot t)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(p_micro) AS BIGINT) AS score_sum,
+        |  CAST(sum(p_micro) // count(*) AS BIGINT) AS avg_micro
+        |FROM scored GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // chr(233)=U+00E9 composed é, chr(769)=U+0301 combining acute,
     // chr(8491)=U+212B Angstrom sign (NFC singleton -> U+00C5),

@@ -155,6 +155,35 @@ object TextQueries {
       jaccardPairs(s, dir).orderBy($"doc_a", $"doc_b")
     }),
 
+    // exact edit-distance confirmation of the jaccard candidate pairs —
+    // the second stage of the standard two-stage fuzzy dedup (cheap
+    // blocked candidate generation, then an exact character-level
+    // verify on the few surviving pairs only, never the corpus).
+    // levenshtein is codepoint-based in Spark but BYTE-based in DuckDB,
+    // so the normalized text is projected to printable ASCII first —
+    // on that subset the two DPs are identical, and the similarity
+    // ratio stays IEEE-exact (int/int division, one multiply, round)
+    "q_edit_distance" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = jaccardPairs(s, dir).select($"doc_a", $"doc_b")
+      val norm = docs(s, dir).select($"doc_id",
+        regexp_replace(
+          regexp_replace(lower(trim($"text")), "[ \\t\\n\\x0B\\f\\r]+", " "),
+          "[^\\x20-\\x7E]", "").as("__t"))
+      pairs
+        .join(norm.select($"doc_id".as("doc_a"), $"__t".as("__ta")), "doc_a")
+        .join(norm.select($"doc_id".as("doc_b"), $"__t".as("__tb")), "doc_b")
+        .select($"doc_a", $"doc_b",
+          levenshtein($"__ta", $"__tb").cast("long").as("edit_dist"),
+          greatest(length($"__ta"), length($"__tb"), lit(1))
+            .cast("double").as("__den"))
+        .select($"doc_a", $"doc_b", $"edit_dist",
+          round(lit(1000000.0) *
+            (lit(1.0) - $"edit_dist".cast("double") / $"__den"))
+            .cast("long").as("sim_micro"))
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
     // TF-IDF: top-3 scoring terms per document — term frequencies and
     // document frequencies stay integer-exact; the idf product is emitted
     // as a micro-scaled BIGINT (scale-0 round of an identically-computed
@@ -479,6 +508,32 @@ object TextQueries {
         | AND a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.words, b.words)) * 4 >=
         |      len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))
+        |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // same candidate CTE as q_ngram_jaccard; DuckDB levenshtein is
+    // byte-based, hence the printable-ASCII projection on both sides
+    "q_edit_distance" -> (jaccardCte.stripSuffix("\n") +
+      """,
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM base a JOIN base b
+        |    ON a.lang = b.lang AND a.size_bucket = b.size_bucket
+        |   AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.words, b.words)) * 4 >=
+        |        len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))),
+        |norm AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'),
+        |      '[^\x20-\x7E]', '', 'g') AS t
+        |  FROM documents)
+        |SELECT p.doc_a, p.doc_b,
+        |  CAST(levenshtein(na.t, nb.t) AS BIGINT) AS edit_dist,
+        |  CAST(round(1000000.0 * (1.0 - CAST(levenshtein(na.t, nb.t) AS DOUBLE)
+        |       / greatest(length(na.t), length(nb.t), 1))) AS BIGINT) AS sim_micro
+        |FROM pairs p
+        |JOIN norm na ON p.doc_a = na.doc_id
+        |JOIN norm nb ON p.doc_b = nb.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin),
 
     "q_minhash_sig" ->

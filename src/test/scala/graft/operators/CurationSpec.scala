@@ -250,6 +250,35 @@ class CurationSpec extends SparkSuite {
     assert(got2.toSeq === Seq(100L, 50L, 0L))
   }
 
+  test("charLmScore: hand-computed bigram model, gibberish scores low") {
+    import spark.implicits._
+    // corpus "abab" + "ab": model over normalized text = {ab:3, ba:1}
+    // total 4 → p(ab)=750000, p(ba)=250000
+    val docs = Seq((1L, "abab"), (2L, "ab"), (3L, "x")).toDF("doc_id", "text")
+    val got = Curation.charLmScore(docs).orderBy($"doc_id").collect()
+    // doc 3 has < 2 chars → no bigrams → no row
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    val d1 = got(0) // bigrams ab, ba, ab → sum 1750000, avg 583333
+    assert(d1.getLong(1) === 3L)
+    assert(d1.getLong(2) === 1750000L)
+    assert(d1.getLong(3) === 583333L)
+    val d2 = got(1) // one bigram ab
+    assert(d2.getLong(1) === 1L && d2.getLong(2) === 750000L)
+    // normalization: case folds and whitespace runs collapse to one
+    // space, so "A  B" and "a b" share all bigrams
+    val norm = Curation.charLmScore(
+      Seq((1L, "A  \t B"), (2L, "a b")).toDF("doc_id", "text"))
+      .orderBy($"doc_id").collect()
+    assert(norm(0).getLong(2) === norm(1).getLong(2))
+    // a doc whose transitions are rare corpus-wide scores below prose
+    // sharing the dominant distribution
+    val mixed = (1L to 9L).map(i => (i, "the quick brown fox jumps")) :+
+      (10L, "zq xv qj vx jz wq")
+    val scored = Curation.charLmScore(mixed.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(scored(10L) < scored(1L))
+  }
+
   test("stripMarkup and lineDedup are collision-guarded") {
     import spark.implicits._
     val bad1 = Seq((1L, "x", "y")).toDF("doc_id", "text", "stripped")
