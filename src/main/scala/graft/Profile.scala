@@ -65,7 +65,13 @@ object Profile {
     // round-5 additions with corpus-wide aggregation + broadcast legs:
     // line counting/blocklist and vocab learning/scoring must both stay
     // ~linear per unit of corpus
-    "q_line_dedup", "q_lm_coverage")
+    "q_line_dedup", "q_lm_coverage",
+    // round-5 addition: the char-LM model/scoring passes must stay two
+    // linear scans with a broadcast model. (q_edit_distance is NOT
+    // profiled: its cost is O(candidate pairs × L²) by definition —
+    // the scale control is the candidate count, which the jaccard
+    // profile above already tracks.)
+    "q_charlm_score")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

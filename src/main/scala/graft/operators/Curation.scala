@@ -184,6 +184,64 @@ object Curation {
       .drop("__bucket", "__boff")
   }
 
+  /** Per-source token-budget selection — the "take N tokens from each
+    * source" step that turns a curated corpus plus a mixture recipe
+    * into a training set: within every `sourceCol` group, documents are
+    * taken in `idCol` order until the group's running token total
+    * reaches `budget`. A document is kept iff the tokens BEFORE it are
+    * still under budget, so selection always makes progress and the
+    * overshoot is bounded by one document (the standard greedy fill;
+    * a never-exceed variant is `kept AND tokens_before + n <= budget`
+    * on the returned columns).
+    *
+    * The running total is the same TWO-LEVEL prefix sum as [[packBins]]
+    * — range-bucketed map-side, per-(source, bucket) totals cumulated
+    * in a window bounded by buckets-per-source, within-bucket windows
+    * bounded by `rangeSize` — never a one-task global sort, and
+    * bit-identical to the per-source cumulative window an oracle
+    * computes directly. Deterministic: the keep set is a pure function
+    * of (id order, token counts), so retries, re-runs and incremental
+    * loads agree on every row.
+    *
+    * `__bucket` is a reserved working-column name (input rejected if
+    * present); `idCol` values must be unique, as in [[packBins]].
+    *
+    * @return input columns + (tokens_before, kept ∈ {0,1})
+    */
+  def tokenBudget(
+      docs: DataFrame,
+      budget: Long,
+      tokensCol: String,
+      sourceCol: String = "source",
+      idCol: String = "doc_id",
+      rangeSize: Long = 4096L): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(rangeSize > 0, s"rangeSize must be positive, got $rangeSize")
+    require(!docs.columns.contains("__bucket"),
+      "input column '__bucket' collides with a tokenBudget working column")
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = docs.withColumn("__bucket",
+      expr(s"$idCol DIV $rangeSize"))
+    val wBuckets = Window.partitionBy(col(sourceCol))
+      .orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col(sourceCol), col("__bucket"))
+      .agg(sum(col(tokensCol).cast("long")).as("__btot"))
+      .withColumn("__boff",
+        coalesce(sum(col("__btot")).over(wBuckets), lit(0L)))
+      .drop("__btot")
+    val wInBucket = Window.partitionBy(col(sourceCol), col("__bucket"))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .join(broadcast(offsets), Seq(sourceCol, "__bucket"))
+      .withColumn("tokens_before", col("__boff") +
+        coalesce(sum(col(tokensCol).cast("long")).over(wInBucket), lit(0L)))
+      .withColumn("kept",
+        when(col("tokens_before") < budget, lit(1L)).otherwise(lit(0L)))
+      .drop("__bucket", "__boff")
+  }
+
   /** PII scrub patterns applied by [[redact]], in order. Kept inside the
     * Java-regex ∩ RE2 common subset (no backrefs, no lookaround) so any
     * engine — including the DuckDB oracle — replays the identical

@@ -184,6 +184,21 @@ object CurationQueries {
         .orderBy($"doc_id")
     }),
 
+    // per-source token-budget selection (the mixture-recipe "take N
+    // tokens per source" fill): greedy in doc_id order, budget 700 ≈
+    // half of every source's total so both kept and cut paths carry
+    // rows; small rangeSize exercises the two-level machinery
+    "q_token_budget" -> ((s, dir) => {
+      import s.implicits._
+      val withTokens = docs(s, dir).select($"doc_id", $"source",
+        regexp_count(lower($"text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long").as("n_tokens"))
+      Curation.tokenBudget(withTokens, budget = 700L,
+        tokensCol = "n_tokens", rangeSize = 64L)
+        .select($"doc_id", $"source", $"n_tokens", $"tokens_before", $"kept")
+        .orderBy($"doc_id")
+    }),
+
     // deterministic epoch shuffle: two epochs of md5-ranked training
     // order — different permutations per epoch, bit-reproducible on
     // both engines, no RNG state
@@ -514,6 +529,27 @@ object CurationQueries {
         |SELECT doc_id, n_tokens, CAST(tokens_before AS BIGINT) AS tokens_before,
         |  CAST(tokens_before // 2048 AS BIGINT) AS bin,
         |  CAST(tokens_before % 2048 AS BIGINT) AS bin_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the oracle computes tokens_before as one per-source cumulative
+    // window — the semantic definition the two-level prefix sum must
+    // reproduce (the q_pack_bins contract, partitioned by source)
+    "q_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS tokens_before
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, tokens_before,
+        |  CAST(CASE WHEN tokens_before < 700 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS kept
         |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_epoch_shuffle" ->

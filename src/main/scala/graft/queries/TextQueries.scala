@@ -101,6 +101,31 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // sentence segmentation stats — the sentence-level Gopher quality
+    // signals (count, mean length) plus an order-sensitive md5 of the
+    // segmentation itself so the split is byte-checkable. Map-only:
+    // split on terminator runs, trim, drop empties — all array
+    // expressions over the normalized text (explicit whitespace class;
+    // \s differs across engines on U+000B)
+    "q_sentence_stats" -> ((s, dir) => {
+      import s.implicits._
+      val norm = regexp_replace(lower(trim($"text")),
+        "[ \\t\\n\\x0B\\f\\r]+", " ")
+      val segs = filter(
+        transform(split(norm, "[.!?]+"), x => trim(x)),
+        x => x =!= lit(""))
+      docs(s, dir).select($"doc_id", segs.as("__s"))
+        .select($"doc_id",
+          size($"__s").cast("long").as("n_sentences"),
+          expr("aggregate(__s, CAST(0 AS BIGINT), (a, x) -> a + length(x))")
+            .as("sum_chars"),
+          expr("CASE WHEN size(__s) > 0 THEN " +
+            "aggregate(__s, CAST(0 AS BIGINT), (a, x) -> a + length(x)) " +
+            "DIV size(__s) ELSE CAST(0 AS BIGINT) END").as("avg_len"),
+          md5(array_join($"__s", "\u001f")).as("seg_md5"))
+        .orderBy($"doc_id")
+    }),
+
     // BPE-ish token counting via regex classes
     "q_token_count" -> ((s, dir) => {
       import s.implicits._
@@ -158,11 +183,18 @@ object TextQueries {
     // exact edit-distance confirmation of the jaccard candidate pairs —
     // the second stage of the standard two-stage fuzzy dedup (cheap
     // blocked candidate generation, then an exact character-level
-    // verify on the few surviving pairs only, never the corpus).
-    // levenshtein is codepoint-based in Spark but BYTE-based in DuckDB,
-    // so the normalized text is projected to printable ASCII first —
-    // on that subset the two DPs are identical, and the similarity
-    // ratio stays IEEE-exact (int/int division, one multiply, round)
+    // verify on the surviving pairs only, never the corpus). The DP is
+    // BANDED (threshold 64 → O(L·k) per pair, -1 beyond the band —
+    // Spark's 3-arg levenshtein), which is what makes the confirm pass
+    // affordable when the candidate generator is permissive: cost is
+    // bounded per pair regardless of document length, and a pair whose
+    // distance exceeds the band is by definition not a near-dup, so
+    // the sentinel loses nothing. Two cross-engine traps are closed
+    // here: DuckDB's levenshtein is BYTE-based where Spark's is
+    // codepoint-based (hence the printable-ASCII projection, on which
+    // the DPs agree), and DuckDB has no banded variant (the oracle
+    // computes the full distance and applies the band as a CASE —
+    // same values, which is exactly what the band contract promises)
     "q_edit_distance" -> ((s, dir) => {
       import s.implicits._
       val pairs = jaccardPairs(s, dir).select($"doc_a", $"doc_b")
@@ -174,13 +206,15 @@ object TextQueries {
         .join(norm.select($"doc_id".as("doc_a"), $"__t".as("__ta")), "doc_a")
         .join(norm.select($"doc_id".as("doc_b"), $"__t".as("__tb")), "doc_b")
         .select($"doc_a", $"doc_b",
-          levenshtein($"__ta", $"__tb").cast("long").as("edit_dist"),
+          levenshtein($"__ta", $"__tb", 64).cast("long").as("edit_dist"),
           greatest(length($"__ta"), length($"__tb"), lit(1))
             .cast("double").as("__den"))
         .select($"doc_a", $"doc_b", $"edit_dist",
-          round(lit(1000000.0) *
-            (lit(1.0) - $"edit_dist".cast("double") / $"__den"))
-            .cast("long").as("sim_micro"))
+          when($"edit_dist" >= 0L,
+            round(lit(1000000.0) *
+              (lit(1.0) - $"edit_dist".cast("double") / $"__den"))
+              .cast("long"))
+            .otherwise(lit(-1L)).as("sim_micro"))
         .orderBy($"doc_a", $"doc_b")
     }),
 
@@ -463,6 +497,31 @@ object TextQueries {
         |      UNION ALL SELECT * FROM documents WHERE doc_id % 10 = 0)
         |GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
 
+    // mirrors q_sentence_stats: identical normalize/split/trim/filter
+    // chain; list_sum of an empty list is NULL, hence the coalesce
+    "q_sentence_stats" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(trim(text)),
+        |                   '[ \t\n\x0B\f\r]+', ' ', 'g') AS t
+        |  FROM documents),
+        |segs AS (
+        |  SELECT doc_id,
+        |    list_filter(
+        |      list_transform(regexp_split_to_array(t, '[.!?]+'),
+        |                     x -> trim(x)),
+        |      x -> x <> '') AS s
+        |  FROM norm)
+        |SELECT doc_id,
+        |  CAST(len(s) AS BIGINT) AS n_sentences,
+        |  CAST(COALESCE(list_sum(list_transform(s, x -> length(x))), 0)
+        |    AS BIGINT) AS sum_chars,
+        |  CAST(CASE WHEN len(s) > 0 THEN
+        |    COALESCE(list_sum(list_transform(s, x -> length(x))), 0) // len(s)
+        |    ELSE 0 END AS BIGINT) AS avg_len,
+        |  md5(array_to_string(s, chr(31))) AS seg_md5
+        |FROM segs ORDER BY doc_id""".stripMargin,
+
     "q_text_quality" ->
       """SELECT doc_id, length(text) AS n_chars_actual,
         |  len(string_split_regex(trim(text), '\s+')) AS n_words,
@@ -526,14 +585,21 @@ object TextQueries {
         |    regexp_replace(
         |      regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'),
         |      '[^\x20-\x7E]', '', 'g') AS t
-        |  FROM documents)
-        |SELECT p.doc_a, p.doc_b,
-        |  CAST(levenshtein(na.t, nb.t) AS BIGINT) AS edit_dist,
-        |  CAST(round(1000000.0 * (1.0 - CAST(levenshtein(na.t, nb.t) AS DOUBLE)
-        |       / greatest(length(na.t), length(nb.t), 1))) AS BIGINT) AS sim_micro
-        |FROM pairs p
-        |JOIN norm na ON p.doc_a = na.doc_id
-        |JOIN norm nb ON p.doc_b = nb.doc_id
+        |  FROM documents),
+        |d AS (
+        |  SELECT p.doc_a, p.doc_b,
+        |    levenshtein(na.t, nb.t) AS full_dist,
+        |    greatest(length(na.t), length(nb.t), 1) AS den
+        |  FROM pairs p
+        |  JOIN norm na ON p.doc_a = na.doc_id
+        |  JOIN norm nb ON p.doc_b = nb.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(CASE WHEN full_dist <= 64 THEN full_dist ELSE -1 END
+        |    AS BIGINT) AS edit_dist,
+        |  CAST(CASE WHEN full_dist <= 64 THEN
+        |    round(1000000.0 * (1.0 - CAST(full_dist AS DOUBLE) / den))
+        |    ELSE -1 END AS BIGINT) AS sim_micro
+        |FROM d
         |ORDER BY doc_a, doc_b""".stripMargin),
 
     "q_minhash_sig" ->

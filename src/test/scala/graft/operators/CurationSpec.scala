@@ -250,6 +250,30 @@ class CurationSpec extends SparkSuite {
     assert(got2.toSeq === Seq(100L, 50L, 0L))
   }
 
+  test("tokenBudget: greedy per-source fill, rangeSize-invariant") {
+    import spark.implicits._
+    // source A tokens in id order: 3, 4, 5 → cum_before 0, 3, 7
+    // budget 8: all kept (7 < 8, overshoot bounded by one doc)
+    // budget 7: third doc cut; source B independent
+    val docs = Seq(
+      (1L, "A", 3L), (2L, "A", 4L), (3L, "A", 5L),
+      (4L, "B", 6L), (5L, "B", 6L)).toDF("doc_id", "source", "n_tokens")
+    def kept(budget: Long, rangeSize: Long = 4096L): Seq[Long] =
+      Curation.tokenBudget(docs, budget, "n_tokens", rangeSize = rangeSize)
+        .filter($"kept" === 1L).orderBy($"doc_id")
+        .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(kept(8L) === Seq(1L, 2L, 3L, 4L, 5L))
+    assert(kept(7L) === Seq(1L, 2L, 4L, 5L))
+    assert(kept(6L) === Seq(1L, 2L, 4L)) // B: cum_before 0, 6 → cut 2nd
+    // the two-level prefix sum must agree with the global definition at
+    // every bucket granularity, including one-doc buckets
+    for (rs <- Seq(1L, 2L, 1000L)) assert(kept(7L, rs) === Seq(1L, 2L, 4L, 5L))
+    // tokens_before matches the direct per-source cumsum
+    val tb = Curation.tokenBudget(docs, 7L, "n_tokens", rangeSize = 2L)
+      .orderBy($"doc_id").collect().map(_.getAs[Long]("tokens_before")).toSeq
+    assert(tb === Seq(0L, 3L, 7L, 0L, 6L))
+  }
+
   test("charLmScore: hand-computed bigram model, gibberish scores low") {
     import spark.implicits._
     // corpus "abab" + "ab": model over normalized text = {ab:3, ba:1}
