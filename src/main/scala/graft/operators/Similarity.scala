@@ -184,6 +184,131 @@ object Similarity {
     cents
   }
 
+  /** Product-quantization codebook training — the PQ half of the
+    * IVF-PQ design every billion-scale ANN index uses (IVF prunes which
+    * vectors are read, PQ shrinks what is stored and compared: a
+    * dim-64 float vector becomes `m` small codes). Each of the `m`
+    * subspaces (contiguous dim/m-slices) trains its own k-centroid
+    * quantizer with the exact same deterministic Lloyd loop as
+    * [[kmeansModel]] (smallest-vec_id seeds, micro-BIGINT argmin with
+    * index tie-break, quantize-sum-divide update), so the codebooks —
+    * like the coarse quantizer — are bit-identical in any engine that
+    * replays the arithmetic.
+    *
+    * Scale shape: `m` independent trainings, each the [[kmeansModel]]
+    * shuffle discipline (corpus never shuffles; per-round exchange is
+    * ≤ k×(dim/m) partials). The slice projection is map-side.
+    *
+    * @return (subspace, cluster, centroid) rows, centroids of length
+    *         dim/m; driver-held (m×k×dim/m doubles — KBs)
+    */
+  def pqTrain(
+      emb: DataFrame,
+      m: Int = 4,
+      k: Int = 4,
+      iters: Int = 2): Seq[(Int, Int, Seq[Double])] = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m $m subspaces")
+    val sub = dim / m
+    (0 until m).flatMap { j =>
+      val sliced = emb.select(col("vec_id"),
+        expr(s"slice(embedding, ${j * sub + 1}, $sub)").as("embedding"))
+      kmeansModel(sliced, k, iters).map { case (c, cv) => (j, c, cv) }
+    }
+  }
+
+  /** PQ encoding: each vector's `m` nearest-sub-centroid codes plus the
+    * total micro-scaled squared quantization error (the reconstruction-
+    * quality audit signal). Pure map-side: every subspace's argmin is a
+    * [[nearestCentroidStruct]] literal-array expression over the sliced
+    * vector — no joins, no shuffle, the corpus is read once. At 100 TB
+    * this is the compression pass that turns the stored index from
+    * 4·dim bytes/vector into m bytes/vector.
+    *
+    * @return (vec_id, code_0 … code_{m-1}, err_micro)
+    */
+  def pqEncode(
+      emb: DataFrame,
+      books: Seq[(Int, Int, Seq[Double])]): DataFrame = {
+    ensureDot(emb)
+    require(books.nonEmpty, "empty codebooks")
+    val m = books.map(_._1).max + 1
+    val sub = books.head._3.length
+    require(books.forall(_._3.length == sub),
+      "codebook centroids must share the subspace length")
+    val structs = (0 until m).map { j =>
+      val cents = books.filter(_._1 == j)
+        .map { case (_, c, cv) => (c: Any, cv: scala.collection.Seq[Double]) }
+      require(cents.nonEmpty, s"no centroids for subspace $j")
+      nearestCentroidStruct(cents,
+        expr(s"slice(CAST(embedding AS ARRAY<DOUBLE>), ${j * sub + 1}, $sub)"))
+        .as(s"__s$j")
+    }
+    emb.select(col("vec_id") +: structs: _*)
+      .select(col("vec_id") +:
+        ((0 until m).map(j =>
+          col(s"__s$j").getField("cl").cast("int").as(s"code_$j")) :+
+          (0 until m).map(j => col(s"__s$j").getField("d"))
+            .reduce(_ + _).as("err_micro")): _*)
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k: rank the ENCODED corpus
+    * against exact query vectors by looking the per-subspace distances
+    * up in a per-query table instead of touching any stored float —
+    * the query-side half of IVF-PQ. Each query's lookup table
+    * (m×k micro-BIGINT distances between its slice and every
+    * sub-centroid) is computed in-engine from the literal codebooks
+    * (bit-identical to the oracle's), broadcast with the query row, and
+    * the candidate distance is `m` array lookups + an integer sum —
+    * map-side over the codes table, shuffling nothing but the final
+    * top-k.
+    *
+    * @return (query_id, cand_id, rank, adc_micro), `rank` by ascending
+    *         ADC distance with cand_id tie-break
+    */
+  def pqAdcTopK(
+      emb: DataFrame,
+      books: Seq[(Int, Int, Seq[Double])],
+      queryIds: Seq[Long],
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    ensureDot(emb)
+    val m = books.map(_._1).max + 1
+    val sub = books.head._3.length
+    val codes = pqEncode(emb, books)
+    // per-query LUT: lut[j][c+1] = micro squared L2 between the query's
+    // j-slice and sub-centroid c — the same three-dot-product spelling
+    // as nearestCentroidStruct, against literal centroids
+    val lutExpr = array((0 until m).map { j =>
+      val s = s"slice(CAST(embedding AS ARRAY<DOUBLE>), ${j * sub + 1}, $sub)"
+      array(books.filter(_._1 == j).sortBy(_._2).map { case (_, _, cv) =>
+        val c = cv.toVector
+        import graft.functions.functions.vectorDot
+        val sc = expr(s)
+        round((vectorDot(sc, sc) -
+          lit(2.0d) * vectorDot(sc, typedlit(c)) +
+          vectorDot(typedlit(c), typedlit(c))) * lit(1000000.0d))
+          .cast("long")
+      }: _*)
+    }: _*)
+    val queries = emb.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), lutExpr.as("__lut"))
+    val adc = (0 until m).map(j =>
+      element_at(element_at(col("__lut"), j + 1), col(s"code_$j") + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_micro").asc, col("cand_id"))
+    codes.withColumnRenamed("vec_id", "cand_id")
+      .crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("adc_micro", adc)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("rank"), col("adc_micro"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** IVF top-k: queries are assigned to their `nprobe` nearest cells by
     * centroid cosine, then brute-force ranked only within those cells. */
   def ivfTopK(

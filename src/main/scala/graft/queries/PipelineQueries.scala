@@ -147,6 +147,24 @@ object PipelineQueries {
             "(acc, x) -> acc + x)").as("centroid_sum_micro"))
         .orderBy(col("cluster"))),
 
+    // product-quantization train + encode (4 subspaces × 4 centroids
+    // over the dim-64 embeddings): per-vector codes and total micro
+    // quantization error, hash-gated against an oracle that unrolls all
+    // four per-subspace Lloyd chains — the PQ half of IVF-PQ
+    "q_pq_codes" -> ((s, dir) => {
+      val books = Similarity.pqTrain(emb(s, dir), m = 4, k = 4, iters = 2)
+      Similarity.pqEncode(emb(s, dir), books).orderBy(col("vec_id"))
+    }),
+
+    // PQ asymmetric-distance (ADC) top-k: the encoded corpus ranked
+    // against exact query vectors through per-query lookup tables —
+    // no stored float is touched, the query-side half of IVF-PQ
+    "q_pq_topk" -> ((s, dir) => {
+      val books = Similarity.pqTrain(emb(s, dir), m = 4, k = 4, iters = 2)
+      Similarity.pqAdcTopK(emb(s, dir), books,
+        queryIds = Seq(0L, 1L, 2L), k = 5)
+    }),
+
     // random-hyperplane LSH bucket histogram (md5-derived planes)
     "q_hyperplane_lsh" -> ((s, dir) =>
       Similarity.hyperplaneLshMd5(emb(s, dir))
@@ -377,6 +395,113 @@ object PipelineQueries {
        |      FROM c2) s USING (cluster)
        |ORDER BY cluster""".stripMargin
 
+  /** Per-subspace Lloyd chains + encode CTEs for the PQ oracles,
+    * mirroring [[Similarity.pqTrain]]/[[Similarity.pqEncode]] (m
+    * subspaces of dim/m contiguous components, k centroids, 2 unrolled
+    * iterations — the [[KmeansCtes]] discipline per slice). Ends with
+    * `enc_<j>` CTEs carrying each vector's winning (code_j, d_j). */
+  private def pqCtes(m: Int, k: Int, dim: Int): String = {
+    val sub = dim / m
+    def lip(a: String, b: String) = s"list_inner_product($a, $b)"
+    def dist(v: String, c: String) =
+      s"CAST(round((${lip(v, v)} - 2 * ${lip(v, c)} + ${lip(c, c)}) " +
+        "* 1000000) AS BIGINT)"
+    def assignCte(name: String, base: String, cents: String) =
+      s"""$name AS (
+         |  SELECT vec_id, v, cluster FROM (
+         |    SELECT b.vec_id, b.v, c.cluster,
+         |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+         |        ${dist("b.v", "c.centroid")}, c.cluster) AS rk
+         |    FROM $base b CROSS JOIN $cents c)
+         |  WHERE rk = 1)""".stripMargin
+    def updateCte(name: String, assigned: String) =
+      s"""$name AS (
+         |  SELECT cluster, list(m ORDER BY d) AS centroid FROM (
+         |    SELECT cluster, d,
+         |      CAST(sum(cm) AS DOUBLE) /
+         |        (CAST(count(*) AS DOUBLE) * 1000000.0) AS m
+         |    FROM (SELECT cluster, d,
+         |            CAST(round(v[d] * 1000000) AS BIGINT) AS cm
+         |          FROM (SELECT cluster, v,
+         |                  unnest(generate_series(1, len(v))) AS d
+         |                FROM $assigned))
+         |    GROUP BY cluster, d)
+         |  GROUP BY cluster)""".stripMargin
+    val chains = (0 until m).map { j =>
+      val lo = j * sub + 1
+      val hi = (j + 1) * sub
+      s"""sbase_$j AS (
+         |  SELECT vec_id, v[$lo:$hi] AS v FROM pqb),
+         |sc0_$j AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+         |           AS cluster,
+         |         v AS centroid
+         |  FROM (SELECT vec_id, v FROM sbase_$j ORDER BY vec_id LIMIT $k)),
+         |${assignCte(s"sa1_$j", s"sbase_$j", s"sc0_$j")},
+         |${updateCte(s"sc1_$j", s"sa1_$j")},
+         |${assignCte(s"sa2_$j", s"sbase_$j", s"sc1_$j")},
+         |${updateCte(s"sc2_$j", s"sa2_$j")},
+         |enc_$j AS (
+         |  SELECT vec_id, cluster AS code_$j, dd AS d_$j FROM (
+         |    SELECT b.vec_id, c.cluster,
+         |      ${dist("b.v", "c.centroid")} AS dd,
+         |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+         |        ${dist("b.v", "c.centroid")}, c.cluster) AS rk
+         |    FROM sbase_$j b CROSS JOIN sc2_$j c)
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pqb AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$chains""".stripMargin
+  }
+
+  private val PqCodesOracle: String = {
+    val m = 4
+    val joins = (1 until m)
+      .map(j => s"JOIN enc_$j USING (vec_id)").mkString(" ")
+    val codes = (0 until m).map(j => s"code_$j").mkString(", ")
+    val err = (0 until m).map(j => s"d_$j").mkString(" + ")
+    s"""${pqCtes(m, 4, 64)}
+       |SELECT vec_id, $codes, CAST($err AS BIGINT) AS err_micro
+       |FROM enc_0 $joins
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  private val PqTopkOracle: String = {
+    val m = 4
+    def lip(a: String, b: String) = s"list_inner_product($a, $b)"
+    def dist(v: String, c: String) =
+      s"CAST(round((${lip(v, v)} - 2 * ${lip(v, c)} + ${lip(c, c)}) " +
+        "* 1000000) AS BIGINT)"
+    val luts = (0 until m).map { j =>
+      s"""lut_$j AS (
+         |  SELECT q.vec_id AS query_id, c.cluster,
+         |    ${dist("q.v", "c.centroid")} AS d
+         |  FROM (SELECT vec_id, v FROM sbase_$j
+         |        WHERE vec_id IN (0, 1, 2)) q
+         |  CROSS JOIN sc2_$j c)""".stripMargin
+    }.mkString(",\n")
+    val encJoins = (1 until m)
+      .map(j => s"JOIN enc_$j e$j USING (vec_id)").mkString(" ")
+    val lutJoins = (0 until m).map { j =>
+      val qj = if (j == 0) "" else s"l$j.query_id = l0.query_id AND "
+      s"JOIN lut_$j l$j ON ${qj}l$j.cluster = code_$j"
+    }.mkString(" ")
+    val adcSum = (0 until m).map(j => s"l$j.d").mkString(" + ")
+    s"""${pqCtes(m, 4, 64)},
+       |$luts,
+       |adc AS (
+       |  SELECT l0.query_id, e0.vec_id AS cand_id,
+       |    CAST($adcSum AS BIGINT) AS adc_micro
+       |  FROM enc_0 e0 $encJoins $lutJoins
+       |  WHERE e0.vec_id <> l0.query_id)
+       |SELECT query_id, cand_id, rank, adc_micro FROM (
+       |  SELECT adc.*, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc_micro, cand_id) AS rank
+       |  FROM adc)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Learned-cell ANN oracle: [[KmeansCtes]]'s trained model `c2` is the
     * probe router and its final assignment `a3` the cell layout —
     * exactly what [[CellIndex.buildLearned]] materializes — then the
@@ -421,6 +546,10 @@ object PipelineQueries {
     "q_ann_learned_topk" -> LearnedAnnOracle,
 
     "q_kmeans" -> KmeansOracle,
+
+    "q_pq_codes" -> PqCodesOracle,
+
+    "q_pq_topk" -> PqTopkOracle,
 
     "q_simhash" -> ("WITH " + simhashCtes("documents") +
       "\nSELECT doc_id, simhash FROM sim ORDER BY doc_id"),

@@ -249,6 +249,71 @@ class OperatorsSpec extends SparkSuite {
     assert(overK.map(_.getLong(2)).sum === 2L)
   }
 
+  test("pqTrain/pqEncode: per-subspace codebooks, codes recover " +
+    "structure, exact duplicates share codes with zero extra error") {
+    import spark.implicits._
+    // dim 4, m=2 subspaces of 2: the first half clusters around
+    // (1,0)/(0,1), the second around (2,0)/(0,2) — independently
+    val rng = new scala.util.Random(7)
+    // (a, b) pattern: seeds vec_id 0 and 1 differ in BOTH subspaces, so
+    // each subspace's two seeds start one per cluster (the same
+    // round-robin discipline as the kmeans spec fixture)
+    val pat = Seq((0, 0), (1, 1), (0, 1), (1, 0))
+    val vecs = (0 until 40).map { i =>
+      val (a, b) = pat(i % 4)
+      def jit = 0.01f * rng.nextFloat()
+      val v = Seq(
+        if (a == 0) 1.0f + jit else jit, if (a == 0) jit else 1.0f + jit,
+        if (b == 0) 2.0f + jit else jit, if (b == 0) jit else 2.0f + jit)
+      (i.toLong, v, a * 2 + b)
+    }
+    val emb = vecs.toDF("vec_id", "embedding", "label")
+    val books = Similarity.pqTrain(emb, m = 2, k = 2, iters = 2)
+    assert(books.map(_._1).distinct.sorted === Seq(0, 1))
+    assert(books.size === 4) // m × k
+    assert(books.forall(_._3.length === 2)) // dim/m
+    val codes = Similarity.pqEncode(emb, books).orderBy($"vec_id").collect()
+    assert(codes.length === 40)
+    // vectors sharing a (a, b) structure share the code pair; the four
+    // structures map to four distinct code pairs
+    val byLabel = vecs.map(_._3).zip(
+      codes.map(r => (r.getInt(1), r.getInt(2)))).groupBy(_._1)
+    assert(byLabel.values.forall(_.map(_._2).distinct.length === 1))
+    // .values first: a Map.map returning pairs would dedup by key
+    assert(byLabel.values.map(_.head._2).toSeq.distinct.length === 4)
+    // error is the sum of per-subspace winners: tight clusters → small
+    assert(codes.forall(_.getAs[Long]("err_micro") >= 0L))
+    // determinism
+    val again = Similarity.pqTrain(emb, m = 2, k = 2, iters = 2)
+    assert(again === books)
+  }
+
+  test("pqAdcTopK ranks by asymmetric distance, excludes self") {
+    import spark.implicits._
+    // vec 0 has an exact duplicate (vec 9) and a far opposite corner
+    val base = Seq(1.0f, 0.0f, 2.0f, 0.0f)
+    val far = Seq(0.0f, 1.0f, 0.0f, 2.0f)
+    val rows = (0L until 8L).map { i =>
+      (i, if (i % 2 == 0) base.map(_ + 0.01f * i) else far.map(_ + 0.01f * i))
+    } :+ (9L, base)
+    val emb = rows.toDF("vec_id", "embedding")
+    val books = Similarity.pqTrain(emb, m = 2, k = 2, iters = 2)
+    val top = Similarity.pqAdcTopK(emb, books, queryIds = Seq(0L), k = 3)
+      .collect()
+    assert(top.length === 3)
+    assert(top.forall(_.getLong(0) === 0L))
+    assert(!top.exists(_.getLong(1) === 0L)) // self excluded
+    // ranks are 1..3 ascending in adc_micro with cand_id tie-break
+    assert(top.map(_.getInt(2)).toSeq === Seq(1, 2, 3))
+    val adcs = top.map(_.getAs[Long]("adc_micro")).toSeq
+    assert(adcs === adcs.sorted)
+    // every candidate in the query's own quadrant (even ids + the dup)
+    // outranks the far corner: ADC distance through shared codes is
+    // the centroid distance, which separates the quadrants
+    val topIds = top.map(_.getLong(1)).toSet
+    assert(topIds.subsetOf(Set(2L, 4L, 6L, 9L)))
+  }
+
   test("CellIndex.topK reads only probed cells (partition-pruned scan)") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
