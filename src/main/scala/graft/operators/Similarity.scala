@@ -230,7 +230,8 @@ object Similarity {
     */
   def pqEncode(
       emb: DataFrame,
-      books: Seq[(Int, Int, Seq[Double])]): DataFrame = {
+      books: Seq[(Int, Int, Seq[Double])],
+      keep: Seq[String] = Nil): DataFrame = {
     ensureDot(emb)
     require(books.nonEmpty, "empty codebooks")
     val m = books.map(_._1).max + 1
@@ -245,12 +246,35 @@ object Similarity {
         expr(s"slice(CAST(embedding AS ARRAY<DOUBLE>), ${j * sub + 1}, $sub)"))
         .as(s"__s$j")
     }
-    emb.select(col("vec_id") +: structs: _*)
-      .select(col("vec_id") +:
+    val kept = keep.map(col)
+    emb.select((col("vec_id") +: kept) ++ structs: _*)
+      .select((col("vec_id") +: kept) ++
         ((0 until m).map(j =>
           col(s"__s$j").getField("cl").cast("int").as(s"code_$j")) :+
           (0 until m).map(j => col(s"__s$j").getField("d"))
             .reduce(_ + _).as("err_micro")): _*)
+  }
+
+  /** Per-query PQ lookup table over the `embedding` column:
+    * `lut[j][c+1]` = micro squared L2 between the row's j-slice and
+    * sub-centroid c — the same three-dot-product spelling as
+    * [[nearestCentroidStruct]], against literal codebooks (bit-
+    * identical to an oracle recomputing it in-engine). */
+  private def pqLutExpr(
+      books: Seq[(Int, Int, Seq[Double])], m: Int, sub: Int)
+      : org.apache.spark.sql.Column = {
+    import graft.functions.functions.vectorDot
+    array((0 until m).map { j =>
+      val s = s"slice(CAST(embedding AS ARRAY<DOUBLE>), ${j * sub + 1}, $sub)"
+      array(books.filter(_._1 == j).sortBy(_._2).map { case (_, _, cv) =>
+        val c = cv.toVector
+        val sc = expr(s)
+        round((vectorDot(sc, sc) -
+          lit(2.0d) * vectorDot(sc, typedlit(c)) +
+          vectorDot(typedlit(c), typedlit(c))) * lit(1000000.0d))
+          .cast("long")
+      }: _*)
+    }: _*)
   }
 
   /** PQ asymmetric-distance (ADC) top-k: rank the ENCODED corpus
@@ -277,23 +301,9 @@ object Similarity {
     val m = books.map(_._1).max + 1
     val sub = books.head._3.length
     val codes = pqEncode(emb, books)
-    // per-query LUT: lut[j][c+1] = micro squared L2 between the query's
-    // j-slice and sub-centroid c — the same three-dot-product spelling
-    // as nearestCentroidStruct, against literal centroids
-    val lutExpr = array((0 until m).map { j =>
-      val s = s"slice(CAST(embedding AS ARRAY<DOUBLE>), ${j * sub + 1}, $sub)"
-      array(books.filter(_._1 == j).sortBy(_._2).map { case (_, _, cv) =>
-        val c = cv.toVector
-        import graft.functions.functions.vectorDot
-        val sc = expr(s)
-        round((vectorDot(sc, sc) -
-          lit(2.0d) * vectorDot(sc, typedlit(c)) +
-          vectorDot(typedlit(c), typedlit(c))) * lit(1000000.0d))
-          .cast("long")
-      }: _*)
-    }: _*)
     val queries = emb.filter(col("vec_id").isInCollection(queryIds))
-      .select(col("vec_id").as("query_id"), lutExpr.as("__lut"))
+      .select(col("vec_id").as("query_id"),
+        pqLutExpr(books, m, sub).as("__lut"))
     val adc = (0 until m).map(j =>
       element_at(element_at(col("__lut"), j + 1), col(s"code_$j") + 1))
       .reduce(_ + _)
@@ -306,6 +316,65 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cand_id"), col("rank"), col("adc_micro"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The full IVF-PQ probe: queries pick their `nprobe` nearest cells
+    * by centroid cosine (the [[ivfTopK]] router — at 100 TB this is the
+    * partition-pruned read), then rank ONLY the probed cells' vectors
+    * by PQ asymmetric distance through per-query lookup tables — no
+    * stored float is touched in the ranking, the index serves
+    * m bytes/vector. This is the composition billion-scale ANN ships:
+    * IVF bounds what is read, PQ bounds what is stored and compared.
+    *
+    * Plan shape: centroid pass (one aggregate), tiny probe table
+    * (queries × cells → nprobe rows/query, with the LUT riding along),
+    * broadcast-joined against the encoded corpus on the cell key;
+    * distance is `m` array lookups + an integer sum, map-side; the only
+    * shuffle is the final per-query top-k.
+    *
+    * @return (query_id, cand_id, cell, rank, adc_micro), rank by
+    *         ascending ADC with cand_id tie-break
+    */
+  def ivfPqTopK(
+      emb: DataFrame,
+      books: Seq[(Int, Int, Seq[Double])],
+      queryIds: Seq[Long],
+      k: Int = 5,
+      nprobe: Int = 2,
+      cellCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    ensureDot(emb)
+    val m = books.map(_._1).max + 1
+    val sub = books.head._3.length
+    val cents = centroids(emb, cellCol)
+    val queries = emb.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"),
+        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("qv"),
+        pqLutExpr(books, m, sub).as("__lut"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cent_sim_micro").desc, col("cell"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("cent_sim_micro", expr(
+        s"CAST(round(${cosExpr("qv", "centroid")} * 1000000) AS BIGINT)"))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter(col("probe_rank") <= nprobe)
+      .select(col("query_id"), col("__lut"), col("cell"))
+    val codes = pqEncode(emb, books, keep = Seq(cellCol))
+      .withColumnRenamed("vec_id", "cand_id")
+      .withColumnRenamed(cellCol, "cell")
+    val adc = (0 until m).map(j =>
+      element_at(element_at(col("__lut"), j + 1), col(s"code_$j") + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_micro").asc, col("cand_id"))
+    codes.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("adc_micro", adc)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("cell"), col("rank"),
+        col("adc_micro"))
       .orderBy(col("query_id"), col("rank"))
   }
 

@@ -165,6 +165,15 @@ object PipelineQueries {
         queryIds = Seq(0L, 1L, 2L), k = 5)
     }),
 
+    // the full IVF-PQ probe: nprobe cells by centroid cosine, then ADC
+    // ranking of only the probed cells' encoded vectors — IVF bounds
+    // what is read, PQ bounds what is stored and compared
+    "q_ann_ivfpq_topk" -> ((s, dir) => {
+      val books = Similarity.pqTrain(emb(s, dir), m = 4, k = 4, iters = 2)
+      Similarity.ivfPqTopK(emb(s, dir), books,
+        queryIds = Seq(0L, 1L, 2L), k = 5, nprobe = 2)
+    }),
+
     // random-hyperplane LSH bucket histogram (md5-derived planes)
     "q_hyperplane_lsh" -> ((s, dir) =>
       Similarity.hyperplaneLshMd5(emb(s, dir))
@@ -502,6 +511,75 @@ object PipelineQueries {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** IVF-PQ oracle: [[AnnOracle]]'s cell-centroid probe router composed
+    * with [[pqCtes]]'s codebooks/codes — candidates come from the
+    * probed cells only and are ranked by ADC distance through the same
+    * per-(query, subspace, cluster) lookup rows as [[PqTopkOracle]]. */
+  private val IvfPqOracle: String = {
+    val m = 4
+    def lip(a: String, b: String) = s"list_inner_product($a, $b)"
+    def cos(a: String, b: String) =
+      s"${lip(a, b)} / (sqrt(${lip(a, a)}) * sqrt(${lip(b, b)}))"
+    def dist(v: String, c: String) =
+      s"CAST(round((${lip(v, v)} - 2 * ${lip(v, c)} + ${lip(c, c)}) " +
+        "* 1000000) AS BIGINT)"
+    val luts = (0 until m).map { j =>
+      s"""lut_$j AS (
+         |  SELECT q.vec_id AS query_id, c.cluster,
+         |    ${dist("q.v", "c.centroid")} AS d
+         |  FROM (SELECT vec_id, v FROM sbase_$j
+         |        WHERE vec_id IN (0, 1, 2)) q
+         |  CROSS JOIN sc2_$j c)""".stripMargin
+    }.mkString(",\n")
+    val encJoins = (1 until m)
+      .map(j => s"JOIN enc_$j USING (vec_id)").mkString(" ")
+    val lutJoins = (0 until m).map(j =>
+      s"JOIN lut_$j l$j ON l$j.query_id = p.query_id " +
+        s"AND l$j.cluster = cc.code_$j").mkString(" ")
+    val adcSum = (0 until m).map(j => s"l$j.d").mkString(" + ")
+    s"""${pqCtes(m, 4, 64)},
+       |cellb AS (
+       |  SELECT vec_id, label AS cell, embedding::DOUBLE[] AS v
+       |  FROM embeddings),
+       |comp AS (
+       |  SELECT cell, d, CAST(round(v[d] * 1000000) AS BIGINT) AS c_micro
+       |  FROM (SELECT cell, v,
+       |          unnest(generate_series(1, len(v))) AS d FROM cellb)),
+       |agg AS (
+       |  SELECT cell, d,
+       |    CAST(sum(c_micro) AS DOUBLE) /
+       |      (CAST(count(*) AS DOUBLE) * 1000000.0) AS m
+       |  FROM comp GROUP BY cell, d),
+       |cents AS (
+       |  SELECT cell, list(m ORDER BY d) AS centroid FROM agg GROUP BY cell),
+       |qq AS (
+       |  SELECT vec_id AS query_id, v AS qv FROM cellb
+       |  WHERE vec_id IN (0, 1, 2)),
+       |probes AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT qq.query_id, c.cell,
+       |      row_number() OVER (PARTITION BY qq.query_id ORDER BY
+       |        CAST(round(${cos("qq.qv", "c.centroid")} * 1000000) AS BIGINT)
+       |          DESC, c.cell) AS probe_rank
+       |    FROM qq CROSS JOIN cents c)
+       |  WHERE probe_rank <= 2),
+       |$luts,
+       |cellcodes AS (
+       |  SELECT vec_id, cb.cell, ${(0 until m).map(j => s"code_$j").mkString(", ")}
+       |  FROM enc_0 $encJoins JOIN cellb cb USING (vec_id)),
+       |adc AS (
+       |  SELECT p.query_id, cc.vec_id AS cand_id, cc.cell,
+       |    CAST($adcSum AS BIGINT) AS adc_micro
+       |  FROM probes p
+       |  JOIN cellcodes cc ON cc.cell = p.cell AND cc.vec_id <> p.query_id
+       |  $lutJoins)
+       |SELECT query_id, cand_id, cell, rank, adc_micro FROM (
+       |  SELECT adc.*, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc_micro, cand_id) AS rank
+       |  FROM adc)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Learned-cell ANN oracle: [[KmeansCtes]]'s trained model `c2` is the
     * probe router and its final assignment `a3` the cell layout —
     * exactly what [[CellIndex.buildLearned]] materializes — then the
@@ -550,6 +628,8 @@ object PipelineQueries {
     "q_pq_codes" -> PqCodesOracle,
 
     "q_pq_topk" -> PqTopkOracle,
+
+    "q_ann_ivfpq_topk" -> IvfPqOracle,
 
     "q_simhash" -> ("WITH " + simhashCtes("documents") +
       "\nSELECT doc_id, simhash FROM sim ORDER BY doc_id"),

@@ -314,6 +314,36 @@ class OperatorsSpec extends SparkSuite {
     assert(topIds.subsetOf(Set(2L, 4L, 6L, 9L)))
   }
 
+  test("ivfPqTopK: candidates only from probed cells, ADC-ranked") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    // 3 cells around orthogonal axes (the ivfTopK fixture shape), dim 4
+    val vecs = (0 until 30).map { i =>
+      val c = i % 3
+      val v = Array.fill(4)(0.02f * rng.nextFloat())
+      v(c) = 1.0f
+      (i.toLong, v.toSeq, c)
+    }
+    val emb = vecs.toDF("vec_id", "embedding", "label")
+    val books = Similarity.pqTrain(emb, m = 2, k = 3, iters = 2)
+    val top = Similarity.ivfPqTopK(emb, books, queryIds = Seq(0L, 1L),
+      k = 4, nprobe = 1)
+    val rows = top.collect()
+    assert(rows.map(_.getLong(0)).distinct.sorted.toSeq === Seq(0L, 1L))
+    // nprobe=1: every candidate of query q sits in q's own cell (its
+    // axis cluster is by construction the nearest centroid)
+    for (q <- Seq(0L, 1L)) {
+      val mine = rows.filter(_.getLong(0) == q)
+      assert(mine.length === 4)
+      assert(mine.map(_.getInt(2)).distinct.toSeq === Seq(q.toInt))
+      assert(!mine.exists(_.getLong(1) === q))
+      // ranks 1..4, adc ascending with cand_id tie-break
+      assert(mine.map(_.getInt(3)).toSeq === Seq(1, 2, 3, 4))
+      val adcs = mine.map(_.getAs[Long]("adc_micro")).toSeq
+      assert(adcs === adcs.sorted)
+    }
+  }
+
   test("CellIndex.topK reads only probed cells (partition-pruned scan)") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
