@@ -87,6 +87,46 @@ object PipelineQueries {
       Dedup.minhashCandidates(planted(s, dir))
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // exact edit-distance CONFIRM pass over the MinHash-LSH candidates —
+    // the production two-stage fuzzy dedup (sparse LSH candidate
+    // generation bounds the pair count; q_ngram_jaccard's blocked join
+    // is deliberately permissive and would feed 100× more pairs). The
+    // DP is BANDED (threshold 64 → O(L·k) per pair, -1 beyond the band;
+    // Spark's 3-arg levenshtein): cost per pair is bounded regardless
+    // of document length, and a pair beyond the band is by definition
+    // not a near-dup, so the sentinel loses nothing. Two cross-engine
+    // traps closed: DuckDB's levenshtein is BYTE-based where Spark's is
+    // codepoint-based (hence the printable-ASCII projection, on which
+    // the DPs agree), and DuckDB has no banded variant (the oracle
+    // computes the full distance and applies the band as a CASE — the
+    // exact values the band contract promises)
+    "q_edit_distance" -> ((s, dir) => {
+      val pairs = Dedup.minhashCandidates(planted(s, dir))
+        .select(col("doc_a"), col("doc_b"))
+      val norm = planted(s, dir).select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(lower(trim(col("text"))),
+            "[ \\t\\n\\x0B\\f\\r]+", " "),
+          "[^\\x20-\\x7E]", "").as("__t"))
+      pairs
+        .join(norm.select(col("doc_id").as("doc_a"), col("__t").as("__ta")),
+          Seq("doc_a"))
+        .join(norm.select(col("doc_id").as("doc_b"), col("__t").as("__tb")),
+          Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("__ta"), col("__tb"), 64).cast("long")
+            .as("edit_dist"),
+          greatest(length(col("__ta")), length(col("__tb")), lit(1))
+            .cast("double").as("__den"))
+        .select(col("doc_a"), col("doc_b"), col("edit_dist"),
+          when(col("edit_dist") >= 0L,
+            round(lit(1000000.0) *
+              (lit(1.0) - col("edit_dist").cast("double") / col("__den")))
+              .cast("long"))
+            .otherwise(lit(-1L)).as("sim_micro"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // winnowing candidate pairs over the planted corpus: inverted-index
     // join on fingerprint value with a document-frequency cap (the
     // hot-fingerprint guard) — planted re-appearances and genuine
@@ -662,6 +702,41 @@ object PipelineQueries {
         "JOIN sig sa ON sa.doc_id = p.doc_a\n" +
         "JOIN sig sb ON sb.doc_id = p.doc_b\n" +
         "ORDER BY doc_a, doc_b")),
+
+    // the LSH band join of q_minhash_lsh_pairs feeding the banded
+    // levenshtein confirm; ASCII projection + CASE band as in the
+    // Spark side's comment
+    "q_edit_distance" -> ("WITH " + PlantedCte + ",\n" + minhashCtes("d") +
+      """,
+        |banded AS (
+        |  SELECT doc_id, 0 AS band, md5(h0 || h1 || h2 || h3) AS key FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, 1 AS band, md5(h4 || h5 || h6 || h7) AS key FROM sig),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        |norm AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'),
+        |      '[^\x20-\x7E]', '', 'g') AS t
+        |  FROM d),
+        |dd AS (
+        |  SELECT p.doc_a, p.doc_b,
+        |    levenshtein(na.t, nb.t) AS full_dist,
+        |    greatest(length(na.t), length(nb.t), 1) AS den
+        |  FROM pairs p
+        |  JOIN norm na ON p.doc_a = na.doc_id
+        |  JOIN norm nb ON p.doc_b = nb.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(CASE WHEN full_dist <= 64 THEN full_dist ELSE -1 END
+        |    AS BIGINT) AS edit_dist,
+        |  CAST(CASE WHEN full_dist <= 64 THEN
+        |    round(1000000.0 * (1.0 - CAST(full_dist AS DOUBLE) / den))
+        |    ELSE -1 END AS BIGINT) AS sim_micro
+        |FROM dd
+        |ORDER BY doc_a, doc_b""".stripMargin),
 
     "q_hyperplane_lsh" -> hyperplaneProjSql(12),
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 /** Training-data text pipeline over the `documents` table: exact dedup,
   * quality scoring, token counting, language-marker scoring, document
-  * fingerprinting, n-gram Jaccard near-dup, and MD5-based MinHash
+  * fingerprinting, n-gram Jaccard near-dup, sentence stats, and MD5-based MinHash
   * signatures (oracle-checkable because both engines share md5 and
   * byte-lexicographic string min).
   *
@@ -178,44 +178,6 @@ object TextQueries {
     "q_ngram_jaccard" -> ((s, dir) => {
       import s.implicits._
       jaccardPairs(s, dir).orderBy($"doc_a", $"doc_b")
-    }),
-
-    // exact edit-distance confirmation of the jaccard candidate pairs —
-    // the second stage of the standard two-stage fuzzy dedup (cheap
-    // blocked candidate generation, then an exact character-level
-    // verify on the surviving pairs only, never the corpus). The DP is
-    // BANDED (threshold 64 → O(L·k) per pair, -1 beyond the band —
-    // Spark's 3-arg levenshtein), which is what makes the confirm pass
-    // affordable when the candidate generator is permissive: cost is
-    // bounded per pair regardless of document length, and a pair whose
-    // distance exceeds the band is by definition not a near-dup, so
-    // the sentinel loses nothing. Two cross-engine traps are closed
-    // here: DuckDB's levenshtein is BYTE-based where Spark's is
-    // codepoint-based (hence the printable-ASCII projection, on which
-    // the DPs agree), and DuckDB has no banded variant (the oracle
-    // computes the full distance and applies the band as a CASE —
-    // same values, which is exactly what the band contract promises)
-    "q_edit_distance" -> ((s, dir) => {
-      import s.implicits._
-      val pairs = jaccardPairs(s, dir).select($"doc_a", $"doc_b")
-      val norm = docs(s, dir).select($"doc_id",
-        regexp_replace(
-          regexp_replace(lower(trim($"text")), "[ \\t\\n\\x0B\\f\\r]+", " "),
-          "[^\\x20-\\x7E]", "").as("__t"))
-      pairs
-        .join(norm.select($"doc_id".as("doc_a"), $"__t".as("__ta")), "doc_a")
-        .join(norm.select($"doc_id".as("doc_b"), $"__t".as("__tb")), "doc_b")
-        .select($"doc_a", $"doc_b",
-          levenshtein($"__ta", $"__tb", 64).cast("long").as("edit_dist"),
-          greatest(length($"__ta"), length($"__tb"), lit(1))
-            .cast("double").as("__den"))
-        .select($"doc_a", $"doc_b", $"edit_dist",
-          when($"edit_dist" >= 0L,
-            round(lit(1000000.0) *
-              (lit(1.0) - $"edit_dist".cast("double") / $"__den"))
-              .cast("long"))
-            .otherwise(lit(-1L)).as("sim_micro"))
-        .orderBy($"doc_a", $"doc_b")
     }),
 
     // TF-IDF: top-3 scoring terms per document — term frequencies and
@@ -567,39 +529,6 @@ object TextQueries {
         | AND a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.words, b.words)) * 4 >=
         |      len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))
-        |ORDER BY doc_a, doc_b""".stripMargin),
-
-    // same candidate CTE as q_ngram_jaccard; DuckDB levenshtein is
-    // byte-based, hence the printable-ASCII projection on both sides
-    "q_edit_distance" -> (jaccardCte.stripSuffix("\n") +
-      """,
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM base a JOIN base b
-        |    ON a.lang = b.lang AND a.size_bucket = b.size_bucket
-        |   AND a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.words, b.words)) * 4 >=
-        |        len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))),
-        |norm AS (
-        |  SELECT doc_id,
-        |    regexp_replace(
-        |      regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'),
-        |      '[^\x20-\x7E]', '', 'g') AS t
-        |  FROM documents),
-        |d AS (
-        |  SELECT p.doc_a, p.doc_b,
-        |    levenshtein(na.t, nb.t) AS full_dist,
-        |    greatest(length(na.t), length(nb.t), 1) AS den
-        |  FROM pairs p
-        |  JOIN norm na ON p.doc_a = na.doc_id
-        |  JOIN norm nb ON p.doc_b = nb.doc_id)
-        |SELECT doc_a, doc_b,
-        |  CAST(CASE WHEN full_dist <= 64 THEN full_dist ELSE -1 END
-        |    AS BIGINT) AS edit_dist,
-        |  CAST(CASE WHEN full_dist <= 64 THEN
-        |    round(1000000.0 * (1.0 - CAST(full_dist AS DOUBLE) / den))
-        |    ELSE -1 END AS BIGINT) AS sim_micro
-        |FROM d
         |ORDER BY doc_a, doc_b""".stripMargin),
 
     "q_minhash_sig" ->
