@@ -208,14 +208,73 @@ object Similarity {
       k: Int = 4,
       iters: Int = 2): Seq[(Int, Int, Seq[Double])] = {
     require(m >= 1, s"m must be >= 1, got $m")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    ensureDot(emb)
     val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m $m subspaces")
     val sub = dim / m
-    (0 until m).flatMap { j =>
-      val sliced = emb.select(col("vec_id"),
-        expr(s"slice(embedding, ${j * sub + 1}, $sub)").as("embedding"))
-      kmeansModel(sliced, k, iters).map { case (c, cv) => (j, c, cv) }
+    val vecs = emb.select(col("vec_id"),
+      expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+
+    // All m subspaces train TOGETHER: one corpus pass per Lloyd round
+    // (assign every subspace map-side, tag each component with
+    // (subspace, cluster, dim), one aggregate, one k×dim collect) —
+    // versus m separate kmeansModel runs, which would scan the corpus
+    // m× per round for byte-identical results. Semantics per subspace
+    // are EXACTLY kmeansModel's (the oracle unrolls them separately):
+    // same smallest-vec_id seeds (slicing commutes with the float→
+    // double cast, so driver-side slicing of the seed rows is the
+    // engine's slice bit for bit), same micro-BIGINT argmin with
+    // cluster tie-break, same quantize-sum-divide update; a cluster
+    // losing all members disappears, per subspace.
+    val seedRows = vecs.orderBy(col("vec_id")).limit(k).collect()
+    var books: Seq[(Int, Int, Seq[Double])] =
+      seedRows.zipWithIndex.flatMap { case (r, i) =>
+        val v = r.getSeq[Double](1)
+        (0 until m).map { j =>
+          (j, i, v.slice(j * sub, (j + 1) * sub).toVector: Seq[Double])
+        }
+      }.toSeq.sortBy(t => (t._1, t._2))
+
+    for (_ <- 1 to iters) {
+      // Bind-once shape: each subspace's (winning cluster, slice) pair
+      // is the ARGUMENT of an enclosing transform, so the argmin
+      // evaluates once per row per subspace — the naive spelling would
+      // let project collapsing inline it into every component's lambda.
+      val taggedCols: Seq[org.apache.spark.sql.Column] =
+        (0 until m).map { j =>
+          val cents = books.filter(_._1 == j)
+            .map { case (_, c, cv) =>
+              (c: Any, cv: scala.collection.Seq[Double]) }
+          val cl = nearestCentroidStruct(cents,
+            expr(s"slice(v, ${j * sub + 1}, $sub)")).getField("cl")
+          val sv = expr(s"slice(v, ${j * sub + 1}, $sub)")
+          flatten(transform(array(struct(cl.as("cl"), sv.as("sv"))), p =>
+            transform(p.getField("sv"), (x, i) =>
+              struct(lit(j).as("j"), p.getField("cl").as("cluster"),
+                i.as("dim"), x.as("comp")))))
+        }
+      books = vecs
+        .select(explode(flatten(array(taggedCols: _*))).as("t"))
+        .select(col("t.j").as("j"), col("t.cluster").as("cluster"),
+          col("t.dim").as("dim"), col("t.comp").as("comp"))
+        .groupBy(col("j"), col("cluster"), col("dim"))
+        .agg(sum(expr("CAST(round(comp * 1000000) AS BIGINT)")).as("s"),
+          count(lit(1)).as("n"))
+        .groupBy(col("j"), col("cluster"))
+        .agg(array_sort(collect_list(struct(col("dim"),
+          (col("s").cast("double") /
+            (col("n").cast("double") * lit(1000000.0d))).as("m"))))
+          .as("pairs"))
+        .select(col("j"), col("cluster"),
+          expr("transform(pairs, p -> p.m)").as("centroid"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toVector
+          : Seq[Double]))
+        .toSeq.sortBy(t => (t._1, t._2))
     }
+    books
   }
 
   /** PQ encoding: each vector's `m` nearest-sub-centroid codes plus the

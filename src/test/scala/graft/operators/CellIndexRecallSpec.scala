@@ -81,8 +81,8 @@ class CellIndexRecallSpec extends SparkSuite {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val qIds = (0L until 500L by 25L).toSeq
     val exact = exactL2TopK
-    def run(k: Int): (Double, Double) = {
-      val books = Similarity.pqTrain(emb, m = 4, k = k, iters = 2)
+    def run(m: Int, k: Int): (Double, Double) = {
+      val books = Similarity.pqTrain(emb, m = m, k = k, iters = 2)
       val meanErr = Similarity.pqEncode(emb, books)
         .agg(avg($"err_micro")).head().getDouble(0)
       val got = Similarity.pqAdcTopK(emb, books, qIds, k = K)
@@ -95,18 +95,27 @@ class CellIndexRecallSpec extends SparkSuite {
       }.sum / exact.size
       (recall, meanErr)
     }
-    val (r4, e4) = run(4)
-    val (r16, e16) = run(16)
-    info(f"ADC recall@$K: k=4 -> $r4%.3f (err $e4%.0f), " +
-      f"k=16 -> $r16%.3f (err $e16%.0f)")
-    // finer codebooks strictly cut the mean quantization error
-    assert(e16 < e4, s"err did not fall: k=4 $e4 vs k=16 $e16")
+    // capacity curve: 4×4 (2 bytes/vector) → 4×16 → 16×16 (8 bytes) on
+    // a dim-64 corpus — quantization error must fall strictly, recall
+    // must climb with it
+    val curve = Seq((4, 4), (4, 16), (16, 16)).map { case (m, k) =>
+      val (r, e) = run(m, k)
+      info(f"ADC recall@$K m=$m%2d k=$k%2d -> $r%.3f (mean err $e%.0f)")
+      (r, e)
+    }
+    curve.map(_._2).sliding(2).foreach { case Seq(a, b) =>
+      assert(b < a, s"quantization error did not fall along the curve: $curve")
+    }
+    curve.map(_._1).sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - 0.05, s"recall fell sharply along the curve: $curve")
+    }
     // deterministic corpus + deterministic training ⇒ stable numbers;
-    // these floors document the near-uniform-random WORST case (cell
-    // structure barely predicts neighborhoods), like the IVF spec above
-    assert(r16 >= r4 - 0.05,
-      s"recall fell sharply with a finer codebook: $r4 -> $r16")
-    assert(r16 >= 0.2, s"k=16 ADC recall $r16 collapsed")
+    // the floors document the near-uniform-random WORST case for PQ
+    // (no correlation structure to exploit — measured 0.10/0.14/0.34 at
+    // pinning time, err 895k/739k/338k μ-units: capacity buys accuracy
+    // even here). Real embedding corpora are far more compressible.
+    assert(curve.last._1 >= 0.3,
+      s"m=16 k=16 ADC recall ${curve.last._1} collapsed")
   }
 
   test("cell-probe recall@5 grows monotonically with nprobe and is exact " +
