@@ -233,8 +233,14 @@ object Curation {
     val wInBucket = Window.partitionBy(col(sourceCol), col("__bucket"))
       .orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    bucketed
-      .join(broadcast(offsets), Seq(sourceCol, "__bucket"))
+    // NULL-SAFE join keys: a NULL source is a legitimate group (window
+    // partitioning and groupBy both treat NULLs as one group) — a plain
+    // equi-join would silently drop those rows from the output
+    val joined = bucketed.join(broadcast(offsets),
+      bucketed(sourceCol) <=> offsets(sourceCol) &&
+        bucketed("__bucket") <=> offsets("__bucket"))
+      .drop(offsets(sourceCol)).drop(offsets("__bucket"))
+    joined
       .withColumn("tokens_before", col("__boff") +
         coalesce(sum(col(tokensCol).cast("long")).over(wInBucket), lit(0L)))
       .withColumn("kept",

@@ -314,26 +314,72 @@ object Similarity {
             .reduce(_ + _).as("err_micro")): _*)
   }
 
-  /** Per-query PQ lookup table over the `embedding` column:
-    * `lut[j][c+1]` = micro squared L2 between the row's j-slice and
-    * sub-centroid c — the same three-dot-product spelling as
+  /** Per-query PQ lookup table over the `embedding` column: one MAP per
+    * subspace, cluster id → micro squared L2 between the row's j-slice
+    * and that sub-centroid — the same three-dot-product spelling as
     * [[nearestCentroidStruct]], against literal codebooks (bit-
-    * identical to an oracle recomputing it in-engine). */
+    * identical to an oracle recomputing it in-engine). Keyed by cluster
+    * ID, not position: codes are ORIGINAL cluster ids, which can have
+    * gaps when a subspace cluster empties during Lloyd training (the
+    * documented kmeans behavior), so a positional array would read the
+    * wrong centroid's distance. */
   private def pqLutExpr(
       books: Seq[(Int, Int, Seq[Double])], m: Int, sub: Int)
       : org.apache.spark.sql.Column = {
     import graft.functions.functions.vectorDot
     array((0 until m).map { j =>
       val s = s"slice(CAST(embedding AS ARRAY<DOUBLE>), ${j * sub + 1}, $sub)"
-      array(books.filter(_._1 == j).sortBy(_._2).map { case (_, _, cv) =>
-        val c = cv.toVector
-        val sc = expr(s)
-        round((vectorDot(sc, sc) -
-          lit(2.0d) * vectorDot(sc, typedlit(c)) +
-          vectorDot(typedlit(c), typedlit(c))) * lit(1000000.0d))
-          .cast("long")
-      }: _*)
+      val entries = books.filter(_._1 == j).sortBy(_._2)
+        .flatMap { case (_, cl, cv) =>
+          val c = cv.toVector
+          val sc = expr(s)
+          Seq(lit(cl),
+            round((vectorDot(sc, sc) -
+              lit(2.0d) * vectorDot(sc, typedlit(c)) +
+              vectorDot(typedlit(c), typedlit(c))) * lit(1000000.0d))
+              .cast("long"))
+        }
+      map(entries: _*)
     }: _*)
+  }
+
+  /** The nprobe nearest cells per query by centroid cosine (micro-
+    * rounded, cell-id tie-break) — the probe router shared by
+    * [[ivfTopK]] and [[ivfPqTopK]]. `queries` must carry `query_id` and
+    * `qv` (array<double>); all query columns ride along, plus `cell`. */
+  private def probeCells(
+      queries: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cent_sim_micro").desc, col("cell"))
+    queries.crossJoin(broadcast(cents))
+      .withColumn("cent_sim_micro", expr(
+        s"CAST(round(${cosExpr("qv", "centroid")} * 1000000) AS BIGINT)"))
+      .withColumn("probe_rank", row_number().over(w))
+      .filter(col("probe_rank") <= nprobe)
+      .drop("centroid", "cent_sim_micro", "probe_rank")
+  }
+
+  /** ADC ranking shared by [[pqAdcTopK]] and [[ivfPqTopK]]: `cands`
+    * rows carry (query_id, cand_id, code_0…code_{m-1}, __lut); the
+    * candidate distance is m map lookups + an integer sum, then a
+    * per-query top-k (ascending, cand_id tie-break). */
+  private def adcRankTopK(
+      cands: DataFrame, m: Int, k: Int,
+      extraCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val adc = (0 until m).map(j =>
+      element_at(element_at(col("__lut"), j + 1), col(s"code_$j")))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_micro").asc, col("cand_id"))
+    cands.filter(col("query_id") =!= col("cand_id"))
+      .withColumn("adc_micro", adc)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(Seq(col("query_id"), col("cand_id")) ++ extraCols.map(col) ++
+        Seq(col("rank"), col("adc_micro")): _*)
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** PQ asymmetric-distance (ADC) top-k: rank the ENCODED corpus
@@ -355,7 +401,6 @@ object Similarity {
       books: Seq[(Int, Int, Seq[Double])],
       queryIds: Seq[Long],
       k: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     ensureDot(emb)
     val m = books.map(_._1).max + 1
     val sub = books.head._3.length
@@ -363,19 +408,10 @@ object Similarity {
     val queries = emb.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"),
         pqLutExpr(books, m, sub).as("__lut"))
-    val adc = (0 until m).map(j =>
-      element_at(element_at(col("__lut"), j + 1), col(s"code_$j") + 1))
-      .reduce(_ + _)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_micro").asc, col("cand_id"))
-    codes.withColumnRenamed("vec_id", "cand_id")
-      .crossJoin(broadcast(queries))
-      .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("adc_micro", adc)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"), col("rank"), col("adc_micro"))
-      .orderBy(col("query_id"), col("rank"))
+    adcRankTopK(
+      codes.withColumnRenamed("vec_id", "cand_id")
+        .crossJoin(broadcast(queries)),
+      m, k)
   }
 
   /** The full IVF-PQ probe: queries pick their `nprobe` nearest cells
@@ -402,39 +438,20 @@ object Similarity {
       k: Int = 5,
       nprobe: Int = 2,
       cellCol: String = "label"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     ensureDot(emb)
     val m = books.map(_._1).max + 1
     val sub = books.head._3.length
-    val cents = centroids(emb, cellCol)
     val queries = emb.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"),
         expr("CAST(embedding AS ARRAY<DOUBLE>)").as("qv"),
         pqLutExpr(books, m, sub).as("__lut"))
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("cent_sim_micro").desc, col("cell"))
-    val probes = queries.crossJoin(broadcast(cents))
-      .withColumn("cent_sim_micro", expr(
-        s"CAST(round(${cosExpr("qv", "centroid")} * 1000000) AS BIGINT)"))
-      .withColumn("probe_rank", row_number().over(wProbe))
-      .filter(col("probe_rank") <= nprobe)
+    val probes = probeCells(queries, centroids(emb, cellCol), nprobe)
       .select(col("query_id"), col("__lut"), col("cell"))
     val codes = pqEncode(emb, books, keep = Seq(cellCol))
       .withColumnRenamed("vec_id", "cand_id")
       .withColumnRenamed(cellCol, "cell")
-    val adc = (0 until m).map(j =>
-      element_at(element_at(col("__lut"), j + 1), col(s"code_$j") + 1))
-      .reduce(_ + _)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_micro").asc, col("cand_id"))
-    codes.join(broadcast(probes), Seq("cell"))
-      .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("adc_micro", adc)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"), col("cell"), col("rank"),
-        col("adc_micro"))
-      .orderBy(col("query_id"), col("rank"))
+    adcRankTopK(codes.join(broadcast(probes), Seq("cell")),
+      m, k, extraCols = Seq("cell"))
   }
 
   /** IVF top-k: queries are assigned to their `nprobe` nearest cells by
@@ -451,16 +468,10 @@ object Similarity {
     val queries = emb.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"),
         expr("CAST(embedding AS ARRAY<DOUBLE>)").as("qv"))
-    // probe assignment: nprobe nearest centroids per query, ranked on the
-    // micro-rounded similarity (integer-exact cross-engine, like the
-    // candidate rank below) with cell id as the deterministic tie-break
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("cent_sim_micro").desc, col("cell"))
-    val probes = queries.crossJoin(broadcast(cents))
-      .withColumn("cent_sim_micro", expr(
-        s"CAST(round(${cosExpr("qv", "centroid")} * 1000000) AS BIGINT)"))
-      .withColumn("probe_rank", row_number().over(wProbe))
-      .filter(col("probe_rank") <= nprobe)
+    // probe assignment: nprobe nearest centroids per query via the
+    // shared router (micro-rounded cosine, integer-exact cross-engine,
+    // cell id as the deterministic tie-break)
+    val probes = probeCells(queries, cents, nprobe)
       .select(col("query_id"), col("qv"), col("cell"))
     // search only the probed cells (no repartition: the broadcast join
     // below is map-side, so an exchange here would shuffle the corpus

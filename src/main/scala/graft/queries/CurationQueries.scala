@@ -176,7 +176,7 @@ object CurationQueries {
       import s.implicits._
       val withTokens = docs(s, dir).select($"doc_id",
         regexp_count(lower($"text"),
-          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long").as("n_tokens"))
+          lit(TextQueries.TokenRe)).cast("long").as("n_tokens"))
       Curation.packBins(withTokens, tokensCol = "n_tokens",
         idCol = "doc_id", capacity = 2048L, rangeSize = 64L)
         .select($"doc_id", $"n_tokens", $"tokens_before", $"bin",
@@ -192,7 +192,7 @@ object CurationQueries {
       import s.implicits._
       val withTokens = docs(s, dir).select($"doc_id", $"source",
         regexp_count(lower($"text"),
-          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long").as("n_tokens"))
+          lit(TextQueries.TokenRe)).cast("long").as("n_tokens"))
       Curation.tokenBudget(withTokens, budget = 700L,
         tokensCol = "n_tokens", rangeSize = 64L)
         .select($"doc_id", $"source", $"n_tokens", $"tokens_before", $"kept")

@@ -45,7 +45,11 @@ object TextQueries {
   }
 
   private val SlugRe = "^[a-z0-9_-]+$"
-  private val TokenRe = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  /** The BPE-ish token class shared by q_token_count, q_pack_bins and
+    * q_token_budget — one definition so the three token counts can
+    * never drift from each other. */
+  private[queries] val TokenRe = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
   private val Stopwords = "\\b(the|a|an|of|and|to|in|is|it|for)\\b"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -119,10 +123,14 @@ object TextQueries {
           size($"__s").cast("long").as("n_sentences"),
           expr("aggregate(__s, CAST(0 AS BIGINT), (a, x) -> a + length(x))")
             .as("sum_chars"),
-          expr("CASE WHEN size(__s) > 0 THEN " +
-            "aggregate(__s, CAST(0 AS BIGINT), (a, x) -> a + length(x)) " +
-            "DIV size(__s) ELSE CAST(0 AS BIGINT) END").as("avg_len"),
           md5(array_join($"__s", "\u001f")).as("seg_md5"))
+        // one fold, reused: the interpreted aggregate lambda is the
+        // expensive part, and a later select derives the mean from the
+        // already-named columns instead of repeating it
+        .select($"doc_id", $"n_sentences", $"sum_chars",
+          when($"n_sentences" > 0L, expr("sum_chars DIV n_sentences"))
+            .otherwise(lit(0L)).as("avg_len"),
+          $"seg_md5")
         .orderBy($"doc_id")
     }),
 

@@ -79,7 +79,11 @@ class CellIndexRecallSpec extends SparkSuite {
     "quantization error and hold the recall floor") {
     import spark.implicits._
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val qIds = (0L until 500L by 25L).toSeq
+    // derive the query set from the same definition the exact baseline
+    // uses — a second hardcoded list would silently deflate recall if
+    // the fixture's vector count ever changes
+    val qIds = queriesDf.select($"query_id").collect()
+      .map(_.getLong(0)).toSeq
     val exact = exactL2TopK
     def run(m: Int, k: Int): (Double, Double) = {
       val books = Similarity.pqTrain(emb, m = m, k = k, iters = 2)

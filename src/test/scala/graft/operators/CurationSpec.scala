@@ -272,6 +272,16 @@ class CurationSpec extends SparkSuite {
     val tb = Curation.tokenBudget(docs, 7L, "n_tokens", rangeSize = 2L)
       .orderBy($"doc_id").collect().map(_.getAs[Long]("tokens_before")).toSeq
     assert(tb === Seq(0L, 3L, 7L, 0L, 6L))
+    // a NULL source is a legitimate group (missing provenance), not
+    // silently dropped rows — the join keys are null-safe
+    val withNull = Seq(
+      (1L, Some("A"), 3L), (2L, None, 4L), (3L, None, 5L))
+      .toDF("doc_id", "source", "n_tokens")
+    val nulls = Curation.tokenBudget(withNull, 5L, "n_tokens")
+      .orderBy($"doc_id").collect()
+    assert(nulls.length === 3)
+    assert(nulls.map(_.getAs[Long]("tokens_before")).toSeq === Seq(0L, 0L, 4L))
+    assert(nulls.map(_.getAs[Long]("kept")).toSeq === Seq(1L, 1L, 1L))
   }
 
   test("charLmScore: hand-computed bigram model, gibberish scores low") {
