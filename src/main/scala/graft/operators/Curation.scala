@@ -374,24 +374,45 @@ object Curation {
     *         (idCol, n_bigrams, score_sum, avg_micro) where `avg_micro`
     *         is the integer-division mean bigram micro-probability
     */
+  /** The character-bigram extraction shared by [[charLmScore]] and
+    * [[charLmModelMap]]. Bind-once nested transform: the normalized
+    * text is the ARGUMENT of the outer transform, so the
+    * regexp_replace chain evaluates once per row, not once per bigram.
+    * The whitespace class is spelled explicitly ([ \t\n\x0B\f\r])
+    * because \s differs between Java regex and RE2 (the oracle's
+    * engine) on U+000B. */
+  private def charGramsExpr(textCol: String): Column = expr(
+    s"""flatten(transform(
+       |  array(regexp_replace(lower(trim($textCol)),
+       |                       '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+', ' ')),
+       |  t -> IF(length(t) < 2,
+       |          CAST(array() AS ARRAY<STRING>),
+       |          transform(sequence(1, length(t) - 1),
+       |            i -> substring(t, i, 2)))))""".stripMargin)
+
+  /** The model half of [[charLmScore]] collected driver-side: bigram →
+    * micro-scaled probability (`round(1e6·count/total)`), for shipping
+    * into a continuous pipeline the way the line blocklist and BPE
+    * merges ship — train batch, apply stream
+    * ([[graft.streaming.StreamOps.scoreStream]]). Bounded by
+    * |charset|² entries regardless of corpus size. */
+  def charLmModelMap(
+      docs: DataFrame, textCol: String = "text"): Map[String, Long] = {
+    val grams = docs.select(explode(charGramsExpr(textCol)).as("__g"))
+    val model = grams.groupBy(col("__g")).agg(count(lit(1)).as("__cnt"))
+    val total = model.agg(sum(col("__cnt")).as("__total"))
+    model.crossJoin(broadcast(total))
+      .select(col("__g"),
+        round(col("__cnt") * lit(1000000.0) / col("__total"))
+          .cast("long").as("__p"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
   def charLmScore(
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    // Bind-once nested transform: the normalized text is the ARGUMENT
-    // of the outer transform, so the regexp_replace chain evaluates
-    // once per row, not once per bigram. The whitespace class is
-    // spelled explicitly ([ \t\n\x0B\f\r]) because \s differs between
-    // Java regex and RE2 (the oracle's engine) on U+000B.
-    val gramsExpr = expr(
-      s"""flatten(transform(
-         |  array(regexp_replace(lower(trim($textCol)),
-         |                       '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+', ' ')),
-         |  t -> IF(length(t) < 2,
-         |          CAST(array() AS ARRAY<STRING>),
-         |          transform(sequence(1, length(t) - 1),
-         |            i -> substring(t, i, 2)))))""".stripMargin)
-    val grams = docs.select(col(idCol), explode(gramsExpr).as("__g"))
+    val grams = docs.select(col(idCol), explode(charGramsExpr(textCol)).as("__g"))
     val model = grams.groupBy(col("__g")).agg(count(lit(1)).as("__cnt"))
     val total = model.agg(sum(col("__cnt")).as("__total"))
     grams

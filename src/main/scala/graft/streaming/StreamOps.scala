@@ -152,6 +152,55 @@ object StreamOps {
     streamingCuration(scrubHead(docs, boilerplate), stratumCol, rates,
       defaultPct, minWords, watermark)
 
+  /** Model-scored streaming quality gate: apply a BATCH-TRAINED
+    * character-bigram model ([[graft.operators.Curation.charLmModelMap]])
+    * to a continuously-ingesting stream and keep documents whose mean
+    * bigram micro-probability clears `minAvgMicro` — the train-batch /
+    * score-stream split every production quality filter runs (the model
+    * needs a corpus-wide count, the stream must stay unbounded). A
+    * bigram never seen in training scores 0 — exactly the OOV penalty
+    * wanted from a gibberish gate.
+    *
+    * Map-side and STATELESS (no watermark, no state store): scoring is
+    * a closure-shipped hash-map lookup per bigram (the [[scrubHead]]
+    * blocklist precedent — O(1) per gram where a literal-map expression
+    * would re-scan the model). The normalization mirrors the batch
+    * operator (lowercase, trim, explicit-whitespace-class collapse) and
+    * bigrams are CODEPOINT pairs like the batch side's `substring`, so
+    * a document whose bigrams were all seen in training scores exactly
+    * its batch `avg_micro` (spec-asserted parity).
+    *
+    * @return input columns + `avg_micro`, filtered to the keepers
+    */
+  def scoreStream(
+      docs: DataFrame,
+      model: Map[String, Long],
+      minAvgMicro: Long,
+      textCol: String = "text"): DataFrame = {
+    require(model.nonEmpty, "empty char-bigram model")
+    val m = model
+    val score = udf { (text: String) =>
+      if (text == null) 0L
+      else {
+        val t = text.toLowerCase(java.util.Locale.ROOT).trim
+          .replaceAll("[ \\t\\n\\x0B\\f\\r]+", " ")
+        val cps = t.codePoints.toArray
+        if (cps.length < 2) 0L
+        else {
+          var s = 0L
+          var i = 0
+          while (i < cps.length - 1) {
+            s += m.getOrElse(new String(cps, i, 2), 0L)
+            i += 1
+          }
+          s / (cps.length - 1)
+        }
+      }
+    }
+    docs.withColumn("avg_micro", score(col(textCol)))
+      .filter(col("avg_micro") >= minAvgMicro)
+  }
+
   /** Durable-dedup streaming curation: [[streamingScrub]]'s stateless
     * head (blocklist → markup strip → NFC) composed with a
     * [[graft.store.FingerprintIndex]] in a `foreachBatch` loop, so

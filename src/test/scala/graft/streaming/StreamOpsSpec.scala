@@ -182,4 +182,38 @@ class StreamOpsSpec extends SparkSuite {
     q.stop()
     assert(closed.toSeq === Seq(SessionOut(1L, 0L, 900L, 3L)))
   }
+
+  test("scoreStream: batch-trained char-LM gates a stream, parity with " +
+    "the batch score for fully-seen documents") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prose = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = (1L to 8L).map(i => (i, prose)).toDF("doc_id", "text")
+    val model = graft.operators.Curation.charLmModelMap(corpus)
+    // batch reference: every doc shares the text, so one avg_micro
+    val batchAvg = graft.operators.Curation.charLmScore(corpus)
+      .select($"avg_micro").head().getLong(0)
+
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "doc_id", "text")
+    // threshold between gibberish (mostly-OOV bigrams -> near 0) and
+    // prose (batch-level score)
+    val q = StreamOps.scoreStream(df, model, minAvgMicro = batchAvg / 2)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scored_out").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    input.addData(
+      (t0, 1L, prose),                   // fully seen -> exact batch score
+      (t0, 2L, "zq xv qj vx jz wq kx"),  // OOV transitions -> gated
+      (t0, 3L, "THE  QUICK\tBROWN FOX")) // normalization folds case/ws
+    q.processAllAvailable()
+    val out = spark.table("scored_out")
+      .select($"doc_id", $"avg_micro").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    q.stop()
+    assert(out.keySet === Set(1L, 3L))
+    // parity: the streaming scorer reproduces the batch avg_micro
+    // exactly for a document whose bigrams were all seen in training
+    assert(out(1L) === batchAvg)
+  }
 }
