@@ -37,4 +37,26 @@ object TextNorm {
     if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
     else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))
   }
+
+  /** Every adjacent CODEPOINT pair of `s`, in order — the bigram
+    * extraction of the char-LM quality scorer, with exactly
+    * `substring(s, i, 2)`'s codepoint semantics (so results are
+    * byte-identical to the builtin-HOF spelling and to DuckDB's
+    * `substring`). One pass over the decoded codepoints; strings
+    * shorter than 2 codepoints yield an empty array. */
+  def charBigrams(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
+    if (n < 2)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](n - 1)
+      var i = 0
+      while (i < n - 1) {
+        out(i) = UTF8String.fromString(new String(cps, i, 2))
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
 }

@@ -170,6 +170,37 @@ case class NfcExpr(child: Expression)
 /** Column + SQL registration surface for the engine's custom functions
   * (SURVEY §2.8): blake2b (native expression), translate_path and
   * normalize_date (deterministic Scala UDFs). */
+/** All adjacent codepoint-pair substrings of a string column as
+  * `array<string>` — the bigram extraction of the char-LM quality
+  * scorer ([[graft.operators.Curation.charLmScore]]). The builtin
+  * spelling, `transform(sequence(1, length(t) - 1), i ->
+  * substring(t, i, 2))`, is an interpreted higher-order function that
+  * re-enters the lambda machinery and re-scans the string per bigram
+  * (substring by codepoint index is O(i)) — O(n²) per document and the
+  * dominant cost of the char-LM pass at scale. This expression is one
+  * decode + one loop (inside whole-stage codegen) producing the
+  * IDENTICAL codepoint-pair array, so oracle hashes are unchanged. */
+case class CharBigramsExpr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "char_bigrams"
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.core.TextNorm.charBigrams(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.TextNorm.charBigrams($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CharBigramsExpr =
+    copy(child = newChild)
+}
+
 object functions {
 
   import org.apache.spark.sql.graftbridge.Bridge
@@ -212,6 +243,18 @@ object functions {
     NfcExpr(exprs.head)
   }
 
+  /** Adjacent codepoint-pair bigrams of a string column. */
+  def charBigrams(c: Column): Column =
+    Bridge.column(CharBigramsExpr(Bridge.expression(c)))
+
+  /** Arity-checked builder for SQL registration. */
+  def charBigramsBuilder(exprs: Seq[Expression]): CharBigramsExpr = {
+    if (exprs.length != 1)
+      throw new IllegalArgumentException(
+        s"char_bigrams requires exactly one argument, got ${exprs.length}")
+    CharBigramsExpr(exprs.head)
+  }
+
   /** Register blake2b for SQL usage plus the UDF-surface functions.
     * Idempotent per session: operators call this defensively from every
     * entry point, and re-registering an existing function makes
@@ -226,6 +269,8 @@ object functions {
       "vector_dot", vectorDotBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nfc", nfcBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_bigrams", charBigramsBuilder, "scala_udf")
     // Translator (C7): expression is a constructor argument so the
     // compiled regex is reused across rows
     spark.udf.register("normalize_date",

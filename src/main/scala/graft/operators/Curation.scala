@@ -375,20 +375,18 @@ object Curation {
     *         is the integer-division mean bigram micro-probability
     */
   /** The character-bigram extraction shared by [[charLmScore]] and
-    * [[charLmModelMap]]. Bind-once nested transform: the normalized
-    * text is the ARGUMENT of the outer transform, so the
-    * regexp_replace chain evaluates once per row, not once per bigram.
-    * The whitespace class is spelled explicitly ([ \t\n\x0B\f\r])
-    * because \s differs between Java regex and RE2 (the oracle's
-    * engine) on U+000B. */
-  private def charGramsExpr(textCol: String): Column = expr(
-    s"""flatten(transform(
-       |  array(regexp_replace(lower(trim($textCol)),
-       |                       '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+', ' ')),
-       |  t -> IF(length(t) < 2,
-       |          CAST(array() AS ARRAY<STRING>),
-       |          transform(sequence(1, length(t) - 1),
-       |            i -> substring(t, i, 2)))))""".stripMargin)
+    * [[charLmModelMap]]: the native codegen'd `char_bigrams` expression
+    * over the normalized text (one decode + one loop per row — the
+    * interpreted-HOF spelling `transform(sequence(…), i ->
+    * substring(t, i, 2))` re-scans the string per bigram and was the
+    * measured dominant cost of this operator at 64× corpus scale; the
+    * produced codepoint-pair array is identical). The whitespace class
+    * is spelled explicitly ([ \t\n\x0B\f\r]) because \s differs
+    * between Java regex and RE2 (the oracle's engine) on U+000B. */
+  private def charGramsExpr(textCol: String): Column =
+    graft.functions.functions.charBigrams(
+      regexp_replace(lower(trim(col(textCol))),
+        "[ \\t\\n\\x0B\\f\\r]+", " "))
 
   /** The model half of [[charLmScore]] collected driver-side: bigram →
     * micro-scaled probability (`round(1e6·count/total)`), for shipping

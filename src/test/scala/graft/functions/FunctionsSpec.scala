@@ -177,4 +177,36 @@ class FunctionsSpec extends SparkSuite {
       .select(t(col("p")).as("slug")).collect().head.getString(0)
     assert(out === "job42")
   }
+
+  test("char_bigrams matches the interpreted HOF spelling, incl. " +
+    "non-BMP codepoints; null/short/SQL surfaces") {
+    functions.register(spark)
+    import spark.implicits._
+    val rows = Seq(
+      "abcd", "ab", "a", "", "caf\u00e9 x",
+      "a\ud83d\ude00b", // astral emoji: ONE codepoint, not two chars
+      "  spaced  out  ").toDF("t")
+    val got = rows.select(
+      functions.charBigrams($"t").as("native"),
+      expr("transform(sequence(1, greatest(length(t) - 1, 0)), " +
+        "i -> substring(t, i, 2))").as("hof"))
+      .collect()
+    got.foreach { r =>
+      val native = r.getSeq[String](0)
+      // the HOF guard: sequence(1, 0) would DESCEND [1, 0]; drop the
+      // phantom grams it yields for len < 2 inputs
+      val hof = if (r.getSeq[String](1).exists(_.length < 2) &&
+        native.isEmpty) Nil else r.getSeq[String](1)
+      assert(native === hof, s"mismatch for ${r}")
+    }
+    // codepoint semantics: the emoji pairs with its neighbors whole
+    val emoji = rows.filter($"t".contains("\ud83d\ude00"))
+      .select(functions.charBigrams($"t")).head.getSeq[String](0)
+    assert(emoji === Seq("a\ud83d\ude00", "\ud83d\ude00b"))
+    // null propagates; SQL registration works
+    assert(rows.limit(1).select(
+      functions.charBigrams(lit(null).cast("string"))).head.isNullAt(0))
+    assert(spark.sql("SELECT char_bigrams('abc')").head
+      .getSeq[String](0) === Seq("ab", "bc"))
+  }
 }
