@@ -108,6 +108,76 @@ final class CellIndex(spark: SparkSession, path: String) {
     } finally assigned.unpersist(false)
   }
 
+  private def codesPath = path + "/codes"
+  private def codebooksPath = path + "/codebooks"
+
+  /** Materialize the PQ half of the index: train sub-codebooks on the
+    * indexed corpus ([[Similarity.pqTrain]] — deterministic, one corpus
+    * pass per Lloyd round), encode every vector, and store the CODES
+    * partitioned by cell next to the float vectors. The serving read
+    * path of [[topKPq]] is then the probed cells' codes only —
+    * m bytes/vector where the float table is 4·dim — while the float
+    * table stays in place for exact re-ranking and rebuilds. This is
+    * the storage layout of a billion-scale IVF-PQ index: IVF prunes
+    * which FILES a probe reads, PQ shrinks the BYTES in them. */
+  def buildPq(m: Int = 4, k: Int = 4, iters: Int = 2): Unit = {
+    graft.functions.functions.register(spark)
+    val emb = vectors
+    val books = Similarity.pqTrain(emb, m, k, iters)
+    Similarity.pqEncode(emb, books, keep = Seq("cell"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cell")
+      .parquet(codesPath)
+    val session = spark
+    import session.implicits._
+    books.map { case (j, cl, cv) => (j, cl, cv.toVector) }
+      .toDF("subspace", "cluster", "centroid")
+      .write.mode(SaveMode.Overwrite).parquet(codebooksPath)
+  }
+
+  def codes: DataFrame = spark.read.parquet(codesPath)
+
+  /** The stored PQ codebooks, driver-side (m×k×(dim/m) doubles). */
+  def codebooks: Seq[(Int, Int, Seq[Double])] =
+    spark.read.parquet(codebooksPath).collect()
+      .map(r => (r.getInt(0), r.getInt(1),
+        r.getSeq[Double](2).toVector: Seq[Double]))
+      .toSeq.sortBy(t => (t._1, t._2))
+
+  /** IVF-PQ top-k over the MATERIALIZED index: probe cells by centroid
+    * cosine exactly as [[topK]], then rank only the probed cells'
+    * stored codes by ADC distance through per-query lookup tables —
+    * the scan reads the codes table with `PartitionFilters:
+    * [cell IN (…)]` and never touches a stored float. Same ranking
+    * semantics as [[Similarity.ivfPqTopK]] (shared oracle): the index
+    * changes what is READ, not the answer. */
+  def topKPq(queries: DataFrame, k: Int = 5, nprobe: Int = 2): DataFrame = {
+    graft.functions.functions.register(spark)
+    if (queries.sparkSession ne spark)
+      graft.functions.functions.register(queries.sparkSession)
+    val books = codebooks
+    val m = books.map(_._1).max + 1
+    val sub = books.head._3.length
+    val cents = centroids
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cent_sim_micro").desc, col("cell"))
+    val probes = queries
+      .withColumn("__lut", Similarity.pqLutExpr(books, m, sub, "qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cent_sim_micro", expr(
+        s"CAST(round(${Similarity.cosineExpr("qv", "centroid")} * 1000000) AS BIGINT)"))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter(col("probe_rank") <= nprobe)
+      .select(col("query_id"), col("__lut"), col("cell"))
+    val probedCells = probes.select("cell").distinct().collect()
+      .map(_.get(0)).toSeq
+    val cands = codes
+      .filter(col("cell").isInCollection(probedCells))
+      .withColumnRenamed("vec_id", "cand_id")
+    Similarity.adcRankTopK(cands.join(broadcast(probes), Seq("cell")),
+      m, k, extraCols = Seq("cell"))
+  }
+
   def vectors: DataFrame = spark.read.parquet(vectorsPath)
   def centroids: DataFrame = spark.read.parquet(centroidsPath)
 

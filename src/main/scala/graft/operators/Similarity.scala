@@ -323,12 +323,13 @@ object Similarity {
     * gaps when a subspace cluster empties during Lloyd training (the
     * documented kmeans behavior), so a positional array would read the
     * wrong centroid's distance. */
-  private def pqLutExpr(
-      books: Seq[(Int, Int, Seq[Double])], m: Int, sub: Int)
+  private[operators] def pqLutExpr(
+      books: Seq[(Int, Int, Seq[Double])], m: Int, sub: Int,
+      srcCol: String = "embedding")
       : org.apache.spark.sql.Column = {
     import graft.functions.functions.vectorDot
     array((0 until m).map { j =>
-      val s = s"slice(CAST(embedding AS ARRAY<DOUBLE>), ${j * sub + 1}, $sub)"
+      val s = s"slice(CAST($srcCol AS ARRAY<DOUBLE>), ${j * sub + 1}, $sub)"
       val entries = books.filter(_._1 == j).sortBy(_._2)
         .flatMap { case (_, cl, cv) =>
           val c = cv.toVector
@@ -364,7 +365,7 @@ object Similarity {
     * rows carry (query_id, cand_id, code_0…code_{m-1}, __lut); the
     * candidate distance is m map lookups + an integer sum, then a
     * per-query top-k (ascending, cand_id tie-break). */
-  private def adcRankTopK(
+  private[operators] def adcRankTopK(
       cands: DataFrame, m: Int, k: Int,
       extraCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window

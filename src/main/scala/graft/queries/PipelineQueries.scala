@@ -52,6 +52,18 @@ object PipelineQueries {
       idx
     })
 
+  /** [[cellIndex]] with the PQ half materialized: codes partitioned by
+    * cell + stored codebooks — the `q_ann_pq_cell_topk` serving path. */
+  private val pqIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, CellIndex]
+
+  private def pqIndex(s: SparkSession, dir: String): CellIndex =
+    pqIndexCache.getOrElseUpdate(dir, {
+      val idx = cellIndex(s, dir)
+      idx.buildPq(m = 4, k = 4, iters = 2)
+      idx
+    })
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "documents")
 
@@ -212,6 +224,20 @@ object PipelineQueries {
       val books = Similarity.pqTrain(emb(s, dir), m = 4, k = 4, iters = 2)
       Similarity.ivfPqTopK(emb(s, dir), books,
         queryIds = Seq(0L, 1L, 2L), k = 5, nprobe = 2)
+    }),
+
+    // IVF-PQ over the MATERIALIZED index: the probe reads only the
+    // probed cells' stored CODES (PartitionFilters on the codes table,
+    // m bytes/vector) and ranks by ADC — same oracle as
+    // q_ann_ivfpq_topk because the index changes what is read, not
+    // the answer (the q_ann_cell_topk precedent)
+    "q_ann_pq_cell_topk" -> ((s, dir) => {
+      val idx = pqIndex(s, dir)
+      val queries = emb(s, dir)
+        .filter(col("vec_id").isInCollection(Seq(0L, 1L, 2L)))
+        .select(col("vec_id").as("query_id"),
+          expr("CAST(embedding AS ARRAY<DOUBLE>)").as("qv"))
+      idx.topKPq(queries, k = 5, nprobe = 2)
     }),
 
     // random-hyperplane LSH bucket histogram (md5-derived planes)
@@ -670,6 +696,10 @@ object PipelineQueries {
     "q_pq_topk" -> PqTopkOracle,
 
     "q_ann_ivfpq_topk" -> IvfPqOracle,
+
+    // the materialized-index twin shares the oracle: partition-pruned
+    // reads change I/O, not results
+    "q_ann_pq_cell_topk" -> IvfPqOracle,
 
     "q_simhash" -> ("WITH " + simhashCtes("documents") +
       "\nSELECT doc_id, simhash FROM sim ORDER BY doc_id"),

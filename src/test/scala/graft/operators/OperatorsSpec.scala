@@ -344,6 +344,52 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("CellIndex.topKPq: ADC ranking over the probed cells' stored " +
+    "codes only — pruned scan, parity with the in-memory ivfPqTopK") {
+    import spark.implicits._
+    val rng = new scala.util.Random(19)
+    val vecs = (0 until 60).map { i =>
+      val cell = i % 3
+      val base = Array.fill(8)(0.05f * rng.nextFloat())
+      base(cell) = 1.0f + 0.1f * rng.nextFloat()
+      (i.toLong, base.toSeq, cell)
+    }
+    val emb = vecs.toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("cellidx-pq").toString
+    val idx = new CellIndex(spark, dir)
+    idx.build(emb)
+    idx.buildPq(m = 2, k = 3, iters = 2)
+    // stored codebooks round-trip exactly
+    val books = Similarity.pqTrain(emb, m = 2, k = 3, iters = 2)
+    assert(idx.codebooks === books)
+    val queries = emb.filter($"vec_id" < 2)
+      .select($"vec_id".as("query_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qv"))
+    val top = idx.topKPq(queries, k = 3, nprobe = 1)
+    val rows = top.collect()
+    assert(rows.length === 6)
+    // parity with the in-memory composition on the same corpus/books
+    val want = Similarity.ivfPqTopK(emb, books, queryIds = Seq(0L, 1L),
+      k = 3, nprobe = 1).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getInt(3),
+      r.getAs[Long]("adc_micro"))).toSeq ===
+      want.map(r => (r.getLong(0), r.getLong(1), r.getInt(3),
+        r.getAs[Long]("adc_micro"))).toSeq)
+    // the CODES scan is partition-pruned to the probed cells
+    val codeScans = top.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.partitionFilters.nonEmpty => f
+    }
+    assert(codeScans.nonEmpty, "no partition-filtered scan in the plan")
+    assert(codeScans.head.partitionFilters.mkString(",").contains("cell"))
+    assert(codeScans.head.selectedPartitions.partitionCount === 2,
+      s"expected 2 of 3 cells read, got " +
+        s"${codeScans.head.selectedPartitions.partitionCount}")
+    // and no float-vector column is read by the ranking scan: the codes
+    // table has no 'embedding' column at all
+    assert(!idx.codes.columns.contains("embedding"))
+  }
+
   test("CellIndex.topK reads only probed cells (partition-pruned scan)") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
