@@ -297,6 +297,53 @@ object Curation {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"))
   }
 
+  /** [[contaminationStats]] with a Bloom-filter prefilter on the corpus
+    * side — the shape that survives an eval/reference set too large to
+    * broadcast as an exact set. The filter ([[Bloom.build]] over the
+    * eval grams, ~10 bits/gram) rides the plan as a literal bit array;
+    * corpus grams first pass the no-false-negative `mightContain`
+    * probe (map-side, codegen'd, kills ~99% of non-members), and only
+    * the survivors meet the exact broadcast semi-join that removes
+    * Bloom false positives. Result is therefore IDENTICAL to
+    * [[contaminationStats]] — the filter changes how much work the
+    * confirm join sees, not the answer — which is exactly what the
+    * shared oracle checks.
+    *
+    * Per-doc totals (`n_grams`) come from their own tiny aggregate
+    * (grams are re-derived map-side from the doc scan rather than
+    * carried through the membership leg): two map passes over the
+    * corpus, both exchanges carrying only per-doc counts.
+    *
+    * @return one row per corpus doc: (idCol, n_grams, n_hits)
+    */
+  def contaminationStatsBloom(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      n: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      bitsPerKey: Int = 10,
+      numHashes: Int = 3): DataFrame = {
+    val evalGrams = wordGrams(evalSet, textCol, idCol, n)
+      .select("__gram").distinct()
+    val bloom = Bloom.build(evalGrams, "__gram", bitsPerKey, numHashes)
+    val corpusGrams = wordGrams(corpus, textCol, idCol, n)
+    val hits = corpusGrams
+      .filter(bloom.mightContain(col("__gram")))
+      .join(broadcast(evalGrams), Seq("__gram"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+    val totals = corpusGrams
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"))
+    corpus.select(col(idCol))
+      .join(totals, Seq(idCol), "left")
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
+
   /** Language-model coverage scoring — the integer-exact cousin of the
     * CCNet/Wikipedia-LM perplexity quality filter: learn the corpus's
     * `vocabSize` most frequent word `n`-grams, then score every document

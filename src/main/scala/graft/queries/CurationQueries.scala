@@ -120,6 +120,19 @@ object CurationQueries {
         .orderBy($"doc_id")
     }),
 
+    // the same decontamination through the Bloom-prefiltered path (the
+    // eval-set-too-big-to-broadcast-exactly shape): a literal bit-array
+    // probe prunes corpus grams map-side, an exact semi-join confirms
+    // the survivors — identical answer, so it shares the exact oracle
+    "q_bloom_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      Curation.contaminationStatsBloom(
+        d, d.filter($"doc_id" % 13 === 0), n = 5)
+        .withColumn("contaminated", when($"n_hits" > 0, 1).otherwise(0))
+        .orderBy($"doc_id")
+    }),
+
     // LM-coverage quality scoring (integer-exact CCNet-style filter):
     // vocabulary = the corpus's 300 most frequent word bigrams (count
     // desc, gram asc tie-break), score = share of each doc's bigrams
@@ -344,6 +357,36 @@ object CurationQueries {
        |FROM planted ORDER BY doc_id""".stripMargin
   }
 
+  /** Shared by `q_decontaminate` and `q_bloom_decontaminate`: the Bloom
+    * path's prefilter has no false negatives and its false positives are
+    * removed by the exact confirm join, so both queries compute THIS —
+    * the exact set-membership contamination stats. */
+  private val DecontaminateOracle: String =
+    """WITH words AS (
+      |  SELECT doc_id,
+      |    string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS w
+      |  FROM documents
+      |), grams AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(w) - 3),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+      |           w[i+3] || ' ' || w[i+4])) AS g
+      |  FROM words WHERE len(w) >= 5
+      |), eval_grams AS (
+      |  SELECT DISTINCT g FROM grams WHERE doc_id % 13 = 0
+      |), hits AS (
+      |  SELECT gr.doc_id, count(*) AS n_grams,
+      |         sum(CASE WHEN eg.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+      |  FROM grams gr LEFT JOIN eval_grams eg ON gr.g = eg.g
+      |  GROUP BY gr.doc_id
+      |)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+      |  CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+      |  CASE WHEN COALESCE(n_hits, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+      |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_redact" -> RedactOracle,
     "q_strip_markup" -> StripOracle,
@@ -486,31 +529,13 @@ object CurationQueries {
         |    ' ')) AS chunk_md5
         |FROM starts ORDER BY doc_id, chunk_idx""".stripMargin,
 
-    "q_decontaminate" ->
-      """WITH words AS (
-        |  SELECT doc_id,
-        |    string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS w
-        |  FROM documents
-        |), grams AS (
-        |  SELECT doc_id,
-        |    unnest(list_transform(range(1, len(w) - 3),
-        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
-        |           w[i+3] || ' ' || w[i+4])) AS g
-        |  FROM words WHERE len(w) >= 5
-        |), eval_grams AS (
-        |  SELECT DISTINCT g FROM grams WHERE doc_id % 13 = 0
-        |), hits AS (
-        |  SELECT gr.doc_id, count(*) AS n_grams,
-        |         sum(CASE WHEN eg.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
-        |  FROM grams gr LEFT JOIN eval_grams eg ON gr.g = eg.g
-        |  GROUP BY gr.doc_id
-        |)
-        |SELECT d.doc_id,
-        |  CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
-        |  CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
-        |  CASE WHEN COALESCE(n_hits, 0) > 0 THEN 1 ELSE 0 END AS contaminated
-        |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+    "q_decontaminate" -> DecontaminateOracle,
+
+    // Bloom prefilter + exact confirm returns the set-join's exact
+    // answer (no false negatives; false positives die in the confirm),
+    // so the twin shares the oracle — the filter changes how much the
+    // confirm join reads, not the result
+    "q_bloom_decontaminate" -> DecontaminateOracle,
 
     // the oracle computes tokens_before as ONE global cumulative window —
     // the semantic definition the two-level prefix sum must reproduce

