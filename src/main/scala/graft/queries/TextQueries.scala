@@ -228,6 +228,37 @@ object TextQueries {
         .limit(50)
     }),
 
+    // HyperLogLog registers for distinct-words-per-source: the sketch
+    // STATE is pure integers from md5, so it replays bit-identically in
+    // DuckDB — the property that makes a sketch testable at all. At
+    // scale this is the point: the shuffle carries <= 64 rows per
+    // source instead of every distinct word
+    "q_hll_registers" -> ((s, dir) => {
+      import s.implicits._
+      val words = docs(s, dir).select($"source",
+        explode(split(lower(trim($"text")), "\\s+")).as("word"))
+      graft.operators.Hll.registers(words, Seq("source"), "word")
+        .orderBy($"source", $"bucket")
+    }),
+
+    // the estimator over those registers, next to the exact distinct it
+    // approximates: integer indicator (order-independent sum), one
+    // float division against the same inlined constant on both engines
+    "q_hll_estimate" -> ((s, dir) => {
+      import s.implicits._
+      val words = docs(s, dir).select($"source",
+        explode(split(lower(trim($"text")), "\\s+")).as("word"))
+      val regs = graft.operators.Hll.registers(words, Seq("source"), "word")
+      val ind = graft.operators.Hll.indicator(regs, Seq("source"))
+      val exact = words.groupBy($"source")
+        .agg(countDistinct($"word").as("n_exact"))
+      exact.join(ind, Seq("source"))
+        .select($"source", $"n_exact", $"n_buckets_hit", $"hll_indicator",
+          graft.operators.Hll.estimateMicro($"hll_indicator")
+            .as("hll_estimate_micro"))
+        .orderBy($"source")
+    }),
+
     // transitive near-dup clustering: Jaccard candidate pairs (same
     // blocked inverted-index computation as q_ngram_jaccard) closed into
     // connected components — cluster_id = min reachable doc_id; the
@@ -382,6 +413,28 @@ object TextQueries {
     * q_canonical_select oracles — ONE copy, mirroring the Spark side's
     * shared `jaccardPairs`, so the "same edges, two downstream
     * policies" contract cannot drift in the SQL either. */
+  /** Shared HLL register computation (see [[graft.operators.Hll]]):
+    * 60-bit md5 hash, bucket = h mod 64, rho = trailing zeros of
+    * h div 64 plus one via the bin() bit trick — all integers, so the
+    * sketch state itself is oracle-checkable. */
+  private val HllRegistersCte: String =
+    """WITH words AS (
+      |  SELECT source,
+      |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+      |  FROM documents
+      |), h AS (
+      |  SELECT source, word,
+      |    ('0x' || substring(md5(word), 1, 15))::BIGINT AS hv
+      |  FROM words
+      |), regs AS (
+      |  SELECT source, CAST(hv % 64 AS INT) AS bucket,
+      |    CAST(max(CASE WHEN hv // 64 = 0 THEN 55
+      |      ELSE length(bin((hv // 64) & (-(hv // 64)))) END) AS INT)
+      |      AS register
+      |  FROM h GROUP BY source, hv % 64
+      |)
+      |""".stripMargin
+
   private val ClusterCte: String =
     """WITH RECURSIVE base AS (
       |  SELECT doc_id, lang, CAST(n_chars // 100 AS INT) AS size_bucket,
@@ -434,6 +487,31 @@ object TextQueries {
         |        unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
         |      FROM documents)
         |GROUP BY word ORDER BY term_freq DESC, word LIMIT 50""".stripMargin,
+
+    "q_hll_registers" -> (HllRegistersCte +
+      """SELECT source, bucket, register
+        |FROM regs ORDER BY source, bucket""".stripMargin),
+
+    "q_hll_estimate" -> (HllRegistersCte.stripSuffix("\n")
+      .stripSuffix(")") +
+      s"""),
+         |agg AS (
+         |  SELECT source,
+         |    CAST(count(*) AS INT) AS n_buckets_hit,
+         |    CAST(sum(1::BIGINT << (55 - register)) +
+         |         (64 - count(*)) * (1::BIGINT << 55) AS BIGINT)
+         |      AS hll_indicator
+         |  FROM regs GROUP BY source
+         |), ex AS (
+         |  SELECT source, count(DISTINCT word) AS n_exact
+         |  FROM words GROUP BY source
+         |)
+         |SELECT ex.source, n_exact, n_buckets_hit, hll_indicator,
+         |  CAST(round(CAST(${graft.operators.Hll.EstimatorNumeratorMicro}
+         |    AS DOUBLE) / CAST(hll_indicator AS DOUBLE)) AS BIGINT)
+         |    AS hll_estimate_micro
+         |FROM ex JOIN agg ON ex.source = agg.source
+         |ORDER BY ex.source""".stripMargin),
 
     "q_dedup_clusters" ->
       (ClusterCte + """
