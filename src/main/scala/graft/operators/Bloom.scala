@@ -77,18 +77,24 @@ object Bloom {
       numHashes: Int = 3): BloomBits = {
     require(bitsPerKey >= 1, s"bitsPerKey must be >= 1, got $bitsPerKey")
     require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+    // persisted across the two build actions (count sizes the filter,
+    // positions fill it) so the key derivation — often an n-gram
+    // explode over the reference corpus — runs once, not twice
     val distinctKeys = keys.select(col(keyCol)).na.drop().distinct()
-    val n = distinctKeys.count()
-    if (n == 0L) return BloomBits(0, numHashes, Array.empty)
-    val numBits = math.toIntExact(((n * bitsPerKey + 63L) / 64L) * 64L)
-    val positions = distinctKeys
-      .select(explode(array((0 until numHashes).map(i =>
-        pmod(xxhash64(col(keyCol), lit(i)), lit(numBits.toLong))
-          .cast("int")): _*)).as("pos"))
-      .distinct()
-      .collect().map(_.getInt(0))
-    val words = new Array[Long](numBits / 64)
-    positions.foreach(p => words(p >>> 6) |= 1L << (p & 63))
-    BloomBits(numBits, numHashes, words)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = distinctKeys.count()
+      if (n == 0L) return BloomBits(0, numHashes, Array.empty)
+      val numBits = math.toIntExact(((n * bitsPerKey + 63L) / 64L) * 64L)
+      val positions = distinctKeys
+        .select(explode(array((0 until numHashes).map(i =>
+          pmod(xxhash64(col(keyCol), lit(i)), lit(numBits.toLong))
+            .cast("int")): _*)).as("pos"))
+        .distinct()
+        .collect().map(_.getInt(0))
+      val words = new Array[Long](numBits / 64)
+      positions.foreach(p => words(p >>> 6) |= 1L << (p & 63))
+      BloomBits(numBits, numHashes, words)
+    } finally distinctKeys.unpersist(false)
   }
 }

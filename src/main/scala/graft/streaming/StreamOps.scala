@@ -258,6 +258,27 @@ object StreamOps {
     * drained test stream — idle-session flushing belongs to a real
     * deployment's trigger cadence.)
     */
+  /** Streaming distinct-count sketch: [[graft.operators.Hll]] registers
+    * maintained as a streaming max-aggregation. The state per group is
+    * HARD-BOUNDED at 64 register rows — no watermark needed, because
+    * the sketch, not time, bounds it — where exact streaming distinct
+    * would grow state with every new value forever. This is the
+    * streaming form of the same trade the batch sketch makes: the
+    * registers converge to EXACTLY the batch sketch of everything the
+    * stream has seen (max is order-insensitive and duplicate-proof), so
+    * a `memory`/update sink holds a live register table and
+    * [[graft.operators.Hll.indicator]]/`estimateMicro` read the running
+    * cardinality estimate off it at any moment.
+    *
+    * Run with `outputMode("update")` (each batch re-emits only changed
+    * registers).
+    */
+  def hllStream(
+      rows: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String): DataFrame =
+    graft.operators.Hll.registers(rows, groupCols, valueCol)
+
   def sessionizeStream(
       events: Dataset[SessionEvent],
       gapMs: Long): Dataset[SessionOut] = {

@@ -216,4 +216,45 @@ class StreamOpsSpec extends SparkSuite {
     // exactly for a document whose bigrams were all seen in training
     assert(out(1L) === batchAvg)
   }
+
+  test("hllStream: 64-rows-per-group state converges to exactly the " +
+    "batch sketch of everything seen") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val df = input.toDF().toDF("source", "word")
+    val q = StreamOps.hllStream(df, Seq("source"), "word")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("hll_out").start()
+    val batch1 = (0 until 500).map(i => ("web", s"w$i")) ++
+      (0 until 200).map(i => ("books", s"b$i"))
+    // batch 2 overlaps batch 1 (duplicates must not move the sketch)
+    val batch2 = (300 until 900).map(i => ("web", s"w$i")) ++
+      (0 until 200).map(i => ("books", s"b$i"))
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    // the live register table: latest value per key — registers only
+    // grow, so max over the update sink's emissions is the current state
+    val streamed = spark.table("hll_out")
+      .groupBy($"source", $"bucket").agg(max($"register").as("register"))
+    val expected = graft.operators.Hll
+      .registers((batch1 ++ batch2).toDF("source", "word"),
+        Seq("source"), "word")
+    assert(
+      streamed.orderBy($"source", $"bucket").collect().toSeq ===
+        expected.orderBy($"source", $"bucket").collect().toSeq)
+    // state never exceeds 64 rows per group
+    assert(streamed.groupBy($"source").count()
+      .filter($"count" > 64).isEmpty)
+    // and the running estimate reads straight off the live table
+    val est = graft.operators.Hll.indicator(streamed, Seq("source"))
+      .select($"source",
+        graft.operators.Hll.estimateMicro($"hll_indicator").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1) / 1e6).toMap
+    q.stop()
+    assert(math.abs(est("web") - 900.0) / 900.0 < 0.4, est.toString)
+    assert(math.abs(est("books") - 200.0) / 200.0 < 0.4, est.toString)
+  }
 }
