@@ -120,7 +120,17 @@ object Bench {
     // an error can never improve the reported aggregate
     val failedCount = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"load":$loads,"outlier_rerun":$reruns,"failed":$failedCount,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"load":$loads,"outlier_rerun":$reruns,"failed":$failedCount,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the line to a file: with `run / fork := true` the
+    // println above rides sbt's info logger, whose tail capture has
+    // truncated it two rounds running ("parsed": null in BENCH_r0{4,5}).
+    // The file is the machine-readable channel; stdout stays for humans.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH_LOCAL.json: $e") }
     spark.stop()
   }
 

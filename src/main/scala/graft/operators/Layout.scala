@@ -41,6 +41,54 @@ object Layout {
       x.bitwiseOR(shiftleft(x, sh)).bitwiseAND(lit(mask))
     }
 
+  /** Generated (shift, mask) cascade for spreading `bits` source bits
+    * with stride `n` (bit i of the input lands at position n·i): at each
+    * step the bits sit in groups of `s` consecutive source bits whose
+    * group g starts at position n·s·g; the step `x | (x << (n-1)·s)`
+    * then masks halves the group size. For n = 2 this generates exactly
+    * [[SpreadSteps]]; for n = 3 it reproduces the textbook 3-D Morton
+    * masks (…9249249, …c30c30c3, …). Shared with the oracle-SQL
+    * generator so both engines fold over one step list. */
+  private[graft] def spreadStepsN(n: Int, bits: Int): Seq[(Int, Long)] = {
+    require(n >= 1 && bits >= 1 && n.toLong * bits <= 63,
+      s"need n*bits <= 63 (sign bit clear), got n=$n bits=$bits")
+    // descending powers of two below `bits`; a step with s >= bits is a
+    // structural no-op (all source bits already fit one group)
+    val sizes = Iterator.iterate(1)(_ * 2).takeWhile(_ < bits).toSeq.reverse
+    sizes.map { s =>
+      var mask = 0L
+      var pos = 0
+      while (pos < 64) {
+        val width = math.min(s, 64 - pos)
+        mask |= ((1L << width) - 1) << pos
+        pos += n * s
+      }
+      ((n - 1) * s, mask)
+    }
+  }
+
+  /** The Z-order key of `cols.size` non-negative dimension columns using
+    * the low `bits` bits of each: bit i of dimension d lands at position
+    * n·i + d. Bit budget: n·bits ≤ 63 (sign bit stays clear), so e.g.
+    * 3 dims get ≤ 21 bits each, 4 dims ≤ 15 — callers bucket or rank
+    * wider domains down first, same as [[zorderKey2]]. Pure codegen'd
+    * BIGINT shift/mask math, map-side, no shuffle. */
+  def zorderKeyN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 1, "zorderKeyN needs at least one dimension column")
+    require(bits >= 1 && n.toLong * bits <= 63,
+      s"bit budget n*bits <= 63 exceeded: $n dims x $bits bits")
+    val steps = spreadStepsN(n, bits)
+    val inMask = (1L << bits) - 1
+    cols.zipWithIndex.map { case (c, d) =>
+      val sp = steps.foldLeft(c.cast("long").bitwiseAND(lit(inMask))) {
+        case (x, (sh, m)) =>
+          x.bitwiseOR(shiftleft(x, sh)).bitwiseAND(lit(m))
+      }
+      if (d == 0) sp else shiftleft(sp, d)
+    }.reduce(_ bitwiseOR _)
+  }
+
   /** The Z-order key of two non-negative dimension columns, using the
     * low `bits` bits of each (callers bucket/rank wider domains down
     * first — for skewed or unbounded domains, rank-then-interleave is
@@ -72,6 +120,20 @@ object Layout {
     require(!df.columns.contains("zkey"),
       "input column 'zkey' collides with the zkey output column")
     df.withColumn("zkey", zorderKey2(col(xCol), col(yCol), bits))
+      .repartitionByRange(numPartitions, col("zkey"))
+      .sortWithinPartitions(col("zkey"))
+  }
+
+  /** N-dimensional [[clusterByZOrder]]: range-partition + sort on the
+    * interleaved key of all `cols`. Same skew note applies — feed
+    * pre-bucketed ranks for skewed domains. */
+  def clusterByZOrderN(
+      df: DataFrame, cols: Seq[String],
+      numPartitions: Int, bits: Int): DataFrame = {
+    require(numPartitions >= 1, s"numPartitions >= 1, got $numPartitions")
+    require(!df.columns.contains("zkey"),
+      "input column 'zkey' collides with the zkey output column")
+    df.withColumn("zkey", zorderKeyN(cols.map(col), bits))
       .repartitionByRange(numPartitions, col("zkey"))
       .sortWithinPartitions(col("zkey"))
   }

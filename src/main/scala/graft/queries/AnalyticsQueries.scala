@@ -170,6 +170,30 @@ object AnalyticsQueries {
           min($"x").as("min_x"), max($"x").as("max_x"),
           min($"y").as("min_y"), max($"y").as("max_y"))
         .orderBy($"bucket")
+    }),
+
+    // 3-D Z-order twin: interleave three 8-bit dims (24-bit key), cut on
+    // the top 6 bits (64 coarse buckets = 2 bits per dim), and report all
+    // three dims' per-bucket spans — every bucket pins each dim to a
+    // 64-wide quarter, so row-group stats prune filters on ANY of the
+    // three dimensions. Same map-side key math + one hash agg shape as
+    // q_zorder.
+    "q_zorder3" -> ((s, dir) => {
+      import s.implicits._
+      val x = ($"l_orderkey" % 256).cast("long")
+      val y = ($"l_partkey" % 256).cast("long")
+      val z = ($"l_suppkey" % 256).cast("long")
+      t(s, dir, "lineitem")
+        .select(graft.operators.Layout.zorderKeyN(Seq(x, y, z), bits = 8)
+            .as("zkey"),
+          x.as("x"), y.as("y"), z.as("z"))
+        .withColumn("bucket", expr("zkey DIV 262144"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"),
+          min($"x").as("min_x"), max($"x").as("max_x"),
+          min($"y").as("min_y"), max($"y").as("max_y"),
+          min($"z").as("min_z"), max($"z").as("max_z"))
+        .orderBy($"bucket")
     }))
 
   /** q_zorder oracle: the spread cascade generated from the SAME
@@ -206,8 +230,39 @@ object AnalyticsQueries {
        |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
+  /** q_zorder3 oracle: the stride-3 cascade generated from the SAME
+    * step list the operator folds over
+    * ([[graft.operators.Layout.spreadStepsN]](3, 8)) — one source of
+    * truth for the bit math on both engines. */
+  private val ZOrder3Oracle: String = {
+    val steps = graft.operators.Layout.spreadStepsN(3, 8)
+    def spreadSql(v: String): String =
+      steps.zipWithIndex.map { case ((sh, mask), i) =>
+        val prev = if (i == 0) v else s"${v}s$i"
+        s"((($prev) | (($prev) << $sh)) & $mask) AS ${v}s${i + 1}"
+      }.mkString(",\n    ")
+    val n = steps.size
+    s"""WITH d AS (
+       |  SELECT CAST(l_orderkey % 256 AS BIGINT) AS x,
+       |         CAST(l_partkey % 256 AS BIGINT) AS y,
+       |         CAST(l_suppkey % 256 AS BIGINT) AS z
+       |  FROM lineitem),
+       |sx AS (SELECT x, y, z, ${spreadSql("x")} FROM d),
+       |sy AS (SELECT x, y, z, xs$n, ${spreadSql("y")} FROM sx),
+       |sz AS (SELECT x, y, z, xs$n, ys$n, ${spreadSql("z")} FROM sy),
+       |m AS (
+       |  SELECT x, y, z,
+       |    (xs$n | (ys$n << 1) | (zs$n << 2)) AS zkey FROM sz)
+       |SELECT zkey // 262144 AS bucket, count(*) AS n,
+       |  min(x) AS min_x, max(x) AS max_x,
+       |  min(y) AS min_y, max(y) AS max_y,
+       |  min(z) AS min_z, max(z) AS max_z
+       |FROM m GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_zorder" -> ZOrderOracle,
+    "q_zorder3" -> ZOrder3Oracle,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

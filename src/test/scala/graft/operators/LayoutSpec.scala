@@ -34,6 +34,66 @@ class LayoutSpec extends SparkSuite {
     }
   }
 
+  /** Reference N-dim interleave: bit i of dim d → N·i + d. */
+  private def mortonN(xs: Seq[Long], bits: Int): Long = {
+    var z = 0L
+    val n = xs.size
+    for (d <- 0 until n; i <- 0 until bits)
+      z |= ((xs(d) >> i) & 1L) << (n * i + d)
+    z
+  }
+
+  test("zorderKeyN matches the per-bit reference exhaustively for " +
+    "n=1..4 at 3 bits, and on random wide inputs at the bit budget") {
+    import spark.implicits._
+    for (n <- 1 to 4) {
+      // exhaustive: all 8^n coordinate tuples over a 3-bit domain
+      val tuples = Seq.fill(n)(0L until 8L)
+        .foldLeft(Seq(Seq.empty[Long]))((acc, r) =>
+          acc.flatMap(t => r.map(v => t :+ v)))
+      val df = tuples.map(t => Tuple1(t)).toDF("dims")
+      val cols = (0 until n).map(d => $"dims".getItem(d))
+      val got = df.select($"dims", Layout.zorderKeyN(cols, 3).as("z"))
+        .collect()
+      got.foreach { r =>
+        val xs = r.getSeq[Long](0)
+        assert(r.getLong(1) === mortonN(xs, 3), s"n=$n xs=$xs")
+      }
+      // random draws at the max bits the budget allows for this n
+      val maxBits = 63 / n
+      val rnd = new scala.util.Random(7 * n)
+      val wide = Seq.fill(100)(Seq.fill(n)(
+        math.floorMod(rnd.nextLong(), 1L << maxBits)))
+      val gotW = wide.map(t => Tuple1(t)).toDF("dims")
+        .select($"dims",
+          Layout.zorderKeyN((0 until n).map(d => $"dims".getItem(d)),
+            maxBits).as("z"))
+        .collect()
+      gotW.foreach { r =>
+        val xs = r.getSeq[Long](0)
+        assert(r.getLong(1) === mortonN(xs, maxBits), s"n=$n xs=$xs")
+      }
+    }
+  }
+
+  test("zorderKeyN: n=2 agrees with zorderKey2, and the bit budget is " +
+    "enforced") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val pairs = Seq.fill(100)(
+      (math.floorMod(rnd.nextLong(), 1L << 16),
+        math.floorMod(rnd.nextLong(), 1L << 16)))
+    val rows = pairs.toDF("x", "y")
+      .select(Layout.zorderKey2($"x", $"y", 16).as("a"),
+        Layout.zorderKeyN(Seq($"x", $"y"), 16).as("b"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    intercept[IllegalArgumentException](
+      Layout.zorderKeyN(Seq.empty, 8))
+    intercept[IllegalArgumentException](
+      Layout.zorderKeyN(Seq(lit(1), lit(1), lit(1)), 22)) // 3*22 > 63
+  }
+
   test("zorderKey2 masks to the requested bits and rejects bad widths") {
     import spark.implicits._
     // values past the mask wrap (documented: callers bucket wider domains)
