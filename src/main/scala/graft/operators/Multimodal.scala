@@ -46,16 +46,21 @@ object Multimodal {
   def decodeStub(a: MediaAsset): MediaFeatures =
     decodeWithHash(a, graft.core.Blake2b.hexDigest(a.payload))
 
-  /** Real decoder for the IMAGE leg, zero new dependencies: JDK
+  /** Real decoder, zero new dependencies. IMAGE leg: JDK
     * `javax.imageio.ImageIO` parses PNG/JPEG/GIF/BMP bytes to true
-    * dimensions, and the feature vector is an 8-bin luminance histogram
-    * (normalized to [0,1], deterministic in the pixels). Audio/video
-    * stay on the stub — their codecs aren't in the JDK. Bytes ImageIO
-    * cannot parse (wrong type tag, truncated file) also fall back to
-    * the stub rather than failing the batch, mirroring how a production
+    * dimensions, feature vector = 8-bin luminance histogram (normalized
+    * to [0,1], deterministic in the pixels). AUDIO leg: JDK
+    * `javax.sound.sampled.AudioSystem` parses WAV/AIFF/AU PCM to true
+    * sample rate / channels / frame count, feature vector = 8-segment
+    * RMS energy envelope (see [[decodeAudio]]). VIDEO stays on the stub —
+    * no video codec exists in the JDK; a production binding would drop
+    * into the same `mapPartitions` slot. Bytes neither codec can parse
+    * (wrong type tag, truncated file, compressed audio) fall back to the
+    * stub rather than failing the batch, mirroring how a production
     * decode pipeline quarantines undecodable assets. */
   def decodeReal(a: MediaAsset): MediaFeatures =
-    if (a.media_type != "image") decodeStub(a)
+    if (a.media_type == "audio") decodeAudio(a).getOrElse(decodeStub(a))
+    else if (a.media_type != "image") decodeStub(a)
     else {
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.payload))
@@ -83,6 +88,63 @@ object Multimodal {
           hist.map(h => h.toFloat / n))
       }
     }
+
+  /** Real AUDIO decode via the JDK's `javax.sound.sampled`: parses the
+    * container (WAV/AIFF/AU), converts to 16-bit signed PCM if the
+    * stored encoding differs (8-bit, unsigned, big-endian), and returns
+    *   width    = sample rate in Hz,
+    *   height   = channel count,
+    *   n_frames = PCM frame count,
+    *   feature_vec = 8-segment RMS energy envelope in [0,1]
+    *     (channel-interleaved samples pooled; amplitude / 32768).
+    * The width/height slots reuse the fixed [[MediaFeatures]] schema the
+    * way a media pipeline reuses generic "dim0/dim1" metadata columns.
+    * None for anything the JDK cannot decode (MP3/OGG/video/garbage) —
+    * the caller quarantines to the stub. */
+  def decodeAudio(a: MediaAsset): Option[MediaFeatures] =
+    try {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val raw = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(a.payload))
+      try {
+        val src = raw.getFormat
+        val want = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, src.getChannels,
+          2 * src.getChannels, src.getSampleRate, false)
+        val pcm =
+          if (src.matches(want)) raw
+          else AudioSystem.getAudioInputStream(want, raw)
+        val bytes = pcm.readAllBytes()
+        val channels = want.getChannels
+        val nSamples = bytes.length / 2 // interleaved 16-bit samples
+        val frames = nSamples / channels
+        if (frames == 0) None
+        else {
+          // 8-segment RMS envelope over interleaved samples: segment s
+          // covers samples [s*n/8, (s+1)*n/8) — deterministic integer
+          // boundaries, channels pooled
+          val sumSq = new Array[Double](8)
+          val cnt = new Array[Long](8)
+          var i = 0
+          while (i < nSamples) {
+            val lo = bytes(2 * i) & 0xff
+            val hi = bytes(2 * i + 1).toInt // sign-extends
+            val s = (hi << 8) | lo
+            val seg = ((i.toLong * 8) / nSamples).toInt
+            sumSq(seg) += s.toDouble * s
+            cnt(seg) += 1
+            i += 1
+          }
+          val vec = Array.tabulate(8)(s =>
+            if (cnt(s) == 0) 0f
+            else (math.sqrt(sumSq(s) / cnt(s)) / 32768.0).toFloat)
+          Some(MediaFeatures(a.asset_id, a.media_type,
+            a.payload.length.toLong,
+            graft.core.Blake2b.hexDigest(a.payload),
+            want.getSampleRate.toInt, channels, frames, vec))
+        }
+      } finally raw.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** STUB decoder keyed on md5 instead of blake2b: identical feature
     * derivation, but oracle-checkable because DuckDB shares md5 (and can

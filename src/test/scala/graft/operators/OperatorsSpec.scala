@@ -676,4 +676,62 @@ class OperatorsSpec extends SparkSuite {
       .collect().map(f => f.asset_id -> f).toMap
     assert(again(1L).feature_vec.toSeq === feats(1L).feature_vec.toSeq)
   }
+
+  test("decodeReal parses PCM WAV audio: rate, channels, frames, RMS " +
+    "envelope") {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // render a WAV in-test: sine at the given amplitude, silent second half
+    // — so the RMS envelope must step from amp/sqrt(2) down to ~0
+    def wav(rate: Float, channels: Int, frames: Int, amp: Double,
+        bits: Int, signed: Boolean): Array[Byte] = {
+      val bytesPer = bits / 8
+      val fmt = new AudioFormat(rate, bits, channels, signed, false)
+      val data = new Array[Byte](frames * channels * bytesPer)
+      for (f <- 0 until frames; c <- 0 until channels) {
+        val v = if (f < frames / 2)
+          amp * math.sin(2 * math.Pi * 440 * f / rate) else 0.0
+        val i = (f * channels + c) * bytesPer
+        if (bits == 16) {
+          val s = (v * 32767).toInt
+          data(i) = (s & 0xff).toByte
+          data(i + 1) = ((s >> 8) & 0xff).toByte
+        } else data(i) = ((v * 127).toInt + (if (signed) 0 else 128)).toByte
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, frames.toLong),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val mono = wav(16000f, 1, 8000, 0.5, 16, signed = true)
+    val stereo = wav(8000f, 2, 4000, 0.25, 16, signed = true)
+    val eightBit = wav(11025f, 1, 2205, 0.5, 8, signed = false)
+    val assets = Seq(
+      MediaAsset(1L, "audio", mono),
+      MediaAsset(2L, "audio", stereo),
+      MediaAsset(3L, "audio", eightBit)).toDS()
+    val feats = Multimodal
+      .extractFeatures(assets, decoder = Multimodal.decodeReal)
+      .collect().map(f => f.asset_id -> f).toMap
+
+    assert(feats(1L).width === 16000 && feats(1L).height === 1)
+    assert(feats(1L).n_frames === 8000)
+    assert(feats(2L).width === 8000 && feats(2L).height === 2)
+    assert(feats(2L).n_frames === 4000)
+    // 8-bit unsigned converts through the PCM_SIGNED 16-bit path
+    assert(feats(3L).width === 11025 && feats(3L).height === 1)
+    assert(feats(3L).n_frames === 2205)
+    // RMS envelope: first 4 segments carry the sine (rms = amp/sqrt(2)),
+    // last 4 are silence
+    for (a <- Seq(feats(1L), feats(2L))) {
+      val expect = (if (a.asset_id == 1L) 0.5 else 0.25) / math.sqrt(2)
+      for (s <- 0 until 4)
+        assert(math.abs(a.feature_vec(s) - expect) < 0.02,
+          s"asset ${a.asset_id} seg $s: ${a.feature_vec(s)} vs $expect")
+      for (s <- 4 until 8) assert(a.feature_vec(s) < 0.01)
+    }
+    // content addressing matches the stub path's hashing
+    assert(feats(1L).content_hash === graft.core.Blake2b.hexDigest(mono))
+  }
 }
