@@ -309,6 +309,25 @@ object Dedup {
     labels
   }
 
+  /** Materialize cluster assignments ONCE: run [[connectedComponents]]
+    * and persist the (doc_id, cluster_id) table to `path` as parquet,
+    * returning a reader over the persisted copy. Every downstream
+    * consumer (canonical selection, cluster stats, dedup filters) reads
+    * the table instead of re-deriving edges + closure — at 100 TB the
+    * clustering is the expensive step and its output is tiny
+    * (two BIGINTs per doc), so this is the only sane production shape.
+    * The returned frame's lineage starts at the parquet scan: consumers
+    * cost one scan of |V| rows, not a CC re-run. */
+  def clusterTable(
+      vertices: DataFrame,
+      edges: DataFrame,
+      path: String,
+      maxIterations: Int = 25): DataFrame = {
+    connectedComponents(vertices, edges, maxIterations)
+      .write.mode("overwrite").parquet(path)
+    vertices.sparkSession.read.parquet(path)
+  }
+
   /** MinHash-LSH candidate pairs on top of the md5 minhash signatures
     * (same family as `TextQueries.q_minhash_sig`): docs sharing either
     * 4-hash band are candidates; `min_band_matches` of the 8 component
