@@ -178,6 +178,72 @@ final class CellIndex(spark: SparkSession, path: String) {
       m, k, extraCols = Seq("cell"))
   }
 
+  /** IVF-PQ probe WITH an exact re-rank leg — the production serving
+    * shape: ADC ranks the probed cells' stored codes cheaply (m lookups
+    * per candidate, never a stored float), the top `rerank` candidates
+    * per query then join back to the STORED float vectors for exact
+    * cosine, and the final top-k comes from the exact scores. This caps
+    * quantization error at the ranking boundary: ADC only has to get
+    * the true top-k somewhere into its top-r (r = `rerank`), not order
+    * them.
+    *
+    * Read shape: the float-table read is candidate-bounded, not a scan —
+    * the scan itself is partition-pruned to the probed cells
+    * (`PartitionFilters: [cell IN (…)]`), and the tiny candidate set
+    * (|queries|·r rows) is BROADCAST against it, so only probed files
+    * are opened and only r rows per query survive the join. Cost over
+    * [[topKPq]]: one broadcast join + |queries|·r exact distances. */
+  def topKPqRerank(
+      queries: DataFrame, k: Int = 5, nprobe: Int = 2,
+      rerank: Int = 20): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    graft.functions.functions.register(spark)
+    if (queries.sparkSession ne spark)
+      graft.functions.functions.register(queries.sparkSession)
+    val books = codebooks
+    val m = books.map(_._1).max + 1
+    val sub = books.head._3.length
+    val cents = centroids
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cent_sim_micro").desc, col("cell"))
+    val probes = queries
+      .withColumn("__lut", Similarity.pqLutExpr(books, m, sub, "qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cent_sim_micro", expr(
+        s"CAST(round(${Similarity.cosineExpr("qv", "centroid")} * 1000000) AS BIGINT)"))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter(col("probe_rank") <= nprobe)
+      .select(col("query_id"), col("__lut"), col("cell"))
+    val probedCells = probes.select("cell").distinct().collect()
+      .map(_.get(0)).toSeq
+    val cands = codes
+      .filter(col("cell").isInCollection(probedCells))
+      .withColumnRenamed("vec_id", "cand_id")
+    // stage 1 — ADC shortlist: top-r per query over the probed codes
+    val shortlist = Similarity
+      .adcRankTopK(cands.join(broadcast(probes), Seq("cell")),
+        m, rerank, extraCols = Seq("cell"))
+      .select(col("query_id"), col("cand_id"), col("cell"))
+      .join(broadcast(queries.select(col("query_id"), col("qv"))),
+        Seq("query_id"))
+    // stage 2 — exact re-rank: probed cells' floats (partition-pruned
+    // scan), broadcast-joined with the tiny shortlist, exact cosine
+    val floats = vectors
+      .filter(col("cell").isInCollection(probedCells))
+      .select(col("vec_id").as("cand_id"),
+        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("cv"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim_micro").desc, col("cand_id"))
+    floats.join(broadcast(shortlist), Seq("cand_id"))
+      .withColumn("cos_sim_micro", expr(
+        s"CAST(round(${Similarity.cosineExpr("qv", "cv")} * 1000000) AS BIGINT)"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("cell"), col("rank"),
+        col("cos_sim_micro"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def vectors: DataFrame = spark.read.parquet(vectorsPath)
   def centroids: DataFrame = spark.read.parquet(centroidsPath)
 

@@ -240,6 +240,20 @@ object PipelineQueries {
       idx.topKPq(queries, k = 5, nprobe = 2)
     }),
 
+    // IVF-PQ with the exact re-rank leg: ADC shortlists r=10 per query
+    // from the stored codes, the shortlist joins back to the STORED
+    // float vectors (partition-pruned to probed cells, candidate-bounded
+    // by broadcast) for exact cosine, and the final top-5 ranks by the
+    // exact scores — quantization error capped at the ranking boundary
+    "q_ann_pq_rerank_topk" -> ((s, dir) => {
+      val idx = pqIndex(s, dir)
+      val queries = emb(s, dir)
+        .filter(col("vec_id").isInCollection(Seq(0L, 1L, 2L)))
+        .select(col("vec_id").as("query_id"),
+          expr("CAST(embedding AS ARRAY<DOUBLE>)").as("qv"))
+      idx.topKPqRerank(queries, k = 5, nprobe = 2, rerank = 10)
+    }),
+
     // random-hyperplane LSH bucket histogram (md5-derived planes)
     "q_hyperplane_lsh" -> ((s, dir) =>
       Similarity.hyperplaneLshMd5(emb(s, dir))
@@ -581,7 +595,11 @@ object PipelineQueries {
     * with [[pqCtes]]'s codebooks/codes — candidates come from the
     * probed cells only and are ranked by ADC distance through the same
     * per-(query, subspace, cluster) lookup rows as [[PqTopkOracle]]. */
-  private val IvfPqOracle: String = {
+  /** WITH-body shared by the IVF-PQ oracles: training, encoding, cell
+    * layout, probe routing, per-query LUTs, and the `adc`
+    * candidate-distance CTE — the tails differ only in how the final
+    * ranking consumes `adc` (pure ADC vs exact re-rank). */
+  private val IvfPqAdcCtes: String = {
     val m = 4
     def lip(a: String, b: String) = s"list_inner_product($a, $b)"
     def cos(a: String, b: String) =
@@ -638,11 +656,43 @@ object PipelineQueries {
        |    CAST($adcSum AS BIGINT) AS adc_micro
        |  FROM probes p
        |  JOIN cellcodes cc ON cc.cell = p.cell AND cc.vec_id <> p.query_id
-       |  $lutJoins)
+       |  $lutJoins)""".stripMargin
+  }
+
+  private val IvfPqOracle: String =
+    s"""$IvfPqAdcCtes
        |SELECT query_id, cand_id, cell, rank, adc_micro FROM (
        |  SELECT adc.*, row_number() OVER (PARTITION BY query_id
        |    ORDER BY adc_micro, cand_id) AS rank
        |  FROM adc)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Re-rank oracle: ADC shortlists r=10 per query from the same `adc`
+    * CTE, then the shortlist joins back to the float vectors for exact
+    * cosine and the final rank comes from the exact scores — the DuckDB
+    * mirror of [[graft.operators.CellIndex.topKPqRerank]]. */
+  private val IvfPqRerankOracle: String = {
+    def lip(a: String, b: String) = s"list_inner_product($a, $b)"
+    def cos(a: String, b: String) =
+      s"${lip(a, b)} / (sqrt(${lip(a, a)}) * sqrt(${lip(b, b)}))"
+    s"""$IvfPqAdcCtes,
+       |shortlist AS (
+       |  SELECT query_id, cand_id, cell FROM (
+       |    SELECT adc.*, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_micro, cand_id) AS adc_rank
+       |    FROM adc)
+       |  WHERE adc_rank <= 10),
+       |rer AS (
+       |  SELECT s.query_id, s.cand_id, s.cell,
+       |    CAST(round(${cos("q.qv", "v.v")} * 1000000) AS BIGINT)
+       |      AS cos_sim_micro
+       |  FROM shortlist s
+       |  JOIN qq q ON q.query_id = s.query_id
+       |  JOIN cellb v ON v.vec_id = s.cand_id)
+       |SELECT query_id, cand_id, cell, rank, cos_sim_micro FROM (
+       |  SELECT rer.*, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim_micro DESC, cand_id) AS rank
+       |  FROM rer)
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
@@ -700,6 +750,7 @@ object PipelineQueries {
     // the materialized-index twin shares the oracle: partition-pruned
     // reads change I/O, not results
     "q_ann_pq_cell_topk" -> IvfPqOracle,
+    "q_ann_pq_rerank_topk" -> IvfPqRerankOracle,
 
     "q_simhash" -> ("WITH " + simhashCtes("documents") +
       "\nSELECT doc_id, simhash FROM sim ORDER BY doc_id"),

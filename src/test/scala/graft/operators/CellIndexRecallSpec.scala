@@ -122,6 +122,62 @@ class CellIndexRecallSpec extends SparkSuite {
       s"m=16 k=16 ADC recall ${curve.last._1} collapsed")
   }
 
+  test("exact re-rank leg lifts IVF-PQ recall over pure ADC at equal " +
+    "nprobe, and the float read is probe-pruned + candidate-bounded") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cellindex-rerank")
+      .toString
+    val index = new CellIndex(spark, dir)
+    index.buildLearned(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"), k = 8)
+    index.buildPq(m = 4, k = 16, iters = 2)
+    // baseline = exact cosine restricted to the SAME probed cells
+    // (index.topK): comparing rerank against the unrestricted exact
+    // top-k would conflate probe misses (IVF's error) with ranking
+    // misses (PQ's error); the re-rank leg can only fix the latter
+    val nprobe = 4
+    def sets(df: DataFrame): Map[Long, Set[Long]] =
+      df.select($"query_id", $"cand_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) =>
+          q -> rs.map(_.getLong(1)).toSet
+        }
+    val cellExact = sets(index.topK(queriesDf, k = K, nprobe = nprobe))
+    def recall(got: Map[Long, Set[Long]]): Double =
+      cellExact.map { case (q, want) =>
+        got.getOrElse(q, Set.empty[Long]).count(want).toDouble / want.size
+      }.sum / cellExact.size
+    val adcOnly = recall(sets(index.topKPq(queriesDf, K, nprobe)))
+    // recall is monotone in the shortlist width r: a wider shortlist is
+    // a superset, and exact re-ranking of a superset can only keep more
+    // of the truth. r = 300 exceeds the probed candidate count
+    // (≤ 4/8 of 500), so the shortlist IS the probed set and the result
+    // must equal the probed-cell exact top-k: recall exactly 1.
+    val curve = Seq(K, 4 * K, 300).map { r =>
+      r -> recall(sets(index.topKPqRerank(queriesDf, K, nprobe, r)))
+    }
+    info(f"recall@$K vs probed-cell exact: ADC $adcOnly%.3f, " +
+      curve.map { case (r, v) => f"rerank(r=$r) $v%.3f" }.mkString(", "))
+    curve.sliding(2).foreach { case Seq((rA, a), (rB, b)) =>
+      assert(a <= b + 1e-9, s"recall fell from r=$rA to r=$rB")
+    }
+    assert(curve.head._2 >= adcOnly - 1e-9,
+      s"re-ranking lost recall: adc=$adcOnly curve=$curve")
+    assert(curve.exists(_._2 > adcOnly),
+      s"re-ranking never improved on pure ADC: adc=$adcOnly curve=$curve")
+    assert(curve.last._2 === 1.0,
+      s"full-width re-rank did not recover the probed-cell exact top-k: $curve")
+    // the exact leg reads floats candidate-bounded: the vectors scan is
+    // partition-pruned to probed cells and the shortlist is broadcast
+    val plan = index.topKPqRerank(queriesDf, K, nprobe, rerank = 4 * K)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell#") ||
+      plan.contains("PartitionFilters: [isnotnull(cell"),
+      s"float scan not partition-pruned:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      "shortlist not broadcast against the float scan")
+  }
+
   test("cell-probe recall@5 grows monotonically with nprobe and is exact " +
     "at full probe width") {
     import spark.implicits._
