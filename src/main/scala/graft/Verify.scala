@@ -11,6 +11,10 @@ object Verify {
     // oracle_sql.json is filtered to match so tools/compare.py sees a
     // consistent pair. The driver passes exactly two args → full battery.
     val only: Set[String] = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")} — " +
+        "a typo here would emit an empty (vacuously green) battery")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

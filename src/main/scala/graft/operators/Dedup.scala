@@ -328,20 +328,25 @@ object Dedup {
     vertices.sparkSession.read.parquet(path)
   }
 
-  /** MinHash-LSH candidate pairs on top of the md5 minhash signatures
-    * (same family as `TextQueries.q_minhash_sig`): docs sharing either
-    * 4-hash band are candidates; `min_band_matches` of the 8 component
-    * hashes gives a cheap similarity estimate for ranking. */
-  def minhashCandidates(
+  /** Per-document MinHash LSH band rows: 3-word shingles hashed through
+    * `numHashes` md5 families, minhashed, and grouped into
+    * `numHashes / rowsPerBand` band keys (md5 of the band's component
+    * hashes). Returns (doc_id, band, key, sig) — one row per band per
+    * doc. Two docs agreeing on ANY band key are near-dup candidates;
+    * this is the shared signature step behind [[minhashCandidates]]
+    * (batch self-join) and [[graft.store.NearDupIndex]] (probe against
+    * persisted history postings). Exploded shingles + min aggregates
+    * keep the hashing codegen'd (interpreted array lambdas are the
+    * bottleneck at scale); no repartition — see [[simhash]]. */
+  def minhashBands(
       docs: DataFrame,
       numHashes: Int = 8,
-      rowsPerBand: Int = 4): DataFrame = {
-    // exploded shingles + min aggregates keep the hashing codegen'd
-    // (interpreted array lambdas are the bottleneck at scale); no
-    // repartition — see simhash
+      rowsPerBand: Int = 4,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
     val shingles = docs
-      .withColumn("__w", split(lower(trim(col("text"))), "\\s+"))
-      .select(col("doc_id"), explode(expr(
+      .withColumn("__w", split(lower(trim(col(textCol))), "\\s+"))
+      .select(col(idCol).as("doc_id"), explode(expr(
         "transform(sequence(0, greatest(size(__w) - 3, 0)), " +
           "i -> concat_ws(' ', __w[i], __w[i+1], __w[i+2]))")).as("__s"))
     val minCols = (0 until numHashes).map { k =>
@@ -353,12 +358,23 @@ object Dedup {
       val parts = (0 until rowsPerBand).map(r => s"h${bnd * rowsPerBand + r}")
       expr(s"struct($bnd AS band, md5(concat(${parts.mkString(", ")})) AS key)")
     }
-    val banded = sigs
+    sigs
       .select((col("doc_id") +: (0 until numHashes).map(k => col(s"h$k"))): _*)
       .withColumn("bk", explode(array(bandCol: _*)))
       .select(col("doc_id"), col("bk.band").as("band"),
         col("bk.key").as("key"),
         array((0 until numHashes).map(k => col(s"h$k")): _*).as("sig"))
+  }
+
+  /** MinHash-LSH candidate pairs on top of the md5 minhash signatures
+    * (same family as `TextQueries.q_minhash_sig`): docs sharing either
+    * 4-hash band are candidates; `min_band_matches` of the 8 component
+    * hashes gives a cheap similarity estimate for ranking. */
+  def minhashCandidates(
+      docs: DataFrame,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 4): DataFrame = {
+    val banded = minhashBands(docs, numHashes, rowsPerBand)
     val a = banded.toDF("doc_a", "band", "key", "sig_a")
     val b = banded.toDF("doc_b", "band", "key", "sig_b")
     a.join(b, Seq("band", "key"))

@@ -81,6 +81,46 @@ object PipelineQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "embeddings")
 
+  /** One seeded [[graft.store.NearDupIndex]] per scale-factor dir: the
+    * whole corpus bulk-appended as history. `q_neardup_probe` then asks
+    * "is this arriving batch a near-dup of anything ever ingested" —
+    * the incremental-dedup question a batch-local LSH self-join cannot
+    * answer — via the persisted band postings (partition-pruned to the
+    * batch's own band-key buckets, never a corpus rescan). */
+  private val nearDupProbeCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.store.NearDupIndex]
+
+  private def nearDupProbeIndex(s: SparkSession, dir: String)
+      : graft.store.NearDupIndex =
+    nearDupProbeCache.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-neardup-probe-").toString
+      val idx = new graft.store.NearDupIndex(s, path)
+      idx.append(docs(s, dir))
+      idx
+    })
+
+  /** The full incremental lifecycle for `q_neardup_ingest`: two batches
+    * ingested in sequence (even doc_ids, then odd doc_ids + planted
+    * copies of history docs), each deduped within itself AND against
+    * the snapshot the previous commit left behind. */
+  private val nearDupIngestCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.store.NearDupIndex]
+
+  private def nearDupIngestIndex(s: SparkSession, dir: String)
+      : graft.store.NearDupIndex =
+    nearDupIngestCache.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-neardup-ingest-").toString
+      val idx = new graft.store.NearDupIndex(s, path)
+      val d = docs(s, dir)
+      idx.ingest(d.filter(col("doc_id") % 2 === 0))
+      idx.ingest(d.filter(col("doc_id") % 2 === 1).unionByName(
+        d.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000000L)))
+      idx
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // 60-bit md5 SimHash per document (deduplication: SimHash)
@@ -137,6 +177,30 @@ object PipelineQueries {
               .cast("long"))
             .otherwise(lit(-1L)).as("sim_micro"))
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // incremental near-dup PROBE: the whole corpus is history (persisted
+    // LSH band postings under a versioned manifest); the arriving batch
+    // (planted shifted copies) probes it without rescanning or
+    // re-signing the corpus — candidates from the band equi-join against
+    // only the batch's own key buckets, confirmed with the banded
+    // Levenshtein against the stored normalized canonical text
+    "q_neardup_probe" -> ((s, dir) => {
+      val batch = docs(s, dir).filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000000L)
+      nearDupProbeIndex(s, dir).probe(batch)
+        .orderBy(col("doc_id"), col("hist_id"))
+    }),
+
+    // incremental near-dup INGEST: two consecutive batches through the
+    // full dedup lifecycle (within-batch LSH + confirm + connected
+    // components, history collapse into the prior commit's canonicals,
+    // atomic postings+verdict commit); emits the persisted per-document
+    // verdict table
+    "q_neardup_ingest" -> ((s, dir) => {
+      nearDupIngestIndex(s, dir).assignments
+        .select(col("doc_id"), col("canonical_id"))
+        .orderBy(col("doc_id"))
     }),
 
     // winnowing candidate pairs over the planted corpus: inverted-index
@@ -818,6 +882,122 @@ object PipelineQueries {
         |    ELSE -1 END AS BIGINT) AS sim_micro
         |FROM dd
         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // the persisted-index probe: band postings over the WHOLE corpus as
+    // history, planted shifted copies as the arriving batch — candidate
+    // generation is the band equi-join (batch side >= 1e9, history side
+    // < 1e9), the confirm the same ASCII-projected banded levenshtein
+    // as q_edit_distance, over text truncated to the index's stored
+    // normChars (4000)
+    "q_neardup_probe" -> ("WITH " + PlantedCte + ",\n" + minhashCtes("d") +
+      """,
+        |banded AS (
+        |  SELECT doc_id, 0 AS band, md5(h0 || h1 || h2 || h3) AS key FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, 1 AS band, md5(h4 || h5 || h6 || h7) AS key FROM sig),
+        |pairs AS (
+        |  SELECT DISTINCT p.doc_id, h.doc_id AS hist_id
+        |  FROM banded p JOIN banded h ON p.band = h.band AND p.key = h.key
+        |  WHERE p.doc_id >= 1000000000 AND h.doc_id < 1000000000),
+        |norm AS (
+        |  SELECT doc_id, substring(regexp_replace(
+        |    regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'),
+        |    '[^\x20-\x7E]', '', 'g'), 1, 4000) AS t
+        |  FROM d),
+        |dd AS (
+        |  SELECT p.doc_id, p.hist_id, levenshtein(na.t, nb.t) AS full_dist,
+        |    greatest(length(na.t), length(nb.t), 1) AS den
+        |  FROM pairs p JOIN norm na ON p.doc_id = na.doc_id
+        |               JOIN norm nb ON p.hist_id = nb.doc_id)
+        |SELECT doc_id, hist_id, CAST(full_dist AS BIGINT) AS edit_dist,
+        |  CAST(round(1000000.0 * (1.0 - CAST(full_dist AS DOUBLE) / den))
+        |    AS BIGINT) AS sim_micro
+        |FROM dd WHERE full_dist <= 64
+        |ORDER BY doc_id, hist_id""".stripMargin),
+
+    // the two-batch incremental lifecycle replayed in SQL: batch 1
+    // (even ids) clusters within itself (band join -> levenshtein
+    // confirm -> recursive min-label closure); batch 2 (odd ids +
+    // planted copies) first collapses into batch-1 CANONICALS it
+    // confirms against (postings exist only for canonicals), then
+    // clusters among itself; a cluster takes the smallest matched
+    // history canonical, else its smallest member
+    "q_neardup_ingest" -> ("WITH RECURSIVE\n" +
+      """d AS (SELECT doc_id, text FROM documents),
+        |b1 AS (SELECT doc_id, text FROM d WHERE doc_id % 2 = 0),
+        |b2 AS (SELECT doc_id, text FROM d WHERE doc_id % 2 = 1
+        |       UNION ALL
+        |       SELECT doc_id + 1000000000 AS doc_id, text FROM d
+        |       WHERE doc_id % 10 = 0),
+        |allb AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+        |""".stripMargin + minhashCtes("allb") +
+      """,
+        |banded AS (
+        |  SELECT doc_id, 0 AS band, md5(h0 || h1 || h2 || h3) AS key FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, 1 AS band, md5(h4 || h5 || h6 || h7) AS key FROM sig),
+        |norm AS (
+        |  SELECT doc_id, substring(regexp_replace(
+        |    regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'),
+        |    '[^\x20-\x7E]', '', 'g'), 1, 4000) AS t
+        |  FROM allb),
+        |ec1 AS (
+        |  SELECT e.doc_a, e.doc_b FROM (
+        |    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |    FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+        |    JOIN b1 x ON a.doc_id = x.doc_id
+        |    JOIN b1 y ON b.doc_id = y.doc_id
+        |    WHERE a.doc_id < b.doc_id) e
+        |  JOIN norm na ON e.doc_a = na.doc_id
+        |  JOIN norm nb ON e.doc_b = nb.doc_id
+        |  WHERE levenshtein(na.t, nb.t) <= 64),
+        |edges1 AS (SELECT doc_a, doc_b FROM ec1
+        |           UNION SELECT doc_b, doc_a FROM ec1),
+        |reach1(doc, other) AS (
+        |  SELECT doc_id, doc_id FROM b1
+        |  UNION SELECT doc_a, doc_b FROM edges1
+        |  UNION SELECT r.doc, e.doc_b FROM reach1 r
+        |        JOIN edges1 e ON r.other = e.doc_a),
+        |a1 AS (SELECT doc AS doc_id, min(other) AS canonical_id
+        |       FROM reach1 GROUP BY doc),
+        |canon1 AS (SELECT doc_id FROM a1 WHERE doc_id = canonical_id),
+        |hist2 AS (
+        |  SELECT h.doc_id, min(h.hist_id) AS hc FROM (
+        |    SELECT DISTINCT p.doc_id, c.doc_id AS hist_id
+        |    FROM banded p JOIN banded c ON p.band = c.band AND p.key = c.key
+        |    JOIN b2 y ON p.doc_id = y.doc_id
+        |    JOIN canon1 cc ON c.doc_id = cc.doc_id) h
+        |  JOIN norm na ON h.doc_id = na.doc_id
+        |  JOIN norm nb ON h.hist_id = nb.doc_id
+        |  WHERE levenshtein(na.t, nb.t) <= 64 AND h.doc_id <> h.hist_id
+        |  GROUP BY h.doc_id),
+        |ec2 AS (
+        |  SELECT e.doc_a, e.doc_b FROM (
+        |    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |    FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+        |    JOIN b2 x ON a.doc_id = x.doc_id
+        |    JOIN b2 y ON b.doc_id = y.doc_id
+        |    WHERE a.doc_id < b.doc_id) e
+        |  JOIN norm na ON e.doc_a = na.doc_id
+        |  JOIN norm nb ON e.doc_b = nb.doc_id
+        |  WHERE levenshtein(na.t, nb.t) <= 64),
+        |edges2 AS (SELECT doc_a, doc_b FROM ec2
+        |           UNION SELECT doc_b, doc_a FROM ec2),
+        |reach2(doc, other) AS (
+        |  SELECT doc_id, doc_id FROM b2
+        |  UNION SELECT doc_a, doc_b FROM edges2
+        |  UNION SELECT r.doc, e.doc_b FROM reach2 r
+        |        JOIN edges2 e ON r.other = e.doc_a),
+        |cc2 AS (SELECT doc AS doc_id, min(other) AS cluster_id
+        |        FROM reach2 GROUP BY doc),
+        |ch2 AS (SELECT c.cluster_id, min(h.hc) AS ch
+        |        FROM cc2 c LEFT JOIN hist2 h ON c.doc_id = h.doc_id
+        |        GROUP BY c.cluster_id),
+        |a2 AS (SELECT c.doc_id, COALESCE(ch.ch, c.cluster_id) AS canonical_id
+        |       FROM cc2 c JOIN ch2 ch ON c.cluster_id = ch.cluster_id)
+        |SELECT doc_id, canonical_id
+        |FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+        |ORDER BY doc_id""".stripMargin),
 
     "q_hyperplane_lsh" -> hyperplaneProjSql(12),
 
