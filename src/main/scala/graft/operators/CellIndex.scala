@@ -66,14 +66,21 @@ final class CellIndex(spark: SparkSession, path: String) {
     * IVF ingest path). Centroids are left as trained: a quantizer that
     * shifts with every batch would silently change probe routing.
     *
+    * If the PQ half is materialized ([[buildPq]] has run), the batch is
+    * ALSO encoded with the stored codebooks and appended to the codes
+    * table in the same operation — encode is map-only, so the ADC probes
+    * ([[topKPq]]/[[topKPqRerank]]) never silently exclude appended
+    * vectors. Codebooks, like centroids, are left as trained.
+    *
     * Returns the batch's assignment-distance statistics (squared-
     * Euclidean micro-distance to the winning trained centroid), the
     * observable that makes the "re-train + rebuild when the corpus
     * drifts" decision measurable: a batch drawn from the trained
     * distribution reports distances in the trained regime, a drifted
     * batch reports a jump in mean/p95. Track these per append and
-    * re-train when they trend away from the build-time profile. Cost:
-    * one extra map-side aggregate over the batch (never the corpus). */
+    * re-train when they trend away from the build-time profile ([[
+    * retrainIfDrifted]] automates exactly that policy). Cost: one extra
+    * map-side aggregate over the batch (never the corpus). */
   def append(newVectors: DataFrame): CellIndex.DriftStats = {
     graft.functions.functions.register(newVectors.sparkSession)
     // cell ids pass through lit(), so integer AND string-labeled indexes
@@ -92,11 +99,16 @@ final class CellIndex(spark: SparkSession, path: String) {
       .filter(col("__a.d").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      assigned
-        .withColumn("cell", col("__a.cl")).drop("__a")
+      val routed = assigned.withColumn("cell", col("__a.cl")).drop("__a")
+      routed
         .write.mode(SaveMode.Append)
         .partitionBy("cell")
         .parquet(vectorsPath)
+      if (hasPq)
+        Similarity.pqEncode(routed, codebooks, keep = Seq("cell"))
+          .write.mode(SaveMode.Append)
+          .partitionBy("cell")
+          .parquet(codesPath)
       val stats = assigned
         .select(col("__a.d").as("d"))
         .agg(count(lit(1)).as("n"), avg(col("d")).as("mean"),
@@ -110,6 +122,11 @@ final class CellIndex(spark: SparkSession, path: String) {
 
   private def codesPath = path + "/codes"
   private def codebooksPath = path + "/codebooks"
+
+  /** Whether the PQ half is materialized (codebooks written by
+    * [[buildPq]]) — gates the append-time code sync. */
+  private def hasPq: Boolean =
+    graft.store.Fs.exists(spark, codebooksPath)
 
   /** Materialize the PQ half of the index: train sub-codebooks on the
     * indexed corpus ([[Similarity.pqTrain]] — deterministic, one corpus
@@ -144,14 +161,14 @@ final class CellIndex(spark: SparkSession, path: String) {
         r.getSeq[Double](2).toVector: Seq[Double]))
       .toSeq.sortBy(t => (t._1, t._2))
 
-  /** IVF-PQ top-k over the MATERIALIZED index: probe cells by centroid
-    * cosine exactly as [[topK]], then rank only the probed cells'
-    * stored codes by ADC distance through per-query lookup tables —
-    * the scan reads the codes table with `PartitionFilters:
-    * [cell IN (…)]` and never touches a stored float. Same ranking
-    * semantics as [[Similarity.ivfPqTopK]] (shared oracle): the index
-    * changes what is READ, not the answer. */
-  def topKPq(queries: DataFrame, k: Int = 5, nprobe: Int = 2): DataFrame = {
+  /** Shared probe routing for the ADC serving legs ([[topKPq]] and
+    * [[topKPqRerank]] — ONE copy, so probe semantics cannot drift
+    * between them): per-query PQ lookup table + the nprobe nearest
+    * cells by centroid cosine, plus the driver-side distinct
+    * probed-cell list that partition-prunes the codes scan.
+    * Returns (probes(query_id, __lut, cell), probedCells, m). */
+  private def pqProbeRouting(queries: DataFrame, nprobe: Int)
+      : (DataFrame, Seq[Any], Int) = {
     graft.functions.functions.register(spark)
     if (queries.sparkSession ne spark)
       graft.functions.functions.register(queries.sparkSession)
@@ -171,6 +188,18 @@ final class CellIndex(spark: SparkSession, path: String) {
       .select(col("query_id"), col("__lut"), col("cell"))
     val probedCells = probes.select("cell").distinct().collect()
       .map(_.get(0)).toSeq
+    (probes, probedCells, m)
+  }
+
+  /** IVF-PQ top-k over the MATERIALIZED index: probe cells by centroid
+    * cosine exactly as [[topK]], then rank only the probed cells'
+    * stored codes by ADC distance through per-query lookup tables —
+    * the scan reads the codes table with `PartitionFilters:
+    * [cell IN (…)]` and never touches a stored float. Same ranking
+    * semantics as [[Similarity.ivfPqTopK]] (shared oracle): the index
+    * changes what is READ, not the answer. */
+  def topKPq(queries: DataFrame, k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val (probes, probedCells, m) = pqProbeRouting(queries, nprobe)
     val cands = codes
       .filter(col("cell").isInCollection(probedCells))
       .withColumnRenamed("vec_id", "cand_id")
@@ -197,25 +226,7 @@ final class CellIndex(spark: SparkSession, path: String) {
       queries: DataFrame, k: Int = 5, nprobe: Int = 2,
       rerank: Int = 20): DataFrame = {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
-    graft.functions.functions.register(spark)
-    if (queries.sparkSession ne spark)
-      graft.functions.functions.register(queries.sparkSession)
-    val books = codebooks
-    val m = books.map(_._1).max + 1
-    val sub = books.head._3.length
-    val cents = centroids
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("cent_sim_micro").desc, col("cell"))
-    val probes = queries
-      .withColumn("__lut", Similarity.pqLutExpr(books, m, sub, "qv"))
-      .crossJoin(broadcast(cents))
-      .withColumn("cent_sim_micro", expr(
-        s"CAST(round(${Similarity.cosineExpr("qv", "centroid")} * 1000000) AS BIGINT)"))
-      .withColumn("probe_rank", row_number().over(wProbe))
-      .filter(col("probe_rank") <= nprobe)
-      .select(col("query_id"), col("__lut"), col("cell"))
-    val probedCells = probes.select("cell").distinct().collect()
-      .map(_.get(0)).toSeq
+    val (probes, probedCells, m) = pqProbeRouting(queries, nprobe)
     val cands = codes
       .filter(col("cell").isInCollection(probedCells))
       .withColumnRenamed("vec_id", "cand_id")

@@ -15,7 +15,7 @@ import org.apache.spark.sql.SparkSession
   * that stays correct even on object stores without atomic directory
   * operations.
   */
-private[store] object Fs {
+private[graft] object Fs {
 
   def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())

@@ -507,6 +507,60 @@ class OperatorsSpec extends SparkSuite {
     assert(idx.vectors.filter($"vec_id" === 300L).count() === 1)
   }
 
+  test("CellIndex.append syncs the PQ codes: ADC probes find appended " +
+    "vectors without a buildPq re-run") {
+    import spark.implicits._
+    val rng = new scala.util.Random(41)
+    def mk(id: Long, c: Int): (Long, Seq[Float]) = {
+      val base = Array.fill(8)(0.02f * rng.nextFloat())
+      base(c) = 1.0f + 0.05f * rng.nextFloat()
+      (id, base.toSeq)
+    }
+    val emb = (0 until 60).map(i => mk(i.toLong, i % 3))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("cellidx-sync").toString
+    val idx = new CellIndex(spark, dir)
+    idx.buildLearned(emb, k = 3, iters = 2)
+    idx.buildPq(m = 4, k = 4, iters = 2)
+    val nVec = idx.vectors.count()
+    assert(idx.codes.count() === nVec)
+    // append a clone of vector 1 under a new id: it must land in BOTH the
+    // float table and the codes table in the same operation
+    idx.append(emb.filter($"vec_id" === 1L)
+      .select(lit(1000L).as("vec_id"), $"embedding"))
+    assert(idx.vectors.count() === nVec + 1)
+    assert(idx.codes.count() === nVec + 1,
+      "codes table went stale after append")
+    // and both ADC serving legs FIND it with no buildPq re-run: the clone
+    // shares vector 1's cell and (being identical) its codes, so querying
+    // with vector 1 must surface it
+    val q = emb.filter($"vec_id" === 1L)
+      .select($"vec_id".as("query_id"),
+        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("qv"))
+    assert(idx.topKPq(q, k = 10, nprobe = 1)
+      .filter($"cand_id" === 1000L).count() === 1)
+    assert(idx.topKPqRerank(q, k = 10, nprobe = 1, rerank = 20)
+      .filter($"cand_id" === 1000L).count() === 1)
+    // appended codes carry the STORED codebooks, not a re-train: the
+    // clone's code row is bit-identical to vector 1's
+    val codeCols = idx.codes.columns.filter(_.startsWith("code_")).sorted
+    val rows = idx.codes.filter($"vec_id".isin(1L, 1000L))
+      .select(codeCols.map(col).toIndexedSeq: _*).collect()
+    assert(rows.length === 2 && rows(0) === rows(1),
+      s"clone encoded differently from its source: ${rows.mkString(";")}")
+
+    // appends BEFORE the PQ half exists stay float-only (there is nothing
+    // to encode with); the later buildPq then covers them
+    val dir2 = java.nio.file.Files.createTempDirectory("cellidx-prepq")
+      .toString
+    val idx2 = new CellIndex(spark, dir2)
+    idx2.buildLearned(emb, k = 3, iters = 2)
+    idx2.append(Seq(mk(2000L, 2)).toDF("vec_id", "embedding"))
+    idx2.buildPq(m = 4, k = 4, iters = 2)
+    assert(idx2.codes.count() === idx2.vectors.count())
+    assert(idx2.codes.filter($"vec_id" === 2000L).count() === 1)
+  }
+
   test("cosineDupPairs: hot label routed through LSH sub-buckets, bounded") {
     import spark.implicits._
     val rng = new scala.util.Random(3)
