@@ -1,8 +1,11 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.store.{Fs, RenameCommitter}
 
 /** IVF index materialized as cell-partitioned storage: vectors live in a
   * parquet table partitioned by cell id, centroids in a small side table.
@@ -12,25 +15,89 @@ import org.apache.spark.sql.functions._
   * does over an unpartitioned table). At 100 TB with, say, 4096 cells and
   * nprobe=8, a query batch touches 0.2% of the data; this layout is the
   * difference between an index and a full scan per batch.
+  *
+  * The index is VERSIONED: every build lands in a fresh generation
+  * directory (`gen-XXXX/{vectors,centroids,codes,codebooks}`), made
+  * visible by committing a pointer file (`gen/vNNNNNNNNNN.txt`) through
+  * the same rename-as-commit CAS the manifested tables use
+  * ([[RenameCommitter]] — at most one writer wins a version). Readers
+  * resolve the highest committed pointer once per operation, so a
+  * concurrent [[retrain]] is invisible until its generation is complete
+  * and published — they see the old index or the new one, never a mix.
+  * A build that dies mid-write leaves an unreferenced directory (garbage
+  * to collect, never corruption).
   */
 final class CellIndex(spark: SparkSession, path: String) {
 
-  private def vectorsPath = path + "/vectors"
-  private def centroidsPath = path + "/centroids"
+  // ───────────────────────── generation plumbing ─────────────────────────
+
+  private val committer = new RenameCommitter(spark, path)
+  private def genManifest = new Path(path, "gen")
+
+  /** Committed generation pointers, version-ordered. Dot-temps from an
+    * in-flight commit never match the name pattern. */
+  private def committedVersions: Seq[(Long, Path)] = {
+    val f = Fs.fs(spark, path)
+    if (!f.exists(genManifest)) Nil
+    else f.listStatus(genManifest).toSeq.map(_.getPath)
+      .filter(_.getName.matches("v\\d{10}\\.txt"))
+      .map(p => (p.getName.stripPrefix("v").stripSuffix(".txt").toLong, p))
+      .sortBy(_._1)
+  }
+
+  /** Root of the CURRENT generation (falls back to `path` itself before
+    * the first commit, so a not-yet-built index fails with the usual
+    * path-not-found, not a pointer error). Resolved ONCE at the start of
+    * every operation that reads more than one table, so vectors /
+    * centroids / codes / codebooks always come from the same generation
+    * even while a retrain swaps the pointer underneath. */
+  private def root: String = {
+    val vs = committedVersions
+    if (vs.isEmpty) path
+    else {
+      val in = Fs.fs(spark, path).open(vs.last._2)
+      val gen =
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      s"$path/$gen"
+    }
+  }
+
+  /** Publish `gen` as the next version: bump past the current tip until
+    * this writer's CAS lands. A racing publisher can slot in first — both
+    * generations are complete and self-consistent, last committed wins. */
+  private def commitGen(gen: String): Unit = {
+    val bytes = gen.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var v = committedVersions.lastOption.map(_._1).getOrElse(0L) + 1L
+    while (!committer.putIfAbsent(
+      new Path(genManifest, f"v$v%010d.txt"), bytes)) v += 1
+  }
+
+  /** Build into a fresh generation directory, then commit the pointer —
+    * the write-everything-then-swap discipline every build path shares. */
+  private def publishGen(body: String => Unit): Unit = {
+    val gen = "gen-" + java.util.UUID.randomUUID().toString.take(8)
+    body(s"$path/$gen")
+    commitGen(gen)
+  }
+
+  // ─────────────────────────────── builds ───────────────────────────────
 
   /** Materialize the index: vectors partitioned by cell (one directory
     * per cell — cells are the coarse-quantizer granularity, thousands at
     * most, so directory fan-out stays bounded), plus the per-cell mean
     * vectors. */
-  def build(emb: DataFrame, cellCol: String = "label"): Unit = {
-    emb
-      .withColumn("cell", col(cellCol))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("cell")
-      .parquet(vectorsPath)
-    Similarity.centroids(emb, cellCol)
-      .write.mode(SaveMode.Overwrite).parquet(centroidsPath)
-  }
+  def build(emb: DataFrame, cellCol: String = "label"): Unit =
+    publishGen { g =>
+      emb
+        .withColumn("cell", col(cellCol))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("cell")
+        .parquet(g + "/vectors")
+      Similarity.centroids(emb, cellCol)
+        .write.mode(SaveMode.Overwrite).parquet(g + "/centroids")
+    }
 
   /** Build with LEARNED cells: train a k-means coarse quantizer
     * ([[Similarity.kmeans]] — deterministic seeds, integer-exact
@@ -39,7 +106,11 @@ final class CellIndex(spark: SparkSession, path: String) {
     * build — no pre-existing label column required; `k` picks the
     * partition granularity (at 100 TB: thousands of cells so nprobe/k
     * bounds the fraction of data a probe reads). */
-  def buildLearned(emb: DataFrame, k: Int, iters: Int = 2): Unit = {
+  def buildLearned(emb: DataFrame, k: Int, iters: Int = 2): Unit =
+    publishGen(buildLearnedInto(_, emb, k, iters))
+
+  private def buildLearnedInto(
+      g: String, emb: DataFrame, k: Int, iters: Int): Unit = {
     graft.functions.functions.register(emb.sparkSession)
     // train driver-side: the model is k×dim doubles, and writing it from
     // the collected value (not the kmeans result plan) avoids re-running
@@ -47,18 +118,84 @@ final class CellIndex(spark: SparkSession, path: String) {
     val cents = Similarity.kmeansModel(emb, k, iters)
     // assignment is the trainer's own map-side argmin expression — the
     // partitioned write is then the only data movement in the build
-    val assigned = emb.withColumn("cell", Similarity.nearestCentroidExpr(
+    val assigned = emb.withColumn("__a", Similarity.nearestCentroidStruct(
       cents, expr("CAST(embedding AS ARRAY<DOUBLE>)")))
     assigned
+      .withColumn("cell", col("__a.cl")).drop("__a")
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cell")
-      .parquet(vectorsPath)
+      .parquet(g + "/vectors")
+    // build-time drift baseline: p95 of the training corpus's assignment
+    // distance (micro squared-L2, the same unit DriftStats reports) —
+    // the yardstick [[retrainIfDrifted]] compares append batches
+    // against. A second pass over `emb`, not a persist: build inputs are
+    // stored tables, and caching a 100 TB corpus to save one scan is the
+    // wrong trade.
+    val bRow = assigned.select(col("__a.d").as("d"))
+      .agg(expr("percentile(d, 0.95)")).head()
+    writeBaseline(g, if (bRow.isNullAt(0)) 0.0 else bRow.getDouble(0))
     val session = spark
     import session.implicits._
     cents.map { case (cl, cv) => (cl, cv.toVector) }
       .toDF("cell", "centroid")
-      .write.mode(SaveMode.Overwrite).parquet(centroidsPath)
+      .write.mode(SaveMode.Overwrite).parquet(g + "/centroids")
   }
+
+  private def writeBaseline(g: String, p95: Double): Unit = {
+    val out = Fs.fs(spark, g).create(new Path(g, "baseline.txt"), true)
+    try out.write(p95.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The generation's build-time p95 assignment distance, if recorded
+    * (labeled [[build]]s record none — drift is defined against a
+    * TRAINED quantizer). */
+  private def baselineP95(r: String): Option[Double] = {
+    val f = Fs.fs(spark, r)
+    val p = new Path(r, "baseline.txt")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toDouble)
+      finally in.close()
+    }
+  }
+
+  /** Materialize the PQ half of the index: train sub-codebooks on the
+    * indexed corpus ([[Similarity.pqTrain]] — deterministic, one corpus
+    * pass per Lloyd round), encode every vector, and store the CODES
+    * partitioned by cell next to the float vectors. The serving read
+    * path of [[topKPq]] is then the probed cells' codes only —
+    * m bytes/vector where the float table is 4·dim — while the float
+    * table stays in place for exact re-ranking and rebuilds. This is
+    * the storage layout of a billion-scale IVF-PQ index: IVF prunes
+    * which FILES a probe reads, PQ shrinks the BYTES in them.
+    *
+    * Added to the CURRENT generation in place (it augments the committed
+    * index rather than replacing it); codes land fully before the
+    * codebooks table appears, and every ADC reader gates on the
+    * codebooks, so a concurrent reader sees the PQ half all-or-nothing. */
+  def buildPq(m: Int = 4, k: Int = 4, iters: Int = 2): Unit =
+    buildPqInto(root, m, k, iters)
+
+  private def buildPqInto(g: String, m: Int, k: Int, iters: Int): Unit = {
+    graft.functions.functions.register(spark)
+    val emb = spark.read.parquet(g + "/vectors")
+    val books = Similarity.pqTrain(emb, m, k, iters)
+    Similarity.pqEncode(emb, books, keep = Seq("cell"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cell")
+      .parquet(g + "/codes")
+    val session = spark
+    import session.implicits._
+    books.map { case (j, cl, cv) => (j, cl, cv.toVector) }
+      .toDF("subspace", "cluster", "centroid")
+      .write.mode(SaveMode.Overwrite).parquet(g + "/codebooks")
+  }
+
+  // ────────────────────── incremental maintenance ───────────────────────
 
   /** Incremental maintenance: route a batch of new vectors to their
     * nearest existing cells and append — arriving data lands in the
@@ -78,16 +215,17 @@ final class CellIndex(spark: SparkSession, path: String) {
     * drifts" decision measurable: a batch drawn from the trained
     * distribution reports distances in the trained regime, a drifted
     * batch reports a jump in mean/p95. Track these per append and
-    * re-train when they trend away from the build-time profile ([[
-    * retrainIfDrifted]] automates exactly that policy). Cost: one extra
-    * map-side aggregate over the batch (never the corpus). */
+    * re-train when they trend away from the build-time profile
+    * ([[retrainIfDrifted]] automates exactly that policy). Cost: one
+    * extra map-side aggregate over the batch (never the corpus). */
   def append(newVectors: DataFrame): CellIndex.DriftStats = {
     graft.functions.functions.register(newVectors.sparkSession)
+    val r = root
     // cell ids pass through lit(), so integer AND string-labeled indexes
     // are appendable — whatever type build()/buildLearned() partitioned by
-    val cents = centroids.collect()
-      .map(r => r.getAs[Any]("cell") ->
-        r.getAs[scala.collection.Seq[Double]]("centroid")).toSeq
+    val cents = spark.read.parquet(r + "/centroids").collect()
+      .map(row => row.getAs[Any]("cell") ->
+        row.getAs[scala.collection.Seq[Double]]("centroid")).toSeq
     // null/uncastable embeddings have no distance and so no cell —
     // unroutable and unprobeable, they are excluded rather than written
     // into a null partition; persist so the batch is evaluated ONCE for
@@ -103,12 +241,12 @@ final class CellIndex(spark: SparkSession, path: String) {
       routed
         .write.mode(SaveMode.Append)
         .partitionBy("cell")
-        .parquet(vectorsPath)
-      if (hasPq)
-        Similarity.pqEncode(routed, codebooks, keep = Seq("cell"))
+        .parquet(r + "/vectors")
+      if (Fs.exists(spark, r + "/codebooks"))
+        Similarity.pqEncode(routed, codebooksAt(r), keep = Seq("cell"))
           .write.mode(SaveMode.Append)
           .partitionBy("cell")
-          .parquet(codesPath)
+          .parquet(r + "/codes")
       val stats = assigned
         .select(col("__a.d").as("d"))
         .agg(count(lit(1)).as("n"), avg(col("d")).as("mean"),
@@ -120,45 +258,62 @@ final class CellIndex(spark: SparkSession, path: String) {
     } finally assigned.unpersist(false)
   }
 
-  private def codesPath = path + "/codes"
-  private def codebooksPath = path + "/codebooks"
-
-  /** Whether the PQ half is materialized (codebooks written by
-    * [[buildPq]]) — gates the append-time code sync. */
-  private def hasPq: Boolean =
-    graft.store.Fs.exists(spark, codebooksPath)
-
-  /** Materialize the PQ half of the index: train sub-codebooks on the
-    * indexed corpus ([[Similarity.pqTrain]] — deterministic, one corpus
-    * pass per Lloyd round), encode every vector, and store the CODES
-    * partitioned by cell next to the float vectors. The serving read
-    * path of [[topKPq]] is then the probed cells' codes only —
-    * m bytes/vector where the float table is 4·dim — while the float
-    * table stays in place for exact re-ranking and rebuilds. This is
-    * the storage layout of a billion-scale IVF-PQ index: IVF prunes
-    * which FILES a probe reads, PQ shrinks the BYTES in them. */
-  def buildPq(m: Int = 4, k: Int = 4, iters: Int = 2): Unit = {
-    graft.functions.functions.register(spark)
-    val emb = vectors
-    val books = Similarity.pqTrain(emb, m, k, iters)
-    Similarity.pqEncode(emb, books, keep = Seq("cell"))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("cell")
-      .parquet(codesPath)
-    val session = spark
-    import session.implicits._
-    books.map { case (j, cl, cv) => (j, cl, cv.toVector) }
-      .toDF("subspace", "cluster", "centroid")
-      .write.mode(SaveMode.Overwrite).parquet(codebooksPath)
+  /** Append `batch`, then RETRAIN the whole index if the batch's
+    * assignment-distance p95 exceeds the build-time baseline by more
+    * than `factor` — the drift policy the [[append]] readout exists
+    * for, closed into an actual decision. The batch is appended first
+    * either way (it must not be lost, and the rebuild corpus should
+    * include it); a drifted batch then triggers exactly one [[retrain]],
+    * whose fresh generation re-learns the quantizer (and PQ codebooks,
+    * if present) on the merged corpus — which also RESETS the baseline,
+    * so follow-on batches from the new distribution no longer trigger.
+    * Indexes without a recorded baseline (labeled [[build]]s) never
+    * retrain here: drift is measured against a TRAINED quantizer. */
+  def retrainIfDrifted(
+      batch: DataFrame, factor: Double = 4.0,
+      iters: Int = 2): CellIndex.AppendOutcome = {
+    val stats = append(batch)
+    val drifted = stats.n > 0 &&
+      baselineP95(root).exists(b => b > 0 && stats.p95MicroDist > b * factor)
+    if (drifted) retrain(iters)
+    CellIndex.AppendOutcome(stats, retrained = drifted)
   }
 
-  def codes: DataFrame = spark.read.parquet(codesPath)
+  /** Re-train on the CURRENT stored corpus — a learned coarse quantizer
+    * at the same cell count, plus PQ codebooks at the same (m, k) when
+    * the PQ half exists — into a fresh generation, atomically published
+    * via the version-pointer CAS. Readers resolve the pointer per
+    * operation: they see the old generation until the new one is
+    * complete, never a mix. (A labeled index retrains into a LEARNED
+    * one: retraining is by definition a quantizer fit.) */
+  def retrain(iters: Int = 2): Unit = {
+    val r = root
+    val emb = spark.read.parquet(r + "/vectors").drop("cell")
+    val kCoarse = spark.read.parquet(r + "/centroids").count().toInt
+    val pqShape =
+      if (Fs.exists(spark, r + "/codebooks")) {
+        val books = codebooksAt(r)
+        Some((books.map(_._1).max + 1, books.count(_._1 == 0)))
+      } else None
+    publishGen { g =>
+      buildLearnedInto(g, emb, kCoarse, iters)
+      pqShape.foreach { case (m, kPq) => buildPqInto(g, m, kPq, iters) }
+    }
+  }
+
+  // ─────────────────────────────── reads ────────────────────────────────
+
+  def vectors: DataFrame = spark.read.parquet(root + "/vectors")
+  def centroids: DataFrame = spark.read.parquet(root + "/centroids")
+  def codes: DataFrame = spark.read.parquet(root + "/codes")
 
   /** The stored PQ codebooks, driver-side (m×k×(dim/m) doubles). */
-  def codebooks: Seq[(Int, Int, Seq[Double])] =
-    spark.read.parquet(codebooksPath).collect()
-      .map(r => (r.getInt(0), r.getInt(1),
-        r.getSeq[Double](2).toVector: Seq[Double]))
+  def codebooks: Seq[(Int, Int, Seq[Double])] = codebooksAt(root)
+
+  private def codebooksAt(r: String): Seq[(Int, Int, Seq[Double])] =
+    spark.read.parquet(r + "/codebooks").collect()
+      .map(row => (row.getInt(0), row.getInt(1),
+        row.getSeq[Double](2).toVector: Seq[Double]))
       .toSeq.sortBy(t => (t._1, t._2))
 
   /** Shared probe routing for the ADC serving legs ([[topKPq]] and
@@ -167,15 +322,15 @@ final class CellIndex(spark: SparkSession, path: String) {
     * cells by centroid cosine, plus the driver-side distinct
     * probed-cell list that partition-prunes the codes scan.
     * Returns (probes(query_id, __lut, cell), probedCells, m). */
-  private def pqProbeRouting(queries: DataFrame, nprobe: Int)
+  private def pqProbeRouting(r: String, queries: DataFrame, nprobe: Int)
       : (DataFrame, Seq[Any], Int) = {
     graft.functions.functions.register(spark)
     if (queries.sparkSession ne spark)
       graft.functions.functions.register(queries.sparkSession)
-    val books = codebooks
+    val books = codebooksAt(r)
     val m = books.map(_._1).max + 1
     val sub = books.head._3.length
-    val cents = centroids
+    val cents = spark.read.parquet(r + "/centroids")
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("cent_sim_micro").desc, col("cell"))
     val probes = queries
@@ -199,8 +354,9 @@ final class CellIndex(spark: SparkSession, path: String) {
     * semantics as [[Similarity.ivfPqTopK]] (shared oracle): the index
     * changes what is READ, not the answer. */
   def topKPq(queries: DataFrame, k: Int = 5, nprobe: Int = 2): DataFrame = {
-    val (probes, probedCells, m) = pqProbeRouting(queries, nprobe)
-    val cands = codes
+    val r = root
+    val (probes, probedCells, m) = pqProbeRouting(r, queries, nprobe)
+    val cands = spark.read.parquet(r + "/codes")
       .filter(col("cell").isInCollection(probedCells))
       .withColumnRenamed("vec_id", "cand_id")
     Similarity.adcRankTopK(cands.join(broadcast(probes), Seq("cell")),
@@ -226,8 +382,9 @@ final class CellIndex(spark: SparkSession, path: String) {
       queries: DataFrame, k: Int = 5, nprobe: Int = 2,
       rerank: Int = 20): DataFrame = {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
-    val (probes, probedCells, m) = pqProbeRouting(queries, nprobe)
-    val cands = codes
+    val r = root
+    val (probes, probedCells, m) = pqProbeRouting(r, queries, nprobe)
+    val cands = spark.read.parquet(r + "/codes")
       .filter(col("cell").isInCollection(probedCells))
       .withColumnRenamed("vec_id", "cand_id")
     // stage 1 — ADC shortlist: top-r per query over the probed codes
@@ -239,7 +396,7 @@ final class CellIndex(spark: SparkSession, path: String) {
         Seq("query_id"))
     // stage 2 — exact re-rank: probed cells' floats (partition-pruned
     // scan), broadcast-joined with the tiny shortlist, exact cosine
-    val floats = vectors
+    val floats = spark.read.parquet(r + "/vectors")
       .filter(col("cell").isInCollection(probedCells))
       .select(col("vec_id").as("cand_id"),
         expr("CAST(embedding AS ARRAY<DOUBLE>)").as("cv"))
@@ -255,9 +412,6 @@ final class CellIndex(spark: SparkSession, path: String) {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  def vectors: DataFrame = spark.read.parquet(vectorsPath)
-  def centroids: DataFrame = spark.read.parquet(centroidsPath)
-
   /** IVF top-k over the materialized index. `queries` carries
     * (query_id, qv: Array[Double]); probe cells are assigned by centroid
     * cosine on the driver-collected (small) centroid table, and the
@@ -271,7 +425,8 @@ final class CellIndex(spark: SparkSession, path: String) {
     graft.functions.functions.register(spark)
     if (queries.sparkSession ne spark)
       graft.functions.functions.register(queries.sparkSession)
-    val cents = centroids
+    val r = root
+    val cents = spark.read.parquet(r + "/centroids")
     // micro-rounded probe similarity — same integer-exact ranking as
     // Similarity.ivfTopK, so index and full-scan variants share an oracle
     val wProbe = Window.partitionBy(col("query_id"))
@@ -287,7 +442,7 @@ final class CellIndex(spark: SparkSession, path: String) {
     // parquet source prune partitions at planning time
     val probedCells = probes.select("cell").distinct().collect()
       .map(_.get(0)).toSeq
-    val cands = vectors
+    val cands = spark.read.parquet(r + "/vectors")
       .filter(col("cell").isInCollection(probedCells))
       .select(col("vec_id").as("cand_id"), col("cell"),
         expr("CAST(embedding AS ARRAY<DOUBLE>)").as("cv"))
@@ -311,4 +466,8 @@ object CellIndex {
     * vector to its winning trained centroid. */
   final case class DriftStats(
       n: Long, meanMicroDist: Double, p95MicroDist: Double, maxMicroDist: Long)
+
+  /** [[CellIndex.retrainIfDrifted]] readout: the append's drift stats
+    * plus whether they crossed the baseline and triggered a rebuild. */
+  final case class AppendOutcome(stats: DriftStats, retrained: Boolean)
 }

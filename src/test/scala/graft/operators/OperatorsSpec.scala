@@ -561,6 +561,68 @@ class OperatorsSpec extends SparkSuite {
     assert(idx2.codes.filter($"vec_id" === 2000L).count() === 1)
   }
 
+  test("CellIndex.retrainIfDrifted: a drifted batch triggers exactly one " +
+    "atomic generation swap; readers are pointer-gated") {
+    import spark.implicits._
+    val rng = new scala.util.Random(53)
+    def mk(id: Long, c: Int, shift: Float): (Long, Seq[Float]) = {
+      val base = Array.fill(8)(0.02f * rng.nextFloat() + shift)
+      base(c) = 1.0f + 0.05f * rng.nextFloat() + shift
+      (id, base.toSeq)
+    }
+    val emb = (0 until 60).map(i => mk(i.toLong, i % 3, 0f))
+      .toDF("vec_id", "embedding")
+    val dir = tmpDir("cellidx-retrain")
+    val idx = new CellIndex(spark, dir)
+    idx.buildLearned(emb, k = 3, iters = 2)
+    idx.buildPq(m = 4, k = 4, iters = 2)
+    def gens: Seq[String] = Option(new java.io.File(dir, "gen").list())
+      .map(_.toSeq.filter(_.matches("v\\d{10}\\.txt")).sorted)
+      .getOrElse(Nil)
+    assert(gens.size === 1)
+    // a batch from the trained distribution: appended, NOT retrained
+    val near = idx.retrainIfDrifted(
+      (100 until 110).map(i => mk(i.toLong, i % 3, 0f))
+        .toDF("vec_id", "embedding"))
+    assert(near.stats.n === 10 && !near.retrained)
+    assert(gens.size === 1)
+    assert(idx.vectors.count() === 70 && idx.codes.count() === 70)
+    // an unreferenced generation directory is INVISIBLE until its pointer
+    // commits — this is what "readers never see a half-swapped index"
+    // means operationally
+    assert(new java.io.File(dir, "gen-halfbuilt/vectors").mkdirs())
+    assert(idx.vectors.count() === 70)
+    // a drifted batch (+3 on every component): exactly one rebuild — a new
+    // generation holding the MERGED corpus, quantizer and PQ codebooks
+    // re-trained, same cell count and PQ shape
+    val far = idx.retrainIfDrifted(
+      (200 until 210).map(i => mk(i.toLong, i % 3, 3f))
+        .toDF("vec_id", "embedding"))
+    assert(far.retrained, s"drifted batch did not trigger: ${far.stats}")
+    assert(gens.size === 2)
+    assert(idx.vectors.count() === 80 && idx.codes.count() === 80)
+    assert(idx.centroids.count() === 3)
+    // and the retrained index SERVES the drifted region: an exact-re-rank
+    // probe with vector 200's embedding under a FRESH query id (the ADC
+    // rank excludes self-matches) must surface vector 200 itself; full
+    // probe width, since probe routing is by centroid cosine while cells
+    // are assigned by L2 and the two may disagree at nprobe=1
+    val q = idx.vectors.filter($"vec_id" === 200L)
+      .select(lit(9999L).as("query_id"),
+        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("qv"))
+    assert(idx.topKPqRerank(q, k = 5, nprobe = 3, rerank = 80)
+      .filter($"cand_id" === 200L).count() === 1)
+    // the rebuild reset the baseline: a follow-on batch from the SAME new
+    // distribution appends without another retrain (no rebuild storm)
+    val again = idx.retrainIfDrifted(
+      (300 until 310).map(i => mk(i.toLong, i % 3, 3f))
+        .toDF("vec_id", "embedding"))
+    assert(!again.retrained,
+      s"baseline did not reset after retrain: ${again.stats}")
+    assert(gens.size === 2)
+    assert(idx.vectors.count() === 90 && idx.codes.count() === 90)
+  }
+
   test("cosineDupPairs: hot label routed through LSH sub-buckets, bounded") {
     import spark.implicits._
     val rng = new scala.util.Random(3)
