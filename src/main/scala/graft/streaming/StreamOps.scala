@@ -249,6 +249,52 @@ object StreamOps {
       .start()
   }
 
+  /** [[curateWithHistory]] with a NEAR-duplicate leg: after the exact
+    * [[graft.store.FingerprintIndex]] suppresses byte-identical repeats
+    * against all history, the batch's canonical survivors run
+    * [[graft.store.NearDupIndex.ingest]] — MinHash-LSH probe against the
+    * persisted band postings, banded-Levenshtein confirm, one atomic
+    * registration commit — and only rows whose verdict names THEMSELVES
+    * canonical (`canonical_id == doc_id`) continue to redaction and the
+    * sink. A lightly-edited copy of a document ingested weeks earlier —
+    * invisible to the exact index (different bytes) and to any
+    * watermark-bounded stream state — is suppressed here, against the
+    * full 100-TB history, reading only the band-key buckets the batch's
+    * own signatures land in.
+    *
+    * Replay-stable end to end: both indexes re-derive a replayed
+    * batch's verdicts from persisted state ([[graft.store
+    * .FingerprintIndex.ingestResolved]]'s discipline; NearDupIndex
+    * persists every doc's verdict row), so a crash between commit and
+    * sink re-emits identical rows on retry — at-least-once into an
+    * idempotent sink converges to exactly-once. */
+  def curateWithNearDupHistory(
+      docs: DataFrame,
+      exact: graft.store.FingerprintIndex,
+      nearDup: graft.store.NearDupIndex,
+      boilerplate: Seq[String],
+      checkpointDir: String,
+      minWords: Int = 15)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Curation
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cleaned = scrubHead(batch, boilerplate).persist()
+        try {
+          val exactCanonical = exact.ingestResolved(cleaned)
+          val survivors = nearDup.ingest(exactCanonical)
+            .filter(col("canonical_id") === col("doc_id"))
+            .drop("canonical_id")
+          val redacted = Curation.redact(survivors)
+          sink(redacted.filter(
+            size(split(trim(col("redacted")), "\\s+")) >= minWords))
+        } finally cleaned.unpersist(false)
+      }
+      .start()
+  }
+
   /** Gap-based sessionization with explicit state: a session closes (and
     * is emitted) when its group sees an event more than `gapMs` later.
     * Batch `Temporal.sessionize` computes the same sessions

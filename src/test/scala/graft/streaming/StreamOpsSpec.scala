@@ -161,6 +161,47 @@ class StreamOpsSpec extends SparkSuite {
     assert(idx.fingerprints.count() === 2)
   }
 
+  test("curateWithNearDupHistory suppresses lightly-edited copies of " +
+    "history the exact index cannot see") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String, String)]
+    val df = input.toDF().toDF("ts", "doc_id", "text", "lang")
+    val exact = new graft.store.FingerprintIndex(spark,
+      java.nio.file.Files.createTempDirectory("ndh-fp").toString, buckets = 8)
+    val near = new graft.store.NearDupIndex(spark,
+      java.nio.file.Files.createTempDirectory("ndh-nd").toString, buckets = 8)
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ckpt = java.nio.file.Files.createTempDirectory("ndh-ckpt")
+    val q = StreamOps.curateWithNearDupHistory(df, exact, near,
+      boilerplate = Seq.empty, checkpointDir = ckpt.toString,
+      minWords = 3) { out =>
+      emitted ++= out.select($"doc_id").collect().map(_.getLong(0))
+    }
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val base = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen sleepy penguins waddle across the frozen antarctic " +
+      "shelf carrying small wooden crates of pickled herring toward " +
+      "the waiting ship anchored beyond the ridge"
+    input.addData((t(0), 1L, base, "en"))
+    q.processAllAvailable()
+    // a much later micro-batch: a byte-exact repeat (exact leg), a
+    // lightly-EDITED copy (near-dup leg — different bytes, so the
+    // fingerprint index passes it), and a genuinely new doc
+    input.addData(
+      (t(30), 2L, base, "en"),
+      (t(31), 3L, base.replace("fox", "zesty"), "en"),
+      (t(32), 4L, "completely different subject matter entirely about " +
+        "orbital mechanics delta-v budgets and transfer windows", "en"))
+    q.processAllAvailable()
+    q.stop()
+    assert(emitted.sorted.toSeq === Seq(1L, 4L))
+    // the edited copy's verdict is persisted, naming the history canonical
+    val verdict = near.assignments
+      .filter($"doc_id" === 3L).select($"canonical_id").collect()
+    assert(verdict.map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
   test("stateful sessionization emits closed sessions incrementally") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
