@@ -310,22 +310,29 @@ object Dedup {
   }
 
   /** Materialize cluster assignments ONCE: run [[connectedComponents]]
-    * and persist the (doc_id, cluster_id) table to `path` as parquet,
-    * returning a reader over the persisted copy. Every downstream
-    * consumer (canonical selection, cluster stats, dedup filters) reads
-    * the table instead of re-deriving edges + closure — at 100 TB the
+    * and publish the (doc_id, cluster_id) table as a
+    * [[graft.store.ClusterStore]] snapshot at `path`, returning a
+    * reader over the committed copy. Every downstream consumer
+    * (canonical selection, cluster stats, dedup filters) reads the
+    * table instead of re-deriving edges + closure — at 100 TB the
     * clustering is the expensive step and its output is tiny
     * (two BIGINTs per doc), so this is the only sane production shape.
-    * The returned frame's lineage starts at the parquet scan: consumers
-    * cost one scan of |V| rows, not a CC re-run. */
+    * The returned frame's lineage starts at the committed snapshot's
+    * scan: consumers cost one scan of |V| rows, not a CC re-run, and a
+    * concurrent re-cluster is invisible until its own snapshot commits
+    * (manifest CAS — never a half-overwritten table). `sourceId` names
+    * the source data this clustering was derived from, so consumers
+    * can DETECT a stale table instead of silently trusting it. */
   def clusterTable(
       vertices: DataFrame,
       edges: DataFrame,
       path: String,
-      maxIterations: Int = 25): DataFrame = {
-    connectedComponents(vertices, edges, maxIterations)
-      .write.mode("overwrite").parquet(path)
-    vertices.sparkSession.read.parquet(path)
+      maxIterations: Int = 25,
+      sourceId: String = ""): DataFrame = {
+    val store = new graft.store.ClusterStore(vertices.sparkSession, path)
+    store.write(
+      connectedComponents(vertices, edges, maxIterations), sourceId)
+    store.read().select(col("doc_id"), col("cluster_id"))
   }
 
   /** Per-document MinHash LSH band rows: 3-word shingles hashed through

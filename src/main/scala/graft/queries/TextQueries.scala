@@ -47,25 +47,39 @@ object TextQueries {
   /** One materialized cluster-assignment table per scale-factor dir
     * (the `cellIndexCache` pattern): [[jaccardPairs]] edges closed into
     * connected components ONCE via [[graft.operators.Dedup.clusterTable]],
-    * persisted to a temp parquet dir; `q_dedup_clusters` and
+    * published as a [[graft.store.ClusterStore]] snapshot (manifest-
+    * committed — readers see a whole clustering or the previous one,
+    * never a mix) in a temp dir; `q_dedup_clusters` and
     * `q_canonical_select` both read the table, so the selection query
     * costs one scan + one aggregate instead of re-running the closure —
     * the production shape, where cluster assignments are a stored
-    * artifact consumed by many policies. */
+    * artifact consumed by many policies. The snapshot records the
+    * scale-factor dir as its sourceId; the cache assumes (like
+    * `pqIndexCache`) that the data under `dir` is immutable for the
+    * JVM's lifetime — a regenerated testdata dir needs a fresh JVM.
+    * Temp dirs are removed by a shutdown hook, not accumulated. */
   private val clusterTableCache =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    scala.collection.concurrent.TrieMap.empty[String, graft.store.ClusterStore]
 
   private def clusterTable(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val path = clusterTableCache.getOrElseUpdate(dir, {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft-clusters-").toString
-      graft.operators.Dedup.clusterTable(
+    val store = clusterTableCache.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft-clusters-")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }))
+      val st = new graft.store.ClusterStore(s, p.toString)
+      st.write(graft.operators.Dedup.connectedComponents(
         docs(s, dir).select($"doc_id"),
-        jaccardPairs(s, dir).select($"doc_a", $"doc_b"), p)
-      p
+        jaccardPairs(s, dir).select($"doc_a", $"doc_b")), sourceId = dir)
+      st
     })
-    s.read.parquet(path)
+    store.read().select($"doc_id", $"cluster_id")
   }
 
   private val SlugRe = "^[a-z0-9_-]+$"
