@@ -114,7 +114,10 @@ object Multimodal {
         val pcm =
           if (src.matches(want)) raw
           else AudioSystem.getAudioInputStream(want, raw)
-        val bytes = pcm.readAllBytes()
+        // closing the converting stream also closes the wrapped raw one;
+        // without this the converter leaks when assets are ever
+        // stream-backed (harmless today on ByteArrayInputStream)
+        val bytes = try pcm.readAllBytes() finally pcm.close()
         val channels = want.getChannels
         val nSamples = bytes.length / 2 // interleaved 16-bit samples
         val frames = nSamples / channels

@@ -223,7 +223,17 @@ object TextQueries {
     // exact integer arithmetic.
     "q_ngram_jaccard" -> ((s, dir) => {
       import s.implicits._
-      jaccardPairs(s, dir).orderBy($"doc_a", $"doc_b")
+      // battery-determinism sort WITHOUT the spill cliff: an explicit
+      // 4×-parallelism range partition + in-partition sort yields the
+      // same global order as orderBy (range partitions are ordered;
+      // downstream consumption concatenates them in order) while each
+      // sort task handles a quarter of the rows — the plain orderBy
+      // (shuffle.partitions-wide) started sort-spilling at the 64×
+      // profile scale on local[32]'s per-task memory (PROFILE.md)
+      jaccardPairs(s, dir)
+        .repartitionByRange(4 * s.sparkContext.defaultParallelism,
+          $"doc_a", $"doc_b")
+        .sortWithinPartitions($"doc_a", $"doc_b")
     }),
 
     // TF-IDF: top-3 scoring terms per document — term frequencies and
