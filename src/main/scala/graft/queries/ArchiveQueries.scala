@@ -23,16 +23,25 @@ object ArchiveQueries {
   private val Qe = 1705017600000L
 
   /** Shared base projection: ms interval columns derived from events.
-    * The events table carries ns-precision timestamps, which Spark 4 only
-    * reads as Long (ns since epoch) — exactly what integer-ms semantics
-    * want anyway (ms = ns div 1e6, matching DuckDB's epoch_ms truncation).
+    * The events table has shipped with two physical `ts` encodings across
+    * testdata generations: ns-precision (Spark 4 reads as Long ns since
+    * epoch under `nanosAsLong`) and us-precision (read as TIMESTAMP_NTZ).
+    * Derive start_ms from whichever arrives — both truncate to the same
+    * integer ms as DuckDB's epoch_ms(ts), so the oracle CTE is unchanged.
+    * (The NTZ→TIMESTAMP cast is exact because the session timezone is
+    * pinned to UTC in Verify/Bench/tests.)
     */
   def ev(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val startMs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
+      case _ => expr("unix_micros(cast(ts as timestamp)) div 1000")
+    }
+    raw
       .select($"event_id", $"user_id", $"event_type", $"value", $"props",
-        expr("ts div 1000000").as("start_ms"))
+        startMs.as("start_ms"))
       .withColumn("end_ms",
         when($"event_id" % 3 === 0, lit(null).cast("long"))
           .otherwise($"start_ms" + floor($"value" * 3600000).cast("long")))
