@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data selection via importance resampling (DSIR, Xie et al. 2023):
+  * score every document by how much more likely its hashed n-gram
+  * features are under a small TARGET distribution (the data you want
+  * more of — curated wiki, a target language) than under the raw SOURCE
+  * distribution, then sample/filter by that weight.
+  *
+  * Features are unigrams hashed into `buckets` cells with the same
+  * md5-prefix integer hash the [[Cms]]/[[Hll]] sketches use, so the
+  * feature space is fixed-size regardless of vocabulary, and the whole
+  * computation is oracle-checkable:
+  *
+  *   bucket(t)    = md5_60(t) mod B
+  *   lr_micro(b)  = round(ln( ((ct_b+1)·(tS+B)) / ((cs_b+1)·(tT+B)) )·1e6)
+  *                  — add-one-smoothed log-likelihood ratio of bucket b,
+  *                  target over source: exact BIGINT products, ONE
+  *                  double division into ln, ONE rounding to micro
+  *                  BIGINT (the `q_tfidf_top_terms` ln discipline)
+  *   weight_micro(doc) = Σ_b n_b(doc) · lr_micro(b)
+  *                  — integer products and sums from there on, so the
+  *                  aggregate is order-independent and bit-stable
+  *
+  * A positive weight means "looks more like the target than the source".
+  * Resampling keeps documents with probability ∝ exp(weight) — the
+  * deterministic md5-uniform draw of [[Curation.stratifiedSample]]
+  * composes directly (`md5_uniform(doc_id) < exp(weight - max)`), so no
+  * RNG state is needed; this object only computes the weights, which is
+  * the part with a distribution in it.
+  *
+  * 100 TB shape: the model is TWO aggregates over the exploded corpus
+  * (per-bucket target and source counts — partial-agg friendly, output
+  * exactly B rows) broadcast back into one per-doc aggregate; the corpus
+  * shuffles once on (doc, bucket) after map-side combine. No pairwise
+  * anything, no driver-side iteration; B is a constant (256) chosen to
+  * keep the broadcast trivial.
+  */
+object Selection {
+
+  /** Fixed hashed-feature space; DSIR's paper uses 10k for web corpora,
+    * 256 keeps the whole model auditable in a battery row budget while
+    * exercising the identical plan. */
+  val Buckets = 256
+
+  /** 60-bit integer hash both engines compute identically ([[Cms]]). */
+  private def h60(value: Column): Column =
+    conv(substring(md5(value), 1, 15), 16, 10).cast("long")
+
+  /** Whitespace tokenization shared with the vocab/token-count queries:
+    * the explicit class because \s differs between Java regex and RE2
+    * on U+000B. */
+  private def tokens(textCol: String): Column =
+    split(lower(trim(col(textCol))), "[ \\t\\n\\x0B\\f\\r]+")
+
+  /** Per-document DSIR importance weight against a target predicate.
+    *
+    * @param docs      corpus with `idCol` and `textCol`
+    * @param isTarget  boolean column marking the target slice (e.g.
+    *                  `col("lang") === "en"`); the source distribution
+    *                  is everything else
+    * @return one row per doc:
+    *         (idCol, n_tokens, weight_micro, is_target)
+    */
+  def dsirWeights(
+      docs: DataFrame,
+      isTarget: Column,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      buckets: Int = Buckets): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val grams = docs
+      .select(col(idCol), isTarget.as("__t"),
+        explode(tokens(textCol)).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+      .withColumn("__b", pmod(h60(col("__tok")), lit(buckets.toLong)))
+
+    // the model: per-bucket counts under each distribution + totals,
+    // all exact integers. Two hash aggregates, B rows out.
+    val counts = grams
+      .groupBy(col("__b"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"),
+        sum(when(col("__t"), 0L).otherwise(1L)).as("__cs"))
+    val totals = counts.agg(sum(col("__ct")).as("__tT"),
+      sum(col("__cs")).as("__tS"))
+    val model = counts.crossJoin(broadcast(totals))
+      .select(col("__b"),
+        // numerator and denominator stay exact BIGINT products; ONE
+        // double division feeds ln, ONE rounding emits the micro
+        // BIGINT. (Spelling (__ct + 1.0) would parse the literal as
+        // DECIMAL in Spark SQL and push the whole ratio through
+        // decimal arithmetic — measured 1.5e-7 relative error vs the
+        // oracle's double path.)
+        round(expr(
+          s"ln(CAST((__ct + 1) * (__tS + $buckets) AS DOUBLE) / " +
+            s"CAST((__cs + 1) * (__tT + $buckets) AS DOUBLE)) * 1000000"))
+          .cast("long").as("__lr"))
+
+    grams
+      .groupBy(col(idCol), col("__t"), col("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .join(broadcast(model), Seq("__b"))
+      .groupBy(col(idCol), col("__t"))
+      .agg(sum(col("__n")).as("n_tokens"),
+        sum(col("__n") * col("__lr")).as("weight_micro"))
+      .select(col(idCol), col("n_tokens"), col("weight_micro"),
+        col("__t").as("is_target"))
+  }
+}

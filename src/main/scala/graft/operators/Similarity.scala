@@ -494,6 +494,77 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by embedding-cluster blocking — cluster the corpus
+    * with the exact integer k-means quantizer ([[kmeansModel]], the
+    * `q_kmeans` training), then compare cosine similarity ONLY within a
+    * cluster and drop every vector that has a lower-id cluster-mate
+    * above the threshold (the paper keeps one representative per
+    * semantic group; min-id is its deterministic spelling — a vector
+    * survives iff no earlier vector is semantically equivalent, so
+    * re-running over a grown corpus never un-keeps a survivor).
+    *
+    * This is the embedding-space sibling of MinHash near-dup dedup:
+    * MinHash catches lexical overlap, SemDeDup catches paraphrases and
+    * templated rewrites that share no shingles.
+    *
+    * Scale shape: the paper's key move IS the clustering — k clusters
+    * cut candidate pairs ~k-fold vs all-pairs (they run k=11k on
+    * LAION); pair generation here is an equi-join on the cluster id,
+    * never a cross product. An oversized cluster (skewed corpora) is
+    * sub-bucketed by [[hyperplaneLshMd5]] exactly like
+    * [[cosineDupPairs]]' hot-label guard: bounded candidate volume for
+    * a little recall, and only past `maxBlock`, so results are exact —
+    * and oracle-checkable — unless the guard actually fires.
+    *
+    * Output: one row per input vector,
+    * (vec_id, cluster, is_kept), `is_kept` false iff a lower-id
+    * same-cluster vector has cos_sim_micro > `thresholdMicro`. */
+  def semanticDedup(
+      emb: DataFrame,
+      k: Int = 4,
+      iters: Int = 2,
+      thresholdMicro: Long = 300000L,
+      maxBlock: Long = 100000L,
+      subBits: Int = 4,
+      dim: Int = 64): DataFrame = {
+    ensureDot(emb)
+    val model = kmeansModel(emb, k, iters)
+    val assigned = emb
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("cluster", nearestCentroidExpr(model,
+        expr("CAST(embedding AS ARRAY<DOUBLE>)")))
+    val hot = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBlock)
+      .select("cluster").collect().map(_.getInt(0)).toSeq
+    val bucketed =
+      if (hot.isEmpty) assigned.withColumn("__blk", lit(0L))
+      else hyperplaneLshMd5(assigned, subBits, dim)
+        .withColumn("__blk",
+          when(col("cluster").isInCollection(hot), col("lsh_bucket"))
+            .otherwise(lit(0L)))
+        .drop("lsh_bucket")
+    val withBlk = bucketed
+      .withColumn("v", expr("CAST(embedding AS ARRAY<DOUBLE>)"))
+      .withColumn("norm", expr("sqrt(vector_dot(v, v))"))
+    val a = withBlk.select(col("cluster"), col("__blk"),
+      col("vec_id").as("vec_a"), col("v").as("qv"), col("norm").as("qnorm"))
+    val b = withBlk.select(col("cluster"), col("__blk"),
+      col("vec_id").as("vec_b"), col("v").as("cv"), col("norm").as("cnorm"))
+    val dropped = a.join(b, Seq("cluster", "__blk"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(expr(
+        "CAST(round(vector_dot(qv, cv) / (qnorm * cnorm) * 1000000) " +
+          s"AS BIGINT) > $thresholdMicro"))
+      .select(col("vec_b").as("vec_id")).distinct()
+      .withColumn("__dup", lit(true))
+    assigned
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(!col("__dup"), lit(true)).as("is_kept"))
+  }
+
   /** Cosine near-duplicate pairs blocked on the cell/label column, with a
     * hot-block guard: pair generation inside one label is O(n²/label), so
     * any label whose population exceeds `maxBlock` is sub-bucketed by

@@ -307,6 +307,53 @@ object TextQueries {
         .orderBy($"source")
     }),
 
+    // Count-Min sketch counters per lang (heavy-hitter / frequency
+    // estimation over an unbounded term domain): like q_hll_registers,
+    // the sketch STATE is exact integers from md5, so it replays
+    // bit-identically in DuckDB. At scale the one shuffle carries
+    // <= 4x64 counter cells per group instead of every distinct word,
+    // and sketches from disjoint loads merge by element-wise sum
+    "q_cms_registers" -> ((s, dir) => {
+      import s.implicits._
+      val words = docs(s, dir).select($"lang",
+        explode(split(lower(trim($"text")), "[ \\t\\n\\x0B\\f\\r]+"))
+          .as("word"))
+      graft.operators.Cms.registers(words, Seq("lang"), "word")
+        .select($"lang", $"row".as("cms_row"), $"col".as("cms_col"),
+          $"counter")
+        .orderBy($"lang", $"cms_row", $"cms_col")
+    }),
+
+    // the point estimator over those counters, next to the exact counts
+    // it approximates (the q_hll_estimate pairing): estimate = integer
+    // MIN over the 4 addressed cells, so CMS's one-sided guarantee
+    // (estimate >= exact, overshoot bounded by collisions) is directly
+    // visible in the battery output
+    "q_cms_estimate" -> ((s, dir) => {
+      import s.implicits._
+      val words = docs(s, dir).select(
+        explode(split(lower(trim($"text")), "[ \\t\\n\\x0B\\f\\r]+"))
+          .as("word"))
+      val exact = words.groupBy($"word").agg(count(lit(1)).as("exact_count"))
+      val cand = exact.orderBy($"exact_count".desc, $"word").limit(8)
+      val regs = graft.operators.Cms.registers(words, Seq.empty, "word")
+      graft.operators.Cms.estimate(regs, cand.select($"word"), "word")
+        .join(cand, Seq("word"))
+        .select($"word", $"exact_count", $"cms_estimate")
+        .orderBy($"word")
+    }),
+
+    // DSIR importance weights (data selection): per-doc log-likelihood
+    // ratio of hashed unigram features, target (lang = en) over source
+    // (everything else) — two B-row model aggregates broadcast into one
+    // per-doc aggregate, integers end-to-end after one ln rounding
+    // (the q_tfidf_top_terms discipline)
+    "q_dsir_weights" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Selection.dsirWeights(docs(s, dir), $"lang" === "en")
+        .orderBy($"doc_id")
+    }),
+
     // transitive near-dup clustering: Jaccard candidate pairs (same
     // blocked inverted-index computation as q_ngram_jaccard) closed into
     // connected components — cluster_id = min reachable doc_id; the
@@ -498,7 +545,83 @@ object TextQueries {
       |  UNION SELECT doc_a, doc_b FROM edges
       |  UNION SELECT r.doc, e.doc_b FROM reach r JOIN edges e ON r.other = e.doc_a)""".stripMargin
 
+  /** Shared words CTE for the CMS oracles: explicit whitespace class
+    * (not \s — Java and RE2 disagree on U+000B) + the rws helper
+    * enumerating the sketch's 4 hash rows. */
+  private val CmsWordsCte =
+    """WITH words AS (
+      |  SELECT lang,
+      |    unnest(string_split_regex(lower(trim(text)),
+      |      '[ \t\n\x0B\f\r]+')) AS word
+      |  FROM documents),
+      |rws AS (SELECT unnest([0, 1, 2, 3]) AS rw)
+      |""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q_cms_registers" -> (CmsWordsCte +
+      """SELECT lang, rw AS cms_row,
+        |  CAST(('0x' || substring(md5(CAST(rw AS VARCHAR) || ':' || word),
+        |    1, 15))::BIGINT % 64 AS INT) AS cms_col,
+        |  CAST(count(*) AS BIGINT) AS counter
+        |FROM words CROSS JOIN rws
+        |GROUP BY 1, 2, 3
+        |ORDER BY lang, cms_row, cms_col""".stripMargin),
+
+    "q_cms_estimate" -> (CmsWordsCte +
+      """, cand AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS exact_count
+        |  FROM words GROUP BY word
+        |  ORDER BY exact_count DESC, word LIMIT 8),
+        |regs AS (
+        |  SELECT rw,
+        |    CAST(('0x' || substring(md5(CAST(rw AS VARCHAR) || ':' || word),
+        |      1, 15))::BIGINT % 64 AS INT) AS cl,
+        |    CAST(count(*) AS BIGINT) AS counter
+        |  FROM words CROSS JOIN rws
+        |  GROUP BY 1, 2),
+        |est AS (
+        |  SELECT c.word,
+        |    CAST(min(coalesce(g.counter, 0)) AS BIGINT) AS cms_estimate
+        |  FROM cand c CROSS JOIN rws r
+        |  LEFT JOIN regs g ON g.rw = r.rw AND g.cl =
+        |    CAST(('0x' || substring(md5(CAST(r.rw AS VARCHAR) || ':' ||
+        |      c.word), 1, 15))::BIGINT % 64 AS INT)
+        |  GROUP BY c.word)
+        |SELECT c.word, c.exact_count, e.cms_estimate
+        |FROM cand c JOIN est e USING (word)
+        |ORDER BY word""".stripMargin),
+
+    "q_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, (lang = 'en') AS is_target,
+        |    unnest(string_split_regex(lower(trim(text)),
+        |      '[ \t\n\x0B\f\r]+')) AS tok
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, is_target,
+        |    ('0x' || substring(md5(tok), 1, 15))::BIGINT % 256 AS bkt
+        |  FROM toks WHERE length(tok) > 0),
+        |counts AS (
+        |  SELECT bkt,
+        |    sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+        |    sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS cs
+        |  FROM b GROUP BY bkt),
+        |totals AS (SELECT sum(ct) AS tt, sum(cs) AS ts FROM counts),
+        |model AS (
+        |  SELECT bkt,
+        |    CAST(round(ln(CAST((ct + 1) * (ts + 256) AS DOUBLE) /
+        |      CAST((cs + 1) * (tt + 256) AS DOUBLE)) * 1000000)
+        |      AS BIGINT) AS lr
+        |  FROM counts CROSS JOIN totals),
+        |perdoc AS (
+        |  SELECT doc_id, is_target, bkt, count(*) AS n
+        |  FROM b GROUP BY doc_id, is_target, bkt)
+        |SELECT p.doc_id, CAST(sum(p.n) AS BIGINT) AS n_tokens,
+        |  CAST(sum(p.n * m.lr) AS BIGINT) AS weight_micro, p.is_target
+        |FROM perdoc p JOIN model m USING (bkt)
+        |GROUP BY p.doc_id, p.is_target
+        |ORDER BY p.doc_id""".stripMargin,
+
     "q_bpe_merges" -> bpeOracle(4),
 
     "q_bpe_tokens" -> bpeEncodeOracle(4),

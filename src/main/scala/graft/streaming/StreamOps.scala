@@ -325,6 +325,27 @@ object StreamOps {
       valueCol: String): DataFrame =
     graft.operators.Hll.registers(rows, groupCols, valueCol)
 
+  /** Streaming frequency sketch: [[graft.operators.Cms]] counters
+    * maintained as a streaming sum-aggregation — the [[hllStream]]
+    * trade for COUNTS instead of cardinality. State per group is
+    * HARD-BOUNDED at d·w counter cells (the sketch, not a watermark,
+    * bounds it), where an exact streaming `groupBy(term).count()` grows
+    * state with every distinct term forever. Because CMS merges by sum
+    * and sum is what the streaming aggregation maintains, the cells
+    * converge to EXACTLY the batch sketch of everything the stream has
+    * seen; a `memory`/update sink holds the live grid and
+    * [[graft.operators.Cms.estimate]] reads point estimates off it at
+    * any moment (live heavy-hitter watchlists over an unbounded term
+    * domain).
+    *
+    * Run with `outputMode("update")`.
+    */
+  def cmsStream(
+      rows: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String): DataFrame =
+    graft.operators.Cms.registers(rows, groupCols, valueCol)
+
   def sessionizeStream(
       events: Dataset[SessionEvent],
       gapMs: Long): Dataset[SessionOut] = {

@@ -298,4 +298,39 @@ class StreamOpsSpec extends SparkSuite {
     assert(math.abs(est("web") - 900.0) / 900.0 < 0.4, est.toString)
     assert(math.abs(est("books") - 200.0) / 200.0 < 0.4, est.toString)
   }
+
+  test("cmsStream: d*w-cells state converges to exactly the batch " +
+    "sketch of everything seen; live point estimates read off it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val df = input.toDF().toDF("g", "term")
+    val q = StreamOps.cmsStream(df, Seq("g"), "term")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("cms_out").start()
+    val batch1 = Seq.fill(300)(("web", "hot")) ++
+      (0 until 100).map(i => ("web", s"t$i"))
+    val batch2 = Seq.fill(200)(("web", "hot")) ++
+      (50 until 150).map(i => ("web", s"t$i"))
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    // counters only grow, so the latest emission per cell is its max
+    val streamed = spark.table("cms_out")
+      .groupBy($"g", $"row", $"col").agg(max($"counter").as("counter"))
+    val expected = graft.operators.Cms
+      .registers((batch1 ++ batch2).toDF("g", "term"), Seq("g"), "term")
+    assert(
+      streamed.orderBy($"row", $"col").collect().toSeq ===
+        expected.orderBy($"row", $"col").collect().toSeq)
+    assert(streamed.count() <=
+      graft.operators.Cms.Depth * graft.operators.Cms.Width)
+    // live heavy-hitter estimate: "hot" appeared 500 times total
+    val est = graft.operators.Cms.estimate(
+      streamed.drop("g"), Seq("hot").toDF("term"), "term")
+      .collect().head.getLong(1)
+    q.stop()
+    assert(est >= 500L && est <= 700L, s"hot estimate $est")
+  }
 }
