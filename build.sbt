@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the target box is local[32] with 128 GiB (see the brief); 8g starved
+  // 32 concurrent tasks to ~150 MB of execution memory each and made the
+  // 64x profile's sort-merge joins spill GBs that the documented
+  // environment never would (PROFILE.md round 8). 64g leaves headroom
+  // for the OS cache; the JVM commits lazily so small runs stay small.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
 )

@@ -38,21 +38,26 @@ object Profile {
   private final class StageMetrics extends SparkListener {
     val read = new java.util.concurrent.atomic.AtomicLong
     val write = new java.util.concurrent.atomic.AtomicLong
+    // spill = the "did a sort/agg overflow its task memory" signal the
+    // shuffle counters can't show (VERDICT r6 #6: the battery sort's
+    // 64x spill claim needs a counter, not an inference)
+    val spill = new java.util.concurrent.atomic.AtomicLong
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
       val m = sc.stageInfo.taskMetrics
       if (m != null) {
         read.addAndGet(m.shuffleReadMetrics.localBytesRead +
           m.shuffleReadMetrics.remoteBytesRead)
         write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(m.diskBytesSpilled)
       }
     }
-    def settle(): (Long, Long) = {
-      var last = (read.get, write.get)
+    def settle(): (Long, Long, Long) = {
+      var last = (read.get, write.get, spill.get)
       var stable = 0
       var waited = 0
       while (stable < 2 && waited < 5000) {
         Thread.sleep(100); waited += 100
-        val now = (read.get, write.get)
+        val now = (read.get, write.get, spill.get)
         if (now == last) stable += 1 else { stable = 0; last = now }
       }
       last
@@ -71,16 +76,28 @@ object Profile {
     // profiled: its cost is O(candidate pairs × L²) by definition —
     // the scale control is the candidate count, which the jaccard
     // profile above already tracks.)
-    "q_charlm_score")
+    "q_charlm_score",
+    // round-8 additions (VERDICT r6 #4): the two most expensive battery
+    // queries and the IVF-PQ rerank leg get regression baselines —
+    // winnowing is explode + window + banded self-join, BPE encode is a
+    // broadcast-merges scan, and the rerank leg must stay bounded by
+    // |queries|·r float rows regardless of corpus size
+    "q_winnow_pairs", "q_bpe_tokens", "q_ann_pq_rerank_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mult = sys.env.getOrElse("SPARK_GRAFT_PROFILE_MULT", "64").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val names = if (args.nonEmpty) args.toSeq else ProfileQueries
+    // at 100 TB you size shuffle partitions to the data (~128 MB/task),
+    // not the core count; the override lets a profile run test that
+    // sizing (e.g. spill attribution: fixed 32 partitions over a 64×
+    // corpus pushes ~160 MB+ into each hash-agg task)
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -93,37 +110,45 @@ object Profile {
     val metrics = new StageMetrics
     spark.sparkContext.addSparkListener(metrics)
 
-    def run(name: String, dir: String): (Double, Long, Long) = {
-      val (r0, w0) = metrics.settle()
+    def run(name: String, dir: String): (Double, Long, Long, Long) = {
+      val (r0, w0, s0) = metrics.settle()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
         .write.mode("overwrite").format("noop").save()
       val sec = (System.nanoTime() - t0) / 1e9
-      val (r1, w1) = metrics.settle()
+      val (r1, w1, s1) = metrics.settle()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       spark.catalog.clearCache()
-      (sec, r1 - r0, w1 - w0)
+      (sec, r1 - r0, w1 - w0, s1 - s0)
     }
 
     val rows = for (name <- names) yield {
-      // throwaway warm pass on the base corpus: plan compilation +
-      // codegen land here, so BOTH measured runs see steady state and
-      // the ratio is a pure data-scaling curve
+      // throwaway warm pass on EACH corpus: plan compilation + codegen
+      // land in the base warm pass, and any one-time per-dir index
+      // build (pqIndexCache, clusterTableCache, NearDupIndex) lands in
+      // the scaled warm pass — so BOTH measured runs see steady state
+      // and the ratio is a pure data-scaling curve. One-time build cost
+      // is attributed separately (the bench `load` map), not smeared
+      // into the scaling baseline.
       run(name, sfDir)
-      val (bSec, bR, bW) = run(name, sfDir)
+      val (bSec, bR, bW, bS) = run(name, sfDir)
       println(f"PROFILE base mult=1 q=$name sec=$bSec%.2f " +
-        f"shuffle_read_mb=${bR / 1e6}%.1f shuffle_write_mb=${bW / 1e6}%.1f")
-      val (sSec, sR, sW) = run(name, synDir)
+        f"shuffle_read_mb=${bR / 1e6}%.1f shuffle_write_mb=${bW / 1e6}%.1f " +
+        f"spill_mb=${bS / 1e6}%.1f")
+      run(name, synDir)
+      val (sSec, sR, sW, sS) = run(name, synDir)
       println(f"PROFILE scaled mult=$mult q=$name sec=$sSec%.2f " +
         f"shuffle_read_mb=${sR / 1e6}%.1f shuffle_write_mb=${sW / 1e6}%.1f " +
+        f"spill_mb=${sS / 1e6}%.1f " +
         f"time_x=${sSec / bSec}%.1f shuffle_x=${
           if (bW > 0) sW.toDouble / bW else Double.NaN}%.1f")
-      (name, bSec, bR, bW, sSec, sR, sW)
+      (name, bSec, bR, bW, bS, sSec, sR, sW, sS)
     }
 
-    val qjson = rows.map { case (n, bs, br, bw, ss, sr, sw) =>
+    val qjson = rows.map { case (n, bs, br, bw, bsp, ss, sr, sw, ssp) =>
       s""""$n":{"base_sec":${f"$bs%.3f"},"base_shuffle_rw":[$br,$bw],""" +
-        s""""scaled_sec":${f"$ss%.3f"},"scaled_shuffle_rw":[$sr,$sw]}"""
+        s""""base_spill":$bsp,"scaled_sec":${f"$ss%.3f"},""" +
+        s""""scaled_shuffle_rw":[$sr,$sw],"scaled_spill":$ssp}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"profile","mult":$mult,"sf":"$sfDir","queries":$qjson}""")
     spark.stop()
