@@ -458,9 +458,145 @@ final class CellIndex(spark: SparkSession, path: String) {
         col("cos_sim_micro"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Incremental SemDeDup probe: which of `batch`'s vectors (vec_id,
+    * embedding) are semantic near-dups of anything ALREADY IN the
+    * index? The embedding-space twin of
+    * [[graft.store.NearDupIndex]]'s band-posting probe: each batch
+    * vector routes to its `nprobe` nearest cells (broadcast centroid
+    * table, map-side) and compares cosine ONLY against those cells'
+    * stored vectors — the history scan is partition-pruned to the
+    * batch's own probed cells, so cost per batch is
+    * O(batch × probed-cell population), independent of history size.
+    * [[Similarity.semanticDedup]] answers the same question batch-
+    * locally; this answers it against 100 TB of history.
+    *
+    * A history row with the SAME vec_id as a batch row is an exact
+    * replay (at-least-once delivery), reported with `is_replay` true
+    * rather than as a near-dup, so [[semanticIngest]] can be
+    * idempotent without a corpus-wide id anti-join — a replayed
+    * vector re-routes to its stored copy's cell by construction
+    * (identical embedding, same centroids), so the pruned scan is
+    * guaranteed to see it.
+    *
+    * @return one row per flagged batch vector:
+    *         (vec_id, dup_of, cos_sim_micro, is_replay) — `dup_of` the
+    *         best history match (highest similarity, then lowest id);
+    *         vectors with no match above the threshold emit nothing
+    */
+  def semanticNearDups(
+      batch: DataFrame,
+      thresholdMicro: Long = 300000L,
+      nprobe: Int = 1): DataFrame = {
+    graft.functions.functions.register(spark)
+    if (batch.sparkSession ne spark)
+      graft.functions.functions.register(batch.sparkSession)
+    val r = root
+    val cents = spark.read.parquet(r + "/centroids")
+    val queries = batch.select(col("vec_id").as("query_id"),
+      expr("CAST(embedding AS ARRAY<DOUBLE>)").as("qv"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cent_sim_micro").desc, col("cell"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("cent_sim_micro", expr(
+        s"CAST(round(${Similarity.cosineExpr("qv", "centroid")} * 1000000) AS BIGINT)"))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter(col("probe_rank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val probedCells = probes.select("cell").distinct().collect()
+      .map(_.get(0)).toSeq
+    val history = spark.read.parquet(r + "/vectors")
+      .filter(col("cell").isInCollection(probedCells))
+      .select(col("vec_id").as("cand_id"), col("cell"),
+        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("cv"))
+    val scored = history.join(broadcast(probes), Seq("cell"))
+      .withColumn("cos_sim_micro", expr(
+        s"CAST(round(${Similarity.cosineExpr("qv", "cv")} * 1000000) AS BIGINT)"))
+      .filter(col("cand_id") === col("query_id") ||
+        col("cos_sim_micro") > thresholdMicro)
+    // replay beats near-dup; then best match = (max sim, min cand_id)
+    val wBest = Window.partitionBy(col("query_id")).orderBy(
+      (col("cand_id") === col("query_id")).desc,
+      col("cos_sim_micro").desc, col("cand_id"))
+    scored
+      .withColumn("__rk", row_number().over(wBest))
+      .filter(col("__rk") === 1)
+      .select(col("query_id").as("vec_id"), col("cand_id").as("dup_of"),
+        col("cos_sim_micro"),
+        (col("cand_id") === col("query_id")).as("is_replay"))
+  }
+
+  /** The full incremental-SemDeDup cycle: flag `batch` against history
+    * ([[semanticNearDups]]), drop flagged rows AND within-batch
+    * near-dups (the [[Similarity.semanticDedup]] min-id rule, blocked
+    * on this index's own cells so the pair join stays cell-local),
+    * then [[append]] only the survivors — so the index never stores
+    * two semantic copies and a replayed batch commits nothing.
+    * Both halves are partition-pruned: per-batch cost never depends on
+    * history size.
+    *
+    * @return the appended survivors' (vec_id, reason-free) count plus
+    *         per-category drop counts
+    */
+  def semanticIngest(
+      batch: DataFrame,
+      thresholdMicro: Long = 300000L,
+      nprobe: Int = 1): CellIndex.SemanticIngestStats = {
+    val r = root
+    val cents = spark.read.parquet(r + "/centroids").collect()
+      .map(row => row.getAs[Any]("cell") ->
+        row.getAs[scala.collection.Seq[Double]]("centroid")).toSeq
+    val flagged = semanticNearDups(batch, thresholdMicro, nprobe)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nReplay = flagged.filter(col("is_replay")).count()
+      val nHistDup = flagged.filter(!col("is_replay")).count()
+      // anti-join, not left-join + isNull-on-a-literal-marker: a lit()
+      // marker column is non-nullable, so Catalyst folds the IsNull
+      // filter to false and silently drops every row.
+      // localCheckpoint (eager): survivors' lineage READS this index's
+      // vectors path (through the probe), and [[append]] is about to
+      // WRITE that path — the write invalidates any cache over it by
+      // path, so append's post-write stats pass would re-evaluate the
+      // probe against history-that-now-contains-the-batch and count 0.
+      // Checkpointing pins the batch-sized survivor set to blocks and
+      // cuts the parquet dependency.
+      val survivors = batch.join(flagged.select("vec_id"),
+        Seq("vec_id"), "left_anti")
+        .localCheckpoint(true)
+      // within-batch min-id pass, blocked on this index's cells (the
+      // routing every survivor is about to take anyway)
+      val routed = survivors.withColumn("cell",
+        Similarity.nearestCentroidExpr(cents,
+          expr("CAST(embedding AS ARRAY<DOUBLE>)")))
+      val v = routed
+        .withColumn("v", expr("CAST(embedding AS ARRAY<DOUBLE>)"))
+        .withColumn("norm", expr("sqrt(vector_dot(v, v))"))
+      val a = v.select(col("cell"), col("vec_id").as("vec_a"),
+        col("v").as("qv"), col("norm").as("qnorm"))
+      val b = v.select(col("cell"), col("vec_id").as("vec_b"),
+        col("v").as("cv"), col("norm").as("cnorm"))
+      val batchDups = a.join(b, Seq("cell"))
+        .filter(col("vec_a") < col("vec_b"))
+        .filter(expr(
+          "CAST(round(vector_dot(qv, cv) / (qnorm * cnorm) * 1000000) " +
+            s"AS BIGINT) > $thresholdMicro"))
+        .select(col("vec_b").as("vec_id")).distinct()
+      val nBatchDup = batchDups.count()
+      val kept = survivors.join(batchDups, Seq("vec_id"), "left_anti")
+      val stats = append(kept)
+      CellIndex.SemanticIngestStats(
+        appended = stats.n, replays = nReplay,
+        historyDups = nHistDup, batchDups = nBatchDup)
+    } finally flagged.unpersist(false)
+  }
 }
 
 object CellIndex {
+  /** [[CellIndex.semanticIngest]] readout. */
+  final case class SemanticIngestStats(
+      appended: Long, replays: Long, historyDups: Long, batchDups: Long)
+
   /** Per-append assignment-distance profile: squared-Euclidean
     * micro-distances (×1e6, the trainer's own unit) from each appended
     * vector to its winning trained centroid. */
