@@ -59,4 +59,78 @@ object TextNorm {
       new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
     }
   }
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS scheme) of
+    * an ALREADY-normalized string — sorted distinct `array<bigint>`,
+    * value-identical to the interpreted-HOF spelling it replaces
+    * (`array_sort(array_distinct(flatten(transform(... array_min(
+    * slice(grams, j, w))))))` with
+    * `gram(i) = conv(substring(md5(substring(t, i, k)), 1, 15), 16, 10)`),
+    * so oracle hashes are unchanged. Normalization deliberately stays
+    * OUTSIDE (callers keep the builtin `regexp_replace(lower(trim(…)))`
+    * chain) so this function never has to replicate Spark's
+    * collation-aware lower/trim semantics.
+    *
+    *   gram(i)  = first 60 bits of md5 of the k-codepoint substring at i
+    *              (= the 8-byte big-endian digest prefix >>> 4 — exactly
+    *              the 15-hex-char parse)
+    *   output   = { min(grams[j..j+w)) : every w-window }, dedup, sort
+    *
+    * The window mins run over a monotonic index deque — O(grams) total
+    * instead of O(grams × w) slice-mins, and with none of the
+    * interpreted-lambda re-entry that made the HOF spelling the most
+    * expensive battery query. Strings shorter than k + w − 1 codepoints
+    * yield an empty array (the HOF guard). */
+  def winnowFingerprints(s: UTF8String, k: Int, w: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
+    if (n < k + w - 1)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val numGrams = n - k + 1
+    val grams = new Array[Long](numGrams)
+    val md = md5Local.get()
+    var i = 0
+    while (i < numGrams) {
+      md.reset()
+      val digest = md.digest(new String(cps, i, k)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      grams(i) = java.nio.ByteBuffer.wrap(digest, 0, 8).getLong >>> 4
+      i += 1
+    }
+    val numWin = numGrams - w + 1
+    val mins = new Array[Long](numWin)
+    val deque = new Array[Int](numGrams)
+    var head = 0
+    var tail = 0
+    var j = 0
+    while (j < numGrams) {
+      while (tail > head && grams(deque(tail - 1)) >= grams(j)) tail -= 1
+      deque(tail) = j
+      tail += 1
+      if (deque(head) <= j - w) head += 1
+      if (j >= w - 1) mins(j - w + 1) = grams(deque(head))
+      j += 1
+    }
+    java.util.Arrays.sort(mins)
+    var distinct = 0
+    var m = 0
+    while (m < numWin) {
+      if (m == 0 || mins(m) != mins(m - 1)) {
+        mins(distinct) = mins(m)
+        distinct += 1
+      }
+      m += 1
+    }
+    val out = new Array[Any](distinct)
+    var o = 0
+    while (o < distinct) { out(o) = mins(o); o += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }

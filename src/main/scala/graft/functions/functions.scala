@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Types.AbstractDataType
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** blake2b-16 hex digest as a native Catalyst expression.
@@ -201,6 +201,105 @@ case class CharBigramsExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Winnowing fingerprints of an already-normalized string column as
+  * sorted distinct `array<bigint>` — the fingerprint half of
+  * [[graft.operators.Dedup.winnow]], value-identical to the
+  * interpreted-HOF spelling it replaces (see
+  * [[graft.core.TextNorm.winnowFingerprints]] for the exact contract).
+  * The HOF chain re-entered the lambda machinery per gram AND per
+  * window and was the most expensive battery query; this is one decode
+  * + two linear passes inside whole-stage codegen. */
+case class WinnowFingerprintsExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "winnow_fps"
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.core.TextNorm.winnowFingerprints(
+      input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.core.TextNorm.winnowFingerprints($c, $k, $w)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WinnowFingerprintsExpr =
+    copy(child = newChild)
+}
+
+/** BPE tokenization of a word-array column with a literal merge model —
+  * the encode side of [[graft.operators.Bpe]] as one native pass
+  * (codepoint split + in-order merge folds + flatten), value-identical
+  * to the nested-`aggregate()` SQL spelling it replaces (BpeSpec
+  * asserts parity against that reference spelling; the DuckDB oracle is
+  * unchanged). The SQL chain nested one interpreted fold PER MERGE and
+  * was the top battery cost at 64×. */
+case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "bpe_encode"
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+
+  @transient private lazy val model = graft.core.BpeCodec.model(merges)
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.core.BpeCodec.encodeWords(input.asInstanceOf[ArrayData], model,
+      graft.operators.Bpe.EndMark)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeModel", model,
+      classOf[graft.core.BpeCodec.Model].getName)
+    val em = ctx.addReferenceObj("bpeEndMark", graft.operators.Bpe.EndMark,
+      "java.lang.String")
+    defineCodeGen(ctx, ev,
+      c => s"graft.core.BpeCodec.encodeWords($c, $ref, $em)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BpeEncodeExpr =
+    copy(child = newChild)
+}
+
+/** Merge-fold an existing symbol-array column with a literal merge
+  * list — the per-round step of BPE TRAINING ([[graft.operators.Bpe]]),
+  * same fold semantics as [[BpeEncodeExpr]] without the word split. */
+case class BpeApplyExpr(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "bpe_apply"
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+
+  @transient private lazy val model = graft.core.BpeCodec.model(merges)
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.core.BpeCodec.applySymbols(input.asInstanceOf[ArrayData], model)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeModel", model,
+      classOf[graft.core.BpeCodec.Model].getName)
+    defineCodeGen(ctx, ev,
+      c => s"graft.core.BpeCodec.applySymbols($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BpeApplyExpr =
+    copy(child = newChild)
+}
+
 object functions {
 
   import org.apache.spark.sql.graftbridge.Bridge
@@ -246,6 +345,19 @@ object functions {
   /** Adjacent codepoint-pair bigrams of a string column. */
   def charBigrams(c: Column): Column =
     Bridge.column(CharBigramsExpr(Bridge.expression(c)))
+
+  /** Winnowing fingerprints (sorted distinct `array<bigint>`) of an
+    * already-normalized string column. */
+  def winnowFps(c: Column, k: Int, w: Int): Column =
+    Bridge.column(WinnowFingerprintsExpr(Bridge.expression(c), k, w))
+
+  /** BPE-tokenize a word-array column with a literal merge model. */
+  def bpeEncode(words: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(BpeEncodeExpr(Bridge.expression(words), merges))
+
+  /** Merge-fold a symbol-array column with a literal merge list. */
+  def bpeApply(symbols: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(BpeApplyExpr(Bridge.expression(symbols), merges))
 
   /** Arity-checked builder for SQL registration. */
   def charBigramsBuilder(exprs: Seq[Expression]): CharBigramsExpr = {

@@ -110,7 +110,8 @@ object Bpe {
           val (a, b) = (top.head.getString(0), top.head.getString(1))
           learned += Merge(a, b, top.head.getLong(2))
           val next = words
-            .withColumn("symbols", expr(mergeFold("symbols", a, b)))
+            .withColumn("symbols", graft.functions.functions
+              .bpeApply(col("symbols"), Seq((a, b))))
             .select(col("symbols"), col("n"))
             .localCheckpoint(true) // eager: safe to drop the source now
           releaseCheckpoint(words)
@@ -124,24 +125,33 @@ object Bpe {
   /** Tokenize `textCol` with a trained merge list: per word, apply the
     * merges IN TRAINING ORDER (the standard BPE encoder) and emit the
     * flattened token sequence as a `tokens` array column. Map-only —
-    * no shuffle; the merge list rides along inside the expression.
+    * no shuffle; the merge model rides into the task as one broadcast
+    * reference object inside the native `bpe_encode` expression
+    * ([[graft.core.BpeCodec]]).
     *
-    * The expression nests one `aggregate()` fold per merge —
-    * interpreted HOF lambdas, fine for the tens of merges a test/demo
-    * model carries. A production encoder with thousands of merges
-    * would be a single custom Expression (or mapPartitions) walking a
-    * pair-rank table, not a fold chain. */
+    * The earlier spelling nested one interpreted `aggregate()` fold
+    * per merge — the measured top battery cost at 64× (212 s,
+    * PROFILE.md). The native expression is value-identical (BpeSpec
+    * asserts parity against the fold spelling; the DuckDB oracle is
+    * unchanged) and scales to production merge counts: O(merges ×
+    * symbols) string comparisons, not fold-chain re-entry. */
   def encode(docs: DataFrame, model: Seq[Merge], textCol: String = "text")
-      : DataFrame = {
-    val initial = s"concat(split(w, ''), array(${sqlLit(EndMark)}))"
-    val folded = model.foldLeft(initial)((acc, m) =>
-      mergeFold(acc, m.left, m.right))
+      : DataFrame =
     docs
       .withColumn("__words",
         expr(s"filter(split(lower(trim($textCol)), '\\\\s+'), " +
           "w -> length(w) > 0)"))
-      .withColumn("tokens",
-        expr(s"flatten(transform(__words, w -> $folded))"))
+      .withColumn("tokens", graft.functions.functions.bpeEncode(
+        col("__words"), model.map(m => (m.left, m.right))))
       .drop("__words")
-  }
+
+  /** The pre-native reference spelling of one merge fold — kept for
+    * BpeSpec's parity check (the independent reference the DuckDB
+    * oracle also mirrors). */
+  private[operators] def mergeFoldReference(
+      arrayExpr: String, a: String, b: String): String =
+    mergeFold(arrayExpr, a, b)
+
+  private[operators] def initialSymbolsReference: String =
+    s"concat(split(w, ''), array(${sqlLit(EndMark)}))"
 }

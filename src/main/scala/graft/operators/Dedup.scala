@@ -87,28 +87,19 @@ object Dedup {
   def winnow(docs: DataFrame, k: Int = 8, w: Int = 4,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
-    // Each expensive intermediate (normalized text, gram array) is the
-    // ARGUMENT of an enclosing transform — a higher-order function
-    // evaluates its argument exactly once and the inner lambdas
-    // reference the BOUND variable. The naive spelling (withColumn +
-    // lambdas referencing the previous column) lets project-collapsing
-    // inline the upstream expression into every lambda element, and an
-    // inner slice/substring then re-evaluates the whole chain per
-    // element — O(grams × windows × |text|) per row (observed as a
-    // wedged multi-minute task); this shape is linear by construction.
-    val fpExpr =
-      s"""flatten(transform(
-         |  array(regexp_replace(lower(trim($textCol)), '\\\\s+', ' ')),
-         |  t -> IF(length(t) < $k + $w - 1,
-         |          CAST(array() AS ARRAY<BIGINT>),
-         |          flatten(transform(
-         |            array(transform(sequence(1, length(t) - $k + 1),
-         |              i -> CAST(conv(substring(md5(substring(t, i, $k)),
-         |                             1, 15), 16, 10) AS BIGINT))),
-         |            g -> transform(sequence(1, size(g) - $w + 1),
-         |              j -> array_min(slice(g, j, $w))))))))""".stripMargin
+    // Fingerprint extraction is the native codegen'd winnow_fps
+    // expression (one decode + two linear passes; value-identical to
+    // the interpreted-HOF spelling — DedupSpec asserts parity against
+    // that reference spelling, and the oracle hashes are unchanged).
+    // The earlier HOF chain, even with the evaluate-once transform
+    // idiom, re-entered the lambda machinery per gram and per window
+    // and was the most expensive battery query at every scale.
+    // Normalization stays in builtin expressions so the native function
+    // never replicates Spark's lower/trim semantics.
     docs.select(col(idCol),
-      array_sort(array_distinct(expr(fpExpr))).as("fingerprints"))
+      graft.functions.functions.winnowFps(
+        regexp_replace(lower(trim(col(textCol))), "\\s+", " "), k, w)
+        .as("fingerprints"))
   }
 
   /** Local near-dup pairs from [[winnow]] fingerprints: explode each

@@ -75,4 +75,33 @@ class BpeSpec extends SparkSuite {
       small.map(m => (m.left, m.right)))
     assert(scaled.map(_.count) === small.map(_.count * 100))
   }
+
+  test("native bpe_encode is value-identical to the nested-aggregate " +
+    "fold spelling, including unicode, greedy runs and empty docs") {
+    import org.apache.spark.sql.functions._
+    val model = Bpe.train(corpus, merges = 5)
+    val texts = Seq(
+      "low lower lowest newest new widest wide",
+      "aaaa aaa aa a", // greedy-run semantics under any (x, x) merge
+      "", "   ", "one",
+      "unicode café 你好 😀 mixéd marks",
+      "LOW LOWER Mixed CASE\twith\nwhitespace")
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    // the reference: the pre-native SQL spelling (what the DuckDB
+    // oracle mirrors), rebuilt from the kept reference helpers
+    val folded = model.foldLeft(Bpe.initialSymbolsReference)((acc, m) =>
+      Bpe.mergeFoldReference(acc, m.left, m.right))
+    val ref = d
+      .withColumn("__words",
+        expr("filter(split(lower(trim(text)), '\\\\s+'), " +
+          "w -> length(w) > 0)"))
+      .withColumn("tokens", expr(s"flatten(transform(__words, w -> $folded))"))
+      .select($"doc_id", $"tokens").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    val got = Bpe.encode(d, model)
+      .select($"doc_id", $"tokens").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(got === ref)
+  }
 }

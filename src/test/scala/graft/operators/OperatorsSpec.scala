@@ -116,6 +116,42 @@ class OperatorsSpec extends SparkSuite {
       .select(md5($"text")).distinct().count() === 2)
   }
 
+  test("winnow_fps (native) is value-identical to the interpreted-HOF " +
+    "reference spelling, including unicode and boundary lengths") {
+    import spark.implicits._
+    val k = 8
+    val w = 4
+    // the spelling winnow() used before the native expression — kept
+    // here as the independent reference (same chain the DuckDB oracle
+    // mirrors)
+    val refExpr =
+      s"""array_sort(array_distinct(flatten(transform(
+         |  array(regexp_replace(lower(trim(text)), '\\\\s+', ' ')),
+         |  t -> IF(length(t) < $k + $w - 1,
+         |          CAST(array() AS ARRAY<BIGINT>),
+         |          flatten(transform(
+         |            array(transform(sequence(1, length(t) - $k + 1),
+         |              i -> CAST(conv(substring(md5(substring(t, i, $k)),
+         |                             1, 15), 16, 10) AS BIGINT))),
+         |            g -> transform(sequence(1, size(g) - $w + 1),
+         |              j -> array_min(slice(g, j, $w))))))))))""".stripMargin
+    val texts = Seq(
+      "", "x", "exactly11ch", "exactly11c", // around the k+w-1 = 11 edge
+      "the quick brown fox jumps over the lazy dog",
+      "  Mixed   CASE\twith\nwhitespace   runs  ",
+      "unicode: café naïve 你好世界 " +
+        "😀 emoji and more text to cross the length gate",
+      "repeated repeated repeated repeated repeated",
+      ("a" * 300) + "b" + ("c" * 300))
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Dedup.winnow(d, k, w).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val ref = d.select($"doc_id", expr(refExpr).as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(got === ref)
+  }
+
   test("minhashCandidates finds exact and near duplicates") {
     val cands = Dedup.minhashCandidates(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
