@@ -527,9 +527,23 @@ object Similarity {
       thresholdMicro: Long = 300000L,
       maxBlock: Long = 100000L,
       subBits: Int = 4,
+      dim: Int = 64): DataFrame =
+    semanticDedupWith(emb, kmeansModel(emb, k, iters),
+      thresholdMicro, maxBlock, subBits, dim)
+
+  /** [[semanticDedup]] against an ALREADY-TRAINED quantizer — the
+    * serving shape (a production pipeline trains the clustering once
+    * and dedups many batches/epochs against it; re-training per call
+    * would both cost a corpus pass and shift cluster boundaries
+    * between runs). */
+  def semanticDedupWith(
+      emb: DataFrame,
+      model: Seq[(Int, Seq[Double])],
+      thresholdMicro: Long = 300000L,
+      maxBlock: Long = 100000L,
+      subBits: Int = 4,
       dim: Int = 64): DataFrame = {
     ensureDot(emb)
-    val model = kmeansModel(emb, k, iters)
     val assigned = emb
       .select(col("vec_id"), col("embedding"))
       .withColumn("cluster", nearestCentroidExpr(model,
