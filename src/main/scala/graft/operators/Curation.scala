@@ -309,10 +309,14 @@ object Curation {
     * confirm join sees, not the answer — which is exactly what the
     * shared oracle checks.
     *
-    * Per-doc totals (`n_grams`) come from their own tiny aggregate
-    * (grams are re-derived map-side from the doc scan rather than
-    * carried through the membership leg): two map passes over the
-    * corpus, both exchanges carrying only per-doc counts.
+    * Per-doc totals (`n_grams`) ride the SAME gram pass: instead of
+    * filtering non-members out (which would force a second
+    * gram-generation pass just to count totals — gram explosion is the
+    * expensive leg, measured at 2× the whole query), the probe NULLS
+    * the confirm join's key for provable non-members. Null keys never
+    * match an equi-join and skip the broadcast hash probe, so the
+    * exact join still only does ~1% of the lookups while every gram
+    * row carries its doc id to the one per-doc aggregate.
     *
     * @return one row per corpus doc: (idCol, n_grams, n_hits)
     */
@@ -327,17 +331,16 @@ object Curation {
     val evalGrams = wordGrams(evalSet, textCol, idCol, n)
       .select("__gram").distinct()
     val bloom = Bloom.build(evalGrams, "__gram", bitsPerKey, numHashes)
-    val corpusGrams = wordGrams(corpus, textCol, idCol, n)
-    val hits = corpusGrams
-      .filter(bloom.mightContain(col("__gram")))
-      .join(broadcast(evalGrams), Seq("__gram"), "left_semi")
+    val hits = wordGrams(corpus, textCol, idCol, n)
+      .withColumn("__k",
+        when(bloom.mightContain(col("__gram")), col("__gram")))
+      .join(broadcast(evalGrams
+        .select(col("__gram").as("__k"), lit(1).as("__hit"))),
+        Seq("__k"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_hits"))
-    val totals = corpusGrams
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_grams"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0))).as("n_hits"))
     corpus.select(col(idCol))
-      .join(totals, Seq(idCol), "left")
       .join(hits, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
