@@ -82,7 +82,11 @@ object Profile {
     // winnowing is explode + window + banded self-join, BPE encode is a
     // broadcast-merges scan, and the rerank leg must stay bounded by
     // |queries|·r float rows regardless of corpus size
-    "q_winnow_pairs", "q_bpe_tokens", "q_ann_pq_rerank_topk")
+    "q_winnow_pairs", "q_bpe_tokens", "q_ann_pq_rerank_topk",
+    // round-8 operators: cluster-blocked pair join (must track cluster
+    // population, not corpus²), bounded sketch state, and the two-agg
+    // broadcast model
+    "q_semdedup", "q_cms_registers", "q_dsir_weights")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

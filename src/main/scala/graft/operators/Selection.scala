@@ -108,4 +108,46 @@ object Selection {
       .select(col(idCol), col("n_tokens"), col("weight_micro"),
         col("__t").as("is_target"))
   }
+
+  /** The resampling half of DSIR: select `k` documents WITHOUT
+    * replacement with probability ∝ exp(weight) via Gumbel-top-k
+    * (Vieira 2014) — key = weight + Gumbel noise, take the k largest.
+    * The Gumbel draw is `-ln(-ln(u))` with `u` a DETERMINISTIC
+    * md5-uniform of the id (the [[Curation.stratifiedSample]]
+    * discipline: no RNG state, so retries, incremental loads and both
+    * engines agree row-for-row; `u = (md5_60(id) + 1) / (2^60 + 1)`
+    * can never hit 0 or 1, so the key is always finite).
+    *
+    * Scale shape: pure map-side key computation + top-k
+    * (TakeOrderedAndProject — k rows to the driver, never a global
+    * sort).
+    *
+    * @param weighted output of [[dsirWeights]] (or anything with
+    *                 `idCol` + `weightCol` in micro units)
+    * @return (rank, idCol, weightCol), rank 1..k by descending key
+    */
+  def dsirResample(
+      weighted: DataFrame,
+      k: Int,
+      idCol: String = "doc_id",
+      weightCol: String = "weight_micro"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // integer add BEFORE the double cast; double literals via CAST
+    // (a bare 1000000.0 parses as DECIMAL in Spark SQL — the
+    // dsirWeights lesson)
+    val key = expr(
+      s"""CAST($weightCol AS DOUBLE) / CAST(1000000 AS DOUBLE)
+         | - ln(-ln(
+         |     (CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 15),
+         |           16, 10) AS BIGINT) + CAST(1 AS DOUBLE))
+         |     / CAST(1152921504606846977 AS DOUBLE)))""".stripMargin)
+    weighted
+      .withColumn("__key", key)
+      .orderBy(col("__key").desc, col(idCol))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("__key").desc, col(idCol))))
+      .select(col("rank"), col(idCol), col(weightCol))
+  }
 }

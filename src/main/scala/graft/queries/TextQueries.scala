@@ -354,6 +354,18 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // the resampling half of DSIR: Gumbel-top-k selection proportional
+    // to exp(weight), with the Gumbel draw a deterministic md5-uniform
+    // of the id — map-side keys + TakeOrderedAndProject, no global sort
+    "q_dsir_resample" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Selection.dsirResample(
+        graft.operators.Selection.dsirWeights(docs(s, dir),
+          $"lang" === "en"),
+        k = 50)
+        .orderBy($"rank")
+    }),
+
     // transitive near-dup clustering: Jaccard candidate pairs (same
     // blocked inverted-index computation as q_ngram_jaccard) closed into
     // connected components — cluster_id = min reachable doc_id; the
@@ -545,6 +557,37 @@ object TextQueries {
       |  UNION SELECT doc_a, doc_b FROM edges
       |  UNION SELECT r.doc, e.doc_b FROM reach r JOIN edges e ON r.other = e.doc_a)""".stripMargin
 
+  /** Shared model CTEs for the DSIR oracles (`q_dsir_weights` /
+    * `q_dsir_resample`): tokenize → hash buckets → per-bucket
+    * target/source counts → micro log-likelihood ratios → per-doc
+    * bucket counts. */
+  private val DsirCtes =
+    """WITH toks AS (
+      |  SELECT doc_id, (lang = 'en') AS is_target,
+      |    unnest(string_split_regex(lower(trim(text)),
+      |      '[ \t\n\x0B\f\r]+')) AS tok
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, is_target,
+      |    ('0x' || substring(md5(tok), 1, 15))::BIGINT % 256 AS bkt
+      |  FROM toks WHERE length(tok) > 0),
+      |counts AS (
+      |  SELECT bkt,
+      |    sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+      |    sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS cs
+      |  FROM b GROUP BY bkt),
+      |totals AS (SELECT sum(ct) AS tt, sum(cs) AS ts FROM counts),
+      |model AS (
+      |  SELECT bkt,
+      |    CAST(round(ln(CAST((ct + 1) * (ts + 256) AS DOUBLE) /
+      |      CAST((cs + 1) * (tt + 256) AS DOUBLE)) * 1000000)
+      |      AS BIGINT) AS lr
+      |  FROM counts CROSS JOIN totals),
+      |perdoc AS (
+      |  SELECT doc_id, is_target, bkt, count(*) AS n
+      |  FROM b GROUP BY doc_id, is_target, bkt)
+      |""".stripMargin
+
   /** Shared words CTE for the CMS oracles: explicit whitespace class
     * (not \s — Java and RE2 disagree on U+000B) + the rws helper
     * enumerating the sketch's 4 hash rows. */
@@ -591,36 +634,30 @@ object TextQueries {
         |FROM cand c JOIN est e USING (word)
         |ORDER BY word""".stripMargin),
 
-    "q_dsir_weights" ->
-      """WITH toks AS (
-        |  SELECT doc_id, (lang = 'en') AS is_target,
-        |    unnest(string_split_regex(lower(trim(text)),
-        |      '[ \t\n\x0B\f\r]+')) AS tok
-        |  FROM documents),
-        |b AS (
-        |  SELECT doc_id, is_target,
-        |    ('0x' || substring(md5(tok), 1, 15))::BIGINT % 256 AS bkt
-        |  FROM toks WHERE length(tok) > 0),
-        |counts AS (
-        |  SELECT bkt,
-        |    sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
-        |    sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS cs
-        |  FROM b GROUP BY bkt),
-        |totals AS (SELECT sum(ct) AS tt, sum(cs) AS ts FROM counts),
-        |model AS (
-        |  SELECT bkt,
-        |    CAST(round(ln(CAST((ct + 1) * (ts + 256) AS DOUBLE) /
-        |      CAST((cs + 1) * (tt + 256) AS DOUBLE)) * 1000000)
-        |      AS BIGINT) AS lr
-        |  FROM counts CROSS JOIN totals),
-        |perdoc AS (
-        |  SELECT doc_id, is_target, bkt, count(*) AS n
-        |  FROM b GROUP BY doc_id, is_target, bkt)
-        |SELECT p.doc_id, CAST(sum(p.n) AS BIGINT) AS n_tokens,
+    "q_dsir_weights" -> (DsirCtes +
+      """SELECT p.doc_id, CAST(sum(p.n) AS BIGINT) AS n_tokens,
         |  CAST(sum(p.n * m.lr) AS BIGINT) AS weight_micro, p.is_target
         |FROM perdoc p JOIN model m USING (bkt)
         |GROUP BY p.doc_id, p.is_target
-        |ORDER BY p.doc_id""".stripMargin,
+        |ORDER BY p.doc_id""".stripMargin),
+
+    "q_dsir_resample" -> (DsirCtes +
+      """, weights AS (
+        |  SELECT p.doc_id, CAST(sum(p.n * m.lr) AS BIGINT) AS weight_micro
+        |  FROM perdoc p JOIN model m USING (bkt)
+        |  GROUP BY p.doc_id),
+        |keyed AS (
+        |  SELECT doc_id, weight_micro,
+        |    CAST(weight_micro AS DOUBLE) / CAST(1000000 AS DOUBLE)
+        |      - ln(-ln(
+        |          (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |             ::BIGINT + CAST(1 AS DOUBLE))
+        |          / CAST(1152921504606846977 AS DOUBLE))) AS gk
+        |  FROM weights)
+        |SELECT CAST(row_number() OVER (ORDER BY gk DESC, doc_id) AS INT)
+        |    AS rank,
+        |  doc_id, weight_micro
+        |FROM keyed ORDER BY gk DESC, doc_id LIMIT 50""".stripMargin),
 
     "q_bpe_merges" -> bpeOracle(4),
 

@@ -56,4 +56,34 @@ class SelectionSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
     assert(t === Map(1L -> true, 2L -> true, 3L -> false, 4L -> false))
   }
+
+  test("dsirResample: deterministic, k-bounded, ranks contiguous, and " +
+    "a dominant weight always wins") {
+    import spark.implicits._
+    val weighted = (0L until 200L)
+      .map(i => (i, if (i == 77L) 50000000L else 0L))
+      .toDF("doc_id", "weight_micro")
+    val once = Selection.dsirResample(weighted, k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val again = Selection.dsirResample(weighted.repartition(13), k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(once === again, "resampling must be deterministic")
+    assert(once.length === 10)
+    assert(once.map(_._1) === (1 to 10))
+    // weight 50 (in ln units) dwarfs any Gumbel draw — doc 77 is rank 1
+    assert(once.head._2 === 77L)
+  }
+
+  test("dsirResample keys follow exp(weight): over many equal-weight " +
+    "docs the selection is a uniform subset, not id-ordered") {
+    import spark.implicits._
+    val weighted = (0L until 1000L).map(i => (i, 0L))
+      .toDF("doc_id", "weight_micro")
+    val picked = Selection.dsirResample(weighted, k = 100)
+      .collect().map(_.getLong(1)).toSet
+    // a uniform 10% draw lands ~100 ids spread over the range; an
+    // id-ordered or hash-degenerate pick would cluster
+    assert(picked.count(_ < 500L) > 20 && picked.count(_ >= 500L) > 20,
+      s"selection not spread: ${picked.toSeq.sorted.take(20)}")
+  }
 }
