@@ -63,6 +63,16 @@ object Cms {
       .agg(sum(col("__w")).as("counter"))
   }
 
+  /** Merge sketches down to a coarser grouping by counter SUM — the CMS
+    * merge law: sketch(A ⊎ B) = elementwise-sum(sketch(A), sketch(B)).
+    * The incremental-ingest story: each load keeps its own ≤ d·w-cell
+    * sketch and any union (per source, per day, global) is an aggregate
+    * over tiny rows, never a corpus rescan. Pass the subset of grouping
+    * columns to keep (empty = one global sketch). */
+  def merge(regs: DataFrame, groupCols: Seq[String]): DataFrame =
+    regs.groupBy((groupCols.map(col) :+ col("row") :+ col("col")): _*)
+      .agg(sum(col("counter")).as("counter"))
+
   /** Point-estimate the frequency of each item in `items` (a DataFrame
     * with `itemCol`, plus any passthrough columns) from a sketch built
     * by [[registers]] with no group columns: estimate = min over the d

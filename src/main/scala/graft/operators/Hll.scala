@@ -67,6 +67,18 @@ object Hll {
       .agg(max(col("__rho")).cast("int").as("register"))
   }
 
+  /** Merge sketches down to a coarser grouping by register MAX — the HLL
+    * merge law: sketch(A ∪ B) = elementwise-max(sketch(A), sketch(B)).
+    * This is what lets per-load / per-partition sketches union into a
+    * corpus sketch without rescanning anything: at 100 TB, daily loads
+    * keep their own ≤ 64-row sketches and any ad-hoc union (per source,
+    * per month, global) is an aggregate over a few hundred tiny rows.
+    * Pass the subset of grouping columns to keep (empty = one global
+    * sketch). */
+  def merge(regs: DataFrame, groupCols: Seq[String]): DataFrame =
+    regs.groupBy((groupCols.map(col) :+ col("bucket")): _*)
+      .agg(max(col("register")).cast("int").as("register"))
+
   /** Integer harmonic-mean denominator per group:
     * `sum over all 64 buckets of 2^(55 - register)` — observed buckets
     * contribute via the power table, absent ones contribute 2^55 each.

@@ -236,6 +236,36 @@ object TextQueries {
         .sortWithinPartitions($"doc_a", $"doc_b")
     }),
 
+    // Exact substring-level dedup (Lee et al. 2022's ExactSubstr,
+    // distributed): every run of 8 consecutive tokens occurring verbatim
+    // in 2+ distinct documents, merged into maximal per-doc spans. One
+    // gram pass + one hash aggregate (min!=max doc decides cross-doc
+    // duplication — partially aggregable, no count-distinct) + a
+    // per-doc gaps-and-islands window. The determinism sort rides the
+    // range-partition pattern (see q_ngram_jaccard above).
+    "q_dup_spans" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.SpanDedup.dupSpans(docs(s, dir), w = 8)
+        .repartitionByRange(4 * s.sparkContext.defaultParallelism,
+          $"doc_id", $"span_start")
+        .sortWithinPartitions($"doc_id", $"span_start")
+    }),
+
+    // The excision leg: per-doc token count + order-sensitive md5 of
+    // what survives after removing every duplicated span (all
+    // occurrences — the conservative decontamination policy; docs fully
+    // covered by duplicated text drop out)
+    "q_dup_scrub" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.SpanDedup.exciseTokens(docs(s, dir), w = 8)
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          md5(array_join(
+            expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"),
+            "\u001f")).as("kept_md5"))
+        .orderBy($"doc_id")
+    }),
+
     // TF-IDF: top-3 scoring terms per document — term frequencies and
     // document frequencies stay integer-exact; the idf product is emitted
     // as a micro-scaled BIGINT (scale-0 round of an identically-computed
@@ -343,6 +373,33 @@ object TextQueries {
         .orderBy($"word")
     }),
 
+    // The HLL MERGE LAW, hash-checked: Spark builds one sketch per
+    // source and merges them by register max; the oracle computes the
+    // union sketch directly from all words. Register-grid equality IS
+    // the mergeability proof — the property that lets per-load sketches
+    // union at 100 TB without a rescan
+    "q_hll_union" -> ((s, dir) => {
+      import s.implicits._
+      val words = docs(s, dir).select($"source",
+        explode(split(lower(trim($"text")), "\\s+")).as("word"))
+      val perSource = graft.operators.Hll.registers(words, Seq("source"), "word")
+      graft.operators.Hll.merge(perSource, Seq.empty)
+        .orderBy($"bucket")
+    }),
+
+    // The CMS merge law, same pattern: per-lang sketches merged by
+    // counter sum vs the oracle's direct global grid
+    "q_cms_merge" -> ((s, dir) => {
+      import s.implicits._
+      val words = docs(s, dir).select($"lang",
+        explode(split(lower(trim($"text")), "[ \\t\\n\\x0B\\f\\r]+"))
+          .as("word"))
+      val perLang = graft.operators.Cms.registers(words, Seq("lang"), "word")
+      graft.operators.Cms.merge(perLang, Seq.empty)
+        .select($"row".as("cms_row"), $"col".as("cms_col"), $"counter")
+        .orderBy($"cms_row", $"cms_col")
+    }),
+
     // DSIR importance weights (data selection): per-doc log-likelihood
     // ratio of hashed unigram features, target (lang = en) over source
     // (everything else) — two B-row model aggregates broadcast into one
@@ -420,6 +477,32 @@ object TextQueries {
         .withColumn("band1", md5(concat($"h4", $"h5", $"h6", $"h7")))
         .orderBy($"doc_id")
     }))
+
+  /** DuckDB mirror of [[graft.operators.SpanDedup]] with w=8: gram table
+    * (0-based positions, md5 keys), cross-doc dup set (min<>max), hit
+    * positions, and the gaps-and-islands merge — ends at `isl` so
+    * q_dup_spans (span aggregate) and q_dup_scrub (excision) extend it. */
+  private def dupSpanCte =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, i - 1 AS pos, md5(array_to_string(t[i:i+7], ' ')) AS k
+      |  FROM toks, unnest(generate_series(1, len(t) - 7)) AS g(i)),
+      |dup AS (SELECT k FROM pos GROUP BY k HAVING min(doc_id) <> max(doc_id)),
+      |hits AS (SELECT p.doc_id, p.pos FROM pos p JOIN dup USING (k)),
+      |brk AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos > coalesce(max(pos + 8) OVER (
+      |      PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      |    THEN 1 ELSE 0 END AS b
+      |  FROM hits),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |         sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      |  FROM brk)
+      |""".stripMargin
 
   private def jaccardCte =
     """WITH base AS (
@@ -609,6 +692,29 @@ object TextQueries {
         |FROM words CROSS JOIN rws
         |GROUP BY 1, 2, 3
         |ORDER BY lang, cms_row, cms_col""".stripMargin),
+
+    "q_hll_union" ->
+      """WITH words AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |  FROM documents
+        |), h AS (
+        |  SELECT ('0x' || substring(md5(word), 1, 15))::BIGINT AS hv
+        |  FROM words
+        |)
+        |SELECT CAST(hv % 64 AS INT) AS bucket,
+        |  CAST(max(CASE WHEN hv // 64 = 0 THEN 55
+        |    ELSE length(bin((hv // 64) & (-(hv // 64)))) END) AS INT)
+        |    AS register
+        |FROM h GROUP BY hv % 64 ORDER BY bucket""".stripMargin,
+
+    "q_cms_merge" -> (CmsWordsCte +
+      """SELECT rw AS cms_row,
+        |  CAST(('0x' || substring(md5(CAST(rw AS VARCHAR) || ':' || word),
+        |    1, 15))::BIGINT % 64 AS INT) AS cms_col,
+        |  CAST(count(*) AS BIGINT) AS counter
+        |FROM words CROSS JOIN rws
+        |GROUP BY 1, 2
+        |ORDER BY cms_row, cms_col""".stripMargin),
 
     "q_cms_estimate" -> (CmsWordsCte +
       """, cand AS (
@@ -807,6 +913,27 @@ object TextQueries {
       """SELECT doc_id,
         |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dup_spans" -> (dupSpanCte +
+      """SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end,
+        |       max(pos) + 8 - min(pos) AS span_tokens
+        |FROM isl GROUP BY doc_id, g
+        |ORDER BY doc_id, span_start""".stripMargin),
+
+    "q_dup_scrub" -> (dupSpanCte +
+      """, cov AS (
+        |  SELECT DISTINCT h.doc_id, h.pos + o.o AS cpos
+        |  FROM hits h, unnest(generate_series(0, 7)) AS o(o)),
+        |allpos AS (
+        |  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+        |  FROM toks, unnest(generate_series(1, len(t))) AS g(i)),
+        |kept AS (
+        |  SELECT a.doc_id, a.pos, a.tok FROM allpos a
+        |  LEFT JOIN cov c ON a.doc_id = c.doc_id AND a.pos = c.cpos
+        |  WHERE c.doc_id IS NULL)
+        |SELECT doc_id, count(*) AS n_kept,
+        |       md5(string_agg(tok, chr(31) ORDER BY pos)) AS kept_md5
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
     "q_ngram_jaccard" -> (jaccardCte +
       """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

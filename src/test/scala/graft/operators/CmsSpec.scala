@@ -27,12 +27,19 @@ class CmsSpec extends SparkSuite {
     val whole = Cms.registers(all, Seq.empty, "v")
       .orderBy($"row", $"col").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
-    val merged = Cms.registers(all.filter($"v" < "value-5"), Seq.empty, "v")
-      .unionByName(Cms.registers(all.filter($"v" >= "value-5"), Seq.empty, "v"))
-      .groupBy($"row", $"col").agg(sum($"counter").as("counter"))
+    val merged = Cms.merge(
+      Cms.registers(all.filter($"v" < "value-5"), Seq.empty, "v")
+        .unionByName(Cms.registers(all.filter($"v" >= "value-5"), Seq.empty, "v")),
+      Seq.empty)
       .orderBy($"row", $"col").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
     assert(merged.toSeq === whole.toSeq)
+    // merging away a group column == sketching the union directly
+    val grouped = all.withColumn("g", when($"v" < "value-5", "a").otherwise("b"))
+    val collapsed = Cms.merge(Cms.registers(grouped, Seq("g"), "v"), Seq.empty)
+      .orderBy($"row", $"col").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(collapsed.toSeq === whole.toSeq)
   }
 
   test("counter cells address by the md5 prefix integer (hashlib-style " +

@@ -23,11 +23,19 @@ class HllSpec extends SparkSuite {
     val all = (0 until 5000).map(i => ("g", s"value-$i")).toDF("g", "v")
     val whole = Hll.registers(all, Seq("g"), "v")
       .orderBy($"bucket").collect().map(r => (r.getInt(1), r.getInt(2)))
-    val merged = Hll.registers(all.filter($"v" < "value-3"), Seq("g"), "v")
-      .unionByName(Hll.registers(all.filter($"v" >= "value-3"), Seq("g"), "v"))
-      .groupBy($"g", $"bucket").agg(max($"register").as("register"))
+    val merged = Hll.merge(
+      Hll.registers(all.filter($"v" < "value-3"), Seq("g"), "v")
+        .unionByName(Hll.registers(all.filter($"v" >= "value-3"), Seq("g"), "v")),
+      Seq("g"))
       .orderBy($"bucket").collect().map(r => (r.getInt(1), r.getInt(2)))
     assert(merged.toSeq === whole.toSeq)
+    // merging away the group column gives the same global sketch as
+    // sketching everything unguarded
+    val global = Hll.merge(Hll.registers(all, Seq("g"), "v"), Seq.empty)
+      .orderBy($"bucket").collect().map(r => (r.getInt(0), r.getInt(1)))
+    val direct = Hll.registers(all.select(lit("all").as("g"), $"v"), Seq.empty, "v")
+      .orderBy($"bucket").collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(global.toSeq === direct.toSeq)
   }
 
   test("registers: duplicates don't move the sketch; rho is the md5 " +
