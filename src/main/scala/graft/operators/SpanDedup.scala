@@ -42,8 +42,9 @@ object SpanDedup {
   /** (doc_id, pos, k): the md5 of the w-token gram starting at 0-based
     * token position `pos`. Documents shorter than `w` tokens contribute
     * nothing (guarded — Spark's `sequence(0, n-w)` would count DOWN for
-    * n < w, not return empty). */
-  private[operators] def grams(docs: DataFrame, w: Int,
+    * n < w, not return empty). Shared with [[graft.store.GramIndex]],
+    * whose stored keys must be byte-identical to the batch-local ones. */
+  private[graft] def grams(docs: DataFrame, w: Int,
       textCol: String, idCol: String): DataFrame =
     docs
       .select(col(idCol).as("doc_id"),
@@ -74,8 +75,17 @@ object SpanDedup {
     * output is the minimal set of disjoint intervals covering every
     * duplicated w-gram. */
   def dupSpans(docs: DataFrame, w: Int,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val hits = hitPositions(docs, w, textCol, idCol)
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    mergeSpans(hitPositions(docs, w, textCol, idCol), w)
+
+  /** Gaps-and-islands merge of flagged positions into maximal spans:
+    * `hits` is (doc_id, pos); overlapping or touching [pos, pos+w)
+    * windows collapse into one (doc_id, span_start, span_end,
+    * span_tokens) row. Per-document window — state bounded by document
+    * length, no global sort. Shared with [[graft.store.GramIndex]] so
+    * batch-local and history-backed span dedup can never disagree on
+    * the merge semantics. */
+  private[graft] def mergeSpans(hits: DataFrame, w: Int): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val prevEnd = max(col("pos") + w)
       .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))

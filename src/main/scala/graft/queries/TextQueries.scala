@@ -82,6 +82,27 @@ object TextQueries {
     store.read().select($"doc_id", $"cluster_id")
   }
 
+  /** One seeded [[graft.store.GramIndex]] per scale-factor dir (the
+    * `nearDupProbeCache` pattern): the even-doc_id half of the corpus
+    * ingested as history. `q_dup_spans_history` then probes the odd
+    * half — "which regions of this arriving batch are verbatim copies
+    * of anything ever ingested" — via the persisted gram postings,
+    * partition-pruned to the batch's own key buckets, never a corpus
+    * rescan. The probe is read-only so repeated bench passes measure
+    * the same work. */
+  private val gramIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.store.GramIndex]
+
+  private def gramHistoryIndex(s: SparkSession, dir: String)
+      : graft.store.GramIndex =
+    gramIndexCache.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-gramindex-").toString
+      val idx = new graft.store.GramIndex(s, path, w = 8, buckets = 64)
+      idx.ingest(docs(s, dir).filter(col("doc_id") % 2 === 0))
+      idx
+    })
+
   private val SlugRe = "^[a-z0-9_-]+$"
 
   /** The BPE-ish token class shared by q_token_count, q_pack_bins and
@@ -241,13 +262,16 @@ object TextQueries {
     // in 2+ distinct documents, merged into maximal per-doc spans. One
     // gram pass + one hash aggregate (min!=max doc decides cross-doc
     // duplication — partially aggregable, no count-distinct) + a
-    // per-doc gaps-and-islands window. The determinism sort rides the
-    // range-partition pattern (see q_ngram_jaccard above).
+    // per-doc gaps-and-islands window. Battery-determinism sort:
+    // repartition(1) + in-partition sort, NOT orderBy/range-partition —
+    // the output is tiny (≤ spans-per-doc rows, ~47 at sf0.01) but a
+    // range exchange SAMPLES its child, re-executing the whole gram
+    // pipeline a second time (measured 3× wall); a round-robin exchange
+    // of the aggregated rows plus one single-task sort costs nothing
     "q_dup_spans" -> ((s, dir) => {
       import s.implicits._
       graft.operators.SpanDedup.dupSpans(docs(s, dir), w = 8)
-        .repartitionByRange(4 * s.sparkContext.defaultParallelism,
-          $"doc_id", $"span_start")
+        .repartition(1)
         .sortWithinPartitions($"doc_id", $"span_start")
     }),
 
@@ -263,7 +287,22 @@ object TextQueries {
           md5(array_join(
             expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"),
             "\u001f")).as("kept_md5"))
-        .orderBy($"doc_id")
+        .repartition(1)
+        .sortWithinPartitions($"doc_id") // see q_dup_spans' sort note
+    }),
+
+    // Incremental span dedup against HISTORY: the even half of the
+    // corpus lives in a persisted GramIndex; the odd half arrives as a
+    // batch and asks which of its regions duplicate anything ever
+    // ingested (or other batch docs). A batch-local pass cannot see the
+    // cross-batch copies; the index probe reads only the bucket
+    // partitions the batch's keys land in
+    "q_dup_spans_history" -> ((s, dir) => {
+      import s.implicits._
+      gramHistoryIndex(s, dir)
+        .probe(docs(s, dir).filter($"doc_id" % 2 === 1))
+        .repartition(1)
+        .sortWithinPartitions($"doc_id", $"span_start") // see q_dup_spans
     }),
 
     // TF-IDF: top-3 scoring terms per document — term frequencies and
@@ -934,6 +973,36 @@ object TextQueries {
         |SELECT doc_id, count(*) AS n_kept,
         |       md5(string_agg(tok, chr(31) ORDER BY pos)) AS kept_md5
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    "q_dup_spans_history" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, i - 1 AS pos, md5(array_to_string(t[i:i+7], ' ')) AS k
+        |  FROM toks, unnest(generate_series(1, len(t) - 7)) AS g(i)),
+        |hist AS (SELECT DISTINCT k FROM pos WHERE doc_id % 2 = 0),
+        |batch AS (SELECT doc_id, pos, k FROM pos WHERE doc_id % 2 = 1),
+        |dup AS (
+        |  SELECT k FROM batch GROUP BY k HAVING min(doc_id) <> max(doc_id)
+        |  UNION SELECT k FROM hist),
+        |hits AS (
+        |  SELECT DISTINCT b.doc_id, b.pos FROM batch b JOIN dup USING (k)),
+        |brk AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos > coalesce(max(pos + 8) OVER (
+        |      PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |    THEN 1 ELSE 0 END AS b
+        |  FROM hits),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |         sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM brk)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end,
+        |       max(pos) + 8 - min(pos) AS span_tokens
+        |FROM isl GROUP BY doc_id, g
+        |ORDER BY doc_id, span_start""".stripMargin,
 
     "q_ngram_jaccard" -> (jaccardCte +
       """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -1,0 +1,125 @@
+package graft.store
+
+import graft.SparkSuite
+import graft.operators.SpanDedup
+import org.apache.spark.sql.functions._
+
+class GramIndexSpec extends SparkSuite {
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("gramindex").toString
+
+  private val S = (1 to 8).map(i => s"s$i").mkString(" ") // 8-token run
+
+  private def spans(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  test("ingest: within-batch spans match batch-local SpanDedup; " +
+    "cross-batch spans come from history; whole-batch replay is a no-op") {
+    import spark.implicits._
+    val idx = new GramIndex(spark, tmp(), w = 8, buckets = 8)
+    val b1 = Seq(
+      (1L, s"a1 a2 $S a3 a4"),
+      (2L, s"b1 $S b2 b3 b4")).toDF("doc_id", "text")
+    val got1 = spans(idx.ingest(b1))
+    assert(got1 === spans(SpanDedup.dupSpans(b1, 8)),
+      "first batch must agree with the batch-local operator")
+    assert(got1 === Seq((1L, 2L, 10L), (2L, 1L, 9L)))
+    assert(idx.grams.count() === 9) // 5 + 5 grams, S-gram shared
+
+    // batch 2: doc 10 copies the 8-run from history; doc 11 is novel.
+    // Batch-local span dedup sees NOTHING here — the history is the point
+    val b2 = Seq(
+      (10L, s"x1 x2 x3 $S"),
+      (11L, "y1 y2 y3 y4 y5 y6 y7 y8 y9")).toDF("doc_id", "text")
+    assert(spans(SpanDedup.dupSpans(b2, 8)).isEmpty)
+    val got2 = spans(idx.ingest(b2))
+    assert(got2 === Seq((10L, 3L, 11L)))
+
+    // whole-batch replays: identical spans, nothing registered
+    val n = idx.grams.count()
+    assert(spans(idx.ingest(b2)) === got2)
+    assert(spans(idx.ingest(b1)) === got1,
+      "batch-1 replay re-derives its within-batch + owner!=doc spans")
+    assert(idx.grams.count() === n)
+  }
+
+  test("probe is read-only and sees everything ingested") {
+    import spark.implicits._
+    val idx = new GramIndex(spark, tmp(), w = 8, buckets = 8)
+    idx.ingest(Seq((1L, s"$S tail1 tail2")).toDF("doc_id", "text"))
+    val eval = Seq((99L, s"head1 $S")).toDF("doc_id", "text")
+    val got = spans(idx.probe(eval))
+    assert(got === Seq((99L, 1L, 9L)))
+    assert(idx.grams.count() === 3) // probe registered nothing
+    // an empty index probes cleanly too
+    val empty = new GramIndex(spark, tmp(), w = 8, buckets = 8)
+    assert(spans(empty.probe(eval)).isEmpty)
+  }
+
+  test("history scan is partition-pruned to the batch's gram buckets") {
+    import spark.implicits._
+    val idx = new GramIndex(spark, tmp(), w = 8, buckets = 8)
+    idx.ingest((0L until 32L)
+      .map(i => (i, (0 until 10).map(j => s"t${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text"))
+    // one-gram batch (exactly 8 tokens) → exactly one index bucket may
+    // be read
+    val one = Seq((100L, "p1 p2 p3 p4 p5 p6 p7 p8")).toDF("doc_id", "text")
+    val bucket = Seq("p1 p2 p3 p4 p5 p6 p7 p8").toDF("g")
+      .select(pmod(conv(substring(md5($"g"), 1, 8), 16, 10)
+        .cast("long"), lit(8)))
+      .collect().head.get(0)
+    val plan = idx.probe(one).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), "no partition filter in scan")
+    assert(plan.contains(s"IN ($bucket)") ||
+      plan.contains(s"isin($bucket)") || plan.contains(s"= $bucket"),
+      s"bucket $bucket not pinned in:\n$plan")
+  }
+
+  test("empty and already-seen batches commit nothing") {
+    import spark.implicits._
+    val idx = new GramIndex(spark, tmp(), w = 8, buckets = 4)
+    assert(idx.ingest(Seq.empty[(Long, String)].toDF("doc_id", "text"))
+      .count() === 0)
+    assert(!idx.exists)
+    // short docs contribute no grams either
+    idx.ingest(Seq((1L, "too short")).toDF("doc_id", "text"))
+    assert(!idx.exists)
+    idx.ingest(Seq((2L, S)).toDF("doc_id", "text"))
+    assert(idx.grams.count() === 1)
+  }
+
+  test("config marker rejects reopening with a different w or buckets") {
+    import spark.implicits._
+    val path = tmp()
+    new GramIndex(spark, path, w = 8, buckets = 8)
+      .ingest(Seq((1L, S)).toDF("doc_id", "text"))
+    val wrongW = new GramIndex(spark, path, w = 5, buckets = 8)
+    val e1 = intercept[IllegalArgumentException] {
+      wrongW.probe(Seq((2L, S)).toDF("doc_id", "text"))
+    }
+    assert(e1.getMessage.contains("width/bucket mismatch"))
+    val wrongB = new GramIndex(spark, path, w = 8, buckets = 16)
+    val e2 = intercept[IllegalArgumentException] {
+      wrongB.probe(Seq((2L, S)).toDF("doc_id", "text"))
+    }
+    assert(e2.getMessage.contains("width/bucket mismatch"))
+  }
+
+  test("compact collapses multi-dir cells and preserves probe results") {
+    import spark.implicits._
+    val idx = new GramIndex(spark, tmp(), w = 8, buckets = 2)
+    idx.ingest(Seq((1L, s"$S u1 u2")).toDF("doc_id", "text"))
+    idx.ingest(Seq((2L, "v1 v2 v3 v4 v5 v6 v7 v8 v9")).toDF("doc_id", "text"))
+    idx.ingest(Seq((3L, "w1 w2 w3 w4 w5 w6 w7 w8")).toDF("doc_id", "text"))
+    val eval = Seq((50L, s"q1 $S")).toDF("doc_id", "text")
+    val before = spans(idx.probe(eval))
+    val gramsBefore = idx.grams.orderBy("k").collect().toSeq
+    assert(idx.compact() > 0)
+    assert(spans(idx.probe(eval)) === before)
+    assert(idx.grams.orderBy("k").collect().toSeq === gramsBefore)
+    assert(idx.compact() === 0, "second compact finds nothing fragmented")
+  }
+}
