@@ -111,6 +111,14 @@ object Profile {
     spark.range(1000000).selectExpr("sum(id)").collect() // JVM warmup
 
     val synDir = buildSynthetic(spark, sfDir, mult)
+    // quiesce after the synthetic build: the multi-GB crossJoin write
+    // leaves async work (ContextCleaner shuffle/broadcast deletion, GC
+    // of the build's task results) that otherwise lands inside the
+    // FIRST measured query — observed as a stable ~7× inflation of
+    // whichever query runs first at mult=64, vanishing at mult=2
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    System.gc()
+    Thread.sleep(3000)
     val metrics = new StageMetrics
     spark.sparkContext.addSparkListener(metrics)
 

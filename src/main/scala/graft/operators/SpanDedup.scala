@@ -109,16 +109,24 @@ object SpanDedup {
     * [[Dedup]] canonical selection for that). Documents left with zero
     * tokens disappear from the output. */
   def exciseTokens(docs: DataFrame, w: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    exciseTokensBySpans(docs, dupSpans(docs, w, textCol, idCol),
+      textCol, idCol)
+
+  /** [[exciseTokens]] against PRECOMPUTED spans (doc_id, span_start,
+    * span_end) — the composition point for history-backed excision:
+    * feed [[graft.store.GramIndex]]'s probe/ingest spans here to scrub
+    * a batch against the whole corpus, not just itself. Spans are
+    * disjoint by construction, so coverage explodes without a distinct. */
+  def exciseTokensBySpans(docs: DataFrame, spans: DataFrame,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val covered = hitPositions(docs, w, textCol, idCol)
-      .select(col("doc_id"),
-        explode(expr(s"sequence(pos, pos + ${w - 1})")).as("pos"))
-      .distinct()
-    val allPos = docs
+    val covered = spans.select(col("doc_id"),
+      explode(expr("sequence(span_start, span_end - 1)")).as("pos"))
+    docs
       .select(col(idCol).as("doc_id"),
         posexplode(split(lower(trim(col(textCol))), "\\s+"))
           .as(Seq("pos", "tok")))
-    allPos.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
   }
 
   /** Scrubbed text per document: original id columns + `scrubbed_text`
@@ -126,7 +134,18 @@ object SpanDedup {
     * The pipeline-composition form of [[exciseTokens]]. */
   def exciseText(docs: DataFrame, w: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    exciseTokens(docs, w, textCol, idCol)
+    regroup(exciseTokens(docs, w, textCol, idCol))
+
+  /** [[exciseText]] against precomputed spans (see
+    * [[exciseTokensBySpans]]): (doc_id, n_kept, scrubbed_text).
+    * Documents left with zero tokens disappear — a fully-duplicated
+    * document is excised whole, which subsumes exact dedup. */
+  def exciseTextBySpans(docs: DataFrame, spans: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    regroup(exciseTokensBySpans(docs, spans, textCol, idCol))
+
+  private def regroup(kept: DataFrame): DataFrame =
+    kept
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
         array_join(

@@ -295,6 +295,51 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming SPAN-level dedup: each arriving batch's duplicated
+    * regions — vs everything ever ingested AND within the batch — are
+    * excised from the text before the sink, via one
+    * [[graft.store.GramIndex.ingest]] per micro-batch (probe history,
+    * register own grams, one atomic commit). This is the streaming form
+    * of the Lee et al. 2022 ExactSubstr dedup: boilerplate, license
+    * headers, and full copies of documents ingested weeks earlier are
+    * cut out of the arriving text at region granularity; a FULLY
+    * duplicated document loses every token and is dropped outright
+    * (subsuming exact dedup), while a mostly-novel document keeps its
+    * novel regions instead of being all-or-nothing suppressed — the
+    * behavior neither [[curateWithHistory]] (byte-exact whole docs) nor
+    * [[curateWithNearDupHistory]] (whole-doc near-dups) can express.
+    *
+    * Emits the batch's non-text columns + (n_kept, scrubbed_text),
+    * filtered to `minKeptTokens`. Replay-stable: a whole-batch replay
+    * re-derives identical spans from index state (GramIndex's
+    * owner-inequality rule) and commits nothing, so at-least-once into
+    * an idempotent sink converges to exactly-once. */
+  def scrubSpansWithHistory(
+      docs: DataFrame,
+      grams: graft.store.GramIndex,
+      checkpointDir: String,
+      minKeptTokens: Int = 15,
+      textCol: String = "text",
+      idCol: String = "doc_id")(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        try {
+          val spans = grams.ingest(b, textCol, idCol)
+          val scrubbed = graft.operators.SpanDedup
+            .exciseTextBySpans(b, spans, textCol, idCol)
+          sink(
+            b.drop(textCol)
+              .withColumnRenamed(idCol, "doc_id")
+              .join(scrubbed, Seq("doc_id"))
+              .filter(col("n_kept") >= minKeptTokens))
+        } finally b.unpersist(false)
+      }
+      .start()
+
   /** Gap-based sessionization with explicit state: a session closes (and
     * is emitted) when its group sees an event more than `gapMs` later.
     * Batch `Temporal.sessionize` computes the same sessions

@@ -333,4 +333,44 @@ class StreamOpsSpec extends SparkSuite {
     q.stop()
     assert(est >= 500L && est <= 700L, s"hot estimate $est")
   }
+
+  test("scrubSpansWithHistory excises historical duplicate regions; " +
+    "fully-duplicated docs drop; novel docs pass untouched") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    val grams = new graft.store.GramIndex(spark,
+      java.nio.file.Files.createTempDirectory("ssh-grams").toString,
+      w = 8, buckets = 8)
+    val emitted =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("ssh-ckpt")
+    val q = StreamOps.scrubSpansWithHistory(df, grams,
+      checkpointDir = ckpt.toString, minKeptTokens = 2) { out =>
+      emitted ++= out.select($"doc_id", $"n_kept", $"scrubbed_text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    }
+    val run = (1 to 8).map(i => s"s$i").mkString(" ")
+    input.addData((1L, s"$run tail1 tail2 tail3"))
+    q.processAllAvailable()
+    // a much later micro-batch: a doc QUOTING the 8-run (region
+    // excised, novel head kept), a full copy of doc 1 (every position
+    // covered -> dropped), and a novel doc (untouched)
+    input.addData(
+      (2L, s"head1 head2 $run"),
+      (3L, s"$run tail1 tail2 tail3"),
+      (4L, "n1 n2 n3 n4 n5 n6 n7 n8 n9"))
+    q.processAllAvailable()
+    q.stop()
+    val byDoc = emitted.toList.groupBy(_._1)
+    assert(byDoc(1L) ===
+      List((1L, 11L, s"$run tail1 tail2 tail3")), "first copy untouched")
+    assert(byDoc(2L) === List((2L, 2L, "head1 head2")),
+      "quoted region excised, novel head kept")
+    assert(!byDoc.contains(3L), "full duplicate excised whole")
+    assert(byDoc(4L) === List((4L, 9L, "n1 n2 n3 n4 n5 n6 n7 n8 n9")))
+    // both batches registered their novel grams
+    assert(grams.grams.count() > 0)
+  }
 }
