@@ -359,6 +359,12 @@ object functions {
   def bpeApply(symbols: Column, merges: Seq[(String, String)]): Column =
     Bridge.column(BpeApplyExpr(Bridge.expression(symbols), merges))
 
+  /** KMV distinct sketch: the k smallest distinct values of a BIGINT
+    * hash column as a sorted array (see [[KmvAgg]]). */
+  def kmvSketch(c: Column, k: Int): Column =
+    Bridge.column(
+      KmvAgg(Bridge.expression(c), k).toAggregateExpression())
+
   /** Arity-checked builder for SQL registration. */
   def charBigramsBuilder(exprs: Seq[Expression]): CharBigramsExpr = {
     if (exprs.length != 1)

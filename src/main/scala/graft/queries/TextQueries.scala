@@ -426,6 +426,69 @@ object TextQueries {
         .orderBy($"bucket")
     }),
 
+    // KMV distinct sketch per source (the native TypedImperativeAggregate
+    // — bounded k-long state, map-side partials): the sketch STATE is
+    // the k smallest distinct md5-prefix hashes, an exact integer set
+    // the oracle re-derives with ORDER BY hash LIMIT k
+    "q_kmv_registers" -> ((s, dir) => {
+      import s.implicits._
+      val words = docs(s, dir).select($"source",
+        explode(split(lower(trim($"text")), "\\s+")).as("word"))
+      graft.operators.Kmv.sketch(words, Seq("source"), "word")
+        .select($"source", posexplode($"kmv").as(Seq("rank", "h")))
+        .orderBy($"source", $"rank")
+    }),
+
+    // the KMV estimator next to exact distinct (the q_hll_estimate
+    // pairing): (k-1)·M/kth-minimum, one float division against the
+    // same inlined 2^60 constant on both engines
+    "q_kmv_estimate" -> ((s, dir) => {
+      import s.implicits._
+      val words = docs(s, dir).select($"source",
+        explode(split(lower(trim($"text")), "\\s+")).as("word"))
+      val sk = graft.operators.Kmv.sketch(words, Seq("source"), "word")
+      val exact = words.groupBy($"source")
+        .agg(countDistinct($"word").as("n_exact"))
+      exact.join(sk, Seq("source"))
+        .select($"source", $"n_exact",
+          size($"kmv").as("sketch_size"),
+          graft.operators.Kmv.estimateMicro($"kmv")
+            .as("kmv_estimate_micro"))
+        .orderBy($"source")
+    }),
+
+    // pairwise source similarity FROM THE SKETCHES — the set-operation
+    // estimate HLL structurally cannot produce: the union's k minima
+    // present in both sides (exact integer over two k-element arrays),
+    // next to the exact intersection/union it approximates. At scale
+    // the pairwise stage runs over |sources|² tiny arrays, never the
+    // corpus
+    "q_kmv_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      val words = docs(s, dir).select($"source",
+        explode(split(lower(trim($"text")), "\\s+")).as("word"))
+      val ws = words.distinct()
+      val sk = graft.operators.Kmv.sketch(words, Seq("source"), "word")
+      val a = sk.select($"source".as("src_a"), $"kmv".as("kmv_a"))
+      val b = sk.select($"source".as("src_b"), $"kmv".as("kmv_b"))
+      val n = ws.groupBy($"source").agg(count(lit(1)).as("n"))
+      val inter = ws.toDF("src_a", "word")
+        .join(ws.toDF("src_b", "word"), Seq("word"))
+        .filter($"src_a" < $"src_b")
+        .groupBy($"src_a", $"src_b")
+        .agg(count(lit(1)).as("exact_inter"))
+      inter
+        .join(n.toDF("src_a", "n_a"), Seq("src_a"))
+        .join(n.toDF("src_b", "n_b"), Seq("src_b"))
+        .join(a, Seq("src_a")).join(b, Seq("src_b"))
+        .select($"src_a", $"src_b",
+          graft.operators.Kmv.jaccardHits($"kmv_a", $"kmv_b")
+            .as("kmv_hits"),
+          $"exact_inter",
+          ($"n_a" + $"n_b" - $"exact_inter").as("exact_union"))
+        .orderBy($"src_a", $"src_b")
+    }),
+
     // The CMS merge law, same pattern: per-lang sketches merged by
     // counter sum vs the oracle's direct global grid
     "q_cms_merge" -> ((s, dir) => {
@@ -659,6 +722,24 @@ object TextQueries {
       |)
       |""".stripMargin
 
+  /** Shared CTEs for the KMV oracles: per-source words, distinct 60-bit
+    * md5-prefix hashes, and their per-source ascending rank. */
+  private val KmvCte: String =
+    """WITH words AS (
+      |  SELECT source,
+      |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+      |  FROM documents
+      |), d AS (
+      |  SELECT DISTINCT source,
+      |    ('0x' || substring(md5(word), 1, 15))::BIGINT AS hv
+      |  FROM words
+      |), r AS (
+      |  SELECT source, hv,
+      |    row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+      |  FROM d
+      |)
+      |""".stripMargin
+
   private val ClusterCte: String =
     """WITH RECURSIVE base AS (
       |  SELECT doc_id, lang, CAST(n_chars // 100 AS INT) AS size_bucket,
@@ -745,6 +826,49 @@ object TextQueries {
         |    ELSE length(bin((hv // 64) & (-(hv // 64)))) END) AS INT)
         |    AS register
         |FROM h GROUP BY hv % 64 ORDER BY bucket""".stripMargin,
+
+    "q_kmv_registers" -> (KmvCte +
+      """SELECT source, CAST(rn - 1 AS INT) AS rank, hv AS h
+        |FROM r WHERE rn <= 64 ORDER BY source, rank""".stripMargin),
+
+    "q_kmv_estimate" -> (KmvCte +
+      s""", kl AS (
+         |  SELECT source, count(*) AS sk_size, max(hv) AS kth
+         |  FROM r WHERE rn <= 64 GROUP BY source),
+         |ex AS (
+         |  SELECT source, count(DISTINCT word) AS n_exact
+         |  FROM words GROUP BY source)
+         |SELECT ex.source, n_exact, CAST(sk_size AS INT) AS sketch_size,
+         |  CASE WHEN sk_size < 64 THEN sk_size * 1000000
+         |    ELSE CAST(round(1000000.0 * 63 *
+         |      ${graft.operators.Kmv.HashSpace} /
+         |      CAST(kth AS DOUBLE)) AS BIGINT) END AS kmv_estimate_micro
+         |FROM ex JOIN kl USING (source)
+         |ORDER BY ex.source""".stripMargin),
+
+    "q_kmv_jaccard" -> (KmvCte +
+      """, kl AS (
+        |  SELECT source, list(hv ORDER BY hv) AS kmv
+        |  FROM r WHERE rn <= 64 GROUP BY source),
+        |ws AS (SELECT DISTINCT source, word FROM words),
+        |n AS (SELECT source, count(*) AS n FROM ws GROUP BY source),
+        |inter AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |         count(*) AS exact_inter
+        |  FROM ws a JOIN ws b ON a.word = b.word AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT i.src_a, i.src_b,
+        |  len(list_intersect(list_intersect(
+        |    list_sort(list_distinct(list_concat(ka.kmv, kb.kmv)))[1:64],
+        |    ka.kmv), kb.kmv)) AS kmv_hits,
+        |  i.exact_inter,
+        |  na.n + nb.n - i.exact_inter AS exact_union
+        |FROM inter i
+        |JOIN kl ka ON ka.source = i.src_a
+        |JOIN kl kb ON kb.source = i.src_b
+        |JOIN n na ON na.source = i.src_a
+        |JOIN n nb ON nb.source = i.src_b
+        |ORDER BY i.src_a, i.src_b""".stripMargin),
 
     "q_cms_merge" -> (CmsWordsCte +
       """SELECT rw AS cms_row,
