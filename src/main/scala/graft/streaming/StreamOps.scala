@@ -391,6 +391,26 @@ object StreamOps {
       valueCol: String): DataFrame =
     graft.operators.Cms.registers(rows, groupCols, valueCol)
 
+  /** Streaming KMV distinct sketch: the native [[graft.functions
+    * .KmvAgg]] maintained as a streaming aggregation — state per group
+    * is HARD-BOUNDED at k longs (the serialized sketch buffer in the
+    * state store), and because the aggregate's merge IS the KMV merge
+    * law (k-min of union), the sketch converges to exactly the batch
+    * sketch of everything the stream has seen. The streaming leg of the
+    * [[graft.operators.Kmv]] family: live pairwise source-similarity
+    * ([[graft.operators.Kmv.jaccardHits]]) reads off the latest
+    * sketches at any moment — the set-operation estimate neither the
+    * HLL nor the CMS stream can produce.
+    *
+    * Run with `outputMode("update")`.
+    */
+  def kmvStream(
+      rows: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      k: Int = graft.operators.Kmv.DefaultK): DataFrame =
+    graft.operators.Kmv.sketch(rows, groupCols, valueCol, k)
+
   def sessionizeStream(
       events: Dataset[SessionEvent],
       gapMs: Long): Dataset[SessionOut] = {

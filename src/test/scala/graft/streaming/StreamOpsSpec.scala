@@ -334,6 +334,37 @@ class StreamOpsSpec extends SparkSuite {
     assert(est >= 500L && est <= 700L, s"hot estimate $est")
   }
 
+  test("kmvStream: k-longs-per-group state converges to exactly the " +
+    "batch sketch of everything seen") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val df = input.toDF().toDF("g", "term")
+    val latest =
+      scala.collection.concurrent.TrieMap.empty[String, Seq[Long]]
+    val q = StreamOps.kmvStream(df, Seq("g"), "term", k = 16)
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r =>
+          latest(r.getString(0)) = r.getSeq[Long](1))
+      }.start()
+    val batch1 = (0 until 300).map(i => ("a", s"t$i")) ++
+      (0 until 50).map(i => ("b", s"u$i"))
+    val batch2 = (200 until 600).map(i => ("a", s"t$i")) ++
+      (0 until 300).map(i => ("b", s"u$i"))
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val expected = graft.operators.Kmv
+      .sketch((batch1 ++ batch2).toDF("g", "term"), Seq("g"), "term", k = 16)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(latest("a") === expected("a"))
+    assert(latest("b") === expected("b"))
+    assert(latest.values.forall(_.size <= 16), "state bounded at k")
+  }
+
   test("scrubSpansWithHistory excises historical duplicate regions; " +
     "fully-duplicated docs drop; novel docs pass untouched") {
     import spark.implicits._
