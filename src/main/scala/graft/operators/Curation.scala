@@ -643,4 +643,64 @@ object Curation {
     df.withColumn("sample_bucket", sampleBucket(col(idCol)))
       .where(col("sample_bucket") < rateCol)
   }
+
+  /** The ppm-granularity sampling key: uniform in [0, 1e6) as a pure
+    * function of the id ([[sampleBucket]]'s md5 discipline at the
+    * resolution temperature rates need). */
+  def samplePpm(idCol: Column): Column =
+    conv(substring(md5(idCol.cast("string")), 1, 15), 16, 10)
+      .cast("long") % 1000000L
+
+  /** Per-stratum keep rates for TEMPERATURE (α) sampling — the
+    * multilingual/multi-source mixing policy (mT5/XLM-R style): stratum
+    * s is sampled with probability ∝ n_s^α, flattening the natural
+    * distribution so rare sources are over-represented relative to
+    * their share (α = 1 reduces to uniform document sampling, α → 0 to
+    * uniform-over-strata). Realized as per-document keep rates against
+    * a total `budget`: keep_s = budget · (w_s / Σw) / n_s with
+    * w_s = n_s^α, capped at 1.
+    *
+    * Engine-portable determinism: n_s^α is the ONE float step, spelled
+    * `round(1e6 · exp(α · ln n))` on both engines (the DSIR ln-micro
+    * discipline); everything after is integer — the budget product runs
+    * in 128-bit (DECIMAL(38,0) here, HUGEINT in the oracle) so no
+    * range assumption on budget × weight, and the floor-div quotient is
+    * exact. Output: (stratumCol, n_docs, keep_ppm).
+    *
+    * Scale shape: one tiny count aggregate (|strata| rows) + a 1-row
+    * total broadcast — the corpus is never shuffled. */
+  def temperatureRates(df: DataFrame, stratumCol: String,
+      alpha: Double, budget: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0, 1], got $alpha")
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    Seq("n_docs", "keep_ppm").foreach(c =>
+      require(!df.columns.contains(c),
+        s"input column '$c' collides with a temperatureRates output"))
+    val withW = df
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("__w",
+        expr(s"CAST(round(1000000.0 * exp($alpha * ln(n_docs))) AS BIGINT)"))
+    withW
+      .crossJoin(broadcast(withW.select(sum(col("__w")).as("__tw"))))
+      .withColumn("keep_ppm",
+        least(lit(1000000L), expr(
+          s"""CAST(floor((CAST($budget AS DECIMAL(38,0)) * 1000000 * __w)
+             |  / (CAST(__tw AS DECIMAL(38,0)) * n_docs)) AS BIGINT)"""
+            .stripMargin)))
+      .drop("__w", "__tw")
+  }
+
+  /** Apply [[temperatureRates]]: keep each document iff its md5-uniform
+    * ppm key falls under its stratum's rate — deterministic (replays
+    * and incremental retries keep the same documents), map-side after
+    * one broadcast of the |strata|-row rate table. The kept frame
+    * carries `keep_ppm` for auditing. */
+  def temperatureMix(df: DataFrame, stratumCol: String, idCol: String,
+      alpha: Double, budget: Long): DataFrame = {
+    val rates = temperatureRates(df, stratumCol, alpha, budget)
+      .select(col(stratumCol), col("keep_ppm"))
+    df.join(broadcast(rates), Seq(stratumCol))
+      .where(samplePpm(col(idCol)) < col("keep_ppm"))
+  }
 }

@@ -296,6 +296,26 @@ object CurationQueries {
         .select($"source", $"n_total",
           coalesce($"n_kept", lit(0L)).as("n_kept"))
         .orderBy($"source")
+    }),
+
+    // temperature (α) source mixing — the mT5/XLM-R sampling policy:
+    // keep rates ∝ n^α / n against a 150-doc budget, flattening the
+    // source distribution so rare sources over-represent. One float
+    // step (round(1e6·exp(α·ln n)), the DSIR discipline), then pure
+    // 128-bit integer arithmetic; the audit table reports computed
+    // rates next to realized keeps
+    "q_temperature_mix" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val rates = Curation.temperatureRates(d, "source",
+        alpha = 0.5, budget = 150L)
+      val kept = Curation.temperatureMix(d, "source", "doc_id",
+        alpha = 0.5, budget = 150L)
+        .groupBy($"source").agg(count(lit(1)).as("n_kept"))
+      rates.join(kept, Seq("source"), "left")
+        .select($"source", $"n_docs", $"keep_ppm",
+          coalesce($"n_kept", lit(0L)).as("n_kept"))
+        .orderBy($"source")
     }))
 
   /** q_redact oracle built from the SAME pattern list the operator
@@ -666,6 +686,32 @@ object CurationQueries {
         |  CAST(sum(n_words) AS BIGINT) AS sum_words
         |FROM sampled LEFT JOIN embeddings e ON sampled.doc_id = e.vec_id
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_temperature_mix" ->
+      """WITH counts AS (
+        |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+        |), w AS (
+        |  SELECT source, n_docs,
+        |    CAST(round(1000000.0 * exp(0.5 * ln(n_docs))) AS BIGINT) AS w
+        |  FROM counts
+        |), t AS (SELECT sum(w) AS tw FROM w),
+        |r AS (
+        |  SELECT source, n_docs,
+        |    least(1000000, CAST(
+        |      (CAST(150 AS HUGEINT) * 1000000 * w)
+        |        // (CAST(tw AS HUGEINT) * n_docs) AS BIGINT)) AS keep_ppm
+        |  FROM w, t
+        |), kept AS (
+        |  SELECT d.source, count(*) AS n_kept
+        |  FROM documents d JOIN r ON d.source = r.source
+        |  WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+        |          ::BIGINT % 1000000 < r.keep_ppm
+        |  GROUP BY d.source
+        |)
+        |SELECT r.source, r.n_docs, r.keep_ppm,
+        |  coalesce(k.n_kept, 0) AS n_kept
+        |FROM r LEFT JOIN kept k USING (source)
+        |ORDER BY r.source""".stripMargin,
+
     "q_source_mix" ->
       """WITH b AS (
         |  SELECT source,

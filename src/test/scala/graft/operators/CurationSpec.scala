@@ -363,4 +363,53 @@ class CurationSpec extends SparkSuite {
     val bad2 = Seq((1L, "x", "y")).toDF("doc_id", "text", "text_clean")
     intercept[IllegalArgumentException](Curation.lineDedup(bad2))
   }
+
+  test("temperatureRates: alpha=1 is uniform document sampling; " +
+    "alpha<1 flattens toward rare strata; cap at 1e6") {
+    import spark.implicits._
+    val df = ((0 until 900).map(i => (i.toLong, "big")) ++
+      (900 until 1000).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source")
+    // alpha = 1: w = n, so keep_ppm = budget/N for every stratum
+    val flat = Curation.temperatureRates(df, "source", alpha = 1.0,
+      budget = 200L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(flat("big") === flat("small"))
+    assert(flat("big") === 200L * 1000000L / 1000L)
+    // alpha = 0.5: the rare stratum keeps a HIGHER fraction
+    val temp = Curation.temperatureRates(df, "source", alpha = 0.5,
+      budget = 200L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(temp("small") > temp("big"))
+    // per-stratum doc budget: small gets 3x its proportional share
+    // (w ∝ sqrt(n): sqrt(100)/(sqrt(900)+sqrt(100)) = 1/4 of 200 = 50
+    // docs over 100 docs = 50% vs proportional 20/100 = 20%)
+    assert(temp("small") === 500000L)
+    // a tiny stratum under a big budget caps at 1e6 (keep everything)
+    val capped = Curation.temperatureRates(df, "source", alpha = 0.5,
+      budget = 100000L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(capped("small") === 1000000L)
+  }
+
+  test("temperatureMix: deterministic keep set, realized counts track " +
+    "rates, partitioning-invariant") {
+    import spark.implicits._
+    val df = ((0 until 900).map(i => (i.toLong, "big")) ++
+      (900 until 1000).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source")
+    val kept = Curation.temperatureMix(df, "source", "doc_id",
+      alpha = 0.5, budget = 200L)
+    val ids = kept.select($"doc_id").collect().map(_.getLong(0)).sorted
+    val again = Curation.temperatureMix(df.repartition(13), "source",
+      "doc_id", alpha = 0.5, budget = 200L)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === again.toSeq, "keep set is a pure function of ids")
+    val bySource = kept.groupBy($"source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // expected ~150 big (16.67% of 900) and ~50 small (50% of 100);
+    // md5-uniform sampling at these sizes stays well within ±40%
+    assert(math.abs(bySource("big") - 150.0) / 150.0 < 0.4, bySource)
+    assert(math.abs(bySource("small") - 50.0) / 50.0 < 0.4, bySource)
+  }
 }
