@@ -240,6 +240,39 @@ case class WinnowFingerprintsExpr(child: Expression, k: Int, w: Int)
   * asserts parity against that reference spelling; the DuckDB oracle is
   * unchanged). The SQL chain nested one interpreted fold PER MERGE and
   * was the top battery cost at 64×. */
+/** 2-D Hilbert-curve distance of two BIGINT grid coordinates (low `bits`
+  * bits of each) — the layout key behind [[graft.operators.Layout
+  * .hilbertKey2]]. Native because the per-level quadrant rotation is
+  * data-dependent: Morton's shift/mask cascade has no Hilbert analogue,
+  * and an unrolled CASE spelling grows ~3× per level. Both eval and the
+  * generated code call the one loop in
+  * [[graft.operators.HilbertCurve.xy2d]] (the Blake2b static-forwarder
+  * pattern), and the battery oracle unrolls the same level list in SQL.
+  */
+case class HilbertKeyExpr(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  require(bits >= 1 && bits <= 31, s"bits in [1, 31], got $bits")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "hilbert_key"
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
+
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    graft.operators.HilbertCurve.xy2d(
+      bits, x.asInstanceOf[Long], y.asInstanceOf[Long])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) =>
+      s"graft.operators.HilbertCurve.xy2d($bits, $x, $y)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HilbertKeyExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
     extends UnaryExpression with ImplicitCastInputTypes {
 
@@ -364,6 +397,11 @@ object functions {
   def kmvSketch(c: Column, k: Int): Column =
     Bridge.column(
       KmvAgg(Bridge.expression(c), k).toAggregateExpression())
+
+  /** 2-D Hilbert-curve distance of two grid-coordinate columns. */
+  def hilbertKey(x: Column, y: Column, bits: Int): Column =
+    Bridge.column(
+      HilbertKeyExpr(Bridge.expression(x), Bridge.expression(y), bits))
 
   /** Arity-checked builder for SQL registration. */
   def charBigramsBuilder(exprs: Seq[Expression]): CharBigramsExpr = {

@@ -102,6 +102,33 @@ object Layout {
     xs.bitwiseOR(shiftleft(ys, 1))
   }
 
+  /** The 2-D Hilbert key of two non-negative dimension columns using
+    * the low `bits` bits of each — a native codegen'd expression (the
+    * per-level rotation is data-dependent, so unlike Morton there is no
+    * shift/mask cascade; an unrolled column spelling would grow ~3× per
+    * level). Hilbert improves on Z-order's locality: consecutive keys
+    * are always ADJACENT grid cells (no Morton "jumps" across the
+    * keyspace), so range-clustered files get strictly tighter per-file
+    * min-max spans on both dimensions — see LayoutSpec's head-to-head.
+    * Same skew note as [[zorderKey2]]: feed bucketed ranks for skewed
+    * domains. */
+  def hilbertKey2(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= MaxBits, s"bits in [1, $MaxBits], got $bits")
+    graft.functions.functions.hilbertKey(x, y, bits)
+  }
+
+  /** [[clusterByZOrder]]'s Hilbert twin. */
+  def clusterByHilbert(
+      df: DataFrame, xCol: String, yCol: String,
+      numPartitions: Int, bits: Int = 16): DataFrame = {
+    require(numPartitions >= 1, s"numPartitions >= 1, got $numPartitions")
+    require(!df.columns.contains("hkey"),
+      "input column 'hkey' collides with the hkey output column")
+    df.withColumn("hkey", hilbertKey2(col(xCol), col(yCol), bits))
+      .repartitionByRange(numPartitions, col("hkey"))
+      .sortWithinPartitions(col("hkey"))
+  }
+
   /** Cluster `df` for writing: range-partition on the Z-order key of
     * (`xCol`, `yCol`) into `numPartitions` output files, sorted within
     * each partition so row-group min-max stats stay tight. The returned
@@ -136,5 +163,74 @@ object Layout {
     df.withColumn("zkey", zorderKeyN(cols.map(col), bits))
       .repartitionByRange(numPartitions, col("zkey"))
       .sortWithinPartitions(col("zkey"))
+  }
+}
+
+/** The 2-D Hilbert curve transform (Wikipedia "Hilbert curve" xy2d/d2xy,
+  * the Skilling-style per-level rotate) as plain Long math — called by
+  * the native expression's eval AND its generated code (the
+  * [[graft.core.Blake2b]] static-forwarder pattern), and mirrored
+  * level-by-level by the battery's DuckDB oracle SQL (generated from
+  * [[levels]] — one source of truth for the level order on both
+  * engines).
+  */
+object HilbertCurve {
+
+  /** Per-level side lengths for a `bits`-bit curve, high to low:
+    * 2^(bits-1), …, 2, 1. The oracle SQL generator iterates this same
+    * list. */
+  def levels(bits: Int): Seq[Long] =
+    (bits - 1 to 0 by -1).map(1L << _)
+
+  /** Distance along the `bits`-bit Hilbert curve of grid cell (x, y);
+    * inputs are masked to `bits` bits. */
+  def xy2d(bits: Int, x0: Long, y0: Long): Long = {
+    val mask = (1L << bits) - 1
+    var x = x0 & mask
+    var y = y0 & mask
+    var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      // rotate the quadrant so the sub-curve orients correctly
+      if (ry == 0) {
+        if (rx == 1) {
+          x = s - 1 - x
+          y = s - 1 - y
+        }
+        val t = x; x = y; y = t
+      }
+      x &= (s - 1)
+      y &= (s - 1)
+      s >>= 1
+    }
+    d
+  }
+
+  /** Inverse: the grid cell at distance `d` (packed as x << 32 | y —
+    * one Long so the spec can round-trip without tuples in codegen). */
+  def d2xy(bits: Int, d0: Long): Long = {
+    var x = 0L
+    var y = 0L
+    var t = d0
+    var s = 1L
+    while (s < (1L << bits)) {
+      val rx = 1L & (t / 2)
+      val ry = 1L & (t ^ rx)
+      if (ry == 0) {
+        if (rx == 1) {
+          x = s - 1 - x
+          y = s - 1 - y
+        }
+        val tmp = x; x = y; y = tmp
+      }
+      x += s * rx
+      y += s * ry
+      t /= 4
+      s <<= 1
+    }
+    (x << 32) | y
   }
 }

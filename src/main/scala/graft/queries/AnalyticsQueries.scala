@@ -157,6 +157,27 @@ object AnalyticsQueries {
     // a 64-wide quarter, the narrow-span property that lets row-group
     // stats prune scans filtered on EITHER dimension. Map-side key math +
     // one hash agg.
+    // Hilbert-curve layout audit, the q_zorder pairing: distances along
+    // the 8-bit Hilbert curve (native expression — the per-level
+    // rotation is data-dependent, no Morton-style mask cascade exists),
+    // cut into 16 buckets of 4096 consecutive distances; every bucket
+    // is a CONTIGUOUS 64x64 region (the adjacency property Z-order
+    // lacks), so both dims' per-bucket spans stay tight
+    "q_hilbert" -> ((s, dir) => {
+      import s.implicits._
+      val x = ($"l_orderkey" % 256).cast("long")
+      val y = ($"l_partkey" % 256).cast("long")
+      t(s, dir, "lineitem")
+        .select(graft.operators.Layout.hilbertKey2(x, y, bits = 8)
+          .as("hkey"), x.as("x"), y.as("y"))
+        .withColumn("bucket", expr("hkey DIV 4096"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"),
+          min($"x").as("min_x"), max($"x").as("max_x"),
+          min($"y").as("min_y"), max($"y").as("max_y"))
+        .orderBy($"bucket")
+    }),
+
     "q_zorder" -> ((s, dir) => {
       import s.implicits._
       val x = ($"l_orderkey" % 256).cast("long")
@@ -200,6 +221,44 @@ object AnalyticsQueries {
     * (shift, mask) list the operator folds over
     * ([[graft.operators.Layout.SpreadSteps]]) — one source of truth for
     * the bit math on both engines. */
+  /** q_hilbert oracle: the per-level rotate-and-accumulate chain
+    * unrolled as one CTE per level, generated from the SAME level list
+    * the native expression's loop walks
+    * ([[graft.operators.HilbertCurve.levels]]) — the ZOrderOracle
+    * one-source-of-truth discipline for a transform whose steps are
+    * data-dependent rather than a static mask cascade. */
+  private val HilbertOracle: String = {
+    val lvls = graft.operators.HilbertCurve.levels(8)
+    val levelCtes = lvls.zipWithIndex.map { case (s, i) =>
+      val prev = if (i == 0) "d0" else s"l$i"
+      val m = s - 1
+      s"""l${i + 1} AS (
+         |  SELECT ox, oy,
+         |    d + ${s * s} * (CASE WHEN rx = 1 AND ry = 1 THEN 2
+         |      WHEN rx = 1 THEN 3 WHEN ry = 1 THEN 1 ELSE 0 END) AS d,
+         |    (CASE WHEN ry = 1 THEN x WHEN rx = 0 THEN y
+         |      ELSE $m - y END) & $m AS x,
+         |    (CASE WHEN ry = 1 THEN y WHEN rx = 0 THEN x
+         |      ELSE $m - x END) & $m AS y
+         |  FROM (SELECT ox, oy, d, x, y,
+         |      CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+         |      CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry
+         |    FROM $prev))""".stripMargin
+    }
+    s"""WITH d0 AS (
+       |  SELECT CAST(l_orderkey % 256 AS BIGINT) AS ox,
+       |         CAST(l_partkey % 256 AS BIGINT) AS oy,
+       |         CAST(0 AS BIGINT) AS d,
+       |         CAST(l_orderkey % 256 AS BIGINT) AS x,
+       |         CAST(l_partkey % 256 AS BIGINT) AS y
+       |  FROM lineitem),
+       |${levelCtes.mkString(",\n")}
+       |SELECT d // 4096 AS bucket, count(*) AS n,
+       |  min(ox) AS min_x, max(ox) AS max_x,
+       |  min(oy) AS min_y, max(oy) AS max_y
+       |FROM l${lvls.size} GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   private val ZOrderOracle: String = {
     def spreadSql(v: String): String = {
       val steps = graft.operators.Layout.SpreadSteps.zipWithIndex.map {
@@ -261,6 +320,8 @@ object AnalyticsQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_hilbert" -> HilbertOracle,
+
     "q_zorder" -> ZOrderOracle,
     "q_zorder3" -> ZOrder3Oracle,
 

@@ -137,4 +137,86 @@ class LayoutSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       Layout.clusterByZOrder(df, "x", "y", 4))
   }
+
+  test("HilbertCurve.xy2d: literature 4x4 vector, exhaustive bijectivity " +
+    "+ unit-step adjacency for bits 1..5, d2xy round-trip") {
+    // the published 4x4 Hilbert walk (d = 0..15)
+    val walk4 = Seq(
+      (0L, 0L), (1L, 0L), (1L, 1L), (0L, 1L),
+      (0L, 2L), (0L, 3L), (1L, 3L), (1L, 2L),
+      (2L, 2L), (2L, 3L), (3L, 3L), (3L, 2L),
+      (3L, 1L), (2L, 1L), (2L, 0L), (3L, 0L))
+    walk4.zipWithIndex.foreach { case ((x, y), d) =>
+      assert(HilbertCurve.xy2d(2, x, y) === d.toLong, s"cell ($x,$y)")
+    }
+    for (bits <- 1 to 5) {
+      val side = 1L << bits
+      val cells = for (x <- 0L until side; y <- 0L until side)
+        yield (x, y, HilbertCurve.xy2d(bits, x, y))
+      val ds = cells.map(_._3)
+      assert(ds.toSet === (0L until side * side).toSet,
+        s"bits=$bits not a bijection")
+      // THE Hilbert property (Z-order lacks it): consecutive distances
+      // are Manhattan-adjacent grid cells
+      val byD = cells.map(c => c._3 -> ((c._1, c._2))).toMap
+      (0L until side * side - 1).foreach { d =>
+        val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+        assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1,
+          s"bits=$bits: d=$d ($x1,$y1) -> ($x2,$y2) not adjacent")
+      }
+      // the inverse walks the same curve
+      (0L until side * side).foreach { d =>
+        val packed = HilbertCurve.d2xy(bits, d)
+        assert((packed >> 32, packed & 0xFFFFFFFFL) === byD(d))
+      }
+    }
+    // 31-bit corner stays in range and inverts
+    val big = HilbertCurve.xy2d(31, (1L << 31) - 1, 0L)
+    assert(big >= 0 && big < (1L << 62))
+    val p = HilbertCurve.d2xy(31, big)
+    assert((p >> 32) === (1L << 31) - 1 && (p & 0xFFFFFFFFL) === 0L)
+  }
+
+  test("hilbertKey2 expression matches HilbertCurve.xy2d; masks input; " +
+    "nulls propagate") {
+    import spark.implicits._
+    val pts = (for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y))
+    val got = pts.toDF("x", "y")
+      .select($"x", $"y", Layout.hilbertKey2($"x", $"y", bits = 4).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    pts.foreach { case (x, y) =>
+      assert(got((x, y)) === HilbertCurve.xy2d(4, x, y))
+    }
+    // values beyond the bit budget mask down, like zorderKey2
+    val masked = Seq((17L, 33L)).toDF("x", "y")
+      .select(Layout.hilbertKey2($"x", $"y", bits = 4))
+      .collect().head.getLong(0)
+    assert(masked === HilbertCurve.xy2d(4, 1L, 1L))
+    val nul = Seq((Some(1L), Option.empty[Long])).toDF("x", "y")
+      .select(Layout.hilbertKey2($"x", $"y", bits = 4))
+      .collect().head
+    assert(nul.isNullAt(0))
+  }
+
+  test("clusterByHilbert is at least as tight as clusterByZOrder on " +
+    "the 64x64 grid (the adjacency dividend)") {
+    import spark.implicits._
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
+      .toDF("x", "y")
+    def avgSpans(df: org.apache.spark.sql.DataFrame): Double = {
+      val spans = df
+        .select(spark_partition_id().as("p"), $"x", $"y")
+        .groupBy($"p")
+        .agg((max($"x") - min($"x")).as("sx"),
+          (max($"y") - min($"y")).as("sy"))
+        .collect()
+      spans.map(r => r.getLong(1) + r.getLong(2)).sum.toDouble /
+        (2.0 * spans.length)
+    }
+    val h = avgSpans(Layout.clusterByHilbert(grid, "x", "y", 16, bits = 6))
+    val z = avgSpans(Layout.clusterByZOrder(grid, "x", "y", 16, bits = 6))
+    assert(h < 40, s"hilbert span too wide: $h")
+    assert(h <= z + 1e-9, s"hilbert ($h) should not lose to z-order ($z)")
+  }
 }
