@@ -474,6 +474,73 @@ object Curation {
       .withColumn("avg_micro", expr("score_sum DIV n_bigrams"))
   }
 
+  /** Trained language identification: per-language add-one-smoothed
+    * character-bigram models, every document scored under EVERY model,
+    * predicted language = argmax log-likelihood (tie → lexicographically
+    * smallest language). This upgrades the marker-count heuristic
+    * (`q_lang_markers`) to the standard trained n-gram classifier
+    * (Cavnar & Trenkle 1994 family): the training labels come from the
+    * corpus's own `langCol`, so the audit column `correct` directly
+    * measures how separable the corpus's languages are at the
+    * character level.
+    *
+    * Engine-portable math (the [[charLmScore]] discipline): one ln
+    * micro-rounding per (bigram, lang) model cell —
+    * `round(1e6 · ln((cnt+1)/(total+V)))`, V = corpus distinct-bigram
+    * count shared across languages so smoothing is comparable — and
+    * one per-language OOV cell from the same formula with cnt = 0;
+    * everything after is exact integer products/sums, so scores and
+    * the argmax they drive replay bit-identically in any engine.
+    *
+    * Scale shape: the model is ≤ |langs| · charset² cells and
+    * broadcasts; per-doc grams aggregate map-side before the one
+    * shuffle on (doc, gram); scoring fans each doc-gram row out
+    * |langs|× against the broadcast model — linear in corpus × langs,
+    * never a corpus self-join. For hundreds of candidate languages,
+    * prefilter with the marker heuristic and score the shortlist.
+    *
+    * @return (idCol, langCol, predicted_lang, score_micro, correct)
+    */
+  def langId(docs: DataFrame, langCol: String = "lang",
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val train = docs.select(col(langCol).as("__lang"),
+      explode(charGramsExpr(textCol)).as("__g"))
+    val counts = train.groupBy(col("__lang"), col("__g"))
+      .agg(count(lit(1)).as("__cnt"))
+    val totals = counts.groupBy(col("__lang"))
+      .agg(sum(col("__cnt")).as("__total"))
+    val vocab = train.select(col("__g")).distinct().count()
+    val model = counts.join(totals, Seq("__lang"))
+      .select(col("__lang"), col("__g"),
+        expr(s"CAST(round(1000000.0 * ln((__cnt + 1) / " +
+          s"CAST(__total + $vocab AS DOUBLE))) AS BIGINT)").as("__lp"))
+    val oov = totals.select(col("__lang"),
+      expr(s"CAST(round(1000000.0 * ln(1 / " +
+        s"CAST(__total + $vocab AS DOUBLE))) AS BIGINT)").as("__oov"))
+    val docGrams = docs
+      .select(col(idCol), col(langCol), explode(charGramsExpr(textCol))
+        .as("__g"))
+      .groupBy(col(idCol), col(langCol), col("__g"))
+      .agg(count(lit(1)).as("__n"))
+    val scored = docGrams
+      .join(broadcast(oov.select(col("__lang").as("__cand"), col("__oov"))),
+        lit(true))
+      .join(broadcast(model.select(col("__lang").as("__cand"),
+        col("__g"), col("__lp"))), Seq("__cand", "__g"), "left")
+      .withColumn("__cell", coalesce(col("__lp"), col("__oov")))
+      .groupBy(col(idCol), col(langCol), col("__cand"))
+      .agg(sum(col("__n") * col("__cell")).as("__score"))
+    scored
+      .groupBy(col(idCol), col(langCol))
+      .agg(min(struct((-col("__score")).as("__neg"), col("__cand"),
+        col("__score"))).as("__best"))
+      .select(col(idCol), col(langCol),
+        col("__best.__cand").as("predicted_lang"),
+        col("__best.__score").as("score_micro"),
+        when(col("__best.__cand") === col(langCol), 1).otherwise(0)
+          .as("correct"))
+  }
+
   /** Count-column names paired with [[RedactPatterns]], in order. */
   val RedactCountColumns: Seq[String] = Seq("n_emails", "n_ips", "n_phones")
 

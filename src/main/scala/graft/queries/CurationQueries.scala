@@ -298,6 +298,21 @@ object CurationQueries {
         .orderBy($"source")
     }),
 
+    // trained language-ID: per-lang smoothed char-bigram models, every
+    // doc scored under every model, argmax prediction next to the true
+    // label — the Cavnar-Trenkle upgrade of q_lang_markers' heuristic.
+    // One ln micro-rounding per model cell, integer products/sums after.
+    // (On this synthetic corpus the langs share most vocabulary — only
+    // sparse marker words differ — so the audit column reports ~36%
+    // accuracy over 5 langs vs 20% chance: the corpus is weakly
+    // char-separable by construction, which is itself what the audit
+    // output is for)
+    "q_langid_model" -> ((s, dir) => {
+      import s.implicits._
+      Curation.langId(docs(s, dir))
+        .orderBy($"doc_id")
+    }),
+
     // temperature (α) source mixing — the mT5/XLM-R sampling policy:
     // keep rates ∝ n^α / n against a 150-doc budget, flattening the
     // source distribution so rare sources over-represent. One float
@@ -686,6 +701,54 @@ object CurationQueries {
         |  CAST(sum(n_words) AS BIGINT) AS sum_words
         |FROM sampled LEFT JOIN embeddings e ON sampled.doc_id = e.vec_id
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_langid_model" ->
+      """WITH norm AS (
+        |  SELECT doc_id, lang,
+        |    regexp_replace(lower(trim(text)),
+        |                   '[ \t\n\x0B\f\r]+', ' ', 'g') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, lang, substring(t, i, 2) AS g
+        |  FROM norm, unnest(generate_series(1, length(t) - 1)) AS u(i)
+        |  WHERE length(t) >= 2),
+        |counts AS (
+        |  SELECT lang, g, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM grams GROUP BY lang, g),
+        |totals AS (
+        |  SELECT lang, CAST(sum(cnt) AS BIGINT) AS total
+        |  FROM counts GROUP BY lang),
+        |v AS (SELECT count(DISTINCT g) AS vocab FROM grams),
+        |model AS (
+        |  SELECT c.lang, c.g,
+        |    CAST(round(1000000.0 * ln((c.cnt + 1) /
+        |      CAST(t.total + v.vocab AS DOUBLE))) AS BIGINT) AS lp
+        |  FROM counts c JOIN totals t ON c.lang = t.lang CROSS JOIN v),
+        |oov AS (
+        |  SELECT t.lang,
+        |    CAST(round(1000000.0 * ln(1 /
+        |      CAST(t.total + v.vocab AS DOUBLE))) AS BIGINT) AS lp
+        |  FROM totals t CROSS JOIN v),
+        |dg AS (
+        |  SELECT doc_id, lang, g, CAST(count(*) AS BIGINT) AS n
+        |  FROM grams GROUP BY doc_id, lang, g),
+        |scored AS (
+        |  SELECT dg.doc_id, dg.lang,
+        |    o.lang AS cand,
+        |    CAST(sum(dg.n * coalesce(m.lp, o.lp)) AS BIGINT) AS score
+        |  FROM dg
+        |  CROSS JOIN oov o
+        |  LEFT JOIN model m ON m.lang = o.lang AND m.g = dg.g
+        |  GROUP BY dg.doc_id, dg.lang, o.lang),
+        |best AS (
+        |  SELECT doc_id, lang, cand, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, cand ASC) AS rn
+        |  FROM scored)
+        |SELECT doc_id, lang, cand AS predicted_lang,
+        |  score AS score_micro,
+        |  CASE WHEN cand = lang THEN 1 ELSE 0 END AS correct
+        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
     "q_temperature_mix" ->
       """WITH counts AS (
         |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source

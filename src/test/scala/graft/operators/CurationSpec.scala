@@ -364,6 +364,32 @@ class CurationSpec extends SparkSuite {
     intercept[IllegalArgumentException](Curation.lineDedup(bad2))
   }
 
+  test("langId: separable languages classify correctly; equal evidence " +
+    "ties break to the smallest language") {
+    import spark.implicits._
+    val sep = Seq(
+      (1L, "xaxa xaxa xaxa", "aa"), (2L, "xaxa xaxa", "aa"),
+      (3L, "ybyb ybyb ybyb", "bb"), (4L, "ybyb ybyb", "bb"))
+      .toDF("doc_id", "text", "lang")
+    val got = Curation.langId(sep)
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getInt(4)))
+    assert(got.toSeq === Seq((1L, "aa", 1), (2L, "aa", 1),
+      (3L, "bb", 1), (4L, "bb", 1)))
+    // identical text in two languages → every model cell equal → tie →
+    // lexicographically smallest language wins for BOTH docs
+    val tied = Seq(
+      (1L, "mm nn", "aa"), (2L, "mm nn", "bb"))
+      .toDF("doc_id", "text", "lang")
+    val t = Curation.langId(tied).orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getInt(4)))
+    assert(t.toSeq === Seq((1L, "aa", 1), (2L, "aa", 0)))
+    // deterministic under partitioning
+    val again = Curation.langId(sep.repartition(5)).orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getInt(4)))
+    assert(again.toSeq === got.toSeq)
+  }
+
   test("temperatureRates: alpha=1 is uniform document sampling; " +
     "alpha<1 flattens toward rare strata; cap at 1e6") {
     import spark.implicits._
