@@ -103,6 +103,13 @@ object TextQueries {
       idx
     })
 
+  /** One [[graft.store.SketchStore]] per scale-factor dir for
+    * `q_hll_store` (the `gramIndexCache` pattern): seeded once with the
+    * two half-corpus loads; repeated bench passes re-read the committed
+    * store. */
+  private val sketchStoreCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.store.SketchStore]
+
   private val SlugRe = "^[a-z0-9_-]+$"
 
   /** The BPE-ish token class shared by q_token_count, q_pack_bins and
@@ -410,6 +417,33 @@ object TextQueries {
         .join(cand, Seq("word"))
         .select($"word", $"exact_count", $"cms_estimate")
         .orderBy($"word")
+    }),
+
+    // The durable form of the merge law: per-source HLL registers for
+    // the even- and odd-doc halves ingested as two LOADS of a
+    // SketchStore (manifest-committed, replay-guarded), merged on read
+    // by register max — hash-checked against q_hll_registers' EXACT
+    // oracle, since the store changes where sketch state lives, not
+    // the answer (the q_bloom_decontaminate precedent)
+    "q_hll_store" -> ((s, dir) => {
+      import s.implicits._
+      val store = sketchStoreCache.getOrElseUpdate(dir, {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-sketchstore-").toString
+        val st = new graft.store.SketchStore(s, path,
+          graft.store.SketchStore.HllKind)
+        def regs(half: Long) = graft.operators.Hll.registers(
+          docs(s, dir).filter($"doc_id" % 2 === half)
+            .select($"source", explode(split(lower(trim($"text")), "\\s+"))
+              .as("word")),
+          Seq("source"), "word").withColumnRenamed("source", "group")
+        st.ingest(regs(0L), "even-half")
+        st.ingest(regs(1L), "odd-half")
+        st
+      })
+      store.read()
+        .select($"group".as("source"), $"bucket", $"register")
+        .orderBy($"source", $"bucket")
     }),
 
     // The HLL MERGE LAW, hash-checked: Spark builds one sketch per
@@ -961,6 +995,12 @@ object TextQueries {
         |GROUP BY word ORDER BY term_freq DESC, word LIMIT 50""".stripMargin,
 
     "q_hll_registers" -> (HllRegistersCte +
+      """SELECT source, bucket, register
+        |FROM regs ORDER BY source, bucket""".stripMargin),
+
+    // the store changes where sketch state lives, not the answer —
+    // same oracle as q_hll_registers
+    "q_hll_store" -> (HllRegistersCte +
       """SELECT source, bucket, register
         |FROM regs ORDER BY source, bucket""".stripMargin),
 

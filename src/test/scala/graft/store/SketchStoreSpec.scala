@@ -1,0 +1,102 @@
+package graft.store
+
+import graft.SparkSuite
+import graft.operators.{Cms, Hll, Kmv}
+import org.apache.spark.sql.functions._
+
+class SketchStoreSpec extends SparkSuite {
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("sketchstore").toString
+
+  private def words(rows: Seq[(String, String)]) = {
+    import spark.implicits._
+    rows.toDF("g", "v")
+  }
+
+  private val batch1 = (0 until 300).map(i => ("a", s"t$i")) ++
+    (0 until 80).map(i => ("b", s"u$i"))
+  private val batch2 = (200 until 500).map(i => ("a", s"t$i")) ++
+    (0 until 200).map(i => ("b", s"u$i"))
+
+  test("HLL store: merged read == batch sketch of the union; replays " +
+    "are no-ops") {
+    import spark.implicits._
+    val st = new SketchStore(spark, tmp(), SketchStore.HllKind)
+    def regs(rows: Seq[(String, String)]) =
+      Hll.registers(words(rows), Seq("g"), "v").withColumnRenamed("g", "group")
+    assert(st.ingest(regs(batch1), "load1"))
+    assert(st.ingest(regs(batch2), "load2"))
+    assert(!st.ingest(regs(batch1), "load1"), "replay commits nothing")
+    val got = st.read().orderBy($"group", $"bucket").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    val want = Hll.registers(words(batch1 ++ batch2), Seq("g"), "v")
+      .orderBy($"g", $"bucket").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    assert(got.toSeq === want.toSeq)
+    assert(st.committedBatches === Set("load1", "load2"))
+  }
+
+  test("CMS store: merged sums == batch sketch of the union; the replay " +
+    "guard is what keeps them exact") {
+    import spark.implicits._
+    val st = new SketchStore(spark, tmp(), SketchStore.CmsKind)
+    def regs(rows: Seq[(String, String)]) =
+      Cms.registers(words(rows), Seq("g"), "v").withColumnRenamed("g", "group")
+    assert(st.ingest(regs(batch1), "load1"))
+    assert(!st.ingest(regs(batch1), "load1"),
+      "a re-ingested CMS batch would double-count — must be refused")
+    assert(st.ingest(regs(batch2), "load2"))
+    val got = st.read().orderBy($"group", $"row", $"col").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val want = Cms.registers(words(batch1 ++ batch2), Seq("g"), "v")
+      .orderBy($"g", $"row", $"col").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("KMV store: merged k-min == batch sketch of the union") {
+    import spark.implicits._
+    val st = new SketchStore(spark, tmp(), SketchStore.KmvKind, k = 32)
+    def sk(rows: Seq[(String, String)]) =
+      Kmv.sketch(words(rows), Seq("g"), "v", k = 32)
+        .withColumnRenamed("g", "group")
+    assert(st.ingest(sk(batch1), "load1"))
+    assert(st.ingest(sk(batch2), "load2"))
+    val got = st.read().orderBy($"group").collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1)))
+    val want = Kmv.sketch(words(batch1 ++ batch2), Seq("g"), "v", k = 32)
+      .orderBy($"g").collect().map(r => (r.getString(0), r.getSeq[Long](1)))
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("compact folds every dir into one, preserves the merged sketch " +
+    "AND the replay guard") {
+    import spark.implicits._
+    val st = new SketchStore(spark, tmp(), SketchStore.CmsKind)
+    def regs(rows: Seq[(String, String)]) =
+      Cms.registers(words(rows), Seq("g"), "v").withColumnRenamed("g", "group")
+    st.ingest(regs(batch1), "load1")
+    st.ingest(regs(batch2), "load2")
+    val before = st.read().orderBy($"group", $"row", $"col").collect().toSeq
+    assert(st.compact() === 2)
+    assert(st.read().orderBy($"group", $"row", $"col").collect().toSeq
+      === before)
+    assert(st.committedBatches === Set("load1", "load2"),
+      "folded batch ids survive via the batches.txt marker")
+    assert(!st.ingest(regs(batch1), "load1"),
+      "replay of a folded batch is still refused")
+    assert(st.compact() === 0, "single-dir store has nothing to fold")
+  }
+
+  test("empty store reads empty; batch ids are sanitized, not rejected") {
+    import spark.implicits._
+    val st = new SketchStore(spark, tmp(), SketchStore.HllKind)
+    assert(st.read().count() === 0)
+    assert(st.committedBatches === Set.empty)
+    def regs(rows: Seq[(String, String)]) =
+      Hll.registers(words(rows), Seq("g"), "v").withColumnRenamed("g", "group")
+    assert(st.ingest(regs(batch1), "s3://bucket/load 1"))
+    assert(!st.ingest(regs(batch1), "s3://bucket/load 1"))
+  }
+}
