@@ -696,4 +696,50 @@ object Similarity {
            |  (acc, x) -> acc | x)""".stripMargin))
       .drop("v")
   }
+
+  /** Signed feature hashing (Weinberger et al. 2009, "Feature Hashing
+    * for Large Scale Multitask Learning"): text → a `dim`-bucket integer
+    * vector ENTIRELY inside the engine — token t contributes ±1 to
+    * bucket `h(t) mod dim`, sign from the next hash bit (the signed
+    * trick keeps inner products unbiased under collisions). This is the
+    * model-free bridge from the text column into every vector operator
+    * here (cosine pairs, top-k, IVF cells): a pipeline without an
+    * embedding model still gets vector-space near-dup and similarity,
+    * and the vectors are exact integers — a pure function of the text —
+    * so replays, engines, and oracle checks all agree bit-for-bit.
+    *
+    * Sparse cell form: (idCol, bucket, weight), zero cells (cancelled
+    * signs) dropped. Dot products run RELATIONALLY on this form (join
+    * on bucket, sum of weight products — see `q_hash_embed_topk`),
+    * which at scale beats dense arrays when dim ≫ tokens-per-doc.
+    * Shape: explode → one hash aggregate on (id, bucket), map-side
+    * partials; no joins, no corpus shuffle beyond the aggregate. */
+  def hashEmbedCells(docs: DataFrame, dim: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    docs
+      .select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("__t"))
+      .withColumn("__h",
+        conv(substring(md5(col("__t")), 1, 15), 16, 10).cast("long"))
+      .withColumn("bucket", pmod(col("__h"), lit(dim.toLong)).cast("int"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(expr(s"CASE WHEN (__h div $dim) % 2 = 0 THEN 1 ELSE -1 END"))
+        .as("weight"))
+      .filter(col("weight") =!= 0)
+  }
+
+  /** [[hashEmbedCells]] assembled into a dense `array<bigint>` of
+    * length `dim` — the shape the array-based vector operators consume
+    * (`vector_dot`, int8 quantization, IVF training after a cast). */
+  def hashEmbed(docs: DataFrame, dim: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    hashEmbedCells(docs, dim, textCol, idCol)
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("bucket"),
+        col("weight")))).as("__m"))
+      .select(col(idCol), expr(
+        s"transform(sequence(0, ${dim - 1}), " +
+          "i -> coalesce(element_at(__m, CAST(i AS INT)), 0L))")
+        .as("features"))
 }

@@ -460,6 +460,50 @@ object TextQueries {
         .orderBy($"bucket")
     }),
 
+    // Signed feature hashing: text -> 64-bucket integer vector with no
+    // external model (token ±1 into h mod 64, sign from the next hash
+    // bit). Exact integers, pure function of the text — the bridge from
+    // the text column into the vector operators
+    "q_hash_embed" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Similarity.hashEmbedCells(docs(s, dir), dim = 64)
+        .orderBy($"doc_id", $"bucket")
+    }),
+
+    // text -> vector -> neighbors end-to-end with NO model: cosine
+    // top-3 for 5 query docs over the hashed vectors, computed as a
+    // RELATIONAL sparse dot (join on bucket, sum of weight products) —
+    // at scale the query side broadcasts and dim >> tokens/doc makes
+    // sparse beat dense
+    "q_hash_embed_topk" -> ((s, dir) => {
+      import s.implicits._
+      val cells = graft.operators.Similarity
+        .hashEmbedCells(docs(s, dir), dim = 64)
+      val norms = cells.groupBy($"doc_id")
+        .agg(sum($"weight" * $"weight").as("n2"))
+      val q = cells.filter($"doc_id" < 5)
+        .toDF("query_id", "bucket", "wq")
+      val dots = q.join(cells.toDF("cand_id", "bucket", "wc"), Seq("bucket"))
+        .filter($"query_id" =!= $"cand_id")
+        .groupBy($"query_id", $"cand_id")
+        .agg(sum($"wq" * $"wc").as("dot"))
+      val scored = dots
+        .join(norms.toDF("query_id", "nq2"), Seq("query_id"))
+        .join(norms.toDF("cand_id", "nc2"), Seq("cand_id"))
+        .select($"query_id", $"cand_id",
+          round($"dot" * lit(1000000.0) /
+            sqrt(($"nq2" * $"nc2").cast("double"))).cast("long")
+            .as("score_micro"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id")
+        .orderBy($"score_micro".desc, $"cand_id".asc)
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .select($"query_id", $"rank", $"cand_id", $"score_micro")
+        .orderBy($"query_id", $"rank")
+    }),
+
     // KMV distinct sketch per source (the native TypedImperativeAggregate
     // — bounded k-long state, map-side partials): the sketch STATE is
     // the k smallest distinct md5-prefix hashes, an exact integer set
@@ -756,6 +800,26 @@ object TextQueries {
       |)
       |""".stripMargin
 
+  /** Shared CTE for the hash-embed oracles: per-(doc, bucket) signed
+    * token weights from the 60-bit md5-prefix hash (bucket = h mod 64,
+    * sign from the next hash bit). */
+  private val HashEmbedCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+      |  FROM documents
+      |), h AS (
+      |  SELECT doc_id,
+      |    ('0x' || substring(md5(t), 1, 15))::BIGINT AS hv
+      |  FROM toks
+      |), cells AS (
+      |  SELECT doc_id, CAST(hv % 64 AS INT) AS bucket,
+      |    CAST(sum(CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END)
+      |      AS BIGINT) AS weight
+      |  FROM h GROUP BY 1, 2
+      |)
+      |""".stripMargin
+
   /** Shared CTEs for the KMV oracles: per-source words, distinct 60-bit
     * md5-prefix hashes, and their per-source ascending rank. */
   private val KmvCte: String =
@@ -860,6 +924,37 @@ object TextQueries {
         |    ELSE length(bin((hv // 64) & (-(hv // 64)))) END) AS INT)
         |    AS register
         |FROM h GROUP BY hv % 64 ORDER BY bucket""".stripMargin,
+
+    "q_hash_embed" -> (HashEmbedCte +
+      """SELECT doc_id, bucket, weight FROM cells
+        |WHERE weight <> 0 ORDER BY doc_id, bucket""".stripMargin),
+
+    "q_hash_embed_topk" -> (HashEmbedCte +
+      """, nz AS (SELECT doc_id, bucket, weight FROM cells WHERE weight <> 0),
+        |norms AS (
+        |  SELECT doc_id, CAST(sum(weight * weight) AS BIGINT) AS n2
+        |  FROM nz GROUP BY doc_id),
+        |dots AS (
+        |  SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+        |    CAST(sum(q.weight * c.weight) AS BIGINT) AS dot
+        |  FROM nz q JOIN nz c ON q.bucket = c.bucket
+        |  WHERE q.doc_id < 5 AND q.doc_id <> c.doc_id
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT d.query_id, d.cand_id,
+        |    CAST(round(d.dot * 1000000.0 /
+        |      sqrt(CAST(nq.n2 * nc.n2 AS DOUBLE))) AS BIGINT) AS score_micro
+        |  FROM dots d
+        |  JOIN norms nq ON nq.doc_id = d.query_id
+        |  JOIN norms nc ON nc.doc_id = d.cand_id),
+        |ranked AS (
+        |  SELECT query_id, cand_id, score_micro,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_micro DESC, cand_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS INT) AS rank, cand_id, score_micro
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin),
 
     "q_kmv_registers" -> (KmvCte +
       """SELECT source, CAST(rn - 1 AS INT) AS rank, hv AS h

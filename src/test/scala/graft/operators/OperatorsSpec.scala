@@ -886,4 +886,37 @@ class OperatorsSpec extends SparkSuite {
     // content addressing matches the stub path's hashing
     assert(feats(1L).content_hash === graft.core.Blake2b.hexDigest(mono))
   }
+
+  test("hashEmbed: signed hashing is a pure function of the text; dense " +
+    "form matches cells; similar texts score above dissimilar") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma epsilon"),
+      (3L, "zeta eta theta iota"),
+      (4L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val cells = Similarity.hashEmbedCells(docs, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // identical texts embed identically
+    assert(cells.filter(_._1._1 == 1L).map { case ((_, b), w) => b -> w } ===
+      cells.filter(_._1._1 == 4L).map { case ((_, b), w) => b -> w })
+    // dense assembly agrees with the sparse cells
+    val dense = Similarity.hashEmbed(docs, dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    dense.foreach { case (id, vec) =>
+      assert(vec.length === 64)
+      vec.zipWithIndex.foreach { case (w, b) =>
+        assert(w === cells.getOrElse((id, b), 0L))
+      }
+    }
+    // 3-of-4 shared tokens beat 0 shared tokens in integer dot product
+    def dot(a: Long, b: Long) =
+      (0 until 64).map(i => dense(a)(i) * dense(b)(i)).sum
+    assert(dot(1L, 2L) > dot(1L, 3L))
+    assert(dot(1L, 4L) === dot(1L, 1L), "identical text = identical vector")
+    // deterministic under partitioning
+    val again = Similarity.hashEmbedCells(docs.repartition(7), dim = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(again === cells)
+  }
 }
