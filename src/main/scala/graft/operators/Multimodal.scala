@@ -222,6 +222,93 @@ object Multimodal {
           .as("frame_stub"))
   }
 
+  /** 64-bit average-hash (aHash) of a decodable image: box-average the
+    * ITU-R 601 integer luma onto an 8×8 grid (cells get ≥1 source
+    * column/row even for tiny images), bit (cy·8+cx) set iff the cell
+    * is STRICTLY brighter than the integer mean of all 64 cells —
+    * everything integer, so the hash is a pure function of the pixels.
+    * Box averaging makes the hash invariant to integer-multiple
+    * rescales of the same pattern (spec-asserted), which is exactly
+    * what makes it a near-dup signature rather than a byte hash:
+    * re-encoded, resized, or lightly-noised copies of one image land
+    * within a few bits. None for anything ImageIO cannot decode (the
+    * quarantine path, like [[decodeReal]]). */
+  def perceptualHash(a: MediaAsset): Option[Long] = {
+    if (a.media_type != "image") return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null || img.getWidth == 0 || img.getHeight == 0) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    val cells = new Array[Long](64)
+    var cy = 0
+    while (cy < 8) {
+      val y0 = cy * h / 8
+      val y1 = math.max(y0 + 1, (cy + 1) * h / 8)
+      var cx = 0
+      while (cx < 8) {
+        val x0 = cx * w / 8
+        val x1 = math.max(x0 + 1, (cx + 1) * w / 8)
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xff) * 299 +
+              ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        cells(cy * 8 + cx) = sum / ((y1 - y0).toLong * (x1 - x0))
+        cx += 1
+      }
+      cy += 1
+    }
+    val mean = cells.sum / 64
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (cells(i) > mean) bits |= (1L << i)
+      i += 1
+    }
+    Some(bits)
+  }
+
+  /** (asset_id, phash) for every DECODABLE image asset — per-partition
+    * batch decode like [[extractFeatures]]; undecodable or non-image
+    * assets are quarantined out (they have no pixel identity). */
+  def imageHashes(assets: Dataset[MediaAsset],
+      batchPartitions: Int = 0): DataFrame = {
+    import assets.sparkSession.implicits._
+    val repartitioned =
+      if (batchPartitions > 0) assets.repartition(batchPartitions)
+      else assets
+    repartitioned
+      .mapPartitions(_.flatMap(a => perceptualHash(a).map(h => (a.asset_id, h))))
+      .toDF("asset_id", "phash")
+  }
+
+  /** Near-duplicate IMAGE pairs: perceptual hashes joined through the
+    * same banded-Hamming candidate generator as text SimHash
+    * ([[Dedup.simhashPairsFromHashes]] — 4×16-bit bands guarantee no
+    * missed pair at maxHamming ≤ 3 by pigeonhole), then exact Hamming
+    * confirm. The image leg of the dedup family: re-encoded/resized/
+    * lightly-edited copies of one image pair up here where the
+    * byte-level content hash sees nothing. At scale this is band
+    * equi-joins over 8-byte hashes — the corpus's pixel data is read
+    * once by the hashing pass and never joined. */
+  def imageNearDups(assets: Dataset[MediaAsset],
+      maxHamming: Int = 3, batchPartitions: Int = 0): DataFrame =
+    Dedup.simhashPairsFromHashes(
+      imageHashes(assets, batchPartitions)
+        .select(col("asset_id").as("doc_id"), col("phash").as("simhash")),
+      maxHamming)
+      .select(col("doc_a").as("asset_a"), col("doc_b").as("asset_b"),
+        col("hamming"))
+
   /** Full pipeline as a DataFrame (for the query battery): synthesize →
     * decode(stub) → features + per-type stats-friendly projection. */
   def pipeline(

@@ -887,6 +887,58 @@ class OperatorsSpec extends SparkSuite {
     assert(feats(1L).content_hash === graft.core.Blake2b.hexDigest(mono))
   }
 
+  test("perceptualHash: scale-invariant aHash; near copies pair up, " +
+    "distinct patterns don't; undecodable assets quarantine") {
+    import spark.implicits._
+    def png(w: Int, h: Int)(pix: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = pix(x, y) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // an 8x8-block checkerboard pattern, scale-independent
+    def checker(scale: Int)(x: Int, y: Int): Int =
+      if (((x / scale) + (y / scale)) % 2 == 0) 230 else 20
+    // left-bright vs top-bright: very different aHash bit layouts
+    def leftBright(x: Int, y: Int): Int = if (x < 32) 230 else 20
+    def topBright(x: Int, y: Int): Int = if (y < 32) 230 else 20
+    // a lightly-noised copy of leftBright (one gray stripe)
+    def leftBrightNoisy(x: Int, y: Int): Int =
+      if (y == 5) 128 else leftBright(x, y)
+
+    val h64 = Multimodal.perceptualHash(
+      MediaAsset(0L, "image", png(64, 64)(checker(8)))).get
+    val h128 = Multimodal.perceptualHash(
+      MediaAsset(0L, "image", png(128, 128)(checker(16)))).get
+    assert(h64 === h128, "box-averaged aHash is invariant to 2x rescale")
+    assert(Multimodal.perceptualHash(
+      MediaAsset(0L, "image", "garbage".getBytes)).isEmpty)
+    assert(Multimodal.perceptualHash(
+      MediaAsset(0L, "audio", png(8, 8)(checker(1)))).isEmpty,
+      "non-image assets have no pixel identity")
+
+    val assets = Seq(
+      MediaAsset(1L, "image", png(64, 64)(leftBright)),
+      MediaAsset(2L, "image", png(64, 64)(leftBrightNoisy)),
+      MediaAsset(3L, "image", png(64, 64)(topBright)),
+      MediaAsset(4L, "image", "junk".getBytes),
+      MediaAsset(5L, "image", png(128, 128)((x, y) => leftBright(x / 2, y / 2)))
+    ).toDS()
+    val pairs = Multimodal.imageNearDups(assets, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "noised copy pairs with original")
+    assert(pairs.contains((1L, 5L)), "2x-rescaled copy pairs with original")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "orthogonal pattern stays unpaired")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "undecodable asset quarantined out")
+  }
+
   test("hashEmbed: signed hashing is a pure function of the text; dense " +
     "form matches cells; similar texts score above dissimilar") {
     import spark.implicits._
