@@ -474,6 +474,40 @@ object Curation {
       .withColumn("avg_micro", expr("score_sum DIV n_bigrams"))
   }
 
+  /** Deterministic dataset splitting (train/val/test): each row is
+    * assigned the first split whose cumulative ppm range contains the
+    * row's md5-uniform [[samplePpm]] key — a pure function of the id,
+    * so the split survives replays, engine changes, corpus growth
+    * (existing rows never move when new rows arrive — the property
+    * `randomSplit` fundamentally lacks), and is map-side with no
+    * shuffle or RNG state. Fractions are given in ppm and must sum to
+    * ≤ 1e6; rows past the last range get the LAST split (so exhaustive
+    * fractions partition exactly and non-exhaustive ones spill into
+    * the final split rather than dropping data silently).
+    *
+    * Output: input columns + `split` (the name). For per-stratum
+    * proportions compose with the stratum upstream — the key is
+    * uniform within any subset, so every stratum splits at the same
+    * ratios without extra machinery.
+    */
+  def splitAssign(df: DataFrame, idCol: String,
+      splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.map(_._2.toLong).sum <= 1000000L,
+      "split fractions exceed 1e6 ppm")
+    require(splits.forall(_._2 >= 0), "negative split fraction")
+    require(!df.columns.contains("split"),
+      "input column 'split' collides with the split output column")
+    val bounds = splits.scanLeft(0L) { case (acc, (_, ppm)) => acc + ppm }
+      .tail.zip(splits.map(_._1))
+    val key = samplePpm(col(idCol))
+    val assigned = bounds.init.foldRight(
+      lit(bounds.last._2): Column) { case ((hi, name), acc) =>
+      when(key < hi, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", assigned)
+  }
+
   /** Trained language identification: per-language add-one-smoothed
     * character-bigram models, every document scored under EVERY model,
     * predicted language = argmax log-likelihood (tie → lexicographically

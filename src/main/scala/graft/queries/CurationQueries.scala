@@ -298,6 +298,20 @@ object CurationQueries {
         .orderBy($"source")
     }),
 
+    // deterministic train/val/test split (98/1/1): md5-ppm ranges over
+    // the id — rows never move between splits as the corpus grows
+    // (unlike randomSplit), and every stratum splits at the same ratio
+    // for free. Audit: per (split, lang) counts
+    "q_split_assign" -> ((s, dir) => {
+      import s.implicits._
+      Curation.splitAssign(docs(s, dir), "doc_id",
+        Seq("train" -> 980000, "val" -> 10000, "test" -> 10000))
+        .groupBy($"split", $"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+        .orderBy($"split", $"lang")
+    }),
+
     // trained language-ID: per-lang smoothed char-bigram models, every
     // doc scored under every model, argmax prediction next to the true
     // label — the Cavnar-Trenkle upgrade of q_lang_markers' heuristic.
@@ -701,6 +715,23 @@ object CurationQueries {
         |  CAST(sum(n_words) AS BIGINT) AS sum_words
         |FROM sampled LEFT JOIN embeddings e ON sampled.doc_id = e.vec_id
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_split_assign" ->
+      """WITH keyed AS (
+        |  SELECT lang, doc_id,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      ::BIGINT % 1000000 AS k
+        |  FROM documents),
+        |assigned AS (
+        |  SELECT lang, doc_id,
+        |    CASE WHEN k < 980000 THEN 'train'
+        |         WHEN k < 990000 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM keyed)
+        |SELECT split, lang, count(*) AS n_docs,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM assigned GROUP BY split, lang
+        |ORDER BY split, lang""".stripMargin,
+
     "q_langid_model" ->
       """WITH norm AS (
         |  SELECT doc_id, lang,

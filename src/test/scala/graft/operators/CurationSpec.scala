@@ -364,6 +364,39 @@ class CurationSpec extends SparkSuite {
     intercept[IllegalArgumentException](Curation.lineDedup(bad2))
   }
 
+  test("splitAssign: stable, exhaustive, ratio-accurate; growth never " +
+    "moves an existing row") {
+    import spark.implicits._
+    val base = (0L until 4000L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val splits = Seq("train" -> 900000, "val" -> 50000, "test" -> 50000)
+    val got = Curation.splitAssign(base, "doc_id", splits)
+      .select($"doc_id", $"split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size === 4000, "every row is assigned")
+    val counts = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") - 3600.0) / 3600.0 < 0.1, counts)
+    assert(counts("val") > 100 && counts("val") < 300, counts)
+    assert(counts("test") > 100 && counts("test") < 300, counts)
+    // growth stability: doubling the corpus leaves old assignments put
+    val grown = (0L until 8000L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val got2 = Curation.splitAssign(grown, "doc_id", splits)
+      .select($"doc_id", $"split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { case (id, s) => assert(got2(id) === s) }
+    // non-exhaustive fractions spill into the LAST split, never drop
+    val spill = Curation.splitAssign(base, "doc_id",
+      Seq("a" -> 100000, "b" -> 100000))
+      .groupBy($"split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(spill("a") + spill("b") === 4000L)
+    assert(spill("b") > spill("a"), "the tail lands in the last split")
+    intercept[IllegalArgumentException](
+      Curation.splitAssign(base, "doc_id", Seq("x" -> 1000001)))
+    intercept[IllegalArgumentException](
+      Curation.splitAssign(base.withColumn("split", lit("z")),
+        "doc_id", splits))
+  }
+
   test("langId: separable languages classify correctly; equal evidence " +
     "ties break to the smallest language") {
     import spark.implicits._
