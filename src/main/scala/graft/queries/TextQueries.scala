@@ -264,6 +264,21 @@ object TextQueries {
         .sortWithinPartitions($"doc_a", $"doc_b")
     }),
 
+    // Integer-exact PageRank (3 rounds, d=0.85 as 850/1000 floor-divs)
+    // over the jaccard near-dup similarity graph — centrality as a
+    // canonical-selection signal: originals accumulate edges from all
+    // their partial copies. No float anywhere; the oracle unrolls the
+    // identical rounds
+    "q_pagerank" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.GraphOps.pageRankUndirected(
+        docs(s, dir).select($"doc_id".as("id")),
+        jaccardPairs(s, dir).select($"doc_a".as("a"), $"doc_b".as("b")),
+        iters = 3)
+        .select($"id".as("doc_id"), $"rank_micro")
+        .orderBy($"doc_id")
+    }),
+
     // Exact substring-level dedup (Lee et al. 2022's ExactSubstr,
     // distributed): every run of 8 consecutive tokens occurring verbatim
     // in 2+ distinct documents, merged into maximal per-doc spans. One
@@ -838,6 +853,44 @@ object TextQueries {
       |)
       |""".stripMargin
 
+  /** q_pagerank oracle: the same jaccard-blocked pair join as
+    * [[jaccardPairs]], symmetrized, then `iters` integer PageRank
+    * rounds unrolled mechanically — one CTE per round, generated from
+    * the same loop count the operator runs. */
+  private def pageRankOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.doc_id,
+         |    CAST(150000 + (850 * coalesce(inf.m, 0)) // 1000 AS BIGINT)
+         |      AS r
+         |  FROM documents n LEFT JOIN (
+         |    SELECT e.t AS doc_id, sum(p.r // od.od) AS m
+         |    FROM edges e JOIN r${i - 1} p ON p.doc_id = e.s
+         |    JOIN outdeg od ON od.s = e.s
+         |    GROUP BY e.t) inf USING (doc_id))""".stripMargin
+    }
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, CAST(n_chars // 100 AS INT) AS size_bucket,
+       |    list_distinct(string_split_regex(lower(trim(text)), '\\s+'))
+       |      AS words
+       |  FROM documents),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM base a JOIN base b
+       |    ON a.lang = b.lang AND a.size_bucket = b.size_bucket
+       |   AND a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.words, b.words)) * 4 >=
+       |        len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))),
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS t FROM pairs
+       |  UNION ALL SELECT doc_b AS s, doc_a AS t FROM pairs),
+       |outdeg AS (SELECT s, count(*) AS od FROM edges GROUP BY s),
+       |r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM documents),
+       |${rounds.mkString(",\n")}
+       |SELECT doc_id, r AS rank_micro FROM r$iters
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private val ClusterCte: String =
     """WITH RECURSIVE base AS (
       |  SELECT doc_id, lang, CAST(n_chars // 100 AS INT) AS size_bucket,
@@ -1211,6 +1264,8 @@ object TextQueries {
       """SELECT doc_id,
         |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_pagerank" -> pageRankOracle(3),
 
     "q_dup_spans" -> (dupSpanCte +
       """SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end,
