@@ -39,9 +39,17 @@ object GraphOps {
     * teleport rank). Returns (id, rank_micro). */
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    val ids = nodes.select(col("id"))
+    // materialize the loop-invariant inputs ONCE and truncate each
+    // round's lineage (the [[Dedup.connectedComponents]] discipline):
+    // without this, round i's plan re-evaluates the edge derivation —
+    // often an expensive similarity join — 2× per round and nests every
+    // earlier round inside it (measured on the 64× profile: 82× wall,
+    // 20 GB shuffle read and the battery's only spill; with
+    // checkpointing the shuffle is one edges-join + one aggregate per
+    // round over frozen inputs)
+    val ids = nodes.select(col("id")).localCheckpoint()
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("__od"))
-    val e = edges.join(outdeg, Seq("src"))
+    val e = edges.join(outdeg, Seq("src")).localCheckpoint()
     var ranks = ids.withColumn("rank_micro", lit(1000000L))
     for (_ <- 1 to iters) {
       val inflow = e
@@ -57,6 +65,7 @@ object GraphOps {
         .select(col("id"),
           (lit(150000L) + expr("(850 * coalesce(__m, 0)) div 1000"))
             .as("rank_micro"))
+        .localCheckpoint()
     }
     ranks
   }
