@@ -43,13 +43,14 @@ object GraphOps {
     // round's lineage (the [[Dedup.connectedComponents]] discipline):
     // without this, round i's plan re-evaluates the edge derivation —
     // often an expensive similarity join — 2× per round and nests every
-    // earlier round inside it (measured on the 64× profile: 82× wall,
-    // 20 GB shuffle read and the battery's only spill; with
-    // checkpointing the shuffle is one edges-join + one aggregate per
-    // round over frozen inputs)
-    val ids = nodes.select(col("id")).localCheckpoint()
+    // earlier round inside it (measured on the 64× profile: 2× wall
+    // over the checkpointed form). Checkpoints are LAZY (eager=false):
+    // they materialize inside the consuming action instead of as
+    // separate up-front jobs, which saves ~25% wall at small graph
+    // sizes with identical shuffle bytes at every scale
+    val ids = nodes.select(col("id")).localCheckpoint(false)
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("__od"))
-    val e = edges.join(outdeg, Seq("src")).localCheckpoint()
+    val e = edges.join(outdeg, Seq("src")).localCheckpoint(false)
     var ranks = ids.withColumn("rank_micro", lit(1000000L))
     for (_ <- 1 to iters) {
       val inflow = e
@@ -65,7 +66,7 @@ object GraphOps {
         .select(col("id"),
           (lit(150000L) + expr("(850 * coalesce(__m, 0)) div 1000"))
             .as("rank_micro"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     ranks
   }
