@@ -541,7 +541,19 @@ final class CellIndex(spark: SparkSession, path: String) {
   def semanticIngest(
       batch: DataFrame,
       thresholdMicro: Long = 300000L,
-      nprobe: Int = 1): CellIndex.SemanticIngestStats = {
+      nprobe: Int = 1): CellIndex.SemanticIngestStats =
+    semanticIngestResolved(batch, thresholdMicro, nprobe)._2
+
+  /** [[semanticIngest]] that ALSO returns the appended survivor rows
+    * (original batch columns) — the emission a streaming pipeline sinks
+    * ([[graft.streaming.StreamOps.semanticIngestStream]]). The survivor
+    * frame is checkpointed before the append (see the lineage note
+    * below), so re-evaluating it after the commit returns the same
+    * rows. */
+  def semanticIngestResolved(
+      batch: DataFrame,
+      thresholdMicro: Long = 300000L,
+      nprobe: Int = 1): (DataFrame, CellIndex.SemanticIngestStats) = {
     val r = root
     val cents = spark.read.parquet(r + "/centroids").collect()
       .map(row => row.getAs[Any]("cell") ->
@@ -584,10 +596,15 @@ final class CellIndex(spark: SparkSession, path: String) {
         .select(col("vec_b").as("vec_id")).distinct()
       val nBatchDup = batchDups.count()
       val kept = survivors.join(batchDups, Seq("vec_id"), "left_anti")
+        // pin the kept set too: both parents are batch-sized and already
+        // checkpoint-backed, but the anti-join result is what callers
+        // re-read after the append — freeze it so the emission is one
+        // stable row set, not a plan
+        .localCheckpoint(true)
       val stats = append(kept)
-      CellIndex.SemanticIngestStats(
+      (kept, CellIndex.SemanticIngestStats(
         appended = stats.n, replays = nReplay,
-        historyDups = nHistDup, batchDups = nBatchDup)
+        historyDups = nHistDup, batchDups = nBatchDup))
     } finally flagged.unpersist(false)
   }
 }

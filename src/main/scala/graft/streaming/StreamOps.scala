@@ -340,6 +340,34 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming SEMANTIC dedup at ingestion: each micro-batch of
+    * (vec_id, embedding) rows runs [[graft.operators.CellIndex
+    * .semanticIngestResolved]] — probe the partition-pruned history
+    * cells, drop history/within-batch near-dups and replays, append the
+    * survivors atomically — and the sink receives exactly the rows the
+    * index appended. The embedding-space member of the streaming
+    * curation family ([[curateWithHistory]] = byte-exact,
+    * [[curateWithNearDupHistory]] = edited text, [[scrubSpansWithHistory]]
+    * = verbatim regions, this = PARAPHRASES that share no tokens at
+    * all). Per-batch cost is bounded by the probed cells' population,
+    * independent of history size. */
+  def semanticIngestStream(
+      vectors: DataFrame,
+      index: graft.operators.CellIndex,
+      checkpointDir: String,
+      thresholdMicro: Long = 300000L,
+      nprobe: Int = 1)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (kept, _) =
+          index.semanticIngestResolved(batch, thresholdMicro, nprobe)
+        sink(kept)
+      }
+      .start()
+
   /** Gap-based sessionization with explicit state: a session closes (and
     * is emitted) when its group sees an event more than `gapMs` later.
     * Batch `Temporal.sessionize` computes the same sessions

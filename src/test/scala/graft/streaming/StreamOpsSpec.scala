@@ -334,6 +334,38 @@ class StreamOpsSpec extends SparkSuite {
     assert(est >= 500L && est <= 700L, s"hot estimate $est")
   }
 
+  test("semanticIngestStream: paraphrase-level dedup against all vector " +
+    "history; sink sees exactly the appended survivors") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idx = new graft.operators.CellIndex(spark,
+      java.nio.file.Files.createTempDirectory("sis-idx").toString)
+    idx.buildLearned(Seq(
+      0L -> Array(1f, 0f, 0f, 0f),
+      1L -> Array(0f, 0f, 1f, 0f)).toDF("vec_id", "embedding"),
+      k = 2, iters = 1)
+    val input = MemoryStream[(Long, Array[Float])]
+    val df = input.toDF().toDF("vec_id", "embedding")
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ckpt = java.nio.file.Files.createTempDirectory("sis-ckpt")
+    val q = StreamOps.semanticIngestStream(df, idx,
+      checkpointDir = ckpt.toString, thresholdMicro = 900000L) { out =>
+      emitted ++= out.select($"vec_id").collect().map(_.getLong(0))
+    }
+    // batch 1: a near-dup of history vector 0 (dropped) + a novel
+    // direction (appended)
+    input.addData((10L, Array(1f, 0.01f, 0f, 0f)),
+      (11L, Array(0f, 1f, 0f, 0f)))
+    q.processAllAvailable()
+    // batch 2: a near-dup of BATCH-1's survivor — caught against the
+    // history the previous micro-batch just appended — plus a novel one
+    input.addData((20L, Array(0.01f, 1f, 0f, 0f)),
+      (21L, Array(0f, 0f, 0f, 1f)))
+    q.processAllAvailable()
+    q.stop()
+    assert(emitted.sorted.toSeq === Seq(11L, 21L))
+  }
+
   test("kmvStream: k-longs-per-group state converges to exactly the " +
     "batch sketch of everything seen") {
     import spark.implicits._
