@@ -297,6 +297,48 @@ object Curation {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"))
   }
 
+  /** The REVERSE direction of [[contaminationStats]] — the per-eval-
+    * sample integrity report a benchmark owner publishes: for each eval
+    * document, how many of ITS distinct n-grams occur anywhere in the
+    * training corpus, and how many distinct corpus documents share at
+    * least one gram with it. `contaminationStats` answers "which corpus
+    * docs should I drop"; this answers "which eval samples are already
+    * compromised no matter what I drop" — both directions are needed to
+    * certify a benchmark against a trained corpus.
+    *
+    * Scale shape: the eval side is small and broadcasts; corpus grams
+    * are generated map-side and REDUCED BY THE SEMI-JOIN FIRST (only
+    * grams the eval set contains survive), so the wide aggregate sees
+    * eval-matching rows only — never a corpus-sized shuffle.
+    *
+    * @return (eval_id, n_grams, n_contaminated_grams, n_corpus_docs) —
+    *   gramless eval docs keep a zero row
+    */
+  def evalContaminationReport(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      n: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val eg = wordGrams(evalSet, textCol, idCol, n)
+      .select(col(idCol).as("eval_id"), col("__gram")).distinct()
+    val cg = wordGrams(corpus, textCol, idCol, n)
+      .select(col(idCol).as("__corpus_id"), col("__gram")).distinct()
+    val matches = cg.join(broadcast(eg), Seq("__gram"))
+    val agg = matches.groupBy(col("eval_id"))
+      .agg(countDistinct(col("__gram")).as("n_contaminated_grams"),
+        countDistinct(col("__corpus_id")).as("n_corpus_docs"))
+    val totals = eg.groupBy(col("eval_id")).agg(count(lit(1)).as("n_grams"))
+    evalSet.select(col(idCol).as("eval_id"))
+      .join(totals, Seq("eval_id"), "left")
+      .join(agg, Seq("eval_id"), "left")
+      .select(col("eval_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_contaminated_grams"), lit(0L))
+          .as("n_contaminated_grams"),
+        coalesce(col("n_corpus_docs"), lit(0L)).as("n_corpus_docs"))
+  }
+
   /** [[contaminationStats]] with a Bloom-filter prefilter on the corpus
     * side — the shape that survives an eval/reference set too large to
     * broadcast as an exact set. The filter ([[Bloom.build]] over the

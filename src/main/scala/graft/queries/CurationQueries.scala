@@ -120,6 +120,18 @@ object CurationQueries {
         .orderBy($"doc_id")
     }),
 
+    // the reverse contamination direction: per EVAL sample, how much of
+    // it already lives in the corpus and in how many distinct docs —
+    // the eval-integrity report next to q_decontaminate's corpus-side
+    // flags (same 5-gram class, same every-13th eval set)
+    "q_decontaminate_eval" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      Curation.evalContaminationReport(
+        d, d.filter($"doc_id" % 13 === 0), n = 5)
+        .orderBy($"eval_id")
+    }),
+
     // the same decontamination through the Bloom-prefiltered path (the
     // eval-set-too-big-to-broadcast-exactly shape): a literal bit-array
     // probe prunes corpus grams map-side, an exact semi-join confirms
@@ -585,6 +597,41 @@ object CurationQueries {
     // so the twin shares the oracle — the filter changes how much the
     // confirm join reads, not the result
     "q_bloom_decontaminate" -> DecontaminateOracle,
+
+    "q_decontaminate_eval" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')
+        |      AS w
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w) - 3),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+        |           w[i+3] || ' ' || w[i+4])) AS g
+        |  FROM words WHERE len(w) >= 5
+        |), eg AS (
+        |  SELECT DISTINCT doc_id AS eval_id, g FROM grams
+        |  WHERE doc_id % 13 = 0
+        |), cg AS (SELECT DISTINCT doc_id AS corpus_id, g FROM grams),
+        |m AS (
+        |  SELECT eg.eval_id, eg.g, cg.corpus_id
+        |  FROM eg JOIN cg ON eg.g = cg.g),
+        |agg AS (
+        |  SELECT eval_id,
+        |    count(DISTINCT g) AS n_contaminated_grams,
+        |    count(DISTINCT corpus_id) AS n_corpus_docs
+        |  FROM m GROUP BY eval_id),
+        |tot AS (SELECT eval_id, count(*) AS n_grams FROM eg GROUP BY eval_id)
+        |SELECT e.doc_id AS eval_id,
+        |  CAST(coalesce(tot.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(agg.n_contaminated_grams, 0) AS BIGINT)
+        |    AS n_contaminated_grams,
+        |  CAST(coalesce(agg.n_corpus_docs, 0) AS BIGINT) AS n_corpus_docs
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 13 = 0) e
+        |LEFT JOIN tot ON tot.eval_id = e.doc_id
+        |LEFT JOIN agg ON agg.eval_id = e.doc_id
+        |ORDER BY eval_id""".stripMargin,
 
     // the oracle computes tokens_before as ONE global cumulative window —
     // the semantic definition the two-level prefix sum must reproduce

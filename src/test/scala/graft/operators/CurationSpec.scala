@@ -364,6 +364,27 @@ class CurationSpec extends SparkSuite {
     intercept[IllegalArgumentException](Curation.lineDedup(bad2))
   }
 
+  test("evalContaminationReport: per-eval-sample overlap and distinct " +
+    "corpus carriers; clean and gramless samples keep zero rows") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e f"),        // carries eval-101's grams
+      (2L, "a b c d x y"),        // carries one of them
+      (3L, "p q r s t u")).toDF("doc_id", "text")
+    val eval = Seq(
+      (101L, "a b c d e"),        // grams: [a b c d], [b c d e]
+      (102L, "m n o p q"),        // grams unseen in corpus
+      (103L, "tiny")).toDF("doc_id", "text") // < n tokens: gramless
+    val got = Curation.evalContaminationReport(corpus, eval, n = 4)
+      .orderBy($"eval_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // 101: 2 grams, both in corpus doc 1 + [a b c d] also in doc 2
+    assert(got(0) === ((101L, 2L, 2L, 2L)))
+    assert(got(1) === ((102L, 2L, 0L, 0L)), "clean sample: zero overlap")
+    assert(got(2) === ((103L, 0L, 0L, 0L)), "gramless sample keeps a row")
+  }
+
   test("splitAssign: stable, exhaustive, ratio-accurate; growth never " +
     "moves an existing row") {
     import spark.implicits._
