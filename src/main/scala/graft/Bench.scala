@@ -131,6 +131,13 @@ object Bench {
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write BENCH_LOCAL.json: $e") }
+    // The full line above is ~8 KB (113-query maps) — any fixed-size
+    // tail capture chops its HEAD, which is why four rounds of driver
+    // artifacts carry "parsed": null. Emit a COMPACT summary as the
+    // very last line so every tail window ends with one complete,
+    // parseable JSON object; per-query detail lives in the full line
+    // and BENCH_LOCAL.json.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failedCount,"sf":"$sfDir","full":"BENCH_LOCAL.json"}""")
     spark.stop()
   }
 

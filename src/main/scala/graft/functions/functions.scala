@@ -233,13 +233,6 @@ case class WinnowFingerprintsExpr(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
-/** BPE tokenization of a word-array column with a literal merge model —
-  * the encode side of [[graft.operators.Bpe]] as one native pass
-  * (codepoint split + in-order merge folds + flatten), value-identical
-  * to the nested-`aggregate()` SQL spelling it replaces (BpeSpec
-  * asserts parity against that reference spelling; the DuckDB oracle is
-  * unchanged). The SQL chain nested one interpreted fold PER MERGE and
-  * was the top battery cost at 64×. */
 /** 2-D Hilbert-curve distance of two BIGINT grid coordinates (low `bits`
   * bits of each) — the layout key behind [[graft.operators.Layout
   * .hilbertKey2]]. Native because the per-level quadrant rotation is
@@ -273,6 +266,13 @@ case class HilbertKeyExpr(left: Expression, right: Expression, bits: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** BPE tokenization of a word-array column with a literal merge model —
+  * the encode side of [[graft.operators.Bpe]] as one native pass
+  * (codepoint split + in-order merge folds + flatten), value-identical
+  * to the nested-`aggregate()` SQL spelling it replaces (BpeSpec
+  * asserts parity against that reference spelling; the DuckDB oracle is
+  * unchanged). The SQL chain nested one interpreted fold PER MERGE and
+  * was the top battery cost at 64×. */
 case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
     extends UnaryExpression with ImplicitCastInputTypes {
 

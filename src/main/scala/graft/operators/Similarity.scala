@@ -731,13 +731,20 @@ object Similarity {
 
   /** [[hashEmbedCells]] assembled into a dense `array<bigint>` of
     * length `dim` — the shape the array-based vector operators consume
-    * (`vector_dot`, int8 quantization, IVF training after a cast). */
+    * (`vector_dot`, int8 quantization, IVF training after a cast).
+    * Every input doc id appears in the output: a doc with no cells
+    * (empty token stream, or all buckets cancelling to zero weight)
+    * gets the all-zero vector rather than silently vanishing — dropped
+    * rows here would shrink IVF training sets and top-k candidate
+    * pools downstream. */
   def hashEmbed(docs: DataFrame, dim: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    hashEmbedCells(docs, dim, textCol, idCol)
-      .groupBy(col(idCol))
-      .agg(map_from_entries(collect_list(struct(col("bucket"),
-        col("weight")))).as("__m"))
+    docs.select(col(idCol)).distinct()
+      .join(hashEmbedCells(docs, dim, textCol, idCol)
+        .groupBy(col(idCol))
+        .agg(map_from_entries(collect_list(struct(col("bucket"),
+          col("weight")))).as("__m")),
+        Seq(idCol), "left")
       .select(col(idCol), expr(
         s"transform(sequence(0, ${dim - 1}), " +
           "i -> coalesce(element_at(__m, CAST(i AS INT)), 0L))")

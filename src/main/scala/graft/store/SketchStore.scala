@@ -49,17 +49,15 @@ final class SketchStore(spark: SparkSession, path: String,
 
   def exists: Boolean = log.hasAny
 
-  private def sanitize(batchId: String): String = {
-    val s = batchId.map(c => if (c.isLetterOrDigit) c else '_')
-    require(s.nonEmpty, "batchId must be non-empty")
-    s
-  }
-
   /** Batch ids already merged into the store (dir-name tags plus the
-    * ids a compaction folded in via its `batches.txt` marker). */
+    * ids a compaction folded in via its `batches.txt` marker). Ids are
+    * in [[SketchStore.tag]] form — compare tags, not raw ids. */
   def committedBatches: Set[String] = log.resolve() match {
     case None => Set.empty
-    case Some((_, entries)) =>
+    case Some((_, entries)) => batchesIn(entries)
+  }
+
+  private def batchesIn(entries: Map[String, Seq[String]]): Set[String] = {
       val dirs = entries.values.flatten.toSet
       dirs.flatMap { dir =>
         val parts = dir.split("-")
@@ -99,7 +97,7 @@ final class SketchStore(spark: SparkSession, path: String,
     * `batchId` was already merged — the replay-safe path that keeps
     * CMS sums exact under at-least-once delivery. */
   def ingest(cells: DataFrame, batchId: String): Boolean = {
-    val tag = sanitize(batchId)
+    val tag = SketchStore.tag(batchId)
     if (committedBatches.contains(tag)) return false
     val dirName = log.newDataDirName(
       log.currentVersion.getOrElse(0L) + 1, tag = tag)
@@ -130,11 +128,12 @@ final class SketchStore(spark: SparkSession, path: String,
     * register) by register max; CMS (group, row, col, counter) by sum;
     * KMV (group, kmv) by k-min of union (the native aggregate re-runs
     * its own merge law over the stored minima). */
-  def read(): DataFrame = {
-    val cells = log.resolve() match {
-      case None => log.emptyDf(schema)
-      case Some((_, entries)) => log.readEntries(entries, schema)
-    }
+  def read(): DataFrame = merged(log.resolve() match {
+    case None => log.emptyDf(schema)
+    case Some((_, entries)) => log.readEntries(entries, schema)
+  })
+
+  private def merged(cells: DataFrame): DataFrame = {
     kind match {
       case HllKind => cells.groupBy(col("group"), col("a").as("bucket"))
         .agg(max(col("v")).cast("int").as("register"))
@@ -151,19 +150,29 @@ final class SketchStore(spark: SparkSession, path: String,
   /** Fold every live dir into ONE merged dir (read cost back to one
     * scan), carrying the folded batch ids in a `batches.txt` marker so
     * replayed old batches stay no-ops after the fold. Returns the
-    * number of dirs folded (0 = nothing to do). */
+    * number of dirs folded (0 = nothing to do, or a racing compaction
+    * fully superseded this one).
+    *
+    * Race-safe via [[RecordStore.compactMutate]]: the fold reads and
+    * replaces only the PINNED pre-compact snapshot's dirs — an ingest
+    * that commits while the fold runs keeps its dirs referenced (its
+    * cells and dir-name batch tag both survive), and a cell already
+    * superseded by a racing compaction is yielded rather than
+    * double-folded. A blanket manifest replacement here would silently
+    * drop such a concurrent ingest's data AND its replay guard. */
   def compact(): Int = {
     val resolved = log.resolve()
     if (resolved.isEmpty) return 0
     val (_, snapshot) = resolved.get
     val dirs = snapshot.values.flatten.toSet
     if (dirs.size <= 1) return 0
-    val folded = committedBatches
+    val folded = batchesIn(snapshot)
     val newDir = log.newDataDirName(
       log.currentVersion.getOrElse(0L) + 1, tag = CompactTag)
-    // merge-on-read result re-normalized to cell rows — the merged
-    // sketch IS valid cell input (max/sum/k-min are associative)
-    toCells(read())
+    // merge-on-read result (pinned to the snapshot) re-normalized to
+    // cell rows — the merged sketch IS valid cell input (max/sum/k-min
+    // are associative)
+    toCells(merged(log.readEntries(snapshot, schema)))
       .withColumn("bucket", pmod(xxhash64(col("group")), lit(Buckets))
         .cast("int"))
       .write.mode(SaveMode.Overwrite)
@@ -173,9 +182,19 @@ final class SketchStore(spark: SparkSession, path: String,
     try out.write(folded.toSeq.sorted.mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val leaves = log.listCells(newDir, LevelPrefixes)
-    log.commitRetry(_ => leaves.map(_ -> Seq(newDir)).toMap)
-    dirs.size
+    val leaves = log.listCells(newDir, LevelPrefixes).toSet
+    // only cells the fold actually rewrote may point at newDir
+    val foldable = snapshot.keySet.intersect(leaves)
+    @volatile var yielded = Set.empty[String]
+    log.commitRetry { current =>
+      val (entries, y) =
+        RecordStore.compactMutate(snapshot, foldable, newDir)(current)
+      yielded = y
+      entries
+    }
+    if (yielded.size == foldable.size) {
+      f.delete(log.dataPath(newDir), true); 0
+    } else dirs.size
   }
 
   /** See [[ManifestLog.vacuum]] / [[ManifestLog.vacuumOrphans]]. */
@@ -192,6 +211,20 @@ object SketchStore {
 
   private[store] val CompactTag = "compactfold"
   private[store] val Buckets = 16
+
+  /** Filesystem-safe replay-guard tag for a raw batch id: sanitized
+    * prefix + an md5-derived suffix, so DISTINCT raw ids that differ
+    * only in punctuation ("load-1" vs "load.1" vs "load_1") can never
+    * collide to one tag — a collision would silently refuse the second
+    * load's ingest as a replay. Deterministic, so a true replay of the
+    * SAME raw id still maps to the same tag. */
+  def tag(batchId: String): String = {
+    require(batchId.nonEmpty, "batchId must be non-empty")
+    val s = batchId.map(c => if (c.isLetterOrDigit) c else '_')
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(batchId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    s.take(48) + "_" + md.take(4).map("%02x".format(_)).mkString
+  }
   val LevelPrefixes: Seq[String] = Seq("bucket=")
   val schema: StructType = StructType(Seq(
     StructField("group", StringType),

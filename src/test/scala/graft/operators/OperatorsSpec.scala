@@ -971,4 +971,19 @@ class OperatorsSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(again === cells)
   }
+
+  test("hashEmbed: a doc with no surviving cells gets the zero vector, " +
+    "not dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, null.asInstanceOf[String]) // null text -> no token rows at all
+    ).toDF("doc_id", "text")
+    val dense = Similarity.hashEmbed(docs, dim = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(dense.keySet === Set(1L, 2L),
+      "every input doc id must appear in the dense output")
+    assert(dense(2L) === Seq.fill(16)(0L))
+    assert(dense(1L).exists(_ != 0L))
+  }
 }

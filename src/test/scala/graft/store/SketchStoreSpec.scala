@@ -34,7 +34,8 @@ class SketchStoreSpec extends SparkSuite {
       .orderBy($"g", $"bucket").collect()
       .map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
     assert(got.toSeq === want.toSeq)
-    assert(st.committedBatches === Set("load1", "load2"))
+    assert(st.committedBatches ===
+      Set("load1", "load2").map(SketchStore.tag))
   }
 
   test("CMS store: merged sums == batch sketch of the union; the replay " +
@@ -82,7 +83,8 @@ class SketchStoreSpec extends SparkSuite {
     assert(st.compact() === 2)
     assert(st.read().orderBy($"group", $"row", $"col").collect().toSeq
       === before)
-    assert(st.committedBatches === Set("load1", "load2"),
+    assert(st.committedBatches ===
+      Set("load1", "load2").map(SketchStore.tag),
       "folded batch ids survive via the batches.txt marker")
     assert(!st.ingest(regs(batch1), "load1"),
       "replay of a folded batch is still refused")
@@ -98,5 +100,64 @@ class SketchStoreSpec extends SparkSuite {
       Hll.registers(words(rows), Seq("g"), "v").withColumnRenamed("g", "group")
     assert(st.ingest(regs(batch1), "s3://bucket/load 1"))
     assert(!st.ingest(regs(batch1), "s3://bucket/load 1"))
+  }
+
+  test("distinct batch ids differing only in punctuation do NOT " +
+    "collide to one replay tag") {
+    val st = new SketchStore(spark, tmp(), SketchStore.CmsKind)
+    def regs(rows: Seq[(String, String)]) =
+      Cms.registers(words(rows), Seq("g"), "v").withColumnRenamed("g", "group")
+    assert(st.ingest(regs(batch1), "load-1"))
+    assert(st.ingest(regs(batch2), "load.1"),
+      "a sanitize collision would silently refuse this load as a replay")
+    assert(st.ingest(regs(batch1), "load_1"))
+    assert(!st.ingest(regs(batch1), "load-1"), "true replay still refused")
+    assert(st.committedBatches ===
+      Set("load-1", "load.1", "load_1").map(SketchStore.tag))
+  }
+
+  test("ingest racing a compaction is never lost (CMS sums stay exact)") {
+    import spark.implicits._
+    val dir = tmp()
+    val st = new SketchStore(spark, dir, SketchStore.CmsKind)
+    def regs(rows: Seq[(String, String)]) =
+      Cms.registers(words(rows), Seq("g"), "v").withColumnRenamed("g", "group")
+    st.ingest(regs(batch1), "load1")
+    st.ingest(regs(batch2), "load2")
+    val extra = (500 until 700).map(i => ("a", s"t$i"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val latch = new java.util.concurrent.CountDownLatch(2)
+    pool.submit(new Runnable {
+      def run(): Unit = {
+        try new SketchStore(spark, dir, SketchStore.CmsKind)
+          .ingest(regs(extra), "load3")
+        catch { case t: Throwable => failures.add(t) }
+        finally latch.countDown()
+      }
+    })
+    pool.submit(new Runnable {
+      def run(): Unit = {
+        try {
+          val maint = new SketchStore(spark, dir, SketchStore.CmsKind)
+          for (_ <- 1 to 3) maint.compact()
+        } catch { case t: Throwable => failures.add(t) }
+        finally latch.countDown()
+      }
+    })
+    assert(latch.await(120, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(failures.isEmpty, s"racer failed: ${failures.peek()}")
+    // every load's cells and replay tag survived whichever interleaving
+    // happened — a blanket manifest replacement in compact loses both
+    assert(st.committedBatches ===
+      Set("load1", "load2", "load3").map(SketchStore.tag))
+    assert(!st.ingest(regs(extra), "load3"), "replay still refused")
+    val got = st.read().orderBy($"group", $"row", $"col").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val want = Cms.registers(words(batch1 ++ batch2 ++ extra), Seq("g"), "v")
+      .orderBy($"g", $"row", $"col").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(got.toSeq === want.toSeq)
   }
 }
