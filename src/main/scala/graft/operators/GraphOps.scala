@@ -25,20 +25,54 @@ import org.apache.spark.sql.functions._
   * beyond that, swap the two constants for a DECIMAL(38) cast (the
   * temperatureRates pattern).
   *
-  * Scale shape per iteration: one join of edges against the |V|-row
-  * rank table on src (both sides shuffle-partitioned on the join key;
-  * ranks are 16 bytes/node), one hash aggregate onto dst, one left
-  * join back to nodes. Iterations are a fixed small count (the
-  * curation use wants a ranking, not convergence to 1e-12), so the
-  * plan stays bounded like [[Dedup.connectedComponents]]'s rounds.
+  * Scale shape per iteration: the |V|-row rank table (16 bytes/node)
+  * joins the frozen edge table on src — BROADCAST when |V| fits
+  * (`broadcastMaxNodes`), so the edge side is never re-exchanged or
+  * re-sorted per round; one map-partial hash aggregate onto dst; one
+  * broadcast left join back to nodes. The broadcast hint is
+  * load-bearing: the per-round rank table comes out of a checkpoint
+  * (`LogicalRDD`, no stats), so AQE cannot see it is tiny and would
+  * otherwise plan a sort-merge join that sorts ALL edges every round —
+  * measured as the battery's only multi-GB spill at 64×. Graphs past
+  * the broadcast bound fall back to a co-partitioned join with the
+  * edge side hash-partitioned ONCE at `edgesPerPartition` rows per
+  * partition (partitions sized to the data, not the core count).
+  * Iterations are a fixed small count (the curation use wants a
+  * ranking, not convergence to 1e-12), so the plan stays bounded like
+  * [[Dedup.connectedComponents]]'s rounds.
+  *
+  * Checkpointing: loop lineage is truncated each round. By default
+  * this uses `localCheckpoint` (executor-local blocks — fastest, and
+  * fine in local mode), but localCheckpoint blocks are NOT
+  * recomputable: on a cluster with dynamic allocation or executor
+  * loss, a lost block fails the query. Pass `checkpointDir` for
+  * cluster runs — rounds then write RELIABLE checkpoints that survive
+  * executor death and arbitrary recomputation.
   */
 object GraphOps {
 
   /** `iters` integer PageRank rounds over directed `edges` (src, dst).
     * `nodes` must carry every vertex id (isolated vertices keep the
-    * teleport rank). Returns (id, rank_micro). */
-  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    * teleport rank). Returns (id, rank_micro).
+    *
+    * @param checkpointDir reliable checkpoint directory for cluster
+    *   mode (see object doc); None = executor-local checkpoints
+    * @param broadcastMaxNodes broadcast the per-round rank table up to
+    *   this many vertices (16 B/row payload; 4M ≈ tens of MB built)
+    * @param edgesPerPartition co-partitioned fallback's edge rows per
+    *   shuffle partition */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int,
+      checkpointDir: Option[String] = None,
+      broadcastMaxNodes: Long = 4000000L,
+      edgesPerPartition: Long = 250000L): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(broadcastMaxNodes >= 0, "broadcastMaxNodes must be >= 0")
+    require(edgesPerPartition >= 1, "edgesPerPartition must be >= 1")
+    val spark = nodes.sparkSession
+    checkpointDir.foreach { d =>
+      if (spark.sparkContext.getCheckpointDir.isEmpty)
+        spark.sparkContext.setCheckpointDir(d)
+    }
     // materialize the loop-invariant inputs ONCE and truncate each
     // round's lineage (the [[Dedup.connectedComponents]] discipline):
     // without this, round i's plan re-evaluates the edge derivation —
@@ -48,25 +82,49 @@ object GraphOps {
     // they materialize inside the consuming action instead of as
     // separate up-front jobs, which saves ~25% wall at small graph
     // sizes with identical shuffle bytes at every scale
-    val ids = nodes.select(col("id")).localCheckpoint(false)
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("__od"))
-    val e = edges.join(outdeg, Seq("src")).localCheckpoint(false)
+    def cp(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(false)
+      else df.localCheckpoint(false)
+    val ids = cp(nodes.select(col("id")))
+    // counts run over the materialized checkpoints, not the derivations
+    val small = ids.count() <= broadcastMaxNodes
+    // checkpoint the RAW edges first: the (often expensive) edge
+    // derivation executes exactly once, and its blocks feed BOTH the
+    // outdeg aggregate and the join below — without this the
+    // derivation subtree appears twice in the plan (measured at 64×
+    // as shuffle read ≈ 3× shuffle write)
+    val eRaw = cp(edges)
+    val outdeg = eRaw.groupBy(col("src")).agg(count(lit(1)).as("__od"))
+    val e =
+      if (small)
+        // broadcast outdeg (≤ |V| rows): the edge side is never
+        // exchanged OR sorted — the sort-merge fallback's edge-side
+        // sort was the battery's only multi-GB spill at 64×
+        cp(eRaw.join(broadcast(outdeg), Seq("src")))
+      else {
+        val parts = math.max(spark.sparkContext.defaultParallelism.toLong,
+          (eRaw.count() + edgesPerPartition - 1) / edgesPerPartition).toInt
+        // exchange the edge side ONCE at data-sized partitions; the
+        // checkpoint pins hash(src, parts), so each round exchanges
+        // only the |V|-row rank side to match
+        cp(eRaw.repartition(parts, col("src")).join(outdeg, Seq("src")))
+      }
     var ranks = ids.withColumn("rank_micro", lit(1000000L))
     for (_ <- 1 to iters) {
+      val rSrc = ranks.select(col("id").as("src"), col("rank_micro"))
       val inflow = e
-        .join(ranks.select(col("id").as("src"), col("rank_micro")),
-          Seq("src"))
+        .join(if (small) broadcast(rSrc) else rSrc, Seq("src"))
         .select(col("dst"),
           expr("rank_micro div __od").as("__c"))
         .groupBy(col("dst"))
         .agg(sum(col("__c")).as("__m"))
+        .select(col("dst").as("id"), col("__m"))
       ranks = ids
-        .join(inflow.select(col("dst").as("id"), col("__m")), Seq("id"),
-          "left")
+        .join(if (small) broadcast(inflow) else inflow, Seq("id"), "left")
         .select(col("id"),
           (lit(150000L) + expr("(850 * coalesce(__m, 0)) div 1000"))
             .as("rank_micro"))
-        .localCheckpoint(false)
+      ranks = cp(ranks)
     }
     ranks
   }
@@ -75,9 +133,12 @@ object GraphOps {
     * (a, b) pairs with a < b (the [[Dedup]] pair operators' shape):
     * symmetrize, then rank. */
   def pageRankUndirected(nodes: DataFrame, pairs: DataFrame,
-      iters: Int): DataFrame = {
+      iters: Int, checkpointDir: Option[String] = None,
+      broadcastMaxNodes: Long = 4000000L,
+      edgesPerPartition: Long = 250000L): DataFrame = {
     val e = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
-    pageRank(nodes, e, iters)
+    pageRank(nodes, e, iters, checkpointDir, broadcastMaxNodes,
+      edgesPerPartition)
   }
 }

@@ -44,4 +44,35 @@ class GraphOpsSpec extends SparkSuite {
     assert(d(2L) > d(1L))
     assert(d(1L) === 150000L)
   }
+
+  test("reliable checkpointing: identical ranks, survives losing every " +
+    "persisted block (the simulated-executor-loss recompute)") {
+    val nodes = (1L to 60L).toDF("id")
+    val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("a", "b")
+    val want = ranksOf(GraphOps.pageRankUndirected(nodes, pairs, 3))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pr-ckpt").toString
+    val r = GraphOps.pageRankUndirected(nodes, pairs, 3,
+      checkpointDir = Some(dir))
+    assert(ranksOf(r) === want, "checkpoint mode must not change ranks")
+    // simulate executor loss: drop EVERY persisted block, then force a
+    // recompute. localCheckpoint mode would fail here ("checkpoint
+    // block not found"); reliable checkpoints re-read their files.
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    assert(ranksOf(r) === want,
+      "reliable-checkpoint ranks must recompute after block loss")
+    assert(new java.io.File(dir).listFiles() != null &&
+      new java.io.File(dir).listFiles().nonEmpty,
+      "checkpoint dir must actually hold checkpoint data")
+  }
+
+  test("huge-graph fallback (broadcastMaxNodes=0): same ranks through " +
+    "the co-partitioned join path") {
+    val nodes = (1L to 50L).toDF("id")
+    val pairs = (1L until 50L).map(i => (i, i + 1)).toDF("a", "b")
+    val want = ranksOf(GraphOps.pageRankUndirected(nodes, pairs, 3))
+    val got = ranksOf(GraphOps.pageRankUndirected(nodes, pairs, 3,
+      broadcastMaxNodes = 0L, edgesPerPartition = 10L))
+    assert(got === want)
+  }
 }
