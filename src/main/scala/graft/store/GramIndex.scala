@@ -229,6 +229,48 @@ final class GramIndex(spark: SparkSession, path: String,
     else f.listStatus(leaf).count(_.getPath.getName.endsWith(".parquet"))
   }
 
+  /** Index economics from filesystem metadata only (no data scan):
+    * live data dirs, referenced bucket cells, parquet file count, and
+    * total stored bytes. The index is honestly O(corpus tokens) — this
+    * is the gauge that makes the constant visible (bytes ÷ corpus
+    * tokens ≈ the per-token overhead; the spec pins it at tens of
+    * bytes, same order as Lee et al. 2022's 8-bytes-per-token suffix
+    * array) and that [[compactIfNeeded]] consults for its live-dirs
+    * trigger. */
+  def stats(): GramIndex.Stats = log.resolve() match {
+    case None => GramIndex.Stats(0, 0, 0L, 0L)
+    case Some((_, entries)) =>
+      val dirCells = entries.toSeq
+        .flatMap { case (cell, dirs) => dirs.map(_ -> cell) }.distinct
+      var files = 0L
+      var bytes = 0L
+      dirCells.foreach { case (dir, cell) =>
+        val leaf = new Path(log.cellBase(dir), cell)
+        if (f.exists(leaf))
+          f.listStatus(leaf).foreach { st =>
+            if (st.getPath.getName.endsWith(".parquet")) {
+              files += 1; bytes += st.getLen
+            }
+          }
+      }
+      GramIndex.Stats(
+        dirCells.map(_._1).distinct.size, entries.size, files, bytes)
+  }
+
+  /** Maintenance policy for continuous micro-batch ingestion: run
+    * [[compact]] only once the number of LIVE data dirs exceeds
+    * `maxLiveDirs` (every commit adds one dir; snapshot reads union one
+    * scan per live dir, so unbounded dirs means unbounded read fan-in).
+    * Returns the number of cells rewritten (0 = under threshold or
+    * nothing fragmented). Call it after ingests the way
+    * [[RecordStore.compact]] is scheduled — cheap to call every batch,
+    * pays only past the threshold. */
+  def compactIfNeeded(maxLiveDirs: Int = 8,
+      filesPerPartition: Int = 1): Int = {
+    require(maxLiveDirs >= 1, "maxLiveDirs must be >= 1")
+    if (stats().liveDirs > maxLiveDirs) compact(filesPerPartition) else 0
+  }
+
   /** See [[ManifestLog.vacuum]] / [[ManifestLog.vacuumOrphans]]. */
   def vacuum(): Unit = log.vacuum()
   def vacuumOrphans(olderThanMs: Long): Seq[String] =
@@ -236,6 +278,10 @@ final class GramIndex(spark: SparkSession, path: String,
 }
 
 object GramIndex {
+  /** Filesystem-level index economics; see [[GramIndex.stats]]. */
+  final case class Stats(liveDirs: Int, cells: Int, files: Long,
+      bytes: Long)
+
   val LevelPrefixes: Seq[String] = Seq("bucket=")
   val schema: StructType = StructType(Seq(
     StructField("k", StringType),

@@ -122,4 +122,36 @@ class GramIndexSpec extends SparkSuite {
     assert(idx.grams.orderBy("k").collect().toSeq === gramsBefore)
     assert(idx.compact() === 0, "second compact finds nothing fragmented")
   }
+
+  test("stats gauge the index economics; compactIfNeeded fires only " +
+    "past the live-dirs threshold") {
+    import spark.implicits._
+    val idx = new GramIndex(spark, tmp(), w = 8, buckets = 4)
+    assert(idx.stats() === GramIndex.Stats(0, 0, 0L, 0L))
+    // 4 batches of 20-token docs → 13 grams each
+    val batches = (0 until 4).map(b => Seq((b.toLong,
+      (0 until 20).map(j => s"t${b}_$j").mkString(" ")))
+      .toDF("doc_id", "text"))
+    batches.foreach(idx.ingest(_))
+    val s1 = idx.stats()
+    assert(s1.liveDirs === 4, "one live dir per committed batch")
+    assert(s1.cells > 0 && s1.files >= s1.cells)
+    assert(s1.bytes > 0L)
+    // the honest O(corpus tokens) constant, made visible: stored bytes
+    // per gram row stays in the tens-of-bytes band (32-char key + owner
+    // + parquet overhead), same order as a suffix-array entry
+    val rows = idx.grams.count()
+    assert(rows === 4L * 13L)
+    val bytesPerRow = s1.bytes.toDouble / rows
+    assert(bytesPerRow < 2000.0,
+      s"bytes/gram-row $bytesPerRow implausibly high")
+    // under threshold: no-op; past it: compacts and dirs collapse
+    assert(idx.compactIfNeeded(maxLiveDirs = 8) === 0)
+    assert(idx.stats().liveDirs === 4)
+    assert(idx.compactIfNeeded(maxLiveDirs = 3) > 0)
+    val s2 = idx.stats()
+    assert(s2.liveDirs < s1.liveDirs,
+      "compaction must supersede fragmented batch dirs")
+    assert(idx.grams.count() === rows, "no rows lost")
+  }
 }
