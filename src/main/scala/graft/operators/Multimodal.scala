@@ -309,6 +309,42 @@ object Multimodal {
       .select(col("doc_a").as("asset_a"), col("doc_b").as("asset_b"),
         col("hamming"))
 
+  /** Render one REAL 64×64 grayscale PNG per row from an
+    * (asset_id, blocks: array<int> of 64 values) frame: block i fills
+    * the 8×8-pixel cell (row i/8, col i%8) with gray value
+    * `blocks[i] & 0xff`. This is the battery's bridge from relational,
+    * oracle-computable block values to the genuine ImageIO
+    * encode→decode pixel path: PNG is lossless and the luminance of
+    * gray v is exactly v, so [[perceptualHash]]'s 8×8 box means
+    * reproduce the block values bit-for-bit and the aHash is a pure
+    * integer function of `blocks` that a SQL oracle can replay without
+    * any image codec. Executor-side mapPartitions — pixel bytes never
+    * visit the driver. */
+  def renderBlockAssets(blocks: DataFrame): Dataset[MediaAsset] = {
+    import blocks.sparkSession.implicits._
+    blocks
+      .select(col("asset_id").cast("long"), col("blocks"))
+      .as[(Long, Seq[Int])]
+      .mapPartitions(_.map { case (id, vs) =>
+        require(vs.length == 64, s"need 64 block values, got ${vs.length}")
+        val img = new java.awt.image.BufferedImage(
+          64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 64) {
+          var x = 0
+          while (x < 64) {
+            val v = vs((y / 8) * 8 + (x / 8)) & 0xff
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaAsset(id, "image", bos.toByteArray)
+      })
+  }
+
   /** Full pipeline as a DataFrame (for the query battery): synthesize →
     * decode(stub) → features + per-type stats-friendly projection. */
   def pipeline(

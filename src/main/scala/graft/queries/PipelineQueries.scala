@@ -386,7 +386,55 @@ object PipelineQueries {
         decoder = Multimodal.decodeStubMd5)
       Multimodal.sampleFrames(feats)
         .orderBy(col("asset_id"), col("frame_idx"))
-    }))
+    }),
+
+    // perceptual aHash of REAL rendered-and-decoded PNGs: block values
+    // are md5-derived (oracle-computable), the Spark path goes through
+    // genuine PNG encode → ImageIO decode → luminance box means — a
+    // codec bug or box-mean drift breaks the hash gate
+    "q_image_phash" -> ((s, dir) =>
+      Multimodal.imageHashes(
+        Multimodal.renderBlockAssets(imageBlocks(s, dir)),
+        batchPartitions = s.sparkContext.defaultParallelism)
+        .repartition(1).sortWithinPartitions(col("asset_id"))),
+
+    // image near-dup pairs over the same rendered corpus: every 10th
+    // doc gets a one-block-perturbed copy (the planted() pattern);
+    // banded-Hamming join + exact confirm, the image leg of the dedup
+    // family finally under the oracle gate
+    "q_image_neardup" -> ((s, dir) =>
+      Multimodal.imageNearDups(
+        Multimodal.renderBlockAssets(imageBlocks(s, dir)),
+        maxHamming = 8,
+        batchPartitions = s.sparkContext.defaultParallelism)
+        .repartition(1)
+        .sortWithinPartitions(col("asset_a"), col("asset_b"))))
+
+  /** Deterministic image corpus for the aHash oracle gate: one 64-block
+    * gray pattern per doc (block i's value = byte i%16 of
+    * md5("<doc_id>_<i/16>")), plus a copy of every 10th doc under a
+    * +1e9-shifted id with block 0 perturbed by +1 (mod 256) — a
+    * near-duplicate that the banded-Hamming join must pair with its
+    * original. Block values stay relational so the DuckDB oracle
+    * computes the identical aHash with no image codec; the PNG
+    * round-trip happens only on the Spark side
+    * ([[Multimodal.renderBlockAssets]]). */
+  private def imageBlocks(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(
+      col("doc_id").as("asset_id"), col("doc_id").as("orig"),
+      lit(0L).as("delta"))
+    val copies = docs(s, dir).filter(col("doc_id") % 10 === 0).select(
+      (col("doc_id") + 1000000000L).as("asset_id"),
+      col("doc_id").as("orig"), lit(1L).as("delta"))
+    base.unionByName(copies)
+      .withColumn("blocks", expr(
+        """transform(sequence(0, 63), i ->
+          |  CAST((CAST(conv(substring(md5(concat(CAST(orig AS STRING), '_',
+          |           CAST(i div 16 AS STRING))), i % 16 * 2 + 1, 2), 16, 10)
+          |         AS BIGINT)
+          |    + IF(i = 0, delta, 0L)) % 256 AS INT))""".stripMargin))
+      .select(col("asset_id"), col("blocks"))
+  }
 
   // ---- generated DuckDB oracle SQL -------------------------------------
 
@@ -460,6 +508,39 @@ object PipelineQueries {
       s"SELECT CAST($bucket AS BIGINT) AS lsh_bucket, count(*) AS n_vectors\n" +
       "FROM proj GROUP BY 1 ORDER BY 1"
   }
+
+  /** Block-value + aHash CTEs mirroring [[imageBlocks]] and the
+    * integer box-mean/threshold math of [[Multimodal.perceptualHash]]:
+    * over a block-constant 64×64 gray PNG the decoded 8×8 box means
+    * ARE the block values, so the oracle computes the identical aHash
+    * purely relationally (no image codec in DuckDB). Bit 63 is
+    * assembled from the min-BIGINT literal — `1 << 63` overflows
+    * DuckDB's checked shift. */
+  private val ImagePhashCtes: String =
+    """WITH ab AS (
+      |  SELECT doc_id AS asset_id, doc_id AS orig, 0 AS delta
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000, doc_id, 1 FROM documents
+      |  WHERE doc_id % 10 = 0),
+      |bl AS (
+      |  SELECT asset_id, i,
+      |    (('0x' || substring(md5(orig::VARCHAR || '_' || (i // 16)),
+      |        (i % 16) * 2 + 1, 2))::BIGINT
+      |     + CASE WHEN i = 0 THEN delta ELSE 0 END) % 256 AS v
+      |  FROM ab CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)),
+      |mn AS (
+      |  SELECT asset_id, sum(v) // 64 AS mean FROM bl GROUP BY asset_id),
+      |ph AS (
+      |  SELECT b.asset_id,
+      |    CAST(sum(CASE WHEN b.v > m.mean AND b.i < 63
+      |                  THEN (1::BIGINT << b.i) ELSE 0 END) AS BIGINT)
+      |    | CASE WHEN max(CASE WHEN b.i = 63 AND b.v > m.mean
+      |                         THEN 1 ELSE 0 END) = 1
+      |           THEN (-9223372036854775807 - 1) ELSE 0::BIGINT END
+      |      AS phash
+      |  FROM bl b JOIN mn m USING (asset_id)
+      |  GROUP BY b.asset_id)""".stripMargin
 
   /** media-asset CTE mirroring [[Multimodal.assetsFromDocuments]] +
     * [[Multimodal.decodeStubMd5]]. */
@@ -1100,6 +1181,24 @@ object PipelineQueries {
         |SELECT doc_id, CAST(len(f) AS INT) AS n_fingerprints,
         |  md5(coalesce(array_to_string(f, ','), '')) AS fp_md5
         |FROM fp ORDER BY doc_id""".stripMargin,
+
+    "q_image_phash" -> (ImagePhashCtes +
+      "\nSELECT asset_id, phash FROM ph ORDER BY asset_id"),
+
+    "q_image_neardup" -> (ImagePhashCtes + """,
+      |banded AS (
+      |  SELECT asset_id, phash, b.band,
+      |    (phash >> (b.band * 16)) & 65535 AS key
+      |  FROM ph CROSS JOIN
+      |    (SELECT unnest(generate_series(0, 3)) AS band) b),
+      |cand AS (
+      |  SELECT DISTINCT a.asset_id AS asset_a, b.asset_id AS asset_b,
+      |    CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.key = b.key
+      |   AND a.asset_id < b.asset_id)
+      |SELECT asset_a, asset_b, hamming FROM cand
+      |WHERE hamming <= 8 ORDER BY asset_a, asset_b""".stripMargin),
 
     "q_multimodal_features" -> ("WITH " + FeaturesCte +
       "\nSELECT asset_id, media_type, n_bytes, content_hash, width, height, " +
