@@ -531,6 +531,46 @@ object Similarity {
     semanticDedupWith(emb, kmeansModel(emb, k, iters),
       thresholdMicro, maxBlock, subBits, dim)
 
+  /** [[semanticDedup]] at the paper's own scale configuration: k grows
+    * with the corpus so the TARGET CLUSTER SIZE stays fixed (Abbas et
+    * al. run k=11k on LAION-440M ≈ 40k vectors/cluster; they scale k,
+    * not cluster size). A fixed k is quadratic — within-cluster pairs
+    * grow (N/k)² — while fixed cluster size T keeps pair volume ≈ N·T/2,
+    * LINEAR in the corpus. k = ⌈N/T⌉ (integer ceil-div, so both engines
+    * and every replay agree on k for a given corpus).
+    *
+    * Honest cost note: exact nearest-centroid assignment is N·k = N²/T
+    * distance evaluations — the same brute-force assignment the paper
+    * runs (their FAISS GPU argmin is exact). That term is pure map-side
+    * compute with a broadcast model; the SHUFFLE stays linear (the pair
+    * join exchanges 2N rows regardless of k). At true 100 TB scale the
+    * assignment leg would ride the [[CellIndex]] coarse-quantizer probe
+    * instead of the flat argmin. */
+  def semanticDedupAuto(
+      emb: DataFrame,
+      targetClusterSize: Long = 128L,
+      iters: Int = 2,
+      thresholdMicro: Long = 300000L,
+      maxBlock: Long = 100000L,
+      subBits: Int = 4,
+      dim: Int = 64): DataFrame =
+    semanticDedupWith(emb,
+      kmeansModelAuto(emb, targetClusterSize, iters),
+      thresholdMicro, maxBlock, subBits, dim)
+
+  /** [[kmeansModel]] with k = ⌈N / targetClusterSize⌉ — the trained
+    * quantizer for [[semanticDedupAuto]], exposed so serving pipelines
+    * can train once and dedup many batches against it. */
+  def kmeansModelAuto(emb: DataFrame, targetClusterSize: Long = 128L,
+      iters: Int = 2): Seq[(Int, Seq[Double])] = {
+    require(targetClusterSize >= 1,
+      s"targetClusterSize must be >= 1, got $targetClusterSize")
+    val n = emb.count()
+    val k = math.max(1L,
+      (n + targetClusterSize - 1L) / targetClusterSize).toInt
+    kmeansModel(emb, k, iters)
+  }
+
   /** [[semanticDedup]] against an ALREADY-TRAINED quantizer — the
     * serving shape (a production pipeline trains the clustering once
     * and dedups many batches/epochs against it; re-training per call

@@ -81,18 +81,20 @@ object PipelineQueries {
     pqBooksCache.getOrElseUpdate(dir,
       Similarity.pqTrain(emb(s, dir), m = 4, k = 4, iters = 2))
 
-  /** Trained k-means quantizer per scale-factor dir (the [[pqBooks]]
-    * pattern): `q_semdedup` dedups against a trained clustering, so
-    * bench passes time the dedup legs, not re-training. `q_kmeans`
-    * deliberately does NOT use this cache — training IS that query's
-    * measured work. */
+  /** Trained auto-k quantizer (k = ⌈N/[[SemTargetClusterSize]]⌉) per
+    * scale-factor dir (the [[pqBooks]] pattern): `q_semdedup` dedups
+    * against a trained clustering, so bench passes time the dedup
+    * legs, not re-training. `q_kmeans` deliberately does NOT use this
+    * cache — training IS that query's measured work, at its own fixed
+    * k=4. */
   private val kmeansModelCache = scala.collection.concurrent.TrieMap
     .empty[String, Seq[(Int, Seq[Double])]]
 
   private def kmeansModelFor(s: SparkSession, dir: String)
       : Seq[(Int, Seq[Double])] =
     kmeansModelCache.getOrElseUpdate(dir,
-      Similarity.kmeansModel(emb(s, dir), k = 4, iters = 2))
+      Similarity.kmeansModelAuto(emb(s, dir),
+        targetClusterSize = SemTargetClusterSize, iters = 2))
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "documents")
@@ -296,8 +298,11 @@ object PipelineQueries {
     // SemDeDup: semantic dedup by k-means cluster blocking — every
     // vector with a lower-id cluster-mate above the cosine threshold is
     // dropped (the embedding-space sibling of MinHash near-dup: catches
-    // paraphrases that share no shingles). Same exact-integer Lloyd
-    // training as q_kmeans, so the oracle reuses its unrolled CTE chain
+    // paraphrases that share no shingles). Scale-honest config: k =
+    // ceil(N/128) keeps cluster size — and so pair volume per vector —
+    // constant as the corpus grows; the oracle runs the same unrolled
+    // Lloyd chain as q_kmeans with its seed LIMIT computed by the same
+    // ceil-div
     "q_semdedup" -> ((s, dir) =>
       Similarity.semanticDedupWith(emb(s, dir), kmeansModelFor(s, dir),
         thresholdMicro = 300000L)
@@ -611,14 +616,31 @@ object PipelineQueries {
   }
 
   /** Unrolled 2-iteration Lloyd CTE chain mirroring
-    * [[Similarity.kmeansModel]] (k=4): seeds = 4 smallest vec_ids; each
-    * round = micro-BIGINT argmin assignment (ties by cluster index) +
-    * quantize-sum-divide update — every comparison and centroid
-    * bit-identical cross-engine. Ends with `c2` (the trained model) and
-    * `a3` (the final assignment); [[KmeansOracle]] aggregates them and
-    * [[LearnedAnnOracle]] probes them. */
-  private val KmeansCtes: String = {
-    val k = 4
+    * [[Similarity.kmeansModel]] at k=4: seeds = 4 smallest vec_ids;
+    * each round = micro-BIGINT argmin assignment (ties by cluster
+    * index) + quantize-sum-divide update — every comparison and
+    * centroid bit-identical cross-engine. Ends with `c2` (the trained
+    * model) and `a3` (the final assignment); [[KmeansOracle]]
+    * aggregates them and [[LearnedAnnOracle]] probes them. The k-
+    * agnostic chain body lives in [[kmeansCtes]] — only the seed
+    * LIMIT carries k, so [[SemKmeansCtes]] reuses the identical
+    * unroll at its corpus-dependent k. */
+  private val KmeansCtes: String = kmeansCtes("4")
+
+  /** SemDeDup's scale-honest cluster count: k = ⌈N / 128⌉, spelled as
+    * the SAME integer ceil-div on both engines (Spark
+    * [[Similarity.kmeansModelAuto]], DuckDB dynamic LIMIT below) so the
+    * unrolled Lloyd chain trains the identical model at any corpus
+    * size. 128-vector target clusters keep within-cluster pair volume
+    * LINEAR in the corpus — the battery's previous fixed k=4 grew
+    * (N/4)² pairs and could not be profiled at 64×. */
+  private val SemTargetClusterSize = 128L
+
+  private val SemKmeansCtes: String = kmeansCtes(
+    s"greatest(1, ((SELECT count(*) FROM base) + ${SemTargetClusterSize - 1}) " +
+      s"// $SemTargetClusterSize)")
+
+  private def kmeansCtes(limitSql: String): String = {
     def lip(a: String, b: String) = s"list_inner_product($a, $b)"
     def dist(v: String, c: String) =
       s"CAST(round((${lip(v, v)} - 2 * ${lip(v, c)} + ${lip(c, c)}) " +
@@ -650,7 +672,7 @@ object PipelineQueries {
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
        |           AS cluster,
        |         v AS centroid
-       |  FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT $k)),
+       |  FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT $limitSql)),
        |${assignCte("a1", "c0")},
        |${updateCte("c1", "a1")},
        |${assignCte("a2", "c1")},
@@ -926,7 +948,7 @@ object PipelineQueries {
 
     "q_kmeans" -> KmeansOracle,
 
-    "q_semdedup" -> (KmeansCtes +
+    "q_semdedup" -> (SemKmeansCtes +
       """, sd_dup AS (
         |  SELECT DISTINCT b.vec_id
         |  FROM a3 a JOIN a3 b
