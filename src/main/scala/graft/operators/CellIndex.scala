@@ -544,11 +544,21 @@ final class CellIndex(spark: SparkSession, path: String) {
       nprobe: Int = 1): CellIndex.SemanticIngestStats =
     semanticIngestResolved(batch, thresholdMicro, nprobe)._2
 
-  /** [[semanticIngest]] that ALSO returns the appended survivor rows
+  /** [[semanticIngest]] that ALSO returns the batch's CANONICAL rows
     * (original batch columns) — the emission a streaming pipeline sinks
-    * ([[graft.streaming.StreamOps.semanticIngestStream]]). The survivor
-    * frame is checkpointed before the append (see the lineage note
-    * below), so re-evaluating it after the commit returns the same
+    * ([[graft.streaming.StreamOps.semanticIngestStream]]). The emission
+    * is STATE-derived, the [[graft.store.FingerprintIndex
+    * .ingestResolved]] discipline: it contains the fresh survivors this
+    * call appends AND any batch row whose vec_id is already stored
+    * (`is_replay`) — that row IS its own canonical copy in the index.
+    * Replays are still never re-appended. This is what makes the
+    * ingest-then-emit micro-batch idempotent end to end: a retry after
+    * a crash BETWEEN the append commit and the sink finds its survivors
+    * as replays and re-emits the identical rows, where an
+    * appended-rows-only emission would emit nothing and the crashed
+    * attempt's documents would never reach the sink. Both frames are
+    * checkpointed before the append (see the lineage note below), so
+    * re-evaluating the emission after the commit returns the same
     * rows. */
   def semanticIngestResolved(
       batch: DataFrame,
@@ -601,8 +611,14 @@ final class CellIndex(spark: SparkSession, path: String) {
         // re-read after the append — freeze it so the emission is one
         // stable row set, not a plan
         .localCheckpoint(true)
+      // replayed rows are canonical BY STATE (their stored copy is
+      // themselves); pin them before the append for the same reason
+      val replayRows = batch.join(
+        flagged.filter(col("is_replay")).select("vec_id"),
+        Seq("vec_id"))
+        .localCheckpoint(true)
       val stats = append(kept)
-      (kept, CellIndex.SemanticIngestStats(
+      (kept.unionByName(replayRows), CellIndex.SemanticIngestStats(
         appended = stats.n, replays = nReplay,
         historyDups = nHistDup, batchDups = nBatchDup))
     } finally flagged.unpersist(false)

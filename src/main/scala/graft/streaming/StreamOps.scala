@@ -340,6 +340,101 @@ object StreamOps {
       }
       .start()
 
+  /** The FULL streaming curation pipeline: all four dedup
+    * granularities against their persisted histories in ONE
+    * foreachBatch — byte-exact ([[graft.store.FingerprintIndex]]) →
+    * whole-doc near-dup ([[graft.store.NearDupIndex]]) → verbatim-region
+    * scrub ([[graft.store.GramIndex]]) → paraphrase
+    * ([[graft.operators.CellIndex]] semantic ingest). Input rows carry
+    * (doc_id, text, embedding, ...); the sink receives the canonical,
+    * span-scrubbed survivors (original columns with `text` replaced by
+    * (n_kept, scrubbed_text)).
+    *
+    * CRASH-RECOVERY CONTRACT (the composition guarantee, specced by
+    * the StreamOpsSpec kill-point matrix): the four stores commit
+    * SEPARATELY, so a batch can die BETWEEN commits and replay with
+    * some indexes already advanced. That is safe because each stage's
+    * emission is derived from index STATE, not from its ingest delta:
+    * an already-advanced index recognizes the replayed batch (owner
+    * fingerprints / persisted verdicts / gram owner-inequality /
+    * vec_id replays), commits nothing, and re-derives the identical
+    * rows; a not-yet-advanced index sees the identical deterministic
+    * input (the upstream stages re-emitted it identically) and
+    * commits exactly what the crashed attempt would have. By
+    * induction over the stage order, EVERY kill point replays to the
+    * same four store states and the same sink rows — at-least-once
+    * into an idempotent sink converges to exactly-once with no
+    * cross-store transaction.
+    *
+    * `onStage` fires after each store's commit ("exact", "neardup",
+    * "spans", "semantic") and before the sink — an instrumentation
+    * seam (telemetry, and the spec's crash injection). */
+  def curateAllWithHistory(
+      docs: DataFrame,
+      exact: graft.store.FingerprintIndex,
+      nearDup: graft.store.NearDupIndex,
+      grams: graft.store.GramIndex,
+      semantic: graft.operators.CellIndex,
+      boilerplate: Seq[String],
+      checkpointDir: String,
+      minKeptTokens: Int = 15,
+      thresholdMicro: Long = 300000L,
+      nprobe: Int = 1,
+      onStage: String => Unit = _ => ())(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        curateAllBatch(batch, exact, nearDup, grams, semantic,
+          boilerplate, minKeptTokens, thresholdMicro, nprobe, onStage)(sink)
+      }
+      .start()
+
+  /** One micro-batch of [[curateAllWithHistory]] — the unit the
+    * kill-point matrix spec drives directly: a foreachBatch retry after
+    * a crash is exactly "call this again with the same batch", so the
+    * crash-recovery contract is provable without streaming-offset
+    * machinery. */
+  private[graft] def curateAllBatch(
+      batch: DataFrame,
+      exact: graft.store.FingerprintIndex,
+      nearDup: graft.store.NearDupIndex,
+      grams: graft.store.GramIndex,
+      semantic: graft.operators.CellIndex,
+      boilerplate: Seq[String],
+      minKeptTokens: Int,
+      thresholdMicro: Long,
+      nprobe: Int,
+      onStage: String => Unit)(sink: DataFrame => Unit): Unit = {
+    val cleaned = scrubHead(batch, boilerplate).persist()
+    try {
+      val exactCanonical = exact.ingestResolved(cleaned)
+      onStage("exact")
+      val ndSurvivors = nearDup.ingest(exactCanonical)
+        .filter(col("canonical_id") === col("doc_id"))
+        .drop("canonical_id")
+      onStage("neardup")
+      val spans = grams.ingest(ndSurvivors)
+      val scrubbed = graft.operators.SpanDedup
+        .exciseTextBySpans(ndSurvivors, spans)
+      onStage("spans")
+      val keptDocs = ndSurvivors.drop("text")
+        .join(scrubbed, Seq("doc_id"))
+        .filter(col("n_kept") >= minKeptTokens)
+        // four index probes + two joins above: freeze the row set
+        // once so the semantic leg and the sink read ONE stable
+        // frame (and never re-probe post-commit index state)
+        .localCheckpoint(true)
+      val (emitted, _) = semantic.semanticIngestResolved(
+        keptDocs.select(col("doc_id").as("vec_id"), col("embedding")),
+        thresholdMicro, nprobe)
+      onStage("semantic")
+      sink(keptDocs.join(
+        emitted.select(col("vec_id").as("doc_id")), Seq("doc_id")))
+    } finally cleaned.unpersist(false)
+  }
+
   /** Streaming SEMANTIC dedup at ingestion: each micro-batch of
     * (vec_id, embedding) rows runs [[graft.operators.CellIndex
     * .semanticIngestResolved]] — probe the partition-pruned history

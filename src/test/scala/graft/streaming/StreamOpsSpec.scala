@@ -436,4 +436,149 @@ class StreamOpsSpec extends SparkSuite {
     // both batches registered their novel grams
     assert(grams.grams.count() > 0)
   }
+
+  // ---- curateAllWithHistory: the four-granularity composition --------
+
+  private val CurateBase = "the quick brown fox jumps over the lazy dog " +
+    "while seventeen sleepy penguins waddle across the frozen antarctic " +
+    "shelf carrying small wooden crates of pickled herring toward the " +
+    "waiting ship anchored beyond the ridge"
+  private val CurateRun = (1 to 8).map(i => s"r$i").mkString(" ")
+  private val CurateDoc2 = s"opening words here $CurateRun closing words"
+
+  private case class CurateStores(
+      exact: graft.store.FingerprintIndex,
+      near: graft.store.NearDupIndex,
+      grams: graft.store.GramIndex,
+      cell: graft.operators.CellIndex)
+
+  private def freshCurateStores(): CurateStores = {
+    import spark.implicits._
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val cell = new graft.operators.CellIndex(spark, tmp("cah-cell"))
+    // training vectors sit ~45° from every test embedding (cos 0.707,
+    // far under the 0.9 threshold) so they never flag test docs
+    cell.buildLearned(Seq(
+      900L -> Array(0.7f, 0.7f, 0f, 0f),
+      901L -> Array(0f, 0f, 0.7f, 0.7f)).toDF("vec_id", "embedding"),
+      k = 2, iters = 1)
+    CurateStores(
+      new graft.store.FingerprintIndex(spark, tmp("cah-fp"), buckets = 8),
+      new graft.store.NearDupIndex(spark, tmp("cah-nd"), buckets = 8),
+      new graft.store.GramIndex(spark, tmp("cah-gr"), w = 8, buckets = 8),
+      cell)
+  }
+
+  private def curateSeed = Seq(
+    (1L, CurateBase, Array(1f, 0f, 0f, 0f)),
+    (2L, CurateDoc2, Array(0f, 0f, 1f, 0f)))
+
+  // the victim batch exercises every suppression granularity:
+  //  10 = byte-exact copy of doc 1        -> dropped at the exact leg
+  //  11 = lightly-edited copy of doc 1    -> dropped at the near-dup leg
+  //  12 = novel head + doc 2's verbatim 8-run -> region excised, emitted
+  //  13 = novel text, paraphrase embedding of doc 2 -> dropped semantic
+  //  14 = fully novel                     -> emitted untouched
+  private def curateVictim = Seq(
+    (10L, CurateBase, Array(0.9f, 0.1f, 0f, 0f)),
+    (11L, CurateBase.replace("fox", "zesty"), Array(0.9f, 0f, 0.1f, 0f)),
+    (12L, s"nov1 nov2 nov3 nov4 $CurateRun", Array(0f, 1f, 0f, 0f)),
+    (13L, "entirely different prose about orbital transfer windows",
+      Array(0.01f, 0f, 1f, 0f)),
+    (14L, "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10", Array(0f, 0f, 0f, 1f)))
+
+  private def curateProcess(st: CurateStores, rows: Seq[(Long, String,
+      Array[Float])], kill: Option[String]): Seq[(Long, Long, String)] = {
+    import spark.implicits._
+    val out =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    StreamOps.curateAllBatch(
+      rows.toDF("doc_id", "text", "embedding"),
+      st.exact, st.near, st.grams, st.cell,
+      boilerplate = Seq.empty, minKeptTokens = 3,
+      thresholdMicro = 900000L, nprobe = 1,
+      onStage = s => if (kill.contains(s))
+        throw new RuntimeException(s"injected crash after $s commit")) {
+      df =>
+        out ++= df.select($"doc_id", $"n_kept", $"scrubbed_text")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    }
+    out.sortBy(_._1).toSeq
+  }
+
+  private def curateState(st: CurateStores) = {
+    import spark.implicits._
+    (st.exact.fingerprints.collect().map(_.toString).sorted.toSeq,
+      st.near.assignments.select($"doc_id", $"canonical_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
+      st.grams.grams.select($"k", $"doc_id")
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq,
+      st.cell.vectors.select($"vec_id")
+        .collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("curateAllWithHistory: one stream, four history granularities — " +
+    "exact, edited, quoted-region, paraphrase") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val st = freshCurateStores()
+    val input = MemoryStream[(Long, String, Array[Float])]
+    val df = input.toDF().toDF("doc_id", "text", "embedding")
+    val emitted =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("cah-ckpt")
+    val q = StreamOps.curateAllWithHistory(df, st.exact, st.near,
+      st.grams, st.cell, boilerplate = Seq.empty,
+      checkpointDir = ckpt.toString, minKeptTokens = 3,
+      thresholdMicro = 900000L) { out =>
+      emitted ++= out.select($"doc_id", $"n_kept", $"scrubbed_text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    }
+    input.addData(curateSeed: _*)
+    q.processAllAvailable()
+    assert(emitted.map(_._1).sorted.toSeq === Seq(1L, 2L))
+    emitted.clear()
+    input.addData(curateVictim: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(emitted.map(_._1).sorted.toSeq === Seq(12L, 14L),
+      s"wrong survivors: $emitted")
+    val doc12 = emitted.find(_._1 == 12L).get
+    assert(doc12._2 === 4L && doc12._3 === "nov1 nov2 nov3 nov4",
+      "doc 2's quoted region must be excised from doc 12")
+    // each index registered its own granularity's verdicts
+    assert(st.near.assignments.filter($"doc_id" === 11L)
+      .select($"canonical_id").collect().map(_.getLong(0)).toSeq === Seq(1L))
+    assert(st.cell.vectors.filter($"vec_id" === 13L).count() === 0)
+  }
+
+  test("curateAllWithHistory kill-point matrix: a crash between ANY two " +
+    "store commits replays to identical store states and emissions") {
+    // baseline: no crash
+    val base = freshCurateStores()
+    curateProcess(base, curateSeed, None)
+    val emitBase = curateProcess(base, curateVictim, None)
+    val stateBase = curateState(base)
+    assert(emitBase.map(_._1) === Seq(12L, 14L))
+
+    for (kill <- Seq("exact", "neardup", "spans", "semantic")) {
+      val st = freshCurateStores()
+      curateProcess(st, curateSeed, None)
+      val e = intercept[RuntimeException] {
+        curateProcess(st, curateVictim, Some(kill))
+      }
+      assert(e.getMessage.contains(kill))
+      // the retry: same batch, indexes up to `kill` already advanced
+      val emitReplay = curateProcess(st, curateVictim, None)
+      assert(emitReplay === emitBase,
+        s"kill@$kill: replay emission diverged")
+      assert(curateState(st) === stateBase,
+        s"kill@$kill: store states diverged")
+      // and a SECOND full replay (crash after sink, before the offset
+      // commit) is also a clean no-op emission-wise
+      assert(curateProcess(st, curateVictim, None) === emitBase,
+        s"kill@$kill: post-recovery replay diverged")
+    }
+  }
 }
