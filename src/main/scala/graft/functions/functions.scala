@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Types.AbstractDataType
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** blake2b-16 hex digest as a native Catalyst expression.
@@ -132,6 +132,91 @@ case class DotProductExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProductExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** Nearest-centroid argmin over a LITERAL centroid model as one native
+  * expression — the assignment kernel of every k-means-shaped operator
+  * ([[graft.operators.Similarity]] kmeans / SemDeDup blocking,
+  * [[graft.operators.CellIndex]] IVF routing).
+  *
+  * The column spelling it replaces (`array_min` over `transform` of a
+  * k-struct literal, each element three [[DotProductExpr]] calls)
+  * collapses out of whole-stage codegen once k×dim literals grow past
+  * the generated-code budget, and the interpreted fallback re-walks the
+  * literal array per row — measured as q_semdedup's auto-k (k≈1000)
+  * 64× profile running 1000× slower than the arithmetic requires. This
+  * expression carries the model as plain `double[][]`/`double[]`
+  * reference objects and runs one fused JVM loop
+  * ([[graft.core.Centroids.nearest]]), identical bit-for-bit to the
+  * old spelling (same dot accumulation order, same `round(x*1e6)`
+  * BigDecimal HALF_UP, ties to the smallest cluster id via pre-sorted
+  * centroid order, unroutable vectors yield the same `(null d, min
+  * cl)` row).
+  *
+  * `ids` must be pre-sorted ascending (numeric, or UTF8String binary
+  * order for strings) — [[graft.operators.Similarity
+  * .nearestCentroidStruct]] is the constructing entry point and
+  * enforces it.
+  */
+case class NearestCentroidsExpr(
+    child: Expression,
+    ids: Seq[Any],
+    cents: Seq[Seq[Double]],
+    clType: DataType)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(ids.nonEmpty && ids.length == cents.length,
+    s"ids (${ids.length}) and centroids (${cents.length}) must align, non-empty")
+  require(cents.map(_.length).distinct.size == 1,
+    "centroids must share one dimensionality")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("d", LongType, nullable = true),
+    StructField("cl", clType, nullable = false)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "nearest_centroid"
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+
+  @transient private lazy val centsArr: Array[Array[Double]] =
+    cents.map(_.toArray).toArray
+  @transient private lazy val ccArr: Array[Double] =
+    graft.core.Centroids.selfDots(centsArr)
+  @transient private lazy val idsArr: Array[AnyRef] = ids.map {
+    case s: String => UTF8String.fromString(s): AnyRef
+    case i: Int => java.lang.Integer.valueOf(i): AnyRef
+    case l: Long => java.lang.Long.valueOf(l): AnyRef
+    case other => throw new IllegalArgumentException(
+      s"unsupported cluster id type: ${other.getClass}")
+  }.toArray
+
+  private def checkNulls: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    graft.core.Centroids.nearest(
+      child.eval(input).asInstanceOf[ArrayData],
+      centsArr, ccArr, checkNulls, idsArr)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", centsArr, "double[][]")
+    val ccRef = ctx.addReferenceObj("cc", ccArr, "double[]")
+    val idsRef = ctx.addReferenceObj("ids", idsArr, "java.lang.Object[]")
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        InternalRow ${ev.value} = graft.core.Centroids.nearest(
+          ${c.isNull} ? null : ${c.value}, $centsRef, $ccRef,
+          $checkNulls, $idsRef);""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NearestCentroidsExpr =
+    copy(child = newChild)
 }
 
 /** Unicode NFC normalization as a native codegen'd expression — the

@@ -79,8 +79,63 @@ object Similarity {
     * `d` is the squared-Euclidean distance to the winning centroid,
     * micro-scaled to BIGINT. Callers that want assignment AND a drift
     * readout (e.g. [[CellIndex.append]]) evaluate this once instead of
-    * running the argmin twice. */
+    * running the argmin twice.
+    *
+    * Evaluation rides the native
+    * [[graft.functions.NearestCentroidsExpr]] kernel (model as plain
+    * reference arrays, one fused JVM loop) whenever the ids are
+    * Int/Long/String and the centroids share a dimensionality —
+    * bit-identical to the column spelling
+    * ([[nearestCentroidStructGeneric]], kept as the exotic-id fallback
+    * and the differential-spec reference): same accumulation order,
+    * same HALF_UP micro-rounding, ties to the smallest cluster id
+    * (centroids pre-sorted here — numerically, or UTF8String binary
+    * order for strings, matching `array_min`'s struct comparison),
+    * unroutable vectors yield the same `(null, min cl)` struct. The
+    * column spelling falls out of whole-stage codegen past ~a few
+    * hundred k×dim literal doubles and re-walks the literal per row
+    * interpreted — 1000× the arithmetic cost at SemDeDup's auto-k. */
   def nearestCentroidStruct(
+      cents: Seq[(Any, scala.collection.Seq[Double])],
+      vCol: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    require(cents.nonEmpty, "need at least one centroid")
+    val uniformDim = cents.map(_._2.length).distinct.size == 1
+    val sorted: Option[Seq[(Any, scala.collection.Seq[Double])]] =
+      cents.head._1 match {
+        case _: Int if uniformDim =>
+          Some(cents.sortBy(_._1.asInstanceOf[Int]))
+        case _: Long if uniformDim =>
+          Some(cents.sortBy(_._1.asInstanceOf[Long]))
+        case _: String if uniformDim =>
+          Some(cents.sortWith((a, b) =>
+            org.apache.spark.unsafe.types.UTF8String
+              .fromString(a._1.asInstanceOf[String])
+              .compareTo(org.apache.spark.unsafe.types.UTF8String
+                .fromString(b._1.asInstanceOf[String])) < 0))
+        case _ => None
+      }
+    sorted match {
+      case None => nearestCentroidStructGeneric(cents, vCol)
+      case Some(s) =>
+        val clType = s.head._1 match {
+          case _: Int => org.apache.spark.sql.types.IntegerType
+          case _: Long => org.apache.spark.sql.types.LongType
+          case _ => org.apache.spark.sql.types.StringType
+        }
+        Bridge.column(graft.functions.NearestCentroidsExpr(
+          Bridge.expression(vCol),
+          s.map(_._1), s.map(_._2.toVector), clType))
+    }
+  }
+
+  /** The pure-column spelling of [[nearestCentroidStruct]] — `array_min`
+    * over a k-struct literal. Correct at any id type but interpreted
+    * and literal-heavy at large k; kept as the fallback for ids that
+    * are not Int/Long/String and as the reference implementation the
+    * differential spec checks the native kernel against. */
+  private[graft] def nearestCentroidStructGeneric(
       cents: Seq[(Any, scala.collection.Seq[Double])],
       vCol: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {

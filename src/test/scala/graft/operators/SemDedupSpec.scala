@@ -90,4 +90,68 @@ class SemDedupSpec extends SparkSuite {
     assert(kept(2L) === false)
     assert(kept(3L) === false)
   }
+
+  // ---- native nearest-centroid kernel vs the column spelling --------
+
+  test("NearestCentroidsExpr: bit-identical to the generic column " +
+    "spelling across id types, ties, and unroutable vectors") {
+    import spark.implicits._
+    val dim = 5
+    // deterministic pseudo-random vectors (md5-derived, ~[-1.4, 1.4])
+    def vec(seed: Int): Seq[Double] =
+      (0 until dim).map(d =>
+        (java.lang.Long.parseLong(
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(s"v${seed}_$d".getBytes("UTF-8"))
+            .take(6).map("%02x".format(_)).mkString, 16).toDouble
+          / 1e14) - 1.4)
+    val good: Seq[(Long, Seq[Double])] =
+      (0 until 60).map(i => i.toLong -> vec(i)) :+
+        // exactly equidistant (d=1e10 micro) to the two tie centroids
+        // below, ~2x farther from every near-origin random centroid
+        (1000L -> Seq(100.0, 100.0, 0.0, 0.0, 0.0))
+    val df = good.toDF("id", "v")
+      .unionByName(spark.range(1).select(lit(1001L).as("id"),
+        expr("CAST(NULL AS ARRAY<DOUBLE>)").as("v")))
+      .unionByName(spark.range(1).select(lit(1002L).as("id"),
+        expr("array(1.0D, 2.0D)").as("v")))
+      .unionByName(spark.range(1).select(lit(1003L).as("id"),
+        expr("array(1.0D, CAST(NULL AS DOUBLE), 3.0D, 4.0D, 5.0D)").as("v")))
+
+    val tie0: Seq[Double] = Seq(100.0, 0.0, 0.0, 0.0, 0.0)
+    val tie1: Seq[Double] = Seq(0.0, 100.0, 0.0, 0.0, 0.0)
+    def centsFor(ids: Seq[Any]): Seq[(Any, Seq[Double])] =
+      ids.zipWithIndex.map { case (id, i) =>
+        (id, if (i == 0) tie0 else if (i == 1) tie1 else vec(9000 + i))
+      }
+    def run(cents: Seq[(Any, Seq[Double])],
+        f: (Seq[(Any, Seq[Double])], org.apache.spark.sql.Column) =>
+          org.apache.spark.sql.Column): Seq[(Long, Any, String)] =
+      df.select(col("id"), f(cents, col("v")).as("a"))
+        .select(col("id"), col("a.d"), col("a.cl").cast("string"))
+        .collect().map(r => (r.getLong(0),
+          (if (r.isNullAt(1)) null else r.getLong(1)): Any,
+          r.getString(2)))
+        .sortBy(_._1).toSeq
+
+    val cases: Seq[(Seq[Any], String)] = Seq(
+      ((0 until 40).map(i => i: Any), "0"),
+      ((0 until 40).map(i => (i * 7L + 3L): Any), "3"),
+      ((0 until 40).map(i => s"cell_${"%02d".format(i)}": Any), "cell_00"))
+    for ((ids, tieWinner) <- cases) {
+      val cents = centsFor(ids)
+      // deterministic shuffle: the native path must re-sort internally
+      // to reproduce array_min's min-cl tie-break
+      val shuffled = cents.indices
+        .sortBy(i => ((i * 17) % cents.size, i)).map(cents)
+      val got = run(shuffled, Similarity.nearestCentroidStruct)
+      val want = run(shuffled, Similarity.nearestCentroidStructGeneric)
+      assert(got === want, s"diverged for ids like ${ids.head}")
+      assert(got.find(_._1 == 1000L).get._3 === tieWinner,
+        "equidistant vector must take the smallest cluster id")
+      for (bad <- Seq(1001L, 1002L, 1003L))
+        assert(got.find(_._1 == bad).get._2 === null,
+          s"row $bad must be unroutable (null d)")
+    }
+  }
 }
