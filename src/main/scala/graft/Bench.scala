@@ -121,24 +121,25 @@ object Bench {
     val failedCount = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"load":$loads,"outlier_rerun":$reruns,"failed":$failedCount,"sf":"$sfDir"}"""
+    // FIRST line of the closing output: the full machine-readable line
+    // (VERDICT r8 #8 — four rounds of driver artifacts carried
+    // "parsed": null because a fixed-size tail capture chopped the
+    // ~8 KB line's head when it was emitted last).
     println(line)
-    // Also persist the line to a file: with `run / fork := true` the
-    // println above rides sbt's info logger, whose tail capture has
-    // truncated it two rounds running ("parsed": null in BENCH_r0{4,5}).
-    // The file is the machine-readable channel; stdout stays for humans.
+    // Also persist it to a file: with `run / fork := true` the println
+    // above rides sbt's info logger; the file is the durable
+    // machine-readable channel regardless of log capture.
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write BENCH_LOCAL.json: $e") }
-    // The full line above is ~8 KB (113-query maps) — any fixed-size
-    // tail capture chops its HEAD, which is why four rounds of driver
-    // artifacts carry "parsed": null. Emit a COMPACT summary as the
-    // very last line so every tail window ends with one complete,
-    // parseable JSON object; per-query detail lives in the full line
-    // and BENCH_LOCAL.json.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failedCount,"sf":"$sfDir","full":"BENCH_LOCAL.json"}""")
+    // Stop BEFORE the final line so Spark's shutdown logging cannot land
+    // after it: the LAST stdout line is then always one complete JSON
+    // object — a slimmer variant (per-query seconds but no load/rerun
+    // maps, ~⅓ the size) that fits tail windows the full line overflows.
     spark.stop()
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedCount,"sf":"$sfDir","full":"BENCH_LOCAL.json"}""")
   }
 
   /** Per-query seconds from the newest BENCH_r*.json in the working

@@ -34,8 +34,10 @@ import org.apache.spark.sql.functions._
 object Profile {
 
   /** Total shuffle bytes across completed stages; Spark's listener bus
-    * is async, so [[settle]] polls until the counters stop moving. */
-  private final class StageMetrics extends SparkListener {
+    * is async, so [[settle]] polls until the counters stop moving.
+    * Shared with the focused profile mains (e.g.
+    * [[graft.tools.SpanProbeBench]]). */
+  private[graft] final class StageMetrics extends SparkListener {
     val read = new java.util.concurrent.atomic.AtomicLong
     val write = new java.util.concurrent.atomic.AtomicLong
     // spill = the "did a sort/agg overflow its task memory" signal the
@@ -168,9 +170,11 @@ object Profile {
 
   /** Materialize the multiplied corpus into a temp dir (see object doc
     * for the construction); small tables are symlinked. Reuses an
-    * existing dir for the same (sf, mult) within one machine boot. */
-  private def buildSynthetic(spark: SparkSession, sfDir: String, mult: Int)
-      : String = {
+    * existing dir for the same (sf, mult) within one machine boot.
+    * Shared with the focused profile mains
+    * ([[graft.tools.IngestLatency]]). */
+  private[graft] def buildSynthetic(spark: SparkSession, sfDir: String,
+      mult: Int): String = {
     val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val syn = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft-profile-$tag-x$mult")

@@ -30,8 +30,11 @@ import graft.operators.SpanDedup
   * suffix array, and unlike the document-level indexes it is NOT tiny
   * relative to the corpus. What makes it workable at 100 TB is that no
   * operation ever reads all of it: a batch probe/ingest reads ONLY the
-  * bucket partitions its own gram keys land in, ships 32-char keys (never
-  * text), and the within-batch legs aggregate map-side first.
+  * bucket partitions its own gram keys land in, then Bloom-prefilters
+  * that scan down to the batch's possible matches (see
+  * [[prunedHistory]] — the layer that keeps per-batch cost proportional
+  * to the batch once bucket pruning saturates), ships 32-char keys
+  * (never text), and the within-batch legs aggregate map-side first.
   *
   * A batch position is flagged duplicated when its gram
   *   - occurs in >= 2 distinct documents of the batch itself (the
@@ -56,10 +59,12 @@ final class GramIndex(spark: SparkSession, path: String,
     w: Int = 8,
     buckets: Int = 256,
     keepVersions: Int = 3,
-    committer: Option[ManifestCommitter] = None) {
+    committer: Option[ManifestCommitter] = None,
+    bloomMaxKeys: Long = 4000000L) {
 
   require(w >= 1, s"w must be >= 1, got $w")
   require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+  require(bloomMaxKeys >= 0, s"bloomMaxKeys must be >= 0, got $bloomMaxKeys")
 
   private val log = new ManifestLog(spark, path, keepVersions, committer)
   private def f = Fs.fs(spark, path)
@@ -113,17 +118,50 @@ final class GramIndex(spark: SparkSession, path: String,
       idCol: String): DataFrame =
     SpanDedup.grams(batch.filter(col(textCol).isNotNull), w, textCol, idCol)
 
-  /** History rows pruned to the bucket partitions this batch's keys
-    * land in (the collected bucket ids are <= `buckets` ints). */
+  /** History rows pruned to what this batch can possibly match, in two
+    * no-false-negative layers:
+    *
+    *  1. BUCKET pruning — read only the md5-prefix partitions the
+    *     batch's keys land in (the collected bucket ids are <=
+    *     `buckets` ints). Decisive for tiny batches, but it SATURATES:
+    *     a batch of ~`buckets`×ln(`buckets`) distinct keys already
+    *     touches every bucket with high probability, after which
+    *     pruning reads the whole index.
+    *  2. BLOOM pruning — a [[graft.operators.BloomBits]] filter built
+    *     over the batch's distinct gram keys, applied to the pruned
+    *     scan BEFORE the probe join. History rows it drops have keys
+    *     provably absent from the batch, so neither the span join nor
+    *     the ingest anti-join can miss anything; survivors are the true
+    *     matches plus ~1% false positives (10 bits/key). This is what
+    *     keeps a bounded micro-batch's probe cost proportional to the
+    *     BATCH rather than the history once bucket pruning saturates —
+    *     the filtered history leg usually lands back under the
+    *     broadcast threshold, so neither side exchanges. Skipped when
+    *     the batch's distinct keys exceed `bloomMaxKeys` (a
+    *     corpus-sized backfill probing half the corpus at once: the
+    *     filter literal would be tens of MB and history survivors
+    *     wouldn't shrink — the shuffle join IS the right plan there;
+    *     measured in PROFILE.md round-9). The per-bucket distinct-key
+    *     counts come from the same one aggregation that collects the
+    *     touched bucket ids. */
   private def prunedHistory(g: DataFrame,
       snapshot: Option[(Long, Map[String, Seq[String]])]): DataFrame =
     snapshot match {
       case None => log.emptyDf(GramIndex.schema)
       case Some((_, entries)) =>
-        val touched = g.select(bucketCol(col("k")).as("__bucket"))
-          .distinct().collect().map(_.getInt(0)).toSeq
-        log.readEntries(entries, GramIndex.schema)
+        val perBucket = g
+          .select(bucketCol(col("k")).as("__bucket"), col("k"))
+          .groupBy(col("__bucket"))
+          .agg(count_distinct(col("k")).as("__n"))
+          .collect()
+        val touched = perBucket.map(_.getInt(0)).toSeq
+        val nKeys = perBucket.map(_.getLong(1)).sum
+        val pruned = log.readEntries(entries, GramIndex.schema)
           .filter(col("bucket").isInCollection(touched))
+        if (nKeys > 0 && nKeys <= bloomMaxKeys) {
+          val bloom = graft.operators.Bloom.build(g, "k")
+          pruned.filter(bloom.mightContain(col("k")))
+        } else pruned
     }
 
   /** Maximal duplicated spans of `g`'s positions against history +

@@ -1,0 +1,128 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming-ingest latency curves (VERDICT r8 #7): the three
+  * history-backed dedup streams claim per-batch cost INDEPENDENT of
+  * history size — this main measures it end to end instead of arguing
+  * from plan asserts. For each history multiplier (default 1×/8×/64×,
+  * via [[graft.Profile.buildSynthetic]]'s disjoint-copy corpus) it
+  * seeds a fresh index family with the multiplied corpus, then runs the
+  * SAME fixed 1×-sized batch sequence through each stream's
+  * foreachBatch unit and prints one INGESTLAT line per (op, mult,
+  * batch): wall seconds + shuffle read/write bytes.
+  *
+  *   - `exact`    = [[graft.store.FingerprintIndex.ingestResolved]]
+  *                  (the [[graft.streaming.StreamOps.curateWithHistory]]
+  *                  unit)
+  *   - `spans`    = [[graft.store.GramIndex.ingest]] (the
+  *                  `scrubSpansWithHistory` unit — Bloom-prefiltered
+  *                  history probe)
+  *   - `semantic` = [[graft.operators.CellIndex.semanticIngestResolved]]
+  *                  (the `semanticIngestStream` unit)
+  *
+  * Batch construction: copy-0 of the base corpus with ids shifted to a
+  * novel range — texts/vectors IDENTICAL to the history's copy-0 rows,
+  * so every op does real duplicate-detection work against exactly one
+  * history copy, and that hit set is CONSTANT across multipliers (the
+  * synthetic copies are textually disjoint). A flat curve therefore
+  * means the probe legs really are pruned to the batch's own keys /
+  * cells; growth with mult would mean the batch is paying for history
+  * it can never match. Three batches per (op, mult): batch 1 carries
+  * plan compilation + any first-touch cost, batches 2-3 are the
+  * steady-state micro-batch latency.
+  *
+  * Usage: runMain graft.tools.IngestLatency [sfDir] [mults...]
+  */
+object IngestLatency {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mults =
+      if (args.length > 1) args.drop(1).toSeq.map(_.toInt) else Seq(1, 8, 64)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.functions.register(spark)
+
+    val metrics = new graft.Profile.StageMetrics
+    spark.sparkContext.addSparkListener(metrics)
+
+    // fixed 1x-sized batch sequence: three disjoint doc slices of the
+    // base corpus, ids shifted novel, text/vectors verbatim copy-0
+    val baseDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val baseEmb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    def docBatch(i: Int): DataFrame = baseDocs
+      .filter(col("doc_id") % 3 === i)
+      .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+      .localCheckpoint(true) // pin: measure the ingest, not the scan
+    def embBatch(i: Int): DataFrame = baseEmb
+      .filter(col("vec_id") % 3 === i)
+      .select((col("vec_id") + 900000000L).as("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    val docBatches = (0 until 3).map(docBatch)
+    val embBatches = (0 until 3).map(embBatch)
+
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+
+    def measure(op: String, mult: Int, batch: Int)(f: => Long): Unit = {
+      val (r0, w0, _) = metrics.settle()
+      val t0 = System.nanoTime()
+      val rows = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      val (r1, w1, _) = metrics.settle()
+      println(f"INGESTLAT op=$op mult=$mult batch=$batch sec=$sec%.2f " +
+        f"shuffle_read_mb=${(r1 - r0) / 1e6}%.1f " +
+        f"shuffle_write_mb=${(w1 - w0) / 1e6}%.1f rows=$rows")
+    }
+
+    for (mult <- mults) {
+      val dir =
+        if (mult == 1) sfDir
+        else graft.Profile.buildSynthetic(spark, sfDir, mult)
+      val histDocs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val histEmb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+
+      val fp = new graft.store.FingerprintIndex(spark, tmp("lat-fp"))
+      val t0 = System.nanoTime()
+      fp.ingest(histDocs)
+      println(f"INGESTLAT seeded op=exact mult=$mult " +
+        f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      docBatches.zipWithIndex.foreach { case (b, i) =>
+        measure("exact", mult, i + 1)(fp.ingestResolved(b).count())
+      }
+
+      val gr = new graft.store.GramIndex(spark, tmp("lat-gr"),
+        w = 8, buckets = 64)
+      val t1 = System.nanoTime()
+      gr.ingest(histDocs)
+      println(f"INGESTLAT seeded op=spans mult=$mult " +
+        f"sec=${(System.nanoTime() - t1) / 1e9}%.1f")
+      docBatches.zipWithIndex.foreach { case (b, i) =>
+        measure("spans", mult, i + 1)(gr.ingest(b).count())
+      }
+
+      val cell = new graft.operators.CellIndex(spark, tmp("lat-cell"))
+      val t2 = System.nanoTime()
+      cell.buildLearned(histEmb, k = 64, iters = 2)
+      println(f"INGESTLAT seeded op=semantic mult=$mult " +
+        f"sec=${(System.nanoTime() - t2) / 1e9}%.1f")
+      embBatches.zipWithIndex.foreach { case (b, i) =>
+        measure("semantic", mult, i + 1)(
+          cell.semanticIngestResolved(b, thresholdMicro = 300000L)._1.count())
+      }
+    }
+    spark.stop()
+  }
+}

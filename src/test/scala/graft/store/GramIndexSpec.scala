@@ -45,6 +45,37 @@ class GramIndexSpec extends SparkSuite {
     assert(idx.grams.count() === n)
   }
 
+  test("bloom prefilter parity: probe and ingest spans identical with " +
+    "the prefilter disabled (bloomMaxKeys=0)") {
+    import spark.implicits._
+    val path = tmp()
+    val history = Seq(
+      (2L, s"h1 h2 $S h3"),
+      (4L, "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10")).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, s"x1 x2 x3 $S"),           // copies history's 8-run
+      (13L, s"p1 $S p2"), (15L, s"q1 $S q2"), // + a within-batch dup pair
+      (17L, "z1 z2 z3 z4 z5 z6 z7 z8 z9")).toDF("doc_id", "text")
+    val on = new GramIndex(spark, path, w = 8, buckets = 8)
+    on.ingest(history)
+    val off = new GramIndex(spark, path, w = 8, buckets = 8,
+      bloomMaxKeys = 0L)
+    val want = spans(off.probe(batch))
+    assert(want.nonEmpty && want.map(_._1).contains(11L))
+    assert(spans(on.probe(batch)) === want,
+      "bloom-prefiltered probe must return the exact unfiltered spans")
+    // ingest through the prefiltered path: same spans, and the
+    // registered grams equal what the unfiltered anti-join would keep
+    assert(spans(on.ingest(batch)) === want)
+    val grams = on.grams.select($"k", $"doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    // replay through the OFF instance converges on the same store
+    assert(spans(off.ingest(batch)) === want, "replay parity")
+    assert(on.grams.select($"k", $"doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq === grams,
+      "replay registered nothing new")
+  }
+
   test("probe is read-only and sees everything ingested") {
     import spark.implicits._
     val idx = new GramIndex(spark, tmp(), w = 8, buckets = 8)
