@@ -60,11 +60,14 @@ final class GramIndex(spark: SparkSession, path: String,
     buckets: Int = 256,
     keepVersions: Int = 3,
     committer: Option[ManifestCommitter] = None,
-    bloomMaxKeys: Long = 4000000L) {
+    bloomMaxKeys: Long = 4000000L,
+    bloomMinHistoryRatio: Long = 8L) {
 
   require(w >= 1, s"w must be >= 1, got $w")
   require(buckets >= 1, s"buckets must be >= 1, got $buckets")
   require(bloomMaxKeys >= 0, s"bloomMaxKeys must be >= 0, got $bloomMaxKeys")
+  require(bloomMinHistoryRatio >= 0,
+    s"bloomMinHistoryRatio must be >= 0, got $bloomMinHistoryRatio")
 
   private val log = new ManifestLog(spark, path, keepVersions, committer)
   private def f = Fs.fs(spark, path)
@@ -141,9 +144,18 @@ final class GramIndex(spark: SparkSession, path: String,
     *     corpus-sized backfill probing half the corpus at once: the
     *     filter literal would be tens of MB and history survivors
     *     wouldn't shrink — the shuffle join IS the right plan there;
-    *     measured in PROFILE.md round-9). The per-bucket distinct-key
-    *     counts come from the same one aggregation that collects the
-    *     touched bucket ids. */
+    *     measured in PROFILE.md round-9), and below
+    *     `bloomMinHistoryRatio` × the batch's keys of ESTIMATED
+    *     touched-history rows (stored bytes ÷ the measured ~37 B/row;
+    *     filesystem metadata only): building the filter costs three
+    *     extra batch-side jobs, constant in history, which only pays
+    *     once the history leg it shrinks is the dominant term —
+    *     measured at 63× ratio as 9.6× less exchange (the
+    *     cluster-dominant cost), while at ratio ≈1 (the battery's
+    *     split-corpus shape) the build would be pure overhead, so the
+    *     gate keeps it off. The per-bucket distinct-key counts come
+    *     from the same one aggregation that collects the touched
+    *     bucket ids. */
   private def prunedHistory(g: DataFrame,
       snapshot: Option[(Long, Map[String, Seq[String]])]): DataFrame =
     snapshot match {
@@ -158,7 +170,12 @@ final class GramIndex(spark: SparkSession, path: String,
         val nKeys = perBucket.map(_.getLong(1)).sum
         val pruned = log.readEntries(entries, GramIndex.schema)
           .filter(col("bucket").isInCollection(touched))
-        if (nKeys > 0 && nKeys <= bloomMaxKeys) {
+        val estTouchedRows =
+          if (touched.isEmpty) 0L
+          else stats().bytes / GramIndex.BytesPerGramRow *
+            touched.size / buckets
+        if (nKeys > 0 && nKeys <= bloomMaxKeys &&
+            estTouchedRows >= bloomMinHistoryRatio * nKeys) {
           val bloom = graft.operators.Bloom.build(g, "k")
           pruned.filter(bloom.mightContain(col("k")))
         } else pruned
@@ -319,6 +336,13 @@ object GramIndex {
   /** Filesystem-level index economics; see [[GramIndex.stats]]. */
   final case class Stats(liveDirs: Int, cells: Int, files: Long,
       bytes: Long)
+
+  /** Measured stored-bytes-per-gram-row (snappy parquet of a 32-char
+    * key + doc_id + bucket; 277 MB / 7.4M rows at the 64× profile) —
+    * the row-count estimator behind the bloom-prefilter ratio gate.
+    * An estimate is all the gate needs: off by 2× either way just
+    * shifts the crossover, never correctness. */
+  val BytesPerGramRow: Long = 38L
 
   val LevelPrefixes: Seq[String] = Seq("bucket=")
   val schema: StructType = StructType(Seq(

@@ -56,7 +56,10 @@ class GramIndexSpec extends SparkSuite {
       (11L, s"x1 x2 x3 $S"),           // copies history's 8-run
       (13L, s"p1 $S p2"), (15L, s"q1 $S q2"), // + a within-batch dup pair
       (17L, "z1 z2 z3 z4 z5 z6 z7 z8 z9")).toDF("doc_id", "text")
-    val on = new GramIndex(spark, path, w = 8, buckets = 8)
+    // ratio 0 forces the filter on despite the tiny history (the
+    // default gate would skip it when history ~ batch)
+    val on = new GramIndex(spark, path, w = 8, buckets = 8,
+      bloomMinHistoryRatio = 0L)
     on.ingest(history)
     val off = new GramIndex(spark, path, w = 8, buckets = 8,
       bloomMaxKeys = 0L)
