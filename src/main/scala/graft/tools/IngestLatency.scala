@@ -22,16 +22,20 @@ import org.apache.spark.sql.functions._
   *   - `semantic` = [[graft.operators.CellIndex.semanticIngestResolved]]
   *                  (the `semanticIngestStream` unit)
   *
-  * Batch construction: copy-0 of the base corpus with ids shifted to a
-  * novel range — texts/vectors IDENTICAL to the history's copy-0 rows,
-  * so every op does real duplicate-detection work against exactly one
-  * history copy, and that hit set is CONSTANT across multipliers (the
-  * synthetic copies are textually disjoint). A flat curve therefore
-  * means the probe legs really are pruned to the batch's own keys /
-  * cells; growth with mult would mean the batch is paying for history
-  * it can never match. Three batches per (op, mult): batch 1 carries
-  * plan compilation + any first-touch cost, batches 2-3 are the
-  * steady-state micro-batch latency.
+  * Batch construction: each history dir's OWN copy-0 documents
+  * (doc_id < 1e6 — at mult=1 that is the raw base corpus) with ids
+  * shifted to a novel range — texts/vectors IDENTICAL to the history's
+  * copy-0 rows, so every op does real duplicate-detection work against
+  * copy-0 history, and that hit set is CONSTANT across multipliers
+  * (the other synthetic copies are textually disjoint; drawing the
+  * batch from the per-dir corpus matters because the synthetic build
+  * token-prefixes copy 0 too — a raw-base batch would be all-duplicate
+  * at 1× and all-novel at 8×/64×, comparing different work). A flat
+  * curve therefore means the probe legs really are pruned to the
+  * batch's own keys / cells; growth with mult would mean the batch is
+  * paying for history it can never match. Three batches per (op,
+  * mult): batch 1 carries plan compilation + any first-touch cost,
+  * batches 2-3 are the steady-state micro-batch latency.
   *
   * Usage: runMain graft.tools.IngestLatency [sfDir] [mults...]
   */
@@ -54,22 +58,22 @@ object IngestLatency {
     val metrics = new graft.Profile.StageMetrics
     spark.sparkContext.addSparkListener(metrics)
 
-    // fixed 1x-sized batch sequence: three disjoint doc slices of the
-    // base corpus, ids shifted novel, text/vectors verbatim copy-0
-    val baseDocs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"), col("text"))
-    val baseEmb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select(col("vec_id"), col("embedding"))
-    def docBatch(i: Int): DataFrame = baseDocs
-      .filter(col("doc_id") % 3 === i)
-      .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
-      .localCheckpoint(true) // pin: measure the ingest, not the scan
-    def embBatch(i: Int): DataFrame = baseEmb
-      .filter(col("vec_id") % 3 === i)
-      .select((col("vec_id") + 900000000L).as("vec_id"), col("embedding"))
-      .localCheckpoint(true)
-    val docBatches = (0 until 3).map(docBatch)
-    val embBatches = (0 until 3).map(embBatch)
+    // fixed 1x-sized batch sequence: three disjoint copy-0 doc slices
+    // of the given dir, ids shifted novel, text/vectors verbatim
+    def docBatches(dir: String): Seq[DataFrame] = (0 until 3).map { i =>
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 1000000L && col("doc_id") % 3 === i)
+        .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+        .localCheckpoint(true) // pin: measure the ingest, not the scan
+    }
+    def embBatches(dir: String): Seq[DataFrame] = (0 until 3).map { i =>
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") < 1000000L && col("vec_id") % 3 === i)
+        .select((col("vec_id") + 900000000L).as("vec_id"), col("embedding"))
+        .localCheckpoint(true)
+    }
 
     def tmp(p: String) =
       java.nio.file.Files.createTempDirectory(p).toString
@@ -93,13 +97,15 @@ object IngestLatency {
         .select(col("doc_id"), col("text"))
       val histEmb = spark.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))
+      val dBatches = docBatches(dir)
+      val eBatches = embBatches(dir)
 
       val fp = new graft.store.FingerprintIndex(spark, tmp("lat-fp"))
       val t0 = System.nanoTime()
       fp.ingest(histDocs)
       println(f"INGESTLAT seeded op=exact mult=$mult " +
         f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
-      docBatches.zipWithIndex.foreach { case (b, i) =>
+      dBatches.zipWithIndex.foreach { case (b, i) =>
         measure("exact", mult, i + 1)(fp.ingestResolved(b).count())
       }
 
@@ -109,7 +115,7 @@ object IngestLatency {
       gr.ingest(histDocs)
       println(f"INGESTLAT seeded op=spans mult=$mult " +
         f"sec=${(System.nanoTime() - t1) / 1e9}%.1f")
-      docBatches.zipWithIndex.foreach { case (b, i) =>
+      dBatches.zipWithIndex.foreach { case (b, i) =>
         measure("spans", mult, i + 1)(gr.ingest(b).count())
       }
 
@@ -118,7 +124,7 @@ object IngestLatency {
       cell.buildLearned(histEmb, k = 64, iters = 2)
       println(f"INGESTLAT seeded op=semantic mult=$mult " +
         f"sec=${(System.nanoTime() - t2) / 1e9}%.1f")
-      embBatches.zipWithIndex.foreach { case (b, i) =>
+      eBatches.zipWithIndex.foreach { case (b, i) =>
         measure("semantic", mult, i + 1)(
           cell.semanticIngestResolved(b, thresholdMicro = 300000L)._1.count())
       }
