@@ -54,9 +54,14 @@ import org.apache.spark.sql.types._
 final class FingerprintIndex(spark: SparkSession, path: String,
     buckets: Int = 256,
     keepVersions: Int = 3,
-    committer: Option[ManifestCommitter] = None) {
+    committer: Option[ManifestCommitter] = None,
+    bloomMaxKeys: Long = 4000000L,
+    bloomMinHistoryRatio: Long = 8L) {
 
   require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+  require(bloomMaxKeys >= 0, s"bloomMaxKeys must be >= 0, got $bloomMaxKeys")
+  require(bloomMinHistoryRatio >= 0,
+    s"bloomMinHistoryRatio must be >= 0, got $bloomMinHistoryRatio")
 
   private val log = new ManifestLog(spark, path, keepVersions, committer)
   private def f = Fs.fs(spark, path)
@@ -105,6 +110,42 @@ final class FingerprintIndex(spark: SparkSession, path: String,
 
   def exists: Boolean = log.hasAny
 
+  /** History rows pruned to what this batch's fingerprints can match,
+    * the [[GramIndex]] two-layer discipline: (1) only the md5-prefix
+    * bucket partitions the batch touches — decisive for tiny batches
+    * but saturating once a batch carries more than a few thousand
+    * distinct fingerprints; (2) past saturation, a no-false-negative
+    * Bloom filter over the batch's fingerprints applied to the pruned
+    * scan, keeping the anti-join/ownership exchange proportional to
+    * the BATCH rather than the history. Ratio-gated exactly like the
+    * gram index (`bloomMinHistoryRatio` × batch keys of estimated
+    * touched rows, from stored bytes at ~40 B/row; `bloomMaxKeys`
+    * caps the filter literal) — here the filter build is one tiny
+    * aggregate over per-doc fingerprints, so the gate's main job is
+    * skipping pure overhead when history ≈ batch. `fpsCol` rows must
+    * carry `__fp`. */
+  private def prunedHistory(fps: DataFrame,
+      entries: Map[String, Seq[String]]): DataFrame = {
+    val perBucket = fps
+      .select(bucketCol(col("__fp")).as("__b"), col("__fp"))
+      .groupBy(col("__b"))
+      .agg(count_distinct(col("__fp")).as("__n"))
+      .collect()
+    val touched = perBucket.map(_.getInt(0)).toSeq
+    val nKeys = perBucket.map(_.getLong(1)).sum
+    val pruned = log.readEntries(entries, FingerprintIndex.schema)
+      .filter(col("bucket").isInCollection(touched))
+    val estTouchedRows =
+      if (touched.isEmpty) 0L
+      else stats().bytes / FingerprintIndex.BytesPerFpRow *
+        touched.size / buckets
+    if (nKeys > 0 && nKeys <= bloomMaxKeys &&
+        estTouchedRows >= bloomMinHistoryRatio * nKeys) {
+      val bloom = graft.operators.Bloom.build(fps.select(col("__fp")), "__fp")
+      pruned.filter(bloom.mightContain(col("fp")))
+    } else pruned
+  }
+
   /** The committed fingerprint table: (fp, doc_id, bucket). */
   def fingerprints: DataFrame = log.resolve() match {
     case None => log.emptyDf(FingerprintIndex.schema)
@@ -139,12 +180,11 @@ final class FingerprintIndex(spark: SparkSession, path: String,
     val newDocs = log.resolve() match {
       case None => canon
       case Some((_, entries)) =>
-        // partition-pruned history scan: only the buckets this batch
-        // touches (collected bucket ids are ≤ `buckets` ints)
-        val batchBuckets = canon.select(col("__bucket")).distinct()
-          .collect().map(_.getInt(0)).toSeq
-        val existing = log.readEntries(entries, FingerprintIndex.schema)
-          .filter(col("bucket").isInCollection(batchBuckets))
+        // bucket-pruned + ratio-gated-bloom history scan (see
+        // prunedHistory): rows the filter drops provably match no
+        // batch fingerprint, so the anti-join keeps exactly the same
+        // survivors
+        val existing = prunedHistory(canon, entries)
           .select(col("fp").as("__fp"))
         canon.join(existing, Seq("__fp"), "left_anti")
     }
@@ -181,21 +221,18 @@ final class FingerprintIndex(spark: SparkSession, path: String,
     val withFp = batch
       .filter(col(textCol).isNotNull)
       .withColumn("__fp", md5(col(textCol)))
-    val batchBuckets = withFp
-      .select(bucketCol(col("__fp")).as("__bucket")).distinct()
-      .collect().map(_.getInt(0)).toSeq
     // pin the post-commit snapshot (recompute-stable, like ingest's).
     // Ownership is min(doc_id) per fp: two RACING writers that both
     // registered the same fingerprint (each anti-joined a snapshot
     // missing the other) leave two rows for it — the min rule makes one
     // of them the deterministic canonical everywhere downstream, so the
     // race degrades to a rare duplicate index row, never a duplicate
-    // emission from later batches
+    // emission from later batches. Bloom-dropped rows match no batch
+    // fingerprint, so every fp this groupBy aggregates keeps ALL its
+    // history rows — the min is unchanged
     val owners = (log.resolve() match {
       case None => log.emptyDf(FingerprintIndex.schema)
-      case Some((_, entries)) =>
-        log.readEntries(entries, FingerprintIndex.schema)
-          .filter(col("bucket").isInCollection(batchBuckets))
+      case Some((_, entries)) => prunedHistory(withFp, entries)
     }).groupBy(col("fp")).agg(min(col("doc_id")).as("__owner"))
     withFp
       .join(owners.select(col("fp").as("__fp"), col("__owner")), Seq("__fp"))
@@ -256,6 +293,19 @@ final class FingerprintIndex(spark: SparkSession, path: String,
     else f.listStatus(leaf).count(_.getPath.getName.endsWith(".parquet"))
   }
 
+  /** Index economics from filesystem metadata only (no data scan) —
+    * see [[ManifestLog.storeStats]]. */
+  def stats(): ManifestLog.StoreStats = log.storeStats()
+
+  /** Run [[compact]] only once live data dirs exceed `maxLiveDirs` —
+    * the [[GramIndex.compactIfNeeded]] scheduling policy; cheap to call
+    * after every ingest. */
+  def compactIfNeeded(maxLiveDirs: Int = 8,
+      filesPerPartition: Int = 1): Int = {
+    require(maxLiveDirs >= 1, "maxLiveDirs must be >= 1")
+    if (stats().liveDirs > maxLiveDirs) compact(filesPerPartition) else 0
+  }
+
   /** See [[ManifestLog.vacuum]] / [[ManifestLog.vacuumOrphans]]. */
   def vacuum(): Unit = log.vacuum()
   def vacuumOrphans(olderThanMs: Long): Seq[String] =
@@ -263,6 +313,12 @@ final class FingerprintIndex(spark: SparkSession, path: String,
 }
 
 object FingerprintIndex {
+  /** Measured stored-bytes-per-index-row estimator for the bloom ratio
+    * gate (hex fp + doc_id in snappy parquet — the same order as
+    * [[GramIndex.BytesPerGramRow]]; off by 2× only shifts the
+    * crossover). */
+  val BytesPerFpRow: Long = 40L
+
   val LevelPrefixes: Seq[String] = Seq("bucket=")
   val schema: StructType = StructType(Seq(
     StructField("fp", StringType),

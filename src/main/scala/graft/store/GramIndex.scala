@@ -292,24 +292,9 @@ final class GramIndex(spark: SparkSession, path: String,
     * bytes, same order as Lee et al. 2022's 8-bytes-per-token suffix
     * array) and that [[compactIfNeeded]] consults for its live-dirs
     * trigger. */
-  def stats(): GramIndex.Stats = log.resolve() match {
-    case None => GramIndex.Stats(0, 0, 0L, 0L)
-    case Some((_, entries)) =>
-      val dirCells = entries.toSeq
-        .flatMap { case (cell, dirs) => dirs.map(_ -> cell) }.distinct
-      var files = 0L
-      var bytes = 0L
-      dirCells.foreach { case (dir, cell) =>
-        val leaf = new Path(log.cellBase(dir), cell)
-        if (f.exists(leaf))
-          f.listStatus(leaf).foreach { st =>
-            if (st.getPath.getName.endsWith(".parquet")) {
-              files += 1; bytes += st.getLen
-            }
-          }
-      }
-      GramIndex.Stats(
-        dirCells.map(_._1).distinct.size, entries.size, files, bytes)
+  def stats(): GramIndex.Stats = {
+    val s = log.storeStats()
+    GramIndex.Stats(s.liveDirs, s.cells, s.files, s.bytes)
   }
 
   /** Maintenance policy for continuous micro-batch ingestion: run

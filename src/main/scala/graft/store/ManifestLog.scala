@@ -98,6 +98,35 @@ final class ManifestLog(spark: SparkSession, path: String,
     throw new java.io.IOException(s"cannot resolve current manifest under $path")
   }
 
+  /** Table economics from filesystem METADATA only (no data scan):
+    * live data dirs, referenced cells, parquet file count, total stored
+    * bytes. Every manifested store exposes this as `stats()` — the
+    * gauge behind its `compactIfNeeded` live-dirs policy (each commit
+    * adds one dir; snapshot reads union one scan per live dir, so
+    * unbounded dirs means unbounded read fan-in) and behind
+    * size-derived heuristics like [[graft.store.GramIndex]]'s
+    * bloom-prefilter ratio gate. */
+  def storeStats(): ManifestLog.StoreStats = resolve() match {
+    case None => ManifestLog.StoreStats(0, 0, 0L, 0L)
+    case Some((_, entries)) =>
+      val dirCells = entries.toSeq
+        .flatMap { case (cell, dirs) => dirs.map(_ -> cell) }.distinct
+      var files = 0L
+      var bytes = 0L
+      dirCells.foreach { case (dir, cell) =>
+        val leaf = new Path(cellBase(dir), cell)
+        if (f.exists(leaf))
+          f.listStatus(leaf).foreach { st =>
+            if (st.getPath.getName.endsWith(".parquet")) {
+              files += 1
+              bytes += st.getLen
+            }
+          }
+      }
+      ManifestLog.StoreStats(
+        dirCells.map(_._1).distinct.size, entries.size, files, bytes)
+  }
+
   /** Writer-unique data dir name for a commit targeting version `v`.
     * The version prefix is advisory (ordering comes from manifest
     * numbers alone); the nonce keeps two racing writers' Spark write
@@ -286,4 +315,8 @@ object ManifestLog {
     * table's own root (a migrated pre-manifest tree referenced in
     * place); deleting it would take the manifests with it. */
   private[store] val Protected: Set[String] = Set(".", "")
+
+  /** Filesystem-level table economics; see [[ManifestLog.storeStats]]. */
+  final case class StoreStats(liveDirs: Int, cells: Int, files: Long,
+      bytes: Long)
 }

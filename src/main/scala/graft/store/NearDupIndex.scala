@@ -470,6 +470,19 @@ final class NearDupIndex(spark: SparkSession, path: String,
     else f.listStatus(leaf).count(_.getPath.getName.endsWith(".parquet"))
   }
 
+  /** Index economics from filesystem metadata only — see
+    * [[ManifestLog.storeStats]]. */
+  def stats(): ManifestLog.StoreStats = log.storeStats()
+
+  /** Run [[compact]] only once live data dirs exceed `maxLiveDirs` —
+    * the [[GramIndex.compactIfNeeded]] scheduling policy; cheap to call
+    * after every ingest. */
+  def compactIfNeeded(maxLiveDirs: Int = 8,
+      filesPerPartition: Int = 1): Int = {
+    require(maxLiveDirs >= 1, "maxLiveDirs must be >= 1")
+    if (stats().liveDirs > maxLiveDirs) compact(filesPerPartition) else 0
+  }
+
   /** See [[ManifestLog.vacuum]] / [[ManifestLog.vacuumOrphans]]. */
   def vacuum(): Unit = log.vacuum()
   def vacuumOrphans(olderThanMs: Long): Seq[String] =

@@ -216,6 +216,19 @@ final class RecordStore(spark: SparkSession, path: String,
     fragmented.size - yielded.size
   }
 
+  /** Table economics from filesystem metadata only — see
+    * [[ManifestLog.storeStats]]. */
+  def stats(): ManifestLog.StoreStats = log.storeStats()
+
+  /** Run [[compact]] only once live data dirs exceed `maxLiveDirs` —
+    * the shared manifested-store scheduling policy; cheap to call after
+    * every append. */
+  def compactIfNeeded(maxLiveDirs: Int = 8,
+      filesPerPartition: Int = 1): Int = {
+    require(maxLiveDirs >= 1, "maxLiveDirs must be >= 1")
+    if (stats().liveDirs > maxLiveDirs) compact(filesPerPartition) else 0
+  }
+
   /** Offline reclamation of data dirs left by writers that crashed
     * between data-write and manifest-commit. See
     * [[ManifestLog.vacuumOrphans]]. */

@@ -197,6 +197,18 @@ final class SketchStore(spark: SparkSession, path: String,
     } else dirs.size
   }
 
+  /** Store economics from filesystem metadata only — see
+    * [[ManifestLog.storeStats]]. */
+  def stats(): ManifestLog.StoreStats = log.storeStats()
+
+  /** Run [[compact]] only once live data dirs exceed `maxLiveDirs` —
+    * the [[GramIndex.compactIfNeeded]] scheduling policy; cheap to call
+    * after every load. */
+  def compactIfNeeded(maxLiveDirs: Int = 8): Int = {
+    require(maxLiveDirs >= 1, "maxLiveDirs must be >= 1")
+    if (stats().liveDirs > maxLiveDirs) compact() else 0
+  }
+
   /** See [[ManifestLog.vacuum]] / [[ManifestLog.vacuumOrphans]]. */
   def vacuum(): Unit = log.vacuum()
   def vacuumOrphans(olderThanMs: Long): Seq[String] =

@@ -185,4 +185,45 @@ class FingerprintIndexSpec extends SparkSuite {
     // a second compact finds nothing fragmented beyond the threshold
     idx.vacuum()
   }
+
+  test("bloom prefilter parity: ingest and ingestResolved identical with " +
+    "the prefilter forced on vs disabled; stats/compactIfNeeded policy") {
+    import spark.implicits._
+    val pOn = tmp()
+    val pOff = tmp()
+    val history = (0L until 40L).map(i => (i, s"hist $i")).toDF("doc_id", "text")
+    val batch = Seq((100L, "hist 7"), (101L, "hist 23"), (102L, "novel a"),
+      (103L, "novel b"), (104L, "novel a")).toDF("doc_id", "text")
+    // ratio 0 forces the filter on despite the tiny history; maxKeys 0
+    // disables it entirely
+    val on = new FingerprintIndex(spark, pOn, buckets = 8,
+      bloomMinHistoryRatio = 0L)
+    val off = new FingerprintIndex(spark, pOff, buckets = 8,
+      bloomMaxKeys = 0L)
+    on.ingest(history); off.ingest(history)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val gotOn = rows(on.ingestResolved(batch))
+    val gotOff = rows(off.ingestResolved(batch))
+    assert(gotOn === gotOff)
+    assert(gotOn === Seq((102L, "novel a"), (103L, "novel b")),
+      "history dups suppressed, within-batch dup collapsed to min id")
+    assert(on.fingerprints.count() === off.fingerprints.count())
+    // replay through the prefiltered path: state-derived emission
+    // re-derives the same canonical rows, registers nothing
+    val n = on.fingerprints.count()
+    assert(rows(on.ingestResolved(batch)) === gotOn)
+    assert(on.fingerprints.count() === n)
+    // economics + policy: 2 live dirs (history + batch commits), under
+    // threshold is a no-op, past it compacts without losing rows
+    val s = on.stats()
+    assert(s.liveDirs === 2 && s.bytes > 0L && s.files >= 1L)
+    assert(on.compactIfNeeded(maxLiveDirs = 8) === 0)
+    // past the threshold it compacts the FRAGMENTED cells (the batch's
+    // buckets, which overlap history's); untouched cells legitimately
+    // keep their original dir, so liveDirs need not shrink to 1
+    assert(on.compactIfNeeded(maxLiveDirs = 1) > 0)
+    assert(on.fingerprints.count() === n)
+  }
 }
