@@ -138,7 +138,13 @@ class SemDedupSpec extends SparkSuite {
       ((0 until 40).map(i => i: Any), "0"),
       ((0 until 40).map(i => (i * 7L + 3L): Any), "3"),
       ((0 until 40).map(i => s"cell_${"%02d".format(i)}": Any), "cell_00"))
-    for ((ids, tieWinner) <- cases) {
+    // large-k case: 300 centroids × dim 5 is past the size where the
+    // column spelling used to fall out of codegen — the native path
+    // must still match it bit for bit (the generic path stays cheap
+    // enough to evaluate at this k on the 64-row input)
+    val bigCases: Seq[(Seq[Any], String)] =
+      Seq(((0 until 300).map(i => i: Any), "0"))
+    for ((ids, tieWinner) <- cases ++ bigCases) {
       val cents = centsFor(ids)
       // deterministic shuffle: the native path must re-sort internally
       // to reproduce array_min's min-cl tie-break
