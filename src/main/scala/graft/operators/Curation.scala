@@ -130,6 +130,138 @@ object Curation {
         max(col("__cnt")).as("top_gram_n"))
   }
 
+  /** Composed document-level quality GATE — the Gopher rules (Rae et
+    * al. 2021, arXiv:2112.11446 §A1.1) as ONE call producing keep/drop
+    * plus the ordered reason list, so a pipeline runs a single gate and
+    * a report can break drops down by cause. The individual signals
+    * exist separately (q_text_quality, repetitionStats, lmCoverage);
+    * this is the published rule BUNDLE with the published thresholds as
+    * defaults.
+    *
+    * Integer-exact by construction: every ratio threshold is spelled as
+    * an integer cross-multiplication (e.g. mean word length < 3 ⇔
+    * `sum_word_chars < 3 * n_words`), so any engine replaying the same
+    * counts produces the identical keep set — no float division
+    * anywhere. Rules, in the emitted reason order:
+    *
+    *   - `too_few_words` / `too_many_words`: word count outside
+    *     [minWords, maxWords] (paper: 50..100k).
+    *   - `word_length`: mean word length outside [3, 10] chars.
+    *   - `symbol_ratio`: (# + ellipsis occurrences) × 10 > n_words
+    *     (paper: symbol-to-word ratio > 0.1).
+    *   - `bullet_lines`: lines starting with a bullet × 10 > 9 × lines
+    *     (paper: > 90%).
+    *   - `ellipsis_lines`: lines ending with "..." × 10 > 3 × lines
+    *     (paper: > 30%).
+    *   - `alpha_words`: words containing an alphabetic char × 5 <
+    *     4 × n_words (paper: < 80%).
+    *   - `stopwords`: fewer than `minStopwords` of the paper's 8-word
+    *     list {the, be, to, of, and, that, have, with} present.
+    *   - `repetition`: duplicate `repN`-gram mass × 5 > total grams
+    *     (paper's dup-n-gram family at the 20% point, via
+    *     [[repetitionStats]] — the one non-map-side signal; its hash
+    *     aggregate joins back on `idCol`).
+    *
+    * Scale shape: everything except the repetition join is map-side
+    * expressions over the text column; the repetition leg is
+    * [[repetitionStats]]'s two-level hash aggregate. One corpus scan,
+    * one (idCol)-keyed join, no other shuffle.
+    *
+    * @return input columns + (n_words, keep (0/1 int), reasons —
+    *         comma-joined in rule order, empty string = clean)
+    */
+  def qualityGate(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      minWords: Long = 50L,
+      maxWords: Long = 100000L,
+      minStopwords: Int = 2,
+      repN: Int = 3): DataFrame = {
+    require(minWords >= 0 && maxWords >= minWords,
+      s"need 0 <= minWords <= maxWords, got $minWords..$maxWords")
+    require(minStopwords >= 0, "minStopwords must be >= 0")
+    val t = col(textCol)
+    // explicit whitespace class (q_sentence_stats discipline: \s differs
+    // across engines on U+000B) and explicit newline split for lines
+    val words = split(trim(t), "[ \\t\\n\\x0B\\f\\r]+")
+    val lines = filter(transform(split(t, "\n"), x => trim(x)),
+      x => x =!= lit(""))
+    val gated = docs
+      .withColumn("__w", words)
+      .withColumn("__l", lines)
+      .withColumn("n_words", size(col("__w")).cast("long"))
+      .withColumn("__wchars",
+        expr("aggregate(__w, CAST(0 AS BIGINT), (a, x) -> a + length(x))"))
+      .withColumn("__sym",
+        (regexp_count(t, lit("#")) +
+          regexp_count(t, lit("\\.\\.\\.|…"))).cast("long"))
+      .withColumn("__bullet", size(filter(col("__l"),
+        x => x.rlike("^[•\\-\\*]"))).cast("long"))
+      .withColumn("__ellip", size(filter(col("__l"),
+        x => x.rlike("(\\.\\.\\.|…)$"))).cast("long"))
+      .withColumn("__alpha", size(filter(col("__w"),
+        x => lower(x).rlike("[a-z]"))).cast("long"))
+      .withColumn("__nlines", size(col("__l")).cast("long"))
+      .withColumn("__stop",
+        QualityStopwords.map(w =>
+          when(regexp_count(lower(t), lit("\\b" + w + "\\b")) > 0, 1)
+            .otherwise(0))
+          .reduce(_ + _))
+    val rep = repetitionStats(docs, textCol, idCol, repN)
+      .select(col(idCol), col("n_grams").as("__ng"),
+        col("dup_grams").as("__dg"))
+    val reasons = array(
+      when(col("n_words") < minWords, lit("too_few_words")),
+      when(col("n_words") > maxWords, lit("too_many_words")),
+      when(col("__wchars") < lit(3L) * col("n_words") ||
+        col("__wchars") > lit(10L) * col("n_words"), lit("word_length")),
+      when(col("__sym") * 10L > col("n_words"), lit("symbol_ratio")),
+      when(col("__bullet") * 10L > col("__nlines") * 9L,
+        lit("bullet_lines")),
+      when(col("__ellip") * 10L > col("__nlines") * 3L,
+        lit("ellipsis_lines")),
+      when(col("__alpha") * 5L < col("n_words") * 4L, lit("alpha_words")),
+      when(col("__stop") < minStopwords, lit("stopwords")),
+      when(coalesce(col("__dg"), lit(0L)) * 5L >
+        coalesce(col("__ng"), lit(0L)), lit("repetition")))
+    gated
+      .join(rep, Seq(idCol), "left")
+      .withColumn("reasons",
+        array_join(filter(reasons, x => x.isNotNull), ","))
+      .withColumn("keep",
+        when(col("reasons") === "", 1).otherwise(0))
+      .drop("__w", "__l", "__wchars", "__sym", "__bullet", "__ellip",
+        "__alpha", "__nlines", "__stop", "__ng", "__dg")
+  }
+
+  /** The 8 paper stopwords of [[qualityGate]]'s stopword rule. */
+  val QualityStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Per-stratum curation report over a [[qualityGate]] output — what a
+    * pipeline publishes after the gate (the reference's report-sink
+    * shape, `ingester.py` reporter, applied to curation): per stratum,
+    * document and word totals vs kept, plus one drop-count column per
+    * gate rule. One hash aggregate; reason containment tests are
+    * map-side (reasons is the gate's comma-joined rule-order string, so
+    * a simple membership test per fixed rule name is exact). */
+  def curationReport(gated: DataFrame,
+      stratumCol: String = "source"): DataFrame = {
+    val reasonCols = Seq("too_few_words", "too_many_words", "word_length",
+      "symbol_ratio", "bullet_lines", "ellipsis_lines", "alpha_words",
+      "stopwords", "repetition").map { r =>
+      sum(when(array_contains(split(col("reasons"), ","), r), 1L)
+        .otherwise(0L)).as(s"n_$r")
+    }
+    val aggCols = Seq(
+      sum(col("keep").cast("long")).as("docs_kept"),
+      sum(col("n_words")).as("words_total"),
+      sum(col("n_words") * col("keep")).as("words_kept")) ++ reasonCols
+    gated.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("docs_total"), aggCols: _*)
+  }
+
   /** Sequence packing: place documents into fixed-capacity token bins in
     * `idCol` order — the pretraining "concatenate the token stream, cut
     * every `capacity` tokens" layout. Each doc gets the bin where its

@@ -15,6 +15,28 @@ object CurationQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "documents")
 
+  /** Corpus with per-rule degenerate plants for the quality-gate
+    * queries (first-match-wins, mirrored verbatim in the oracle's CASE
+    * chain — a doc_id divisible by two moduli takes the FIRST branch in
+    * both engines). */
+  private def plantedQualityDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).withColumn("text",
+      when($"doc_id" % 19 === 0, rtrim(repeat(concat($"text", lit(" ")), 25)))
+        .when($"doc_id" % 23 === 0,
+          rtrim(repeat(lit("zxq qvw mkl pro wfg "), 12)))
+        .when($"doc_id" % 29 === 0,
+          repeat(lit("• the data point of interest\n"), 8))
+        .when($"doc_id" % 31 === 0, repeat(
+          lit("the data of note goes on and on and on and ends...\n"), 10))
+        .when($"doc_id" % 37 === 0,
+          rtrim(repeat(lit("the# data of things here now "), 10)))
+        .when($"doc_id" % 41 === 0, lit("tiny doc"))
+        .when($"doc_id" % 43 === 0,
+          rtrim(repeat(lit("pneumonoultramicroscopic "), 30)))
+        .otherwise($"text"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // fixed-size token chunking with overlap (chunk 64, overlap 16):
@@ -289,6 +311,33 @@ object CurationQueries {
           sum(coalesce($"__has_emb", lit(0))).as("n_with_embedding"),
           sum($"n_words").as("sum_words"))
         .orderBy($"lang")
+    }),
+
+    // the composed Gopher quality GATE (arXiv:2112.11446 §A1.1): one
+    // call, keep/drop + ordered reason list, every threshold an integer
+    // cross-multiplication. Planted degenerates (first-match-wins CASE,
+    // mirrored in the oracle) exercise each rule: %19 giant+repetitive,
+    // %23 no-stopword junk, %29 all-bullet lines, %31 ellipsis lines,
+    // %37 symbol-heavy, %41 too short, %43 absurd word length
+    "q_quality_gate" -> ((s, dir) => {
+      import s.implicits._
+      Curation.qualityGate(plantedQualityDocs(s, dir),
+        minWords = 5L, maxWords = 500L)
+        .select($"doc_id", $"n_words", $"keep", $"reasons")
+        .orderBy($"doc_id")
+    }),
+
+    // the per-source curation report over the same gate — docs/words
+    // total vs kept plus one drop-count column per rule: the audit
+    // table a curation run publishes (the reference's report-sink shape
+    // applied to quality filtering)
+    "q_curation_report" -> ((s, dir) => {
+      import s.implicits._
+      Curation.curationReport(
+        Curation.qualityGate(plantedQualityDocs(s, dir),
+          minWords = 5L, maxWords = 500L),
+        stratumCol = "source")
+        .orderBy($"source")
     }),
 
     // dataset mixing: per-source keep rates (a 3-tier curriculum mix),
@@ -852,6 +901,187 @@ object CurationQueries {
         |  coalesce(k.n_kept, 0) AS n_kept
         |FROM r LEFT JOIN kept k USING (source)
         |ORDER BY r.source""".stripMargin,
+
+    "q_quality_gate" ->
+      """WITH planted AS (
+        |  SELECT doc_id, source, CASE
+        |    WHEN doc_id % 19 = 0 THEN rtrim(repeat(text || ' ', 25))
+        |    WHEN doc_id % 23 = 0 THEN rtrim(repeat('zxq qvw mkl pro wfg ', 12))
+        |    WHEN doc_id % 29 = 0
+        |      THEN repeat('• the data point of interest' || chr(10), 8)
+        |    WHEN doc_id % 31 = 0 THEN repeat(
+        |      'the data of note goes on and on and on and ends...' || chr(10), 10)
+        |    WHEN doc_id % 37 = 0 THEN rtrim(repeat('the# data of things here now ', 10))
+        |    WHEN doc_id % 41 = 0 THEN 'tiny doc'
+        |    WHEN doc_id % 43 = 0 THEN rtrim(repeat('pneumonoultramicroscopic ', 30))
+        |    ELSE text END AS text
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id, source, text,
+        |    string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w,
+        |    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+        |      x -> x <> '') AS l
+        |  FROM planted),
+        |feat AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS BIGINT)
+        |      AS wchars,
+        |    CAST(len(regexp_extract_all(text, '#'))
+        |      + len(regexp_extract_all(text, '\.\.\.|…')) AS BIGINT) AS sym,
+        |    CAST(len(list_filter(l, x -> regexp_matches(x, '^[•\-\*]')))
+        |      AS BIGINT) AS bullet,
+        |    CAST(len(list_filter(l, x -> regexp_matches(x, '(\.\.\.|…)$')))
+        |      AS BIGINT) AS ellip,
+        |    CAST(len(list_filter(w, x -> regexp_matches(lower(x), '[a-z]')))
+        |      AS BIGINT) AS alpha,
+        |    CAST(len(l) AS BIGINT) AS nlines,
+        |    (CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(lower(text), '\bbe\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(lower(text), '\bthat\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END)
+        |      AS stop
+        |  FROM sig),
+        |rwords AS (
+        |  SELECT doc_id, string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')
+        |    AS w
+        |  FROM planted),
+        |rgrams AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |  FROM rwords WHERE len(w) >= 3),
+        |rper AS (SELECT doc_id, g, count(*) AS cnt FROM rgrams GROUP BY 1, 2),
+        |rep AS (
+        |  SELECT doc_id, sum(cnt) AS ng,
+        |    sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dg
+        |  FROM rper GROUP BY 1),
+        |gate AS (
+        |  SELECT f.doc_id, f.source, f.n_words,
+        |    array_to_string(list_filter([
+        |      CASE WHEN f.n_words < 5 THEN 'too_few_words' END,
+        |      CASE WHEN f.n_words > 500 THEN 'too_many_words' END,
+        |      CASE WHEN f.wchars < 3 * f.n_words OR f.wchars > 10 * f.n_words
+        |           THEN 'word_length' END,
+        |      CASE WHEN f.sym * 10 > f.n_words THEN 'symbol_ratio' END,
+        |      CASE WHEN f.bullet * 10 > f.nlines * 9 THEN 'bullet_lines' END,
+        |      CASE WHEN f.ellip * 10 > f.nlines * 3 THEN 'ellipsis_lines' END,
+        |      CASE WHEN f.alpha * 5 < f.n_words * 4 THEN 'alpha_words' END,
+        |      CASE WHEN f.stop < 2 THEN 'stopwords' END,
+        |      CASE WHEN coalesce(r.dg, 0) * 5 > coalesce(r.ng, 0)
+        |           THEN 'repetition' END
+        |    ], x -> x IS NOT NULL), ',') AS reasons
+        |  FROM feat f LEFT JOIN rep r USING (doc_id)),
+        |gated AS (
+        |  SELECT doc_id, source, n_words,
+        |    CASE WHEN reasons = '' THEN 1 ELSE 0 END AS keep, reasons
+        |  FROM gate)
+        |SELECT doc_id, n_words, keep, reasons FROM gated ORDER BY doc_id""".stripMargin,
+
+    "q_curation_report" ->
+      """WITH planted AS (
+        |  SELECT doc_id, source, CASE
+        |    WHEN doc_id % 19 = 0 THEN rtrim(repeat(text || ' ', 25))
+        |    WHEN doc_id % 23 = 0 THEN rtrim(repeat('zxq qvw mkl pro wfg ', 12))
+        |    WHEN doc_id % 29 = 0
+        |      THEN repeat('• the data point of interest' || chr(10), 8)
+        |    WHEN doc_id % 31 = 0 THEN repeat(
+        |      'the data of note goes on and on and on and ends...' || chr(10), 10)
+        |    WHEN doc_id % 37 = 0 THEN rtrim(repeat('the# data of things here now ', 10))
+        |    WHEN doc_id % 41 = 0 THEN 'tiny doc'
+        |    WHEN doc_id % 43 = 0 THEN rtrim(repeat('pneumonoultramicroscopic ', 30))
+        |    ELSE text END AS text
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id, source, text,
+        |    string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w,
+        |    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+        |      x -> x <> '') AS l
+        |  FROM planted),
+        |feat AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS BIGINT)
+        |      AS wchars,
+        |    CAST(len(regexp_extract_all(text, '#'))
+        |      + len(regexp_extract_all(text, '\.\.\.|…')) AS BIGINT) AS sym,
+        |    CAST(len(list_filter(l, x -> regexp_matches(x, '^[•\-\*]')))
+        |      AS BIGINT) AS bullet,
+        |    CAST(len(list_filter(l, x -> regexp_matches(x, '(\.\.\.|…)$')))
+        |      AS BIGINT) AS ellip,
+        |    CAST(len(list_filter(w, x -> regexp_matches(lower(x), '[a-z]')))
+        |      AS BIGINT) AS alpha,
+        |    CAST(len(l) AS BIGINT) AS nlines,
+        |    (CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(lower(text), '\bbe\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(lower(text), '\bthat\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END)
+        |      AS stop
+        |  FROM sig),
+        |rwords AS (
+        |  SELECT doc_id, string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')
+        |    AS w
+        |  FROM planted),
+        |rgrams AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |  FROM rwords WHERE len(w) >= 3),
+        |rper AS (SELECT doc_id, g, count(*) AS cnt FROM rgrams GROUP BY 1, 2),
+        |rep AS (
+        |  SELECT doc_id, sum(cnt) AS ng,
+        |    sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dg
+        |  FROM rper GROUP BY 1),
+        |gate AS (
+        |  SELECT f.doc_id, f.source, f.n_words,
+        |    array_to_string(list_filter([
+        |      CASE WHEN f.n_words < 5 THEN 'too_few_words' END,
+        |      CASE WHEN f.n_words > 500 THEN 'too_many_words' END,
+        |      CASE WHEN f.wchars < 3 * f.n_words OR f.wchars > 10 * f.n_words
+        |           THEN 'word_length' END,
+        |      CASE WHEN f.sym * 10 > f.n_words THEN 'symbol_ratio' END,
+        |      CASE WHEN f.bullet * 10 > f.nlines * 9 THEN 'bullet_lines' END,
+        |      CASE WHEN f.ellip * 10 > f.nlines * 3 THEN 'ellipsis_lines' END,
+        |      CASE WHEN f.alpha * 5 < f.n_words * 4 THEN 'alpha_words' END,
+        |      CASE WHEN f.stop < 2 THEN 'stopwords' END,
+        |      CASE WHEN coalesce(r.dg, 0) * 5 > coalesce(r.ng, 0)
+        |           THEN 'repetition' END
+        |    ], x -> x IS NOT NULL), ',') AS reasons
+        |  FROM feat f LEFT JOIN rep r USING (doc_id)),
+        |gated AS (
+        |  SELECT doc_id, source, n_words,
+        |    CASE WHEN reasons = '' THEN 1 ELSE 0 END AS keep, reasons
+        |  FROM gate)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS docs_total,
+        |  CAST(sum(keep) AS BIGINT) AS docs_kept,
+        |  CAST(sum(n_words) AS BIGINT) AS words_total,
+        |  CAST(sum(n_words * keep) AS BIGINT) AS words_kept,
+        |  CAST(sum(CASE WHEN list_contains(string_split(reasons, ','), 'too_few_words')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_too_few_words,
+        |  CAST(sum(CASE WHEN list_contains(string_split(reasons, ','), 'too_many_words')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_too_many_words,
+        |  CAST(sum(CASE WHEN list_contains(string_split(reasons, ','), 'word_length')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_word_length,
+        |  CAST(sum(CASE WHEN list_contains(string_split(reasons, ','), 'symbol_ratio')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_symbol_ratio,
+        |  CAST(sum(CASE WHEN list_contains(string_split(reasons, ','), 'bullet_lines')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_bullet_lines,
+        |  CAST(sum(CASE WHEN list_contains(string_split(reasons, ','), 'ellipsis_lines')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_ellipsis_lines,
+        |  CAST(sum(CASE WHEN list_contains(string_split(reasons, ','), 'alpha_words')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha_words,
+        |  CAST(sum(CASE WHEN list_contains(string_split(reasons, ','), 'stopwords')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords,
+        |  CAST(sum(CASE WHEN list_contains(string_split(reasons, ','), 'repetition')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_repetition
+        |FROM gated GROUP BY source ORDER BY source""".stripMargin,
 
     "q_source_mix" ->
       """WITH b AS (

@@ -492,4 +492,44 @@ class CurationSpec extends SparkSuite {
     assert(math.abs(bySource("big") - 150.0) / 150.0 < 0.4, bySource)
     assert(math.abs(bySource("small") - 50.0) / 50.0 < 0.4, bySource)
   }
+
+  // ---- composed Gopher quality gate --------------------------------
+
+  test("qualityGate: each rule fires on its degenerate, clean prose " +
+    "keeps, and curationReport books every drop once") {
+    import spark.implicits._
+    val clean = "the results have been consistent with the plan and " +
+      "that is to be expected of a careful analysis with data"
+    val rows = Seq(
+      (1L, "a", clean),
+      (2L, "a", "too short"),                                // too_few_words
+      (3L, "a", ("w " * 600).trim),                          // too_many_words (+word_length)
+      (4L, "a", ("xy " * 40).trim),                          // word_length (mean 2) — also stopwords
+      (5L, "b", "the data of " + ("q# " * 20).trim),         // symbol_ratio
+      (6L, "b", "• the data point of interest\n" * 8),       // bullet_lines
+      (7L, "b", "the data of note goes on and on and on and ends...\n" * 10), // ellipsis_lines
+      (8L, "b", "the of 1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16"), // alpha_words
+      (9L, "b", "zxq qvw mkl pro wfg " * 3),                 // stopwords
+      (10L, "b", ("the data of note " * 20).trim))           // repetition
+      .toDF("doc_id", "source", "text")
+    val g = Curation.qualityGate(rows, minWords = 3L, maxWords = 500L)
+      .select($"doc_id", $"keep", $"reasons").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    assert(g(1L) === ((1, "")), s"clean doc must keep, got ${g(1L)}")
+    val expect = Map(2L -> "too_few_words", 3L -> "too_many_words",
+      4L -> "word_length", 5L -> "symbol_ratio", 6L -> "bullet_lines",
+      7L -> "ellipsis_lines", 8L -> "alpha_words", 9L -> "stopwords",
+      10L -> "repetition")
+    for ((id, reason) <- expect) {
+      assert(g(id)._1 === 0, s"doc $id must drop")
+      assert(g(id)._2.split(",").contains(reason),
+        s"doc $id reasons '${g(id)._2}' must include $reason")
+    }
+    val rep = Curation.curationReport(
+      Curation.qualityGate(rows, minWords = 3L, maxWords = 500L), "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(rep("a") === ((4L, 1L)), "source a: 4 docs, 1 kept")
+    assert(rep("b") === ((6L, 0L)), "source b: 6 docs, 0 kept")
+  }
 }
