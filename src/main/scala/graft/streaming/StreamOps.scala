@@ -201,6 +201,33 @@ object StreamOps {
       .filter(col("avg_micro") >= minAvgMicro)
   }
 
+  /** Streaming form of the composed Gopher quality gate
+    * ([[graft.operators.Curation.qualityGate]]): each micro-batch is
+    * gated whole — the repetition signal is a per-doc aggregate, which
+    * append-mode streaming cannot express in-stream, so the gate runs
+    * in `foreachBatch` like the history-backed dedup stages. The gate
+    * is a pure function of each document alone (no cross-batch state),
+    * so replays re-derive identical keep/reason rows by construction
+    * and the sink sees every batch row exactly once per delivery, keep
+    * and drop alike (the sink chooses what to do with drops — route to
+    * a reject store, count into a report, or both). */
+  def qualityGateStream(
+      docs: DataFrame,
+      checkpointDir: String,
+      minWords: Long = 50L,
+      maxWords: Long = 100000L,
+      minStopwords: Int = 2)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Curation.qualityGate(batch,
+          minWords = minWords, maxWords = maxWords,
+          minStopwords = minStopwords))
+      }
+      .start()
+
   /** Durable-dedup streaming curation: [[streamingScrub]]'s stateless
     * head (blocklist → markup strip → NFC) composed with a
     * [[graft.store.FingerprintIndex]] in a `foreachBatch` loop, so

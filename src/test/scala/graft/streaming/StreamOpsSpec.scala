@@ -581,4 +581,36 @@ class StreamOpsSpec extends SparkSuite {
         s"kill@$kill: post-recovery replay diverged")
     }
   }
+
+  test("qualityGateStream: per-batch gate matches the batch operator " +
+    "exactly; sink sees keeps and drops with reasons") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("qgs-ckpt")
+    val q = StreamOps.qualityGateStream(df, ckpt.toString,
+      minWords = 3L, maxWords = 500L) { out =>
+      got ++= out.select($"doc_id", $"keep", $"reasons").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    }
+    val rows = Seq(
+      (1L, "the results have been consistent with the plan and that " +
+        "is to be expected of the data"),
+      (2L, "too short"),
+      (3L, ("the data of note " * 20).trim))
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val want = graft.operators.Curation.qualityGate(
+      rows.toDF("doc_id", "text"), minWords = 3L, maxWords = 500L)
+      .select($"doc_id", $"keep", $"reasons").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(got.sortBy(_._1).toSeq === want.sortBy(_._1),
+      "stream gate must equal the batch gate row for row")
+    assert(got.exists(r => r._1 == 1L && r._2 == 1))
+    assert(got.exists(r => r._1 == 2L && r._3.contains("too_few_words")))
+    assert(got.exists(r => r._1 == 3L && r._3.contains("repetition")))
+  }
 }
