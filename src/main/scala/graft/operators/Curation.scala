@@ -598,6 +598,56 @@ object Curation {
     *         (idCol, n_bigrams, score_sum, avg_micro) where `avg_micro`
     *         is the integer-division mean bigram micro-probability
     */
+  /** Unicode SCRIPT mix per document — the multilingual-corpus routing
+    * signal next to [[langId]]: how many codepoints fall in each major
+    * script block, plus the dominant script (deterministic tie-break by
+    * the fixed script order below). A pipeline uses it to route docs to
+    * per-script tokenizers, catch mis-labeled languages (a `lang=en`
+    * doc that is 90% CJK), and drop mixed-script spam.
+    *
+    * Scripts are spelled as EXPLICIT CODEPOINT RANGES, not `\p{script}`
+    * classes: Java regex (Spark) and RE2 (the DuckDB oracle) draw
+    * script properties from different Unicode tables, while literal
+    * ranges mean the same codepoints in every engine — the
+    * [[charGramsExpr]] whitespace-class discipline applied to scripts.
+    * Counting is one `regexp_count` per script — map-side, zero
+    * shuffle, codegen'd.
+    *
+    * @return input columns + n_latin, n_cyrillic, n_greek, n_cjk,
+    *         n_arabic, n_hangul, n_digit, n_codepoints, dominant
+    *         (the first script with the max count; "other" when every
+    *         count is zero) */
+  def scriptMix(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val counted = ScriptRanges.foldLeft(docs) { case (df, (name, cls)) =>
+      df.withColumn(s"n_$name", regexp_count(t, lit(cls)).cast("long"))
+    }
+    // first-max-wins argmax: walk scripts in order, keep the first whose
+    // count equals the row max and is > 0
+    val maxC = greatest(ScriptRanges.map { case (n, _) => col(s"n_$n") }: _*)
+    val firstMax = ScriptRanges.map(_._1).foldRight(lit("other"): Column) {
+      case (name, acc) =>
+        when(col(s"n_$name") === maxC && maxC > 0, lit(name)).otherwise(acc)
+    }
+    counted
+      .withColumn("n_codepoints", length(t).cast("long"))
+      .withColumn("dominant", firstMax)
+  }
+
+  /** [[scriptMix]]'s script blocks, in dominance-tie-break order. Kept
+    * to ranges both Java regex and RE2 read identically. */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    // ASCII letters + Latin-1 Supplement/Extended-A/B (00C0-024F)
+    "latin" -> "[A-Za-zÀ-ɏ]",
+    "cyrillic" -> "[Ѐ-ӿ]",
+    "greek" -> "[Ͱ-Ͽ]",
+    // CJK Unified (4E00-9FFF) + Hiragana/Katakana (3040-30FF)
+    "cjk" -> "[一-鿿぀-ヿ]",
+    "arabic" -> "[؀-ۿ]",
+    // Hangul syllables (AC00-D7A3)
+    "hangul" -> "[가-힣]",
+    "digit" -> "[0-9]")
+
   /** The character-bigram extraction shared by [[charLmScore]] and
     * [[charLmModelMap]]: the native codegen'd `char_bigrams` expression
     * over the normalized text (one decode + one loop per row — the

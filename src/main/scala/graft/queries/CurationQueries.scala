@@ -37,7 +37,41 @@ object CurationQueries {
         .otherwise($"text"))
   }
 
+  /** Corpus with planted non-Latin passages for `q_script_mix`
+    * (first-match-wins CASE, mirrored in the oracle): disjoint moduli
+    * append enough Cyrillic / CJK / Arabic / Greek / Hangul to flip the
+    * dominant script on typical docs. */
+  private def plantedScriptDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).withColumn("text",
+      when($"doc_id" % 11 === 0,
+        concat($"text", repeat(lit(" данные проверка слово"), 60)))
+        .when($"doc_id" % 17 === 0,
+          concat($"text", repeat(lit(" 数据处理流水线データ"), 60)))
+        .when($"doc_id" % 23 === 1,
+          concat($"text", repeat(lit(" بيانات كثيرة هنا"), 60)))
+        .when($"doc_id" % 29 === 1,
+          concat($"text", repeat(lit(" δεδομένα και άλλα εδώ"), 60)))
+        .when($"doc_id" % 31 === 1,
+          concat($"text", repeat(lit(" 데이터 처리 구간"), 60)))
+        .otherwise($"text"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Unicode script mix: per-doc codepoint counts for the major script
+    // blocks (explicit ranges — identical codepoints in Java regex and
+    // RE2, unlike \p{script} classes) + first-max-wins dominant script.
+    // The multilingual routing signal next to q_langid_model; planted
+    // passages flip dominance per block
+    "q_script_mix" -> ((s, dir) => {
+      import s.implicits._
+      Curation.scriptMix(plantedScriptDocs(s, dir))
+        .select($"doc_id", $"n_latin", $"n_cyrillic", $"n_greek",
+          $"n_cjk", $"n_arabic", $"n_hangul", $"n_digit",
+          $"n_codepoints", $"dominant")
+        .orderBy($"doc_id")
+    }),
 
     // fixed-size token chunking with overlap (chunk 64, overlap 16):
     // the map-only window pass before embedding/packing; checked as
@@ -901,6 +935,50 @@ object CurationQueries {
         |  coalesce(k.n_kept, 0) AS n_kept
         |FROM r LEFT JOIN kept k USING (source)
         |ORDER BY r.source""".stripMargin,
+
+    "q_script_mix" ->
+      """WITH planted AS (
+        |  SELECT doc_id, CASE
+        |    WHEN doc_id % 11 = 0 THEN text || repeat(' данные проверка слово', 60)
+        |    WHEN doc_id % 17 = 0 THEN text || repeat(' 数据处理流水线データ', 60)
+        |    WHEN doc_id % 23 = 1 THEN text || repeat(' بيانات كثيرة هنا', 60)
+        |    WHEN doc_id % 29 = 1 THEN text || repeat(' δεδομένα και άλλα εδώ', 60)
+        |    WHEN doc_id % 31 = 1 THEN text || repeat(' 데이터 처리 구간', 60)
+        |    ELSE text END AS text
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[A-Za-z\x{00C0}-\x{024F}]')) AS BIGINT) AS n_latin,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[\x{0400}-\x{04FF}]')) AS BIGINT) AS n_cyrillic,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[\x{0370}-\x{03FF}]')) AS BIGINT) AS n_greek,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]')) AS BIGINT) AS n_cjk,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[\x{0600}-\x{06FF}]')) AS BIGINT) AS n_arabic,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[\x{AC00}-\x{D7A3}]')) AS BIGINT) AS n_hangul,
+        |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+        |    CAST(length(text) AS BIGINT) AS n_codepoints
+        |  FROM planted),
+        |dom AS (
+        |  SELECT *, greatest(n_latin, n_cyrillic, n_greek, n_cjk, n_arabic,
+        |    n_hangul, n_digit) AS m
+        |  FROM cnt)
+        |SELECT doc_id, n_latin, n_cyrillic, n_greek, n_cjk, n_arabic, n_hangul,
+        |  n_digit, n_codepoints,
+        |  CASE WHEN m = 0 THEN 'other'
+        |       WHEN n_latin = m THEN 'latin'
+        |       WHEN n_cyrillic = m THEN 'cyrillic'
+        |       WHEN n_greek = m THEN 'greek'
+        |       WHEN n_cjk = m THEN 'cjk'
+        |       WHEN n_arabic = m THEN 'arabic'
+        |       WHEN n_hangul = m THEN 'hangul'
+        |       WHEN n_digit = m THEN 'digit'
+        |       ELSE 'other' END AS dominant
+        |FROM dom ORDER BY doc_id""".stripMargin,
 
     "q_quality_gate" ->
       """WITH planted AS (

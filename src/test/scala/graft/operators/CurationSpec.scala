@@ -532,4 +532,33 @@ class CurationSpec extends SparkSuite {
     assert(rep("a") === ((4L, 1L)), "source a: 4 docs, 1 kept")
     assert(rep("b") === ((6L, 0L)), "source b: 6 docs, 0 kept")
   }
+
+  test("scriptMix: counts per block, first-max-wins dominant, " +
+    "all-zero rows fall to other") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "plain english text with words"),
+      (2L, "данные и проверка данных ок"),
+      (3L, "数据处理 データ"),
+      (4L, "short بيانات كثيرة جدا هنا الآن"),
+      (5L, "αβγ abc"),          // tie 3-3 -> latin (earlier in order)
+      (6L, "12345"),
+      (7L, "!!! ???"))          // no script -> other
+      .toDF("doc_id", "text")
+    val got = Curation.scriptMix(rows)
+      .select($"doc_id", $"n_latin", $"n_cyrillic", $"n_cjk",
+        $"n_arabic", $"n_greek", $"n_digit", $"dominant")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)), r.getString(7))).toMap
+    assert(got(1L)._2 === "latin")
+    assert(got(2L)._2 === "cyrillic" && got(2L)._1._2 > 0)
+    assert(got(3L)._2 === "cjk" && got(3L)._1._3 === 7L,
+      s"4 han + 3 katakana codepoints, got ${got(3L)}")
+    assert(got(4L)._2 === "arabic")
+    assert(got(5L)._1._1 === 3L && got(5L)._1._5 === 3L &&
+      got(5L)._2 === "latin", "tie must break to the earlier script")
+    assert(got(6L)._2 === "digit" && got(6L)._1._6 === 5L)
+    assert(got(7L)._2 === "other")
+  }
 }
