@@ -150,4 +150,41 @@ object Selection {
           .orderBy(col("__key").desc, col(idCol))))
       .select(col("rank"), col(idCol), col(weightCol))
   }
+
+  /** Quantile-gated selection — "keep the best (1M − dropPpm)/1M of the
+    * corpus by this score": the keep flag compares each row's score to
+    * the EXACT ⌈N·dropPpm/1e6⌉-th smallest score, computed by
+    * [[Quantiles.exactKth]]'s bucket-and-refine pass (no whole-corpus
+    * sort task). Ties at the threshold KEEP, so re-running over a grown
+    * corpus can re-admit borderline rows but never produces a
+    * nondeterministic split of equal scores; the threshold itself is an
+    * exact order statistic, bit-stable in any engine that replays the
+    * same integer scores. The dynamic-threshold companion to the fixed
+    * thresholds of [[graft.operators.Curation.qualityGate]] — "drop the
+    * worst 10%" instead of "drop below X".
+    *
+    * Scale shape: one histogram aggregate + small-bucket refine for the
+    * threshold (a 1-row broadcast), then a map-side flag — the corpus
+    * never shuffles.
+    *
+    * @param scored any frame with an integral `scoreCol`
+    * @return input columns + `kept` (1 = score ≥ the drop quantile) */
+  def keepAboveQuantile(
+      scored: DataFrame,
+      scoreCol: String,
+      dropPpm: Long): DataFrame = {
+    require(dropPpm >= 0 && dropPpm <= 1000000L,
+      s"dropPpm in [0, 1000000], got $dropPpm")
+    require(!scored.columns.contains("__all") &&
+      !scored.columns.contains("__thr"),
+      "input collides with a keepAboveQuantile working column")
+    val thr = Quantiles.exactKth(
+      scored.withColumn("__all", lit(0)), "__all", scoreCol,
+      Seq("q" -> expr(s"greatest(1L, (__n * $dropPpm + 999999) div 1000000)")))
+      .select(col("value").as("__thr"))
+    scored.crossJoin(broadcast(thr))
+      .withColumn("kept",
+        when(col(scoreCol) >= col("__thr"), 1).otherwise(0))
+      .drop("__thr")
+  }
 }

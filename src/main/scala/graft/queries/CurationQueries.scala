@@ -353,6 +353,20 @@ object CurationQueries {
     // mirrored in the oracle) exercise each rule: %19 giant+repetitive,
     // %23 no-stopword junk, %29 all-bullet lines, %31 ellipsis lines,
     // %37 symbol-heavy, %41 too short, %43 absurd word length
+    // quantile-gated selection over the char-LM score: keep the best
+    // 90% of the corpus — the threshold is the EXACT ceil(N/10)-th
+    // smallest avg_micro (bucket-and-refine, no global sort), ties
+    // keep. The dynamic-threshold companion to q_quality_gate's fixed
+    // rules
+    "q_score_gate" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Selection.keepAboveQuantile(
+        Curation.charLmScore(docs(s, dir)), "avg_micro",
+        dropPpm = 100000L)
+        .select($"doc_id", $"avg_micro", $"kept")
+        .orderBy($"doc_id")
+    }),
+
     "q_quality_gate" -> ((s, dir) => {
       import s.implicits._
       Curation.qualityGate(plantedQualityDocs(s, dir),
@@ -935,6 +949,34 @@ object CurationQueries {
         |  coalesce(k.n_kept, 0) AS n_kept
         |FROM r LEFT JOIN kept k USING (source)
         |ORDER BY r.source""".stripMargin,
+
+    "q_score_gate" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(trim(text)),
+        |                   '[ \t\n\x0B\f\r]+', ' ', 'g') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, substring(t, i, 2) AS g
+        |  FROM norm, unnest(generate_series(1, length(t) - 1)) AS u(i)
+        |  WHERE length(t) >= 2),
+        |model AS (SELECT g, CAST(count(*) AS BIGINT) AS cnt
+        |          FROM grams GROUP BY g),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM model),
+        |scored AS (
+        |  SELECT gr.doc_id,
+        |    CAST(round(m.cnt * 1000000.0 / t.total) AS BIGINT) AS p_micro
+        |  FROM grams gr JOIN model m ON gr.g = m.g CROSS JOIN tot t),
+        |per_doc AS (
+        |  SELECT doc_id, CAST(sum(p_micro) // count(*) AS BIGINT) AS avg_micro
+        |  FROM scored GROUP BY doc_id),
+        |thr AS (
+        |  SELECT avg_micro AS t FROM per_doc ORDER BY avg_micro
+        |  LIMIT 1 OFFSET (greatest(1,
+        |    ((SELECT count(*) FROM per_doc) * 100000 + 999999) // 1000000) - 1))
+        |SELECT doc_id, avg_micro,
+        |  CASE WHEN avg_micro >= (SELECT t FROM thr) THEN 1 ELSE 0 END AS kept
+        |FROM per_doc ORDER BY doc_id""".stripMargin,
 
     "q_script_mix" ->
       """WITH planted AS (

@@ -86,4 +86,26 @@ class SelectionSpec extends SparkSuite {
     assert(picked.count(_ < 500L) > 20 && picked.count(_ >= 500L) > 20,
       s"selection not spread: ${picked.toSeq.sorted.take(20)}")
   }
+
+  test("keepAboveQuantile: exact drop-quantile threshold, ties keep, " +
+    "dropPpm=0 keeps everything") {
+    import spark.implicits._
+    // scores 10,20,...,100; drop 30% -> threshold = 3rd smallest (30);
+    // a tie at 30 keeps
+    val scored = ((1L to 10L).map(i => (i, i * 10L)) :+ (11L, 30L))
+      .toDF("doc_id", "score")
+    val got = Selection.keepAboveQuantile(scored, "score", 300000L)
+      .select($"doc_id", $"kept").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // N=11, k = ceil(11*0.3) = 4 -> threshold = 4th smallest = 30
+    // (values sorted: 10,20,30,30,40,...) -> drops only 10 and 20
+    assert(got(1L) === 0 && got(2L) === 0)
+    assert((3L to 11L).forall(got(_) === 1), s"got $got")
+    val all = Selection.keepAboveQuantile(scored, "score", 0L)
+      .agg(sum($"kept")).first().getLong(0)
+    assert(all === 11L, "dropPpm=0 must keep every row")
+    val top = Selection.keepAboveQuantile(scored, "score", 1000000L)
+      .filter($"kept" === 1).select($"score").collect().map(_.getLong(0))
+    assert(top.toSeq === Seq(100L), "dropPpm=1e6 keeps only the max")
+  }
 }
