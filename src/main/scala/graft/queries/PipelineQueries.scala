@@ -399,7 +399,7 @@ object PipelineQueries {
     // codec bug or box-mean drift breaks the hash gate
     "q_image_phash" -> ((s, dir) =>
       Multimodal.imageHashes(
-        Multimodal.renderBlockAssets(imageBlocks(s, dir)),
+        renderedAssets(s, dir),
         batchPartitions = s.sparkContext.defaultParallelism)
         .repartition(1).sortWithinPartitions(col("asset_id"))),
 
@@ -409,11 +409,41 @@ object PipelineQueries {
     // family finally under the oracle gate
     "q_image_neardup" -> ((s, dir) =>
       Multimodal.imageNearDups(
-        Multimodal.renderBlockAssets(imageBlocks(s, dir)),
+        renderedAssets(s, dir),
         maxHamming = 8,
         batchPartitions = s.sparkContext.defaultParallelism)
         .repartition(1)
         .sortWithinPartitions(col("asset_a"), col("asset_b"))))
+
+  /** Rendered image corpus per scale-factor dir (the `pqBooks`
+    * pattern): the PNG ENCODE of [[imageBlocks]] is corpus
+    * preparation — one-time per dir, written to a temp parquet so
+    * bench passes measure the real pipeline work (decode → box-mean
+    * aHash → banded join), not re-synthesizing the corpus each pass.
+    * The decode side stays inside the measured queries. */
+  private val imageAssetCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def renderedAssets(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[graft.operators.MediaAsset] = {
+    import s.implicits._
+    val p = imageAssetCache.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-imgassets-")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.exists(tmp))
+          java.nio.file.Files.walk(tmp)
+            .sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }))
+      val out = tmp.resolve("assets").toString
+      Multimodal.renderBlockAssets(imageBlocks(s, dir))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(p).as[graft.operators.MediaAsset]
+  }
 
   /** Deterministic image corpus for the aHash oracle gate: one 64-block
     * gray pattern per doc (block i's value = byte i%16 of
