@@ -161,6 +161,11 @@ object Curation {
     *     (paper's dup-n-gram family at the 20% point, via
     *     [[repetitionStats]] — the one non-map-side signal; its hash
     *     aggregate joins back on `idCol`).
+    *   - `encoding`: mojibake/transport damage — U+FFFD replacement
+    *     chars plus stray C0 controls (excluding \t \n \r and the two
+    *     whitespace-class members) plus C1 controls, × 1000 >
+    *     codepoints (0.1% — a real document has essentially none; the
+    *     ftfy-class drop every crawl pipeline runs).
     *
     * Scale shape: everything except the repetition join is map-side
     * expressions over the text column; the repetition leg is
@@ -208,6 +213,10 @@ object Curation {
           when(regexp_count(lower(t), lit("\\b" + w + "\\b")) > 0, 1)
             .otherwise(0))
           .reduce(_ + _))
+      .withColumn("__badenc",
+        regexp_count(t,
+          lit("[\uFFFD\u0000-\u0008\u000E-\u001F\u0080-\u009F]"))
+          .cast("long"))
     val rep = repetitionStats(docs, textCol, idCol, repN)
       .select(col(idCol), col("n_grams").as("__ng"),
         col("dup_grams").as("__dg"))
@@ -224,7 +233,9 @@ object Curation {
       when(col("__alpha") * 5L < col("n_words") * 4L, lit("alpha_words")),
       when(col("__stop") < minStopwords, lit("stopwords")),
       when(coalesce(col("__dg"), lit(0L)) * 5L >
-        coalesce(col("__ng"), lit(0L)), lit("repetition")))
+        coalesce(col("__ng"), lit(0L)), lit("repetition")),
+      when(col("__badenc") * 1000L > length(t).cast("long"),
+        lit("encoding")))
     gated
       .join(rep, Seq(idCol), "left")
       .withColumn("reasons",
@@ -232,7 +243,7 @@ object Curation {
       .withColumn("keep",
         when(col("reasons") === "", 1).otherwise(0))
       .drop("__w", "__l", "__wchars", "__sym", "__bullet", "__ellip",
-        "__alpha", "__nlines", "__stop", "__ng", "__dg")
+        "__alpha", "__nlines", "__stop", "__badenc", "__ng", "__dg")
   }
 
   /** The 8 paper stopwords of [[qualityGate]]'s stopword rule. */
@@ -250,7 +261,7 @@ object Curation {
       stratumCol: String = "source"): DataFrame = {
     val reasonCols = Seq("too_few_words", "too_many_words", "word_length",
       "symbol_ratio", "bullet_lines", "ellipsis_lines", "alpha_words",
-      "stopwords", "repetition").map { r =>
+      "stopwords", "repetition", "encoding").map { r =>
       sum(when(array_contains(split(col("reasons"), ","), r), 1L)
         .otherwise(0L)).as(s"n_$r")
     }

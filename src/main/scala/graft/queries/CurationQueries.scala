@@ -34,6 +34,8 @@ object CurationQueries {
         .when($"doc_id" % 41 === 0, lit("tiny doc"))
         .when($"doc_id" % 43 === 0,
           rtrim(repeat(lit("pneumonoultramicroscopic "), 30)))
+        .when($"doc_id" % 47 === 0,
+          concat($"text", repeat(lit(" \uFFFD\uFFFD\uFFFD"), 20)))
         .otherwise($"text"))
   }
 
@@ -1034,6 +1036,8 @@ object CurationQueries {
         |    WHEN doc_id % 37 = 0 THEN rtrim(repeat('the# data of things here now ', 10))
         |    WHEN doc_id % 41 = 0 THEN 'tiny doc'
         |    WHEN doc_id % 43 = 0 THEN rtrim(repeat('pneumonoultramicroscopic ', 30))
+        |    WHEN doc_id % 47 = 0
+        |      THEN text || repeat(' ' || chr(65533) || chr(65533) || chr(65533), 20)
         |    ELSE text END AS text
         |  FROM documents),
         |sig AS (
@@ -1056,6 +1060,10 @@ object CurationQueries {
         |    CAST(len(list_filter(w, x -> regexp_matches(lower(x), '[a-z]')))
         |      AS BIGINT) AS alpha,
         |    CAST(len(l) AS BIGINT) AS nlines,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[\x{FFFD}\x{0000}-\x{0008}\x{000E}-\x{001F}\x{0080}-\x{009F}]'))
+        |      AS BIGINT) AS badenc,
+        |    CAST(length(text) AS BIGINT) AS n_cp,
         |    (CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END
         |     + CASE WHEN regexp_matches(lower(text), '\bbe\b') THEN 1 ELSE 0 END
         |     + CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END
@@ -1092,7 +1100,8 @@ object CurationQueries {
         |      CASE WHEN f.alpha * 5 < f.n_words * 4 THEN 'alpha_words' END,
         |      CASE WHEN f.stop < 2 THEN 'stopwords' END,
         |      CASE WHEN coalesce(r.dg, 0) * 5 > coalesce(r.ng, 0)
-        |           THEN 'repetition' END
+        |           THEN 'repetition' END,
+        |      CASE WHEN f.badenc * 1000 > f.n_cp THEN 'encoding' END
         |    ], x -> x IS NOT NULL), ',') AS reasons
         |  FROM feat f LEFT JOIN rep r USING (doc_id)),
         |gated AS (
@@ -1113,6 +1122,8 @@ object CurationQueries {
         |    WHEN doc_id % 37 = 0 THEN rtrim(repeat('the# data of things here now ', 10))
         |    WHEN doc_id % 41 = 0 THEN 'tiny doc'
         |    WHEN doc_id % 43 = 0 THEN rtrim(repeat('pneumonoultramicroscopic ', 30))
+        |    WHEN doc_id % 47 = 0
+        |      THEN text || repeat(' ' || chr(65533) || chr(65533) || chr(65533), 20)
         |    ELSE text END AS text
         |  FROM documents),
         |sig AS (
@@ -1135,6 +1146,10 @@ object CurationQueries {
         |    CAST(len(list_filter(w, x -> regexp_matches(lower(x), '[a-z]')))
         |      AS BIGINT) AS alpha,
         |    CAST(len(l) AS BIGINT) AS nlines,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[\x{FFFD}\x{0000}-\x{0008}\x{000E}-\x{001F}\x{0080}-\x{009F}]'))
+        |      AS BIGINT) AS badenc,
+        |    CAST(length(text) AS BIGINT) AS n_cp,
         |    (CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END
         |     + CASE WHEN regexp_matches(lower(text), '\bbe\b') THEN 1 ELSE 0 END
         |     + CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END
@@ -1171,7 +1186,8 @@ object CurationQueries {
         |      CASE WHEN f.alpha * 5 < f.n_words * 4 THEN 'alpha_words' END,
         |      CASE WHEN f.stop < 2 THEN 'stopwords' END,
         |      CASE WHEN coalesce(r.dg, 0) * 5 > coalesce(r.ng, 0)
-        |           THEN 'repetition' END
+        |           THEN 'repetition' END,
+        |      CASE WHEN f.badenc * 1000 > f.n_cp THEN 'encoding' END
         |    ], x -> x IS NOT NULL), ',') AS reasons
         |  FROM feat f LEFT JOIN rep r USING (doc_id)),
         |gated AS (
@@ -1200,7 +1216,9 @@ object CurationQueries {
         |  CAST(sum(CASE WHEN list_contains(string_split(reasons, ','), 'stopwords')
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords,
         |  CAST(sum(CASE WHEN list_contains(string_split(reasons, ','), 'repetition')
-        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_repetition
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_repetition,
+        |  CAST(sum(CASE WHEN list_contains(string_split(reasons, ','), 'encoding')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_encoding
         |FROM gated GROUP BY source ORDER BY source""".stripMargin,
 
     "q_source_mix" ->

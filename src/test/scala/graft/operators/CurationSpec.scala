@@ -510,7 +510,9 @@ class CurationSpec extends SparkSuite {
       (7L, "b", "the data of note goes on and on and on and ends...\n" * 10), // ellipsis_lines
       (8L, "b", "the of 1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16"), // alpha_words
       (9L, "b", "zxq qvw mkl pro wfg " * 3),                 // stopwords
-      (10L, "b", ("the data of note " * 20).trim))           // repetition
+      (10L, "b", ("the data of note " * 20).trim),          // repetition
+      (11L, "b", "the results of the work have been fine with " +
+        "everyone involved so far" + (" \uFFFD\uFFFD" * 5)))   // encoding
       .toDF("doc_id", "source", "text")
     val g = Curation.qualityGate(rows, minWords = 3L, maxWords = 500L)
       .select($"doc_id", $"keep", $"reasons").collect()
@@ -519,7 +521,7 @@ class CurationSpec extends SparkSuite {
     val expect = Map(2L -> "too_few_words", 3L -> "too_many_words",
       4L -> "word_length", 5L -> "symbol_ratio", 6L -> "bullet_lines",
       7L -> "ellipsis_lines", 8L -> "alpha_words", 9L -> "stopwords",
-      10L -> "repetition")
+      10L -> "repetition", 11L -> "encoding")
     for ((id, reason) <- expect) {
       assert(g(id)._1 === 0, s"doc $id must drop")
       assert(g(id)._2.split(",").contains(reason),
@@ -530,7 +532,7 @@ class CurationSpec extends SparkSuite {
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2))).toMap
     assert(rep("a") === ((4L, 1L)), "source a: 4 docs, 1 kept")
-    assert(rep("b") === ((6L, 0L)), "source b: 6 docs, 0 kept")
+    assert(rep("b") === ((7L, 0L)), "source b: 7 docs, 0 kept")
   }
 
   test("scriptMix: counts per block, first-max-wins dominant, " +
