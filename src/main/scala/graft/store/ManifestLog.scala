@@ -106,9 +106,16 @@ final class ManifestLog(spark: SparkSession, path: String,
     * unbounded dirs means unbounded read fan-in) and behind
     * size-derived heuristics like [[graft.store.GramIndex]]'s
     * bloom-prefilter ratio gate. */
-  def storeStats(): ManifestLog.StoreStats = resolve() match {
+  def storeStats(): ManifestLog.StoreStats = storeStats("")
+
+  /** [[storeStats]] restricted to cells whose relative path starts with
+    * `cellPrefix` — multi-kind tables (e.g. [[NearDupIndex]]'s
+    * `kind=postings/...` vs `kind=docs/...`) gauge one kind's bytes
+    * without scanning data. */
+  def storeStats(cellPrefix: String): ManifestLog.StoreStats = resolve() match {
     case None => ManifestLog.StoreStats(0, 0, 0L, 0L)
-    case Some((_, entries)) =>
+    case Some((_, allEntries)) =>
+      val entries = allEntries.filter(_._1.startsWith(cellPrefix))
       val dirCells = entries.toSeq
         .flatMap { case (cell, dirs) => dirs.map(_ -> cell) }.distinct
       var files = 0L

@@ -69,9 +69,13 @@ final class NearDupIndex(spark: SparkSession, path: String,
     maxDist: Int = 64,
     normChars: Int = 4000,
     keepVersions: Int = 3,
-    committer: Option[ManifestCommitter] = None) {
+    committer: Option[ManifestCommitter] = None,
+    bloomMaxKeys: Long = 4000000L,
+    bloomMinHistoryRatio: Long = 8L) {
 
   require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+  require(bloomMaxKeys >= 0 && bloomMinHistoryRatio >= 0,
+    "bloom knobs must be >= 0")
   require(numHashes % rowsPerBand == 0,
     s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
   require(maxDist >= 0 && normChars >= 1, "maxDist/normChars out of range")
@@ -206,11 +210,32 @@ final class NearDupIndex(spark: SparkSession, path: String,
       entries: Map[String, Seq[String]]): DataFrame = {
     val postingEntries = kindEntries(entries, "postings")
     if (postingEntries.isEmpty) return emptyMatches
-    val touched = bands.select(col("bucket")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+    // two-layer history pruning, the GramIndex/FingerprintIndex
+    // discipline: bucket partitions first, then (ratio-gated) a
+    // no-false-negative Bloom filter over the batch's own (band, key)
+    // pairs — postings it drops can join no batch band, so the
+    // candidate set is exactly preserved while the history leg stays
+    // proportional to the batch once bucket pruning saturates
+    val bk = concat(col("band").cast("string"), lit(":"), col("key"))
+    val perBucket = bands
+      .select(col("bucket"), bk.as("__bk"))
+      .groupBy(col("bucket"))
+      .agg(count_distinct(col("__bk")).as("__n"))
+      .collect()
+    val touched = perBucket.map(_.getInt(0)).toSeq
+    val nKeys = perBucket.map(_.getLong(1)).sum
     if (touched.isEmpty) return emptyMatches
-    val hist = log.readEntries(postingEntries, postingsSchema)
+    val pruned = log.readEntries(postingEntries, postingsSchema)
       .filter(col("bucket").isInCollection(touched))
+    val estTouchedRows =
+      log.storeStats("kind=postings").bytes /
+        NearDupIndex.BytesPerPostingRow * touched.size / buckets
+    val hist = (if (nKeys > 0 && nKeys <= bloomMaxKeys &&
+        estTouchedRows >= bloomMinHistoryRatio * nKeys) {
+      val bloom = graft.operators.Bloom.build(
+        bands.select(bk.as("__bk")), "__bk")
+      pruned.filter(bloom.mightContain(bk))
+    } else pruned)
       .select(col("band"), col("key"), col("doc_id").as("hist_id"))
     // candidate pairs are LSH-bounded (a small multiple of the batch):
     // checkpoint so the bucket collection below doesn't re-run the join
@@ -492,6 +517,12 @@ final class NearDupIndex(spark: SparkSession, path: String,
 }
 
 object NearDupIndex {
+  /** Stored-bytes-per-posting-row estimator for the bloom ratio gate
+    * (band int + 32-char key + doc_id in snappy parquet — the
+    * [[GramIndex.BytesPerGramRow]] order; off by 2× only shifts the
+    * crossover). */
+  val BytesPerPostingRow: Long = 45L
+
   val LevelPrefixes: Seq[String] = Seq("kind=", "bucket=")
 
   private[store] val WorkingCols =

@@ -123,4 +123,35 @@ class NearDupIndexSpec extends SparkSuite {
         .probe(Seq((9L, base)).toDF("doc_id", "text"))
     }
   }
+
+  test("bloom prefilter parity: probe and ingest verdicts identical " +
+    "with the prefilter forced on vs disabled") {
+    import spark.implicits._
+    def seed(idx: NearDupIndex): Unit =
+      idx.append(Seq((1L, base), (2L, unrelated)).toDF("doc_id", "text"))
+    val batch = Seq((10L, edited), (11L, "tiny new doc"),
+      (12L, unrelated)).toDF("doc_id", "text")
+    val on = new NearDupIndex(spark, tmp(), buckets = 8,
+      bloomMinHistoryRatio = 0L)
+    val off = new NearDupIndex(spark, tmp(), buckets = 8,
+      bloomMaxKeys = 0L)
+    seed(on); seed(off)
+    def probeRows(idx: NearDupIndex) =
+      idx.probe(batch).select($"doc_id", $"hist_id", $"edit_dist")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+    val want = probeRows(off)
+    assert(want.map(t => (t._1, t._2)) === Seq((10L, 1L), (12L, 2L)),
+      s"expected the edited copy and the exact repeat to confirm: $want")
+    assert(probeRows(on) === want,
+      "bloom-prefiltered probe must return the exact unfiltered matches")
+    def ingestRows(idx: NearDupIndex) =
+      idx.ingest(batch).select($"doc_id", $"canonical_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val wOn = ingestRows(on)
+    assert(wOn === ingestRows(off))
+    assert(wOn === Seq((10L, 1L), (11L, 11L), (12L, 2L)))
+    // replays re-derive identical verdicts through both paths
+    assert(ingestRows(on) === wOn && ingestRows(off) === wOn)
+  }
 }
