@@ -246,15 +246,21 @@ final class NearDupIndex(spark: SparkSession, path: String,
     val candBuckets = cands.select(idBucket(col("hist_id")).as("__b"))
       .distinct().collect().map(_.getInt(0)).toSeq
     if (candBuckets.isEmpty) return emptyMatches
-    // racing writers can register a doc twice — min() collapses the
-    // duplicate rows to one deterministic text (they are identical)
+    // join the (LSH-bounded, checkpointed — sizes known) candidate set
+    // to the RAW docs scan and collapse after: aggregating the whole
+    // docs kind before the join exchanged every stored text_norm
+    // (measured 68 MB/batch at 64× history, the confirm leg's whole
+    // cost); broadcasting the candidates instead leaves the text scan
+    // exchange-free and the min-collapse — racing writers can register
+    // a doc twice; the duplicate texts are identical — touches only
+    // candidate rows
     val histDocs = log.readEntries(kindEntries(entries, "docs"), docsSchema)
       .filter(col("bucket").isInCollection(candBuckets))
       .filter(col("text_norm").isNotNull)
-      .groupBy(col("doc_id"))
+      .select(col("doc_id").as("hist_id"), col("text_norm"))
+    broadcast(cands).join(histDocs, Seq("hist_id"))
+      .groupBy(col("doc_id"), col("hist_id"))
       .agg(min(col("text_norm")).as("__tb"))
-      .select(col("doc_id").as("hist_id"), col("__tb"))
-    cands.join(histDocs, Seq("hist_id"))
       .join(norm, Seq("doc_id"))
       .select(col("doc_id"), col("hist_id"),
         levenshtein(col("__ta"), col("__tb"), maxDist).cast("long")

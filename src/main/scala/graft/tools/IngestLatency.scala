@@ -3,8 +3,8 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Streaming-ingest latency curves (VERDICT r8 #7): the three
-  * history-backed dedup streams claim per-batch cost INDEPENDENT of
+/** Streaming-ingest latency curves (VERDICT r8 #7): the four
+  * history-backed dedup units claim per-batch cost INDEPENDENT of
   * history size — this main measures it end to end instead of arguing
   * from plan asserts. For each history multiplier (default 1×/8×/64×,
   * via [[graft.Profile.buildSynthetic]]'s disjoint-copy corpus) it
@@ -19,6 +19,9 @@ import org.apache.spark.sql.functions._
   *   - `spans`    = [[graft.store.GramIndex.ingest]] (the
   *                  `scrubSpansWithHistory` unit — Bloom-prefiltered
   *                  history probe)
+  *   - `neardup`  = [[graft.store.NearDupIndex.ingest]] (the
+  *                  `curateAllWithHistory` whole-doc near-dup stage,
+  *                  same two-layer pruning)
   *   - `semantic` = [[graft.operators.CellIndex.semanticIngestResolved]]
   *                  (the `semanticIngestStream` unit)
   *
@@ -117,6 +120,16 @@ object IngestLatency {
         f"sec=${(System.nanoTime() - t1) / 1e9}%.1f")
       dBatches.zipWithIndex.foreach { case (b, i) =>
         measure("spans", mult, i + 1)(gr.ingest(b).count())
+      }
+
+      val nd = new graft.store.NearDupIndex(spark, tmp("lat-nd"),
+        buckets = 64)
+      val t3 = System.nanoTime()
+      nd.append(histDocs)
+      println(f"INGESTLAT seeded op=neardup mult=$mult " +
+        f"sec=${(System.nanoTime() - t3) / 1e9}%.1f")
+      dBatches.zipWithIndex.foreach { case (b, i) =>
+        measure("neardup", mult, i + 1)(nd.ingest(b).count())
       }
 
       val cell = new graft.operators.CellIndex(spark, tmp("lat-cell"))
