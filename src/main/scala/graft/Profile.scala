@@ -88,7 +88,11 @@ object Profile {
     // round-8 operators: cluster-blocked pair join (must track cluster
     // population, not corpus²), bounded sketch state, and the two-agg
     // broadcast model
-    "q_semdedup", "q_cms_registers", "q_dsir_weights")
+    "q_semdedup", "q_cms_registers", "q_dsir_weights",
+    // round-9 operators: broadcast-round PageRank (edge graph frozen,
+    // rank table broadcast), map-side rule bundle + repetition agg,
+    // and the hash-only-exchange image pipeline
+    "q_pagerank", "q_quality_gate", "q_image_neardup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
