@@ -176,6 +176,23 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // tokenize-and-pack: the training-export composition — BPE-encode
+    // the corpus (the q_bpe_tokens model) and lay the token stream into
+    // fixed 512-token bins via the two-level prefix sum (the
+    // q_pack_bins machinery over REAL token counts instead of a regex
+    // proxy). Each doc gets its stream position, bin, and offset
+    "q_token_pack" -> ((s, dir) => {
+      import s.implicits._
+      val model = graft.operators.Bpe.train(docs(s, dir), merges = 4)
+      val withTokens = graft.operators.Bpe.encode(docs(s, dir), model)
+        .select($"doc_id", size($"tokens").cast("long").as("n_tokens"))
+      graft.operators.Curation.packBins(withTokens, tokensCol = "n_tokens",
+        idCol = "doc_id", capacity = 512L, rangeSize = 64L)
+        .select($"doc_id", $"n_tokens", $"tokens_before", $"bin",
+          $"bin_offset")
+        .orderBy($"doc_id")
+    }),
+
     // exact dedup by content hash (hash-groupBy; the union simulates a
     // corpus with 10% duplicated docs)
     "q_dedup_exact" -> ((s, dir) => {
@@ -819,6 +836,43 @@ object TextQueries {
        |FROM enc ORDER BY doc_id""".stripMargin
   }
 
+  /** q_token_pack oracle: the [[bpeEncodeOracle]] token counts fed
+    * through q_pack_bins' cumulative-window definition — the semantic
+    * contract the two-level prefix sum must reproduce over REAL BPE
+    * token counts. */
+  private def tokenPackOracle(k: Int, capacity: Long): String = {
+    val rep0 =
+      "(SELECT array_to_string(list_transform(" +
+        "filter(string_split_regex(lower(trim(text)), '\\s+'), " +
+        "w -> length(w) > 0), " +
+        "w -> array_to_string(list_transform(string_split(w, ''), " +
+        "c -> chr(30) || c || chr(31)), '') " +
+        "|| chr(30) || '</w>' || chr(31)), ''))"
+    val chained = (1 to k).foldLeft(rep0) { (acc, r) =>
+      s"replace($acc, " +
+        s"(SELECT chr(30) || a || chr(31) || chr(30) || b || chr(31) FROM m$r), " +
+        s"(SELECT chr(30) || a || b || chr(31) FROM m$r))"
+    }
+    s"""WITH ${bpeRounds(k)},
+       |enc AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(trim($chained,
+       |      chr(30) || chr(31)), chr(31) || chr(30)), t -> t <> ''))
+       |      AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |    COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS tokens_before
+       |  FROM enc)
+       |SELECT doc_id, n_tokens,
+       |  CAST(tokens_before AS BIGINT) AS tokens_before,
+       |  CAST(tokens_before // $capacity AS BIGINT) AS bin,
+       |  CAST(tokens_before % $capacity AS BIGINT) AS bin_offset
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   /** The clustering CTE prefix shared by the q_dedup_clusters and
     * q_canonical_select oracles — ONE copy, mirroring the Spark side's
     * shared `jaccardPairs`, so the "same edges, two downstream
@@ -1143,6 +1197,8 @@ object TextQueries {
     "q_bpe_merges" -> bpeOracle(4),
 
     "q_bpe_tokens" -> bpeEncodeOracle(4),
+
+    "q_token_pack" -> tokenPackOracle(4, 512L),
 
     "q_tfidf_top_terms" ->
       """WITH terms AS (
