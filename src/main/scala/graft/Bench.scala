@@ -136,10 +136,12 @@ object Bench {
       System.err.println(s"[bench] could not write BENCH_LOCAL.json: $e") }
     // Stop BEFORE the final line so Spark's shutdown logging cannot land
     // after it: the LAST stdout line is then always one complete JSON
-    // object — a slimmer variant (per-query seconds but no load/rerun
-    // maps, ~⅓ the size) that fits tail windows the full line overflows.
+    // object. It carries NO per-query map at all (~120 queries made even
+    // the "slim" variant overflow the driver's tail window for four
+    // rounds running — "parsed": null); BENCH_LOCAL.json holds the full
+    // per-query/load/rerun detail.
     spark.stop()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedCount,"sf":"$sfDir","full":"BENCH_LOCAL.json"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failedCount,"sf":"$sfDir","full":"BENCH_LOCAL.json"}""")
   }
 
   /** Per-query seconds from the newest BENCH_r*.json in the working

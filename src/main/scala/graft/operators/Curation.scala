@@ -147,8 +147,10 @@ object Curation {
     *   - `too_few_words` / `too_many_words`: word count outside
     *     [minWords, maxWords] (paper: 50..100k).
     *   - `word_length`: mean word length outside [3, 10] chars.
-    *   - `symbol_ratio`: (# + ellipsis occurrences) × 10 > n_words
-    *     (paper: symbol-to-word ratio > 0.1).
+    *   - `symbol_ratio`: '#' occurrences × 10 > n_words OR ellipsis
+    *     occurrences × 10 > n_words — the paper's 0.1 symbol-to-word
+    *     threshold applied to each symbol separately (Rae et al.
+    *     §A1.1), not to their sum.
     *   - `bullet_lines`: lines starting with a bullet × 10 > 9 × lines
     *     (paper: > 90%).
     *   - `ellipsis_lines`: lines ending with "..." × 10 > 3 × lines
@@ -198,9 +200,9 @@ object Curation {
       .withColumn("n_words", size(col("__w")).cast("long"))
       .withColumn("__wchars",
         expr("aggregate(__w, CAST(0 AS BIGINT), (a, x) -> a + length(x))"))
-      .withColumn("__sym",
-        (regexp_count(t, lit("#")) +
-          regexp_count(t, lit("\\.\\.\\.|…"))).cast("long"))
+      .withColumn("__hashc", regexp_count(t, lit("#")).cast("long"))
+      .withColumn("__ellsym",
+        regexp_count(t, lit("\\.\\.\\.|…")).cast("long"))
       .withColumn("__bullet", size(filter(col("__l"),
         x => x.rlike("^[•\\-\\*]"))).cast("long"))
       .withColumn("__ellip", size(filter(col("__l"),
@@ -225,7 +227,11 @@ object Curation {
       when(col("n_words") > maxWords, lit("too_many_words")),
       when(col("__wchars") < lit(3L) * col("n_words") ||
         col("__wchars") > lit(10L) * col("n_words"), lit("word_length")),
-      when(col("__sym") * 10L > col("n_words"), lit("symbol_ratio")),
+      // Gopher applies the 0.1 symbol-to-word threshold to EACH symbol
+      // ('#', '...') separately, not to their sum (Rae et al. §A1.1) —
+      // the summed form was strictly more aggressive than the paper
+      when(col("__hashc") * 10L > col("n_words") ||
+        col("__ellsym") * 10L > col("n_words"), lit("symbol_ratio")),
       when(col("__bullet") * 10L > col("__nlines") * 9L,
         lit("bullet_lines")),
       when(col("__ellip") * 10L > col("__nlines") * 3L,
@@ -242,7 +248,8 @@ object Curation {
         array_join(filter(reasons, x => x.isNotNull), ","))
       .withColumn("keep",
         when(col("reasons") === "", 1).otherwise(0))
-      .drop("__w", "__l", "__wchars", "__sym", "__bullet", "__ellip",
+      .drop("__w", "__l", "__wchars", "__hashc", "__ellsym", "__bullet",
+        "__ellip",
         "__alpha", "__nlines", "__stop", "__badenc", "__ng", "__dg")
   }
 

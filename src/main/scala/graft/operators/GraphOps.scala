@@ -70,8 +70,23 @@ object GraphOps {
     require(edgesPerPartition >= 1, "edgesPerPartition must be >= 1")
     val spark = nodes.sparkSession
     checkpointDir.foreach { d =>
-      if (spark.sparkContext.getCheckpointDir.isEmpty)
-        spark.sparkContext.setCheckpointDir(d)
+      spark.sparkContext.getCheckpointDir match {
+        case None => spark.sparkContext.setCheckpointDir(d)
+        case Some(existing) =>
+          // the context dir is process-global and cannot be re-pointed
+          // per-call; silently ignoring the argument would leave
+          // reliable checkpoints landing somewhere the caller didn't
+          // ask for — make the divergence visible instead. Suffix
+          // match: setCheckpointDir appends a random child dir.
+          val samePlace = existing == d ||
+            new org.apache.hadoop.fs.Path(existing)
+              .getParent.toUri.getPath ==
+              new org.apache.hadoop.fs.Path(d).toUri.getPath
+          if (!samePlace)
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"pageRank checkpointDir=$d ignored: SparkContext already " +
+              s"checkpoints to $existing (set once per context)")
+      }
     }
     // materialize the loop-invariant inputs ONCE and truncate each
     // round's lineage (the [[Dedup.connectedComponents]] discipline):

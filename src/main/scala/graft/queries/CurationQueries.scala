@@ -1051,8 +1051,8 @@ object CurationQueries {
         |    CAST(len(w) AS BIGINT) AS n_words,
         |    CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS BIGINT)
         |      AS wchars,
-        |    CAST(len(regexp_extract_all(text, '#'))
-        |      + len(regexp_extract_all(text, '\.\.\.|…')) AS BIGINT) AS sym,
+        |    CAST(len(regexp_extract_all(text, '#')) AS BIGINT) AS hashc,
+        |    CAST(len(regexp_extract_all(text, '\.\.\.|…')) AS BIGINT) AS ellsym,
         |    CAST(len(list_filter(l, x -> regexp_matches(x, '^[•\-\*]')))
         |      AS BIGINT) AS bullet,
         |    CAST(len(list_filter(l, x -> regexp_matches(x, '(\.\.\.|…)$')))
@@ -1094,7 +1094,8 @@ object CurationQueries {
         |      CASE WHEN f.n_words > 500 THEN 'too_many_words' END,
         |      CASE WHEN f.wchars < 3 * f.n_words OR f.wchars > 10 * f.n_words
         |           THEN 'word_length' END,
-        |      CASE WHEN f.sym * 10 > f.n_words THEN 'symbol_ratio' END,
+        |      CASE WHEN f.hashc * 10 > f.n_words
+        |           OR f.ellsym * 10 > f.n_words THEN 'symbol_ratio' END,
         |      CASE WHEN f.bullet * 10 > f.nlines * 9 THEN 'bullet_lines' END,
         |      CASE WHEN f.ellip * 10 > f.nlines * 3 THEN 'ellipsis_lines' END,
         |      CASE WHEN f.alpha * 5 < f.n_words * 4 THEN 'alpha_words' END,
@@ -1137,8 +1138,8 @@ object CurationQueries {
         |    CAST(len(w) AS BIGINT) AS n_words,
         |    CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS BIGINT)
         |      AS wchars,
-        |    CAST(len(regexp_extract_all(text, '#'))
-        |      + len(regexp_extract_all(text, '\.\.\.|…')) AS BIGINT) AS sym,
+        |    CAST(len(regexp_extract_all(text, '#')) AS BIGINT) AS hashc,
+        |    CAST(len(regexp_extract_all(text, '\.\.\.|…')) AS BIGINT) AS ellsym,
         |    CAST(len(list_filter(l, x -> regexp_matches(x, '^[•\-\*]')))
         |      AS BIGINT) AS bullet,
         |    CAST(len(list_filter(l, x -> regexp_matches(x, '(\.\.\.|…)$')))
@@ -1180,7 +1181,8 @@ object CurationQueries {
         |      CASE WHEN f.n_words > 500 THEN 'too_many_words' END,
         |      CASE WHEN f.wchars < 3 * f.n_words OR f.wchars > 10 * f.n_words
         |           THEN 'word_length' END,
-        |      CASE WHEN f.sym * 10 > f.n_words THEN 'symbol_ratio' END,
+        |      CASE WHEN f.hashc * 10 > f.n_words
+        |           OR f.ellsym * 10 > f.n_words THEN 'symbol_ratio' END,
         |      CASE WHEN f.bullet * 10 > f.nlines * 9 THEN 'bullet_lines' END,
         |      CASE WHEN f.ellip * 10 > f.nlines * 3 THEN 'ellipsis_lines' END,
         |      CASE WHEN f.alpha * 5 < f.n_words * 4 THEN 'alpha_words' END,

@@ -71,11 +71,13 @@ final class NearDupIndex(spark: SparkSession, path: String,
     keepVersions: Int = 3,
     committer: Option[ManifestCommitter] = None,
     bloomMaxKeys: Long = 4000000L,
-    bloomMinHistoryRatio: Long = 8L) {
+    bloomMinHistoryRatio: Long = 8L,
+    broadcastMaxCandidates: Long = 4000000L) {
 
   require(buckets >= 1, s"buckets must be >= 1, got $buckets")
   require(bloomMaxKeys >= 0 && bloomMinHistoryRatio >= 0,
     "bloom knobs must be >= 0")
+  require(broadcastMaxCandidates >= 0, "broadcastMaxCandidates must be >= 0")
   require(numHashes % rowsPerBand == 0,
     s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
   require(maxDist >= 0 && normChars >= 1, "maxDist/normChars out of range")
@@ -258,7 +260,15 @@ final class NearDupIndex(spark: SparkSession, path: String,
       .filter(col("bucket").isInCollection(candBuckets))
       .filter(col("text_norm").isNotNull)
       .select(col("doc_id").as("hist_id"), col("text_norm"))
-    broadcast(cands).join(histDocs, Seq("hist_id"))
+    // candidates are LSH-bounded relative to the BATCH, but the batch
+    // itself is unbounded (a corpus-sized backfill), so the broadcast
+    // hint is gated on a cheap count over the checkpointed frame —
+    // past the threshold fall back to the planner-chosen join rather
+    // than fail on driver/broadcast limits (mirrors bloomMaxKeys)
+    val candsHinted =
+      if (cands.count() <= broadcastMaxCandidates) broadcast(cands)
+      else cands
+    candsHinted.join(histDocs, Seq("hist_id"))
       .groupBy(col("doc_id"), col("hist_id"))
       .agg(min(col("text_norm")).as("__tb"))
       .join(norm, Seq("doc_id"))

@@ -98,7 +98,14 @@ final class SketchStore(spark: SparkSession, path: String,
     * CMS sums exact under at-least-once delivery. */
   def ingest(cells: DataFrame, batchId: String): Boolean = {
     val tag = SketchStore.tag(batchId)
-    if (committedBatches.contains(tag)) return false
+    val legacy = SketchStore.legacyTag(batchId)
+    // accept BOTH tag forms as "already committed": stores written before
+    // the collision-free tag format carry plain sanitize-form dir tags,
+    // which can never equal the new tags — without this, an at-least-once
+    // replay of a pre-upgrade batch id would re-ingest and double-count
+    // CMS/HLL cells, breaking the store's exactness contract
+    val done = committedBatches
+    if (done.contains(tag) || done.contains(legacy)) return false
     val dirName = log.newDataDirName(
       log.currentVersion.getOrElse(0L) + 1, tag = tag)
     toCells(cells)
@@ -115,7 +122,7 @@ final class SketchStore(spark: SparkSession, path: String,
       // batch id that committed first turns this commit into a no-op
       val present = current.values.flatten.exists { d =>
         val parts = d.split("-")
-        parts.length == 3 && parts(1) == tag
+        parts.length == 3 && (parts(1) == tag || parts(1) == legacy)
       }
       if (present) { skipped = true; current }
       else RecordStore.appendMutate(leaves, dirName)(current)
@@ -236,6 +243,15 @@ object SketchStore {
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(batchId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     s.take(48) + "_" + md.take(4).map("%02x".format(_)).mkString
+  }
+
+  /** The pre-upgrade tag form (plain character sanitize, no md5
+    * suffix). Never WRITTEN anymore — only consulted by the replay
+    * guard so stores created before the collision-free format keep
+    * refusing replays of their already-committed batch ids. */
+  def legacyTag(batchId: String): String = {
+    require(batchId.nonEmpty, "batchId must be non-empty")
+    batchId.map(c => if (c.isLetterOrDigit) c else '_')
   }
   val LevelPrefixes: Seq[String] = Seq("bucket=")
   val schema: StructType = StructType(Seq(

@@ -160,4 +160,46 @@ class SketchStoreSpec extends SparkSuite {
       .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3)))
     assert(got.toSeq === want.toSeq)
   }
+
+  test("stores written under the pre-upgrade tag format still refuse " +
+    "replays of their committed batch ids") {
+    import spark.implicits._
+    val dir = tmp()
+    def regs(rows: Seq[(String, String)]) =
+      Cms.registers(words(rows), Seq("g"), "v").withColumnRenamed("g", "group")
+    // build the store exactly as the pre-upgrade code did: data dir
+    // tagged with the plain sanitize form (no md5 suffix), committed
+    // through the same manifest machinery
+    val legacyId = "s3://bucket/old load-1"
+    val legacy = SketchStore.legacyTag(legacyId)
+    assert(legacy === "s3___bucket_old_load_1")
+    val log = new ManifestLog(spark, dir, 3, None)
+    val dirName = log.newDataDirName(1L, tag = legacy)
+    regs(batch1)
+      .select(col("group"), col("row").cast("int").as("a"),
+        col("col").cast("int").as("b"), col("counter").cast("long").as("v"))
+      .withColumn("bucket",
+        pmod(xxhash64(col("group")), lit(SketchStore.Buckets)).cast("int"))
+      .write.partitionBy("bucket")
+      .parquet(log.dataPath(dirName).toString)
+    log.commitRetry(RecordStore.appendMutate(
+      log.listCells(dirName, SketchStore.LevelPrefixes), dirName))
+    // upgraded code opening the old store: the legacy tag is visible,
+    // and a replay of the SAME raw id — whose NEW tag can never equal
+    // the stored legacy tag — must still be refused, or at-least-once
+    // redelivery double-counts every CMS cell of the batch
+    val st = new SketchStore(spark, dir, SketchStore.CmsKind)
+    assert(st.committedBatches === Set(legacy))
+    assert(!st.ingest(regs(batch1), legacyId),
+      "pre-upgrade batch id re-ingested — exactness contract broken")
+    // and the merged read is still the single batch, not a double-count
+    val got = st.read().orderBy($"group", $"a", $"b").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val want = Cms.registers(words(batch1), Seq("g"), "v")
+      .orderBy($"g", $"row", $"col").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(got.toSeq === want.toSeq)
+    // a genuinely NEW batch under a new id still ingests
+    assert(st.ingest(regs(batch2), "new-load-2"))
+  }
 }
