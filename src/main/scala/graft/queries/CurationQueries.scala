@@ -390,6 +390,41 @@ object CurationQueries {
         .orderBy($"source")
     }),
 
+    // gate + dedup COMPOSED in the curateAllWithHistory stage order
+    // (batch form of the five-stage streaming pipeline): quality-gate a
+    // recrawl-extended corpus FIRST, exact-dedup only the survivors,
+    // and report per source what each stage kept. The recrawl
+    // re-appends every 7th doc under a far id, so dedup must collapse
+    // it back onto its original while the gate books planted junk
+    // before any hashing happens. Plan shape: the gate is one corpus
+    // scan + one id-keyed join; dedup adds one hash-agg + one
+    // left-semi — no corpus self-join at any scale
+    "q_gate_dedup_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val d = plantedQualityDocs(s, dir)
+        .select($"doc_id", $"source", $"text")
+      val recrawl = d.filter($"doc_id" % 7 === 0)
+        .withColumn("doc_id", $"doc_id" + 2000000000L)
+      // stopword floor 1 (not the default 2): the synthetic corpus is
+      // word-salad where most docs carry exactly one list stopword —
+      // floor 2 gates out EVERYTHING and the dedup stage would have
+      // nothing to prove
+      val gated = Curation.qualityGate(d.unionByName(recrawl),
+        minWords = 5L, maxWords = 500L, minStopwords = 1)
+      val kept = gated.filter($"keep" === 1)
+      val canonical = kept.groupBy(md5($"text").as("__h"))
+        .agg(min($"doc_id").as("doc_id"))
+      val unique = kept.join(
+        canonical.select($"doc_id"), Seq("doc_id"), "left_semi")
+      gated.groupBy($"source")
+        .agg(count(lit(1)).as("docs_total"),
+          sum($"keep".cast("long")).as("gate_kept"))
+        .join(unique.groupBy($"source")
+          .agg(count(lit(1)).as("dedup_kept"),
+            sum($"n_words").as("words_kept")), Seq("source"))
+        .orderBy($"source")
+    }),
+
     // dataset mixing: per-source keep rates (a 3-tier curriculum mix),
     // reported as kept/total per source — the audit table a mixing step
     // emits before materializing the blend
@@ -546,6 +581,110 @@ object CurationQueries {
       |  CASE WHEN COALESCE(n_hits, 0) > 0 THEN 1 ELSE 0 END AS contaminated
       |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
       |ORDER BY d.doc_id""".stripMargin
+
+  /** Shared oracle SQL (generated-oracle discipline, one source of
+    * truth): the planted-degenerates corpus used by the three gate
+    * queries. */
+  private val PlantedQualitySql: String =
+    """  SELECT doc_id, source, CASE
+      |    WHEN doc_id % 19 = 0 THEN rtrim(repeat(text || ' ', 25))
+      |    WHEN doc_id % 23 = 0 THEN rtrim(repeat('zxq qvw mkl pro wfg ', 12))
+      |    WHEN doc_id % 29 = 0
+      |      THEN repeat('• the data point of interest' || chr(10), 8)
+      |    WHEN doc_id % 31 = 0 THEN repeat(
+      |      'the data of note goes on and on and on and ends...' || chr(10), 10)
+      |    WHEN doc_id % 37 = 0 THEN rtrim(repeat('the# data of things here now ', 10))
+      |    WHEN doc_id % 41 = 0 THEN 'tiny doc'
+      |    WHEN doc_id % 43 = 0 THEN rtrim(repeat('pneumonoultramicroscopic ', 30))
+      |    WHEN doc_id % 47 = 0
+      |      THEN text || repeat(' ' || chr(65533) || chr(65533) || chr(65533), 20)
+      |    ELSE text END AS text
+      |  FROM documents""".stripMargin
+
+  /** The quality-gate CTE chain (sig -> feat -> rwords -> rgrams ->
+    * rper -> rep -> gate -> gated), parameterized by the corpus CTE
+    * name so the gate+dedup composition runs the IDENTICAL rules over
+    * a recrawl-extended corpus. Plain template + replace, not an
+    * s-interpolator: the SQL contains dollar anchors. */
+  private val GateChainTemplate: String =
+    """sig AS (
+      |  SELECT doc_id, source, text,
+      |    string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w,
+      |    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+      |      x -> x <> '') AS l
+      |  FROM __CORPUS__),
+      |feat AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(w) AS BIGINT) AS n_words,
+      |    CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS BIGINT)
+      |      AS wchars,
+      |    CAST(len(regexp_extract_all(text, '#')) AS BIGINT) AS hashc,
+      |    CAST(len(regexp_extract_all(text, '\.\.\.|…')) AS BIGINT) AS ellsym,
+      |    CAST(len(list_filter(l, x -> regexp_matches(x, '^[•\-\*]')))
+      |      AS BIGINT) AS bullet,
+      |    CAST(len(list_filter(l, x -> regexp_matches(x, '(\.\.\.|…)$')))
+      |      AS BIGINT) AS ellip,
+      |    CAST(len(list_filter(w, x -> regexp_matches(lower(x), '[a-z]')))
+      |      AS BIGINT) AS alpha,
+      |    CAST(len(l) AS BIGINT) AS nlines,
+      |    CAST(len(regexp_extract_all(text,
+      |      '[\x{FFFD}\x{0000}-\x{0008}\x{000E}-\x{001F}\x{0080}-\x{009F}]'))
+      |      AS BIGINT) AS badenc,
+      |    CAST(length(text) AS BIGINT) AS n_cp,
+      |    (CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END
+      |     + CASE WHEN regexp_matches(lower(text), '\bbe\b') THEN 1 ELSE 0 END
+      |     + CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END
+      |     + CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END
+      |     + CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END
+      |     + CASE WHEN regexp_matches(lower(text), '\bthat\b') THEN 1 ELSE 0 END
+      |     + CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END
+      |     + CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END)
+      |      AS stop
+      |  FROM sig),
+      |rwords AS (
+      |  SELECT doc_id, string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')
+      |    AS w
+      |  FROM __CORPUS__),
+      |rgrams AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+      |  FROM rwords WHERE len(w) >= 3),
+      |rper AS (SELECT doc_id, g, count(*) AS cnt FROM rgrams GROUP BY 1, 2),
+      |rep AS (
+      |  SELECT doc_id, sum(cnt) AS ng,
+      |    sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dg
+      |  FROM rper GROUP BY 1),
+      |gate AS (
+      |  SELECT f.doc_id, f.source, f.n_words,
+      |    coalesce(array_to_string(list_filter([
+      |      CASE WHEN f.n_words < 5 THEN 'too_few_words' END,
+      |      CASE WHEN f.n_words > 500 THEN 'too_many_words' END,
+      |      CASE WHEN f.wchars < 3 * f.n_words OR f.wchars > 10 * f.n_words
+      |           THEN 'word_length' END,
+      |      CASE WHEN f.hashc * 10 > f.n_words
+      |           OR f.ellsym * 10 > f.n_words THEN 'symbol_ratio' END,
+      |      CASE WHEN f.bullet * 10 > f.nlines * 9 THEN 'bullet_lines' END,
+      |      CASE WHEN f.ellip * 10 > f.nlines * 3 THEN 'ellipsis_lines' END,
+      |      CASE WHEN f.alpha * 5 < f.n_words * 4 THEN 'alpha_words' END,
+      |      CASE WHEN f.stop < __MINSTOP__ THEN 'stopwords' END,
+      |      CASE WHEN coalesce(r.dg, 0) * 5 > coalesce(r.ng, 0)
+      |           THEN 'repetition' END,
+      |      CASE WHEN f.badenc * 1000 > f.n_cp THEN 'encoding' END
+      |    ], x -> x IS NOT NULL), ','), '') AS reasons
+      |  FROM feat f LEFT JOIN rep r USING (doc_id)),
+      |gated AS (
+      |  SELECT doc_id, source, n_words,
+      |    CASE WHEN reasons = '' THEN 1 ELSE 0 END AS keep, reasons
+      |  FROM gate)""".stripMargin
+
+  /** @param minStop stopword floor (`minStopwords` on the Spark side).
+    * The `coalesce(..., '')` in the template is load-bearing: DuckDB's
+    * `array_to_string` of an EMPTY list is NULL, Spark's `array_join`
+    * is '' — without it a clean document (no reasons at all) would
+    * keep=0 in the oracle and hash-mismatch the Spark keep=1. */
+  private def gateChainSql(corpus: String, minStop: Int = 2): String =
+    GateChainTemplate.replace("__CORPUS__", corpus)
+      .replace("__MINSTOP__", minStop.toString)
 
   val oracleSql: Map[String, String] = Map(
     "q_redact" -> RedactOracle,
@@ -1025,203 +1164,66 @@ object CurationQueries {
         |FROM dom ORDER BY doc_id""".stripMargin,
 
     "q_quality_gate" ->
-      """WITH planted AS (
-        |  SELECT doc_id, source, CASE
-        |    WHEN doc_id % 19 = 0 THEN rtrim(repeat(text || ' ', 25))
-        |    WHEN doc_id % 23 = 0 THEN rtrim(repeat('zxq qvw mkl pro wfg ', 12))
-        |    WHEN doc_id % 29 = 0
-        |      THEN repeat('• the data point of interest' || chr(10), 8)
-        |    WHEN doc_id % 31 = 0 THEN repeat(
-        |      'the data of note goes on and on and on and ends...' || chr(10), 10)
-        |    WHEN doc_id % 37 = 0 THEN rtrim(repeat('the# data of things here now ', 10))
-        |    WHEN doc_id % 41 = 0 THEN 'tiny doc'
-        |    WHEN doc_id % 43 = 0 THEN rtrim(repeat('pneumonoultramicroscopic ', 30))
-        |    WHEN doc_id % 47 = 0
-        |      THEN text || repeat(' ' || chr(65533) || chr(65533) || chr(65533), 20)
-        |    ELSE text END AS text
-        |  FROM documents),
-        |sig AS (
-        |  SELECT doc_id, source, text,
-        |    string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w,
-        |    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
-        |      x -> x <> '') AS l
-        |  FROM planted),
-        |feat AS (
-        |  SELECT doc_id, source,
-        |    CAST(len(w) AS BIGINT) AS n_words,
-        |    CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS BIGINT)
-        |      AS wchars,
-        |    CAST(len(regexp_extract_all(text, '#')) AS BIGINT) AS hashc,
-        |    CAST(len(regexp_extract_all(text, '\.\.\.|…')) AS BIGINT) AS ellsym,
-        |    CAST(len(list_filter(l, x -> regexp_matches(x, '^[•\-\*]')))
-        |      AS BIGINT) AS bullet,
-        |    CAST(len(list_filter(l, x -> regexp_matches(x, '(\.\.\.|…)$')))
-        |      AS BIGINT) AS ellip,
-        |    CAST(len(list_filter(w, x -> regexp_matches(lower(x), '[a-z]')))
-        |      AS BIGINT) AS alpha,
-        |    CAST(len(l) AS BIGINT) AS nlines,
-        |    CAST(len(regexp_extract_all(text,
-        |      '[\x{FFFD}\x{0000}-\x{0008}\x{000E}-\x{001F}\x{0080}-\x{009F}]'))
-        |      AS BIGINT) AS badenc,
-        |    CAST(length(text) AS BIGINT) AS n_cp,
-        |    (CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END
-        |     + CASE WHEN regexp_matches(lower(text), '\bbe\b') THEN 1 ELSE 0 END
-        |     + CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END
-        |     + CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END
-        |     + CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END
-        |     + CASE WHEN regexp_matches(lower(text), '\bthat\b') THEN 1 ELSE 0 END
-        |     + CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END
-        |     + CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END)
-        |      AS stop
-        |  FROM sig),
-        |rwords AS (
-        |  SELECT doc_id, string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')
-        |    AS w
-        |  FROM planted),
-        |rgrams AS (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
-        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
-        |  FROM rwords WHERE len(w) >= 3),
-        |rper AS (SELECT doc_id, g, count(*) AS cnt FROM rgrams GROUP BY 1, 2),
-        |rep AS (
-        |  SELECT doc_id, sum(cnt) AS ng,
-        |    sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dg
-        |  FROM rper GROUP BY 1),
-        |gate AS (
-        |  SELECT f.doc_id, f.source, f.n_words,
-        |    array_to_string(list_filter([
-        |      CASE WHEN f.n_words < 5 THEN 'too_few_words' END,
-        |      CASE WHEN f.n_words > 500 THEN 'too_many_words' END,
-        |      CASE WHEN f.wchars < 3 * f.n_words OR f.wchars > 10 * f.n_words
-        |           THEN 'word_length' END,
-        |      CASE WHEN f.hashc * 10 > f.n_words
-        |           OR f.ellsym * 10 > f.n_words THEN 'symbol_ratio' END,
-        |      CASE WHEN f.bullet * 10 > f.nlines * 9 THEN 'bullet_lines' END,
-        |      CASE WHEN f.ellip * 10 > f.nlines * 3 THEN 'ellipsis_lines' END,
-        |      CASE WHEN f.alpha * 5 < f.n_words * 4 THEN 'alpha_words' END,
-        |      CASE WHEN f.stop < 2 THEN 'stopwords' END,
-        |      CASE WHEN coalesce(r.dg, 0) * 5 > coalesce(r.ng, 0)
-        |           THEN 'repetition' END,
-        |      CASE WHEN f.badenc * 1000 > f.n_cp THEN 'encoding' END
-        |    ], x -> x IS NOT NULL), ',') AS reasons
-        |  FROM feat f LEFT JOIN rep r USING (doc_id)),
-        |gated AS (
-        |  SELECT doc_id, source, n_words,
-        |    CASE WHEN reasons = '' THEN 1 ELSE 0 END AS keep, reasons
-        |  FROM gate)
-        |SELECT doc_id, n_words, keep, reasons FROM gated ORDER BY doc_id""".stripMargin,
+      ("WITH planted AS (\n" + PlantedQualitySql + "),\n" +
+        gateChainSql("planted") + "\n" +
+        "SELECT doc_id, n_words, keep, reasons FROM gated ORDER BY doc_id"),
 
     "q_curation_report" ->
-      """WITH planted AS (
-        |  SELECT doc_id, source, CASE
-        |    WHEN doc_id % 19 = 0 THEN rtrim(repeat(text || ' ', 25))
-        |    WHEN doc_id % 23 = 0 THEN rtrim(repeat('zxq qvw mkl pro wfg ', 12))
-        |    WHEN doc_id % 29 = 0
-        |      THEN repeat('• the data point of interest' || chr(10), 8)
-        |    WHEN doc_id % 31 = 0 THEN repeat(
-        |      'the data of note goes on and on and on and ends...' || chr(10), 10)
-        |    WHEN doc_id % 37 = 0 THEN rtrim(repeat('the# data of things here now ', 10))
-        |    WHEN doc_id % 41 = 0 THEN 'tiny doc'
-        |    WHEN doc_id % 43 = 0 THEN rtrim(repeat('pneumonoultramicroscopic ', 30))
-        |    WHEN doc_id % 47 = 0
-        |      THEN text || repeat(' ' || chr(65533) || chr(65533) || chr(65533), 20)
-        |    ELSE text END AS text
-        |  FROM documents),
-        |sig AS (
-        |  SELECT doc_id, source, text,
-        |    string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w,
-        |    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
-        |      x -> x <> '') AS l
-        |  FROM planted),
-        |feat AS (
-        |  SELECT doc_id, source,
-        |    CAST(len(w) AS BIGINT) AS n_words,
-        |    CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS BIGINT)
-        |      AS wchars,
-        |    CAST(len(regexp_extract_all(text, '#')) AS BIGINT) AS hashc,
-        |    CAST(len(regexp_extract_all(text, '\.\.\.|…')) AS BIGINT) AS ellsym,
-        |    CAST(len(list_filter(l, x -> regexp_matches(x, '^[•\-\*]')))
-        |      AS BIGINT) AS bullet,
-        |    CAST(len(list_filter(l, x -> regexp_matches(x, '(\.\.\.|…)$')))
-        |      AS BIGINT) AS ellip,
-        |    CAST(len(list_filter(w, x -> regexp_matches(lower(x), '[a-z]')))
-        |      AS BIGINT) AS alpha,
-        |    CAST(len(l) AS BIGINT) AS nlines,
-        |    CAST(len(regexp_extract_all(text,
-        |      '[\x{FFFD}\x{0000}-\x{0008}\x{000E}-\x{001F}\x{0080}-\x{009F}]'))
-        |      AS BIGINT) AS badenc,
-        |    CAST(length(text) AS BIGINT) AS n_cp,
-        |    (CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END
-        |     + CASE WHEN regexp_matches(lower(text), '\bbe\b') THEN 1 ELSE 0 END
-        |     + CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END
-        |     + CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END
-        |     + CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END
-        |     + CASE WHEN regexp_matches(lower(text), '\bthat\b') THEN 1 ELSE 0 END
-        |     + CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END
-        |     + CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END)
-        |      AS stop
-        |  FROM sig),
-        |rwords AS (
-        |  SELECT doc_id, string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')
-        |    AS w
-        |  FROM planted),
-        |rgrams AS (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
-        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
-        |  FROM rwords WHERE len(w) >= 3),
-        |rper AS (SELECT doc_id, g, count(*) AS cnt FROM rgrams GROUP BY 1, 2),
-        |rep AS (
-        |  SELECT doc_id, sum(cnt) AS ng,
-        |    sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dg
-        |  FROM rper GROUP BY 1),
-        |gate AS (
-        |  SELECT f.doc_id, f.source, f.n_words,
-        |    array_to_string(list_filter([
-        |      CASE WHEN f.n_words < 5 THEN 'too_few_words' END,
-        |      CASE WHEN f.n_words > 500 THEN 'too_many_words' END,
-        |      CASE WHEN f.wchars < 3 * f.n_words OR f.wchars > 10 * f.n_words
-        |           THEN 'word_length' END,
-        |      CASE WHEN f.hashc * 10 > f.n_words
-        |           OR f.ellsym * 10 > f.n_words THEN 'symbol_ratio' END,
-        |      CASE WHEN f.bullet * 10 > f.nlines * 9 THEN 'bullet_lines' END,
-        |      CASE WHEN f.ellip * 10 > f.nlines * 3 THEN 'ellipsis_lines' END,
-        |      CASE WHEN f.alpha * 5 < f.n_words * 4 THEN 'alpha_words' END,
-        |      CASE WHEN f.stop < 2 THEN 'stopwords' END,
-        |      CASE WHEN coalesce(r.dg, 0) * 5 > coalesce(r.ng, 0)
-        |           THEN 'repetition' END,
-        |      CASE WHEN f.badenc * 1000 > f.n_cp THEN 'encoding' END
-        |    ], x -> x IS NOT NULL), ',') AS reasons
-        |  FROM feat f LEFT JOIN rep r USING (doc_id)),
-        |gated AS (
-        |  SELECT doc_id, source, n_words,
-        |    CASE WHEN reasons = '' THEN 1 ELSE 0 END AS keep, reasons
-        |  FROM gate)
-        |SELECT source,
-        |  CAST(count(*) AS BIGINT) AS docs_total,
-        |  CAST(sum(keep) AS BIGINT) AS docs_kept,
-        |  CAST(sum(n_words) AS BIGINT) AS words_total,
-        |  CAST(sum(n_words * keep) AS BIGINT) AS words_kept,
-        |  CAST(sum(CASE WHEN list_contains(string_split(reasons, ','), 'too_few_words')
-        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_too_few_words,
-        |  CAST(sum(CASE WHEN list_contains(string_split(reasons, ','), 'too_many_words')
-        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_too_many_words,
-        |  CAST(sum(CASE WHEN list_contains(string_split(reasons, ','), 'word_length')
-        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_word_length,
-        |  CAST(sum(CASE WHEN list_contains(string_split(reasons, ','), 'symbol_ratio')
-        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_symbol_ratio,
-        |  CAST(sum(CASE WHEN list_contains(string_split(reasons, ','), 'bullet_lines')
-        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_bullet_lines,
-        |  CAST(sum(CASE WHEN list_contains(string_split(reasons, ','), 'ellipsis_lines')
-        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_ellipsis_lines,
-        |  CAST(sum(CASE WHEN list_contains(string_split(reasons, ','), 'alpha_words')
-        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha_words,
-        |  CAST(sum(CASE WHEN list_contains(string_split(reasons, ','), 'stopwords')
-        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords,
-        |  CAST(sum(CASE WHEN list_contains(string_split(reasons, ','), 'repetition')
-        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_repetition,
-        |  CAST(sum(CASE WHEN list_contains(string_split(reasons, ','), 'encoding')
-        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_encoding
-        |FROM gated GROUP BY source ORDER BY source""".stripMargin,
+      ("WITH planted AS (\n" + PlantedQualitySql + "),\n" +
+        gateChainSql("planted") + "\n" +
+        """SELECT source,
+          |  CAST(count(*) AS BIGINT) AS docs_total,
+          |  CAST(sum(keep) AS BIGINT) AS docs_kept,
+          |  CAST(sum(n_words) AS BIGINT) AS words_total,
+          |  CAST(sum(n_words * keep) AS BIGINT) AS words_kept,
+          |  CAST(sum(CASE WHEN list_contains(string_split(reasons, ','), 'too_few_words')
+          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_too_few_words,
+          |  CAST(sum(CASE WHEN list_contains(string_split(reasons, ','), 'too_many_words')
+          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_too_many_words,
+          |  CAST(sum(CASE WHEN list_contains(string_split(reasons, ','), 'word_length')
+          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_word_length,
+          |  CAST(sum(CASE WHEN list_contains(string_split(reasons, ','), 'symbol_ratio')
+          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_symbol_ratio,
+          |  CAST(sum(CASE WHEN list_contains(string_split(reasons, ','), 'bullet_lines')
+          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_bullet_lines,
+          |  CAST(sum(CASE WHEN list_contains(string_split(reasons, ','), 'ellipsis_lines')
+          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_ellipsis_lines,
+          |  CAST(sum(CASE WHEN list_contains(string_split(reasons, ','), 'alpha_words')
+          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha_words,
+          |  CAST(sum(CASE WHEN list_contains(string_split(reasons, ','), 'stopwords')
+          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords,
+          |  CAST(sum(CASE WHEN list_contains(string_split(reasons, ','), 'repetition')
+          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_repetition,
+          |  CAST(sum(CASE WHEN list_contains(string_split(reasons, ','), 'encoding')
+          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_encoding
+          |FROM gated GROUP BY source ORDER BY source""".stripMargin),
+
+    "q_gate_dedup_pipeline" ->
+      ("WITH planted AS (\n" + PlantedQualitySql + "),\n" +
+        """corpus AS (
+          |  SELECT doc_id, source, text FROM planted
+          |  UNION ALL
+          |  SELECT doc_id + 2000000000 AS doc_id, source, text FROM planted
+          |  WHERE doc_id % 7 = 0),
+          |""".stripMargin +
+        gateChainSql("corpus", minStop = 1) + ",\n" +
+        """keptx AS (
+          |  SELECT g.doc_id, g.source, g.n_words, c.text
+          |  FROM gated g JOIN corpus c USING (doc_id) WHERE g.keep = 1),
+          |canonical AS (
+          |  SELECT min(doc_id) AS doc_id FROM keptx GROUP BY md5(text)),
+          |uniq AS (SELECT k.* FROM keptx k JOIN canonical USING (doc_id)),
+          |tot AS (
+          |  SELECT source, CAST(count(*) AS BIGINT) AS docs_total,
+          |    CAST(sum(keep) AS BIGINT) AS gate_kept
+          |  FROM gated GROUP BY source),
+          |ded AS (
+          |  SELECT source, CAST(count(*) AS BIGINT) AS dedup_kept,
+          |    CAST(sum(n_words) AS BIGINT) AS words_kept
+          |  FROM uniq GROUP BY source)
+          |SELECT t.source, t.docs_total, t.gate_kept, d.dedup_kept,
+          |  d.words_kept
+          |FROM tot t JOIN ded d USING (source) ORDER BY source""".stripMargin),
 
     "q_source_mix" ->
       """WITH b AS (

@@ -17,6 +17,16 @@ final case class SessionOut(
     session_end: Long,
     n_events: Long)
 
+/** Thresholds for the quality-gate stage of
+  * [[StreamOps.curateAllWithHistory]] — the configurable knobs of
+  * [[graft.operators.Curation.qualityGate]] (the remaining Gopher rules
+  * are fixed ratios from the paper). */
+final case class GateConfig(
+    minWords: Long = 50L,
+    maxWords: Long = 100000L,
+    minStopwords: Int = 2,
+    repN: Int = 3)
+
 /** Streaming counterparts of the batch temporal operators: watermarked
   * tumbling-window aggregation and gap-based sessionization with custom
   * state (`flatMapGroupsWithState`) — the Structured Streaming surface the
@@ -369,13 +379,22 @@ object StreamOps {
 
   /** The FULL streaming curation pipeline: all four dedup
     * granularities against their persisted histories in ONE
-    * foreachBatch — byte-exact ([[graft.store.FingerprintIndex]]) →
-    * whole-doc near-dup ([[graft.store.NearDupIndex]]) → verbatim-region
-    * scrub ([[graft.store.GramIndex]]) → paraphrase
+    * foreachBatch — optional quality GATE
+    * ([[graft.operators.Curation.qualityGate]]) → byte-exact
+    * ([[graft.store.FingerprintIndex]]) → whole-doc near-dup
+    * ([[graft.store.NearDupIndex]]) → verbatim-region scrub
+    * ([[graft.store.GramIndex]]) → paraphrase
     * ([[graft.operators.CellIndex]] semantic ingest). Input rows carry
     * (doc_id, text, embedding, ...); the sink receives the canonical,
     * span-scrubbed survivors (original columns with `text` replaced by
     * (n_kept, scrubbed_text)).
+    *
+    * With `gate` set, the Gopher quality rules run FIRST (cheapest
+    * stage, pure map + one hash-agg — drop junk before paying any
+    * index probe) and `gateSink` receives the whole gated frame (keep
+    * and drop rows with `reasons`): route `keep = 0` rows to a reject
+    * store, aggregate [[graft.operators.Curation.curationReport]] over
+    * it per batch, or both.
     *
     * CRASH-RECOVERY CONTRACT (the composition guarantee, specced by
     * the StreamOpsSpec kill-point matrix): the four stores commit
@@ -391,11 +410,16 @@ object StreamOps {
     * induction over the stage order, EVERY kill point replays to the
     * same four store states and the same sink rows — at-least-once
     * into an idempotent sink converges to exactly-once with no
-    * cross-store transaction.
+    * cross-store transaction. The gate extends the induction at its
+    * base: it is a pure per-document function with NO store commit, so
+    * a replayed batch re-derives the identical keeps (feeding the
+    * stores the identical frame) and the identical gated rows
+    * (`gateSink` shares the sink's idempotence contract).
     *
-    * `onStage` fires after each store's commit ("exact", "neardup",
-    * "spans", "semantic") and before the sink — an instrumentation
-    * seam (telemetry, and the spec's crash injection). */
+    * `onStage` fires after each stage commits ("gate" — only when a
+    * gate is configured — then "exact", "neardup", "spans",
+    * "semantic") and before the sink — an instrumentation seam
+    * (telemetry, and the spec's crash injection). */
   def curateAllWithHistory(
       docs: DataFrame,
       exact: graft.store.FingerprintIndex,
@@ -407,6 +431,8 @@ object StreamOps {
       minKeptTokens: Int = 15,
       thresholdMicro: Long = 300000L,
       nprobe: Int = 1,
+      gate: Option[GateConfig] = None,
+      gateSink: DataFrame => Unit = _ => (),
       onStage: String => Unit = _ => ())(
       sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
@@ -414,7 +440,8 @@ object StreamOps {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         curateAllBatch(batch, exact, nearDup, grams, semantic,
-          boilerplate, minKeptTokens, thresholdMicro, nprobe, onStage)(sink)
+          boilerplate, minKeptTokens, thresholdMicro, nprobe,
+          gate, gateSink, onStage)(sink)
       }
       .start()
 
@@ -433,9 +460,22 @@ object StreamOps {
       minKeptTokens: Int,
       thresholdMicro: Long,
       nprobe: Int,
+      gate: Option[GateConfig],
+      gateSink: DataFrame => Unit,
       onStage: String => Unit)(sink: DataFrame => Unit): Unit = {
-    val cleaned = scrubHead(batch, boilerplate).persist()
+    val headScrubbed = scrubHead(batch, boilerplate)
+    // gate first: pure per-doc rules are the cheapest stage, so junk
+    // never reaches an index probe; the gated frame is persisted once
+    // and serves BOTH the gate sink and the store legs
+    val gated = gate.map(g => graft.operators.Curation.qualityGate(
+      headScrubbed, minWords = g.minWords, maxWords = g.maxWords,
+      minStopwords = g.minStopwords, repN = g.repN).persist())
+    val cleaned = gated
+      .map(_.filter(col("keep") === 1).drop("n_words", "keep", "reasons"))
+      .getOrElse(headScrubbed)
+      .persist()
     try {
+      gated.foreach { gd => gateSink(gd); onStage("gate") }
       val exactCanonical = exact.ingestResolved(cleaned)
       onStage("exact")
       val ndSurvivors = nearDup.ingest(exactCanonical)
@@ -459,7 +499,10 @@ object StreamOps {
       onStage("semantic")
       sink(keptDocs.join(
         emitted.select(col("vec_id").as("doc_id")), Seq("doc_id")))
-    } finally cleaned.unpersist(false)
+    } finally {
+      cleaned.unpersist(false)
+      gated.foreach(_.unpersist(false))
+    }
   }
 
   /** Streaming SEMANTIC dedup at ingestion: each micro-batch of

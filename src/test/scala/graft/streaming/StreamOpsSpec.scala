@@ -437,14 +437,21 @@ class StreamOpsSpec extends SparkSuite {
     assert(grams.grams.count() > 0)
   }
 
-  // ---- curateAllWithHistory: the four-granularity composition --------
+  // ---- curateAllWithHistory: gate + four history granularities -------
 
   private val CurateBase = "the quick brown fox jumps over the lazy dog " +
     "while seventeen sleepy penguins waddle across the frozen antarctic " +
     "shelf carrying small wooden crates of pickled herring toward the " +
     "waiting ship anchored beyond the ridge"
-  private val CurateRun = (1 to 8).map(i => s"r$i").mkString(" ")
+  // run tokens are 4+ chars so docs quoting the run still clear the
+  // gate's mean-word-length floor (3 chars/word)
+  private val CurateRun = (1 to 8).map(i => s"run$i").mkString(" ")
   private val CurateDoc2 = s"opening words here $CurateRun closing words"
+  // spec gate: word-count floor low enough for the short test docs,
+  // stopword rule off (several intentionally stopword-free docs must
+  // reach the store legs); the fixed Gopher ratio rules stay live
+  private val CurateGate = GateConfig(
+    minWords = 2L, maxWords = 500L, minStopwords = 0)
 
   private case class CurateStores(
       exact: graft.store.FingerprintIndex,
@@ -480,16 +487,23 @@ class StreamOpsSpec extends SparkSuite {
   //  12 = novel head + doc 2's verbatim 8-run -> region excised, emitted
   //  13 = novel text, paraphrase embedding of doc 2 -> dropped semantic
   //  14 = fully novel                     -> emitted untouched
+  //  15 = one-word junk                   -> dropped at the GATE
+  //       (never reaches any index — no fingerprint/band/gram/vector)
   private def curateVictim = Seq(
     (10L, CurateBase, Array(0.9f, 0.1f, 0f, 0f)),
     (11L, CurateBase.replace("fox", "zesty"), Array(0.9f, 0f, 0.1f, 0f)),
     (12L, s"nov1 nov2 nov3 nov4 $CurateRun", Array(0f, 1f, 0f, 0f)),
     (13L, "entirely different prose about orbital transfer windows",
       Array(0.01f, 0f, 1f, 0f)),
-    (14L, "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10", Array(0f, 0f, 0f, 1f)))
+    (14L, "mason turbine valley copper lantern meadow drift harbor " +
+      "stone petal", Array(0f, 0f, 0f, 1f)),
+    (15L, "tiny", Array(0.3f, 0.3f, 0.3f, 0.3f)))
 
   private def curateProcess(st: CurateStores, rows: Seq[(Long, String,
-      Array[Float])], kill: Option[String]): Seq[(Long, Long, String)] = {
+      Array[Float])], kill: Option[String],
+      gateDrops: scala.collection.mutable.ArrayBuffer[(Long, String)] =
+        scala.collection.mutable.ArrayBuffer.empty)
+      : Seq[(Long, Long, String)] = {
     import spark.implicits._
     val out =
       scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
@@ -498,6 +512,10 @@ class StreamOpsSpec extends SparkSuite {
       st.exact, st.near, st.grams, st.cell,
       boilerplate = Seq.empty, minKeptTokens = 3,
       thresholdMicro = 900000L, nprobe = 1,
+      gate = Some(CurateGate),
+      gateSink = gd => gateDrops ++= gd.filter($"keep" === 0)
+        .select($"doc_id", $"reasons").collect()
+        .map(r => (r.getLong(0), r.getString(1))),
       onStage = s => if (kill.contains(s))
         throw new RuntimeException(s"injected crash after $s commit")) {
       df =>
@@ -518,8 +536,8 @@ class StreamOpsSpec extends SparkSuite {
         .collect().map(_.getLong(0)).sorted.toSeq)
   }
 
-  test("curateAllWithHistory: one stream, four history granularities — " +
-    "exact, edited, quoted-region, paraphrase") {
+  test("curateAllWithHistory: one stream, five stages — gate, exact, " +
+    "edited, quoted-region, paraphrase") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val st = freshCurateStores()
@@ -527,18 +545,23 @@ class StreamOpsSpec extends SparkSuite {
     val df = input.toDF().toDF("doc_id", "text", "embedding")
     val emitted =
       scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    val gateRows =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Int, String)]
     val ckpt = java.nio.file.Files.createTempDirectory("cah-ckpt")
     val q = StreamOps.curateAllWithHistory(df, st.exact, st.near,
       st.grams, st.cell, boilerplate = Seq.empty,
       checkpointDir = ckpt.toString, minKeptTokens = 3,
-      thresholdMicro = 900000L) { out =>
+      thresholdMicro = 900000L, gate = Some(CurateGate),
+      gateSink = gd => gateRows ++= gd
+        .select($"doc_id", $"keep", $"reasons").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))) { out =>
       emitted ++= out.select($"doc_id", $"n_kept", $"scrubbed_text")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     }
     input.addData(curateSeed: _*)
     q.processAllAvailable()
     assert(emitted.map(_._1).sorted.toSeq === Seq(1L, 2L))
-    emitted.clear()
+    emitted.clear(); gateRows.clear()
     input.addData(curateVictim: _*)
     q.processAllAvailable()
     q.stop()
@@ -547,6 +570,18 @@ class StreamOpsSpec extends SparkSuite {
     val doc12 = emitted.find(_._1 == 12L).get
     assert(doc12._2 === 4L && doc12._3 === "nov1 nov2 nov3 nov4",
       "doc 2's quoted region must be excised from doc 12")
+    // the gate saw the whole batch (keeps AND drops) with reasons —
+    // the frame a per-batch curationReport aggregates
+    assert(gateRows.sortBy(_._1).toSeq === Seq(
+      (10L, 1, ""), (11L, 1, ""), (12L, 1, ""), (13L, 1, ""),
+      (14L, 1, ""), (15L, 0, "too_few_words")),
+      s"gate frame wrong: $gateRows")
+    // the gate-dropped doc reached NO index: no fingerprint, no band
+    // assignment, no grams, no vector
+    assert(st.exact.fingerprints.filter($"doc_id" === 15L).count() === 0)
+    assert(st.near.assignments.filter($"doc_id" === 15L).count() === 0)
+    assert(st.grams.grams.filter($"doc_id" === 15L).count() === 0)
+    assert(st.cell.vectors.filter($"vec_id" === 15L).count() === 0)
     // each index registered its own granularity's verdicts
     assert(st.near.assignments.filter($"doc_id" === 11L)
       .select($"canonical_id").collect().map(_.getLong(0)).toSeq === Seq(1L))
@@ -554,25 +589,33 @@ class StreamOpsSpec extends SparkSuite {
   }
 
   test("curateAllWithHistory kill-point matrix: a crash between ANY two " +
-    "store commits replays to identical store states and emissions") {
+    "stage commits replays to identical store states and emissions") {
     // baseline: no crash
     val base = freshCurateStores()
     curateProcess(base, curateSeed, None)
-    val emitBase = curateProcess(base, curateVictim, None)
+    val dropsBase =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val emitBase = curateProcess(base, curateVictim, None, dropsBase)
     val stateBase = curateState(base)
     assert(emitBase.map(_._1) === Seq(12L, 14L))
+    assert(dropsBase.toSeq === Seq((15L, "too_few_words")),
+      "the gate must book exactly the one-word junk doc")
 
-    for (kill <- Seq("exact", "neardup", "spans", "semantic")) {
+    for (kill <- Seq("gate", "exact", "neardup", "spans", "semantic")) {
       val st = freshCurateStores()
       curateProcess(st, curateSeed, None)
       val e = intercept[RuntimeException] {
         curateProcess(st, curateVictim, Some(kill))
       }
       assert(e.getMessage.contains(kill))
-      // the retry: same batch, indexes up to `kill` already advanced
-      val emitReplay = curateProcess(st, curateVictim, None)
+      // the retry: same batch, stages up to `kill` already effected
+      // (the gate commits nothing — its replay case is re-derivation)
+      val drops = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      val emitReplay = curateProcess(st, curateVictim, None, drops)
       assert(emitReplay === emitBase,
         s"kill@$kill: replay emission diverged")
+      assert(drops.toSeq === dropsBase.toSeq,
+        s"kill@$kill: replay gate drops diverged")
       assert(curateState(st) === stateBase,
         s"kill@$kill: store states diverged")
       // and a SECOND full replay (crash after sink, before the offset
