@@ -75,26 +75,46 @@ object Bloom {
       keyCol: String,
       bitsPerKey: Int = 10,
       numHashes: Int = 3): BloomBits = {
-    require(bitsPerKey >= 1, s"bitsPerKey must be >= 1, got $bitsPerKey")
-    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
     // persisted across the two build actions (count sizes the filter,
     // positions fill it) so the key derivation — often an n-gram
     // explode over the reference corpus — runs once, not twice
     val distinctKeys = keys.select(col(keyCol)).na.drop().distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val n = distinctKeys.count()
-      if (n == 0L) return BloomBits(0, numHashes, Array.empty)
-      val numBits = math.toIntExact(((n * bitsPerKey + 63L) / 64L) * 64L)
-      val positions = distinctKeys
-        .select(explode(array((0 until numHashes).map(i =>
-          pmod(xxhash64(col(keyCol), lit(i)), lit(numBits.toLong))
-            .cast("int")): _*)).as("pos"))
-        .distinct()
-        .collect().map(_.getInt(0))
-      val words = new Array[Long](numBits / 64)
-      positions.foreach(p => words(p >>> 6) |= 1L << (p & 63))
-      BloomBits(numBits, numHashes, words)
-    } finally distinctKeys.unpersist(false)
+    try fill(distinctKeys, keyCol, distinctKeys.count(), bitsPerKey,
+      numHashes)
+    finally distinctKeys.unpersist(false)
+  }
+
+  /** [[build]] when the caller already knows the distinct-key count
+    * (it rode an earlier aggregation — the incremental indexes count
+    * per-bucket keys for their ratio gates anyway): skips the sizing
+    * count action, ONE Spark job instead of two. `n` must be the exact
+    * non-null distinct count of `keyCol`; a wrong `n` only mis-sizes
+    * the filter (bits wasted or a higher false-positive rate), never
+    * its no-false-negative contract. */
+  def buildWithKnownCount(
+      keys: DataFrame,
+      keyCol: String,
+      n: Long,
+      bitsPerKey: Int = 10,
+      numHashes: Int = 3): BloomBits =
+    fill(keys.select(col(keyCol)).na.drop().distinct(), keyCol, n,
+      bitsPerKey, numHashes)
+
+  private def fill(distinctKeys: DataFrame, keyCol: String, n: Long,
+      bitsPerKey: Int, numHashes: Int): BloomBits = {
+    require(bitsPerKey >= 1, s"bitsPerKey must be >= 1, got $bitsPerKey")
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+    if (n == 0L) return BloomBits(0, numHashes, Array.empty)
+    val numBits = math.toIntExact(((n * bitsPerKey + 63L) / 64L) * 64L)
+    val positions = distinctKeys
+      .select(explode(array((0 until numHashes).map(i =>
+        pmod(xxhash64(col(keyCol), lit(i)), lit(numBits.toLong))
+          .cast("int")): _*)).as("pos"))
+      .distinct()
+      .collect().map(_.getInt(0))
+    val words = new Array[Long](numBits / 64)
+    positions.foreach(p => words(p >>> 6) |= 1L << (p & 63))
+    BloomBits(numBits, numHashes, words)
   }
 }

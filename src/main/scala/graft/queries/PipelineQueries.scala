@@ -220,8 +220,11 @@ object PipelineQueries {
     "q_neardup_probe" -> ((s, dir) => {
       val batch = docs(s, dir).filter(col("doc_id") % 10 === 0)
         .withColumn("doc_id", col("doc_id") + 1000000000L)
+      // single-partition sort, not a global orderBy: the probe result
+      // is tiny (≈ batch size) and a range sort's sampling pass
+      // re-executes the un-checkpointed confirm leg
       nearDupProbeIndex(s, dir).probe(batch)
-        .orderBy(col("doc_id"), col("hist_id"))
+        .repartition(1).sortWithinPartitions(col("doc_id"), col("hist_id"))
     }),
 
     // incremental near-dup INGEST: two consecutive batches through the

@@ -141,7 +141,10 @@ final class FingerprintIndex(spark: SparkSession, path: String,
         touched.size / buckets
     if (nKeys > 0 && nKeys <= bloomMaxKeys &&
         estTouchedRows >= bloomMinHistoryRatio * nKeys) {
-      val bloom = graft.operators.Bloom.build(fps.select(col("__fp")), "__fp")
+      // nKeys IS the exact distinct count (per-bucket distinct sums,
+      // bucket a pure function of the key) — skip the sizing action
+      val bloom = graft.operators.Bloom.buildWithKnownCount(
+        fps.select(col("__fp")), "__fp", nKeys)
       pruned.filter(bloom.mightContain(col("fp")))
     } else pruned
   }

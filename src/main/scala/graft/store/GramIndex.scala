@@ -176,7 +176,10 @@ final class GramIndex(spark: SparkSession, path: String,
             touched.size / buckets
         if (nKeys > 0 && nKeys <= bloomMaxKeys &&
             estTouchedRows >= bloomMinHistoryRatio * nKeys) {
-          val bloom = graft.operators.Bloom.build(g, "k")
+          // nKeys IS the exact distinct count (per-bucket distinct
+          // sums, bucket a pure function of k) — skip the sizing action
+          val bloom = graft.operators.Bloom.buildWithKnownCount(
+            g, "k", nKeys)
           pruned.filter(bloom.mightContain(col("k")))
         } else pruned
     }

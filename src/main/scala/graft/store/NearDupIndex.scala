@@ -234,8 +234,10 @@ final class NearDupIndex(spark: SparkSession, path: String,
         NearDupIndex.BytesPerPostingRow * touched.size / buckets
     val hist = (if (nKeys > 0 && nKeys <= bloomMaxKeys &&
         estTouchedRows >= bloomMinHistoryRatio * nKeys) {
-      val bloom = graft.operators.Bloom.build(
-        bands.select(bk.as("__bk")), "__bk")
+      // nKeys IS the exact distinct count (per-bucket distinct sums,
+      // bucket a pure function of the key) — skip the sizing action
+      val bloom = graft.operators.Bloom.buildWithKnownCount(
+        bands.select(bk.as("__bk")), "__bk", nKeys)
       pruned.filter(bloom.mightContain(bk))
     } else pruned)
       .select(col("band"), col("key"), col("doc_id").as("hist_id"))
@@ -245,8 +247,14 @@ final class NearDupIndex(spark: SparkSession, path: String,
       .filter(col("doc_id") =!= col("hist_id"))
       .select(col("doc_id"), col("hist_id")).distinct()
       .localCheckpoint(true)
-    val candBuckets = cands.select(idBucket(col("hist_id")).as("__b"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+    // one action serves BOTH the bucket pruning list and the broadcast
+    // gate's candidate count: the probe is job-overhead-bound at small
+    // batch sizes (measured 25 jobs ≤ 0.33 s each at sf0.1), so every
+    // collect saved is wall time
+    val candStats = cands.groupBy(idBucket(col("hist_id")).as("__b"))
+      .agg(count(lit(1)).as("__n")).collect()
+    val candBuckets = candStats.map(_.getInt(0)).toSeq
+    val nCands = candStats.map(_.getLong(1)).sum
     if (candBuckets.isEmpty) return emptyMatches
     // join the (LSH-bounded, checkpointed — sizes known) candidate set
     // to the RAW docs scan and collapse after: aggregating the whole
@@ -262,11 +270,12 @@ final class NearDupIndex(spark: SparkSession, path: String,
       .select(col("doc_id").as("hist_id"), col("text_norm"))
     // candidates are LSH-bounded relative to the BATCH, but the batch
     // itself is unbounded (a corpus-sized backfill), so the broadcast
-    // hint is gated on a cheap count over the checkpointed frame —
-    // past the threshold fall back to the planner-chosen join rather
-    // than fail on driver/broadcast limits (mirrors bloomMaxKeys)
+    // hint is gated on the candidate count (free — it rides the
+    // candStats collect above) — past the threshold fall back to the
+    // planner-chosen join rather than fail on driver/broadcast limits
+    // (mirrors bloomMaxKeys)
     val candsHinted =
-      if (cands.count() <= broadcastMaxCandidates) broadcast(cands)
+      if (nCands <= broadcastMaxCandidates) broadcast(cands)
       else cands
     candsHinted.join(histDocs, Seq("hist_id"))
       .groupBy(col("doc_id"), col("hist_id"))
