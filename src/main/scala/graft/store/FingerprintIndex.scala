@@ -119,7 +119,7 @@ final class FingerprintIndex(spark: SparkSession, path: String,
     * scan, keeping the anti-join/ownership exchange proportional to
     * the BATCH rather than the history. Ratio-gated exactly like the
     * gram index (`bloomMinHistoryRatio` × batch keys of estimated
-    * touched rows, from stored bytes at ~40 B/row; `bloomMaxKeys`
+    * touched rows, from footer-derived committed rows; `bloomMaxKeys`
     * caps the filter literal) — here the filter build is one tiny
     * aggregate over per-doc fingerprints, so the gate's main job is
     * skipping pure overhead when history ≈ batch. `fpsCol` rows must
@@ -137,8 +137,7 @@ final class FingerprintIndex(spark: SparkSession, path: String,
       .filter(col("bucket").isInCollection(touched))
     val estTouchedRows =
       if (touched.isEmpty) 0L
-      else stats().bytes / FingerprintIndex.BytesPerFpRow *
-        touched.size / buckets
+      else FingerprintIndex.estRows(log, "") * touched.size / buckets
     if (nKeys > 0 && nKeys <= bloomMaxKeys &&
         estTouchedRows >= bloomMinHistoryRatio * nKeys) {
       // nKeys IS the exact distinct count (per-bucket distinct sums,
@@ -316,10 +315,18 @@ final class FingerprintIndex(spark: SparkSession, path: String,
 }
 
 object FingerprintIndex {
-  /** Measured stored-bytes-per-index-row estimator for the bloom ratio
-    * gate (hex fp + doc_id in snappy parquet — the same order as
-    * [[GramIndex.BytesPerGramRow]]; off by 2× only shifts the
-    * crossover). */
+  /** Committed fingerprint rows for the bloom ratio gate:
+    * footer-derived ([[ManifestLog.rowCount]], cached per immutable
+    * dir), falling back to bytes ÷ [[BytesPerFpRow]] only when footers
+    * are unreadable. */
+  private[store] def estRows(log: ManifestLog, cellPrefix: String): Long =
+    try log.rowCount(cellPrefix)
+    catch { case scala.util.control.NonFatal(_) =>
+      log.storeStats(cellPrefix).bytes / BytesPerFpRow }
+
+  /** Fallback-only bytes-per-index-row (hex fp + doc_id in snappy
+    * parquet — the same order as [[GramIndex.BytesPerGramRow]]; used
+    * only when parquet footers cannot be read). */
   val BytesPerFpRow: Long = 40L
 
   val LevelPrefixes: Seq[String] = Seq("bucket=")

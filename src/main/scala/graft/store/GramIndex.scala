@@ -146,8 +146,8 @@ final class GramIndex(spark: SparkSession, path: String,
     *     wouldn't shrink — the shuffle join IS the right plan there;
     *     measured in PROFILE.md round-9), and below
     *     `bloomMinHistoryRatio` × the batch's keys of ESTIMATED
-    *     touched-history rows (stored bytes ÷ the measured ~37 B/row;
-    *     filesystem metadata only): building the filter costs three
+    *     touched-history rows (footer-derived committed rows, cached
+    *     per immutable dir; metadata only): building the filter costs three
     *     extra batch-side jobs, constant in history, which only pays
     *     once the history leg it shrinks is the dominant term —
     *     measured at 63× ratio as 9.6× less exchange (the
@@ -172,8 +172,7 @@ final class GramIndex(spark: SparkSession, path: String,
           .filter(col("bucket").isInCollection(touched))
         val estTouchedRows =
           if (touched.isEmpty) 0L
-          else stats().bytes / GramIndex.BytesPerGramRow *
-            touched.size / buckets
+          else GramIndex.estRows(log) * touched.size / buckets
         if (nKeys > 0 && nKeys <= bloomMaxKeys &&
             estTouchedRows >= bloomMinHistoryRatio * nKeys) {
           // nKeys IS the exact distinct count (per-bucket distinct
@@ -325,11 +324,20 @@ object GramIndex {
   final case class Stats(liveDirs: Int, cells: Int, files: Long,
       bytes: Long)
 
-  /** Measured stored-bytes-per-gram-row (snappy parquet of a 32-char
+  /** Committed gram rows for the bloom-prefilter ratio gate: the REAL
+    * footer-derived count ([[ManifestLog.rowCount]], cached per
+    * immutable dir so steady state pays one footer read per new
+    * commit), falling back to stored bytes ÷ [[BytesPerGramRow]] only
+    * if a footer is unreadable — the estimate is gate-only either way
+    * (off by 2× shifts the crossover, never correctness). */
+  private[store] def estRows(log: ManifestLog): Long =
+    try log.rowCount()
+    catch { case scala.util.control.NonFatal(_) =>
+      log.storeStats().bytes / BytesPerGramRow }
+
+  /** Fallback-only bytes-per-gram-row (snappy parquet of a 32-char
     * key + doc_id + bucket; 277 MB / 7.4M rows at the 64× profile) —
-    * the row-count estimator behind the bloom-prefilter ratio gate.
-    * An estimate is all the gate needs: off by 2× either way just
-    * shifts the crossover, never correctness. */
+    * used by [[estRows]] only when parquet footers cannot be read. */
   val BytesPerGramRow: Long = 38L
 
   val LevelPrefixes: Seq[String] = Seq("bucket=")

@@ -134,6 +134,49 @@ final class ManifestLog(spark: SparkSession, path: String,
         dirCells.map(_._1).distinct.size, entries.size, files, bytes)
   }
 
+  /** Committed row count for cells under `cellPrefix`, from parquet
+    * FOOTERS only (no data scan). Data dirs are immutable once
+    * committed — compaction writes NEW dirs, never rewrites old ones —
+    * so per-(dir, cell) counts are cached JVM-wide: a steady-state
+    * micro-batch pays footer reads only for the one dir its own commit
+    * just added. This is what lets size-derived heuristics (the bloom
+    * ratio gates) use REAL committed rows instead of a bytes-per-row
+    * literal that drifts with schema or compression changes. Throws if
+    * a footer is unreadable; callers that only need an estimate catch
+    * and fall back to a bytes-based one. */
+  def rowCount(cellPrefix: String = ""): Long = resolve() match {
+    case None => 0L
+    case Some((_, allEntries)) =>
+      val conf = spark.sparkContext.hadoopConfiguration
+      val dirCells = allEntries.filter(_._1.startsWith(cellPrefix)).toSeq
+        .flatMap { case (cell, dirs) => dirs.map(_ -> cell) }.distinct
+      dirCells.map { case (dir, cell) =>
+        val key = (path, dir, cell)
+        val cached = ManifestLog.rowCache.get(key)
+        if (cached != null) cached.longValue()
+        else {
+          val leaf = new Path(cellBase(dir), cell)
+          var rows = 0L
+          if (f.exists(leaf))
+            f.listStatus(leaf).foreach { st =>
+              if (st.getPath.getName.endsWith(".parquet")) {
+                val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+                  org.apache.parquet.hadoop.util.HadoopInputFile
+                    .fromStatus(st, conf))
+                try rows += r.getRecordCount finally r.close()
+              }
+            }
+          // cap, don't evict-by-age: entries are ~100 B and only grow
+          // with distinct immutable dirs; a clear past the cap is a
+          // re-read, never a correctness risk
+          if (ManifestLog.rowCache.size > 100000)
+            ManifestLog.rowCache.clear()
+          ManifestLog.rowCache.put(key, java.lang.Long.valueOf(rows))
+          rows
+        }
+      }.sum
+  }
+
   /** Writer-unique data dir name for a commit targeting version `v`.
     * The version prefix is advisory (ordering comes from manifest
     * numbers alone); the nonce keeps two racing writers' Spark write
@@ -326,4 +369,10 @@ object ManifestLog {
   /** Filesystem-level table economics; see [[ManifestLog.storeStats]]. */
   final case class StoreStats(liveDirs: Int, cells: Int, files: Long,
       bytes: Long)
+
+  /** (table path, dir, cell) -> parquet footer row sum. Safe to share
+    * JVM-wide because committed data dirs are write-once. */
+  private val rowCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String),
+      java.lang.Long]()
 }

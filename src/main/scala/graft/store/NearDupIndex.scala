@@ -230,8 +230,7 @@ final class NearDupIndex(spark: SparkSession, path: String,
     val pruned = log.readEntries(postingEntries, postingsSchema)
       .filter(col("bucket").isInCollection(touched))
     val estTouchedRows =
-      log.storeStats("kind=postings").bytes /
-        NearDupIndex.BytesPerPostingRow * touched.size / buckets
+      NearDupIndex.estPostingRows(log) * touched.size / buckets
     val hist = (if (nKeys > 0 && nKeys <= bloomMaxKeys &&
         estTouchedRows >= bloomMinHistoryRatio * nKeys) {
       // nKeys IS the exact distinct count (per-bucket distinct sums,
@@ -542,10 +541,18 @@ final class NearDupIndex(spark: SparkSession, path: String,
 }
 
 object NearDupIndex {
-  /** Stored-bytes-per-posting-row estimator for the bloom ratio gate
-    * (band int + 32-char key + doc_id in snappy parquet — the
-    * [[GramIndex.BytesPerGramRow]] order; off by 2× only shifts the
-    * crossover). */
+  /** Committed posting rows for the bloom ratio gate: footer-derived
+    * ([[ManifestLog.rowCount]] restricted to the postings kind, cached
+    * per immutable dir), falling back to bytes ÷ [[BytesPerPostingRow]]
+    * only when footers are unreadable. */
+  private[store] def estPostingRows(log: ManifestLog): Long =
+    try log.rowCount("kind=postings")
+    catch { case scala.util.control.NonFatal(_) =>
+      log.storeStats("kind=postings").bytes / BytesPerPostingRow }
+
+  /** Fallback-only bytes-per-posting-row (band int + 32-char key +
+    * doc_id in snappy parquet — the [[GramIndex.BytesPerGramRow]]
+    * order; used only when parquet footers cannot be read). */
   val BytesPerPostingRow: Long = 45L
 
   val LevelPrefixes: Seq[String] = Seq("kind=", "bucket=")

@@ -188,4 +188,27 @@ class GramIndexSpec extends SparkSuite {
       "compaction must supersede fragmented batch dirs")
     assert(idx.grams.count() === rows, "no rows lost")
   }
+
+  test("ManifestLog.rowCount derives real committed rows from parquet " +
+    "footers — the bloom ratio gate's estimator — and survives " +
+    "compaction and fresh-instance reads") {
+    import spark.implicits._
+    val p = tmp()
+    val idx = new GramIndex(spark, p, w = 8, buckets = 4)
+    val log = new ManifestLog(spark, p, 3, None)
+    assert(log.rowCount() === 0L, "empty table counts zero")
+    (0 until 3).foreach(b => idx.ingest(Seq((b.toLong,
+      (0 until 20).map(j => s"t${b}_$j").mkString(" ")))
+      .toDF("doc_id", "text")))
+    val rows = idx.grams.count()
+    assert(log.rowCount() === rows,
+      "footer sum must equal the actual committed row count")
+    assert(GramIndex.estRows(log) === rows,
+      "gate estimator uses the real count, not the bytes literal")
+    assert(idx.compactIfNeeded(maxLiveDirs = 1) > 0)
+    // fresh instance: no warm cache for the new compacted dir, and the
+    // superseded dirs' cached counts must not leak into the sum
+    val log2 = new ManifestLog(spark, p, 3, None)
+    assert(log2.rowCount() === rows, "compaction preserves the count")
+  }
 }

@@ -154,4 +154,20 @@ class NearDupIndexSpec extends SparkSuite {
     // replays re-derive identical verdicts through both paths
     assert(ingestRows(on) === wOn && ingestRows(off) === wOn)
   }
+
+  test("rowCount restricted to the postings kind counts only postings " +
+    "rows — the ratio gate's estimator on a multi-kind table") {
+    import spark.implicits._
+    val p = tmp()
+    val idx = new NearDupIndex(spark, p, buckets = 8)
+    idx.append(Seq((1L, base), (2L, unrelated)).toDF("doc_id", "text"))
+    idx.append(Seq((3L, edited + " extra tail words here")).toDF(
+      "doc_id", "text"))
+    val log = new ManifestLog(spark, p, 3, None)
+    assert(log.rowCount("kind=postings") === idx.postings.count(),
+      "prefix restriction must exclude the docs kind")
+    assert(log.rowCount() > log.rowCount("kind=postings"),
+      "the unrestricted count includes the docs rows too")
+    assert(NearDupIndex.estPostingRows(log) === idx.postings.count())
+  }
 }
