@@ -45,6 +45,14 @@ final class CellIndex(spark: SparkSession, path: String) {
       .sortBy(_._1)
   }
 
+  /** The generation dir name a pointer file references. */
+  private def genOf(p: Path): String = {
+    val in = Fs.fs(spark, path).open(p)
+    try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    finally in.close()
+  }
+
   /** Root of the CURRENT generation (falls back to `path` itself before
     * the first commit, so a not-yet-built index fails with the usual
     * path-not-found, not a pointer error). Resolved ONCE at the start of
@@ -54,14 +62,7 @@ final class CellIndex(spark: SparkSession, path: String) {
   private def root: String = {
     val vs = committedVersions
     if (vs.isEmpty) path
-    else {
-      val in = Fs.fs(spark, path).open(vs.last._2)
-      val gen =
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim
-        finally in.close()
-      s"$path/$gen"
-    }
+    else s"$path/${genOf(vs.last._2)}"
   }
 
   /** Publish `gen` as the next version: bump past the current tip until
@@ -299,6 +300,143 @@ final class CellIndex(spark: SparkSession, path: String) {
       buildLearnedInto(g, emb, kCoarse, iters)
       pqShape.foreach { case (m, kPq) => buildPqInto(g, m, kPq, iters) }
     }
+  }
+
+  // ────────────────────────── store maintenance ─────────────────────────
+
+  /** Index economics from filesystem METADATA only (no data scan), the
+    * [[graft.store.GramIndex.stats]] contract for the one store family
+    * that versions by generation pointer instead of manifest: committed
+    * generations, the CURRENT generation's cell count, per-table parquet
+    * file counts and bytes, and the worst per-cell file fan-out — the
+    * gauge [[compactIfNeeded]] consults. Every [[append]] adds one file
+    * per touched cell (two with the PQ half), so a long append stream
+    * fragments cell dirs exactly like gram buckets. */
+  def stats(): CellIndex.Stats = {
+    val f = Fs.fs(spark, path)
+    val r = root
+    def leafStats(table: String): (Int, Long, Long, Int) = {
+      val base = new Path(s"$r/$table")
+      if (!f.exists(base)) (0, 0L, 0L, 0)
+      else {
+        val cells = f.listStatus(base).toSeq.filter(st =>
+          st.isDirectory && st.getPath.getName.startsWith("cell="))
+        var files = 0L; var bytes = 0L; var worst = 0
+        cells.foreach { c =>
+          val parts = f.listStatus(c.getPath)
+            .filter(_.getPath.getName.endsWith(".parquet"))
+          files += parts.length
+          bytes += parts.map(_.getLen).sum
+          worst = math.max(worst, parts.length)
+        }
+        (cells.size, files, bytes, worst)
+      }
+    }
+    val (vCells, vFiles, vBytes, vWorst) = leafStats("vectors")
+    val (_, cFiles, cBytes, cWorst) = leafStats("codes")
+    CellIndex.Stats(committedVersions.size, vCells, vFiles, vBytes,
+      cFiles, cBytes, math.max(vWorst, cWorst))
+  }
+
+  /** Rewrite the current generation's fragmented cell dirs into
+    * `filesPerCell` files per cell — vectors and, when materialized,
+    * codes — into a FRESH generation published through the pointer CAS.
+    * The trained quantizer, PQ codebooks, and drift baseline are carried
+    * over verbatim: compaction is a layout rewrite, never a retrain, so
+    * probe routing and ADC answers are bit-identical before and after.
+    * Readers are safe at any moment (they resolve the pointer once per
+    * operation and see old or new, never a mix); WRITERS share the
+    * single-writer discipline [[append]]/[[retrain]] already require —
+    * schedule compaction from the appending driver between batches,
+    * because an append landing in the old generation while the rewrite
+    * runs would not be copied into the new one.
+    * Returns the rewritten cell count (0 = nothing fragmented). */
+  def compact(filesPerCell: Int = 1): Int = {
+    require(filesPerCell >= 1, "filesPerCell must be >= 1")
+    val f = Fs.fs(spark, path)
+    val r = root
+    if (!f.exists(new Path(s"$r/vectors"))) return 0
+    val s = stats()
+    if (s.maxFilesPerCell <= filesPerCell) return 0
+    publishGen { g =>
+      def rewrite(table: String): Unit =
+        spark.read.parquet(s"$r/$table")
+          .withColumn("__salt",
+            pmod(xxhash64(col("vec_id").cast("string")), lit(filesPerCell)))
+          .repartition(math.max(s.cells * filesPerCell, 1),
+            col("cell"), col("__salt"))
+          .drop("__salt")
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("cell")
+          .parquet(s"$g/$table")
+      rewrite("vectors")
+      spark.read.parquet(s"$r/centroids").coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$g/centroids")
+      if (Fs.exists(spark, s"$r/codes")) rewrite("codes")
+      if (Fs.exists(spark, s"$r/codebooks"))
+        spark.read.parquet(s"$r/codebooks").coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(s"$g/codebooks")
+      baselineP95(r).foreach(writeBaseline(g, _))
+    }
+    s.cells
+  }
+
+  /** Run [[compact]] only once some cell's file fan-out exceeds
+    * `maxFilesPerCell` — cheap to call after every [[append]], pays only
+    * past the threshold (the [[graft.store.GramIndex.compactIfNeeded]]
+    * policy). */
+  def compactIfNeeded(maxFilesPerCell: Int = 8,
+      filesPerCell: Int = 1): Int = {
+    require(maxFilesPerCell >= 1, "maxFilesPerCell must be >= 1")
+    if (stats().maxFilesPerCell > maxFilesPerCell) compact(filesPerCell)
+    else 0
+  }
+
+  /** Drop generation pointers beyond the `keepVersions` most recent,
+    * then the generation dirs ONLY those expired pointers referenced
+    * (minus any a retained pointer still references) — the
+    * [[graft.store.ManifestLog.vacuum]] discipline: an in-flight
+    * build's dir is referenced by NO pointer yet and is never touched;
+    * a retained pointer that cannot be read aborts the vacuum rather
+    * than risk sweeping live data. Returns the reclaimed dir names. */
+  def vacuum(keepVersions: Int = 3): Seq[String] = {
+    require(keepVersions >= 1, "keepVersions must be >= 1")
+    val f = Fs.fs(spark, path)
+    val vs = committedVersions
+    val retained = vs.takeRight(keepVersions)
+    val expired = vs.dropRight(keepVersions)
+    if (expired.isEmpty) return Nil
+    val alive =
+      try retained.map(v => genOf(v._2)).toSet
+      catch { case scala.util.control.NonFatal(_) => return Nil }
+    val expiredRefs = expired.map { case (_, p) =>
+      p -> scala.util.Try(genOf(p)).toOption
+    }
+    val dead = expiredRefs.flatMap(_._2).toSet -- alive
+    // data before pointers: a crash in between re-runs idempotently
+    dead.foreach(g => f.delete(new Path(path, g), true))
+    expiredRefs.collect { case (p, Some(_)) => p }
+      .foreach(p => f.delete(p, false))
+    dead.toSeq.sorted
+  }
+
+  /** Offline reclamation of crashed-build leftovers: generation dirs no
+    * pointer references, last modified more than `olderThanMs` ago (the
+    * age guard keeps an in-flight build safe — its dir is fresh). Same
+    * contract as [[graft.store.ManifestLog.vacuumOrphans]]. */
+  def vacuumOrphans(olderThanMs: Long): Seq[String] = {
+    val f = Fs.fs(spark, path)
+    val referenced = committedVersions
+      .flatMap(v => scala.util.Try(genOf(v._2)).toOption).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val orphans = f.listStatus(new Path(path)).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("gen-") &&
+        !referenced.contains(st.getPath.getName) &&
+        st.getModificationTime < cutoff)
+      .map(_.getPath.getName)
+    orphans.foreach(g => f.delete(new Path(path, g), true))
+    orphans
   }
 
   // ─────────────────────────────── reads ────────────────────────────────
@@ -626,6 +764,11 @@ final class CellIndex(spark: SparkSession, path: String) {
 }
 
 object CellIndex {
+  /** Filesystem-level index economics; see [[CellIndex.stats]]. */
+  final case class Stats(generations: Int, cells: Int,
+      vectorFiles: Long, vectorBytes: Long,
+      codeFiles: Long, codeBytes: Long, maxFilesPerCell: Int)
+
   /** [[CellIndex.semanticIngest]] readout. */
   final case class SemanticIngestStats(
       appended: Long, replays: Long, historyDups: Long, batchDups: Long)
