@@ -302,6 +302,36 @@ final class CellIndex(spark: SparkSession, path: String) {
     }
   }
 
+  /** Pre-touch the current generation's filesystem metadata: walk every
+    * table dir and read every parquet footer, driver-side, no data
+    * scan. A freshly built/appended index pays a one-time cold
+    * listing/footer cost on its FIRST probe (the PROFILE round-9c
+    * outlier: 26.8 s vs 3.5 s steady state at 64×); a streaming driver
+    * that calls warm() at stream start moves that cost out of batch 1.
+    * Optional — latency only, never correctness. Returns the number of
+    * files touched. */
+  def warm(): Long = {
+    val f = Fs.fs(spark, path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val r = root
+    var files = 0L
+    def walk(p: Path): Unit = f.listStatus(p).foreach { st =>
+      if (st.isDirectory) walk(st.getPath)
+      else if (st.getPath.getName.endsWith(".parquet")) {
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(st, conf))
+        try rd.getRecordCount finally rd.close()
+        files += 1
+      }
+    }
+    Seq("vectors", "codes", "centroids", "codebooks").foreach { t =>
+      val base = new Path(s"$r/$t")
+      if (f.exists(base)) walk(base)
+    }
+    files
+  }
+
   // ────────────────────────── store maintenance ─────────────────────────
 
   /** Index economics from filesystem METADATA only (no data scan), the

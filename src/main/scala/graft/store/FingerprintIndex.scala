@@ -110,6 +110,17 @@ final class FingerprintIndex(spark: SparkSession, path: String,
 
   def exists: Boolean = log.hasAny
 
+  /** Pre-touch the live snapshot's filesystem metadata — list every
+    * cell leaf and read every parquet footer, driver-side, no data
+    * scan — so a fresh streaming driver's FIRST batch doesn't pay the
+    * cold listing/footer cost mid-batch (the PROFILE round-9c
+    * first-touch outlier). Also seeds the footer row-count cache the
+    * bloom ratio gate reads. Optional: skipping it costs latency on
+    * batch 1 only, never correctness. Returns the committed rows. */
+  def warm(): Long =
+    try log.rowCount()
+    catch { case scala.util.control.NonFatal(_) => 0L }
+
   /** History rows pruned to what this batch's fingerprints can match,
     * the [[GramIndex]] two-layer discipline: (1) only the md5-prefix
     * bucket partitions the batch touches — decisive for tiny batches

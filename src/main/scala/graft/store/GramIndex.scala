@@ -109,6 +109,16 @@ final class GramIndex(spark: SparkSession, path: String,
 
   def exists: Boolean = log.hasAny
 
+  /** Pre-touch the live snapshot's filesystem metadata (list cell
+    * leaves + read parquet footers, driver-side) so a fresh streaming
+    * driver's first batch doesn't pay the cold listing/footer cost
+    * mid-batch; also seeds the footer row-count cache behind the bloom
+    * ratio gate. Optional — batch-1 latency only, never correctness.
+    * Returns the committed rows. */
+  def warm(): Long =
+    try log.rowCount()
+    catch { case scala.util.control.NonFatal(_) => 0L }
+
   /** The committed gram table: (k, doc_id, bucket). */
   def grams: DataFrame = log.resolve() match {
     case None => log.emptyDf(GramIndex.schema)

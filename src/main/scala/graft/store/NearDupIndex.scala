@@ -150,6 +150,16 @@ final class NearDupIndex(spark: SparkSession, path: String,
 
   def exists: Boolean = log.hasAny
 
+  /** Pre-touch the live snapshot's filesystem metadata (list cell
+    * leaves + read parquet footers for BOTH kinds, driver-side) so a
+    * fresh streaming driver's first batch doesn't pay the cold
+    * listing/footer cost mid-batch; also seeds the footer row-count
+    * cache behind the bloom ratio gate. Optional — batch-1 latency
+    * only, never correctness. Returns the committed rows. */
+  def warm(): Long =
+    try log.rowCount()
+    catch { case scala.util.control.NonFatal(_) => 0L }
+
   /** The committed band postings: (band, key, doc_id, kind, bucket). */
   def postings: DataFrame = log.resolve() match {
     case None => log.emptyDf(postingsSchema)

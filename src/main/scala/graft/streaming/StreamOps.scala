@@ -419,7 +419,14 @@ object StreamOps {
     * `onStage` fires after each stage commits ("gate" — only when a
     * gate is configured — then "exact", "neardup", "spans",
     * "semantic") and before the sink — an instrumentation seam
-    * (telemetry, and the spec's crash injection). */
+    * (telemetry, and the spec's crash injection).
+    *
+    * Lifecycle knobs: `warmOnStart` pre-touches every store's
+    * filesystem metadata before batch 1 (the first-touch-outlier
+    * mitigation); `maintenanceEvery` = N > 0 runs [[maintainAll]] after
+    * every Nth batch from the single writer thread ("maintain" fires on
+    * `onStage`) — unbounded live dirs mean unbounded snapshot read
+    * fan-in, so a production loop wants this on. */
   def curateAllWithHistory(
       docs: DataFrame,
       exact: graft.store.FingerprintIndex,
@@ -433,8 +440,17 @@ object StreamOps {
       nprobe: Int = 1,
       gate: Option[GateConfig] = None,
       gateSink: DataFrame => Unit = _ => (),
-      onStage: String => Unit = _ => ())(
-      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+      onStage: String => Unit = _ => (),
+      warmOnStart: Boolean = false,
+      maintenanceEvery: Int = 0)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    // first-touch mitigation: pre-list + footer-read every store's live
+    // snapshot BEFORE batch 1, so a fresh driver's first micro-batch
+    // doesn't pay the cold-metadata cost mid-batch (PROFILE round-9c)
+    if (warmOnStart) {
+      exact.warm(); nearDup.warm(); grams.warm(); semantic.warm()
+    }
+    val batches = new java.util.concurrent.atomic.AtomicLong()
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -442,8 +458,48 @@ object StreamOps {
         curateAllBatch(batch, exact, nearDup, grams, semantic,
           boilerplate, minKeptTokens, thresholdMicro, nprobe,
           gate, gateSink, onStage)(sink)
+        // maintenance AFTER the sink, every Nth batch, from the single
+        // writer thread — the one schedule CellIndex.compact requires,
+        // and crash-safe: a crash mid-maintenance replays the batch
+        // (convergent no-op) and re-runs the sweep (itself idempotent:
+        // CAS commits + age-gated orphan sweeps)
+        if (maintenanceEvery > 0 &&
+            batches.incrementAndGet() % maintenanceEvery == 0) {
+          maintainAll(exact, nearDup, grams, semantic)
+          onStage("maintain")
+        }
       }
       .start()
+  }
+
+  /** One maintenance sweep over the four curation stores:
+    * `compactIfNeeded` (bounds snapshot read fan-in — every micro-batch
+    * commit adds a live dir / a file per touched cell) plus an
+    * age-gated orphan sweep for crashed writers' leftovers. Safe beside
+    * CONCURRENT READERS at any time (MaintenanceUnderStreamingSpec:
+    * keepVersions retains a pinned snapshot's dirs across the commits a
+    * compaction lands); the [[graft.operators.CellIndex.compact]]
+    * generation rewrite additionally requires the SINGLE-WRITER
+    * schedule, which running from the foreachBatch thread between
+    * batches provides by construction
+    * ([[curateAllWithHistory]]'s `maintenanceEvery`). */
+  def maintainAll(
+      exact: graft.store.FingerprintIndex,
+      nearDup: graft.store.NearDupIndex,
+      grams: graft.store.GramIndex,
+      semantic: graft.operators.CellIndex,
+      maxLiveDirs: Int = 8,
+      orphanAgeMs: Long = 24L * 3600 * 1000): Unit = {
+    exact.compactIfNeeded(maxLiveDirs)
+    nearDup.compactIfNeeded(maxLiveDirs)
+    grams.compactIfNeeded(maxLiveDirs)
+    semantic.compactIfNeeded(maxFilesPerCell = maxLiveDirs)
+    exact.vacuumOrphans(orphanAgeMs)
+    nearDup.vacuumOrphans(orphanAgeMs)
+    grams.vacuumOrphans(orphanAgeMs)
+    semantic.vacuumOrphans(orphanAgeMs)
+    ()
+  }
 
   /** One micro-batch of [[curateAllWithHistory]] — the unit the
     * kill-point matrix spec drives directly: a foreachBatch retry after

@@ -41,6 +41,10 @@ import org.apache.spark.sql.functions._
   * batches 2-3 are the steady-state micro-batch latency.
   *
   * Usage: runMain graft.tools.IngestLatency [sfDir] [mults...]
+  * With SPARK_GRAFT_WARM=1, each store's `warm()` (driver-side
+  * listing + footer pre-touch) runs between seeding and batch 1 and is
+  * timed separately — the measurement behind the first-touch-outlier
+  * mitigation (PROFILE round-9c).
   */
 object IngestLatency {
   def main(args: Array[String]): Unit = {
@@ -48,6 +52,9 @@ object IngestLatency {
     val mults =
       if (args.length > 1) args.drop(1).toSeq.map(_.toInt) else Seq(1, 8, 64)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_WARM=1: call each store's warm() between seed and
+    // batch 1 — the first-touch-outlier mitigation under measurement
+    val warm = sys.env.get("SPARK_GRAFT_WARM").contains("1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -108,6 +115,12 @@ object IngestLatency {
       fp.ingest(histDocs)
       println(f"INGESTLAT seeded op=exact mult=$mult " +
         f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      if (warm) {
+        val w0 = System.nanoTime()
+        val n = fp.warm()
+        println(f"INGESTLAT warmed op=exact mult=$mult n=$n " +
+          f"sec=${(System.nanoTime() - w0) / 1e9}%.1f")
+      }
       dBatches.zipWithIndex.foreach { case (b, i) =>
         measure("exact", mult, i + 1)(fp.ingestResolved(b).count())
       }
@@ -118,6 +131,12 @@ object IngestLatency {
       gr.ingest(histDocs)
       println(f"INGESTLAT seeded op=spans mult=$mult " +
         f"sec=${(System.nanoTime() - t1) / 1e9}%.1f")
+      if (warm) {
+        val w0 = System.nanoTime()
+        val n = gr.warm()
+        println(f"INGESTLAT warmed op=spans mult=$mult n=$n " +
+          f"sec=${(System.nanoTime() - w0) / 1e9}%.1f")
+      }
       dBatches.zipWithIndex.foreach { case (b, i) =>
         measure("spans", mult, i + 1)(gr.ingest(b).count())
       }
@@ -128,6 +147,12 @@ object IngestLatency {
       nd.append(histDocs)
       println(f"INGESTLAT seeded op=neardup mult=$mult " +
         f"sec=${(System.nanoTime() - t3) / 1e9}%.1f")
+      if (warm) {
+        val w0 = System.nanoTime()
+        val n = nd.warm()
+        println(f"INGESTLAT warmed op=neardup mult=$mult n=$n " +
+          f"sec=${(System.nanoTime() - w0) / 1e9}%.1f")
+      }
       dBatches.zipWithIndex.foreach { case (b, i) =>
         measure("neardup", mult, i + 1)(nd.ingest(b).count())
       }
@@ -137,6 +162,12 @@ object IngestLatency {
       cell.buildLearned(histEmb, k = 64, iters = 2)
       println(f"INGESTLAT seeded op=semantic mult=$mult " +
         f"sec=${(System.nanoTime() - t2) / 1e9}%.1f")
+      if (warm) {
+        val w0 = System.nanoTime()
+        val n = cell.warm()
+        println(f"INGESTLAT warmed op=semantic mult=$mult n=$n " +
+          f"sec=${(System.nanoTime() - w0) / 1e9}%.1f")
+      }
       eBatches.zipWithIndex.foreach { case (b, i) =>
         measure("semantic", mult, i + 1)(
           cell.semanticIngestResolved(b, thresholdMicro = 300000L)._1.count())

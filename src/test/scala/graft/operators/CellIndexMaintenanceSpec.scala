@@ -68,6 +68,9 @@ class CellIndexMaintenanceSpec extends SparkSuite {
       === wantPq,
       "ADC answers must be bit-identical: codes AND codebooks carried")
     assert(idx.compact() === 0, "second compact finds nothing fragmented")
+    assert(idx.warm() === idx.stats().vectorFiles + idx.stats().codeFiles
+      + 2, "warm() touches every table's files (plus the two 1-file " +
+      "side tables)")
     // appends keep working against the compacted generation
     assert(idx.append(corpus(64 until 68)).n === 4L)
   }

@@ -205,6 +205,8 @@ class GramIndexSpec extends SparkSuite {
       "footer sum must equal the actual committed row count")
     assert(GramIndex.estRows(log) === rows,
       "gate estimator uses the real count, not the bytes literal")
+    assert(idx.warm() === rows,
+      "warm() pre-touches the same footers and reports the same count")
     assert(idx.compactIfNeeded(maxLiveDirs = 1) > 0)
     // fresh instance: no warm cache for the new compacted dir, and the
     // superseded dirs' cached counts must not leak into the sum

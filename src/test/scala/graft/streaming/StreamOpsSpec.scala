@@ -625,6 +625,89 @@ class StreamOpsSpec extends SparkSuite {
     }
   }
 
+  test("maintenanceEvery: the live maintenance loop compacts every " +
+    "store between batches and changes nothing but the layout") {
+    import spark.implicits._
+    val third = Seq(
+      (20L, "granite harbor mill stone beacon orchard valley bridge " +
+        "copper meadow", Array(0f, 0f, 0f, 0.9f)),
+      (21L, CurateBase, Array(0.9f, 0f, 0f, 0.1f))) // exact dup of doc 1
+    // single-bucket text stores: every commit lands in the ONE cell, so
+    // each sweep deterministically finds it fragmented and compacts
+    // (with the default 8/256 buckets a toy corpus may never collide
+    // two commits in one cell, leaving compaction a legitimate no-op)
+    def oneBucketStores(): CurateStores = {
+      import spark.implicits._
+      def tmp(p: String) =
+        java.nio.file.Files.createTempDirectory(p).toString
+      val cell = new graft.operators.CellIndex(spark, tmp("mnt-cell"))
+      cell.buildLearned(Seq(
+        900L -> Array(0.7f, 0.7f, 0f, 0f),
+        901L -> Array(0f, 0f, 0.7f, 0.7f)).toDF("vec_id", "embedding"),
+        k = 2, iters = 1)
+      CurateStores(
+        new graft.store.FingerprintIndex(spark, tmp("mnt-fp"), buckets = 1),
+        new graft.store.NearDupIndex(spark, tmp("mnt-nd"), buckets = 1),
+        new graft.store.GramIndex(spark, tmp("mnt-gr"), w = 8, buckets = 1),
+        cell)
+    }
+    // baseline: three batches, nobody maintains
+    val base = oneBucketStores()
+    val emitBase = Seq(curateSeed, curateVictim, third)
+      .map(b => curateProcess(base, b, None))
+    // maintained: same batches, a full sweep after every one — the
+    // curateAllWithHistory maintenanceEvery=1 schedule, with
+    // maxLiveDirs=1 so compaction actually fires from batch 2 on
+    val st = oneBucketStores()
+    val emitMaint = Seq(curateSeed, curateVictim, third).map { b =>
+      val e = curateProcess(st, b, None)
+      StreamOps.maintainAll(st.exact, st.near, st.grams, st.cell,
+        maxLiveDirs = 1)
+      e
+    }
+    assert(emitMaint === emitBase,
+      "maintenance between batches must not change any emission")
+    assert(curateState(st) === curateState(base),
+      "maintenance must not change any store's logical content")
+    // and it really did rewrite the layout down to the bound, where
+    // the unmaintained twin accumulated one live dir per commit
+    assert(base.exact.stats().liveDirs > 1)
+    assert(st.exact.stats().liveDirs === 1)
+    assert(st.grams.stats().liveDirs === 1)
+    assert(st.near.stats().liveDirs === 1)
+    assert(st.cell.stats().maxFilesPerCell === 1)
+  }
+
+  test("curateAllWithHistory warmOnStart + maintenanceEvery fire " +
+    "through the streaming entry; 'maintain' lands on onStage") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val st = freshCurateStores()
+    val input = MemoryStream[(Long, String, Array[Float])]
+    val df = input.toDF().toDF("doc_id", "text", "embedding")
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val stages = scala.collection.mutable.ArrayBuffer.empty[String]
+    val ckpt = java.nio.file.Files.createTempDirectory("cah-maint-ckpt")
+    val q = StreamOps.curateAllWithHistory(df, st.exact, st.near,
+      st.grams, st.cell, boilerplate = Seq.empty,
+      checkpointDir = ckpt.toString, minKeptTokens = 3,
+      thresholdMicro = 900000L, gate = Some(CurateGate),
+      onStage = stages += _, warmOnStart = true,
+      maintenanceEvery = 1) { out =>
+      emitted ++= out.select($"doc_id").collect().map(_.getLong(0))
+    }
+    input.addData(curateSeed: _*)
+    q.processAllAvailable()
+    input.addData(curateVictim: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(emitted.sorted.toSeq === Seq(1L, 2L, 12L, 14L))
+    assert(stages.count(_ == "maintain") === 2,
+      s"one sweep per batch expected: $stages")
+    assert(stages.takeRight(1) === Seq("maintain"),
+      "maintenance runs AFTER the sink")
+  }
+
   test("qualityGateStream: per-batch gate matches the batch operator " +
     "exactly; sink sees keeps and drops with reasons") {
     import spark.implicits._
