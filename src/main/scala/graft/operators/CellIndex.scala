@@ -314,22 +314,23 @@ final class CellIndex(spark: SparkSession, path: String) {
     val f = Fs.fs(spark, path)
     val conf = spark.sparkContext.hadoopConfiguration
     val r = root
-    var files = 0L
+    val parts =
+      scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
     def walk(p: Path): Unit = f.listStatus(p).foreach { st =>
       if (st.isDirectory) walk(st.getPath)
-      else if (st.getPath.getName.endsWith(".parquet")) {
-        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromStatus(st, conf))
-        try rd.getRecordCount finally rd.close()
-        files += 1
-      }
+      else if (st.getPath.getName.endsWith(".parquet")) parts += st
     }
     Seq("vectors", "codes", "centroids", "codebooks").foreach { t =>
       val base = new Path(s"$r/$t")
       if (f.exists(base)) walk(base)
     }
-    files
+    // footer opens are IO-bound round trips — read on the common pool
+    java.util.Arrays.stream(parts.toArray).parallel().forEach { st =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+      try rd.getRecordCount finally rd.close()
+    }
+    parts.length.toLong
   }
 
   // ────────────────────────── store maintenance ─────────────────────────

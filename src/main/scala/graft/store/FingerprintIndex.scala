@@ -331,7 +331,7 @@ object FingerprintIndex {
     * dir), falling back to bytes ÷ [[BytesPerFpRow]] only when footers
     * are unreadable. */
   private[store] def estRows(log: ManifestLog, cellPrefix: String): Long =
-    try log.rowCount(cellPrefix)
+    try log.rowCountBudgeted(cellPrefix, ManifestLog.DefaultFooterBudget)
     catch { case scala.util.control.NonFatal(_) =>
       log.storeStats(cellPrefix).bytes / BytesPerFpRow }
 

@@ -341,7 +341,7 @@ object GramIndex {
     * if a footer is unreadable — the estimate is gate-only either way
     * (off by 2× shifts the crossover, never correctness). */
   private[store] def estRows(log: ManifestLog): Long =
-    try log.rowCount()
+    try log.rowCountBudgeted("", ManifestLog.DefaultFooterBudget)
     catch { case scala.util.control.NonFatal(_) =>
       log.storeStats().bytes / BytesPerGramRow }
 

@@ -556,7 +556,7 @@ object NearDupIndex {
     * per immutable dir), falling back to bytes ÷ [[BytesPerPostingRow]]
     * only when footers are unreadable. */
   private[store] def estPostingRows(log: ManifestLog): Long =
-    try log.rowCount("kind=postings")
+    try log.rowCountBudgeted("kind=postings", ManifestLog.DefaultFooterBudget)
     catch { case scala.util.control.NonFatal(_) =>
       log.storeStats("kind=postings").bytes / BytesPerPostingRow }
 

@@ -213,4 +213,41 @@ class GramIndexSpec extends SparkSuite {
     val log2 = new ManifestLog(spark, p, 3, None)
     assert(log2.rowCount() === rows, "compaction preserves the count")
   }
+
+  test("rowCountBudgeted bounds first-contact footer reads: " +
+    "extrapolates the unread remainder from the store's own measured " +
+    "bytes/row and converges to exact as calls fill the cache") {
+    import spark.implicits._
+    val p0 = tmp()
+    val idx = new GramIndex(spark, p0, w = 8, buckets = 4)
+    (0 until 4).foreach(b => idx.ingest(Seq((b.toLong,
+      (0 until 20).map(j => s"t${b}_$j").mkString(" ")))
+      .toDF("doc_id", "text")))
+    val rows = idx.grams.count()
+    // the ingests' own gate calls warmed the JVM-wide cache for p0, so
+    // clone the table to a fresh path — the cold first contact a NEW
+    // driver process has with a pre-existing store
+    val p = tmp() + "/clone"
+    val fs = Fs.fs(spark, p0)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(p0), fs,
+      new org.apache.hadoop.fs.Path(p), false, true,
+      spark.sparkContext.hadoopConfiguration)
+    val log = new ManifestLog(spark, p, 3, None)
+    // zero budget on a cold cache: nothing measured, nothing to
+    // extrapolate from — an explicit failure, not a silent zero
+    intercept[java.io.IOException] { log.rowCountBudgeted("", 0L) }
+    // one leaf's worth of budget: partial exact + extrapolation off the
+    // measured ratio — gate-grade accuracy (a 2x error only shifts the
+    // bloom crossover), one file actually opened
+    val est1 = log.rowCountBudgeted("", 1L)
+    assert(est1 >= rows / 2 && est1 <= rows * 2,
+      s"budgeted estimate $est1 implausibly far from $rows")
+    // each call converts budget into cache: the estimate converges to
+    // EXACT and stays there, without ever exceeding the per-call cap
+    val converged = (0 until 20)
+      .map(_ => log.rowCountBudgeted("", 4L)).last
+    assert(converged === rows)
+    assert(log.rowCount() === rows)
+  }
 }
