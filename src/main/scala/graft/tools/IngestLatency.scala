@@ -85,6 +85,36 @@ object IngestLatency {
         .localCheckpoint(true)
     }
 
+    // composed-pipeline batches: the dup half is the docBatches slice
+    // joined to its vectors (copy-0 texts, novel ids — real duplicate
+    // work, dropped at the exact leg); the novel half prefixes every
+    // token (novel fingerprints/bands/grams) and REVERSES the vector
+    // under a disjoint id range, so it pays every leg and appends.
+    // Reversal (a dimension permutation) preserves every pairwise
+    // cosine among the novel half — within-batch near-dup work equals
+    // the original corpus's — while scattering the vectors away from
+    // their stored originals; negation would instead pile every novel
+    // vector into the few anti-aligned cells and make the semantic
+    // leg's hot-cell population grow with every appended batch. All
+    // five stages do real work and the mix is CONSTANT across
+    // multipliers.
+    def pipeBatches(dir: String): Seq[DataFrame] = (0 until 3).map { i =>
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 1000000L && col("doc_id") % 3 === i)
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+        .filter(col("doc_id") < 1000000L && col("doc_id") % 3 === i)
+      val joined = d.join(e, Seq("doc_id"))
+      val dup = joined.select((col("doc_id") + 900000000L).as("doc_id"),
+        col("text"), col("embedding"))
+      val novel = joined.select((col("doc_id") + 950000000L).as("doc_id"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          t => concat(lit("zz"), t))).as("text"),
+        reverse(col("embedding")).as("embedding"))
+      dup.unionByName(novel).localCheckpoint(true)
+    }
+
     def tmp(p: String) =
       java.nio.file.Files.createTempDirectory(p).toString
 
@@ -171,6 +201,51 @@ object IngestLatency {
       eBatches.zipWithIndex.foreach { case (b, i) =>
         measure("semantic", mult, i + 1)(
           cell.semanticIngestResolved(b, thresholdMicro = 300000L)._1.count())
+      }
+
+      // the COMPOSED five-stage pipeline (gate → exact → neardup →
+      // spans → semantic, the curateAllWithHistory foreachBatch unit)
+      // against the same histories: fresh stores seeded identically,
+      // then each mixed batch runs end to end, with the maintainAll
+      // sweep timed separately after every batch (the
+      // maintenanceEvery=1 schedule)
+      val fpP = new graft.store.FingerprintIndex(spark, tmp("lat-pfp"))
+      val grP = new graft.store.GramIndex(spark, tmp("lat-pgr"),
+        w = 8, buckets = 64)
+      val ndP = new graft.store.NearDupIndex(spark, tmp("lat-pnd"),
+        buckets = 64)
+      val cellP = new graft.operators.CellIndex(spark, tmp("lat-pcell"))
+      val t5 = System.nanoTime()
+      fpP.ingest(histDocs)
+      grP.ingest(histDocs)
+      ndP.append(histDocs)
+      cellP.buildLearned(histEmb, k = 64, iters = 2)
+      println(f"INGESTLAT seeded op=pipeline mult=$mult " +
+        f"sec=${(System.nanoTime() - t5) / 1e9}%.1f")
+      if (warm) {
+        val w0 = System.nanoTime()
+        val n = fpP.warm() + grP.warm() + ndP.warm() + cellP.warm()
+        println(f"INGESTLAT warmed op=pipeline mult=$mult n=$n " +
+          f"sec=${(System.nanoTime() - w0) / 1e9}%.1f")
+      }
+      // permissive gate: the tool measures pipeline cost, not gate
+      // selectivity — junk-heavy corpora shortcut the very legs under
+      // measurement
+      val gateCfg = Some(graft.streaming.GateConfig(
+        minWords = 2L, maxWords = 100000L, minStopwords = 0))
+      pipeBatches(dir).zipWithIndex.foreach { case (b, i) =>
+        measure("pipeline", mult, i + 1) {
+          var n = 0L
+          graft.streaming.StreamOps.curateAllBatch(b, fpP, ndP, grP,
+            cellP, boilerplate = Seq.empty, minKeptTokens = 1,
+            thresholdMicro = 300000L, nprobe = 1, gate = gateCfg,
+            gateSink = _ => (), onStage = _ => ())(df => n = df.count())
+          n
+        }
+        val m0 = System.nanoTime()
+        graft.streaming.StreamOps.maintainAll(fpP, ndP, grP, cellP)
+        println(f"INGESTLAT maintain op=pipeline mult=$mult " +
+          f"batch=${i + 1} sec=${(System.nanoTime() - m0) / 1e9}%.1f")
       }
     }
     spark.stop()
