@@ -206,11 +206,23 @@ final class ManifestLog(spark: SparkSession, path: String,
         }
         if (unreadBytes == 0L) exactRows
         else {
-          // bytes/row from everything THIS STORE has cached (all
-          // prefixes — same schema), freshest measurement available
-          var mRows = 0L; var mBytes = 0L
-          ManifestLog.rowCache.forEach { (k, v) =>
-            if (k._1 == path) { mRows += v._1; mBytes += v._2 }
+          // bytes/row from THIS STORE's cached leaves, preferring the
+          // requested prefix: a multi-kind table's kinds have different
+          // schemas (posting rows are ~3x smaller than doc rows), so a
+          // cross-kind ratio would skew the estimate; fall back to
+          // all-of-store only when the prefix has nothing measured yet
+          def measured(p: String): (Long, Long) = {
+            var mRows = 0L; var mBytes = 0L
+            ManifestLog.rowCache.forEach { (k, v) =>
+              if (k._1 == path && k._3.startsWith(p)) {
+                mRows += v._1; mBytes += v._2
+              }
+            }
+            (mRows, mBytes)
+          }
+          val (mRows, mBytes) = measured(cellPrefix) match {
+            case (r, b) if r > 0 && b > 0 => (r, b)
+            case _ => measured("")
           }
           if (mBytes == 0L || mRows == 0L)
             throw new java.io.IOException(
