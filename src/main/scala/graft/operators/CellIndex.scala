@@ -308,30 +308,28 @@ final class CellIndex(spark: SparkSession, path: String) {
     * listing/footer cost on its FIRST probe (the PROFILE round-9c
     * outlier: 26.8 s vs 3.5 s steady state at 64×); a streaming driver
     * that calls warm() at stream start moves that cost out of batch 1.
-    * Optional — latency only, never correctness. Returns the number of
-    * files touched. */
-  def warm(): Long = {
-    val f = Fs.fs(spark, path)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val r = root
-    val parts =
-      scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
-    def walk(p: Path): Unit = f.listStatus(p).foreach { st =>
-      if (st.isDirectory) walk(st.getPath)
-      else if (st.getPath.getName.endsWith(".parquet")) parts += st
-    }
-    Seq("vectors", "codes", "centroids", "codebooks").foreach { t =>
-      val base = new Path(s"$r/$t")
-      if (f.exists(base)) walk(base)
-    }
-    // footer opens are IO-bound round trips — read on the common pool
-    java.util.Arrays.stream(parts.toArray).parallel().forEach { st =>
-      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
-      try rd.getRecordCount finally rd.close()
-    }
-    parts.length.toLong
-  }
+    * Optional — latency only, NEVER correctness: any listing/footer
+    * failure is swallowed (the probe that follows will surface a real
+    * problem with real context). Returns the number of files
+    * touched. */
+  def warm(): Long =
+    try {
+      val f = Fs.fs(spark, path)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val r = root
+      val parts = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.hadoop.fs.FileStatus]
+      def walk(p: Path): Unit = f.listStatus(p).foreach { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) parts += st
+      }
+      Seq("vectors", "codes", "centroids", "codebooks").foreach { t =>
+        val base = new Path(s"$r/$t")
+        if (f.exists(base)) walk(base)
+      }
+      Fs.footerRows(conf, parts.toArray)
+      parts.length.toLong
+    } catch { case scala.util.control.NonFatal(_) => 0L }
 
   // ────────────────────────── store maintenance ─────────────────────────
 
@@ -382,12 +380,14 @@ final class CellIndex(spark: SparkSession, path: String) {
     * because an append landing in the old generation while the rewrite
     * runs would not be copied into the new one.
     * Returns the rewritten cell count (0 = nothing fragmented). */
-  def compact(filesPerCell: Int = 1): Int = {
+  def compact(filesPerCell: Int = 1): Int =
+    compactWith(stats(), filesPerCell)
+
+  private def compactWith(s: CellIndex.Stats, filesPerCell: Int): Int = {
     require(filesPerCell >= 1, "filesPerCell must be >= 1")
     val f = Fs.fs(spark, path)
     val r = root
     if (!f.exists(new Path(s"$r/vectors"))) return 0
-    val s = stats()
     if (s.maxFilesPerCell <= filesPerCell) return 0
     publishGen { g =>
       def rewrite(table: String): Unit =
@@ -419,7 +419,11 @@ final class CellIndex(spark: SparkSession, path: String) {
   def compactIfNeeded(maxFilesPerCell: Int = 8,
       filesPerCell: Int = 1): Int = {
     require(maxFilesPerCell >= 1, "maxFilesPerCell must be >= 1")
-    if (stats().maxFilesPerCell > maxFilesPerCell) compact(filesPerCell)
+    // one listing serves both the trigger and the rewrite — stats() is
+    // a full recursive walk of every cell dir, not free on an object
+    // store
+    val s = stats()
+    if (s.maxFilesPerCell > maxFilesPerCell) compactWith(s, filesPerCell)
     else 0
   }
 
@@ -457,8 +461,13 @@ final class CellIndex(spark: SparkSession, path: String) {
     * contract as [[graft.store.ManifestLog.vacuumOrphans]]. */
   def vacuumOrphans(olderThanMs: Long): Seq[String] = {
     val f = Fs.fs(spark, path)
-    val referenced = committedVersions
-      .flatMap(v => scala.util.Try(genOf(v._2)).toOption).toSet
+    // ANY unreadable pointer aborts the sweep: treating a transient
+    // read failure as "references nothing" would make the LIVE
+    // generation look orphaned — and the age guard cannot save it,
+    // because a committed generation's dir is old by construction
+    val referenced =
+      try committedVersions.map(v => genOf(v._2)).toSet
+      catch { case scala.util.control.NonFatal(_) => return Nil }
     val cutoff = System.currentTimeMillis() - olderThanMs
     val orphans = f.listStatus(new Path(path)).toSeq
       .filter(st => st.isDirectory &&

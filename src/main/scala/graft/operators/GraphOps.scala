@@ -78,10 +78,21 @@ object GraphOps {
           // reliable checkpoints landing somewhere the caller didn't
           // ask for — make the divergence visible instead. Suffix
           // match: setCheckpointDir appends a random child dir.
-          val samePlace = existing == d ||
-            new org.apache.hadoop.fs.Path(existing)
-              .getParent.toUri.getPath ==
-              new org.apache.hadoop.fs.Path(d).toUri.getPath
+          // Compare whole URIs, not just paths: hdfs://nn/tmp/ck and
+          // file:/tmp/ck share a path but are different filesystems. A
+          // schemeless side resolves through the default FS and cannot
+          // be distinguished — only an explicit scheme/authority
+          // CONFLICT proves divergence.
+          def place(p: String) = {
+            val u = new org.apache.hadoop.fs.Path(p).toUri
+            (Option(u.getScheme), Option(u.getAuthority), u.getPath)
+          }
+          val (es, ea, ep) = place(
+            new org.apache.hadoop.fs.Path(existing).getParent.toString)
+          val (ds, da, dp) = place(d)
+          val samePlace = existing == d || (ep == dp &&
+            (es == ds || es.isEmpty || ds.isEmpty) &&
+            (ea == da || ea.isEmpty || da.isEmpty))
           if (!samePlace)
             org.slf4j.LoggerFactory.getLogger(getClass).warn(
               s"pageRank checkpointDir=$d ignored: SparkContext already " +

@@ -181,24 +181,18 @@ final class ManifestLog(spark: SparkSession, path: String,
                 .filter(_.getPath.getName.endsWith(".parquet"))
             if (parts.length <= budget) {
               budget -= parts.length
-              // footer opens are IO-bound round trips (~ms each; a
-              // fresh unfragmented 64x store measured 7.5 ms/file
-              // sequential) — read them on the common pool
-              val rowsAcc = new java.util.concurrent.atomic.AtomicLong()
-              val bytesAcc = new java.util.concurrent.atomic.AtomicLong()
-              java.util.Arrays.stream(parts).parallel().forEach { st =>
-                val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-                  org.apache.parquet.hadoop.util.HadoopInputFile
-                    .fromStatus(st, conf))
-                try rowsAcc.addAndGet(r.getRecordCount) finally r.close()
-                bytesAcc.addAndGet(st.getLen)
+              val (rows, bytes) = Fs.footerRows(conf, parts)
+              // cap by evicting THIS path's entries first (the store
+              // that overflowed pays its own re-reads; unrelated
+              // stores keep their cache), hard-clearing only if many
+              // stores are collectively over. Entries are ~100 B and
+              // only grow with distinct immutable dirs; an eviction is
+              // a re-read, never a correctness risk.
+              if (ManifestLog.rowCache.size > 100000) {
+                ManifestLog.rowCache.keySet.removeIf(_._1 == path)
+                if (ManifestLog.rowCache.size > 200000)
+                  ManifestLog.rowCache.clear()
               }
-              val rows = rowsAcc.get(); val bytes = bytesAcc.get()
-              // cap, don't evict-by-age: entries are ~100 B and only
-              // grow with distinct immutable dirs; a clear past the cap
-              // is a re-read, never a correctness risk
-              if (ManifestLog.rowCache.size > 100000)
-                ManifestLog.rowCache.clear()
               ManifestLog.rowCache.put(key, (rows, bytes))
               exactRows += rows
             } else unreadBytes += parts.map(_.getLen).sum
@@ -401,9 +395,13 @@ final class ManifestLog(spark: SparkSession, path: String,
     * Returns the reclaimed dir names. */
   def vacuumOrphans(olderThanMs: Long): Seq[String] = {
     if (!f.exists(dataRoot)) return Nil
-    val referenced = versions
-      .flatMap(v => scala.util.Try(readManifest(v)).toOption)
-      .flatMap(_.values.flatten).toSet
+    // ANY unreadable manifest aborts the sweep: treating a transient
+    // read failure as "references nothing" would make the LIVE
+    // snapshot's dirs look orphaned — and the age guard cannot save
+    // them, because committed dirs are old by construction
+    val referenced =
+      try versions.flatMap(readManifest(_).values.flatten).toSet
+      catch { case scala.util.control.NonFatal(_) => return Nil }
     val cutoff = System.currentTimeMillis() - olderThanMs
     val orphans = f.listStatus(dataRoot).toSeq
       .filter(st => st.isDirectory &&

@@ -106,4 +106,9 @@ class CellIndexMaintenanceSpec extends SparkSuite {
     assert(idx.vacuumOrphans(olderThanMs = -1000L) === Seq("gen-orphan01"))
     assert(!fs.exists(orphan))
   }
+
+  test("warm() is latency-only: an unbuilt index warms to zero instead " +
+    "of failing the stream start") {
+    assert(new CellIndex(spark, tmp()).warm() === 0L)
+  }
 }

@@ -676,6 +676,11 @@ class StreamOpsSpec extends SparkSuite {
     assert(st.grams.stats().liveDirs === 1)
     assert(st.near.stats().liveDirs === 1)
     assert(st.cell.stats().maxFilesPerCell === 1)
+    // generation pruning: each CellIndex compaction publishes a FULL
+    // rewritten copy of the index — without the sweep's vacuum, the
+    // loop leaks one copy per compaction, unbounded
+    assert(st.cell.stats().generations <= 3,
+      s"maintainAll must prune expired generations: ${st.cell.stats()}")
   }
 
   test("curateAllWithHistory warmOnStart + maintenanceEvery fire " +
