@@ -24,6 +24,11 @@ import org.apache.spark.sql.functions._
   *                  same two-layer pruning)
   *   - `semantic` = [[graft.operators.CellIndex.semanticIngestResolved]]
   *                  (the `semanticIngestStream` unit)
+  *   - `pipeline` = [[graft.streaming.StreamOps.curateAllBatch]] (the
+  *                  COMPOSED five-stage `curateAllWithHistory` unit —
+  *                  gate → exact → near-dup → span-scrub → semantic —
+  *                  over mixed dup+novel batches, with the
+  *                  `maintainAll` sweep timed after every batch)
   *
   * Batch construction: each history dir's OWN copy-0 documents
   * (doc_id < 1e6 — at mult=1 that is the raw base corpus) with ids
