@@ -111,4 +111,23 @@ class CellIndexMaintenanceSpec extends SparkSuite {
     "of failing the stream start") {
     assert(new CellIndex(spark, tmp()).warm() === 0L)
   }
+
+  test("vacuumOrphans aborts while any generation pointer is " +
+    "unreadable — the LIVE generation must never look orphaned") {
+    val p = tmp()
+    val idx = new CellIndex(spark, p)
+    idx.buildLearned(corpus(0 until 16), k = 2)
+    val fs = graft.store.Fs.fs(spark, p)
+    // an unreadable "pointer": a DIRECTORY matching the name pattern
+    val corrupt = new org.apache.hadoop.fs.Path(p, "gen/v0000000099.txt")
+    fs.mkdirs(corrupt)
+    val orphan = new org.apache.hadoop.fs.Path(p, "gen-orphan02")
+    fs.mkdirs(orphan)
+    assert(idx.vacuumOrphans(olderThanMs = -1000L) === Nil,
+      "one unreadable pointer must abort the whole sweep")
+    assert(fs.exists(orphan), "nothing may be deleted on abort")
+    fs.delete(corrupt, true)
+    assert(idx.vacuumOrphans(olderThanMs = -1000L) === Seq("gen-orphan02"))
+    assert(idx.vectors.count() === 16, "live generation intact throughout")
+  }
 }

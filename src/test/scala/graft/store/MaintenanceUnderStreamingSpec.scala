@@ -127,4 +127,32 @@ class MaintenanceUnderStreamingSpec extends SparkSuite {
     // the index itself (a FRESH resolve, what every batch does) is fine
     assert(idx.grams.count() > 0)
   }
+
+  test("vacuumOrphans aborts — reclaiming NOTHING — while any manifest " +
+    "is unreadable, instead of treating it as referencing nothing") {
+    import spark.implicits._
+    val dir = tmpDir("orphan-guard")
+    val idx = new GramIndex(spark, dir, w = 8, buckets = 4)
+    idx.ingest(Seq((1L, (0 until 20).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "text"))
+    val f = Fs.fs(spark, dir)
+    // an unreadable "manifest": a DIRECTORY whose name matches the
+    // manifest pattern — versions lists it, open() throws
+    val corrupt = new org.apache.hadoop.fs.Path(
+      dir + "/manifests/v0000000099.txt")
+    f.mkdirs(corrupt)
+    // a genuine crashed-writer orphan the sweep would otherwise reclaim
+    val orphan = new org.apache.hadoop.fs.Path(
+      dir + "/data/v0000000050-deadbeef")
+    f.mkdirs(orphan)
+    assert(idx.vacuumOrphans(olderThanMs = -1000L) === Nil,
+      "one unreadable manifest must abort the whole sweep: the LIVE " +
+        "snapshot's dirs would otherwise look orphaned")
+    assert(f.exists(orphan), "nothing may be deleted on abort")
+    f.delete(corrupt, true)
+    assert(idx.vacuumOrphans(olderThanMs = -1000L)
+      === Seq("v0000000050-deadbeef"),
+      "with every manifest readable the true orphan is reclaimed")
+    assert(idx.grams.count() > 0, "live data intact throughout")
+  }
 }
