@@ -66,7 +66,21 @@ final class ClusterStore(spark: SparkSession, path: String,
     val out = f.create(new Path(log.dataPath(dirName), "source.txt"), true)
     try out.write(sourceId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val cells = log.listCells(dirName, ClusterStore.LevelPrefixes)
+    val found = log.listCells(dirName, ClusterStore.LevelPrefixes)
+    // an EMPTY snapshot is still a snapshot: materialize one empty
+    // leaf so the manifest references the dir — otherwise the dir
+    // (and the source.txt inside it) would be orphaned and sourceId
+    // would return None, defeating the staleness-detection contract
+    val cells =
+      if (found.nonEmpty) found
+      else {
+        log.emptyDf(org.apache.spark.sql.types.StructType(
+          ClusterStore.schema.filterNot(_.name == "bucket")))
+          .coalesce(1)
+          .write.mode(SaveMode.Overwrite)
+          .parquet(new Path(log.dataPath(dirName), "bucket=0").toString)
+        Seq("bucket=0")
+      }
     // replace, not append: the new manifest references only this dir
     log.commitRetry(_ => cells.map(_ -> Seq(dirName)).toMap)
   }

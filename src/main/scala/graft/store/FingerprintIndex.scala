@@ -75,24 +75,11 @@ final class FingerprintIndex(spark: SparkSession, path: String,
   /** Persist-or-validate the bucket count: the stored partitioning is
     * only consultable with the modulus it was written under. */
   private def ensureBuckets(): Unit = {
-    if (f.exists(bucketsMarker)) {
-      val in = f.open(bucketsMarker)
-      val stored = try scala.io.Source.fromInputStream(in).mkString.trim.toInt
-      finally in.close()
-      require(stored == buckets,
-        s"index at $path was created with $stored buckets; opened with " +
-          s"$buckets — the pruned history scan would miss matching " +
-          "partitions")
-    } else {
-      // create-if-absent; two racing creators write the same value in
-      // the normal case, and a conflicting loser fails its own require
-      // on the next call
-      try {
-        val out = f.create(bucketsMarker, false)
-        try out.write(buckets.toString.getBytes("UTF-8"))
-        finally out.close()
-      } catch { case _: java.io.IOException => ensureBuckets() }
-    }
+    val stored = Fs.ensureMarker(f, bucketsMarker, buckets.toString)
+    require(stored.toInt == buckets,
+      s"index at $path was created with $stored buckets; opened with " +
+        s"$buckets — the pruned history scan would miss matching " +
+        "partitions")
   }
 
   private def requireIntegralId(batch: DataFrame, idCol: String): Unit =

@@ -23,6 +23,33 @@ private[graft] object Fs {
   def exists(spark: SparkSession, path: String): Boolean =
     fs(spark, path).exists(new Path(path))
 
+  /** Read-or-create a small exclusive config marker, returning the
+    * stored content (existing, or `want` if this caller created it) —
+    * the persist-or-validate discipline every bucketed store pins its
+    * layout parameters with. Two racing creators resolve through the
+    * exclusive create (the loser re-reads the winner's value); a
+    * PERSISTENT create failure (read-only filesystem, permissions)
+    * surfaces after a bounded number of attempts instead of recursing
+    * until StackOverflowError. */
+  def ensureMarker(f: FileSystem, marker: Path, want: String): String = {
+    var attempts = 0
+    while (attempts < 5) {
+      if (f.exists(marker)) {
+        val in = f.open(marker)
+        return try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim
+        finally in.close()
+      }
+      attempts += 1
+      try {
+        val out = f.create(marker, false)
+        try out.write(want.getBytes("UTF-8")) finally out.close()
+        return want
+      } catch { case e: java.io.IOException => if (attempts >= 5) throw e }
+    }
+    throw new java.io.IOException(s"cannot read or create marker $marker")
+  }
+
   /** Sum of parquet footer record counts + file bytes for `parts`,
     * read driver-side on the common pool — footer opens are IO-bound
     * round trips (~ms each), so the walk is ~cores× parallel. The one

@@ -84,20 +84,10 @@ final class GramIndex(spark: SparkSession, path: String,
     * would silently miss every historical duplicate. */
   private def ensureConfig(): Unit = {
     val want = s"buckets=$buckets;w=$w"
-    if (f.exists(configMarker)) {
-      val in = f.open(configMarker)
-      val stored = try scala.io.Source.fromInputStream(in).mkString.trim
-      finally in.close()
-      require(stored == want,
-        s"index at $path was created with '$stored'; opened with '$want' " +
-          "— a width/bucket mismatch silently misses historical duplicates")
-    } else {
-      try {
-        val out = f.create(configMarker, false)
-        try out.write(want.getBytes("UTF-8"))
-        finally out.close()
-      } catch { case _: java.io.IOException => ensureConfig() }
-    }
+    val stored = Fs.ensureMarker(f, configMarker, want)
+    require(stored == want,
+      s"index at $path was created with '$stored'; opened with '$want' " +
+        "— a width/bucket mismatch silently misses historical duplicates")
   }
 
   private def requireIntegralId(batch: DataFrame, idCol: String): Unit =
@@ -216,7 +206,11 @@ final class GramIndex(spark: SparkSession, path: String,
       idCol: String = "doc_id"): DataFrame = {
     requireIntegralId(batch, idCol)
     ensureConfig()
-    val g = batchGrams(batch, textCol, idCol)
+    // pin the batch grams ONCE: prunedHistory's bucket collect, the
+    // bloom build, and the span join would otherwise each re-tokenize
+    // and re-hash the whole batch (the NearDupIndex.batchBands
+    // one-signature-computation discipline)
+    val g = batchGrams(batch, textCol, idCol).localCheckpoint(true)
     spansAgainst(g, prunedHistory(g, log.resolve()))
   }
 
@@ -228,7 +222,10 @@ final class GramIndex(spark: SparkSession, path: String,
       idCol: String = "doc_id"): DataFrame = {
     requireIntegralId(batch, idCol)
     ensureConfig()
-    val g = batchGrams(batch, textCol, idCol)
+    // pin the batch grams ONCE — four consumers (prunedHistory's
+    // bucket collect, the bloom build, the span join, the newGrams
+    // write) would otherwise each re-tokenize and re-hash the batch
+    val g = batchGrams(batch, textCol, idCol).localCheckpoint(true)
     val snapshot = log.resolve()
     val history = prunedHistory(g, snapshot)
     val spans = spansAgainst(g, history)

@@ -90,10 +90,27 @@ final class LatestStore(spark: SparkSession, path: String,
     df.withColumn("kp",
       pmod(xxhash64(col("what"), col("where")), lit(nBuckets)).cast("int"))
 
+  /** Persist-or-validate `nBuckets` (the [[FingerprintIndex]] marker
+    * discipline): an upsert under a different modulus would read the
+    * wrong bucket for existing keys and leave TWO live rows for one
+    * (what, where) — the invariant the whole table exists to hold.
+    * Tables from before this guard are stamped with the opener's value
+    * on first upsert (unverifiable retroactively — keep passing what
+    * the table was built with, as before). */
+  private def ensureBuckets(): Unit = {
+    val stored = Fs.ensureMarker(f, new Path(path, "_buckets"),
+      nBuckets.toString)
+    require(stored.toInt == nBuckets,
+      s"latest table at $path was created with $stored buckets; opened " +
+        s"with $nBuckets — merges would miss existing keys and break " +
+        "the one-row-per-(what, where) invariant")
+  }
+
   /** Monotone upsert: newest (metadata.start, create_time) per (what,
     * where) wins; replay-safe (applying the same batch twice is a no-op).
     * Only buckets containing batch keys are re-merged and rewritten. */
   def upsert(batch: DataFrame): Unit = {
+    ensureBuckets()
     val cols = RecordStore.schema.fieldNames.map(col).toSeq
     val bucketed = withBucket(batch.select(cols: _*))
     // per-key batch winners first: bounds the merge input by key count
@@ -129,7 +146,16 @@ final class LatestStore(spark: SparkSession, path: String,
           val legacyKps = legacyDf.select("kp").distinct()
             .collect().map(_.getInt(0))
           (legacyDf, (touched ++ legacyKps).distinct.sorted)
-        } else (withBucket(readBuckets(entries, touched)), touched)
+        } else
+          // STRICT read for a merge: this path READS existing rows to
+          // REWRITE them, so a missing referenced leaf must fail the
+          // attempt — the non-strict exist-filter (benign for reads,
+          // where re-resolving picks the newer manifest) would here
+          // commit a table missing every key of the vanished bucket.
+          // A leaf of the CURRENT manifest cannot be vacuumed, so this
+          // only fires on external deletion or a flaky filesystem —
+          // exactly when losing loudly beats losing silently.
+          (withBucket(readBuckets(entries, touched, strict = true)), touched)
       val newV = baseV + 1
       // the data dir carries a writer nonce (see ManifestLog.newDataDirName):
       // two racing writers may both target manifest version N, and their

@@ -166,9 +166,27 @@ final class ManifestLog(spark: SparkSession, path: String,
         val conf = spark.sparkContext.hadoopConfiguration
         val dirCells = allEntries.filter(_._1.startsWith(cellPrefix)).toSeq
           .flatMap { case (cell, dirs) => dirs.map(_ -> cell) }.distinct
+        // bound the shared cache ONCE, before measuring anything:
+        // evicting mid-call would destroy this very call's measurements
+        // (and with them the extrapolation base). The overflowing
+        // path's own entries go first — the store that overflowed pays
+        // its own re-reads, unrelated stores keep their cache — with a
+        // hard clear only when many stores are collectively over.
+        // Entries are ~100 B; an eviction is a re-read, never a
+        // correctness risk.
+        if (ManifestLog.rowCache.size > 100000) {
+          ManifestLog.rowCache.keySet.removeIf(_._1 == path)
+          if (ManifestLog.rowCache.size > 200000)
+            ManifestLog.rowCache.clear()
+        }
         var budget = maxFooterReads
         var exactRows = 0L
         var unreadBytes = 0L
+        // leaves measured by THIS call — the freshest (and eviction-
+        // proof) extrapolation base; all are under cellPrefix by
+        // construction of dirCells
+        var callRows = 0L
+        var callBytes = 0L
         dirCells.foreach { case (dir, cell) =>
           val key = (path, dir, cell)
           val cached = ManifestLog.rowCache.get(key)
@@ -182,29 +200,20 @@ final class ManifestLog(spark: SparkSession, path: String,
             if (parts.length <= budget) {
               budget -= parts.length
               val (rows, bytes) = Fs.footerRows(conf, parts)
-              // cap by evicting THIS path's entries first (the store
-              // that overflowed pays its own re-reads; unrelated
-              // stores keep their cache), hard-clearing only if many
-              // stores are collectively over. Entries are ~100 B and
-              // only grow with distinct immutable dirs; an eviction is
-              // a re-read, never a correctness risk.
-              if (ManifestLog.rowCache.size > 100000) {
-                ManifestLog.rowCache.keySet.removeIf(_._1 == path)
-                if (ManifestLog.rowCache.size > 200000)
-                  ManifestLog.rowCache.clear()
-              }
               ManifestLog.rowCache.put(key, (rows, bytes))
               exactRows += rows
+              callRows += rows; callBytes += bytes
             } else unreadBytes += parts.map(_.getLen).sum
           }
         }
         if (unreadBytes == 0L) exactRows
         else {
-          // bytes/row from THIS STORE's cached leaves, preferring the
-          // requested prefix: a multi-kind table's kinds have different
-          // schemas (posting rows are ~3x smaller than doc rows), so a
-          // cross-kind ratio would skew the estimate; fall back to
-          // all-of-store only when the prefix has nothing measured yet
+          // bytes/row preference order: leaves measured this call
+          // (always the right kind), then THIS STORE's cached leaves
+          // under the same prefix — a multi-kind table's kinds have
+          // different schemas (posting rows ~3x smaller than doc
+          // rows), so a cross-kind ratio would skew — then the whole
+          // store as a last resort
           def measured(p: String): (Long, Long) = {
             var mRows = 0L; var mBytes = 0L
             ManifestLog.rowCache.forEach { (k, v) =>
@@ -214,10 +223,12 @@ final class ManifestLog(spark: SparkSession, path: String,
             }
             (mRows, mBytes)
           }
-          val (mRows, mBytes) = measured(cellPrefix) match {
-            case (r, b) if r > 0 && b > 0 => (r, b)
-            case _ => measured("")
-          }
+          val (mRows, mBytes) =
+            if (callRows > 0 && callBytes > 0) (callRows, callBytes)
+            else measured(cellPrefix) match {
+              case (r, b) if r > 0 && b > 0 => (r, b)
+              case _ => measured("")
+            }
           if (mBytes == 0L || mRows == 0L)
             throw new java.io.IOException(
               s"rowCountBudgeted($cellPrefix, $maxFooterReads) under $path: " +

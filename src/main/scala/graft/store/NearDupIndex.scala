@@ -115,21 +115,28 @@ final class NearDupIndex(spark: SparkSession, path: String,
 
   private def bucketsMarker = new Path(path, "_buckets")
 
+  /** Persist-or-validate EVERY parameter that changes stored identity,
+    * not just the bucket modulus: `numHashes`/`rowsPerBand` define the
+    * band keys and `normChars` the normalized text they hash — opening
+    * an index built under different values would silently miss every
+    * historical near-duplicate (the [[GramIndex]] `w` lesson).
+    * `maxDist` is deliberately NOT pinned: it is a confirm threshold,
+    * tunable per open without changing what is stored. Pre-upgrade
+    * markers carry only the bucket count; they are accepted when it
+    * matches (the other parameters are unverifiable for such stores —
+    * callers that tuned them before this guard existed must keep
+    * passing the same values, as before). */
   private def ensureBuckets(): Unit = {
-    if (f.exists(bucketsMarker)) {
-      val in = f.open(bucketsMarker)
-      val stored = try scala.io.Source.fromInputStream(in).mkString.trim.toInt
-      finally in.close()
-      require(stored == buckets,
-        s"index at $path was created with $stored buckets; opened with " +
-          s"$buckets — pruned probes would miss matching partitions")
-    } else {
-      try {
-        val out = f.create(bucketsMarker, false)
-        try out.write(buckets.toString.getBytes("UTF-8"))
-        finally out.close()
-      } catch { case _: java.io.IOException => ensureBuckets() }
-    }
+    val want =
+      s"buckets=$buckets;numHashes=$numHashes;" +
+        s"rowsPerBand=$rowsPerBand;normChars=$normChars"
+    val stored = Fs.ensureMarker(f, bucketsMarker, want)
+    val ok = stored == want ||
+      (scala.util.Try(stored.toInt).toOption.contains(buckets))
+    require(ok,
+      s"index at $path was created with '$stored'; opened with '$want' " +
+        "— a band/normalization mismatch silently misses every " +
+        "historical near-duplicate")
   }
 
   private def requireIntegralId(batch: DataFrame, idCol: String): Unit =

@@ -120,7 +120,14 @@ final class RecordStore(spark: SparkSession, path: String,
           deduped.join(existing, Seq("time_bucket", "__dedup_id"), "left_anti")
         }
       } else deduped
-    val finalRows = toWrite.drop("__dedup_id")
+    // with a work-id index configured the batch plan is consumed TWICE
+    // (the parquet write below, then the index append) — pin it so the
+    // dedup anti-join against the record table runs once, not per
+    // consumer (the LatestStore.upsert merge-input discipline)
+    val finalRows = {
+      val rows = toWrite.drop("__dedup_id")
+      if (workIdIndex.isDefined) rows.localCheckpoint(true) else rows
+    }
     val dirName = log.newDataDirName(log.currentVersion.getOrElse(0L) + 1)
     finalRows
       .write

@@ -119,11 +119,13 @@ final class SketchStore(spark: SparkSession, path: String,
     @volatile var skipped = false
     log.commitRetry { current =>
       // re-check under the commit loop: a racing writer of the SAME
-      // batch id that committed first turns this commit into a no-op
-      val present = current.values.flatten.exists { d =>
-        val parts = d.split("-")
-        parts.length == 3 && (parts(1) == tag || parts(1) == legacy)
-      }
+      // batch id that committed first turns this commit into a no-op.
+      // Full batchesIn (dir-name tags AND compaction batches.txt
+      // markers), not just name tags: the racer's dir may ALREADY have
+      // been folded by a compaction between its commit and ours, in
+      // which case only the marker still carries its batch id
+      val present = batchesIn(current)
+        .exists(b => b == tag || b == legacy)
       if (present) { skipped = true; current }
       else RecordStore.appendMutate(leaves, dirName)(current)
     }

@@ -22,6 +22,23 @@ class ClusterStoreSpec extends SparkSuite {
     assert(store.sourceId === Some("corpus@v41"))
   }
 
+  test("an EMPTY snapshot still commits a referenced dir: sourceId " +
+    "stays reachable and nothing is orphaned") {
+    import spark.implicits._
+    val store = new ClusterStore(spark, tmp(), buckets = 4)
+    store.write(Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id"),
+      sourceId = "corpus@empty")
+    assert(store.read().count() === 0)
+    assert(store.sourceId === Some("corpus@empty"),
+      "the empty snapshot's source marker must be reachable")
+    assert(store.vacuumOrphans(olderThanMs = -1000L) === Nil,
+      "the snapshot dir is referenced, not an orphan")
+    // a later real snapshot replaces it cleanly
+    store.write(Seq((1L, 1L)).toDF("doc_id", "cluster_id"), "corpus@v2")
+    assert(store.read().count() === 1 &&
+      store.sourceId === Some("corpus@v2"))
+  }
+
   test("re-cluster swaps atomically: a pinned reader keeps its snapshot, " +
     "a fresh reader sees only the new one — never a mix") {
     import spark.implicits._

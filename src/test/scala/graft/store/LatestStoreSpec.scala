@@ -209,4 +209,41 @@ class LatestStoreSpec extends SparkSuite {
     assert(!store.exists)
     assert(store.latest.count() === 0)
   }
+
+  test("reopening with a different nBuckets is rejected — a mismatched " +
+    "modulus would merge against the wrong bucket and leave two live " +
+    "rows per key") {
+    val dir = tmpDir("lat-buckets") + "/t"
+    new LatestStore(spark, dir, nBuckets = 4)
+      .upsert(batch(Seq(("w", "p")), 100L * day, 1L))
+    val e = intercept[IllegalArgumentException] {
+      new LatestStore(spark, dir, nBuckets = 8)
+        .upsert(batch(Seq(("w2", "p2")), 100L * day, 1L))
+    }
+    assert(e.getMessage.contains("created with 4"))
+    // the matching modulus keeps working
+    new LatestStore(spark, dir, nBuckets = 4)
+      .upsert(batch(Seq(("w2", "p2")), 100L * day, 1L))
+  }
+
+  test("a merge whose referenced leaf is missing FAILS the upsert " +
+    "instead of committing a table without that bucket's keys") {
+    val dir = tmpDir("lat-strict") + "/t"
+    val store = new LatestStore(spark, dir, nBuckets = 2)
+    val keys = (1 to 16).map(i => (s"what$i", s"where$i"))
+    store.upsert(batch(keys, 100L * day, 1L))
+    val before = store.latest.count()
+    assert(before === 16L)
+    // externally delete one referenced kp leaf (flaky-FS simulation)
+    val dataDir = new java.io.File(dir, "data")
+    val leaf = dataDir.listFiles().head.listFiles()
+      .filter(_.getName.startsWith("kp=")).head
+    def rm(x: java.io.File): Unit = {
+      Option(x.listFiles()).getOrElse(Array.empty).foreach(rm); x.delete()
+    }
+    rm(leaf)
+    // an upsert touching every bucket must fail loudly, not silently
+    // drop the vanished bucket's existing keys from the rewrite
+    intercept[Exception] { store.upsert(batch(keys, 200L * day, 2L)) }
+  }
 }

@@ -122,6 +122,36 @@ class NearDupIndexSpec extends SparkSuite {
       new NearDupIndex(spark, path, buckets = 8)
         .probe(Seq((9L, base)).toDF("doc_id", "text"))
     }
+    // band-identity parameters are pinned too: different band keys or
+    // normalization would silently miss every historical near-dup
+    intercept[IllegalArgumentException] {
+      new NearDupIndex(spark, path, buckets = 4, rowsPerBand = 2)
+        .probe(Seq((9L, base)).toDF("doc_id", "text"))
+    }
+    intercept[IllegalArgumentException] {
+      new NearDupIndex(spark, path, buckets = 4, normChars = 100)
+        .probe(Seq((9L, base)).toDF("doc_id", "text"))
+    }
+    // maxDist is a confirm threshold, not stored identity — tunable
+    new NearDupIndex(spark, path, buckets = 4, maxDist = 10)
+      .probe(Seq((9L, "tiny probe doc")).toDF("doc_id", "text")).count()
+  }
+
+  test("pre-upgrade bucket-only markers stay accepted when the bucket " +
+    "count matches, rejected when it does not") {
+    import spark.implicits._
+    val path = tmp()
+    val f = Fs.fs(spark, path)
+    f.mkdirs(new org.apache.hadoop.fs.Path(path))
+    val out = f.create(new org.apache.hadoop.fs.Path(path, "_buckets"), false)
+    out.write("8".getBytes("UTF-8")); out.close()
+    val idx = new NearDupIndex(spark, path, buckets = 8)
+    idx.append(Seq((1L, base)).toDF("doc_id", "text"))
+    assert(idx.probe(Seq((9L, edited)).toDF("doc_id", "text")).count() === 1)
+    intercept[IllegalArgumentException] {
+      new NearDupIndex(spark, path, buckets = 16)
+        .probe(Seq((9L, base)).toDF("doc_id", "text"))
+    }
   }
 
   test("bloom prefilter parity: probe and ingest verdicts identical " +
