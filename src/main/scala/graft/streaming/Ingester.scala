@@ -21,9 +21,14 @@ final case class IngesterReport(
     records: Seq[ReportRecord],
     message: Option[String])
 
+/** `fatal` carries an UNSAFE exception's rendering: the reference
+  * publishes the error report in `finally` and THEN re-raises
+  * (`ingester.py:88-99`) — so the poison pill must cross the executor
+  * boundary as data, be reported, and only then stop the stream. */
 final case class IngestResult(
     records: Seq[RecordRow],
-    report: IngesterReport)
+    report: IngesterReport,
+    fatal: Option[String] = None)
 
 /** Message handler reproducing `Ingester.handler` (`ingester.py:88-114`):
   * parse the notification, dispatch per event (Put/CompleteMultipartUpload
@@ -58,25 +63,34 @@ final class Ingester(
         IngesterReport(0, "success", startMs,
           (clock() - startMs) / 1000.0, reportRecords(collected), None))
     } catch {
-      case e: Exception if Ingester.isSafe(e) =>
+      // the reference's handler reports EVERY exception (error status +
+      // message, `finally: self._report(ir)`) and re-raises only the
+      // unsafe ones — so both arms build the same error report; the
+      // unsafe arm additionally marks the result fatal so
+      // [[StreamingIngester.processBatch]] can re-raise AFTER the
+      // report is persisted (previously an unsafe exception produced no
+      // report at all and dropped the earlier events' records)
+      case e: Exception =>
         // events handled before the failing one keep their records — the
         // reference stores each record as it goes, so an error part-way
         // through a multi-event message leaves the earlier files indexed
         IngestResult(collected.values.toSeq,
           IngesterReport(0, "error", startMs, (clock() - startMs) / 1000.0,
-            reportRecords(collected), Some(e.getMessage)))
+            reportRecords(collected), Some(e.getMessage)),
+          fatal = if (Ingester.isSafe(e)) None else Some(e.toString))
     }
   }
 
-  /** Report lists each distinct url once (`ingester.py:61-65` keys records
-    * by url). */
+  /** Report lists each distinct url once, LAST occurrence winning
+    * (`ingester.py:35-36` — `self.records[r['url']] = r` is a dict
+    * overwrite, so a Put followed by a Copy of the same url reports the
+    * rewrite's size/metadata, matching what the store keeps). */
   private def reportRecords(
       collected: scala.collection.mutable.LinkedHashMap[String, RecordRow])
     : Seq[ReportRecord] = {
     val seen = scala.collection.mutable.LinkedHashMap.empty[String, ReportRecord]
     collected.values.foreach { r =>
-      seen.getOrElseUpdate(r.url,
-        ReportRecord(r.url, r.size, r.create_time, r.metadata))
+      seen(r.url) = ReportRecord(r.url, r.size, r.create_time, r.metadata)
     }
     seen.values.toSeq
   }
@@ -124,7 +138,25 @@ final class StreamingIngester(
   private val ingester = new Ingester(contentStore, clock)
   private val batchesSinceCompact = new java.util.concurrent.atomic.AtomicLong
 
-  def processBatch(batch: Dataset[String]): Unit = {
+  /** One ingest batch: records + latest + report in one pass.
+    *
+    * `batchTag` keys the report side-output: with a tag (the streaming
+    * path passes the foreachBatch batch id) each batch's reports land
+    * in their own overwritten `batch=<tag>` dir, so an at-least-once
+    * REPLAY rewrites the same reports instead of appending a second
+    * copy — the records/latest stores were always replay-convergent,
+    * but an Append report sink double-counted. Untagged calls
+    * ([[drainQueue]], whose redeliveries have no stable batch
+    * identity) keep Append semantics: a crash between processBatch and
+    * queue-delete may duplicate reports there, records never.
+    *
+    * A FATAL (unsafe-exception) result follows the reference's
+    * publish-then-raise contract (`ingester.py:88-99`): everything the
+    * batch collected is written and its error report persisted, THEN
+    * the poison pill stops the stream — nothing is deleted or
+    * checkpointed, so the message redelivers. */
+  def processBatch(batch: Dataset[String],
+      batchTag: Option[String] = None): Unit = {
     val ing = ingester
     val results = batch.map(ing.handle).persist()
     try {
@@ -132,7 +164,17 @@ final class StreamingIngester(
       recordStore.appendDf(records.toDF(), dedupAgainstExisting = true)
       latestStore.foreach(_.upsert(records.toDF()))
       reportPath.foreach { p =>
-        results.map(_.report).write.mode(SaveMode.Append).json(p)
+        val reports = results.map(_.report)
+        batchTag match {
+          case Some(t) => reports.write.mode(SaveMode.Overwrite)
+            .json(s"$p/batch=$t")
+          case None => reports.write.mode(SaveMode.Append).json(p)
+        }
+      }
+      val fatal = results.flatMap(_.fatal.toSeq).take(1)
+      fatal.headOption.foreach { msg =>
+        throw new IllegalStateException(
+          s"unsafe ingest exception (reported, message NOT consumed): $msg")
       }
     } finally results.unpersist()
     if (compactEvery > 0 &&
@@ -178,7 +220,8 @@ final class StreamingIngester(
       .as[String]
     val writer = raw.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch((batch: Dataset[String], _: Long) => processBatch(batch))
+      .foreachBatch((batch: Dataset[String], id: Long) =>
+        processBatch(batch, Some(id.toString)))
     // AvailableNow ⇒ drain-then-stop (the reference's listen(timeout) test
     // mode, `queue.py:52-66`); default ⇒ continuous micro-batches.
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)

@@ -13,13 +13,29 @@ trait ContentStore extends Serializable {
   def fetch(url: String): (Metadata, Long, Long)
 }
 
-/** One parsed S3 event (`s3_notification.py:38-85`). */
+/** One parsed S3 event (`s3_notification.py:38-85`). `bucketName` /
+  * `keyName` are null when the event carried no such field. */
 final case class S3Event(
     eventName: String,
     eventVersion: String,
     bucketName: String,
     keyName: String) {
-  def s3Url: String = s"s3://$bucketName/$keyName"
+  /** KeyError parity (`s3_notification.py:74-79`): a missing
+    * s3.bucket.name / s3.object.key surfaces HERE — lazily, where the
+    * reference first dereferences it, so an unsupported event with no
+    * s3 block still fails as the SAFE UnsupportedS3Event — and as
+    * NoSuchElementException, which is NOT in the safe set: the
+    * message must redeliver for investigation, never be deleted as
+    * handled with an empty-url error report (a silent default of ""
+    * here turned malformed events into NoSuchDatalakeFile, which IS
+    * safe — permanent, unrecoverable discard). */
+  def s3Url: String = {
+    if (bucketName == null) throw new NoSuchElementException(
+      s"event $eventName has no s3.bucket.name")
+    if (keyName == null) throw new NoSuchElementException(
+      s"event $eventName has no s3.object.key")
+    s"s3://$bucketName/$keyName"
+  }
 }
 
 /** SNS-envelope S3 notification (`s3_notification.py:22-35`): the `Message`
@@ -78,11 +94,11 @@ object S3Notification {
     }
     val bucket = j \ "s3" \ "bucket" \ "name" match {
       case JString(b) => b
-      case _ => ""
+      case _ => null
     }
     val key = j \ "s3" \ "object" \ "key" match {
       case JString(k) => k
-      case _ => ""
+      case _ => null
     }
     S3Event(name, version, bucket, key)
   }

@@ -192,7 +192,14 @@ object StreamOps {
     val score = udf { (text: String) =>
       if (text == null) 0L
       else {
-        val t = text.toLowerCase(java.util.Locale.ROOT).trim
+        // Spark's trim strips SPACES only; Java String.trim strips
+        // every char <= U+0020 — a trailing '\n' would vanish here but
+        // survive the batch side's trim and become a trailing space in
+        // the collapse, scoring one extra bigram. Mirror Spark exactly
+        // (space-trim, then the explicit whitespace-class collapse) so
+        // stream and batch scores stay bit-equal on edge whitespace.
+        val t = text.toLowerCase(java.util.Locale.ROOT)
+          .replaceAll("^ +| +$", "")
           .replaceAll("[ \\t\\n\\x0B\\f\\r]+", " ")
         val cps = t.codePoints.toArray
         if (cps.length < 2) 0L
@@ -224,17 +231,18 @@ object StreamOps {
   def qualityGateStream(
       docs: DataFrame,
       checkpointDir: String,
-      minWords: Long = 50L,
-      maxWords: Long = 100000L,
-      minStopwords: Int = 2)(
+      gate: GateConfig = GateConfig())(
       sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the one GateConfig type both gate entry points share — a
+        // loose-parameter copy here had already drifted (it could not
+        // express repN)
         sink(graft.operators.Curation.qualityGate(batch,
-          minWords = minWords, maxWords = maxWords,
-          minStopwords = minStopwords))
+          minWords = gate.minWords, maxWords = gate.maxWords,
+          minStopwords = gate.minStopwords, repN = gate.repN))
       }
       .start()
 
@@ -538,11 +546,21 @@ object StreamOps {
       .persist()
     try {
       gated.foreach { gd => gateSink(gd); onStage("gate") }
+      // pin each stage's emission before the next consumes it: the
+      // exact canonical frame embeds the fingerprint-history ownership
+      // join and the near-dup survivors embed the verdict join —
+      // downstream consumers (the gram ingest's several actions, the
+      // excision join, the keptDocs join) would otherwise re-run those
+      // history scans once per action. Both frames are batch-sized and
+      // recompute-stable, so pinning changes cost, never content (the
+      // kill-point contract is unaffected: a crash replays the batch)
       val exactCanonical = exact.ingestResolved(cleaned)
+        .localCheckpoint(true)
       onStage("exact")
       val ndSurvivors = nearDup.ingest(exactCanonical)
         .filter(col("canonical_id") === col("doc_id"))
         .drop("canonical_id")
+        .localCheckpoint(true)
       onStage("neardup")
       val spans = grams.ingest(ndSurvivors)
       val scrubbed = graft.operators.SpanDedup
@@ -674,31 +692,35 @@ object StreamOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        // NoTimeout means hasTimedOut can never fire — no timeout
+        // branch exists, by design: the open session flushes on the
+        // next in-gap-or-beyond event, never on wall clock
         (userId: Long, rows: Iterator[SessionEvent],
          state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val out = state.getOption.map(s =>
-              SessionOut(userId, s.sessionStart, s.lastTs, s.nEvents))
-            state.remove()
-            out.iterator
-          } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts_ms, e.event_id))
-            var current = state.getOption
-            val closed = scala.collection.mutable.Buffer.empty[SessionOut]
-            sorted.foreach { e =>
-              current match {
-                case Some(s) if e.ts_ms - s.lastTs <= gapMs =>
-                  current = Some(s.copy(lastTs = e.ts_ms, nEvents = s.nEvents + 1))
-                case Some(s) =>
-                  closed += SessionOut(userId, s.sessionStart, s.lastTs, s.nEvents)
-                  current = Some(SessionState(e.ts_ms, e.ts_ms, 1))
-                case None =>
-                  current = Some(SessionState(e.ts_ms, e.ts_ms, 1))
-              }
+          val sorted = rows.toSeq.sortBy(e => (e.ts_ms, e.event_id))
+          var current = state.getOption
+          val closed = scala.collection.mutable.Buffer.empty[SessionOut]
+          sorted.foreach { e =>
+            current match {
+              case Some(s) if e.ts_ms - s.lastTs <= gapMs =>
+                // a LATE event (sorted within its batch, but batches
+                // are not sorted against each other) must never rewind
+                // lastTs: the session's end is its newest event, and a
+                // rewound lastTs would let a later event close the
+                // session with session_end EARLIER than an event it
+                // contains
+                current = Some(s.copy(
+                  lastTs = math.max(s.lastTs, e.ts_ms),
+                  nEvents = s.nEvents + 1))
+              case Some(s) =>
+                closed += SessionOut(userId, s.sessionStart, s.lastTs, s.nEvents)
+                current = Some(SessionState(e.ts_ms, e.ts_ms, 1))
+              case None =>
+                current = Some(SessionState(e.ts_ms, e.ts_ms, 1))
             }
-            current.foreach(state.update)
-            closed.iterator
           }
+          current.foreach(state.update)
+          closed.iterator
       }
   }
 }

@@ -144,6 +144,61 @@ class IngesterSpec extends SparkSuite {
     assert(res.report.message.get.contains("too many time buckets"))
   }
 
+  test("missing s3.bucket.name / object.key is UNSAFE (KeyError " +
+    "parity): reported as error AND marked fatal — never silently " +
+    "dropped as a safe empty-url miss") {
+    val noS3 = """{"eventVersion": "2.0", "eventName": "ObjectCreated:Put"}"""
+    val res = ingester().handle(notification(Seq(noS3)))
+    assert(res.report.status === "error")
+    assert(res.fatal.isDefined,
+      "a malformed supported event is a poison pill the reference " +
+        "re-raises, not a deletable handled message")
+    // an UNSUPPORTED event with no s3 block stays the SAFE error —
+    // bucket/key are dereferenced lazily, after the event-name check,
+    // exactly like the reference's properties
+    val unsupNoS3 =
+      """{"eventVersion": "2.0", "eventName": "ObjectRemoved:Delete"}"""
+    val res2 = ingester().handle(notification(Seq(unsupNoS3)))
+    assert(res2.report.status === "error" && res2.fatal.isEmpty)
+  }
+
+  test("report keeps the LAST record per url (reference dict " +
+    "overwrite), matching what the store keeps") {
+    val store = new ContentStore {
+      private var n = 0
+      override def fetch(u: String): (Metadata, Long, Long) = {
+        n += 1; (Metadata.fromJson(metaJson), 1000L * n, 1430000000000L)
+      }
+    }
+    val res = new Ingester(store, () => 123000L)
+      .handle(notification(Seq(s3Event(), s3Event())))
+    assert(res.report.status === "success")
+    assert(res.report.records.size === 1, "one row per distinct url")
+    assert(res.report.records.head.size === 2000L,
+      "the rewrite's stats must win, as in the reference's dict")
+  }
+
+  test("unsafe exception: reports published and good records kept, " +
+    "THEN the batch fails so nothing is consumed (publish-then-raise)") {
+    val recordStore = new RecordStore(spark, tmpDir("rec-poison") + "/t")
+    val reportDir = tmpDir("reports-poison") + "/r"
+    val ing = new StreamingIngester(spark,
+      new FakeContentStore(Map(url -> metaJson)),
+      recordStore, None, Some(reportDir), () => 123000L)
+    val noS3 = """{"eventVersion": "2.0", "eventName": "ObjectCreated:Put"}"""
+    val batch = spark.createDataset(Seq(
+      notification(Seq(s3Event())), notification(Seq(noS3))))(
+      org.apache.spark.sql.Encoders.STRING)
+    val e = intercept[IllegalStateException] { ing.processBatch(batch) }
+    assert(e.getMessage.contains("NOT consumed"))
+    // the healthy message's records landed and BOTH reports exist —
+    // the reference publishes the error report before re-raising
+    assert(recordStore.records.count() === 1)
+    val reports = spark.read.json(reportDir)
+    assert(reports.count() === 2)
+    assert(reports.filter(reports("status") === "error").count() === 1)
+  }
+
   test("streaming end-to-end: files → records + latest + reports, replay-safe") {
     val notifDir = tmpDir("notif")
     val widIndex = new graft.store.WorkIdIndex(spark, tmpDir("wix") + "/i")

@@ -224,6 +224,34 @@ class StreamOpsSpec extends SparkSuite {
     assert(closed.toSeq === Seq(SessionOut(1L, 0L, 900L, 3L)))
   }
 
+  test("sessionization: a late cross-batch event never rewinds the " +
+    "session end") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val q = StreamOps.sessionizeStream(input.toDS(), gapMs = 1000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_late").start()
+    input.addData(SessionEvent(1L, 1L, 1000L))
+    q.processAllAvailable()
+    // LATE event (batches are sorted internally, not against each
+    // other): within gap of the session, but older than its last event
+    input.addData(SessionEvent(1L, 2L, 500L))
+    q.processAllAvailable()
+    // within gap of the REAL last event (1000) but not of the late one
+    // (500): a rewound lastTs would wrongly close the session here
+    // with session_end=500 — earlier than an event it contains
+    input.addData(SessionEvent(1L, 3L, 1600L))
+    q.processAllAvailable()
+    assert(spark.table("sessions_late").count() === 0,
+      "the session must still be open — no spurious split")
+    input.addData(SessionEvent(1L, 4L, 99000L)) // far future closes it
+    q.processAllAvailable()
+    val closed = spark.table("sessions_late").as[SessionOut].collect()
+    q.stop()
+    assert(closed.toSeq === Seq(SessionOut(1L, 1000L, 1600L, 3L)))
+  }
+
   test("scoreStream: batch-trained char-LM gates a stream, parity with " +
     "the batch score for fully-seen documents") {
     import spark.implicits._
@@ -256,6 +284,35 @@ class StreamOpsSpec extends SparkSuite {
     // parity: the streaming scorer reproduces the batch avg_micro
     // exactly for a document whose bigrams were all seen in training
     assert(out(1L) === batchAvg)
+  }
+
+  test("scoreStream parity holds on edge whitespace: Spark's trim " +
+    "strips spaces only, so a trailing newline scores one extra " +
+    "trailing-space bigram on BOTH sides") {
+    import spark.implicits._
+    val prose = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = (1L to 8L).map(i => (i, prose)).toDF("doc_id", "text")
+    val model = graft.operators.Curation.charLmModelMap(corpus)
+    // "\n" survives Spark trim and collapses to a trailing space —
+    // Java String.trim would strip it and diverge (the bug this pins)
+    val edgy = Seq((1L, prose + "\n"), (2L, "\t " + prose + " \r\n"))
+      .toDF("doc_id", "text")
+    // batch-side reference: the BATCH normalization chain (Spark trim +
+    // explicit whitespace-class collapse + charBigrams) scored under
+    // the SAME trained model the stream ships
+    val want = edgy.select($"doc_id", explode(
+      graft.functions.functions.charBigrams(
+        regexp_replace(lower(trim($"text")),
+          "[ \\t\\n\\x0B\\f\\r]+", " "))).as("g"))
+      .collect().groupBy(_.getLong(0)).map { case (id, rows) =>
+        val gs = rows.map(_.getString(1)).toSeq
+        id -> gs.map(g => model.getOrElse(g, 0L)).sum / gs.length
+      }
+    val got = StreamOps.scoreStream(edgy, model, minAvgMicro = 0L)
+      .select($"doc_id", $"avg_micro").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === want,
+      "stream and batch scores must stay bit-equal on edge whitespace")
   }
 
   test("hllStream: 64-rows-per-group state converges to exactly the " +
@@ -722,7 +779,7 @@ class StreamOpsSpec extends SparkSuite {
     val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, String)]
     val ckpt = java.nio.file.Files.createTempDirectory("qgs-ckpt")
     val q = StreamOps.qualityGateStream(df, ckpt.toString,
-      minWords = 3L, maxWords = 500L) { out =>
+      GateConfig(minWords = 3L, maxWords = 500L)) { out =>
       got ++= out.select($"doc_id", $"keep", $"reasons").collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
     }
