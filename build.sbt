@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` stdout goes straight through, NOT via sbt's info logger:
+// the driver machine-parses Bench's final JSON line, and the "[info] "
+// prefix the logger prepends made it unparsable for five rounds running
+// ("parsed": null in every BENCH_r*.json).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

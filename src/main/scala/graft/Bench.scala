@@ -121,25 +121,21 @@ object Bench {
     val failedCount = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"load":$loads,"outlier_rerun":$reruns,"failed":$failedCount,"sf":"$sfDir"}"""
-    // FIRST line of the closing output: the full machine-readable line
-    // (VERDICT r8 #8 — four rounds of driver artifacts carried
-    // "parsed": null because a fixed-size tail capture chopped the
-    // ~8 KB line's head when it was emitted last).
-    println(line)
-    // Also persist it to a file: with `run / fork := true` the println
-    // above rides sbt's info logger; the file is the durable
-    // machine-readable channel regardless of log capture.
+    // The full per-query/load/rerun line goes ONLY to BENCH_LOCAL.json
+    // (VERDICT r10 #4): printing the ~8 KB map to stdout — first OR
+    // last — overflowed the driver's fixed-size tail capture five rounds
+    // running ("parsed": null). Stdout carries nothing but the slim
+    // summary line below.
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write BENCH_LOCAL.json: $e") }
     // Stop BEFORE the final line so Spark's shutdown logging cannot land
-    // after it: the LAST stdout line is then always one complete JSON
-    // object. It carries NO per-query map at all (~120 queries made even
-    // the "slim" variant overflow the driver's tail window for four
-    // rounds running — "parsed": null); BENCH_LOCAL.json holds the full
-    // per-query/load/rerun detail.
+    // after it: the LAST stdout line (before sbt's own footer) is then
+    // always one complete JSON object, un-prefixed thanks to
+    // `run / outputStrategy := StdoutOutput` in build.sbt.
+    // BENCH_LOCAL.json holds the full per-query/load/rerun detail.
     spark.stop()
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failedCount,"sf":"$sfDir","full":"BENCH_LOCAL.json"}""")
   }

@@ -34,21 +34,50 @@ private[graft] object Fs {
   def ensureMarker(f: FileSystem, marker: Path, want: String): String = {
     var attempts = 0
     while (attempts < 5) {
+      attempts += 1
       if (f.exists(marker)) {
         val in = f.open(marker)
-        return try scala.io.Source.fromInputStream(in, "UTF-8")
+        val stored = try scala.io.Source.fromInputStream(in, "UTF-8")
           .mkString.trim
         finally in.close()
+        // An empty read is a concurrent creator's create→write window
+        // (create() makes the path visible before the bytes land), not a
+        // value: returning "" would fail callers' parse (toInt) or read
+        // as a spurious mismatch. Retry within the attempt budget; a
+        // marker that is STILL empty after 5 looks is corrupt and
+        // surfaces as the loud IOException below.
+        if (stored.nonEmpty) return stored
+        Thread.sleep(20L * attempts)
+      } else {
+        try {
+          val out = f.create(marker, false)
+          try out.write(want.getBytes("UTF-8")) finally out.close()
+          return want
+        } catch { case e: java.io.IOException => if (attempts >= 5) throw e }
       }
-      attempts += 1
-      try {
-        val out = f.create(marker, false)
-        try out.write(want.getBytes("UTF-8")) finally out.close()
-        return want
-      } catch { case e: java.io.IOException => if (attempts >= 5) throw e }
     }
-    throw new java.io.IOException(s"cannot read or create marker $marker")
+    throw new java.io.IOException(
+      s"cannot read or create marker $marker (empty or unwritable after 5 attempts)")
   }
+
+  /** Atomically replace a config marker's content: write a temp file
+    * beside it, then rename-with-overwrite into place (FileContext's
+    * OVERWRITE rename — atomic on local disk and HDFS; an object store
+    * without atomic rename degrades to best-effort, which is fine for
+    * the one caller: a legacy-marker UPGRADE whose failure just means
+    * the next open re-validates the legacy form). Never throws — an
+    * upgrade must not fail an open that already validated. */
+  def replaceMarker(spark: SparkSession, marker: Path, content: String): Unit =
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      val tmp = new Path(marker.getParent,
+        marker.getName + ".tmp-" + java.util.UUID.randomUUID())
+      val f = marker.getFileSystem(conf)
+      val out = f.create(tmp, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      org.apache.hadoop.fs.FileContext.getFileContext(marker.toUri, conf)
+        .rename(tmp, marker, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch { case _: Exception => () }
 
   /** Sum of parquet footer record counts + file bytes for `parts`,
     * read driver-side on the common pool — footer opens are IO-bound

@@ -166,19 +166,15 @@ final class ManifestLog(spark: SparkSession, path: String,
         val conf = spark.sparkContext.hadoopConfiguration
         val dirCells = allEntries.filter(_._1.startsWith(cellPrefix)).toSeq
           .flatMap { case (cell, dirs) => dirs.map(_ -> cell) }.distinct
-        // bound the shared cache ONCE, before measuring anything:
-        // evicting mid-call would destroy this very call's measurements
-        // (and with them the extrapolation base). The overflowing
-        // path's own entries go first — the store that overflowed pays
-        // its own re-reads, unrelated stores keep their cache — with a
-        // hard clear only when many stores are collectively over.
-        // Entries are ~100 B; an eviction is a re-read, never a
-        // correctness risk.
-        if (ManifestLog.rowCache.size > 100000) {
-          ManifestLog.rowCache.keySet.removeIf(_._1 == path)
-          if (ManifestLog.rowCache.size > 200000)
-            ManifestLog.rowCache.clear()
-        }
+        // Cache bounding is the LRU's job (see rowCache): access-order
+        // eviction means a store touching its own entries keeps them
+        // fresh, so no store self-evicts what this very call is about
+        // to use. (The previous policy — drop the CURRENT path's
+        // entries whenever the global cache was over 100k — made any
+        // single store with >100k leaves purge its own cache at the
+        // start of every call and permanently thrash.) An eviction is
+        // a re-read, never a correctness risk: exactRows accumulates
+        // as the walk goes, and callRows/callBytes are scalars.
         var budget = maxFooterReads
         var exactRows = 0L
         var unreadBytes = 0L
@@ -442,8 +438,21 @@ object ManifestLog {
   val DefaultFooterBudget: Long = 4096L
 
   /** (table path, dir, cell) -> (footer row sum, parquet bytes). Safe
-    * to share JVM-wide because committed data dirs are write-once. */
-  private val rowCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, String),
-      (Long, Long)]()
+    * to share JVM-wide because committed data dirs are write-once.
+    * Bounded as an ACCESS-ORDER LRU (~100 B/entry ⇒ ~15 MB cap): the
+    * eldest entry across ALL stores goes first, so a store re-touching
+    * its own entries keeps them, and two stores that together overflow
+    * the cap churn only the overflow margin — never their whole
+    * working sets. All access paths (get/put/forEach) go through the
+    * synchronized wrapper, which serializes LinkedHashMap's
+    * access-order mutation on get. */
+  private val RowCacheMax = 150000
+  private val rowCache: java.util.Map[(String, String, String), (Long, Long)] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, String, String), (Long, Long)](
+          1 << 12, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, String, String), (Long, Long)])
+            : Boolean = size() > RowCacheMax
+      })
 }

@@ -125,18 +125,27 @@ final class NearDupIndex(spark: SparkSession, path: String,
     * markers carry only the bucket count; they are accepted when it
     * matches (the other parameters are unverifiable for such stores —
     * callers that tuned them before this guard existed must keep
-    * passing the same values, as before). */
+    * passing the same values, as before) and then UPGRADED in place to
+    * the full format, so the first post-upgrade open pins the
+    * remaining parameters for every later one. */
   private def ensureBuckets(): Unit = {
     val want =
       s"buckets=$buckets;numHashes=$numHashes;" +
         s"rowsPerBand=$rowsPerBand;normChars=$normChars"
     val stored = Fs.ensureMarker(f, bucketsMarker, want)
-    val ok = stored == want ||
-      (scala.util.Try(stored.toInt).toOption.contains(buckets))
-    require(ok,
+    val legacy = stored != want &&
+      scala.util.Try(stored.toInt).toOption.contains(buckets)
+    require(stored == want || legacy,
       s"index at $path was created with '$stored'; opened with '$want' " +
         "— a band/normalization mismatch silently misses every " +
         "historical near-duplicate")
+    // Upgrade a validated legacy (bucket-only) marker to the full
+    // band-identity format so numHashes/rowsPerBand/normChars are
+    // pinned from now on — the first post-upgrade open froze them
+    // anyway (new code appends under ITS band params), so recording
+    // that identity closes the forever-unpinned window. Atomic
+    // replace; best-effort (a failure re-validates legacy next open).
+    if (legacy) Fs.replaceMarker(spark, bucketsMarker, want)
   }
 
   private def requireIntegralId(batch: DataFrame, idCol: String): Unit =

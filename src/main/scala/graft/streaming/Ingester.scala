@@ -76,7 +76,11 @@ final class Ingester(
         // through a multi-event message leaves the earlier files indexed
         IngestResult(collected.values.toSeq,
           IngesterReport(0, "error", startMs, (clock() - startMs) / 1000.0,
-            reportRecords(collected), Some(e.getMessage)),
+            reportRecords(collected),
+            // str(e) semantics: getMessage is null for e.g. a bare NPE,
+            // and Some(null) would emit a null message field where the
+            // reference always reports text
+            Some(Option(e.getMessage).getOrElse(e.toString))),
           fatal = if (Ingester.isSafe(e)) None else Some(e.toString))
     }
   }
@@ -146,9 +150,12 @@ final class StreamingIngester(
     * REPLAY rewrites the same reports instead of appending a second
     * copy — the records/latest stores were always replay-convergent,
     * but an Append report sink double-counted. Untagged calls
-    * ([[drainQueue]], whose redeliveries have no stable batch
-    * identity) keep Append semantics: a crash between processBatch and
-    * queue-delete may duplicate reports there, records never.
+    * ([[drainQueue]], whose redeliveries have no stable batch identity)
+    * write a unique `batch=queue-<uuid>` dir — the whole report tree
+    * stays one uniform partitioned layout Spark can read in a single
+    * `read.json(reportPath)` — and keep Append-equivalent semantics: a
+    * crash between processBatch and queue-delete may duplicate reports
+    * there, records never.
     *
     * A FATAL (unsafe-exception) result follows the reference's
     * publish-then-raise contract (`ingester.py:88-99`): everything the
@@ -168,7 +175,19 @@ final class StreamingIngester(
         batchTag match {
           case Some(t) => reports.write.mode(SaveMode.Overwrite)
             .json(s"$p/batch=$t")
-          case None => reports.write.mode(SaveMode.Append).json(p)
+          case None =>
+            // Uniform partition-style layout (ADVICE r10): Spark cannot
+            // read a directory mixing data files at the root with
+            // batch=<id> subdirs ("conflicting directory structures"),
+            // so queue drains get their own batch=queue-<uuid> dir
+            // instead of appending flat files. The dir is fresh, so
+            // Overwrite≡Append; redeliveries still have no stable batch
+            // identity, so a crash between processBatch and queue-delete
+            // may duplicate reports (as the old Append did) — records
+            // never. Read the report tree with
+            // `spark.read.json(s"$reportPath/batch=*")`.
+            reports.write.mode(SaveMode.Overwrite)
+              .json(s"$p/batch=queue-${java.util.UUID.randomUUID()}")
         }
       }
       val fatal = results.flatMap(_.fatal.toSeq).take(1)

@@ -152,6 +152,20 @@ class NearDupIndexSpec extends SparkSuite {
       new NearDupIndex(spark, path, buckets = 16)
         .probe(Seq((9L, base)).toDF("doc_id", "text"))
     }
+    // the validated legacy marker is upgraded in place to the full
+    // band-identity format, so the previously-unverifiable parameters
+    // are pinned from the first post-upgrade open onward: a reopen
+    // with different band params — silently accepted under the
+    // bucket-only marker — is now refused
+    val in = f.open(new org.apache.hadoop.fs.Path(path, "_buckets"))
+    val upgraded = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .mkString.trim finally in.close()
+    assert(upgraded ===
+      "buckets=8;numHashes=8;rowsPerBand=4;normChars=4000")
+    intercept[IllegalArgumentException] {
+      new NearDupIndex(spark, path, buckets = 8, rowsPerBand = 2)
+        .probe(Seq((9L, base)).toDF("doc_id", "text"))
+    }
   }
 
   test("bloom prefilter parity: probe and ingest verdicts identical " +
