@@ -302,6 +302,11 @@ final class CellIndex(spark: SparkSession, path: String) {
     }
   }
 
+  /** Whether any generation has been committed — the "do I need a
+    * bootstrap build?" probe a front-door wiring uses (the other index
+    * families expose the same `exists` via their manifest log). */
+  def exists: Boolean = committedVersions.nonEmpty
+
   /** Pre-touch the current generation's filesystem metadata: walk every
     * table dir and read every parquet footer, driver-side, no data
     * scan. A freshly built/appended index pays a one-time cold

@@ -779,13 +779,31 @@ object Curation {
     */
   def langId(docs: DataFrame, langCol: String = "lang",
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val train = docs.select(col(langCol).as("__lang"),
-      explode(charGramsExpr(textCol)).as("__g"))
-    val counts = train.groupBy(col("__lang"), col("__g"))
+    // TWO corpus gram passes, not 3-4: the per-lang gram counts are
+    // aggregated once and PINNED (lang x distinct-gram — a few
+    // thousand rows), and the vocabulary size, totals, model, and OOV
+    // floor are all derived from that cache. Previously the
+    // train-counts, vocab (an eager driver action, so never
+    // plan-shared), and model-broadcast legs each re-ran the full
+    // corpus explode. The remaining two passes are irreducible: one
+    // builds the model's counts, one builds the per-doc histograms
+    // the scoring join consumes. (Pinning the per-doc histogram
+    // frame too was measured SLOWER at bench scale — its in-memory
+    // materialization costs more than the explode it saves.)
+    val counts = docs
+      .select(col(langCol).as("__lang"), explode(charGramsExpr(textCol))
+        .as("__g"))
+      .groupBy(col("__lang"), col("__g"))
       .agg(count(lit(1)).as("__cnt"))
+      .persist()
     val totals = counts.groupBy(col("__lang"))
       .agg(sum(col("__cnt")).as("__total"))
-    val vocab = train.select(col("__g")).distinct().count()
+    val vocab = counts.select(col("__g")).distinct().count()
+    val docGrams = docs
+      .select(col(idCol), col(langCol), explode(charGramsExpr(textCol))
+        .as("__g"))
+      .groupBy(col(idCol), col(langCol), col("__g"))
+      .agg(count(lit(1)).as("__n"))
     val model = counts.join(totals, Seq("__lang"))
       .select(col("__lang"), col("__g"),
         expr(s"CAST(round(1000000.0 * ln((__cnt + 1) / " +
@@ -793,11 +811,6 @@ object Curation {
     val oov = totals.select(col("__lang"),
       expr(s"CAST(round(1000000.0 * ln(1 / " +
         s"CAST(__total + $vocab AS DOUBLE))) AS BIGINT)").as("__oov"))
-    val docGrams = docs
-      .select(col(idCol), col(langCol), explode(charGramsExpr(textCol))
-        .as("__g"))
-      .groupBy(col(idCol), col(langCol), col("__g"))
-      .agg(count(lit(1)).as("__n"))
     val scored = docGrams
       .join(broadcast(oov.select(col("__lang").as("__cand"), col("__oov"))),
         lit(true))

@@ -183,6 +183,7 @@ final class ManifestLog(spark: SparkSession, path: String,
         // construction of dirCells
         var callRows = 0L
         var callBytes = 0L
+        var skippedFiles = 0L
         dirCells.foreach { case (dir, cell) =>
           val key = (path, dir, cell)
           val cached = ManifestLog.rowCache.get(key)
@@ -199,8 +200,27 @@ final class ManifestLog(spark: SparkSession, path: String,
               ManifestLog.rowCache.put(key, (rows, bytes))
               exactRows += rows
               callRows += rows; callBytes += bytes
-            } else unreadBytes += parts.map(_.getLen).sum
+            } else {
+              unreadBytes += parts.map(_.getLen).sum
+              skippedFiles += parts.length
+            }
           }
+        }
+        // Fragmentation guard (VERDICT r10 #8): a first call against a
+        // never-compacted million-file store extrapolates from a sliver
+        // of its leaves — legal (the estimate converges over calls) but
+        // a signal the store wants compaction far more than a better
+        // estimate. One warn per (store, magnitude), not per call.
+        // divide, don't multiply: 4 * an unbudgeted Long.MaxValue call
+        // overflows negative and would warn on every healthy walk
+        if (skippedFiles / 4 > math.max(1L, maxFooterReads)) {
+          val mag = java.lang.Long.numberOfLeadingZeros(skippedFiles)
+          if (ManifestLog.fragWarned.add((path, mag)))
+            System.err.println(
+              s"[manifest] $path: $skippedFiles parquet files skipped " +
+                s"by the footer budget ($maxFooterReads) — heavily " +
+                "fragmented store; run compactIfNeeded (see stats()) " +
+                "so row counts stop extrapolating")
         }
         if (unreadBytes == 0L) exactRows
         else {
@@ -446,6 +466,13 @@ object ManifestLog {
     * working sets. All access paths (get/put/forEach) go through the
     * synchronized wrapper, which serializes LinkedHashMap's
     * access-order mutation on get. */
+  /** (store path, skip-count magnitude) pairs already warned about —
+    * dedups the fragmentation hint so a hot ratio-gate loop doesn't
+    * spam one line per call; a store that keeps fragmenting re-warns
+    * at each magnitude step. */
+  private val fragWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int)]()
+
   private val RowCacheMax = 150000
   private val rowCache: java.util.Map[(String, String, String), (Long, Long)] =
     java.util.Collections.synchronizedMap(

@@ -450,7 +450,8 @@ object StreamOps {
       gateSink: DataFrame => Unit = _ => (),
       onStage: String => Unit = _ => (),
       warmOnStart: Boolean = false,
-      maintenanceEvery: Int = 0)(
+      maintenanceEvery: Int = 0,
+      availableNow: Boolean = false)(
       sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     // first-touch mitigation: pre-list + footer-read every store's live
     // snapshot BEFORE batch 1, so a fresh driver's first micro-batch
@@ -459,9 +460,14 @@ object StreamOps {
       exact.warm(); nearDup.warm(); grams.warm(); semantic.warm()
     }
     val batches = new java.util.concurrent.atomic.AtomicLong()
-    docs.writeStream
+    val writer = docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
+    // drain-and-exit (the Ingester Trigger.AvailableNow discipline, T5):
+    // process everything present, then stop — the CLI front door's
+    // one-shot mode; default is the continuous micro-batch stream
+    (if (availableNow) writer.trigger(
+      org.apache.spark.sql.streaming.Trigger.AvailableNow()) else writer)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         curateAllBatch(batch, exact, nearDup, grams, semantic,
           boilerplate, minKeptTokens, thresholdMicro, nprobe,

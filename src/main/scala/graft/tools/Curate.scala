@@ -1,0 +1,180 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+import graft.streaming.{GateConfig, StreamOps}
+
+/** The curation front door: ONE command that runs the full five-stage
+  * streaming pipeline (quality gate → byte-exact dedup → near-dup →
+  * verbatim-span scrub → semantic dedup) over a watched directory of
+  * parquet document files, with persisted store histories, warm start,
+  * and live maintenance — [[StreamOps.curateAllWithHistory]] wired the
+  * way a production deployment would wire it.
+  *
+  *   runMain graft.tools.Curate <inputDir> [flags]
+  *
+  * Input files: parquet with columns `doc_id BIGINT`, `text STRING`,
+  * `embedding ARRAY<FLOAT>` (all non-null; the embedding drives the
+  * semantic stage). Drop files into `<inputDir>` and the stream picks
+  * them up; `--once` drains what is present and exits
+  * (Trigger.AvailableNow), the default follows the directory forever.
+  *
+  * Outputs, under `--out` (default `<root>/curate/out`):
+  *   - `kept/batch=*`    the canonical, span-scrubbed survivors
+  *                       (original columns + n_kept + scrubbed_text)
+  *   - `reports/batch=*` one curation-report row per source per batch
+  *                       ([[graft.operators.Curation.curationReport]])
+  *   - `rejected/batch=*` gate-dropped rows with their `reasons`
+  * All three trees are uniform `batch=<uuid>` partition layouts —
+  * read each with one `spark.read.parquet(dir)`. Batches have no
+  * stable replay identity here, so a crash between a sink write and
+  * the checkpoint commit can duplicate OUTPUT rows (at-least-once);
+  * the four stores themselves converge exactly (the kill-point
+  * matrix), so re-running never corrupts history.
+  *
+  * Store bootstrap: the four index stores live under
+  * `<root>/curate/stores/`. The semantic cell index needs a trained
+  * coarse quantizer before its first ingest; on a fresh root this tool
+  * trains it from the embeddings already sitting in `<inputDir>`
+  * (k ≈ √n capped by `--train-k`) — the standing IVF bootstrap
+  * pattern. Later runs reuse every store as committed history.
+  */
+object Curate {
+
+  final case class Config(
+      inputDir: String,
+      root: String,
+      out: String,
+      once: Boolean = false,
+      gate: Option[GateConfig] = Some(GateConfig()),
+      maintenanceEvery: Int = 8,
+      minKeptTokens: Int = 15,
+      thresholdMicro: Long = 300000L,
+      nprobe: Int = 1,
+      trainK: Int = 64,
+      boilerplate: Seq[String] = Seq.empty)
+
+  /** One stable entry point for specs and embedding callers: wires the
+    * stores, bootstraps the semantic index if absent, starts the
+    * pipeline, and (with `once`) blocks until the drain finishes.
+    * Returns the started query (already terminated when `once`). */
+  def run(spark: SparkSession, cfg: Config)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    graft.functions.functions.register(spark)
+    val stores = s"${cfg.root}/curate/stores"
+    val exact = new graft.store.FingerprintIndex(spark, s"$stores/exact")
+    val nearDup = new graft.store.NearDupIndex(spark, s"$stores/neardup")
+    val grams = new graft.store.GramIndex(spark, s"$stores/grams")
+    val cells = new graft.operators.CellIndex(spark, s"$stores/cells")
+
+    // `source` is optional — parquet files without the column read as
+    // null and the report simply carries one null-source stratum
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("source", StringType)))
+
+    if (!cells.exists) {
+      // fresh root: train the coarse quantizer from what is already in
+      // the input dir — the only embeddings we have before batch 1
+      // vec_id = doc_id ON PURPOSE: buildLearned registers the training
+      // vectors in the index, so when the stream's first drain ingests
+      // these same documents the semantic stage sees a vec_id REPLAY
+      // (commits nothing, emits them as kept) — training under shifted
+      // ids would instead plant phantom twins that suppress the real
+      // docs as cos-1.0 duplicates of themselves
+      val seed = spark.read.schema(schema).parquet(cfg.inputDir)
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+        .filter(col("embedding").isNotNull)
+      val n = seed.count()
+      require(n > 0,
+        s"semantic index at $stores/cells has no trained quantizer and " +
+          s"${cfg.inputDir} holds no embeddings to train from — put at " +
+          "least one input file in place before the first run")
+      val k = math.max(1, math.min(cfg.trainK, math.sqrt(n.toDouble).toInt))
+      cells.buildLearned(seed, k = k)
+    }
+
+    def sinkDir(kind: String) =
+      s"${cfg.out}/$kind/batch=${java.util.UUID.randomUUID()}"
+
+    val stream = spark.readStream.schema(schema).parquet(cfg.inputDir)
+    StreamOps.curateAllWithHistory(
+      stream, exact, nearDup, grams, cells,
+      boilerplate = cfg.boilerplate,
+      checkpointDir = s"${cfg.root}/curate/checkpoint",
+      minKeptTokens = cfg.minKeptTokens,
+      thresholdMicro = cfg.thresholdMicro,
+      nprobe = cfg.nprobe,
+      gate = cfg.gate,
+      gateSink = gated => {
+        val g = gated.persist()
+        try {
+          graft.operators.Curation.curationReport(g, stratumCol = "source")
+            .write.parquet(sinkDir("reports"))
+          g.filter(col("keep") === 0).write.parquet(sinkDir("rejected"))
+        } finally { g.unpersist(); () }
+      },
+      warmOnStart = true,
+      maintenanceEvery = cfg.maintenanceEvery,
+      availableNow = cfg.once) { kept =>
+      kept.write.parquet(sinkDir("kept"))
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (flags, positional) = args.partition(_.startsWith("--"))
+    require(positional.length == 1,
+      "usage: Curate <inputDir> [--root DIR] [--out DIR] [--once] " +
+        "[--no-gate] [--min-words N] [--max-words N] [--min-stopwords N] " +
+        "[--maintenance-every N] [--min-kept-tokens N] " +
+        "[--threshold-micro M] [--nprobe N] [--train-k K] " +
+        "[--boilerplate FILE]")
+    val opts = flags.map(_.stripPrefix("--").split("=", 2))
+      .map(a => a(0) -> a.lift(1).getOrElse("")).toMap
+    val root = opts.getOrElse("root",
+      sys.env.getOrElse("GRAFT_ROOT",
+        sys.props("java.io.tmpdir") + "/graft"))
+    val gate =
+      if (opts.contains("no-gate")) None
+      else Some(GateConfig(
+        minWords = opts.get("min-words").map(_.toLong).getOrElse(50L),
+        maxWords = opts.get("max-words").map(_.toLong).getOrElse(100000L),
+        minStopwords = opts.get("min-stopwords").map(_.toInt).getOrElse(2)))
+    val cfg = Config(
+      inputDir = positional(0),
+      root = root,
+      out = opts.getOrElse("out", s"$root/curate/out"),
+      once = opts.contains("once"),
+      gate = gate,
+      maintenanceEvery =
+        opts.get("maintenance-every").map(_.toInt).getOrElse(8),
+      minKeptTokens = opts.get("min-kept-tokens").map(_.toInt).getOrElse(15),
+      thresholdMicro =
+        opts.get("threshold-micro").map(_.toLong).getOrElse(300000L),
+      nprobe = opts.get("nprobe").map(_.toInt).getOrElse(1),
+      trainK = opts.get("train-k").map(_.toInt).getOrElse(64),
+      boilerplate = opts.get("boilerplate").map { f =>
+        scala.io.Source.fromFile(f, "UTF-8").getLines().toSeq
+          .filter(_.nonEmpty)
+      }.getOrElse(Seq.empty))
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-curate")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val q = run(spark, cfg)
+    q.awaitTermination()
+    println(s"curate: ${if (cfg.once) "drained" else "stopped"} " +
+      s"${cfg.inputDir} -> ${cfg.out}")
+    spark.stop()
+  }
+}

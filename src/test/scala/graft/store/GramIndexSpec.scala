@@ -250,4 +250,41 @@ class GramIndexSpec extends SparkSuite {
     assert(converged === rows)
     assert(log.rowCount() === rows)
   }
+
+  test("rowCountBudgeted warns once when the budget skips far more " +
+    "files than it reads — the compact-me signal for a fragmented " +
+    "first contact") {
+    import spark.implicits._
+    val p0 = tmp()
+    val idx = new GramIndex(spark, p0, w = 8, buckets = 4)
+    // 8 ingests x up to 4 bucket cells: plenty of leaves for a budget
+    // of 1 to skip >4x what it reads
+    (0 until 8).foreach(b => idx.ingest(Seq((b.toLong,
+      (0 until 20).map(j => s"u${b}_$j").mkString(" ")))
+      .toDF("doc_id", "text")))
+    val p = tmp() + "/clone-frag"
+    val fs = Fs.fs(spark, p0)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(p0), fs,
+      new org.apache.hadoop.fs.Path(p), false, true,
+      spark.sparkContext.hadoopConfiguration)
+    val log = new ManifestLog(spark, p, 3, None)
+    def captureErr(body: => Unit): String = {
+      val baos = new java.io.ByteArrayOutputStream()
+      val old = System.err
+      System.setErr(new java.io.PrintStream(baos, true, "UTF-8"))
+      try body finally System.setErr(old)
+      baos.toString("UTF-8")
+    }
+    val first = captureErr { log.rowCountBudgeted("", 1L) }
+    assert(first.contains("fragmented"),
+      s"expected the compact hint on a heavily skipped walk, got: $first")
+    // same store, same magnitude: the hint is once-per-magnitude, not
+    // once-per-call — a hot ratio-gate loop must not spam it
+    val second = captureErr { log.rowCountBudgeted("", 1L) }
+    assert(!second.contains("fragmented"), s"duplicate warn: $second")
+    // an unbudgeted call skips nothing and never warns
+    val third = captureErr { log.rowCount() }
+    assert(!third.contains("fragmented"))
+  }
 }

@@ -1,0 +1,95 @@
+package graft.tools
+
+import graft.SparkSuite
+import graft.streaming.GateConfig
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** The curation front door end-to-end (VERDICT r10 #6): bootstrap from
+  * the input dir, drain-once, uniform batch= output layouts, and a
+  * second drain that reuses every committed store as history. */
+class CurateSpec extends SparkSuite {
+
+  private val textA =
+    "the small red fox walks over the quiet green hill today"
+  private val textB =
+    "many people like to read good books about real history now"
+  private val textNovel =
+    "bright stars shine above the calm sea and cold wind moves"
+
+  /** Stage a DataFrame as ONE flat parquet file in `destDir` — the file
+    * stream source watches a flat directory, not writer subdirs. */
+  private def dropFile(df: DataFrame, destDir: String, name: String): Unit = {
+    val stage = tmpDir("curate-stage")
+    df.coalesce(1).write.mode("overwrite").parquet(stage + "/d")
+    val part = new java.io.File(stage + "/d").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(destDir, name))
+    ()
+  }
+
+  test("front door: bootstrap + drain, batch= layouts, history reuse") {
+    import spark.implicits._
+    val in = tmpDir("curate-in")
+    val root = tmpDir("curate-root")
+    val out = root + "/curate/out"
+    val cfg = Curate.Config(
+      inputDir = in, root = root, out = out, once = true,
+      gate = Some(GateConfig(
+        minWords = 3L, maxWords = 1000L, minStopwords = 0)),
+      maintenanceEvery = 1, minKeptTokens = 3,
+      thresholdMicro = 900000L, trainK = 2)
+
+    dropFile(Seq(
+      (1L, textA, Array(1f, 0f, 0f, 0f), "s1"),
+      (2L, textB, Array(0f, 1f, 0f, 0f), "s1"))
+      .toDF("doc_id", "text", "embedding", "source"), in, "seed.parquet")
+
+    val q1 = Curate.run(spark, cfg)
+    q1.awaitTermination(180000)
+    val kept1 = spark.read.parquet(s"$out/kept")
+    assert(kept1.select($"doc_id").collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L),
+      "bootstrap-trained vectors must replay as kept, not self-suppress")
+
+    // second drain, fresh run() against the same root: stores are
+    // committed history now, the quantizer bootstrap is skipped
+    dropFile(Seq(
+      (10L, textA, Array(1f, 0f, 0f, 0f), "s2"), // byte-exact repeat
+      (11L, textNovel, Array(0f, 0f, 1f, 0f), "s2"), // genuinely new
+      (12L, "tiny doc", Array(0f, 0f, 0f, 1f), "s2")) // gate bait
+      .toDF("doc_id", "text", "embedding", "source"), in, "victim.parquet")
+    val q2 = Curate.run(spark, cfg)
+    q2.awaitTermination(180000)
+
+    val kept = spark.read.parquet(s"$out/kept")
+    assert(kept.select($"doc_id").collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L, 11L),
+      "the exact repeat and the gate-dropped doc must not reach the sink")
+    // survivors carry the scrub columns and the original metadata
+    assert(kept.columns.toSet.intersect(
+      Set("n_kept", "scrubbed_text", "source", "embedding")).size === 4)
+
+    val rejected = spark.read.parquet(s"$out/rejected")
+    val rej = rejected.select($"doc_id", $"reasons").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rej.map(_._1).toSeq === Seq(12L))
+    assert(rej.head._2.contains("too_few_words"))
+
+    // one report row per (batch, source): uniform batch= layout, one
+    // read for the whole tree
+    val reports = spark.read.parquet(s"$out/reports")
+    assert(reports.count() === 2)
+    val r2 = reports.filter($"source" === "s2").collect().head
+    assert(r2.getAs[Long]("docs_total") === 3L)
+    assert(r2.getAs[Long]("docs_kept") === 2L)
+    // the semantic store bootstrapped exactly once: both drains share
+    // one committed quantizer and all four stores carry both batches
+    val cells = new graft.operators.CellIndex(
+      spark, s"$root/curate/stores/cells")
+    assert(cells.exists)
+    assert(cells.vectors.select($"vec_id").collect().map(_.getLong(0))
+      .sorted === Array(1L, 2L, 11L))
+  }
+}
