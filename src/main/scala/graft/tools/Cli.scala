@@ -274,7 +274,9 @@ object Cli {
            |  maintain [--files-per-partition N] [--vacuum-orphans-hours H]
            |  serve [--port P]
            |  ingest-dir <notification-dir>
-           |  ingest-queue <queue-dir> [--timeout MS]""".stripMargin)
+           |  ingest-queue <queue-dir> [--timeout MS]
+           |(training-data curation has its own front door:
+           | runMain graft.tools.Curate <input-dir> [--once] — see README)""".stripMargin)
       sys.exit(2)
   }
 

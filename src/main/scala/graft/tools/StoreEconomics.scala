@@ -80,8 +80,16 @@ object StoreEconomics {
         (a, (System.nanoTime() - t0) / 1e9)
       }
 
+      // SPARK_GRAFT_STORECON_ONLY=fingerprint,grams,… restricts the
+      // run to named families — the ×64 sweeps run the slow seeds
+      // (neardup's banded backfill) in their own process so the cheap
+      // rows don't wait behind them
+      val only = sys.env.get("SPARK_GRAFT_STORECON_ONLY")
+        .map(_.split(",").map(_.trim).toSet)
+      def wanted(name: String): Boolean = only.forall(_.contains(name))
+
       // fingerprint: one row per distinct document
-      locally {
+      if (wanted("fingerprint")) {
         val p = tmp("fp")
         val idx = new FingerprintIndex(spark, p, buckets = 256)
         val (_, sec) = timed(idx.ingest(docs.select("doc_id", "text")))
@@ -92,7 +100,7 @@ object StoreEconomics {
       // near-dup: postings and docs kinds measured separately — the
       // postings side is what every probe exchanges, the docs side is
       // what the confirm leg scans
-      locally {
+      if (wanted("neardup")) {
         val p = tmp("nd")
         val idx = new NearDupIndex(spark, p, buckets = 256)
         val (_, sec) = timed(idx.ingest(docs.select("doc_id", "text")))
@@ -104,7 +112,7 @@ object StoreEconomics {
       }
 
       // grams: the honest O(corpus tokens) store
-      locally {
+      if (wanted("grams")) {
         val p = tmp("gm")
         val idx = new GramIndex(spark, p, w = 8, buckets = 256)
         val (_, sec) = timed(idx.ingest(docs.select("doc_id", "text")))
@@ -113,7 +121,7 @@ object StoreEconomics {
       }
 
       // semantic index: float table + PQ codes, per VECTOR
-      locally {
+      if (wanted("cell")) {
         val idx = new CellIndex(spark, tmp("cell"))
         val (_, sec) = timed {
           idx.buildLearned(emb, k = 16)
@@ -135,7 +143,7 @@ object StoreEconomics {
       // sketches: state proportional to GROUPS × sketch size, never the
       // corpus — the line that shows a store whose bytes/doc FALLS as
       // the corpus grows
-      locally {
+      if (wanted("sketch")) {
         val p = tmp("hll")
         val store = new SketchStore(spark, p, SketchStore.HllKind)
         val cells = graft.operators.Hll
