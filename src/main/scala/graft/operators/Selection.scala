@@ -178,11 +178,16 @@ object Selection {
     require(!scored.columns.contains("__all") &&
       !scored.columns.contains("__thr"),
       "input collides with a keepAboveQuantile working column")
+    // pin the scored frame (one small row per doc): the threshold pass
+    // and the flag pass both consume it, and for an expensive scorer
+    // (char-LM) each unpersisted materialization re-ran the whole
+    // scoring job
+    val s = scored.persist()
     val thr = Quantiles.exactKth(
-      scored.withColumn("__all", lit(0)), "__all", scoreCol,
+      s.withColumn("__all", lit(0)), "__all", scoreCol,
       Seq("q" -> expr(s"greatest(1L, (__n * $dropPpm + 999999) div 1000000)")))
       .select(col("value").as("__thr"))
-    scored.crossJoin(broadcast(thr))
+    s.crossJoin(broadcast(thr))
       .withColumn("kept",
         when(col(scoreCol) >= col("__thr"), 1).otherwise(0))
       .drop("__thr")

@@ -111,12 +111,12 @@ object Curate {
       nprobe = cfg.nprobe,
       gate = cfg.gate,
       gateSink = gated => {
-        val g = gated.persist()
-        try {
-          graft.operators.Curation.curationReport(g, stratumCol = "source")
-            .write.parquet(sinkDir("reports"))
-          g.filter(col("keep") === 0).write.parquet(sinkDir("rejected"))
-        } finally { g.unpersist(); () }
+        // no persist here: curateAllBatch pins the gated frame before
+        // calling the sink (and an unpersist here would evict the very
+        // cache its downstream store legs still read)
+        graft.operators.Curation.curationReport(gated, stratumCol = "source")
+          .write.parquet(sinkDir("reports"))
+        gated.filter(col("keep") === 0).write.parquet(sinkDir("rejected"))
       },
       warmOnStart = true,
       maintenanceEvery = cfg.maintenanceEvery,
@@ -125,7 +125,10 @@ object Curate {
     }
   }
 
-  def main(args: Array[String]): Unit = {
+  /** Flag parsing, separated so the spec can pin the CLI contract
+    * (`--k=v` and bare `--k` forms; unknown flags rejected loudly —
+    * a typo'd threshold must not silently run with the default). */
+  def parseConfig(args: Array[String]): Config = {
     val (flags, positional) = args.partition(_.startsWith("--"))
     require(positional.length == 1,
       "usage: Curate <inputDir> [--root DIR] [--out DIR] [--once] " +
@@ -135,6 +138,13 @@ object Curate {
         "[--boilerplate FILE]")
     val opts = flags.map(_.stripPrefix("--").split("=", 2))
       .map(a => a(0) -> a.lift(1).getOrElse("")).toMap
+    val known = Set("root", "out", "once", "no-gate", "min-words",
+      "max-words", "min-stopwords", "maintenance-every",
+      "min-kept-tokens", "threshold-micro", "nprobe", "train-k",
+      "boilerplate")
+    val unknown = opts.keySet.diff(known)
+    require(unknown.isEmpty,
+      s"unknown flag(s): ${unknown.toSeq.sorted.mkString(", ")}")
     val root = opts.getOrElse("root",
       sys.env.getOrElse("GRAFT_ROOT",
         sys.props("java.io.tmpdir") + "/graft"))
@@ -144,7 +154,7 @@ object Curate {
         minWords = opts.get("min-words").map(_.toLong).getOrElse(50L),
         maxWords = opts.get("max-words").map(_.toLong).getOrElse(100000L),
         minStopwords = opts.get("min-stopwords").map(_.toInt).getOrElse(2)))
-    val cfg = Config(
+    Config(
       inputDir = positional(0),
       root = root,
       out = opts.getOrElse("out", s"$root/curate/out"),
@@ -161,7 +171,10 @@ object Curate {
         scala.io.Source.fromFile(f, "UTF-8").getLines().toSeq
           .filter(_.nonEmpty)
       }.getOrElse(Seq.empty))
+  }
 
+  def main(args: Array[String]): Unit = {
+    val cfg = parseConfig(args)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -29,6 +29,24 @@ class CurateSpec extends SparkSuite {
     ()
   }
 
+  test("flag parsing: --k=v and bare --k forms, defaults, loud typos") {
+    val cfg = Curate.parseConfig(Array("/in", "--once", "--root=/r",
+      "--min-words=3", "--threshold-micro=900000", "--no-gate"))
+    assert(cfg.inputDir === "/in" && cfg.once && cfg.root === "/r")
+    assert(cfg.gate === None, "--no-gate wins over gate thresholds")
+    assert(cfg.thresholdMicro === 900000L)
+    assert(cfg.out === "/r/curate/out", "out defaults under root")
+    val gated = Curate.parseConfig(Array("/in", "--min-words=3"))
+    assert(gated.gate.map(_.minWords) === Some(3L))
+    assert(gated.gate.map(_.maxWords) === Some(100000L))
+    // a typo'd flag must fail, not silently run with the default
+    val e = intercept[IllegalArgumentException] {
+      Curate.parseConfig(Array("/in", "--treshold-micro=5"))
+    }
+    assert(e.getMessage.contains("treshold-micro"))
+    intercept[IllegalArgumentException] { Curate.parseConfig(Array.empty) }
+  }
+
   test("front door: bootstrap + drain, batch= layouts, history reuse") {
     import spark.implicits._
     val in = tmpDir("curate-in")
