@@ -125,6 +125,41 @@ object Curate {
     }
   }
 
+  /** The ops readout for a curation root: one line per store family
+    * with live dirs / cells / files / bytes and a compact hint when a
+    * family's read fan-in is past the default maintenance bound — what
+    * an operator checks before blaming ingest latency on data. Returns
+    * the lines (printed by main) so the spec can pin the format. */
+  def stats(spark: SparkSession, root: String,
+      maxLiveDirs: Int = 8): Seq[String] = {
+    val stores = s"$root/curate/stores"
+    def hint(liveDirs: Int, files: Long, cells: Int): String =
+      if (liveDirs > maxLiveDirs || (cells > 0 && files > 4L * cells))
+        "  <- fragmented: run maintenance (maintainAll / compactIfNeeded)"
+      else ""
+    val exact = new graft.store.FingerprintIndex(spark, s"$stores/exact")
+      .stats()
+    val near = new graft.store.NearDupIndex(spark, s"$stores/neardup")
+      .stats()
+    val grams = new graft.store.GramIndex(spark, s"$stores/grams").stats()
+    val cells = new graft.operators.CellIndex(spark, s"$stores/cells")
+      .stats()
+    Seq(
+      f"exact    dirs=${exact.liveDirs}%-4d cells=${exact.cells}%-5d " +
+        f"files=${exact.files}%-6d bytes=${exact.bytes}" +
+        hint(exact.liveDirs, exact.files, exact.cells),
+      f"neardup  dirs=${near.liveDirs}%-4d cells=${near.cells}%-5d " +
+        f"files=${near.files}%-6d bytes=${near.bytes}" +
+        hint(near.liveDirs, near.files, near.cells),
+      f"grams    dirs=${grams.liveDirs}%-4d cells=${grams.cells}%-5d " +
+        f"files=${grams.files}%-6d bytes=${grams.bytes}" +
+        hint(grams.liveDirs, grams.files, grams.cells),
+      f"semantic gens=${cells.generations}%-4d cells=${cells.cells}%-5d " +
+        f"files=${cells.vectorFiles + cells.codeFiles}%-6d " +
+        f"bytes=${cells.vectorBytes + cells.codeBytes}" +
+        hint(0, cells.vectorFiles + cells.codeFiles, cells.cells))
+  }
+
   /** Flag parsing, separated so the spec can pin the CLI contract
     * (`--k=v` and bare `--k` forms; unknown flags rejected loudly —
     * a typo'd threshold must not silently run with the default). */
@@ -174,6 +209,22 @@ object Curate {
   }
 
   def main(args: Array[String]): Unit = {
+    // ops mode: `Curate --stats [--root DIR]` — no input dir, no
+    // stream; print the store readout and exit
+    if (args.contains("--stats")) {
+      val root = args.collectFirst {
+        case a if a.startsWith("--root=") => a.stripPrefix("--root=")
+      }.getOrElse(sys.env.getOrElse("GRAFT_ROOT",
+        sys.props("java.io.tmpdir") + "/graft"))
+      val s = SparkSession.builder().master("local[4]")
+        .appName("graft-curate-stats")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      s.sparkContext.setLogLevel("ERROR")
+      stats(s, root).foreach(println)
+      s.stop()
+      return
+    }
     val cfg = parseConfig(args)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()

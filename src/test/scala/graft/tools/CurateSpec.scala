@@ -47,6 +47,14 @@ class CurateSpec extends SparkSuite {
     intercept[IllegalArgumentException] { Curate.parseConfig(Array.empty) }
   }
 
+  test("stats on a fresh root: four zero rows, no exception — the ops " +
+    "readout must work before the first drain") {
+    val lines = Curate.stats(spark, tmpDir("curate-empty"))
+    assert(lines.size === 4)
+    assert(lines.forall(_.contains("files=0")), s"expected zeros: $lines")
+    assert(lines.forall(!_.contains("fragmented")))
+  }
+
   test("front door: bootstrap + drain, batch= layouts, history reuse") {
     import spark.implicits._
     val in = tmpDir("curate-in")
@@ -109,5 +117,14 @@ class CurateSpec extends SparkSuite {
     assert(cells.exists)
     assert(cells.vectors.select($"vec_id").collect().map(_.getLong(0))
       .sorted === Array(1L, 2L, 11L))
+
+    // the ops readout covers all four families against the same root,
+    // with no fragmentation hint on a freshly maintained pair of drains
+    val lines = Curate.stats(spark, root)
+    assert(lines.size === 4)
+    assert(lines.map(_.split("\\s+").head).toSet ===
+      Set("exact", "neardup", "grams", "semantic"))
+    assert(lines.forall(l => l.contains("bytes=") &&
+      !l.contains("fragmented")), s"unexpected stats: $lines")
   }
 }
