@@ -780,25 +780,38 @@ object Curation {
   def langId(docs: DataFrame, langCol: String = "lang",
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     // TWO corpus gram passes, not 3-4: the per-lang gram counts are
-    // aggregated once and PINNED (lang x distinct-gram — a few
-    // thousand rows), and the vocabulary size, totals, model, and OOV
-    // floor are all derived from that cache. Previously the
-    // train-counts, vocab (an eager driver action, so never
-    // plan-shared), and model-broadcast legs each re-ran the full
-    // corpus explode. The remaining two passes are irreducible: one
-    // builds the model's counts, one builds the per-doc histograms
-    // the scoring join consumes. (Pinning the per-doc histogram
-    // frame too was measured SLOWER at bench scale — its in-memory
-    // materialization costs more than the explode it saves.)
-    val counts = docs
+    // aggregated once and COLLECTED to the driver (lang x distinct
+    // bigram — a few thousand rows for any real charset), then handed
+    // back as a local relation that vocab, totals, model, and the OOV
+    // floor all derive from with zero further corpus work and zero
+    // cached blocks left behind (a persist here leaked one cache entry
+    // per call in long-lived sessions — only the bench's cleanup ever
+    // released it). Previously the train-counts, vocab (an eager
+    // driver action, so never plan-shared), and model-broadcast legs
+    // each re-ran the full corpus explode. The remaining two passes
+    // are irreducible: one builds the model's counts, one builds the
+    // per-doc histograms the scoring join consumes. (Pinning the
+    // per-doc histogram frame too was measured SLOWER at bench scale —
+    // its materialization costs more than the explode it saves.)
+    val sess = docs.sparkSession
+    val countRows = docs
       .select(col(langCol).as("__lang"), explode(charGramsExpr(textCol))
         .as("__g"))
       .groupBy(col("__lang"), col("__g"))
       .agg(count(lit(1)).as("__cnt"))
-      .persist()
+      .collect()
+    val countSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__lang",
+        docs.schema(langCol).dataType),
+      org.apache.spark.sql.types.StructField("__g",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("__cnt",
+        org.apache.spark.sql.types.LongType)))
+    val counts = sess.createDataFrame(
+      java.util.Arrays.asList(countRows: _*), countSchema)
     val totals = counts.groupBy(col("__lang"))
       .agg(sum(col("__cnt")).as("__total"))
-    val vocab = counts.select(col("__g")).distinct().count()
+    val vocab = countRows.map(_.get(1)).distinct.length
     val docGrams = docs
       .select(col(idCol), col(langCol), explode(charGramsExpr(textCol))
         .as("__g"))

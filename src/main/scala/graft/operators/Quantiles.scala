@@ -57,14 +57,15 @@ object Quantiles {
     val bktExpr = expr(
       s"CASE WHEN $valCol >= 0 THEN ($valCol DIV $bucketWidth) * $bucketWidth " +
         s"ELSE -((-$valCol + $bucketWidth - 1) DIV $bucketWidth) * $bucketWidth END")
-    // pinned: the histogram feeds BOTH the bucket-locating chain and
-    // the refine join — unpersisted, each materialization re-ran the
-    // full upstream (for a scored corpus that is the whole scoring
-    // pass, twice). Distinct (group, value) rows only: the small
-    // derived frame, never the input.
+    // NOT persisted: the histogram feeds both the bucket-locating
+    // chain and the refine join, but a persist here has no unpersist
+    // path (the returned frame is lazy) and would leak one cached
+    // block set per call in a long-lived session. Callers whose
+    // upstream is expensive pin THEIR input instead (the
+    // keepAboveQuantile pattern: cache, take the 1-row threshold
+    // eagerly, unpersist).
     val hist = df.groupBy(g, v).agg(count(lit(1)).as("__cnt"))
       .withColumn("__bkt", bktExpr)
-      .persist()
 
     // 2. bucket table: counts, group totals, running total before bucket
     val bkts = hist.groupBy(g, col("__bkt"))

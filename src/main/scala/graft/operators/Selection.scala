@@ -178,18 +178,28 @@ object Selection {
     require(!scored.columns.contains("__all") &&
       !scored.columns.contains("__thr"),
       "input collides with a keepAboveQuantile working column")
-    // pin the scored frame (one small row per doc): the threshold pass
-    // and the flag pass both consume it, and for an expensive scorer
-    // (char-LM) each unpersisted materialization re-ran the whole
-    // scoring job
+    // Pin the scored frame only for as long as the threshold takes:
+    // exactKth reads it twice (histogram chain + refine join) and for
+    // an expensive scorer (char-LM) each unpersisted materialization
+    // re-ran the whole scoring job. The threshold is ONE row, so it is
+    // taken eagerly while the cache is warm, the cache is released
+    // immediately (no leaked blocks in long-lived sessions — the
+    // lazy-persist version had no unpersist path), and the returned
+    // flag pass compares against the collected literal. Net scorings:
+    // one for the threshold, one when the caller materializes.
     val s = scored.persist()
-    val thr = Quantiles.exactKth(
-      s.withColumn("__all", lit(0)), "__all", scoreCol,
-      Seq("q" -> expr(s"greatest(1L, (__n * $dropPpm + 999999) div 1000000)")))
-      .select(col("value").as("__thr"))
-    s.crossJoin(broadcast(thr))
-      .withColumn("kept",
-        when(col(scoreCol) >= col("__thr"), 1).otherwise(0))
-      .drop("__thr")
+    val thrValue =
+      try Quantiles.exactKth(
+        s.withColumn("__all", lit(0)), "__all", scoreCol,
+        Seq("q" ->
+          expr(s"greatest(1L, (__n * $dropPpm + 999999) div 1000000)")))
+        .select(col("value").cast("long")).take(1)
+        .headOption.map(_.getLong(0))
+        // empty input has no order statistic — and no rows to flag;
+        // MinValue keeps the (vacuous) "ties keep" shape
+        .getOrElse(Long.MinValue)
+      finally { s.unpersist(); () }
+    scored.withColumn("kept",
+      when(col(scoreCol) >= lit(thrValue), 1).otherwise(0))
   }
 }

@@ -125,10 +125,16 @@ final class NearDupIndex(spark: SparkSession, path: String,
     * markers carry only the bucket count; they are accepted when it
     * matches (the other parameters are unverifiable for such stores —
     * callers that tuned them before this guard existed must keep
-    * passing the same values, as before) and then UPGRADED in place to
-    * the full format, so the first post-upgrade open pins the
-    * remaining parameters for every later one. */
-  private def ensureBuckets(): Unit = {
+    * passing the same values, as before).
+    *
+    * `upgradeLegacy` is set ONLY by write paths (append/ingest): a
+    * writer freezes the band identity anyway (it appends postings
+    * under ITS params), so recording that identity closes the
+    * forever-unpinned window. A READ-ONLY caller (probe, stats,
+    * monitoring) must never rewrite the marker — its parameters are
+    * just as unverifiable as anyone's, and pinning THEM would lock
+    * out the tuned writer that actually built the store. */
+  private def ensureBuckets(upgradeLegacy: Boolean = false): Unit = {
     val want =
       s"buckets=$buckets;numHashes=$numHashes;" +
         s"rowsPerBand=$rowsPerBand;normChars=$normChars"
@@ -140,12 +146,9 @@ final class NearDupIndex(spark: SparkSession, path: String,
         "— a band/normalization mismatch silently misses every " +
         "historical near-duplicate")
     // Upgrade a validated legacy (bucket-only) marker to the full
-    // band-identity format so numHashes/rowsPerBand/normChars are
-    // pinned from now on — the first post-upgrade open froze them
-    // anyway (new code appends under ITS band params), so recording
-    // that identity closes the forever-unpinned window. Atomic
-    // replace; best-effort (a failure re-validates legacy next open).
-    if (legacy) Fs.replaceMarker(spark, bucketsMarker, want)
+    // band-identity format. Atomic replace; best-effort (a failure
+    // re-validates legacy next open).
+    if (legacy && upgradeLegacy) Fs.replaceMarker(spark, bucketsMarker, want)
   }
 
   private def requireIntegralId(batch: DataFrame, idCol: String): Unit =
@@ -335,7 +338,7 @@ final class NearDupIndex(spark: SparkSession, path: String,
       idCol: String = "doc_id"): Unit = {
     requireNoCollisions(docs, WorkingCols)
     requireIntegralId(docs, idCol)
-    ensureBuckets()
+    ensureBuckets(upgradeLegacy = true)
     val clean = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("__id"),
         col(textCol).as("__text"), normCol(textCol).as("__t"))
@@ -365,7 +368,7 @@ final class NearDupIndex(spark: SparkSession, path: String,
       idCol: String = "doc_id"): DataFrame = {
     requireNoCollisions(batch, WorkingCols :+ "canonical_id")
     requireIntegralId(batch, idCol)
-    ensureBuckets()
+    ensureBuckets(upgradeLegacy = true)
     val clean = batch.filter(col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("__id"),
         col(textCol).as("__text"), normCol(textCol).as("__t"))

@@ -579,9 +579,29 @@ object StreamOps {
         // once so the semantic leg and the sink read ONE stable
         // frame (and never re-probe post-commit index state)
         .localCheckpoint(true)
-      val (emitted, _) = semantic.semanticIngestResolved(
-        keptDocs.select(col("doc_id").as("vec_id"), col("embedding")),
-        thresholdMicro, nprobe)
+      val vecs = keptDocs.select(col("doc_id").as("vec_id"),
+        col("embedding"))
+      // Lazy quantizer bootstrap on a FRESH semantic store: train from
+      // this batch's post-upstream SURVIVORS, never from raw input —
+      // training from the raw corpus registers vectors for docs the
+      // gate/exact/near-dup/span stages drop, and those phantoms
+      // (owned by nothing downstream) would silently suppress every
+      // future near-match. Trained-on == registered-by-build, so the
+      // ingest right below sees pure vec_id replays (emits the batch,
+      // commits nothing) — the exact convergence the kill-point
+      // contract needs: a crash after the build replays the batch, the
+      // build is skipped (exists), and the ingest re-derives the same
+      // rows; a crash before it trains an identical generation from
+      // the identical deterministic input.
+      if (!semantic.exists && !vecs.isEmpty)
+        semantic.buildLearned(vecs, k = math.max(1, math.min(256,
+          math.sqrt(vecs.count().toDouble).toInt)))
+      // still unbuilt = every doc of every batch so far was dropped
+      // upstream: nothing to probe, nothing to emit
+      val emitted =
+        if (!semantic.exists) vecs.limit(0)
+        else semantic.semanticIngestResolved(vecs, thresholdMicro,
+          nprobe)._1
       onStage("semantic")
       sink(keptDocs.join(
         emitted.select(col("vec_id").as("doc_id")), Seq("doc_id")))

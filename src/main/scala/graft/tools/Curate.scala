@@ -35,11 +35,11 @@ import graft.streaming.{GateConfig, StreamOps}
   * matrix), so re-running never corrupts history.
   *
   * Store bootstrap: the four index stores live under
-  * `<root>/curate/stores/`. The semantic cell index needs a trained
-  * coarse quantizer before its first ingest; on a fresh root this tool
-  * trains it from the embeddings already sitting in `<inputDir>`
-  * (k ≈ √n capped by `--train-k`) — the standing IVF bootstrap
-  * pattern. Later runs reuse every store as committed history.
+  * `<root>/curate/stores/`. The semantic cell index self-bootstraps
+  * inside the pipeline — its coarse quantizer trains from the FIRST
+  * batch's post-upstream survivors (never from raw input, which would
+  * register phantom vectors for gate/dedup-dropped docs). Later runs
+  * reuse every store as committed history.
   */
 object Curate {
 
@@ -53,13 +53,12 @@ object Curate {
       minKeptTokens: Int = 15,
       thresholdMicro: Long = 300000L,
       nprobe: Int = 1,
-      trainK: Int = 64,
       boilerplate: Seq[String] = Seq.empty)
 
   /** One stable entry point for specs and embedding callers: wires the
-    * stores, bootstraps the semantic index if absent, starts the
-    * pipeline, and (with `once`) blocks until the drain finishes.
-    * Returns the started query (already terminated when `once`). */
+    * stores, starts the pipeline, and with `once` BLOCKS until the
+    * drain finishes (returns the already-terminated query); without
+    * `once` it returns the live continuous query. */
   def run(spark: SparkSession, cfg: Config)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     graft.functions.functions.register(spark)
@@ -77,32 +76,17 @@ object Curate {
       StructField("embedding", ArrayType(FloatType)),
       StructField("source", StringType)))
 
-    if (!cells.exists) {
-      // fresh root: train the coarse quantizer from what is already in
-      // the input dir — the only embeddings we have before batch 1
-      // vec_id = doc_id ON PURPOSE: buildLearned registers the training
-      // vectors in the index, so when the stream's first drain ingests
-      // these same documents the semantic stage sees a vec_id REPLAY
-      // (commits nothing, emits them as kept) — training under shifted
-      // ids would instead plant phantom twins that suppress the real
-      // docs as cos-1.0 duplicates of themselves
-      val seed = spark.read.schema(schema).parquet(cfg.inputDir)
-        .select(col("doc_id").as("vec_id"), col("embedding"))
-        .filter(col("embedding").isNotNull)
-      val n = seed.count()
-      require(n > 0,
-        s"semantic index at $stores/cells has no trained quantizer and " +
-          s"${cfg.inputDir} holds no embeddings to train from — put at " +
-          "least one input file in place before the first run")
-      val k = math.max(1, math.min(cfg.trainK, math.sqrt(n.toDouble).toInt))
-      cells.buildLearned(seed, k = k)
-    }
+    // No pre-training from raw input: the pipeline self-bootstraps its
+    // quantizer from the FIRST batch's post-upstream survivors
+    // (curateAllBatch) — training from the raw corpus would register
+    // vectors for docs the gate/dedup stages drop, and those phantoms
+    // would silently suppress every future near-match.
 
     def sinkDir(kind: String) =
       s"${cfg.out}/$kind/batch=${java.util.UUID.randomUUID()}"
 
     val stream = spark.readStream.schema(schema).parquet(cfg.inputDir)
-    StreamOps.curateAllWithHistory(
+    val q = StreamOps.curateAllWithHistory(
       stream, exact, nearDup, grams, cells,
       boilerplate = cfg.boilerplate,
       checkpointDir = s"${cfg.root}/curate/checkpoint",
@@ -123,6 +107,10 @@ object Curate {
       availableNow = cfg.once) { kept =>
       kept.write.parquet(sinkDir("kept"))
     }
+    // with `once` the doc's contract is drain-then-return: AvailableNow
+    // does NOT block on start(), so block here
+    if (cfg.once) q.awaitTermination()
+    q
   }
 
   /** The ops readout for a curation root: one line per store family
@@ -166,29 +154,31 @@ object Curate {
   def parseConfig(args: Array[String]): Config = {
     val (flags, positional) = args.partition(_.startsWith("--"))
     require(positional.length == 1,
-      "usage: Curate <inputDir> [--root DIR] [--out DIR] [--once] " +
-        "[--no-gate] [--min-words N] [--max-words N] [--min-stopwords N] " +
-        "[--maintenance-every N] [--min-kept-tokens N] " +
-        "[--threshold-micro M] [--nprobe N] [--train-k K] " +
-        "[--boilerplate FILE]")
+      "usage: Curate <inputDir> [--root=DIR] [--out=DIR] [--once] " +
+        "[--no-gate] [--min-words=N] [--max-words=N] [--min-stopwords=N] " +
+        "[--maintenance-every=N] [--min-kept-tokens=N] " +
+        "[--threshold-micro=M] [--nprobe=N] [--boilerplate=FILE]")
     val opts = flags.map(_.stripPrefix("--").split("=", 2))
       .map(a => a(0) -> a.lift(1).getOrElse("")).toMap
     val known = Set("root", "out", "once", "no-gate", "min-words",
       "max-words", "min-stopwords", "maintenance-every",
-      "min-kept-tokens", "threshold-micro", "nprobe", "train-k",
-      "boilerplate")
+      "min-kept-tokens", "threshold-micro", "nprobe", "boilerplate")
     val unknown = opts.keySet.diff(known)
     require(unknown.isEmpty,
       s"unknown flag(s): ${unknown.toSeq.sorted.mkString(", ")}")
-    val root = opts.getOrElse("root",
-      sys.env.getOrElse("GRAFT_ROOT",
-        sys.props("java.io.tmpdir") + "/graft"))
+    val root = opts.getOrElse("root", defaultRoot)
+    // defaults come FROM GateConfig() — re-hardcoding them here would
+    // silently fork the CLI's gate from every library caller's
+    val d = GateConfig()
     val gate =
       if (opts.contains("no-gate")) None
-      else Some(GateConfig(
-        minWords = opts.get("min-words").map(_.toLong).getOrElse(50L),
-        maxWords = opts.get("max-words").map(_.toLong).getOrElse(100000L),
-        minStopwords = opts.get("min-stopwords").map(_.toInt).getOrElse(2)))
+      else Some(d.copy(
+        minWords = opts.get("min-words").map(_.toLong)
+          .getOrElse(d.minWords),
+        maxWords = opts.get("max-words").map(_.toLong)
+          .getOrElse(d.maxWords),
+        minStopwords = opts.get("min-stopwords").map(_.toInt)
+          .getOrElse(d.minStopwords)))
     Config(
       inputDir = positional(0),
       root = root,
@@ -201,21 +191,29 @@ object Curate {
       thresholdMicro =
         opts.get("threshold-micro").map(_.toLong).getOrElse(300000L),
       nprobe = opts.get("nprobe").map(_.toInt).getOrElse(1),
-      trainK = opts.get("train-k").map(_.toInt).getOrElse(64),
       boilerplate = opts.get("boilerplate").map { f =>
-        scala.io.Source.fromFile(f, "UTF-8").getLines().toSeq
-          .filter(_.nonEmpty)
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        try src.getLines().toList.filter(_.nonEmpty) finally src.close()
       }.getOrElse(Seq.empty))
   }
 
+  private def defaultRoot: String =
+    sys.env.getOrElse("GRAFT_ROOT", sys.props("java.io.tmpdir") + "/graft")
+
   def main(args: Array[String]): Unit = {
-    // ops mode: `Curate --stats [--root DIR]` — no input dir, no
-    // stream; print the store readout and exit
+    // ops mode: `Curate --stats [--root=DIR]` — no input dir, no
+    // stream; print the store readout and exit. The mode keeps the
+    // strict flag contract: any OTHER argument alongside --stats is an
+    // error, never silently ignored (a user typing `<dir> --once
+    // --stats` must not have the drain skipped behind their back).
     if (args.contains("--stats")) {
+      val stray = args.filterNot(a =>
+        a == "--stats" || a.startsWith("--root="))
+      require(stray.isEmpty,
+        s"--stats takes only --root=DIR; unexpected: ${stray.mkString(" ")}")
       val root = args.collectFirst {
         case a if a.startsWith("--root=") => a.stripPrefix("--root=")
-      }.getOrElse(sys.env.getOrElse("GRAFT_ROOT",
-        sys.props("java.io.tmpdir") + "/graft"))
+      }.getOrElse(defaultRoot)
       val s = SparkSession.builder().master("local[4]")
         .appName("graft-curate-stats")
         .config("spark.sql.shuffle.partitions", "4")

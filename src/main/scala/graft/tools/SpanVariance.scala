@@ -38,19 +38,23 @@ object SpanVariance {
     def gcMs: Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
 
-    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Long]
+    // java.lang.Long, NOT scala Long: remove() on a missing key returns
+    // null, and unboxing null to a scala Long silently yields 0L —
+    // making the null guard below vacuously true and corrupting the
+    // per-job wall times this tool exists to report
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]
     val jobTimes =
       scala.collection.mutable.ArrayBuffer.empty[Double]
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
             js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-          jobs.put(js.jobId, System.nanoTime())
+          jobs.put(js.jobId, java.lang.Long.valueOf(System.nanoTime()))
         override def onJobEnd(
             je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
           val t = jobs.remove(je.jobId)
           if (t != null) jobTimes.synchronized {
-            jobTimes += (System.nanoTime() - t) / 1e9
+            jobTimes += (System.nanoTime() - t.longValue()) / 1e9
           }
         }
       })

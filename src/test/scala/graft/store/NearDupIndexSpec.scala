@@ -153,19 +153,32 @@ class NearDupIndexSpec extends SparkSuite {
         .probe(Seq((9L, base)).toDF("doc_id", "text"))
     }
     // the validated legacy marker is upgraded in place to the full
-    // band-identity format, so the previously-unverifiable parameters
-    // are pinned from the first post-upgrade open onward: a reopen
-    // with different band params — silently accepted under the
-    // bucket-only marker — is now refused
-    val in = f.open(new org.apache.hadoop.fs.Path(path, "_buckets"))
-    val upgraded = try scala.io.Source.fromInputStream(in, "UTF-8")
-      .mkString.trim finally in.close()
-    assert(upgraded ===
+    // band-identity format BY THE WRITE PATH (append above), so the
+    // previously-unverifiable parameters are pinned from the first
+    // post-upgrade write onward: a reopen with different band params —
+    // silently accepted under the bucket-only marker — is now refused
+    def marker(p: String): String = {
+      val in = f.open(new org.apache.hadoop.fs.Path(p, "_buckets"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+    assert(marker(path) ===
       "buckets=8;numHashes=8;rowsPerBand=4;normChars=4000")
     intercept[IllegalArgumentException] {
       new NearDupIndex(spark, path, buckets = 8, rowsPerBand = 2)
         .probe(Seq((9L, base)).toDF("doc_id", "text"))
     }
+    // a READ-ONLY open must never rewrite a legacy marker: a probing
+    // monitor's (unverifiable) params would otherwise lock out the
+    // tuned writer that actually built the store
+    val p2 = tmp()
+    f.mkdirs(new org.apache.hadoop.fs.Path(p2))
+    val out2 = f.create(new org.apache.hadoop.fs.Path(p2, "_buckets"), false)
+    out2.write("8".getBytes("UTF-8")); out2.close()
+    new NearDupIndex(spark, p2, buckets = 8)
+      .probe(Seq((9L, base)).toDF("doc_id", "text")).count()
+    assert(marker(p2) === "8",
+      "probe must leave the legacy marker untouched")
   }
 
   test("bloom prefilter parity: probe and ingest verdicts identical " +

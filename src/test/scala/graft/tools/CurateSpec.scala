@@ -65,7 +65,7 @@ class CurateSpec extends SparkSuite {
       gate = Some(GateConfig(
         minWords = 3L, maxWords = 1000L, minStopwords = 0)),
       maintenanceEvery = 1, minKeptTokens = 3,
-      thresholdMicro = 900000L, trainK = 2)
+      thresholdMicro = 900000L)
 
     dropFile(Seq(
       (1L, textA, Array(1f, 0f, 0f, 0f), "s1"),
@@ -77,7 +77,8 @@ class CurateSpec extends SparkSuite {
     val kept1 = spark.read.parquet(s"$out/kept")
     assert(kept1.select($"doc_id").collect().map(_.getLong(0)).sorted
       === Array(1L, 2L),
-      "bootstrap-trained vectors must replay as kept, not self-suppress")
+      "the first batch's survivors must be kept — the lazy quantizer " +
+        "bootstrap trains on them and their ingest is a pure replay")
 
     // second drain, fresh run() against the same root: stores are
     // committed history now, the quantizer bootstrap is skipped
