@@ -518,20 +518,26 @@ class StreamOpsSpec extends SparkSuite {
 
   private def freshCurateStores(): CurateStores = {
     import spark.implicits._
-    def tmp(p: String) =
-      java.nio.file.Files.createTempDirectory(p).toString
-    val cell = new graft.operators.CellIndex(spark, tmp("cah-cell"))
+    val st = unbuiltCurateStores()
     // training vectors sit ~45° from every test embedding (cos 0.707,
     // far under the 0.9 threshold) so they never flag test docs
-    cell.buildLearned(Seq(
+    st.cell.buildLearned(Seq(
       900L -> Array(0.7f, 0.7f, 0f, 0f),
       901L -> Array(0f, 0f, 0.7f, 0.7f)).toDF("vec_id", "embedding"),
       k = 2, iters = 1)
+    st
+  }
+
+  /** Stores with an UNBUILT semantic index — the lazy-bootstrap path
+    * (the quantizer trains inside the first batch). */
+  private def unbuiltCurateStores(): CurateStores = {
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
     CurateStores(
       new graft.store.FingerprintIndex(spark, tmp("cah-fp"), buckets = 8),
       new graft.store.NearDupIndex(spark, tmp("cah-nd"), buckets = 8),
       new graft.store.GramIndex(spark, tmp("cah-gr"), w = 8, buckets = 8),
-      cell)
+      new graft.operators.CellIndex(spark, tmp("cah-cell")))
   }
 
   private def curateSeed = Seq(
@@ -679,6 +685,52 @@ class StreamOpsSpec extends SparkSuite {
       // commit) is also a clean no-op emission-wise
       assert(curateProcess(st, curateVictim, None) === emitBase,
         s"kill@$kill: post-recovery replay diverged")
+    }
+  }
+
+  test("lazy quantizer bootstrap: trains on SURVIVORS only (no phantom " +
+    "vectors for gate-dropped docs) and converges under crashes on " +
+    "either side of the first build") {
+    import spark.implicits._
+    // doc 3 is gate-dropped junk whose embedding is FAR from the
+    // survivors' — if the bootstrap registered it, doc 20 below (whose
+    // embedding is nearly doc 3's but unlike any survivor's) would be
+    // suppressed by a vector no kept document owns
+    val batch = curateSeed :+ ((3L, "tiny", Array(0f, 0.7f, 0.7f, 0f)))
+    val later = Seq((20L, "completely fresh prose about tidal harbor " +
+      "lanterns and copper fittings", Array(0f, 0.72f, 0.69f, 0f)))
+
+    val base = unbuiltCurateStores()
+    val baseOut = curateProcess(base, batch, None)
+    assert(baseOut.map(_._1) === Seq(1L, 2L))
+    assert(base.cell.exists, "first batch must have built the quantizer")
+    assert(base.cell.vectors.select($"vec_id").collect().map(_.getLong(0))
+      .sorted === Array(1L, 2L),
+      "only post-upstream survivors may register — a phantom vector " +
+        "for the gate-dropped doc would suppress future near-matches")
+    assert(curateProcess(base, later, None).map(_._1) === Seq(20L),
+      "doc 20 shares no survivor's embedding and must be kept")
+
+    // crash BEFORE the build (after the spans commit): no generation
+    // exists yet; the replay trains once and converges to the baseline
+    val st1 = unbuiltCurateStores()
+    intercept[RuntimeException] { curateProcess(st1, batch, Some("spans")) }
+    assert(!st1.cell.exists, "crash before the semantic leg: no build")
+    assert(curateProcess(st1, batch, None) === baseOut)
+    // crash AFTER the semantic commit: build + ingest landed; the
+    // replay skips the build (exists) and is a pure vec_id replay
+    val st2 = unbuiltCurateStores()
+    intercept[RuntimeException] {
+      curateProcess(st2, batch, Some("semantic"))
+    }
+    assert(st2.cell.exists, "crash after the semantic commit: built")
+    assert(curateProcess(st2, batch, None) === baseOut)
+    assert(st2.cell.stats().generations === 1,
+      "a replay must never retrain a committed quantizer")
+    // both crash paths land on the baseline's exact store state
+    for (st <- Seq(st1, st2)) {
+      curateProcess(st, later, None)
+      assert(curateState(st) === curateState(base))
     }
   }
 
