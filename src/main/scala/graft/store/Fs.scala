@@ -47,7 +47,11 @@ private[graft] object Fs {
         // marker that is STILL empty after 5 looks is corrupt and
         // surfaces as the loud IOException below.
         if (stored.nonEmpty) return stored
-        Thread.sleep(20L * attempts)
+        // 50/100/150/200/250 ms: ~750 ms of total patience for the
+        // concurrent creator — a loaded box can delay its write thread
+        // well past the first retry, and giving up early turns a benign
+        // race into a spurious open failure
+        Thread.sleep(50L * attempts)
       } else {
         try {
           val out = f.create(marker, false)

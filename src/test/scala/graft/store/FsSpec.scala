@@ -25,8 +25,11 @@ class FsSpec extends SparkSuite {
     // simulate the concurrent creator's create→write window: the file
     // exists and is empty now; the "writer" lands the bytes shortly
     f.create(m, false).close()
+    // short delay: the retry budget (~750 ms of sleeps) must dwarf the
+    // writer's latency even on a fully loaded box — this test flaked
+    // once at 60 ms under a parallel full-suite run
     val writer = new Thread(() => {
-      Thread.sleep(60)
+      Thread.sleep(10)
       val out = f.create(m, true)
       try out.write("7".getBytes("UTF-8")) finally out.close()
     })
