@@ -6,6 +6,27 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line with per-query wall
   * seconds. Results are materialized through the noop sink so the full
   * plan (including projections that `count()` would prune away) executes.
+  *
+  * Self-defense against external contention (VERDICT r11 #1 — the old
+  * version parsed a `"queries"` key no driver `BENCH_r*.json` ever had,
+  * so the outlier re-run was dead code for eleven rounds):
+  *   - every run ARCHIVES its full per-query line as
+  *     `BENCH_LOCAL_r<round>.json` (round inferred from the newest
+  *     driver `BENCH_r*.json` + 1), so a comparison base survives the
+  *     per-run overwrite of `BENCH_LOCAL.json`;
+  *   - the outlier re-run reads the newest archive whose `sf` matches
+  *     this run's (cross-sf bases would mass-misfire the 3x test),
+  *     falling back to `BENCH_LOCAL.json` and finally to a bench line
+  *     embedded in a driver artifact's `tail`;
+  *   - both output lines carry `rerun_base` naming the base actually
+  *     used (`"none"` when no compatible base existed), so an empty
+  *     `outlier_rerun` is distinguishable from a defense that never ran;
+  *   - both output lines carry a per-pass RUN-QUALITY STAMP
+  *     (`passes`: wall seconds, listener-summed job seconds, /proc/stat
+  *     steal seconds, load at pass end) so a weather-inflated run
+  *     self-identifies: uniform job inflation with flat shuffle and/or
+  *     nonzero steal is the external-contention signature
+  *     (PROFILE round-11c).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -26,6 +47,24 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     // once per session; operator-level register calls are idempotent no-ops
     graft.functions.functions.register(spark)
+
+    // job-seconds accumulator for the run-quality stamp: listener events
+    // are async, so a pass's snapshot can lag the last job by the bus
+    // drain (ms against ~minute passes — noise, not bias)
+    val jobSeconds = new java.util.concurrent.atomic.DoubleAdder
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        private val starts =
+          new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts.put(e.jobId, e.time)
+        override def onJobEnd(
+            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val t0 = starts.remove(e.jobId)
+          if (t0 != null) jobSeconds.add((e.time - t0) / 1e3)
+        }
+      })
 
     // JVM + codegen warmup on a trivial job so the first timed query does
     // not absorb session startup
@@ -85,24 +124,32 @@ object Bench {
       }
     }
 
-    for (_ <- 1 to runs; (name, fn) <- ordered) timeOne(name, fn)
+    // per-pass run-quality stamp: wall vs job-sum vs steal (see scaladoc)
+    val passes = scala.collection.mutable.ArrayBuffer.empty[PassStamp]
+    for (_ <- 1 to runs) {
+      val w0 = System.nanoTime()
+      val j0 = jobSeconds.sum()
+      val s0 = stealTicks()
+      for ((name, fn) <- ordered) timeOne(name, fn)
+      passes += PassStamp(
+        wall = (System.nanoTime() - w0) / 1e9,
+        jobSum = jobSeconds.sum() - j0,
+        stealSec = (for (a <- s0; b <- stealTicks())
+          yield (b - a) / userHz).getOrElse(-1.0),
+        loadEnd = os.getSystemLoadAverage)
+    }
 
     // contention self-defense: both interleaved samples of a query can
     // still land inside one long external-load burst (it happened to two
     // whole battery passes in a row). Any query whose best-of-N exceeds
-    // 3x its previous round's time is re-run once, solo, at the end —
+    // 3x its previous run's time is re-run once, solo, at the end —
     // minutes later, when a burst has likely passed — and BOTH numbers
     // are recorded so the reader can see the burst rather than infer it.
-    val prev = previousRound()
+    val (prev, rerunBase) = previousRun(new java.io.File("."), sfTag(sfDir))
     val rerun = scala.collection.mutable.Map.empty[String, Double]
-    for {
-      (name, fn) <- ordered
-      if !failedQ(name)
-      p <- prev.get(name)
-      if p > 0 && best.get(name).exists(_ > 3 * p)
-    } {
+    for (name <- outliersToRerun(best.toMap, failedQ.toSet, prev)) {
       val before = best(name)
-      timeOne(name, fn)
+      timeOne(name, selected(name))
       rerun(name) = before // the contaminated number, kept for the record
     }
 
@@ -116,57 +163,207 @@ object Bench {
     val loads = jmap(results.map { case (k, _) =>
       k -> loadAtBest.getOrElse(k, -1.0) })
     val reruns = jmap(rerun.toSeq.sorted)
+    val stamp = passes.map(p =>
+      f"""{"wall":${p.wall}%.1f,"job_sum":${p.jobSum}%.1f""" +
+        f""","steal_sec":${p.stealSec}%.1f,"load_end":${p.loadEnd}%.1f}""")
+      .mkString("[", ",", "]")
     // failed queries (−1 markers) are excluded from the headline total so
     // an error can never improve the reported aggregate
     val failedCount = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"load":$loads,"outlier_rerun":$reruns,"failed":$failedCount,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"load":$loads,"outlier_rerun":$reruns,"rerun_base":"$rerunBase","passes":$stamp,"failed":$failedCount,"sf":"$sfDir"}"""
     // The full per-query/load/rerun line goes ONLY to BENCH_LOCAL.json
     // (VERDICT r10 #4): printing the ~8 KB map to stdout — first OR
     // last — overflowed the driver's fixed-size tail capture five rounds
     // running ("parsed": null). Stdout carries nothing but the slim
-    // summary line below.
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write BENCH_LOCAL.json: $e") }
+    // summary line below. A per-round archive copy survives the next
+    // run's overwrite — it is the next run's outlier-comparison base
+    // (VERDICT r11 #1 / missing #3).
+    for (f <- Seq("BENCH_LOCAL.json", archiveName(new java.io.File("."),
+        sfTag(sfDir)))) {
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(f), (line + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $f: $e") }
+    }
     // Stop BEFORE the final line so Spark's shutdown logging cannot land
     // after it: the LAST stdout line (before sbt's own footer) is then
     // always one complete JSON object, un-prefixed thanks to
     // `run / outputStrategy := StdoutOutput` in build.sbt.
     // BENCH_LOCAL.json holds the full per-query/load/rerun detail.
     spark.stop()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failedCount,"sf":"$sfDir","full":"BENCH_LOCAL.json"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failedCount,"rerun_base":"$rerunBase","reran":${rerun.size},"passes":$stamp,"sf":"$sfDir","full":"BENCH_LOCAL.json"}""")
   }
 
-  /** Per-query seconds from the newest BENCH_r*.json in the working
-    * directory (the driver writes one per round there); empty when absent
-    * or unparsable — outlier detection then simply never fires. */
-  private def previousRound(): Map[String, Double] = {
+  final case class PassStamp(
+      wall: Double, jobSum: Double, stealSec: Double, loadEnd: Double)
+
+  /** Short scale tag of an sf directory — `/root/testdata/sf0.1` →
+    * `sf0.1`. Comparison bases are only valid WITHIN a scale: a 3x test
+    * against an sf0.01 base would solo-rerun the entire sf0.1 battery. */
+  def sfTag(sfDir: String): String =
+    sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+
+  /** Archive file name for this run: `BENCH_LOCAL_r<round>.json` at the
+    * driver's canonical sf0.1 scale (the name VERDICT r11 prescribes),
+    * `BENCH_LOCAL_r<round>_<tag>.json` at any other scale so a local
+    * sf0.01 ladder run can never clobber the round's canonical archive.
+    * The round is the newest driver `BENCH_r<N>.json` + 1 (the driver
+    * writes its artifact AFTER the round ends, so during round N+1 the
+    * newest is N); 1 when no driver artifact exists. */
+  def archiveName(dir: java.io.File, tag: String): String = {
     val Round = """BENCH_r(\d+)\.json""".r
-    val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+    val newest = Option(dir.listFiles()).getOrElse(Array.empty)
       .flatMap(f => f.getName match {
-        // toLongOption: an absurdly-numbered stray file must be skipped,
-        // not crash the bench ("empty when unparsable" contract)
-        case Round(n) => n.toLongOption.map(_ -> f)
+        case Round(n) => n.toLongOption
         case _ => None
-      })
-    // numeric round sort: lexicographic name order would pick r9 over r10
-    files.sortBy(_._1).lastOption.map(_._2).flatMap { f =>
-      try {
-        import org.json4s._
-        val text = new String(
-          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-        org.json4s.jackson.JsonMethods.parse(text) \ "queries" match {
-          case JObject(kvs) => Some(kvs.collect {
-            case (k, JDouble(v)) => k -> v
-            case (k, JDecimal(v)) => k -> v.toDouble
-            case (k, JInt(v)) => k -> v.toDouble
-          }.toMap)
-          case _ => None
-        }
-      } catch { case _: Throwable => None }
-    }.getOrElse(Map.empty)
+      }).sorted.lastOption.getOrElse(0L)
+    val suffix = if (tag == "sf0.1") "" else s"_$tag"
+    s"BENCH_LOCAL_r${newest + 1}$suffix.json"
   }
+
+  /** Queries whose best-of-N exceeds 3x their previous-run time (and are
+    * not marked failed) — the solo-rerun candidates. A non-positive
+    * previous time is skipped: it is a failure marker, not a base. */
+  def outliersToRerun(
+      best: Map[String, Double],
+      failed: Set[String],
+      prev: Map[String, Double]): Seq[String] =
+    best.toSeq.sortBy(_._1).collect {
+      case (name, b) if !failed(name) &&
+        prev.get(name).exists(p => p > 0 && b > 3 * p) => name
+    }
+
+  /** The newest compatible per-query comparison base in `dir`, plus the
+    * file name it came from (`"none"` when nothing compatible exists).
+    * Preference order (newest first within each tier):
+    *   1. `BENCH_LOCAL_r*.json` archives — full lines this bench wrote;
+    *   2. `BENCH_LOCAL.json` — the previous run's overwritten line (it
+    *      is read BEFORE this run rewrites it);
+    *   3. driver `BENCH_r*.json` artifacts — a top-level `"queries"` key
+    *      if one ever appears, else a bench line embedded in the `tail`
+    *      string (the shape every actual driver artifact has).
+    * A candidate only qualifies if its `"sf"` tag matches `tag` —
+    * cross-scale bases mass-misfire the 3x test — so a candidate with
+    * no parsable sf is skipped, not trusted. */
+  def previousRun(dir: java.io.File, tag: String)
+      : (Map[String, Double], String) = {
+    val all = Option(dir.listFiles()).getOrElse(Array.empty)
+    val Archive = """BENCH_LOCAL_r(\d+)(_.*)?\.json""".r
+    val Driver = """BENCH_r(\d+)\.json""".r
+    def readText(f: java.io.File): Option[String] =
+      try Some(new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      catch { case _: Throwable => None }
+    val archives = all.flatMap(f => f.getName match {
+      case Archive(n, _) => n.toLongOption.map(r => (r, f))
+      case _ => None
+    }).sortBy(-_._1).map(_._2)
+    val local = all.filter(_.getName == "BENCH_LOCAL.json")
+    val drivers = all.flatMap(f => f.getName match {
+      case Driver(n) => n.toLongOption.map(r => (r, f))
+      case _ => None
+    }).sortBy(-_._1).map(_._2)
+    (archives.iterator ++ local.iterator ++ drivers.iterator)
+      .flatMap(f => readText(f).flatMap(parseBenchLine)
+        .filter(_._2 == tag).map { case (qs, _) => (qs, f.getName) })
+      .collectFirst { case hit => hit }
+      .getOrElse((Map.empty, "none"))
+  }
+
+  /** Per-query seconds + sf tag from one artifact's text. Accepts a bare
+    * bench line, a driver wrapper with a (future) top-level `"queries"`,
+    * or a driver wrapper whose `tail` string embeds a bench line. Fails
+    * soft (None) on anything unparsable. */
+  def parseBenchLine(text: String): Option[(Map[String, Double], String)] = {
+    import org.json4s._
+    def extract(v: JValue): Option[(Map[String, Double], String)] =
+      (v \ "queries", v \ "sf") match {
+        case (JObject(kvs), sf) =>
+          val qs = kvs.collect {
+            case (k, JDouble(x)) => k -> x
+            case (k, JDecimal(x)) => k -> x.toDouble
+            case (k, JInt(x)) => k -> x.toDouble
+          }.toMap
+          val tag = sf match {
+            case JString(s) => Some(sfTag(s))
+            // driver wrappers carry sf as a bare number (0.1)
+            case JDouble(x) => Some(s"sf$x")
+            case JDecimal(x) => Some(s"sf$x")
+            case _ => None
+          }
+          tag.filter(_ => qs.nonEmpty).map(t => (qs, t))
+        case _ => None
+      }
+    def embedded(v: JValue): Option[(Map[String, Double], String)] =
+      v \ "tail" match {
+        case JString(tail) =>
+          // newest complete bench line inside the captured tail: find
+          // each `{"metric":"total"` start and try to parse the brace-
+          // balanced object from there
+          val starts = """\{"metric":"total"""".r
+            .findAllMatchIn(tail).map(_.start).toSeq.reverse
+          starts.iterator.flatMap { i =>
+            balancedJson(tail, i)
+              .flatMap(s =>
+                try extract(org.json4s.jackson.JsonMethods.parse(s))
+                catch { case _: Throwable => None })
+          }.collectFirst { case hit => hit }
+        case _ => None
+      }
+    try {
+      val v = org.json4s.jackson.JsonMethods.parse(text)
+      extract(v).orElse(embedded(v))
+    } catch { case _: Throwable => None }
+  }
+
+  /** The brace-balanced JSON object starting at `from` (which must point
+    * at `{`), string-aware; None when the text truncates before balance —
+    * the normal case for a driver tail that clipped the line. */
+  private def balancedJson(text: String, from: Int): Option[String] = {
+    var depth = 0
+    var inStr = false
+    var esc = false
+    var i = from
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (esc) esc = false
+      else if (inStr) {
+        if (c == '\\') esc = true
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '{' => depth += 1
+        case '}' =>
+          depth -= 1
+          if (depth == 0) return Some(text.substring(from, i + 1))
+        case _ =>
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** Cumulative steal-time ticks from /proc/stat's aggregate cpu line —
+    * the hypervisor-steal counter loadavg cannot see. None off-Linux or
+    * on a kernel without the field. */
+  def stealTicks(): Option[Long] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().find(_.startsWith("cpu "))
+        .flatMap(parseStealTicks)
+      finally src.close()
+    } catch { case _: Throwable => None }
+
+  /** steal is the 8th value after the "cpu" label
+    * (user nice system idle iowait irq softirq STEAL ...). */
+  def parseStealTicks(cpuLine: String): Option[Long] = {
+    val fields = cpuLine.trim.split("\\s+")
+    if (fields.length >= 9) fields(8).toLongOption else None
+  }
+
+  /** Jiffies per second for /proc/stat deltas: USER_HZ is 100 on every
+    * mainstream Linux ABI (hardcoding what sysconf(_SC_CLK_TCK) would
+    * return — the JVM has no portable call for it). */
+  val userHz: Double = 100.0
 }

@@ -1,0 +1,116 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench's contention self-defense (VERDICT r11 #1): for eleven
+  * rounds the outlier re-run parsed a `"queries"` key no driver
+  * artifact ever had, so it never fired. These tests pin the repaired
+  * pieces — archive discovery, the sf-matched comparison base, the
+  * tail-embedded fallback, the 3x outlier rule, and the steal parser —
+  * against the ACTUAL artifact shapes on disk. */
+class BenchDefenseSpec extends AnyFunSuite {
+
+  private def dir(files: (String, String)*): java.io.File = {
+    val d = java.nio.file.Files.createTempDirectory("bench-defense").toFile
+    files.foreach { case (name, text) =>
+      java.nio.file.Files.write(
+        new java.io.File(d, name).toPath, text.getBytes("UTF-8"))
+    }
+    d
+  }
+
+  private def benchLine(qs: Map[String, Double], sf: String): String =
+    qs.map { case (k, v) => s""""$k":$v""" }
+      .mkString(
+        s"""{"metric":"total","value":${qs.values.sum},"unit":"sec","queries":{""",
+        ",",
+        s"""},"failed":0,"sf":"$sf"}""")
+
+  test("previousRun prefers the newest sf-matched BENCH_LOCAL_r archive") {
+    val d = dir(
+      "BENCH_LOCAL_r11.json" ->
+        benchLine(Map("q_a" -> 1.0), "/root/testdata/sf0.1"),
+      "BENCH_LOCAL_r12.json" ->
+        benchLine(Map("q_a" -> 2.0), "/root/testdata/sf0.1"),
+      // newer round but WRONG scale: must be skipped, not trusted
+      "BENCH_LOCAL_r13_sf0.01.json" ->
+        benchLine(Map("q_a" -> 0.01), "/root/testdata/sf0.01"))
+    val (qs, base) = Bench.previousRun(d, "sf0.1")
+    assert(base === "BENCH_LOCAL_r12.json")
+    assert(qs === Map("q_a" -> 2.0))
+    // and the sf0.01 caller finds ITS base
+    val (qs2, base2) = Bench.previousRun(d, "sf0.01")
+    assert(base2 === "BENCH_LOCAL_r13_sf0.01.json")
+    assert(qs2 === Map("q_a" -> 0.01))
+  }
+
+  test("previousRun falls back to BENCH_LOCAL.json, then to a bench " +
+    "line embedded in a driver artifact's tail") {
+    val d1 = dir("BENCH_LOCAL.json" ->
+      benchLine(Map("q_b" -> 3.5), "/root/testdata/sf0.1"))
+    assert(Bench.previousRun(d1, "sf0.1") ===
+      (Map("q_b" -> 3.5), "BENCH_LOCAL.json"))
+    // the driver wrapper shape every BENCH_r*.json actually has:
+    // {n, rc, cpus, sf, tail, parsed} with the full line inside `tail`
+    val inner = benchLine(Map("q_c" -> 0.7), "/root/testdata/sf0.1")
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n") + "\""
+    val wrapper = s"""{"n":11,"rc":0,"cpus":32,"sf":0.1,
+      "tail":${jstr(s"log noise\n$inner\nmore")},
+      "parsed":{"metric":"total","value":1.0}}"""
+    val d2 = dir("BENCH_r11.json" -> wrapper)
+    assert(Bench.previousRun(d2, "sf0.1") ===
+      (Map("q_c" -> 0.7), "BENCH_r11.json"))
+    // a truncated tail (the five dark rounds' shape) fails SOFT
+    val d3 = dir("BENCH_r11.json" ->
+      s"""{"n":11,"sf":0.1,"tail":"${inner.take(40).replace("\"", "\\\"")}"}""")
+    assert(Bench.previousRun(d3, "sf0.1") === (Map.empty, "none"))
+  }
+
+  test("previousRun on an empty dir reports 'none' — an empty " +
+    "outlier_rerun is then distinguishable from a vacuous one") {
+    assert(Bench.previousRun(dir(), "sf0.1") === (Map.empty, "none"))
+  }
+
+  test("outliersToRerun: fires past 3x, skips failed queries and " +
+    "non-positive bases") {
+    val prev = Map("slow" -> 1.0, "ok" -> 1.0, "failbase" -> -1.0,
+      "zerobase" -> 0.0, "failed" -> 1.0)
+    val best = Map("slow" -> 3.1, "ok" -> 2.9, "failbase" -> 9.0,
+      "zerobase" -> 9.0, "failed" -> 9.0, "noprev" -> 9.0)
+    assert(Bench.outliersToRerun(best, Set("failed"), prev) === Seq("slow"))
+    // no base at all -> defense stays quiet rather than re-running all
+    assert(Bench.outliersToRerun(best, Set.empty, Map.empty) === Seq.empty)
+  }
+
+  test("archiveName: driver rounds + 1, sf-suffixed off the canonical " +
+    "scale") {
+    val d = dir("BENCH_r09.json" -> "{}", "BENCH_r11.json" -> "{}",
+      "BENCH_rX.json" -> "{}", "BENCH_LOCAL_r12.json" -> "{}")
+    assert(Bench.archiveName(d, "sf0.1") === "BENCH_LOCAL_r12.json")
+    assert(Bench.archiveName(d, "sf0.01") === "BENCH_LOCAL_r12_sf0.01.json")
+    assert(Bench.archiveName(dir(), "sf0.1") === "BENCH_LOCAL_r1.json")
+  }
+
+  test("steal parser: field 8 of the aggregate cpu line; soft on " +
+    "short kernels") {
+    assert(Bench.parseStealTicks(
+      "cpu  10 20 30 40 50 60 70 1234 90 100") === Some(1234L))
+    assert(Bench.parseStealTicks("cpu  10 20 30") === None)
+    // a live read either works or degrades to None — never throws
+    Bench.stealTicks()
+  }
+
+  test("parseBenchLine: bare line, future top-level driver shape, and " +
+    "garbage all behave") {
+    val bare = benchLine(Map("q" -> 1.25), "/root/testdata/sf0.1")
+    assert(Bench.parseBenchLine(bare) === Some((Map("q" -> 1.25), "sf0.1")))
+    val driverTop =
+      """{"n":12,"sf":0.1,"queries":{"q":2.5},"tail":""}"""
+    assert(Bench.parseBenchLine(driverTop) ===
+      Some((Map("q" -> 2.5), "sf0.1")))
+    assert(Bench.parseBenchLine("not json") === None)
+    assert(Bench.parseBenchLine("""{"queries":{}}""") === None)
+  }
+}
