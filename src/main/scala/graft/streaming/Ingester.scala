@@ -153,7 +153,10 @@ final class StreamingIngester(
     * ([[drainQueue]], whose redeliveries have no stable batch identity)
     * write a unique `batch=queue-<uuid>` dir — the whole report tree
     * stays one uniform partitioned layout Spark can read in a single
-    * `read.json(reportPath)` — and keep Append-equivalent semantics: a
+    * `read.json(reportPath)` (a tree started by the pre-`batch=` code
+    * is upgraded in place first: [[migrateLegacyReports]] moves its
+    * flat root files into `batch=legacy/`) — and keep
+    * Append-equivalent semantics: a
     * crash between processBatch and queue-delete may duplicate reports
     * there, records never.
     *
@@ -171,6 +174,7 @@ final class StreamingIngester(
       recordStore.appendDf(records.toDF(), dedupAgainstExisting = true)
       latestStore.foreach(_.upsert(records.toDF()))
       reportPath.foreach { p =>
+        migrateLegacyReports(p)
         val reports = results.map(_.report)
         batchTag match {
           case Some(t) => reports.write.mode(SaveMode.Overwrite)
@@ -199,6 +203,44 @@ final class StreamingIngester(
     if (compactEvery > 0 &&
         batchesSinceCompact.incrementAndGet() % compactEvery == 0)
       recordStore.compact()
+  }
+
+  // migrate-once latch: the listing costs one RPC per report write and
+  // the root only needs checking until it is known clean
+  private val legacyReportsChecked =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Upgrade a report tree written by the pre-`batch=` code: that code
+    * appended part files FLAT at the report root, and Spark refuses to
+    * read a directory mixing root data files with `batch=<id>` subdirs
+    * ("conflicting directory structures"). On the first write of each
+    * ingester instance, any regular file still sitting at the root is
+    * MOVED into `batch=legacy/` — same rows, one uniform partitioned
+    * layout, `spark.read.json(reportPath)` works across the upgrade.
+    * Hidden files (`_SUCCESS`, `.*.crc`) move too: Spark readers ignore
+    * them wherever they sit, and a clean root keeps the layout
+    * self-describing. Rename, not copy — atomic per file on any
+    * sane filesystem, and a crash mid-migration just leaves fewer flat
+    * files for the next attempt. */
+  private def migrateLegacyReports(p: String): Unit = {
+    if (!legacyReportsChecked.compareAndSet(false, true)) return
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(p)
+    val fs = root.getFileSystem(hconf)
+    if (!fs.exists(root)) return
+    val flat = fs.listStatus(root).filter(_.isFile)
+    if (flat.isEmpty) return
+    val legacy = new org.apache.hadoop.fs.Path(root, "batch=legacy")
+    fs.mkdirs(legacy)
+    flat.foreach { f =>
+      val dest = new org.apache.hadoop.fs.Path(legacy, f.getPath.getName)
+      if (!fs.rename(f.getPath, dest))
+        throw new IllegalStateException(
+          s"report-layout migration failed: could not move " +
+            s"${f.getPath} to $dest — a root mixing flat files with " +
+            s"batch= dirs is unreadable; move the flat files into " +
+            s"$legacy manually and retry")
+    }
   }
 
   /** Drain a [[NotificationQueue]] through the Spark ingest path with the

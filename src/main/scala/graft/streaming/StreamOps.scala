@@ -404,6 +404,14 @@ object StreamOps {
     * store, aggregate [[graft.operators.Curation.curationReport]] over
     * it per batch, or both.
     *
+    * Both sinks also receive the foreachBatch EPOCH ID — the stable
+    * replay identity of the micro-batch. A sink that keys its output on
+    * it (`batch=<id>` dir + Overwrite, the Ingester report-sink
+    * discipline, `Ingester.scala:175-178`) upgrades the stream's
+    * at-least-once delivery to exactly-once OUTPUT: a crash between the
+    * sink write and the checkpoint commit replays the same id and the
+    * rewrite lands on the same dir instead of appending a second copy.
+    *
     * CRASH-RECOVERY CONTRACT (the composition guarantee, specced by
     * the StreamOpsSpec kill-point matrix): the four stores commit
     * SEPARATELY, so a batch can die BETWEEN commits and replay with
@@ -426,8 +434,10 @@ object StreamOps {
     *
     * `onStage` fires after each stage commits ("gate" — only when a
     * gate is configured — then "exact", "neardup", "spans",
-    * "semantic") and before the sink — an instrumentation seam
-    * (telemetry, and the spec's crash injection).
+    * "semantic"), once more after the sink returns ("sink" — the
+    * crash-between-sink-and-checkpoint kill point), and per sweep
+    * ("maintain") — an instrumentation seam (telemetry, and the spec's
+    * crash injection).
     *
     * Lifecycle knobs: `warmOnStart` pre-touches every store's
     * filesystem metadata before batch 1 (the first-touch-outlier
@@ -447,12 +457,13 @@ object StreamOps {
       thresholdMicro: Long = 300000L,
       nprobe: Int = 1,
       gate: Option[GateConfig] = None,
-      gateSink: DataFrame => Unit = _ => (),
+      gateSink: (DataFrame, Long) => Unit = (_, _) => (),
       onStage: String => Unit = _ => (),
       warmOnStart: Boolean = false,
       maintenanceEvery: Int = 0,
       availableNow: Boolean = false)(
-      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     // first-touch mitigation: pre-list + footer-read every store's live
     // snapshot BEFORE batch 1, so a fresh driver's first micro-batch
     // doesn't pay the cold-metadata cost mid-batch (PROFILE round-9c)
@@ -468,10 +479,10 @@ object StreamOps {
     // one-shot mode; default is the continuous micro-batch stream
     (if (availableNow) writer.trigger(
       org.apache.spark.sql.streaming.Trigger.AvailableNow()) else writer)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         curateAllBatch(batch, exact, nearDup, grams, semantic,
           boilerplate, minKeptTokens, thresholdMicro, nprobe,
-          gate, gateSink, onStage)(sink)
+          gate, gateSink, onStage, batchId)(sink)
         // maintenance AFTER the sink, every Nth batch, from the single
         // writer thread — the one schedule CellIndex.compact requires,
         // and crash-safe: a crash mid-maintenance replays the batch
@@ -523,9 +534,12 @@ object StreamOps {
 
   /** One micro-batch of [[curateAllWithHistory]] — the unit the
     * kill-point matrix spec drives directly: a foreachBatch retry after
-    * a crash is exactly "call this again with the same batch", so the
-    * crash-recovery contract is provable without streaming-offset
-    * machinery. */
+    * a crash is exactly "call this again with the same batch AND the
+    * same `batchId`" (the epoch id is checkpoint-stable across
+    * replays), so the crash-recovery contract is provable without
+    * streaming-offset machinery. `onStage("sink")` fires after the sink
+    * returns and before the foreachBatch call ends — the "crash between
+    * sink write and checkpoint commit" kill point. */
   private[graft] def curateAllBatch(
       batch: DataFrame,
       exact: graft.store.FingerprintIndex,
@@ -537,8 +551,9 @@ object StreamOps {
       thresholdMicro: Long,
       nprobe: Int,
       gate: Option[GateConfig],
-      gateSink: DataFrame => Unit,
-      onStage: String => Unit)(sink: DataFrame => Unit): Unit = {
+      gateSink: (DataFrame, Long) => Unit,
+      onStage: String => Unit,
+      batchId: Long)(sink: (DataFrame, Long) => Unit): Unit = {
     val headScrubbed = scrubHead(batch, boilerplate)
     // gate first: pure per-doc rules are the cheapest stage, so junk
     // never reaches an index probe; the gated frame is persisted once
@@ -551,7 +566,7 @@ object StreamOps {
       .getOrElse(headScrubbed)
       .persist()
     try {
-      gated.foreach { gd => gateSink(gd); onStage("gate") }
+      gated.foreach { gd => gateSink(gd, batchId); onStage("gate") }
       // pin each stage's emission before the next consumes it: the
       // exact canonical frame embeds the fingerprint-history ownership
       // join and the near-dup survivors embed the verdict join —
@@ -604,7 +619,8 @@ object StreamOps {
           nprobe)._1
       onStage("semantic")
       sink(keptDocs.join(
-        emitted.select(col("vec_id").as("doc_id")), Seq("doc_id")))
+        emitted.select(col("vec_id").as("doc_id")), Seq("doc_id")), batchId)
+      onStage("sink")
     } finally {
       cleaned.unpersist(false)
       gated.foreach(_.unpersist(false))

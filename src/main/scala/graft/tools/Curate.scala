@@ -27,12 +27,19 @@ import graft.streaming.{GateConfig, StreamOps}
   *   - `reports/batch=*` one curation-report row per source per batch
   *                       ([[graft.operators.Curation.curationReport]])
   *   - `rejected/batch=*` gate-dropped rows with their `reasons`
-  * All three trees are uniform `batch=<uuid>` partition layouts —
-  * read each with one `spark.read.parquet(dir)`. Batches have no
-  * stable replay identity here, so a crash between a sink write and
-  * the checkpoint commit can duplicate OUTPUT rows (at-least-once);
-  * the four stores themselves converge exactly (the kill-point
-  * matrix), so re-running never corrupts history.
+  * All three trees are uniform `batch=<epoch-id>` partition layouts —
+  * read each with one `spark.read.parquet(dir)`. The epoch id is the
+  * stream's checkpoint-stable batch identity, and every sink writes
+  * its `batch=<id>` dir with Overwrite (the Ingester report-sink
+  * discipline, `Ingester.scala:175-178`), so OUTPUT is exactly-once:
+  * a crash between a sink write and the checkpoint commit replays the
+  * same id and rewrites the same dir instead of appending a second
+  * copy (CurateSpec kill-point test). The four stores converge
+  * exactly as before (the kill-point matrix), so re-running never
+  * corrupts history either.
+  * (Output trees written by the pre-epoch-id version used random
+  * `batch=<uuid>` dirs; they read fine alongside — the layout is
+  * identical — but carry no replay identity.)
   *
   * Store bootstrap: the four index stores live under
   * `<root>/curate/stores/`. The semantic cell index self-bootstraps
@@ -60,6 +67,15 @@ object Curate {
     * drain finishes (returns the already-terminated query); without
     * `once` it returns the live continuous query. */
   def run(spark: SparkSession, cfg: Config)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    run(spark, cfg, _ => ())
+
+  /** [[run]] with the pipeline's `onStage` instrumentation seam exposed
+    * — the spec's crash-injection hook (kill between the sink write and
+    * the checkpoint commit and prove the re-drain rewrites, not
+    * duplicates). */
+  private[graft] def run(spark: SparkSession, cfg: Config,
+      onStage: String => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     graft.functions.functions.register(spark)
     val stores = s"${cfg.root}/curate/stores"
@@ -82,8 +98,16 @@ object Curate {
     // vectors for docs the gate/dedup stages drop, and those phantoms
     // would silently suppress every future near-match.
 
-    def sinkDir(kind: String) =
-      s"${cfg.out}/$kind/batch=${java.util.UUID.randomUUID()}"
+    // batch-tagged Overwrite = exactly-once output: the epoch id is the
+    // stream's stable replay identity, so a replayed batch REWRITES its
+    // own dir (the Ingester report-sink discipline) instead of minting
+    // a fresh one and duplicating rows
+    def sinkDir(kind: String, batchId: Long) =
+      s"${cfg.out}/$kind/batch=$batchId"
+    def writeTo(df: org.apache.spark.sql.DataFrame, kind: String,
+        batchId: Long): Unit =
+      df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(sinkDir(kind, batchId))
 
     val stream = spark.readStream.schema(schema).parquet(cfg.inputDir)
     val q = StreamOps.curateAllWithHistory(
@@ -94,18 +118,19 @@ object Curate {
       thresholdMicro = cfg.thresholdMicro,
       nprobe = cfg.nprobe,
       gate = cfg.gate,
-      gateSink = gated => {
+      gateSink = (gated, batchId) => {
         // no persist here: curateAllBatch pins the gated frame before
         // calling the sink (and an unpersist here would evict the very
         // cache its downstream store legs still read)
-        graft.operators.Curation.curationReport(gated, stratumCol = "source")
-          .write.parquet(sinkDir("reports"))
-        gated.filter(col("keep") === 0).write.parquet(sinkDir("rejected"))
+        writeTo(graft.operators.Curation.curationReport(
+          gated, stratumCol = "source"), "reports", batchId)
+        writeTo(gated.filter(col("keep") === 0), "rejected", batchId)
       },
+      onStage = onStage,
       warmOnStart = true,
       maintenanceEvery = cfg.maintenanceEvery,
-      availableNow = cfg.once) { kept =>
-      kept.write.parquet(sinkDir("kept"))
+      availableNow = cfg.once) { (kept, batchId) =>
+      writeTo(kept, "kept", batchId)
     }
     // with `once` the doc's contract is drain-then-return: AvailableNow
     // does NOT block on start(), so block here

@@ -244,7 +244,8 @@ object IngestLatency {
           graft.streaming.StreamOps.curateAllBatch(b, fpP, ndP, grP,
             cellP, boilerplate = Seq.empty, minKeptTokens = 1,
             thresholdMicro = 300000L, nprobe = 1, gate = gateCfg,
-            gateSink = _ => (), onStage = _ => ())(df => n = df.count())
+            gateSink = (_, _) => (), onStage = _ => (),
+            batchId = i + 1L)((df, _) => n = df.count())
           n
         }
         val m0 = System.nanoTime()

@@ -576,12 +576,13 @@ class StreamOpsSpec extends SparkSuite {
       boilerplate = Seq.empty, minKeptTokens = 3,
       thresholdMicro = 900000L, nprobe = 1,
       gate = Some(CurateGate),
-      gateSink = gd => gateDrops ++= gd.filter($"keep" === 0)
+      gateSink = (gd, _) => gateDrops ++= gd.filter($"keep" === 0)
         .select($"doc_id", $"reasons").collect()
         .map(r => (r.getLong(0), r.getString(1))),
       onStage = s => if (kill.contains(s))
-        throw new RuntimeException(s"injected crash after $s commit")) {
-      df =>
+        throw new RuntimeException(s"injected crash after $s commit"),
+      batchId = 0L) {
+      (df, _) =>
         out ++= df.select($"doc_id", $"n_kept", $"scrubbed_text")
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     }
@@ -615,9 +616,9 @@ class StreamOpsSpec extends SparkSuite {
       st.grams, st.cell, boilerplate = Seq.empty,
       checkpointDir = ckpt.toString, minKeptTokens = 3,
       thresholdMicro = 900000L, gate = Some(CurateGate),
-      gateSink = gd => gateRows ++= gd
+      gateSink = (gd, _) => gateRows ++= gd
         .select($"doc_id", $"keep", $"reasons").collect()
-        .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))) { out =>
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))) { (out, _) =>
       emitted ++= out.select($"doc_id", $"n_kept", $"scrubbed_text")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     }
@@ -664,7 +665,12 @@ class StreamOpsSpec extends SparkSuite {
     assert(dropsBase.toSeq === Seq((15L, "too_few_words")),
       "the gate must book exactly the one-word junk doc")
 
-    for (kill <- Seq("gate", "exact", "neardup", "spans", "semantic")) {
+    // "sink" = the crash lands AFTER the sink write, BEFORE the
+    // checkpoint commit — the output-idempotence kill point the
+    // epoch-id plumbing exists for (CurateSpec proves the file-level
+    // rewrite; here the matrix proves emission/store convergence)
+    for (kill <- Seq("gate", "exact", "neardup", "spans", "semantic",
+        "sink")) {
       val st = freshCurateStores()
       curateProcess(st, curateSeed, None)
       val e = intercept[RuntimeException] {
@@ -807,7 +813,7 @@ class StreamOpsSpec extends SparkSuite {
       checkpointDir = ckpt.toString, minKeptTokens = 3,
       thresholdMicro = 900000L, gate = Some(CurateGate),
       onStage = stages += _, warmOnStart = true,
-      maintenanceEvery = 1) { out =>
+      maintenanceEvery = 1) { (out, _) =>
       emitted ++= out.select($"doc_id").collect().map(_.getLong(0))
     }
     input.addData(curateSeed: _*)

@@ -128,4 +128,58 @@ class CurateSpec extends SparkSuite {
     assert(lines.forall(l => l.contains("bytes=") &&
       !l.contains("fragmented")), s"unexpected stats: $lines")
   }
+
+  test("exactly-once output: a crash between the sink write and the " +
+    "checkpoint commit re-drains into the SAME batch dir — rewritten, " +
+    "never duplicated (VERDICT r11 #2)") {
+    import spark.implicits._
+    val in = tmpDir("curate-kill-in")
+    val root = tmpDir("curate-kill-root")
+    val out = root + "/curate/out"
+    val cfg = Curate.Config(
+      inputDir = in, root = root, out = out, once = true,
+      gate = Some(GateConfig(
+        minWords = 3L, maxWords = 1000L, minStopwords = 0)),
+      maintenanceEvery = 0, minKeptTokens = 3,
+      thresholdMicro = 900000L)
+    dropFile(Seq(
+      (1L, textA, Array(1f, 0f, 0f, 0f), "s1"),
+      (2L, textB, Array(0f, 1f, 0f, 0f), "s1"),
+      (3L, "tiny doc", Array(0f, 0f, 0f, 1f), "s1")) // gate bait
+      .toDF("doc_id", "text", "embedding", "source"), in, "seed.parquet")
+
+    // first drain dies AFTER all three sinks wrote batch=0, BEFORE the
+    // stream could commit the offset — the replay-duplication window
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val e = intercept[Exception] {
+      Curate.run(spark, cfg, onStage = s =>
+        if (s == "sink" && crashed.compareAndSet(false, true))
+          throw new RuntimeException(
+            "injected crash between sink write and checkpoint commit"))
+    }
+    assert(crashed.get(), s"the sink kill point never fired: $e")
+    def batchDirs(kind: String): Seq[String] =
+      Option(new java.io.File(s"$out/$kind").listFiles())
+        .getOrElse(Array.empty).map(_.getName)
+        .filter(_.startsWith("batch=")).sorted.toSeq
+    // the crashed attempt's output is on disk — that is the hazard
+    assert(batchDirs("kept") === Seq("batch=0"))
+
+    // the re-drain replays epoch 0 and REWRITES batch=0 in place: one
+    // dir per tree, one row per document — no second copy anywhere
+    Curate.run(spark, cfg).awaitTermination(180000)
+    for (kind <- Seq("kept", "reports", "rejected"))
+      assert(batchDirs(kind) === Seq("batch=0"),
+        s"$kind must hold exactly the replayed epoch's dir")
+    val kept = spark.read.parquet(s"$out/kept")
+      .select($"doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept === Array(1L, 2L),
+      s"replay duplicated or lost kept rows: ${kept.toSeq}")
+    val rej = spark.read.parquet(s"$out/rejected")
+      .select($"doc_id").collect().map(_.getLong(0)).sorted
+    assert(rej === Array(3L),
+      s"replay duplicated or lost rejected rows: ${rej.toSeq}")
+    assert(spark.read.parquet(s"$out/reports").count() === 1,
+      "one report row per (batch, source) — the replay must overwrite")
+  }
 }
