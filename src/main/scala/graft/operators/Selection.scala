@@ -178,6 +178,18 @@ object Selection {
     require(!scored.columns.contains("__all") &&
       !scored.columns.contains("__thr"),
       "input collides with a keepAboveQuantile working column")
+    // fail fast on a non-integral score (ADVICE r11): the threshold is
+    // cast("long") before the compare, so a double column would silently
+    // TRUNCATE it and keep rows strictly below the true quantile —
+    // enforce exactKth's documented integral contract instead
+    val scoreType = scored.schema(scoreCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType).contains(scoreType),
+      s"keepAboveQuantile needs an integral score column (the exactKth " +
+        s"contract; micro-scale fractional scores first — the charLmScore " +
+        s"discipline): $scoreCol is $scoreType")
     // Pin the scored frame only for as long as the threshold takes:
     // exactKth reads it twice (histogram chain + refine join) and for
     // an expensive scorer (char-LM) each unpersisted materialization

@@ -415,24 +415,36 @@ object CurationQueries {
       // legs consume the gate's verdicts — the gate audit agg, the
       // canonical hash-agg, and the semi-join probe side. Without the
       // pins every leg re-ran the whole gate from the base scan (~3x
-      // the corpus reads and regexp work). Bench clears the cache
-      // after every query (its finally block); content is unchanged,
-      // only the number of base scans (now exactly 2: docs + recrawl).
+      // the corpus reads and regexp work). Content is unchanged, only
+      // the number of base scans (exactly 2: docs + recrawl). The
+      // per-source audit is a handful of rows, so it is taken EAGERLY
+      // while the pins are warm and handed back as a local relation —
+      // both caches release before this function returns (the
+      // keepAboveQuantile discipline; the lazy-persist version leaked
+      // two cached frames per call into any non-harness session,
+      // ADVICE r11).
       val corpus = d.unionByName(recrawl).persist()
       val gated = Curation.qualityGate(corpus,
         minWords = 5L, maxWords = 500L, minStopwords = 1).persist()
-      val kept = gated.filter($"keep" === 1)
-      val canonical = kept.groupBy(md5($"text").as("__h"))
-        .agg(min($"doc_id").as("doc_id"))
-      val unique = kept.join(
-        canonical.select($"doc_id"), Seq("doc_id"), "left_semi")
-      gated.groupBy($"source")
-        .agg(count(lit(1)).as("docs_total"),
-          sum($"keep".cast("long")).as("gate_kept"))
-        .join(unique.groupBy($"source")
-          .agg(count(lit(1)).as("dedup_kept"),
-            sum($"n_words").as("words_kept")), Seq("source"))
-        .orderBy($"source")
+      try {
+        val kept = gated.filter($"keep" === 1)
+        val canonical = kept.groupBy(md5($"text").as("__h"))
+          .agg(min($"doc_id").as("doc_id"))
+        val unique = kept.join(
+          canonical.select($"doc_id"), Seq("doc_id"), "left_semi")
+        val audit = gated.groupBy($"source")
+          .agg(count(lit(1)).as("docs_total"),
+            sum($"keep".cast("long")).as("gate_kept"))
+          .join(unique.groupBy($"source")
+            .agg(count(lit(1)).as("dedup_kept"),
+              sum($"n_words").as("words_kept")), Seq("source"))
+          .orderBy($"source")
+        s.createDataFrame(
+          java.util.Arrays.asList(audit.collect(): _*), audit.schema)
+      } finally {
+        gated.unpersist(false)
+        corpus.unpersist(false)
+      }
     }),
 
     // dataset mixing: per-source keep rates (a 3-tier curriculum mix),

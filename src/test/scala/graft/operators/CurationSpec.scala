@@ -444,6 +444,28 @@ class CurationSpec extends SparkSuite {
     assert(again.toSeq === got.toSeq)
   }
 
+  test("langId bounds its driver-side model collect: a wide-charset " +
+    "corpus past maxModelRows fails loud with the shortlist hint " +
+    "instead of OOMing the driver") {
+    import spark.implicits._
+    // 40 distinct bigrams across 2 langs — far past a cap of 8
+    val wide = Seq(
+      (1L, ('a' to 't').mkString(" "), "aa"),
+      (2L, ('A' to 'T').mkString(" "), "bb"))
+      .toDF("doc_id", "text", "lang")
+    val e = intercept[IllegalArgumentException] {
+      Curation.langId(wide, maxModelRows = 8)
+    }
+    assert(e.getMessage.contains("shortlist"), e.getMessage)
+    // at the default cap the same corpus trains and scores normally,
+    // and an explicit generous cap is bit-identical to the default
+    val want = Curation.langId(wide).orderBy($"doc_id")
+      .collect().map(_.toString).toSeq
+    val roomy = Curation.langId(wide, maxModelRows = 100000)
+      .orderBy($"doc_id").collect().map(_.toString).toSeq
+    assert(roomy === want)
+  }
+
   test("temperatureRates: alpha=1 is uniform document sampling; " +
     "alpha<1 flattens toward rare strata; cap at 1e6") {
     import spark.implicits._

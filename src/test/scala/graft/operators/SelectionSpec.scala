@@ -108,4 +108,24 @@ class SelectionSpec extends SparkSuite {
       .filter($"kept" === 1).select($"score").collect().map(_.getLong(0))
     assert(top.toSeq === Seq(100L), "dropPpm=1e6 keeps only the max")
   }
+
+  test("keepAboveQuantile rejects a non-integral score column instead " +
+    "of silently truncating the threshold") {
+    import spark.implicits._
+    val doubles = Seq((1L, 0.4), (2L, 0.6)).toDF("doc_id", "score")
+    val e = intercept[IllegalArgumentException] {
+      Selection.keepAboveQuantile(doubles, "score", 500000L)
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+    // int and long both satisfy the contract; drop 75% of N=2 ->
+    // k = ceil(1.5) = 2 -> threshold 6 -> score 4 drops, 6 keeps (tie)
+    for (cast <- Seq("int", "bigint")) {
+      val ok = Selection.keepAboveQuantile(
+        doubles.withColumn("score", ($"score" * 10).cast(cast)),
+        "score", 750000L)
+        .select($"doc_id", $"kept").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(ok === Map(1L -> 0, 2L -> 1))
+    }
+  }
 }
