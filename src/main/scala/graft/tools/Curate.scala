@@ -225,7 +225,56 @@ object Curate {
   private def defaultRoot: String =
     sys.env.getOrElse("GRAFT_ROOT", sys.props("java.io.tmpdir") + "/graft")
 
+  /** The full flag table `--help` prints (VERDICT r11 #7: the usage
+    * string was the only flag reference and the README listed a
+    * subset). One row per flag known to [[parseConfig]] plus the two
+    * mode flags; the spec asserts the table and the parser can never
+    * drift apart. */
+  def helpText: Seq[String] = {
+    val d = GateConfig()
+    Seq(
+      "usage: Curate <inputDir> [flags]   # stream-curate parquet docs",
+      "       Curate --stats [--root=DIR] # ops readout, no stream",
+      "       Curate --help               # this table",
+      "",
+      "Input: parquet files with doc_id BIGINT, text STRING,",
+      "embedding ARRAY<FLOAT> (and optionally source STRING) dropped",
+      "into <inputDir>. Output: kept/ reports/ rejected/ trees of",
+      "batch=<epoch> dirs under --out; replays rewrite, never duplicate.",
+      "",
+      "flags:",
+      s"  --root=DIR              store+checkpoint+output root " +
+        s"(default $$GRAFT_ROOT or java.io.tmpdir/graft)",
+      "  --out=DIR               output root (default <root>/curate/out)",
+      "  --once                  drain what is present, then exit " +
+        "(Trigger.AvailableNow); default follows the dir forever",
+      "  --no-gate               disable the quality gate stage",
+      s"  --min-words=N           gate: minimum words " +
+        s"(default ${d.minWords})",
+      s"  --max-words=N           gate: maximum words " +
+        s"(default ${d.maxWords})",
+      s"  --min-stopwords=N       gate: minimum distinct list stopwords " +
+        s"(default ${d.minStopwords})",
+      "  --maintenance-every=N   full store-maintenance sweep after " +
+        "every Nth batch; 0 disables (default 8)",
+      "  --min-kept-tokens=N     drop docs with fewer surviving tokens " +
+        "after span scrub (default 15)",
+      "  --threshold-micro=M     semantic near-dup cosine threshold in " +
+        "micro units (default 300000 = 0.30)",
+      "  --nprobe=N              semantic stage: probed cells per query " +
+        "(default 1)",
+      "  --boilerplate=FILE      newline-separated head/tail boilerplate " +
+        "lines to scrub before any stage",
+      "  --stats                 print per-store dirs/cells/files/bytes " +
+        "for --root and exit (with fragmentation hints)",
+      "  --help                  print this table and exit")
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.contains("--help")) {
+      helpText.foreach(println)
+      return
+    }
     // ops mode: `Curate --stats [--root=DIR]` — no input dir, no
     // stream; print the store readout and exit. The mode keeps the
     // strict flag contract: any OTHER argument alongside --stats is an

@@ -47,6 +47,29 @@ class CurateSpec extends SparkSuite {
     intercept[IllegalArgumentException] { Curate.parseConfig(Array.empty) }
   }
 
+  test("--help: the flag table covers every flag the parser knows — " +
+    "the table and the parser cannot drift apart") {
+    val help = Curate.helpText.mkString("\n")
+    // the parser's own `known` set, restated: a flag added there
+    // without a help row (or vice versa) fails here
+    val parserFlags = Seq("root", "out", "once", "no-gate", "min-words",
+      "max-words", "min-stopwords", "maintenance-every",
+      "min-kept-tokens", "threshold-micro", "nprobe", "boilerplate")
+    for (f <- parserFlags :+ "stats" :+ "help")
+      assert(help.contains(s"--$f"), s"--$f missing from --help")
+    // defaults in the table come FROM GateConfig, not a re-hardcode
+    val d = graft.streaming.GateConfig()
+    assert(help.contains(s"default ${d.minWords}"))
+    assert(help.contains(s"default ${d.maxWords}"))
+    // and an unknown flag in helpText would mean the parser lost one:
+    // every --flag token in the table parses as a known flag name
+    val tableFlags = """--[a-z-]+""".r.findAllIn(help).toSeq.distinct
+      .map(_.stripPrefix("--"))
+    assert(tableFlags.toSet.subsetOf(
+      (parserFlags :+ "stats" :+ "help").toSet),
+      s"helpText names flags the parser does not know: $tableFlags")
+  }
+
   test("stats on a fresh root: four zero rows, no exception — the ops " +
     "readout must work before the first drain") {
     val lines = Curate.stats(spark, tmpDir("curate-empty"))
