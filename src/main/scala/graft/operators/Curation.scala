@@ -698,18 +698,54 @@ object Curation {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
+  /** Per-document character-bigram LM quality score: train the corpus's
+    * own bigram frequency model, score every doc as the average
+    * micro-scaled bigram probability (`avg_micro` — junk text scores
+    * low because its bigrams are corpus-rare). Integer-exact output:
+    * one `round(1e6·cnt/total)` per model cell, integer sums after.
+    *
+    * EAGER (the langId discipline, round 12): constructing the returned
+    * frame trains the model — ONE corpus bigram pass at call time whose
+    * (bigram, count) table lands on the driver as a local relation
+    * (bounded by charset², guarded at `maxModelRows` with a
+    * `limit(cap+1)` riding the same pass), so each materialization of
+    * the result costs exactly ONE further corpus pass. The previous
+    * lazy spelling re-derived the model broadcast AND the total
+    * broadcast from separate corpus explodes on every materialization
+    * (~3 passes each). The per-cell rounding stays IN Spark against a
+    * literal total, so scores are bit-identical to the lazy version
+    * (and to the DuckDB oracle).
+    *
+    * @return (idCol, n_bigrams, score_sum, avg_micro) */
   def charLmScore(
       docs: DataFrame,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      maxModelRows: Int = 1000000): DataFrame = {
+    require(maxModelRows > 0, s"maxModelRows must be > 0: $maxModelRows")
+    val sess = docs.sparkSession
     val grams = docs.select(col(idCol), explode(charGramsExpr(textCol)).as("__g"))
-    val model = grams.groupBy(col("__g")).agg(count(lit(1)).as("__cnt"))
-    val total = model.agg(sum(col("__cnt")).as("__total"))
+    val countRows = grams.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__cnt"))
+      .limit(maxModelRows + 1)
+      .collect()
+    require(countRows.length <= maxModelRows,
+      s"charLmScore model exceeds $maxModelRows distinct bigrams — a " +
+        s"wide-charset corpus. Shard by script (scriptMix) and score " +
+        s"per shard, or raise maxModelRows explicitly if the driver " +
+        s"heap allows")
+    val total = countRows.iterator.map(_.getLong(1)).sum
+    val modelSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__g",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("__cnt",
+        org.apache.spark.sql.types.LongType)))
+    val model = sess.createDataFrame(
+      java.util.Arrays.asList(countRows: _*), modelSchema)
     grams
       .join(broadcast(model), Seq("__g"))
-      .crossJoin(broadcast(total))
       .select(col(idCol),
-        round(col("__cnt") * lit(1000000.0) / col("__total"))
+        round(col("__cnt") * lit(1000000.0) / lit(total))
           .cast("long").as("__p"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("__p")).as("score_sum"))
