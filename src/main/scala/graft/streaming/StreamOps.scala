@@ -31,6 +31,14 @@ final case class GateConfig(
   * tumbling-window aggregation and gap-based sessionization with custom
   * state (`flatMapGroupsWithState`) — the Structured Streaming surface the
   * engine exposes for continuous pipelines (SURVEY §2.7 mapping).
+  *
+  * Every history-backed `foreachBatch` entry here hands its sink the
+  * micro-batch's EPOCH ID alongside the frame — the checkpoint-stable
+  * replay identity. A sink that needs exactly-once OUTPUT keys its
+  * write on it (`batch=<id>` dir + Overwrite — the [[graft.tools
+  * .Curate]] / Ingester discipline); a sink with idempotent keyed
+  * writes may ignore it (the entries' replay-stable emission already
+  * makes at-least-once converge).
   */
 object StreamOps {
 
@@ -232,17 +240,18 @@ object StreamOps {
       docs: DataFrame,
       checkpointDir: String,
       gate: GateConfig = GateConfig())(
-      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // the one GateConfig type both gate entry points share — a
         // loose-parameter copy here had already drifted (it could not
         // express repN)
         sink(graft.operators.Curation.qualityGate(batch,
           minWords = gate.minWords, maxWords = gate.maxWords,
-          minStopwords = gate.minStopwords, repN = gate.repN))
+          minStopwords = gate.minStopwords, repN = gate.repN), batchId)
       }
       .start()
 
@@ -277,18 +286,20 @@ object StreamOps {
       boilerplate: Seq[String],
       checkpointDir: String,
       minWords: Int = 15)(
-      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Curation
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val cleaned = scrubHead(batch, boilerplate).persist()
         try {
           val canonical = index.ingestResolved(cleaned)
           val redacted = Curation.redact(canonical)
           sink(redacted.filter(
-            size(split(trim(col("redacted")), "\\s+")) >= minWords))
+            size(split(trim(col("redacted")), "\\s+")) >= minWords),
+            batchId)
         } finally cleaned.unpersist(false)
       }
       .start()
@@ -320,12 +331,13 @@ object StreamOps {
       boilerplate: Seq[String],
       checkpointDir: String,
       minWords: Int = 15)(
-      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Curation
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val cleaned = scrubHead(batch, boilerplate).persist()
         try {
           val exactCanonical = exact.ingestResolved(cleaned)
@@ -334,7 +346,8 @@ object StreamOps {
             .drop("canonical_id")
           val redacted = Curation.redact(survivors)
           sink(redacted.filter(
-            size(split(trim(col("redacted")), "\\s+")) >= minWords))
+            size(split(trim(col("redacted")), "\\s+")) >= minWords),
+            batchId)
         } finally cleaned.unpersist(false)
       }
       .start()
@@ -366,11 +379,12 @@ object StreamOps {
       minKeptTokens: Int = 15,
       textCol: String = "text",
       idCol: String = "doc_id")(
-      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.persist()
         try {
           val spans = grams.ingest(b, textCol, idCol)
@@ -380,7 +394,8 @@ object StreamOps {
             b.drop(textCol)
               .withColumnRenamed(idCol, "doc_id")
               .join(scrubbed, Seq("doc_id"))
-              .filter(col("n_kept") >= minKeptTokens))
+              .filter(col("n_kept") >= minKeptTokens),
+            batchId)
         } finally b.unpersist(false)
       }
       .start()
@@ -644,14 +659,15 @@ object StreamOps {
       checkpointDir: String,
       thresholdMicro: Long = 300000L,
       nprobe: Int = 1)(
-      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val (kept, _) =
           index.semanticIngestResolved(batch, thresholdMicro, nprobe)
-        sink(kept)
+        sink(kept, batchId)
       }
       .start()
 

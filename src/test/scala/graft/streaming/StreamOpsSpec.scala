@@ -142,7 +142,7 @@ class StreamOpsSpec extends SparkSuite {
     val ckpt = java.nio.file.Files.createTempDirectory("fpidx-ckpt")
     val q = StreamOps.curateWithHistory(df, idx,
       boilerplate = Seq.empty, checkpointDir = ckpt.toString,
-      minWords = 3) { out =>
+      minWords = 3) { (out, _) =>
       emitted ++= out.select($"doc_id").collect().map(_.getLong(0))
     }
     def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
@@ -175,7 +175,7 @@ class StreamOpsSpec extends SparkSuite {
     val ckpt = java.nio.file.Files.createTempDirectory("ndh-ckpt")
     val q = StreamOps.curateWithNearDupHistory(df, exact, near,
       boilerplate = Seq.empty, checkpointDir = ckpt.toString,
-      minWords = 3) { out =>
+      minWords = 3) { (out, _) =>
       emitted ++= out.select($"doc_id").collect().map(_.getLong(0))
     }
     def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
@@ -406,7 +406,7 @@ class StreamOpsSpec extends SparkSuite {
     val emitted = scala.collection.mutable.ArrayBuffer.empty[Long]
     val ckpt = java.nio.file.Files.createTempDirectory("sis-ckpt")
     val q = StreamOps.semanticIngestStream(df, idx,
-      checkpointDir = ckpt.toString, thresholdMicro = 900000L) { out =>
+      checkpointDir = ckpt.toString, thresholdMicro = 900000L) { (out, _) =>
       emitted ++= out.select($"vec_id").collect().map(_.getLong(0))
     }
     // batch 1: a near-dup of history vector 0 (dropped) + a novel
@@ -467,7 +467,7 @@ class StreamOpsSpec extends SparkSuite {
       scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
     val ckpt = java.nio.file.Files.createTempDirectory("ssh-ckpt")
     val q = StreamOps.scrubSpansWithHistory(df, grams,
-      checkpointDir = ckpt.toString, minKeptTokens = 2) { out =>
+      checkpointDir = ckpt.toString, minKeptTokens = 2) { (out, _) =>
       emitted ++= out.select($"doc_id", $"n_kept", $"scrubbed_text")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     }
@@ -837,7 +837,7 @@ class StreamOpsSpec extends SparkSuite {
     val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, String)]
     val ckpt = java.nio.file.Files.createTempDirectory("qgs-ckpt")
     val q = StreamOps.qualityGateStream(df, ckpt.toString,
-      GateConfig(minWords = 3L, maxWords = 500L)) { out =>
+      GateConfig(minWords = 3L, maxWords = 500L)) { (out, _) =>
       got ++= out.select($"doc_id", $"keep", $"reasons").collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
     }
