@@ -727,7 +727,7 @@ object Curation {
     val grams = docs.select(col(idCol), explode(charGramsExpr(textCol)).as("__g"))
     val countRows = grams.groupBy(col("__g"))
       .agg(count(lit(1)).as("__cnt"))
-      .limit(maxModelRows + 1)
+      .limit(if (maxModelRows == Int.MaxValue) maxModelRows else maxModelRows + 1)
       .collect()
     require(countRows.length <= maxModelRows,
       s"charLmScore model exceeds $maxModelRows distinct bigrams — a " +
@@ -855,7 +855,7 @@ object Curation {
         .as("__g"))
       .groupBy(col("__lang"), col("__g"))
       .agg(count(lit(1)).as("__cnt"))
-      .limit(maxModelRows + 1)
+      .limit(if (maxModelRows == Int.MaxValue) maxModelRows else maxModelRows + 1)
       .collect()
     require(countRows.length <= maxModelRows,
       s"langId model exceeds $maxModelRows (lang x bigram) cells — a " +
