@@ -102,6 +102,46 @@ class BenchDefenseSpec extends AnyFunSuite {
     Bench.stealTicks()
   }
 
+  test("parseBenchLine never throws and never invents data: arbitrary " +
+    "junk, truncations, and embeddings all fail soft or parse true") {
+    val gen = new scala.util.Random(42)
+    val inner = benchLine(Map("q_x" -> 1.5), "/root/testdata/sf0.1")
+    val corpus = Seq.tabulate(300) { i =>
+      i % 6 match {
+        case 0 => // random printable junk
+          (1 to gen.nextInt(80)).map(_ => (gen.nextInt(94) + 33).toChar)
+            .mkString
+        case 1 => // truncated real line at a random cut
+          inner.take(gen.nextInt(inner.length))
+        case 2 => // real line embedded in a tail at a random position,
+          // wrapped in a driver-artifact shell
+          val noise = "x" * gen.nextInt(40)
+          s"""{"sf":0.1,"tail":"${(noise + inner + noise)
+            .replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
+        case 3 => // deep brace nesting / unbalanced braces
+          "{" * gen.nextInt(50) + "}" * gen.nextInt(50)
+        case 4 => // valid JSON, wrong shape
+          s"""{"a":[${Seq.fill(gen.nextInt(5))("1").mkString(",")}]}"""
+        case _ => // quotes and escapes designed to confuse the matcher
+          s"""{"tail":"{\\"metric\\":\\"total\\" \\" { } ${gen.nextInt()}"}"""
+      }
+    }
+    corpus.foreach { text =>
+      val r = Bench.parseBenchLine(text) // must not throw
+      // soundness: anything parsed must carry a non-empty query map and
+      // an sf tag — the two facts the outlier rerun consumes
+      r.foreach { case (qs, tag) =>
+        assert(qs.nonEmpty && tag.nonEmpty, s"hollow parse from: $text")
+      }
+    }
+    // and the embedded case (shape 2) actually parses — the fuzz must
+    // not pass vacuously because every candidate failed soft
+    val embedded = s"""{"sf":0.1,"tail":"pre ${inner
+      .replace("\\", "\\\\").replace("\"", "\\\"")} post"}"""
+    assert(Bench.parseBenchLine(embedded) ===
+      Some((Map("q_x" -> 1.5), "sf0.1")))
+  }
+
   test("parseBenchLine: bare line, future top-level driver shape, and " +
     "garbage all behave") {
     val bare = benchLine(Map("q" -> 1.25), "/root/testdata/sf0.1")
