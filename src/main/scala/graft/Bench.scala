@@ -30,6 +30,12 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // The defense re-parses the bench's own output next run, so the JSON
+    // must be locale-stable: on a comma-decimal default locale (de_DE,
+    // fr_FR, ...) the f"%.3f" interpolators below would render 96,115 —
+    // not JSON — and every future comparison base would fail soft,
+    // silently re-killing the outlier rerun.
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -198,6 +204,11 @@ object Bench {
   final case class PassStamp(
       wall: Double, jobSum: Double, stealSec: Double, loadEnd: Double)
 
+  /** The driver's artifact naming contract, defined ONCE: both round
+    * inference (archiveName) and base discovery (previousRun) key off
+    * this — two private copies could desynchronize silently. */
+  private val DriverArtifact = """BENCH_r(\d+)\.json""".r
+
   /** Short scale tag of an sf directory — `/root/testdata/sf0.1` →
     * `sf0.1`. Comparison bases are only valid WITHIN a scale: a 3x test
     * against an sf0.01 base would solo-rerun the entire sf0.1 battery. */
@@ -212,10 +223,9 @@ object Bench {
     * writes its artifact AFTER the round ends, so during round N+1 the
     * newest is N); 1 when no driver artifact exists. */
   def archiveName(dir: java.io.File, tag: String): String = {
-    val Round = """BENCH_r(\d+)\.json""".r
     val newest = Option(dir.listFiles()).getOrElse(Array.empty)
       .flatMap(f => f.getName match {
-        case Round(n) => n.toLongOption
+        case DriverArtifact(n) => n.toLongOption
         case _ => None
       }).sorted.lastOption.getOrElse(0L)
     val suffix = if (tag == "sf0.1") "" else s"_$tag"
@@ -250,7 +260,6 @@ object Bench {
       : (Map[String, Double], String) = {
     val all = Option(dir.listFiles()).getOrElse(Array.empty)
     val Archive = """BENCH_LOCAL_r(\d+)(_.*)?\.json""".r
-    val Driver = """BENCH_r(\d+)\.json""".r
     def readText(f: java.io.File): Option[String] =
       try Some(new String(
         java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
@@ -261,7 +270,7 @@ object Bench {
     }).sortBy(-_._1).map(_._2)
     val local = all.filter(_.getName == "BENCH_LOCAL.json")
     val drivers = all.flatMap(f => f.getName match {
-      case Driver(n) => n.toLongOption.map(r => (r, f))
+      case DriverArtifact(n) => n.toLongOption.map(r => (r, f))
       case _ => None
     }).sortBy(-_._1).map(_._2)
     (archives.iterator ++ local.iterator ++ drivers.iterator)
@@ -287,9 +296,11 @@ object Bench {
           }.toMap
           val tag = sf match {
             case JString(s) => Some(sfTag(s))
-            // driver wrappers carry sf as a bare number (0.1)
+            // driver wrappers carry sf as a bare number (0.1); an
+            // integer scale ("sf":1) parses as JInt, not JDouble
             case JDouble(x) => Some(s"sf$x")
             case JDecimal(x) => Some(s"sf$x")
+            case JInt(x) => Some(s"sf$x")
             case _ => None
           }
           tag.filter(_ => qs.nonEmpty).map(t => (qs, t))

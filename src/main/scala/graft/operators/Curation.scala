@@ -698,6 +698,23 @@ object Curation {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
+  /** Driver-bounded collect of a model-sized aggregate: the
+    * `limit(cap+1)` rides the same aggregation pass (no extra counting
+    * action — Int.MaxValue clamped so cap+1 cannot overflow negative),
+    * and the cap+1'th row fails loud with `hint` instead of an unbounded
+    * driver materialization. The ONE definition of the safety idiom
+    * charLmScore and langId share — two copies drifted once already
+    * (the overflow guard had to be patched in both). */
+  private def boundedCollect(aggregated: DataFrame, cap: Int,
+      hint: => String): Array[org.apache.spark.sql.Row] = {
+    require(cap > 0, s"maxModelRows must be > 0: $cap")
+    val rows = aggregated
+      .limit(if (cap == Int.MaxValue) cap else cap + 1)
+      .collect()
+    require(rows.length <= cap, hint)
+    rows
+  }
+
   /** Per-document character-bigram LM quality score: train the corpus's
     * own bigram frequency model, score every doc as the average
     * micro-scaled bigram probability (`avg_micro` — junk text scores
@@ -722,14 +739,11 @@ object Curation {
       textCol: String = "text",
       idCol: String = "doc_id",
       maxModelRows: Int = 1000000): DataFrame = {
-    require(maxModelRows > 0, s"maxModelRows must be > 0: $maxModelRows")
     val sess = docs.sparkSession
     val grams = docs.select(col(idCol), explode(charGramsExpr(textCol)).as("__g"))
-    val countRows = grams.groupBy(col("__g"))
-      .agg(count(lit(1)).as("__cnt"))
-      .limit(if (maxModelRows == Int.MaxValue) maxModelRows else maxModelRows + 1)
-      .collect()
-    require(countRows.length <= maxModelRows,
+    val countRows = boundedCollect(
+      grams.groupBy(col("__g")).agg(count(lit(1)).as("__cnt")),
+      maxModelRows,
       s"charLmScore model exceeds $maxModelRows distinct bigrams — a " +
         s"wide-charset corpus. Shard by script (scriptMix) and score " +
         s"per shard, or raise maxModelRows explicitly if the driver " +
@@ -845,19 +859,14 @@ object Curation {
     // per-doc histograms the scoring join consumes. (Pinning the
     // per-doc histogram frame too was measured SLOWER at bench scale —
     // its materialization costs more than the explode it saves.)
-    require(maxModelRows > 0, s"maxModelRows must be > 0: $maxModelRows")
     val sess = docs.sparkSession
-    // limit(cap+1): when the model fits, the limit returns ALL its rows
-    // (≤ cap) off the one aggregation pass; when it doesn't, the cap+1'th
-    // row arrives instead of an unbounded driver materialization
-    val countRows = docs
-      .select(col(langCol).as("__lang"), explode(charGramsExpr(textCol))
-        .as("__g"))
-      .groupBy(col("__lang"), col("__g"))
-      .agg(count(lit(1)).as("__cnt"))
-      .limit(if (maxModelRows == Int.MaxValue) maxModelRows else maxModelRows + 1)
-      .collect()
-    require(countRows.length <= maxModelRows,
+    val countRows = boundedCollect(
+      docs
+        .select(col(langCol).as("__lang"), explode(charGramsExpr(textCol))
+          .as("__g"))
+        .groupBy(col("__lang"), col("__g"))
+        .agg(count(lit(1)).as("__cnt")),
+      maxModelRows,
       s"langId model exceeds $maxModelRows (lang x bigram) cells — a " +
         s"wide-charset corpus or a large language set. Prefilter with " +
         s"the marker heuristic (the q_lang_markers regexp-count shape) " +

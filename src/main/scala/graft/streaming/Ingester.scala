@@ -206,7 +206,11 @@ final class StreamingIngester(
   }
 
   // migrate-once latch: the listing costs one RPC per report write and
-  // the root only needs checking until it is known clean
+  // the root only needs checking until it is known clean. The latch is
+  // set only AFTER a migration completes — latching on entry would make
+  // one failed rename permanently skip migration for this instance, and
+  // the next write would create the exact mixed flat+batch= layout the
+  // migration exists to prevent.
   private val legacyReportsChecked =
     new java.util.concurrent.atomic.AtomicBoolean(false)
 
@@ -223,23 +227,33 @@ final class StreamingIngester(
     * sane filesystem, and a crash mid-migration just leaves fewer flat
     * files for the next attempt. */
   private def migrateLegacyReports(p: String): Unit = {
-    if (!legacyReportsChecked.compareAndSet(false, true)) return
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val root = new org.apache.hadoop.fs.Path(p)
-    val fs = root.getFileSystem(hconf)
-    if (!fs.exists(root)) return
-    val flat = fs.listStatus(root).filter(_.isFile)
-    if (flat.isEmpty) return
-    val legacy = new org.apache.hadoop.fs.Path(root, "batch=legacy")
-    fs.mkdirs(legacy)
-    flat.foreach { f =>
-      val dest = new org.apache.hadoop.fs.Path(legacy, f.getPath.getName)
-      if (!fs.rename(f.getPath, dest))
-        throw new IllegalStateException(
-          s"report-layout migration failed: could not move " +
-            s"${f.getPath} to $dest — a root mixing flat files with " +
-            s"batch= dirs is unreadable; move the flat files into " +
-            s"$legacy manually and retry")
+    if (legacyReportsChecked.get()) return
+    legacyReportsChecked.synchronized {
+      if (legacyReportsChecked.get()) return
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val root = new org.apache.hadoop.fs.Path(p)
+      val fs = root.getFileSystem(hconf)
+      if (fs.exists(root)) {
+        val flat = fs.listStatus(root).filter(_.isFile)
+        if (flat.nonEmpty) {
+          val legacy = new org.apache.hadoop.fs.Path(root, "batch=legacy")
+          fs.mkdirs(legacy)
+          flat.foreach { f =>
+            val dest =
+              new org.apache.hadoop.fs.Path(legacy, f.getPath.getName)
+            if (!fs.rename(f.getPath, dest))
+              // throws WITHOUT latching: the batch fails, and the next
+              // processBatch retries the migration (rename is atomic per
+              // file, so a partial pass just leaves fewer flat files)
+              throw new IllegalStateException(
+                s"report-layout migration failed: could not move " +
+                  s"${f.getPath} to $dest — a root mixing flat files " +
+                  s"with batch= dirs is unreadable; move the flat files " +
+                  s"into $legacy manually and retry")
+          }
+        }
+      }
+      legacyReportsChecked.set(true)
     }
   }
 

@@ -40,6 +40,11 @@ import graft.streaming.{GateConfig, StreamOps}
   * (Output trees written by the pre-epoch-id version used random
   * `batch=<uuid>` dirs; they read fine alongside — the layout is
   * identical — but carry no replay identity.)
+  * A FRESH stream generation (checkpoint with no offsets) restarts
+  * epoch ids at 0, so starting one over an `--out` that already holds
+  * numbered batch dirs is refused loudly rather than letting the
+  * Overwrite sinks silently clobber another run's output
+  * ([[guardOutputGeneration]]).
   *
   * Store bootstrap: the four index stores live under
   * `<root>/curate/stores/`. The semantic cell index self-bootstraps
@@ -62,6 +67,11 @@ object Curate {
       nprobe: Int = 1,
       boilerplate: Seq[String] = Seq.empty)
 
+  // the single source of non-gate defaults: parseConfig's fallbacks and
+  // helpText's "(default N)" annotations both derive from this instance,
+  // so changing a Config default can never leave --help lying about it
+  private val Defaults = Config(inputDir = "", root = "", out = "")
+
   /** One stable entry point for specs and embedding callers: wires the
     * stores, starts the pipeline, and with `once` BLOCKS until the
     * drain finishes (returns the already-terminated query); without
@@ -78,6 +88,7 @@ object Curate {
       onStage: String => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     graft.functions.functions.register(spark)
+    guardOutputGeneration(spark, cfg)
     val stores = s"${cfg.root}/curate/stores"
     val exact = new graft.store.FingerprintIndex(spark, s"$stores/exact")
     val nearDup = new graft.store.NearDupIndex(spark, s"$stores/neardup")
@@ -136,6 +147,41 @@ object Curate {
     // does NOT block on start(), so block here
     if (cfg.once) q.awaitTermination()
     q
+  }
+
+  /** A FRESH stream generation (checkpoint with no committed offsets)
+    * restarts epoch ids at 0, and the exactly-once sinks OVERWRITE their
+    * `batch=<id>` dirs — so starting a new generation against an `--out`
+    * that already holds numbered batch dirs would silently delete
+    * another run's batch=0, batch=1, ... Refuse loudly instead: the user
+    * either resumes the original checkpoint (the normal replay path —
+    * offsets exist, guard passes) or points the new generation at a
+    * fresh `--out`. Pre-epoch `batch=<uuid>` dirs carry no numeric id
+    * and can never collide, so they pass. */
+  private[graft] def guardOutputGeneration(
+      spark: SparkSession, cfg: Config): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val offsets = new org.apache.hadoop.fs.Path(
+      s"${cfg.root}/curate/checkpoint/offsets")
+    val fs = offsets.getFileSystem(hconf)
+    val resuming = fs.exists(offsets) && fs.listStatus(offsets)
+      .exists(_.isFile)
+    if (resuming) return
+    val Numbered = """batch=(\d+)""".r
+    val clobberable = for {
+      kind <- Seq("kept", "reports", "rejected")
+      tree = new org.apache.hadoop.fs.Path(s"${cfg.out}/$kind")
+      if fs.exists(tree)
+      d <- fs.listStatus(tree)
+      if d.isDirectory && Numbered.pattern.matcher(d.getPath.getName).matches
+    } yield s"$kind/${d.getPath.getName}"
+    require(clobberable.isEmpty,
+      s"refusing to start a FRESH stream generation over existing " +
+        s"numbered batch output (epoch ids restart at 0 and sinks " +
+        s"Overwrite, so ${clobberable.take(3).mkString(", ")}" +
+        s"${if (clobberable.size > 3) ", ..." else ""} would be " +
+        s"silently deleted). Resume the original checkpoint at " +
+        s"${cfg.root}/curate/checkpoint, or use a fresh --out.")
   }
 
   /** The ops readout for a curation root: one line per store family
@@ -210,12 +256,13 @@ object Curate {
       out = opts.getOrElse("out", s"$root/curate/out"),
       once = opts.contains("once"),
       gate = gate,
-      maintenanceEvery =
-        opts.get("maintenance-every").map(_.toInt).getOrElse(8),
-      minKeptTokens = opts.get("min-kept-tokens").map(_.toInt).getOrElse(15),
-      thresholdMicro =
-        opts.get("threshold-micro").map(_.toLong).getOrElse(300000L),
-      nprobe = opts.get("nprobe").map(_.toInt).getOrElse(1),
+      maintenanceEvery = opts.get("maintenance-every").map(_.toInt)
+        .getOrElse(Defaults.maintenanceEvery),
+      minKeptTokens = opts.get("min-kept-tokens").map(_.toInt)
+        .getOrElse(Defaults.minKeptTokens),
+      thresholdMicro = opts.get("threshold-micro").map(_.toLong)
+        .getOrElse(Defaults.thresholdMicro),
+      nprobe = opts.get("nprobe").map(_.toInt).getOrElse(Defaults.nprobe),
       boilerplate = opts.get("boilerplate").map { f =>
         val src = scala.io.Source.fromFile(f, "UTF-8")
         try src.getLines().toList.filter(_.nonEmpty) finally src.close()
@@ -255,14 +302,15 @@ object Curate {
         s"(default ${d.maxWords})",
       s"  --min-stopwords=N       gate: minimum distinct list stopwords " +
         s"(default ${d.minStopwords})",
-      "  --maintenance-every=N   full store-maintenance sweep after " +
-        "every Nth batch; 0 disables (default 8)",
-      "  --min-kept-tokens=N     drop docs with fewer surviving tokens " +
-        "after span scrub (default 15)",
-      "  --threshold-micro=M     semantic near-dup cosine threshold in " +
-        "micro units (default 300000 = 0.30)",
-      "  --nprobe=N              semantic stage: probed cells per query " +
-        "(default 1)",
+      s"  --maintenance-every=N   full store-maintenance sweep after " +
+        s"every Nth batch; 0 disables (default ${Defaults.maintenanceEvery})",
+      s"  --min-kept-tokens=N     drop docs with fewer surviving tokens " +
+        s"after span scrub (default ${Defaults.minKeptTokens})",
+      s"  --threshold-micro=M     semantic near-dup cosine threshold in " +
+        s"micro units (default ${Defaults.thresholdMicro} = " +
+        s"${Defaults.thresholdMicro / 1e6})",
+      s"  --nprobe=N              semantic stage: probed cells per query " +
+        s"(default ${Defaults.nprobe})",
       "  --boilerplate=FILE      newline-separated head/tail boilerplate " +
         "lines to scrub before any stage",
       "  --stats                 print per-store dirs/cells/files/bytes " +

@@ -150,6 +150,10 @@ class BenchDefenseSpec extends AnyFunSuite {
       """{"n":12,"sf":0.1,"queries":{"q":2.5},"tail":""}"""
     assert(Bench.parseBenchLine(driverTop) ===
       Some((Map("q" -> 2.5), "sf0.1")))
+    // an INTEGER scale ("sf":1) parses as JInt, not JDouble — a valid
+    // comparison base at that scale must not be skipped
+    assert(Bench.parseBenchLine("""{"sf":1,"queries":{"q":2.5}}""") ===
+      Some((Map("q" -> 2.5), "sf1")))
     assert(Bench.parseBenchLine("not json") === None)
     assert(Bench.parseBenchLine("""{"queries":{}}""") === None)
   }

@@ -205,4 +205,53 @@ class CurateSpec extends SparkSuite {
     assert(spark.read.parquet(s"$out/reports").count() === 1,
       "one report row per (batch, source) — the replay must overwrite")
   }
+
+  test("fresh-generation guard: a NEW stream (no checkpoint offsets) " +
+    "refuses to start over existing numbered batch output — epoch ids " +
+    "restart at 0 and the Overwrite sinks would silently clobber it") {
+    import spark.implicits._
+    val in = tmpDir("curate-gen-in")
+    val root = tmpDir("curate-gen-root")
+    val out = root + "/curate/out"
+    val cfg = Curate.Config(
+      inputDir = in, root = root, out = out, once = true,
+      gate = Some(GateConfig(
+        minWords = 3L, maxWords = 1000L, minStopwords = 0)),
+      maintenanceEvery = 0, minKeptTokens = 3,
+      thresholdMicro = 900000L)
+    dropFile(Seq((1L, textA, Array(1f, 0f, 0f, 0f), "s1"))
+      .toDF("doc_id", "text", "embedding", "source"), in, "seed.parquet")
+    Curate.run(spark, cfg).awaitTermination(180000)
+    assert(new java.io.File(s"$out/kept/batch=0").isDirectory)
+
+    // checkpoint reset (user deletes it, or points a new --root at the
+    // same --out): the next run is a NEW generation — refuse, not clobber
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmrf)
+      f.delete(); ()
+    }
+    rmrf(new java.io.File(s"$root/curate/checkpoint"))
+    val e = intercept[IllegalArgumentException] { Curate.run(spark, cfg) }
+    assert(e.getMessage.contains("fresh --out"),
+      s"wrong guard message: ${e.getMessage}")
+    // the refused start wrote nothing: the original batch survived intact
+    assert(spark.read.parquet(s"$out/kept").select($"doc_id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+
+    // pre-epoch batch=<uuid> dirs carry no numeric id and can never
+    // collide — a new generation over ONLY those must start fine
+    for (kind <- Seq("kept", "reports", "rejected")) {
+      val tree = new java.io.File(s"$out/$kind")
+      Option(tree.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.matches("batch=\\d+")).foreach { d =>
+          java.nio.file.Files.move(d.toPath,
+            new java.io.File(tree, "batch=aaaa-legacy-uuid").toPath)
+        }
+    }
+    Curate.run(spark, cfg).awaitTermination(180000)
+    val dirs = new java.io.File(s"$out/kept").listFiles()
+      .map(_.getName).sorted.toSeq
+    assert(dirs === Seq("batch=0", "batch=aaaa-legacy-uuid"),
+      s"the uuid-era output must survive the new generation: $dirs")
+  }
 }
