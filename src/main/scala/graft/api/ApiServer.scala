@@ -27,16 +27,34 @@ final class ApiServer(
     port: Int = 0) {
 
   private var server: HttpServer = _
+  private var pool: java.util.concurrent.ExecutorService = _
 
   def start(): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/v0/archive/", handle _)
-    server.setExecutor(null)
+    // a real executor, not setExecutor(null): the null executor runs
+    // every handler on the single dispatcher thread, so one multi-GB
+    // /data relay (or one slow page query) head-of-line blocks every
+    // other request for the full transfer. Daemon threads — the server
+    // must never pin the JVM open.
+    pool = java.util.concurrent.Executors.newCachedThreadPool(
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-api-${n.incrementAndGet()}")
+          t.setDaemon(true)
+          t
+        }
+      })
+    server.setExecutor(pool)
     server.start()
     server.getAddress.getPort
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  def stop(): Unit = {
+    if (server != null) server.stop(0)
+    if (pool != null) pool.shutdown()
+  }
 
   def baseUrl: String = s"http://127.0.0.1:${server.getAddress.getPort}"
 

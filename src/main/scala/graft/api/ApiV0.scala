@@ -87,20 +87,19 @@ object ApiV0 {
   /** Metadata document decorated with `start_iso`/`end_iso`
     * (`add_utc_metadata`, `v0.py:47-63`) — also the body of the
     * `/files/<id>/metadata` route (`v0.py:498-527`). */
-  def metadataJson(m: Metadata): JObject =
-    JObject(
-      "version" -> JInt(m.version),
-      "start" -> JLong(m.start),
-      "end" -> m.end.map(JLong(_)).getOrElse(JNull),
-      "where" -> JString(m.where),
-      "what" -> JString(m.what),
-      "work_id" -> m.workId.map(JString(_)).getOrElse(JNull),
-      "path" -> JString(m.path),
-      "id" -> JString(m.id),
-      "hash" -> JString(m.hash),
+  def metadataJson(m: Metadata): JObject = {
+    // decorate Metadata.toJValue rather than re-listing its nine fields:
+    // a field added there must show up here without a second edit
+    val base = m.toJValue match {
+      case JObject(fields) => fields
+      case other => throw new IllegalStateException(
+        s"Metadata.toJValue must render an object, got $other")
+    }
+    JObject(base ++ List(
       "start_iso" -> JString(unixMsToUtcIso(m.start)),
       "end_iso" -> m.end.map(e => JString(unixMsToUtcIso(e)))
-        .getOrElse(JNull))
+        .getOrElse(JNull)))
+  }
 
   /** `{records, next}` page envelope (`v0.py:410-419`): `next` is the
     * request url with the serialized cursor swapped in. */
@@ -150,8 +149,14 @@ object ApiV0 {
     val t = template.getOrElse("{id}")
     val out = new StringBuilder
     var i = 0
+    // str.format's brace grammar: '{{'/'}}' are literal braces, a lone
+    // '}' is a ValueError ("Single '}' ...") mapped to InvalidDatalakePath
+    // (archive.py:393-394) — passing it through silently would write a
+    // file the reference refuses to write
     while (i < t.length) {
       t.charAt(i) match {
+        case '{' if i + 1 < t.length && t.charAt(i + 1) == '{' =>
+          out += '{'; i += 2
         case '{' =>
           val close = t.indexOf('}', i)
           if (close < 0)
@@ -162,6 +167,11 @@ object ApiV0 {
             throw QueryValidationError("InvalidDatalakePath",
               s""""'$name'" does not appear to be a supported template variable."""))
           i = close + 1
+        case '}' if i + 1 < t.length && t.charAt(i + 1) == '}' =>
+          out += '}'; i += 2
+        case '}' =>
+          throw QueryValidationError("InvalidDatalakePath",
+            "Single '}' encountered in format string")
         case c => out += c; i += 1
       }
     }

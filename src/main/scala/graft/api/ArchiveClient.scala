@@ -141,7 +141,14 @@ final class ArchiveClient(
 
   /** Lazily iterate every record matching the query, following `next`
     * cursors across pages (`archive.py:141-157`). `start`/`end` accept
-    * the polymorphic date forms of `Metadata.normalizeDate`. */
+    * the polymorphic date forms of `Metadata.normalizeDate`.
+    *
+    * Parity note: the value is normalized HERE and again by the server
+    * (`v0.py:146-147`) — exactly as the reference client does
+    * (`archive.py:142-143`). The s/ms heuristic makes the second pass a
+    * no-op for any epoch-ms value ≥ 1e11 (post-March-1973); a
+    * pre-1973 window double-converts in BOTH systems — a shared,
+    * documented reference quirk, kept for wire-level parity. */
   def list(
       what: String,
       start: Option[Any] = None,

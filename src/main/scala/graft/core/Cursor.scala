@@ -28,7 +28,11 @@ final case class Cursor(
       lastEvaluated.map(k => "last_evaluated" -> JString(k)),
       lastId.map(i => "last_id" -> JString(i))).flatten
     val json = JsonMethods.compact(JsonMethods.render(JObject(fields: _*)))
-    Base64.getEncoder.encodeToString(json.getBytes(StandardCharsets.US_ASCII))
+    // UTF_8, matching fromSerialized's decoder: json4s renders non-ASCII
+    // chars raw (unlike Python's ensure_ascii \u-escapes), so an ASCII
+    // encode would mangle a non-ASCII resume key to '?' and the next
+    // page would resume from the wrong position
+    Base64.getEncoder.encodeToString(json.getBytes(StandardCharsets.UTF_8))
       .replaceAll("=+$", "")
   }
 }

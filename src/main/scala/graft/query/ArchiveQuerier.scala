@@ -36,6 +36,12 @@ final class ArchiveQuerier(
 
   import ArchiveQuerier._
 
+  // pageSize+1 probes for a next page; clamp so pageSize = Int.MaxValue
+  // (the natural "no cap" spelling) cannot overflow into a negative
+  // limit() that fails every query
+  private val fetchLimit =
+    if (pageSize == Int.MaxValue) pageSize else pageSize + 1
+
   /** Time-range query (`querier.py:240-303`). Keeps a record iff its
     * `[start, end]` intersects `[start, end)`… precisely: null `end` ⇒
     * point-in-interval on `start`; else overlap, both inclusive. */
@@ -49,11 +55,18 @@ final class ArchiveQuerier(
     val lastBucket = DatalakeRecord.bucketOf(end)
     val resumeBucket = cursor.flatMap(_.currentTimeBucket)
     resumeBucket.foreach { b =>
-      if (b < firstBucket || b > lastBucket)
-        // cursor pointing past the last relevant bucket is cleared in the
-        // reference (querier.py:253-259); pointing anywhere else outside
-        // the query interval is invalid.
-        return QueryPage(Nil, None)
+      // past the last relevant bucket: the reference clears such cursors
+      // before returning them (querier.py:253-259), so a client replaying
+      // one is just exhausted — empty page. BEFORE the first bucket the
+      // cursor belongs to a different query window: 400 InvalidCursor,
+      // not a silent empty page that would hide every matching record
+      // (the reference's buckets.index() raises there — an unhandled 500;
+      // the 400 is the intended mapping, v0.py:183-184).
+      if (b > lastBucket) return QueryPage(Nil, None)
+      if (b < firstBucket)
+        throw QueryValidationError(QueryValidationError.InvalidCursor,
+          s"cursor bucket $b precedes the query interval " +
+            s"[$firstBucket, $lastBucket]")
     }
 
     if (!store.exists) return QueryPage(Nil, None)
@@ -79,7 +92,7 @@ final class ArchiveQuerier(
 
     val rows = df.filter(pred)
       .orderBy(col("time_bucket"), col("where"), col("metadata.id"))
-      .limit(pageSize + 1)
+      .limit(fetchLimit)
       .collect()
 
     val page = rows.take(pageSize)
@@ -120,7 +133,7 @@ final class ArchiveQuerier(
 
     val rows = df.filter(pred)
       .orderBy(col("where"), col("metadata.id"))
-      .limit(pageSize + 1)
+      .limit(fetchLimit)
       .collect()
 
     val page = rows.take(pageSize)
@@ -228,15 +241,28 @@ object ArchiveQuerier {
 
   val OneDayMs: Long = 24L * 3600 * 1000
 
+  // Resume keys are colon-joined from slug/hex fields that cannot
+  // themselves contain ':' (Metadata's slug regexes, hex ids), so the
+  // part COUNT identifies the cursor kind exactly: 3 = time query
+  // (bucket:where:id), 2 = work-id query (where:id). Both parsers
+  // reject the other kind's shape as InvalidCursor — a lenient split
+  // would silently mis-resume (a time cursor fed to a work-id query
+  // parsed its bucket as the `where` bound, re-serving page 1 with
+  // corrupted dedup).
   private def parseTimeResumeKey(key: String): (Long, String, String) =
-    key.split(":", 3) match {
-      case Array(b, w, id) => (b.toLong, w, id)
+    key.split(":", -1) match {
+      case Array(b, w, id) =>
+        b.toLongOption match {
+          case Some(bucket) => (bucket, w, id)
+          case None => throw QueryValidationError(
+            QueryValidationError.InvalidCursor, s"bad resume key $key")
+        }
       case _ => throw QueryValidationError(
         QueryValidationError.InvalidCursor, s"bad resume key $key")
     }
 
   private def parseWorkIdResumeKey(key: String): (String, String) =
-    key.split(":", 2) match {
+    key.split(":", -1) match {
       case Array(w, id) => (w, id)
       case _ => throw QueryValidationError(
         QueryValidationError.InvalidCursor, s"bad resume key $key")

@@ -122,6 +122,19 @@ class ApiV0Spec extends AnyFunSuite {
     assert(e.message.contains("supported template variable"))
   }
 
+  test("filename templating: str.format brace grammar — {{/}} are " +
+    "literals, a lone brace is InvalidDatalakePath (archive.py:393-394)") {
+    assert(ApiV0.filenameFromTemplate(Some("{{id}}"), meta) === "{id}")
+    assert(ApiV0.filenameFromTemplate(Some("a}}b{{c"), meta) === "a}b{c")
+    val lone = intercept[QueryValidationError](
+      ApiV0.filenameFromTemplate(Some("{id}}.txt"), meta))
+    assert(lone.code === "InvalidDatalakePath" &&
+      lone.message.contains("Single '}'"))
+    val open = intercept[QueryValidationError](
+      ApiV0.filenameFromTemplate(Some("{id"), meta))
+    assert(open.message.contains("Single '{'"))
+  }
+
   test("content sniffing: mimetype with checksum strip, gzip magic") {
     assert(ContentSniffer.contentType("/var/log/app.log") ===
       Some("text/plain"))

@@ -149,6 +149,12 @@ class CursorSpec extends AnyFunSuite {
     assert(Cursor.fromSerialized(c.serialized) === c)
   }
 
+  test("non-ASCII resume key round-trips — an ASCII encode would mangle " +
+    "it to '?' and the next page would resume from the wrong position") {
+    val c = Cursor(Some(16636L), Some("16636:münchen:abc"), Some("abc"))
+    assert(Cursor.fromSerialized(c.serialized) === c)
+  }
+
   test("serialized has no padding and is url-safe-ish") {
     val s = Cursor(Some(1L), None, Some("x")).serialized
     assert(!s.endsWith("="))

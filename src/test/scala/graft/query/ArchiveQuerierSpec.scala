@@ -118,6 +118,70 @@ class ArchiveQuerierSpec extends SparkSuite {
       === metas.map(_.id).toSet)
   }
 
+  test("cursor outside the query window: past the end = exhausted " +
+    "(empty page, reference clears such cursors), BEFORE the start = " +
+    "InvalidCursor — a silent empty page would hide every match") {
+    val store = freshStore()
+    val t0 = 5700L * day
+    val m = randomMeta(start = t0 + 10, endOffset = Some(5L), what = "win")
+    store.append(records(m))
+    val q = new ArchiveQuerier(store)
+    val past = graft.core.Cursor(
+      Some(DatalakeRecord.bucketOf(t0) + 5), None, None)
+    assert(q.queryByTime(t0, t0 + 100, "win", cursor = Some(past))
+      === QueryPage(Nil, None))
+    val before = graft.core.Cursor(
+      Some(DatalakeRecord.bucketOf(t0) - 1), None, None)
+    val e = intercept[graft.core.QueryValidationError] {
+      q.queryByTime(t0, t0 + 100, "win", cursor = Some(before))
+    }
+    assert(e.code === graft.core.QueryValidationError.InvalidCursor)
+  }
+
+  test("resume-key shape is validated by part count: a time cursor fed " +
+    "to a work-id query (and vice versa) is InvalidCursor, never a " +
+    "silent misparse that re-serves page 1") {
+    val store = freshStore()
+    val t0 = 5800L * day
+    val m = randomMeta(start = t0 + 1, endOffset = Some(5L), what = "x",
+      workId = Some("work-9"))
+    store.append(records(m))
+    val q = new ArchiveQuerier(store)
+    // 3-part time key into the work-id parser
+    val timeCursor = graft.core.Cursor(None, Some("19876:srv:ab12"), None)
+    val e1 = intercept[graft.core.QueryValidationError] {
+      q.queryByWorkId("work-9", "x", cursor = Some(timeCursor))
+    }
+    assert(e1.code === graft.core.QueryValidationError.InvalidCursor)
+    // 2-part work-id key into the time parser
+    val workCursor = graft.core.Cursor(
+      Some(DatalakeRecord.bucketOf(t0)), Some("srv:ab12"), None)
+    val e2 = intercept[graft.core.QueryValidationError] {
+      q.queryByTime(t0, t0 + 100, "x", cursor = Some(workCursor))
+    }
+    assert(e2.code === graft.core.QueryValidationError.InvalidCursor)
+    // non-numeric bucket in an otherwise 3-part key
+    val junk = graft.core.Cursor(
+      Some(DatalakeRecord.bucketOf(t0)), Some("abc:srv:ab12"), None)
+    val e3 = intercept[graft.core.QueryValidationError] {
+      q.queryByTime(t0, t0 + 100, "x", cursor = Some(junk))
+    }
+    assert(e3.code === graft.core.QueryValidationError.InvalidCursor)
+  }
+
+  test("pageSize = Int.MaxValue (the 'no cap' spelling) does not " +
+    "overflow the probe limit") {
+    val store = freshStore()
+    val t0 = 5900L * day
+    val metas = (1 to 5).map(i =>
+      randomMeta(start = t0 + i, endOffset = Some(5L), what = "nocap"))
+    store.append(metas.flatMap(records(_)))
+    val q = new ArchiveQuerier(store, pageSize = Int.MaxValue)
+    val page = q.queryByTime(t0, t0 + 100, "nocap")
+    assert(page.records.size === 5 && page.cursor.isEmpty)
+    assert(q.queryByWorkId("none", "nocap").records.isEmpty)
+  }
+
   test("work-id query with where filter and pagination") {
     val store = freshStore()
     val t0 = 6000L * day
