@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -64,6 +64,31 @@ object Profile {
       }
       last
     }
+  }
+
+  /** Per-job wall seconds with the job description, in completion
+    * order — THE job-accounting listener for the measurement tools
+    * (QueryJobs / ProbeLegs / SpanVariance each hand-rolled a variant;
+    * the boxed-value-vs-null-unboxing bug class this shape dodges now
+    * lives in exactly one place). Snapshot AFTER removing the listener
+    * plus a short bus drain (the bus is async). */
+  private[graft] final class JobTimes extends SparkListener {
+    private val starts =
+      new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]
+    private val acc =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    override def onJobStart(js: SparkListenerJobStart): Unit =
+      starts.put(js.jobId, (System.nanoTime(),
+        Option(js.properties)
+          .map(_.getProperty("spark.job.description", "")).getOrElse("")))
+    override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+      val st = starts.remove(je.jobId)
+      if (st != null) acc.synchronized {
+        acc += ((st._2, (System.nanoTime() - st._1) / 1e9))
+      }
+    }
+    def snapshot(): Seq[(String, Double)] = acc.synchronized(acc.toList)
+    def clear(): Unit = acc.synchronized(acc.clear())
   }
 
   private val ProfileQueries = Seq(

@@ -61,6 +61,25 @@ object Metadata {
     * `metadata.py:56-77`): assign id if missing, default version, validate
     * required/slug/work_id/path, normalize dates, check interval.
     */
+  /** Path translations (`dlfile.py:213-219`): a `where`/`what`/`work_id`
+    * VALUE containing '~' is itself a translation expression
+    * (`regex~format`, [[Translator]]) applied to the `path` field. The
+    * trigger cannot misfire: a literal slug can never contain '~' (the
+    * slug charset forbids it), exactly the reference's reasoning. Apply
+    * BEFORE [[build]] so the translated value passes slug validation. */
+  def applyTranslations(fields: Map[String, Any]): Map[String, Any] = {
+    val needed = Seq("where", "what", "work_id").filter(f =>
+      fields.get(f).exists(v => v != null && v.toString.contains("~")))
+    if (needed.isEmpty) fields
+    else {
+      val path = fields.get("path").filter(_ != null).map(_.toString)
+        .getOrElse(throw new InvalidDatalakeMetadata(
+          s""""${needed.head}" is a path translation but "path" is missing"""))
+      needed.foldLeft(fields)((acc, f) =>
+        acc + (f -> Translator(acc(f).toString).translate(path)))
+    }
+  }
+
   def build(fields: Map[String, Any]): Metadata = {
     def opt(k: String): Option[Any] = fields.get(k).filter(_ != null)
     val id = opt("id").map(_.toString).getOrElse(newId())

@@ -49,7 +49,10 @@ final class LocalContentStore(root: String) extends ObjectStore {
     val withPath =
       if (withHash.contains("path")) withHash
       else withHash + ("path" -> sourcePath.toAbsolutePath.toString)
-    val meta = Metadata.build(withPath)
+    // '~'-valued where/what/work_id fields translate against the path
+    // (dlfile.py:213-219) — the reference's file→metadata entry point
+    // applies translations before validation
+    val meta = Metadata.build(Metadata.applyTranslations(withPath))
     val dir = dirFor(meta.id)
     Files.createDirectories(dir)
     if (Files.size(sourcePath) >= chunkSize)

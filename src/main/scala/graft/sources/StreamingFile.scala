@@ -7,8 +7,17 @@ import java.io.InputStream
   * materialized whole; `read(size)` buffers across chunk boundaries and
   * `readLines` re-assembles lines split by chunking. Backs the fetch path
   * for large objects (the reference's `fetch(url, stream=True)`).
+  *
+  * `read`/`read(size)`/`readLines` all consume ONE shared buffer (as the
+  * reference does), so they interleave correctly: bytes over-fetched by a
+  * `read(size)` are what the next `readLines` line starts with, and bytes
+  * past the last consumed line are what the next `read` returns. `close()`
+  * releases the underlying stream via `onClose` — dropping an
+  * early-abandoned multi-GB relay's descriptor, not just the buffer.
   */
-final class StreamingFile(chunks: Iterator[Array[Byte]]) {
+final class StreamingFile(
+    chunks: Iterator[Array[Byte]],
+    onClose: () => Unit = () => ()) {
 
   private var buffer = Array.emptyByteArray
   private var closed = false
@@ -18,21 +27,27 @@ final class StreamingFile(chunks: Iterator[Array[Byte]]) {
       "I/O operation on closed stream")
 
   /** Read the entire remaining content; a second call returns empty
-    * (`dlfile.py:76-95`). */
+    * (`dlfile.py:76-95`). Linear: chunks accumulate in one output stream
+    * (array-concat per chunk re-copies the whole prefix — quadratic). */
   def read(): Array[Byte] = {
     ensureOpen()
-    while (chunks.hasNext) buffer = buffer ++ chunks.next()
-    val out = buffer
+    val bos = new java.io.ByteArrayOutputStream(buffer.length max 64)
+    bos.write(buffer)
     buffer = Array.emptyByteArray
-    out
+    while (chunks.hasNext) bos.write(chunks.next())
+    bos.toByteArray
   }
 
   /** Read exactly `size` bytes (fewer at end of stream), buffering the
     * remainder of any over-fetched chunk for the next call. */
   def read(size: Int): Array[Byte] = {
     ensureOpen()
-    while (buffer.length < size && chunks.hasNext)
-      buffer = buffer ++ chunks.next()
+    if (buffer.length < size && chunks.hasNext) {
+      val bos = new java.io.ByteArrayOutputStream(size max buffer.length)
+      bos.write(buffer)
+      while (bos.size < size && chunks.hasNext) bos.write(chunks.next())
+      buffer = bos.toByteArray
+    }
     if (buffer.length <= size) {
       val out = buffer
       buffer = Array.emptyByteArray
@@ -46,44 +61,52 @@ final class StreamingFile(chunks: Iterator[Array[Byte]]) {
 
   /** Iterate lines (terminators kept, like Python `splitlines(True)` for
     * `\n`-terminated data): a line split across chunks is re-assembled,
-    * and a final unterminated line is still yielded (`dlfile.py:97-120`). */
+    * and a final unterminated line is still yielded (`dlfile.py:97-120`).
+    * Consumes the shared buffer, so it composes with `read(size)`. */
   def readLines: Iterator[Array[Byte]] = new Iterator[Array[Byte]] {
-    private var pending = Array.emptyByteArray
-    private val out = scala.collection.mutable.Queue.empty[Array[Byte]]
-    private var exhausted = false
 
-    private def refill(): Unit = {
-      while (out.isEmpty && !exhausted) {
-        ensureOpen()
-        if (chunks.hasNext) {
-          val data = pending ++ chunks.next()
-          var start = 0
-          var i = 0
-          while (i < data.length) {
-            if (data(i) == '\n') {
-              out.enqueue(data.slice(start, i + 1))
-              start = i + 1
-            }
-            i += 1
-          }
-          pending = data.drop(start)
-        } else {
-          exhausted = true
-          if (pending.nonEmpty) {
-            out.enqueue(pending)
-            pending = Array.emptyByteArray
-          }
-        }
+    /** Index of the first '\n' at or past `from`, or -1. */
+    private def findNl(from: Int): Int = {
+      var i = from max 0
+      while (i < buffer.length) {
+        if (buffer(i) == '\n') return i
+        i += 1
       }
+      -1
     }
 
-    def hasNext: Boolean = { refill(); out.nonEmpty }
-    def next(): Array[Byte] = { refill(); out.dequeue() }
+    /** Pull chunks until the buffer holds a newline or the source is
+      * exhausted; each freshly appended region is scanned once, so the
+      * cost per line is linear in its length. */
+    private def endOfLine(): Int = {
+      ensureOpen()
+      var e = findNl(0)
+      while (e < 0 && chunks.hasNext) {
+        val from = buffer.length
+        buffer = buffer ++ chunks.next()
+        e = findNl(from)
+      }
+      e
+    }
+
+    def hasNext: Boolean = { endOfLine(); buffer.nonEmpty }
+
+    def next(): Array[Byte] = {
+      val e = endOfLine()
+      if (buffer.isEmpty) throw new NoSuchElementException("end of stream")
+      val cut = if (e < 0) buffer.length else e + 1
+      val line = java.util.Arrays.copyOfRange(buffer, 0, cut)
+      buffer = java.util.Arrays.copyOfRange(buffer, cut, buffer.length)
+      line
+    }
   }
 
   def close(): Unit = {
-    closed = true
-    buffer = Array.emptyByteArray
+    if (!closed) {
+      closed = true
+      buffer = Array.emptyByteArray
+      onClose()
+    }
   }
 }
 
@@ -92,8 +115,9 @@ object StreamingFile {
   /** Default chunk size for HTTP-ish relays (`dlfile.py:30`: 8 KiB). */
   val IterSize: Int = 8 * 1024
 
-  /** Wrap a raw InputStream as a chunk iterator (closes the stream at
-    * exhaustion). */
+  /** Wrap a raw InputStream as a chunk iterator. The stream closes at
+    * exhaustion AND on `close()` — an early-abandoned reader must not
+    * leak the descriptor/connection. */
   def fromInputStream(in: InputStream, chunkSize: Int = IterSize): StreamingFile =
     new StreamingFile(new Iterator[Array[Byte]] {
       private var nextChunk: Array[Byte] = null
@@ -114,5 +138,5 @@ object StreamingFile {
         advance()
         val c = nextChunk; nextChunk = null; c
       }
-    })
+    }, onClose = () => in.close())
 }

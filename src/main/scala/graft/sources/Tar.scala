@@ -72,17 +72,57 @@ object Tar {
     if (s.isEmpty) 0L else java.lang.Long.parseLong(s, 8)
   }
 
-  /** Read all regular-file members as name -> bytes. */
+  /** Verify the ustar header checksum: the byte sum of the block with the
+    * chksum field read as spaces. Garbage (a non-tar file mis-sniffed as
+    * tar, or a corrupted header) virtually never passes, so the reader
+    * rejects it with a clear PERMANENT error before trusting the size
+    * field — an unvalidated size from random bytes can demand a ~2 GB
+    * allocation (OutOfMemoryError, which no Exception guard catches). */
+  private def verifyChecksum(h: Array[Byte]): Unit = {
+    val stored = parseOctal(h, 148, 8)
+    // python tarfile accepts either the unsigned or the (historical)
+    // signed byte sum on read; do the same
+    var unsigned = 0L
+    var signed = 0L
+    var i = 0
+    while (i < BlockSize) {
+      val b = if (i >= 148 && i < 156) ' '.toByte else h(i)
+      unsigned += (b & 0xff).toLong
+      signed += b.toLong
+      i += 1
+    }
+    if (stored != unsigned && stored != signed)
+      throw new IllegalArgumentException(
+        s"bad tar header checksum ($stored != $unsigned): not a tar file?")
+  }
+
+  /** Read all regular-file members as name -> bytes.
+    *
+    * Error contract (the Uploader's retry classification depends on it):
+    * a stream that ENDS without the two-zero-block end-of-archive marker
+    * throws [[java.io.EOFException]] — the signature of a file still
+    * being copied in, which a caller should RETRY — while a header that
+    * fails validation (checksum, octal fields, size bounds) throws
+    * [[IllegalArgumentException]] — permanently not a tar. */
   def read(in: InputStream): Map[String, Array[Byte]] = {
     val entries = scala.collection.mutable.LinkedHashMap.empty[String, Array[Byte]]
     var done = false
     while (!done) {
       readBlock(in) match {
-        case None => done = true
+        case None => throw new java.io.EOFException(
+          "truncated tar: stream ended without the end-of-archive marker")
         case Some(h) if h.forall(_ == 0) => done = true
         case Some(h) =>
-          val name = new String(h.takeWhile(_ != 0), StandardCharsets.UTF_8)
+          verifyChecksum(h)
+          // the name FIELD is bytes [0, 100) — ustar permits a full
+          // unterminated 100-byte name, and takeWhile over the whole
+          // block would run past it into the mode digits
+          val name = new String(
+            h.take(100).takeWhile(_ != 0), StandardCharsets.UTF_8)
           val size = parseOctal(h, 124, 12)
+          if (size < 0 || size > Int.MaxValue)
+            throw new IllegalArgumentException(
+              s"tar member $name has unsupported size $size")
           val data = in.readNBytes(size.toInt)
           if (data.length < size) throw new java.io.EOFException(
             s"truncated tar member $name: ${data.length} of $size bytes")

@@ -91,7 +91,8 @@ final class Enqueuer(queueDir: String) {
     val withPath =
       if (withHash.contains("path")) withHash
       else withHash + ("path" -> file.toAbsolutePath.toString)
-    Bundle.write(Paths.get(queueDir), content, Metadata.build(withPath))
+    Bundle.write(Paths.get(queueDir), content,
+      Metadata.build(Metadata.applyTranslations(withPath)))
   }
 }
 
@@ -125,14 +126,21 @@ final class Uploader(
     if (name.startsWith(".") || processed.contains(name) ||
       !Files.isRegularFile(f)) return false
     // a bundle is marked processed only when the push succeeded (the file
-    // is then deleted) or its format is permanently invalid — a transient
-    // push failure leaves it eligible for the next drain(), preserving
-    // the reference queue's keep-retrying contract (queue.py:127-139)
+    // is then deleted) or its format is PERMANENTLY invalid (bad header
+    // checksum / fields / metadata — IllegalArgument or metadata errors).
+    // Transient read errors — EOFException from a file still being
+    // copied in non-atomically (the very case the watcher registers
+    // ENTRY_MODIFY for), or any other I/O hiccup — must NOT latch
+    // `processed`, or the bundle is silently lost forever once the copy
+    // completes; like a transient push failure, they leave the bundle
+    // eligible for the next drain() (queue.py:127-139).
     val parsed =
       try Some(Bundle.read(f))
       catch {
-        case e: Exception =>
+        case e @ (_: InvalidDatalakeMetadata | _: IllegalArgumentException) =>
           processed += name; onSkip(f, e); return false
+        case e: Exception =>
+          onSkip(f, e); return false
       }
     try {
       val (content, meta) = parsed.get

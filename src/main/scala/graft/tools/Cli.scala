@@ -67,6 +67,10 @@ object Cli {
     case "push" :: file :: rest =>
       val opts = parseOpts(rest)
       val cs = new LocalContentStore(s"$root/content")
+      // a --what/--where/--work-id VALUE containing '~' is a path
+      // translation (regex~format), applied inside push exactly as the
+      // reference applies it at its file→metadata boundary
+      // (dlfile.py:213-219) — no separate flag
       val fields: Map[String, Any] = Map(
         "what" -> opts.getOrElse("what",
           fail("--what is required")),
@@ -77,19 +81,18 @@ object Cli {
             java.nio.file.Paths.get(file)))
           case other => other
         }),
-      ) ++ opts.get("end").map("end" -> _) ++
-        opts.get("path-translation").map { te =>
-          "what" -> Translator(te).translate(
-            java.nio.file.Paths.get(file).toAbsolutePath.toString)
-        }
+      ) ++ opts.get("end").map("end" -> _)
       val (url, meta) = cs.push(java.nio.file.Paths.get(file), fields)
       // synchronous ingest (the reference's push→S3→SQS→ingester loop,
-      // collapsed for the local warehouse)
+      // collapsed for the local warehouse): records AND the latest
+      // table, exactly what the ingester maintains — a latest table
+      // that pushes bypass would serve stale hits
       val s = spark()
       val rec = DatalakeRecord.listFromMetadata(meta, url,
         System.currentTimeMillis(), java.nio.file.Files.size(
           java.nio.file.Paths.get(file)))
       recordStore(s)._1.append(rec)
+      upsertLatest(s, rec)
       println(url)
 
     case "list" :: what :: rest =>
@@ -110,13 +113,24 @@ object Cli {
       val params = Map("what" -> what) ++ opts.view.filterKeys(
         Set("start", "end", "work_id", "where", "cursor")).toMap
       val parsed = ApiV0.validateFilesParams(params)
-      val page = parsed.workId match {
-        case Some(w) => q.queryByWorkId(w, parsed.what, parsed.where, parsed.cursor)
-        case None => q.queryByTime(parsed.start.get, parsed.end.get,
-          parsed.what, parsed.where, parsed.cursor)
+      // same record-per-line contract as the HTTP path (--format honored,
+      // default bare url lines, cursors followed to exhaustion like
+      // client.list) — the output shape must not depend on the transport
+      val format = opts.getOrElse("format", "url")
+      var cursor = parsed.cursor
+      var first = true
+      while (first || cursor.isDefined) {
+        first = false
+        val page = parsed.workId match {
+          case Some(w) =>
+            q.queryByWorkId(w, parsed.what, parsed.where, cursor)
+          case None => q.queryByTime(parsed.start.get, parsed.end.get,
+            parsed.what, parsed.where, cursor)
+        }
+        page.records.foreach(r =>
+          println(formatRecord(toListed(r), format)))
+        cursor = page.cursor
       }
-      println(JsonMethods.pretty(JsonMethods.render(
-        ApiV0.filesResponse(page, "local://graft", params))))
 
     case "latest" :: what :: where :: rest =>
       val opts = parseOpts(rest)
@@ -131,8 +145,12 @@ object Cli {
       }
       val lookback = ApiV0.validateLookback(opts.getOrElse("lookback", "14"))
       val s = spark()
+      // useLatestTable = true: every CLI writer maintains the latest
+      // table (push, uploader, the ingesters), so the purpose-built
+      // top-1 lookup serves the hit; a missing/empty table still falls
+      // back to the walk-back scan inside queryLatest
       val q = new ArchiveQuerier(new RecordStore(s, s"$root/records"),
-        Some(new LatestStore(s, s"$root/latest")), useLatestTable = false)
+        Some(new LatestStore(s, s"$root/latest")), useLatestTable = true)
       q.queryLatest(what, where, lookback) match {
         case Some(r) => println(JsonMethods.pretty(JsonMethods.render(
           ApiV0.recordJson(r, "local://graft"))))
@@ -195,8 +213,10 @@ object Cli {
       val n = new graft.sources.Uploader(s"$root/queue", (content, meta) => {
         // bundle metadata is already validated/normalized — store verbatim
         val url = cs.pushValidated(content, meta)
-        store.append(DatalakeRecord.listFromMetadata(
-          meta, url, System.currentTimeMillis(), content.length.toLong))
+        val rec = DatalakeRecord.listFromMetadata(
+          meta, url, System.currentTimeMillis(), content.length.toLong)
+        store.append(rec)
+        upsertLatest(s, rec)
       }, (p, e) => System.err.println(s"skipping $p: ${e.getMessage}"))
         .listen(timeout)
       println(s"uploaded $n bundles")
@@ -225,7 +245,8 @@ object Cli {
       val s = spark()
       val (store, idx) = recordStore(s)
       val q = new ArchiveQuerier(store,
-        Some(new LatestStore(s, s"$root/latest")), workIdIndex = idx)
+        Some(new LatestStore(s, s"$root/latest")), useLatestTable = true,
+        workIdIndex = idx)
       val server = new graft.api.ApiServer(q,
         Some(new LocalContentStore(s"$root/content")),
         opts.getOrElse("port", "0").toInt)
@@ -261,7 +282,10 @@ object Cli {
         s"""unknown command: ${other.mkString(" ")}
            |usage:
            |  push <file> --what W [--where H] [--start T] [--end T]
-           |              [--work-id ID] [--path-translation EXPR]
+           |              [--work-id ID]
+           |              (a what/where/work-id VALUE containing '~' is a
+           |               path translation: 'regex~format' applied to the
+           |               file's path — see the translate verb)
            |  list <what> [--start T --end T | --work_id ID] [--where H]
            |              [--cursor C] [--format url|http|json|json-pretty|human]
            |  latest <what> <where> [--lookback DAYS] [--format F]
@@ -278,6 +302,21 @@ object Cli {
            |(training-data curation has its own front door:
            | runMain graft.tools.Curate <input-dir> [--once] — see README)""".stripMargin)
       sys.exit(2)
+  }
+
+  /** Local query result → the client record shape, so local and HTTP
+    * list share one formatter (and one output contract). */
+  private def toListed(r: graft.query.UnpackedRecord): graft.api.ListedRecord =
+    graft.api.ListedRecord(r.url,
+      Some(s"local://graft/v0/archive/files/${r.metadata.id}/data"),
+      graft.store.RecordRow.toMeta(r.metadata), r.createTime, r.size)
+
+  /** Keep the latest table current from a CLI writer — the collapsed
+    * form of the ingester's records+latest maintenance; a latest table
+    * only SOME writers maintain would serve stale hits. */
+  private def upsertLatest(s: SparkSession, rec: Seq[DatalakeRecord]): Unit = {
+    import s.implicits._
+    new LatestStore(s, s"$root/latest").upsert(rec.toDF())
   }
 
   /** The reference CLI's list formatters (`cli.py:210-241`):

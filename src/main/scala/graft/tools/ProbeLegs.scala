@@ -50,30 +50,13 @@ object ProbeLegs {
     // job-level accounting for the steady-state probe: every Spark
     // action the probe fires, with its wall time — finds whether the
     // 2 s is one real stage or many small fixed-overhead jobs
-    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]
-    val jobTimes = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(
-          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs.put(js.jobId, (System.nanoTime(),
-          Option(js.properties)
-            .map(_.getProperty("spark.job.description", "")).getOrElse("")))
-      override def onJobEnd(
-          je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-        val st = jobs.remove(je.jobId)
-        if (st != null) jobTimes.synchronized {
-          jobTimes += ((st._2, (System.nanoTime() - st._1) / 1e9))
-        }
-      }
-    }
+    val listener = new graft.Profile.JobTimes
     spark.sparkContext.addSparkListener(listener)
     timed("probe raw #2") { idx.probe(batch).count() }
     spark.sparkContext.removeSparkListener(listener)
     Thread.sleep(500)
-    jobTimes.synchronized {
-      jobTimes.zipWithIndex.foreach { case ((d, t), i) =>
-        println(f"[probelegs]   job#$i%-3d $t%7.3f s  $d")
-      }
+    listener.snapshot().zipWithIndex.foreach { case ((d, t), i) =>
+      println(f"[probelegs]   job#$i%-3d $t%7.3f s  $d")
     }
     // the battery spelling: global orderBy (range sampling re-executes
     // the child unless the checkpoint fence holds)

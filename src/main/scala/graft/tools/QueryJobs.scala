@@ -43,33 +43,17 @@ object QueryJobs {
     for (i <- 1 until runs)
       println(f"[queryjobs] $name warm#$i ${once()}%7.3f s")
 
-    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]
-    val jobTimes = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(
-          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs.put(js.jobId, (System.nanoTime(),
-          Option(js.properties)
-            .map(_.getProperty("spark.job.description", "")).getOrElse("")))
-      override def onJobEnd(
-          je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-        val st = jobs.remove(je.jobId)
-        if (st != null) jobTimes.synchronized {
-          jobTimes += ((st._2, (System.nanoTime() - st._1) / 1e9))
-        }
-      }
-    }
+    val listener = new graft.Profile.JobTimes
     spark.sparkContext.addSparkListener(listener)
     val measured = once()
     spark.sparkContext.removeSparkListener(listener)
     Thread.sleep(500)
-    jobTimes.synchronized {
-      jobTimes.zipWithIndex.foreach { case ((d, t), i) =>
-        println(f"[queryjobs]   job#$i%-3d $t%7.3f s  ${d.take(100)}")
-      }
-      println(f"[queryjobs] $name measured ${measured}%7.3f s, " +
-        f"${jobTimes.size} jobs, job-sum ${jobTimes.map(_._2).sum}%7.3f s")
+    val jobTimes = listener.snapshot()
+    jobTimes.zipWithIndex.foreach { case ((d, t), i) =>
+      println(f"[queryjobs]   job#$i%-3d $t%7.3f s  ${d.take(100)}")
     }
+    println(f"[queryjobs] $name measured ${measured}%7.3f s, " +
+      f"${jobTimes.size} jobs, job-sum ${jobTimes.map(_._2).sum}%7.3f s")
     spark.stop()
   }
 }

@@ -38,26 +38,10 @@ object SpanVariance {
     def gcMs: Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
 
-    // java.lang.Long, NOT scala Long: remove() on a missing key returns
-    // null, and unboxing null to a scala Long silently yields 0L —
-    // making the null guard below vacuously true and corrupting the
-    // per-job wall times this tool exists to report
-    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]
-    val jobTimes =
-      scala.collection.mutable.ArrayBuffer.empty[Double]
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onJobStart(
-            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-          jobs.put(js.jobId, java.lang.Long.valueOf(System.nanoTime()))
-        override def onJobEnd(
-            je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-          val t = jobs.remove(je.jobId)
-          if (t != null) jobTimes.synchronized {
-            jobTimes += (System.nanoTime() - t.longValue()) / 1e9
-          }
-        }
-      })
+    // the shared job-accounting listener (graft.Profile.JobTimes) — the
+    // null-unboxing hazard its tuple values dodge is documented there
+    val jobTimes = new graft.Profile.JobTimes
+    spark.sparkContext.addSparkListener(jobTimes)
 
     val dir =
       if (mult == 1) sfDir else graft.Profile.buildSynthetic(spark, sfDir, mult)
@@ -84,14 +68,14 @@ object SpanVariance {
     def run(tag: String, i: Int, shift: Long): Unit = {
       val (r0, w0, s0) = metrics.settle()
       val g0 = gcMs
-      jobTimes.synchronized(jobTimes.clear())
+      jobTimes.clear()
       val t = System.nanoTime()
       val rows = gr.ingest(batch(i, shift)).count()
       val sec = (System.nanoTime() - t) / 1e9
       val (r1, w1, s1) = metrics.settle()
-      val top = jobTimes.synchronized(
-        jobTimes.sorted.reverse.take(3).map(d => f"$d%.1f").mkString("/"))
-      val nJobs = jobTimes.synchronized(jobTimes.size)
+      val snap = jobTimes.snapshot().map(_._2)
+      val top = snap.sorted.reverse.take(3).map(d => f"$d%.1f").mkString("/")
+      val nJobs = snap.size
       println(f"SPANVAR arm=$tag batch=${i + 1} sec=$sec%.2f " +
         f"gc_ms=${gcMs - g0} jobs=$nJobs top=$top " +
         f"shuffle_mb=${(r1 - r0 + w1 - w0) / 1e6}%.1f " +

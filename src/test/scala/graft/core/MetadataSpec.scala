@@ -29,6 +29,24 @@ class MetadataSpec extends AnyFunSuite {
       assertThrows[InvalidDatalakeMetadata](Metadata.build(base - f))
   }
 
+  test("'~'-valued where/what/work_id fields are path translations " +
+    "(dlfile.py:213-219); literal slugs can never contain '~' so the " +
+    "trigger cannot misfire") {
+    val fields = base +
+      ("path" -> "/var/log/jobs/job-1234.log") +
+      ("what" -> ".*job-(?P<job_id>[0-9]+).log$~job-{job_id}") +
+      ("work_id" -> ".*job-(?P<job_id>[0-9]+).log$~work{job_id}")
+    val m = Metadata.build(Metadata.applyTranslations(fields))
+    assert(m.what === "job-1234")
+    assert(m.workId === Some("work1234"))
+    // untranslated fields pass through untouched; null work_id is safe
+    val plain = Metadata.applyTranslations(base)
+    assert(plain === base)
+    // a translation without a path fails loud, not with a regex error
+    assertThrows[InvalidDatalakeMetadata](Metadata.applyTranslations(
+      (base - "path") + ("what" -> "a(?P<x>b)~{x}")))
+  }
+
   test("missing work_id key is invalid, null work_id is fine") {
     assertThrows[InvalidDatalakeMetadata](Metadata.build(base - "work_id"))
     assert(Metadata.build(base).workId.isEmpty)

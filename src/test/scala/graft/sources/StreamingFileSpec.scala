@@ -65,6 +65,32 @@ class StreamingFileSpec extends AnyFunSuite {
     intercept[IllegalStateException] { f.read() }
   }
 
+  test("read(size) and readLines share ONE buffer (dlfile parity): " +
+    "bytes over-fetched by read(size) are where the line stream starts, " +
+    "and bytes past the consumed lines are what read() returns") {
+    val f = sf("head:rest of line one\nline two\ntail", chunk = 8)
+    assert(new String(f.read(5), UTF_8) === "head:")
+    val lines = f.readLines
+    assert(new String(lines.next(), UTF_8) === "rest of line one\n")
+    assert(new String(lines.next(), UTF_8) === "line two\n")
+    // switch back mid-stream: the unconsumed tail goes to read()
+    assert(new String(f.read(), UTF_8) === "tail")
+    assert(!lines.hasNext)
+  }
+
+  test("close() closes the underlying stream even when abandoned early " +
+    "— a partial fetch must not leak the descriptor/connection") {
+    var closed = false
+    val in = new java.io.ByteArrayInputStream(new Array[Byte](100000)) {
+      override def close(): Unit = { closed = true; super.close() }
+    }
+    val f = StreamingFile.fromInputStream(in, chunkSize = 64)
+    f.read(10) // touch a little, abandon the rest
+    assert(!closed)
+    f.close()
+    assert(closed)
+  }
+
   test("fromInputStream chunks an arbitrary stream") {
     val bytes = Array.tabulate[Byte](10000)(i => (i % 251).toByte)
     val f = StreamingFile.fromInputStream(

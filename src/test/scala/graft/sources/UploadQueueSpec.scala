@@ -76,6 +76,27 @@ class UploadQueueSpec extends AnyFunSuite {
     val back = Tar.read(new java.io.ByteArrayInputStream(whole))
     assert(back.keySet === Set("content"))
     assert(new String(back("content"), StandardCharsets.UTF_8) === "abc")
+    // a stream that ends without the end-of-archive marker is truncated
+    // (the mid-copy signature), even when it cuts at a block boundary
+    intercept[java.io.EOFException](Tar.read(
+      new java.io.ByteArrayInputStream(
+        java.util.Arrays.copyOf(whole, 1024))))
+  }
+
+  test("tar header validation: checksum rejects garbage before trusting " +
+    "the size field; a full 100-byte name stays inside its field") {
+    // 512 bytes of text = a complete 'header' whose checksum can't match
+    val garbage = ("x" * 512).getBytes(StandardCharsets.US_ASCII)
+    intercept[IllegalArgumentException](
+      Tar.read(new java.io.ByteArrayInputStream(garbage)))
+    // exactly-100-byte name: ustar permits it unterminated, and a
+    // whole-block takeWhile would run past it into the mode digits
+    val name = "a" * 100
+    val buf = new java.io.ByteArrayOutputStream()
+    Tar.write(buf, Seq(name -> "data".getBytes(StandardCharsets.UTF_8)))
+    val back = Tar.read(new java.io.ByteArrayInputStream(buf.toByteArray))
+    assert(back.keySet === Set(name))
+    assert(new String(back(name), StandardCharsets.UTF_8) === "data")
   }
 
   test("zip bundles from earlier graft versions stay readable") {
@@ -116,7 +137,10 @@ class UploadQueueSpec extends AnyFunSuite {
   test("dot-files and invalid bundles are skipped, valid ones proceed") {
     val (q, src) = newQueue()
     Files.write(Paths.get(q, ".hidden"), "x".getBytes)
-    Files.write(Paths.get(q, "garbage.bundle"), "not a zip".getBytes)
+    // COMPLETE garbage (a full header-sized block that fails the tar
+    // checksum) — permanently invalid, unlike a short file which could
+    // be a bundle still being copied in
+    Files.write(Paths.get(q, "garbage.bundle"), ("not a zip " * 60).getBytes)
     new Enqueuer(q).enqueue(src, fields("good"))
     val pushed = mutable.Buffer.empty[String]
     val skipped = mutable.Buffer.empty[String]
@@ -125,9 +149,32 @@ class UploadQueueSpec extends AnyFunSuite {
     assert(up.drain() === 1)
     assert(pushed === Seq("good"))
     assert(skipped === Seq("garbage.bundle"))
-    // invalid bundle not retried on next drain
+    // permanently invalid bundle not retried on next drain
     assert(up.drain() === 0)
     assert(skipped.size === 1)
+  }
+
+  test("a truncated bundle is retried, not poisoned: the reference " +
+    "watches CLOSE_WRITE so it only ever sees complete files — the " +
+    "JVM watcher sees mid-copy files, and latching them as processed " +
+    "would silently lose the bundle once the copy completes") {
+    val (q, src) = newQueue()
+    // a complete valid bundle, then a truncated prefix of it standing in
+    // for a non-atomic copy caught mid-write
+    val full = new Enqueuer(q).enqueue(src, fields("slowcopy"))
+    val bytes = Files.readAllBytes(full)
+    Files.delete(full)
+    Files.write(full, java.util.Arrays.copyOf(bytes, 700))
+    val pushed = mutable.Buffer.empty[String]
+    val skipped = mutable.Buffer.empty[Throwable]
+    val up = new Uploader(q, (_, m) => pushed += m.what,
+      (_, e) => skipped += e)
+    assert(up.drain() === 0)
+    assert(skipped.nonEmpty && pushed.isEmpty)
+    // the "copy" completes; the SAME uploader instance must pick it up
+    Files.write(full, bytes)
+    assert(up.drain() === 1)
+    assert(pushed === Seq("slowcopy"))
   }
 
   test("push failure leaves the bundle for inspection, uploader continues") {
