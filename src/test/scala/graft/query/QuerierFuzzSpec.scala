@@ -104,6 +104,53 @@ class QuerierFuzzSpec extends SparkSuite {
     }
   }
 
+  test("cursor-tampering fuzz: a mutated cursor either raises " +
+    "InvalidCursor or yields records the model confirms — never a " +
+    "silently wrong page") {
+    val qs = base + 2 * day
+    val qe = qs + 4 * day
+    val what = whats(0)
+    val expected = modelByTime(qs, qe, what, None)
+    val first = querier.queryByTime(qs, qe, what)
+    val serialized = first.cursor.get.serialized
+    val tamperRng = new Random(7)
+    val mutations: Seq[String] = Seq.tabulate(60) { i =>
+      i % 5 match {
+        case 0 => // flip a random character
+          val j = tamperRng.nextInt(serialized.length)
+          serialized.updated(j,
+            ((serialized(j) + 1 + tamperRng.nextInt(25)) % 127)
+              .max(33).toChar)
+        case 1 => serialized.take(tamperRng.nextInt(serialized.length))
+        case 2 => serialized + "AAAA".take(1 + tamperRng.nextInt(4))
+        case 3 => // structurally valid but junk fields
+          java.util.Base64.getEncoder.encodeToString(
+            (s"""{"current_time_bucket":${tamperRng.nextLong()},""" +
+              s""""last_evaluated":"${tamperRng.alphanumeric.take(8)
+                .mkString}"}""").getBytes("UTF-8")).replaceAll("=+$", "")
+        case _ => // wrong-kind resume key smuggled in
+          java.util.Base64.getEncoder.encodeToString(
+            (s"""{"current_time_bucket":${qs / day},""" +
+              s""""last_evaluated":"srv:ab12"}""").getBytes("UTF-8"))
+            .replaceAll("=+$", "")
+      }
+    }
+    for (s <- mutations) {
+      try {
+        val c = Cursor.fromSerialized(s)
+        val p = querier.queryByTime(qs, qe, what, cursor = Some(c))
+        // parsed and accepted: every returned record must be one the
+        // model says matches the query — tampering may lose rows
+        // (resuming "further along") but must never fabricate them
+        val ids = p.records.map(_.metadata.id)
+        assert(ids.forall(expected), s"fabricated rows from cursor $s")
+      } catch {
+        case e: graft.core.QueryValidationError =>
+          assert(e.code === graft.core.QueryValidationError.InvalidCursor)
+      }
+    }
+  }
+
   test("latest model equivalence over the record window") {
     // model: newest bucket containing the (what, where) pair, argmax by
     // (start, create_time, id) inside it — create_time constant here so
