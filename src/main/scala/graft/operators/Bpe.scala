@@ -75,15 +75,9 @@ object Bpe {
        |                        array(${sqlLit(a + b)})),
        |                 concat(acc, array(s))))""".stripMargin
 
-  /** Release the block-manager copy behind a localCheckpointed frame
-    * (its analyzed plan is a LogicalRDD over the persisted RDD);
-    * no-op for any other plan shape. */
+  /** See [[Checkpoints.release]] — the shared release idiom. */
   private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(false)
-      case _ => ()
-    }
+    Checkpoints.release(df)
 
   /** Learn up to `merges` BPE merges from the corpus. Stops early when
     * no pair reaches `minCount`. Returns merges in training order —

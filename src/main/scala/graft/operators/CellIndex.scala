@@ -657,10 +657,15 @@ final class CellIndex(spark: SparkSession, path: String) {
     * A history row with the SAME vec_id as a batch row is an exact
     * replay (at-least-once delivery), reported with `is_replay` true
     * rather than as a near-dup, so [[semanticIngest]] can be
-    * idempotent without a corpus-wide id anti-join — a replayed
-    * vector re-routes to its stored copy's cell by construction
-    * (identical embedding, same centroids), so the pruned scan is
-    * guaranteed to see it.
+    * idempotent without a corpus-wide id anti-join. The probed set is
+    * the nprobe COSINE-nearest cells UNION the vector's own
+    * squared-L2-ROUTED cell — the cell [[append]] stores it in. The
+    * union is what makes the replay guarantee unconditional: storage
+    * routes by L2 argmin while probes rank by cosine, and on
+    * unnormalized embeddings the two can disagree on the top cell, so
+    * a cosine-only probe could miss the stored copy and re-append a
+    * replayed vector (breaking exactly-once). On unit-norm embeddings
+    * the two metrics agree and the union adds nothing.
     *
     * @return one row per flagged batch vector:
     *         (vec_id, dup_of, cos_sim_micro, is_replay) — `dup_of` the
@@ -680,12 +685,24 @@ final class CellIndex(spark: SparkSession, path: String) {
       expr("CAST(embedding AS ARRAY<DOUBLE>)").as("qv"))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("cent_sim_micro").desc, col("cell"))
-    val probes = queries.crossJoin(broadcast(cents))
+    val cosineProbes = queries.crossJoin(broadcast(cents))
       .withColumn("cent_sim_micro", expr(
         s"CAST(round(${Similarity.cosineExpr("qv", "centroid")} * 1000000) AS BIGINT)"))
       .withColumn("probe_rank", row_number().over(wProbe))
       .filter(col("probe_rank") <= nprobe)
       .select(col("query_id"), col("qv"), col("cell"))
+    // ... plus the cell the vector ROUTES to (L2 argmin — where append
+    // stores it): the unconditional replay guarantee (see scaladoc).
+    // Map-side against the same broadcast-sized model; at most one
+    // extra cell per query, none when the metrics agree.
+    val centSeq = cents.collect().map(row => row.getAs[Any]("cell") ->
+      row.getAs[scala.collection.Seq[Double]]("centroid")).toSeq
+    val routedProbes = queries
+      .withColumn("cell", Similarity.nearestCentroidExpr(centSeq, col("qv")))
+      .filter(col("cell").isNotNull)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val probes = cosineProbes.union(routedProbes)
+      .dropDuplicates("query_id", "cell")
     val probedCells = probes.select("cell").distinct().collect()
       .map(_.get(0)).toSeq
     val history = spark.read.parquet(r + "/vectors")

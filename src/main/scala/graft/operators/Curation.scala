@@ -325,13 +325,20 @@ object Curation {
       .drop("__btot")
     val wInBucket = Window.partitionBy(col("__bucket")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // null-safe join key (<=>): a NULL idCol row lands in a null
+    // __bucket — a plain equi-join would DROP it from the output while
+    // its token count still inflated every later bucket's __boff (the
+    // hazard tokenBudget's null-safe join documents). Null buckets sort
+    // first in both the cumsum window and this join, so the global
+    // cumsum stays exactly the one an oracle computes with NULLS FIRST.
     bucketed
-      .join(broadcast(offsets), Seq("__bucket"))
+      .join(broadcast(offsets.withColumnRenamed("__bucket", "__obucket")),
+        col("__bucket") <=> col("__obucket"))
       .withColumn("tokens_before", col("__boff") +
         coalesce(sum(col(tokensCol).cast("long")).over(wInBucket), lit(0L)))
       .withColumn("bin", expr(s"tokens_before DIV $capacity"))
       .withColumn("bin_offset", col("tokens_before") % capacity)
-      .drop("__bucket", "__boff")
+      .drop("__bucket", "__obucket", "__boff")
   }
 
   /** Per-source token-budget selection — the "take N tokens from each

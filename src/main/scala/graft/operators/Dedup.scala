@@ -115,27 +115,35 @@ object Dedup {
       minShared: Int = 3, maxDf: Int = 20,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     // MATERIALIZE the exploded fingerprints before fanning out into the
-    // df-filter + both self-join sides: without the barrier, project
-    // collapsing inlines the interpreted gram/window lambdas into every
-    // consumer, and each window's slice re-evaluates the whole upstream
-    // expression chain — O(grams × windows) re-computation per doc, per
-    // side (observed as a wedged 15-minute task on 550 docs). One eager
-    // checkpoint = each fingerprint computed exactly once.
+    // df-filter + both self-join sides: each fingerprint is computed
+    // exactly once (without the barrier the winnow pass re-runs per
+    // consumer — measured 4.5x slower at sf0.1 even with the native
+    // kernel). The barrier is RELEASED before returning: the (small)
+    // pair result is checkpointed eagerly, which truncates its lineage
+    // off the fingerprint table, and the corpus-order fingerprint
+    // blocks are freed — the previous version leaked them with no
+    // release path, one corpus-order cache entry per call in any
+    // long-lived session (the langId leak class). The returned frame
+    // rides its own result-sized checkpoint (released by any
+    // clearCache, as the bench does per query).
     val fp = winnow(docs, k, w, textCol, idCol)
       .select(col(idCol), explode(col("fingerprints")).as("fp"))
       .localCheckpoint(true)
-    val rare = fp.groupBy("fp")
-      .agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxDf)
-      .select("fp")
-    val pruned = fp.join(rare, "fp")
-    val a = pruned.toDF("fp", "doc_a")
-    val b = pruned.toDF("fp", "doc_b")
-    a.join(b, "fp")
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).cast("int").as("shared_fingerprints"))
-      .filter(col("shared_fingerprints") >= minShared)
+    try {
+      val rare = fp.groupBy("fp")
+        .agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf)
+        .select("fp")
+      val pruned = fp.join(rare, "fp")
+      val a = pruned.toDF("fp", "doc_a")
+      val b = pruned.toDF("fp", "doc_b")
+      a.join(b, "fp")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).cast("int").as("shared_fingerprints"))
+        .filter(col("shared_fingerprints") >= minShared)
+        .localCheckpoint(true)
+    } finally Checkpoints.release(fp)
   }
 
   /** SimHash near-dup candidate pairs: band the 64-bit hash into 4×16-bit
@@ -161,7 +169,7 @@ object Dedup {
     simhashPairsFromHashes(
       simhashMd5(docs, textCol, idCol)
         .select(col(idCol).as("doc_id"), col("simhash")),
-      maxHamming, bandBits = 15)
+      maxHamming, bandBits = 15, hashBits = 60)
 
   /** Candidate generation over precomputed (doc_id, simhash) rows. The
     * band key masks with `& ((1<<bandBits)-1)` — a sign-extending modulo
@@ -170,14 +178,35 @@ object Dedup {
   def simhashPairsFromHashes(
       hashed: DataFrame,
       maxHamming: Int = 3,
-      bandBits: Int = 16): DataFrame = {
+      bandBits: Int = 16,
+      bands: Int = 4,
+      hashBits: Int = 64): DataFrame = {
+    // `bands` bands guarantee recall up to Hamming bands-1 (pigeonhole:
+    // a pair differing in ≤ bands-1 bits agrees on ≥1 band — only if
+    // the bands PARTITION all hashBits). A larger maxHamming would
+    // SILENTLY lose pairs that differ in one bit per band while the
+    // exact bit_count filter makes the output look exhaustive — fail
+    // loud instead. The first bands-1 bands take bandBits each; the
+    // LAST band takes every remaining bit, so uneven splits
+    // (e.g. 9 bands over 64 bits = 8×7 + 1×8) still partition fully.
+    require(maxHamming < bands,
+      s"maxHamming=$maxHamming exceeds the $bands-band recall guarantee " +
+        s"(pairs at Hamming $bands+ can disagree on every band); pass " +
+        s"bands >= maxHamming + 1")
+    val restBits = hashBits - (bands - 1) * bandBits
+    require(restBits >= 1 && restBits < 64,
+      s"$bands bands x $bandBits bits do not partition $hashBits hash bits")
     val mask = (1L << bandBits) - 1
+    val lastMask = (1L << restBits) - 1
     val banded = hashed.select(
       col("doc_id"), col("simhash"),
       explode(expr(
-        s"""transform(sequence(0, 3),
+        s"""transform(sequence(0, ${bands - 1}),
            |  b -> struct(b AS band,
-           |       shiftright(simhash, CAST(b * $bandBits AS INT)) & $mask AS key))"""
+           |       CASE WHEN b < ${bands - 1}
+           |         THEN shiftright(simhash, CAST(b * $bandBits AS INT)) & $mask
+           |         ELSE shiftright(simhash, ${(bands - 1) * bandBits}) & $lastMask
+           |       END AS key))"""
           .stripMargin)).as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.band").as("band"), col("bk.key").as("key"))

@@ -293,21 +293,29 @@ object Multimodal {
 
   /** Near-duplicate IMAGE pairs: perceptual hashes joined through the
     * same banded-Hamming candidate generator as text SimHash
-    * ([[Dedup.simhashPairsFromHashes]] — 4×16-bit bands guarantee no
-    * missed pair at maxHamming ≤ 3 by pigeonhole), then exact Hamming
-    * confirm. The image leg of the dedup family: re-encoded/resized/
-    * lightly-edited copies of one image pair up here where the
-    * byte-level content hash sees nothing. At scale this is band
-    * equi-joins over 8-byte hashes — the corpus's pixel data is read
-    * once by the hashing pass and never joined. */
+    * ([[Dedup.simhashPairsFromHashes]]), then exact Hamming confirm.
+    * The band count is derived as maxHamming + 1, so the pigeonhole
+    * recall guarantee holds at WHATEVER distance the caller asks for —
+    * the old fixed 4×16 banding silently lost pairs at Hamming 4..8
+    * that differed by one bit per band. The image leg of the dedup
+    * family: re-encoded/resized/lightly-edited copies of one image
+    * pair up here where the byte-level content hash sees nothing. At
+    * scale this is band equi-joins over 8-byte hashes — the corpus's
+    * pixel data is read once by the hashing pass and never joined. */
   def imageNearDups(assets: Dataset[MediaAsset],
-      maxHamming: Int = 3, batchPartitions: Int = 0): DataFrame =
+      maxHamming: Int = 3, batchPartitions: Int = 0): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"maxHamming=$maxHamming out of range for 64-bit banding")
+    // min 2 bands: a 1-band split would be the whole hash (restBits=64
+    // overflows the mask); 2 bands still guarantee recall at Hamming ≤1
+    val bands = math.max(2, maxHamming + 1)
     Dedup.simhashPairsFromHashes(
       imageHashes(assets, batchPartitions)
         .select(col("asset_id").as("doc_id"), col("phash").as("simhash")),
-      maxHamming)
+      maxHamming, bandBits = 64 / bands, bands = bands)
       .select(col("doc_a").as("asset_a"), col("doc_b").as("asset_b"),
         col("hamming"))
+  }
 
   /** Render one REAL 64×64 grayscale PNG per row from an
     * (asset_id, blocks: array<int> of 64 values) frame: block i fills

@@ -71,15 +71,22 @@ object Selection {
       idCol: String = "doc_id",
       buckets: Int = Buckets): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    // explode_OUTER over the pre-filtered token array: a doc with zero
+    // tokens (empty/whitespace text) keeps ONE null-token row, so the
+    // "@return one row per doc" contract holds — it emits an explicit
+    // (n_tokens=0, weight_micro=0) row instead of silently vanishing
+    // from the output (and from any dsirResample ranking downstream).
+    // Null-token rows never reach the model counts and join nothing.
     val grams = docs
       .select(col(idCol), isTarget.as("__t"),
-        explode(tokens(textCol)).as("__tok"))
-      .filter(length(col("__tok")) > 0)
+        explode_outer(filter(tokens(textCol),
+          t => length(t) > 0)).as("__tok"))
       .withColumn("__b", pmod(h60(col("__tok")), lit(buckets.toLong)))
 
     // the model: per-bucket counts under each distribution + totals,
     // all exact integers. Two hash aggregates, B rows out.
     val counts = grams
+      .filter(col("__tok").isNotNull)
       .groupBy(col("__b"))
       .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"),
         sum(when(col("__t"), 0L).otherwise(1L)).as("__cs"))
@@ -100,11 +107,11 @@ object Selection {
 
     grams
       .groupBy(col(idCol), col("__t"), col("__b"))
-      .agg(count(lit(1)).as("__n"))
-      .join(broadcast(model), Seq("__b"))
+      .agg(sum(when(col("__tok").isNotNull, 1L).otherwise(0L)).as("__n"))
+      .join(broadcast(model), Seq("__b"), "left")
       .groupBy(col(idCol), col("__t"))
       .agg(sum(col("__n")).as("n_tokens"),
-        sum(col("__n") * col("__lr")).as("weight_micro"))
+        sum(col("__n") * coalesce(col("__lr"), lit(0L))).as("weight_micro"))
       .select(col(idCol), col("n_tokens"), col("weight_micro"),
         col("__t").as("is_target"))
   }

@@ -766,9 +766,17 @@ object Similarity {
     }
     emb
       .withColumn("v", expr("CAST(embedding AS ARRAY<DOUBLE>)"))
+      // fail LOUD on a dim mismatch: vector_dot returns null against a
+      // wrong-length plane, every sign bit would become 0, and ALL rows
+      // would land in bucket 0 — downstream hot-block sub-bucketing
+      // silently degrades to the full O(n²) block it exists to prevent
       .withColumn("lsh_bucket", expr(
-        s"""aggregate(array(${signBits.mkString(", ")}), 0L,
-           |  (acc, x) -> acc | x)""".stripMargin))
+        s"""CASE WHEN size(v) = $dim THEN
+           |  aggregate(array(${signBits.mkString(", ")}), 0L,
+           |    (acc, x) -> acc | x)
+           |ELSE CAST(raise_error(CONCAT(
+           |  'hyperplane_lsh: embedding dim ', CAST(size(v) AS STRING),
+           |  ' != configured dim $dim')) AS BIGINT) END""".stripMargin))
       .drop("v")
   }
 

@@ -1243,9 +1243,11 @@ object PipelineQueries {
     "q_image_neardup" -> (ImagePhashCtes + """,
       |banded AS (
       |  SELECT asset_id, phash, b.band,
-      |    (phash >> (b.band * 16)) & 65535 AS key
+      |    CASE WHEN b.band < 8
+      |      THEN (phash >> (b.band * 7)) & 127
+      |      ELSE (phash >> 56) & 255 END AS key
       |  FROM ph CROSS JOIN
-      |    (SELECT unnest(generate_series(0, 3)) AS band) b),
+      |    (SELECT unnest(generate_series(0, 8)) AS band) b),
       |cand AS (
       |  SELECT DISTINCT a.asset_id AS asset_a, b.asset_id AS asset_b,
       |    CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming

@@ -206,7 +206,13 @@ object StreamOps {
         // the collapse, scoring one extra bigram. Mirror Spark exactly
         // (space-trim, then the explicit whitespace-class collapse) so
         // stream and batch scores stay bit-equal on edge whitespace.
-        val t = text.toLowerCase(java.util.Locale.ROOT)
+        // toLowerCase() with NO locale, matching Spark's lower() slow
+        // path (UTF8String.toLowerCaseSlow -> String.toLowerCase(),
+        // default locale): a Locale.ROOT lowercase here would diverge
+        // from the batch-trained model on tr/az/lt default-locale JVMs
+        // ('I' -> 'i' vs dotless 'ı'), mis-gating docs near the
+        // threshold calibrated on batch scores.
+        val t = text.toLowerCase()
           .replaceAll("^ +| +$", "")
           .replaceAll("[ \\t\\n\\x0B\\f\\r]+", " ")
         val cps = t.codePoints.toArray
@@ -760,14 +766,26 @@ object StreamOps {
           val closed = scala.collection.mutable.Buffer.empty[SessionOut]
           sorted.foreach { e =>
             current match {
+              case Some(s) if e.ts_ms - s.lastTs <= gapMs &&
+                  e.ts_ms < s.sessionStart - gapMs =>
+                // a LATE event older than the open session's reach:
+                // batch sessionize would place it in an EARLIER session
+                // (that region is already gone in a stream), so emit it
+                // as its own closed single-event session — folding it in
+                // would produce a session containing an event before its
+                // own session_start, which the batch twin can never do
+                closed += SessionOut(userId, e.ts_ms, e.ts_ms, 1)
               case Some(s) if e.ts_ms - s.lastTs <= gapMs =>
                 // a LATE event (sorted within its batch, but batches
                 // are not sorted against each other) must never rewind
                 // lastTs: the session's end is its newest event, and a
                 // rewound lastTs would let a later event close the
                 // session with session_end EARLIER than an event it
-                // contains
+                // contains. sessionStart DOES extend backward (min):
+                // an in-reach late event is the session's new first
+                // event, exactly as the batch twin would order it
                 current = Some(s.copy(
+                  sessionStart = math.min(s.sessionStart, e.ts_ms),
                   lastTs = math.max(s.lastTs, e.ts_ms),
                   nEvents = s.nEvents + 1))
               case Some(s) =>

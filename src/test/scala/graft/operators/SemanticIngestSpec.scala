@@ -46,6 +46,33 @@ class SemanticIngestSpec extends SparkSuite {
     assert(got.toSeq === Seq((0L, 0L, true)))
   }
 
+  test("replay is detected even when cosine and L2 disagree on the top " +
+    "cell (unnormalized embeddings): the probe unions the vector's own " +
+    "ROUTED cell, so a replayed batch can never re-append its vectors") {
+    import spark.implicits._
+    val idx = new CellIndex(spark, tmpDir("graft-semingest-metric-"))
+    // centroids chosen so v = (1, 0) ROUTES (squared-L2 argmin) to the
+    // small centroid B but its COSINE-top centroid is the far-out A:
+    //   A = (10, 0):  cos 1.0, L2 81      B = (0.1, 0.1): cos .707, L2 .82
+    idx.build(Seq(
+      ("a", Array(10f, 0f), 100L),
+      ("b", Array(0.1f, 0.1f), 200L))
+      .toDF("label", "embedding", "vec_id")
+      .select(col("vec_id"), col("embedding"), col("label")),
+      cellCol = "label")
+    val v = emb(7L -> Array(1f, 0f))
+    // threshold at the 1.0-cosine ceiling: only the REPLAY path (id
+    // equality) may fire, never the near-dup path — v is exactly
+    // parallel to centroid A's one vector
+    val s1 = idx.semanticIngest(v, thresholdMicro = 1000000L)
+    assert(s1.appended === 1L, s1)
+    // the replay: a cosine-only nprobe=1 probe would scan cell 'a' and
+    // miss the stored copy in 'b', silently appending a duplicate
+    val s2 = idx.semanticIngest(v, thresholdMicro = 1000000L)
+    assert(s2.replays === 1L && s2.appended === 0L, s2)
+    assert(idx.vectors.filter(col("vec_id") === 7L).count() === 1L)
+  }
+
   test("ingest appends only survivors: history dups, within-batch dups " +
     "and replays all dropped; replayed batch commits nothing") {
     val idx = seeded()

@@ -249,7 +249,39 @@ class StreamOpsSpec extends SparkSuite {
     q.processAllAvailable()
     val closed = spark.table("sessions_late").as[SessionOut].collect()
     q.stop()
-    assert(closed.toSeq === Seq(SessionOut(1L, 1000L, 1600L, 3L)))
+    // the late 500 is the session's new FIRST event (batch sessionize
+    // over {500, 1000, 1600} at gap 1000 yields one session [500, 1600])
+    assert(closed.toSeq === Seq(SessionOut(1L, 500L, 1600L, 3L)))
+  }
+
+  test("sessionization: a late event OLDER than the open session's " +
+    "reach closes as its own session — never folded into a session " +
+    "that starts after it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val q = StreamOps.sessionizeStream(input.toDS(), gapMs = 100L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_old").start()
+    input.addData(SessionEvent(1L, 1L, 1000L), SessionEvent(1L, 2L, 1080L))
+    q.processAllAvailable()
+    // ts=100: "within gap of lastTs"? 100-1080 = -980 <= 100 — the naive
+    // merge test passes, but the event is 900ms before session_start,
+    // beyond the session's backward reach (start - gap = 900)
+    input.addData(SessionEvent(1L, 3L, 100L))
+    q.processAllAvailable()
+    val early = spark.table("sessions_old").as[SessionOut].collect()
+    assert(early.toSeq === Seq(SessionOut(1L, 100L, 100L, 1L)),
+      "the too-old event must close as its own single-event session")
+    input.addData(SessionEvent(1L, 4L, 99000L))
+    q.processAllAvailable()
+    val all = spark.table("sessions_old").as[SessionOut].collect()
+    q.stop()
+    // the open session was untouched by the too-old event: when it
+    // finally closes it spans only its own events — exactly the batch
+    // twin's sessions over {100, 1000, 1080} at gap 100
+    assert(all.toSet === Set(
+      SessionOut(1L, 100L, 100L, 1L), SessionOut(1L, 1000L, 1080L, 2L)))
   }
 
   test("scoreStream: batch-trained char-LM gates a stream, parity with " +
