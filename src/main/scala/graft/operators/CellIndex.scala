@@ -612,14 +612,7 @@ final class CellIndex(spark: SparkSession, path: String) {
     val cents = spark.read.parquet(r + "/centroids")
     // micro-rounded probe similarity — same integer-exact ranking as
     // Similarity.ivfTopK, so index and full-scan variants share an oracle
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("cent_sim_micro").desc, col("cell"))
-    val probes = queries.crossJoin(broadcast(cents))
-      .withColumn("cent_sim_micro", expr(
-        s"CAST(round(${Similarity.cosineExpr("qv", "centroid")} * 1000000) AS BIGINT)"))
-      .withColumn("probe_rank", row_number().over(wProbe))
-      .filter(col("probe_rank") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cell"))
+    val probes = cosineProbes(queries, cents, nprobe)
     // the probed cell ids are a tiny driver-side list (|queries|×nprobe
     // at most): inlining them as a literal IN-list is what lets the
     // parquet source prune partitions at planning time
@@ -640,6 +633,25 @@ final class CellIndex(spark: SparkSession, path: String) {
       .select(col("query_id"), col("cand_id"), col("cell"), col("rank"),
         col("cos_sim_micro"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The nprobe COSINE-nearest cells per query — the one in-file float
+    * probe router [[topK]] and [[semanticNearDups]] share (the PQ twin
+    * is [[pqProbeRouting]], with its own spec'd surface): micro-rounded
+    * cosine against the broadcast centroid table, ties to the smaller
+    * cell. Two inline copies of this ranking drifted apart once before
+    * the L2-union fix; one definition keeps probe semantics identical.
+    * `queries` must carry (query_id, qv: array<double>). */
+  private def cosineProbes(queries: DataFrame, cents: DataFrame,
+      nprobe: Int): DataFrame = {
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cent_sim_micro").desc, col("cell"))
+    queries.crossJoin(broadcast(cents))
+      .withColumn("cent_sim_micro", expr(
+        s"CAST(round(${Similarity.cosineExpr("qv", "centroid")} * 1000000) AS BIGINT)"))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter(col("probe_rank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
   }
 
   /** Incremental SemDeDup probe: which of `batch`'s vectors (vec_id,
@@ -683,14 +695,6 @@ final class CellIndex(spark: SparkSession, path: String) {
     val cents = spark.read.parquet(r + "/centroids")
     val queries = batch.select(col("vec_id").as("query_id"),
       expr("CAST(embedding AS ARRAY<DOUBLE>)").as("qv"))
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("cent_sim_micro").desc, col("cell"))
-    val cosineProbes = queries.crossJoin(broadcast(cents))
-      .withColumn("cent_sim_micro", expr(
-        s"CAST(round(${Similarity.cosineExpr("qv", "centroid")} * 1000000) AS BIGINT)"))
-      .withColumn("probe_rank", row_number().over(wProbe))
-      .filter(col("probe_rank") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cell"))
     // ... plus the cell the vector ROUTES to (L2 argmin — where append
     // stores it): the unconditional replay guarantee (see scaladoc).
     // Map-side against the same broadcast-sized model; at most one
@@ -701,7 +705,8 @@ final class CellIndex(spark: SparkSession, path: String) {
       .withColumn("cell", Similarity.nearestCentroidExpr(centSeq, col("qv")))
       .filter(col("cell").isNotNull)
       .select(col("query_id"), col("qv"), col("cell"))
-    val probes = cosineProbes.union(routedProbes)
+    val probes = cosineProbes(queries, cents, nprobe)
+      .union(routedProbes)
       .dropDuplicates("query_id", "cell")
     val probedCells = probes.select("cell").distinct().collect()
       .map(_.get(0)).toSeq
