@@ -42,7 +42,7 @@ final class ClusterStore(spark: SparkSession, path: String,
   require(buckets >= 1, s"buckets must be >= 1, got $buckets")
 
   private val log = new ManifestLog(spark, path, keepVersions, committer)
-  private def f = Fs.fs(spark, path)
+  private lazy val f = Fs.fs(spark, path)
 
   def exists: Boolean = log.hasAny
 

@@ -49,7 +49,7 @@ trait ManifestCommitter {
 final class RenameCommitter(spark: SparkSession, tablePath: String)
     extends ManifestCommitter {
 
-  private def f = Fs.fs(spark, tablePath)
+  private lazy val f = Fs.fs(spark, tablePath)
 
   def putIfAbsent(target: Path, bytes: Array[Byte]): Boolean = {
     val tmp = new Path(target.getParent,
@@ -57,23 +57,34 @@ final class RenameCommitter(spark: SparkSession, tablePath: String)
         java.util.UUID.randomUUID().toString.take(8) + ".tmp")
     val out = f.create(tmp, true)
     try out.write(bytes) finally out.close()
-    val ok = RenameCommitter.tableLock(tablePath).synchronized {
-      if (f.exists(target)) false
-      else {
-        try {
-          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-            target.toUri, spark.sessionState.newHadoopConf())
-          fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.NONE)
-          true
-        } catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-          case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-            // no FileContext binding: best-effort exists+rename (still
-            // inside the JVM lock, which covers in-process racers)
-            !f.exists(target) && f.rename(tmp, target)
+    // delete the staged temp on EVERY non-success path, including a
+    // rename that throws something other than the two handled cases (a
+    // transient IOException used to propagate past the cleanup, leaving
+    // one orphaned .tmp per retried attempt that nothing ever sweeps —
+    // the trait contract says no temp file may be left behind)
+    val ok =
+      try RenameCommitter.tableLock(tablePath).synchronized {
+        if (f.exists(target)) false
+        else {
+          try {
+            val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+              target.toUri, spark.sessionState.newHadoopConf())
+            fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.NONE)
+            true
+          } catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+            case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+              // no FileContext binding: best-effort exists+rename (still
+              // inside the JVM lock, which covers in-process racers)
+              !f.exists(target) && f.rename(tmp, target)
+          }
         }
+      } catch {
+        case e: Throwable =>
+          try f.delete(tmp, false)
+          catch { case scala.util.control.NonFatal(_) => () }
+          throw e
       }
-    }
     if (!ok) f.delete(tmp, false)
     ok
   }
@@ -138,7 +149,7 @@ final class ConditionalPutCommitter(
     spark: SparkSession, tablePath: String, cas: ConditionalPut)
     extends ManifestCommitter {
 
-  private def f = Fs.fs(spark, tablePath)
+  private lazy val f = Fs.fs(spark, tablePath)
 
   def putIfAbsent(target: Path, bytes: Array[Byte]): Boolean = {
     val encoded = java.util.Base64.getEncoder.encodeToString(bytes)

@@ -64,7 +64,7 @@ final class FingerprintIndex(spark: SparkSession, path: String,
     s"bloomMinHistoryRatio must be >= 0, got $bloomMinHistoryRatio")
 
   private val log = new ManifestLog(spark, path, keepVersions, committer)
-  private def f = Fs.fs(spark, path)
+  private lazy val f = Fs.fs(spark, path)
 
   private def bucketCol(fp: org.apache.spark.sql.Column) =
     pmod(conv(substring(fp, 1, 8), 16, 10).cast("long"), lit(buckets))
@@ -175,6 +175,13 @@ final class FingerprintIndex(spark: SparkSession, path: String,
       .filter(col(idCol) === col("__min_id"))
       .drop("__min_id")
       .dropDuplicates("__fp")
+      // pin the canonicalized batch ONCE (the GramIndex.ingest /
+      // NearDupIndex.batchBands one-signature-computation discipline):
+      // prunedHistory's bucket collect, the bloom build, the parquet
+      // write, and the caller's consumption of the returned frame would
+      // otherwise EACH re-run the md5 + min-id shuffle join — 3-4 full
+      // batch recomputations per ingest
+      .localCheckpoint(true)
     // pin the pre-ingest snapshot: the anti-join must keep reading THESE
     // dirs even when recomputed after our own commit advances the table
     val newDocs = log.resolve() match {

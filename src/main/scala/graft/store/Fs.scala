@@ -64,6 +64,28 @@ private[graft] object Fs {
       s"cannot read or create marker $marker (empty or unwritable after 5 attempts)")
   }
 
+  /** Read an existing marker WITHOUT creating it — the read-only-caller
+    * half of the [[ensureMarker]] discipline: a probe of a virgin store
+    * must not pin ITS parameters as the store's identity (that would
+    * lock out the tuned writer that arrives later) and must work on a
+    * read-only filesystem. Returns None when the marker does not exist;
+    * retries the empty-read window exactly like ensureMarker. */
+  def readMarker(f: FileSystem, marker: Path): Option[String] = {
+    var attempts = 0
+    while (attempts < 5) {
+      attempts += 1
+      if (!f.exists(marker)) return None
+      val in = f.open(marker)
+      val stored = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim
+      finally in.close()
+      if (stored.nonEmpty) return Some(stored)
+      Thread.sleep(50L * attempts)
+    }
+    throw new java.io.IOException(
+      s"marker $marker still empty after 5 reads — corrupt?")
+  }
+
   /** Atomically replace a config marker's content: write a temp file
     * beside it, then rename-with-overwrite into place (FileContext's
     * OVERWRITE rename — atomic on local disk and HDFS; an object store

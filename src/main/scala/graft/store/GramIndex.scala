@@ -70,7 +70,7 @@ final class GramIndex(spark: SparkSession, path: String,
     s"bloomMinHistoryRatio must be >= 0, got $bloomMinHistoryRatio")
 
   private val log = new ManifestLog(spark, path, keepVersions, committer)
-  private def f = Fs.fs(spark, path)
+  private lazy val f = Fs.fs(spark, path)
 
   private def bucketCol(k: Column): Column =
     pmod(conv(substring(k, 1, 8), 16, 10).cast("long"), lit(buckets))
@@ -82,9 +82,16 @@ final class GramIndex(spark: SparkSession, path: String,
     * consultable with the modulus it was written under, and a different
     * w changes gram IDENTITY — probing an index built at another width
     * would silently miss every historical duplicate. */
-  private def ensureConfig(): Unit = {
+  /** Validate (write paths: or create) the parameter marker.
+    * `createIfMissing = false` is the READ-ONLY contract for [[probe]]:
+    * probing a virgin store must not pin the PROBER's parameters as the
+    * store's permanent identity — that locks out a differently-tuned
+    * writer arriving later — and must work on a read-only filesystem. */
+  private def ensureConfig(createIfMissing: Boolean = true): Unit = {
     val want = s"buckets=$buckets;w=$w"
-    val stored = Fs.ensureMarker(f, configMarker, want)
+    val stored =
+      if (createIfMissing) Fs.ensureMarker(f, configMarker, want)
+      else Fs.readMarker(f, configMarker).getOrElse(want)
     require(stored == want,
       s"index at $path was created with '$stored'; opened with '$want' " +
         "— a width/bucket mismatch silently misses historical duplicates")
@@ -205,7 +212,7 @@ final class GramIndex(spark: SparkSession, path: String,
   def probe(batch: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     requireIntegralId(batch, idCol)
-    ensureConfig()
+    ensureConfig(createIfMissing = false)
     // pin the batch grams ONCE: prunedHistory's bucket collect, the
     // bloom build, and the span join would otherwise each re-tokenize
     // and re-hash the whole batch (the NearDupIndex.batchBands

@@ -31,7 +31,7 @@ final class LatestStore(spark: SparkSession, path: String,
 
   private val root = new Path(path)
   private val log = new ManifestLog(spark, path, keepVersions, committer)
-  private def f = Fs.fs(spark, path)
+  private lazy val f = Fs.fs(spark, path)
 
   /** true once any version has been committed (or a pre-manifest flat
     * table sits at the path — see [[legacyFiles]]). */
@@ -139,43 +139,57 @@ final class LatestStore(spark: SparkSession, path: String,
       // legacy table into version 1 (all its buckets count as touched)
       // and remove the flat files once the commit lands
       val legacy = if (resolved.isEmpty) legacyFiles else Nil
-      val (existing, touchedAll) =
-        if (legacy.nonEmpty) {
-          val legacyDf = withBucket(spark.read.schema(RecordStore.schema)
-            .parquet(legacy.map(_.toString): _*))
-          val legacyKps = legacyDf.select("kp").distinct()
-            .collect().map(_.getInt(0))
-          (legacyDf, (touched ++ legacyKps).distinct.sorted)
-        } else
-          // STRICT read for a merge: this path READS existing rows to
-          // REWRITE them, so a missing referenced leaf must fail the
-          // attempt — the non-strict exist-filter (benign for reads,
-          // where re-resolving picks the newer manifest) would here
-          // commit a table missing every key of the vanished bucket.
-          // A leaf of the CURRENT manifest cannot be vacuumed, so this
-          // only fires on external deletion or a flaky filesystem —
-          // exactly when losing loudly beats losing silently.
-          (withBucket(readBuckets(entries, touched, strict = true)), touched)
-      val newV = baseV + 1
-      // the data dir carries a writer nonce (see ManifestLog.newDataDirName):
-      // two racing writers may both target manifest version N, and their
-      // Spark write jobs must not collide on one directory
-      val newDataVersion = log.newDataDirName(newV)
-      val merged = existing.unionByName(batchWinners)
-        .withColumn("__rn", row_number().over(w))
-        .filter($"__rn" === 1).drop("__rn")
-      // one shuffle partition per touched bucket -> one file per kp dir
-      merged.repartition(touchedAll.size, col("kp"))
-        .write.mode(SaveMode.Overwrite).partitionBy("kp")
-        .parquet(log.dataPath(newDataVersion).toString)
-      val newEntries = entries ++ touchedAll.map(_ -> newDataVersion)
-      committed = log.tryCommit(newV,
-        newEntries.map { case (k, d) => k.toString -> Seq(d) })
-      if (!committed)
-        // lost the race: another writer committed baseV+1 first; drop our
-        // orphaned data version and re-merge against the new state
-        f.delete(log.dataPath(newDataVersion), true)
-      else legacy.foreach(p => f.delete(p, false))
+      try {
+        val (existing, touchedAll) =
+          if (legacy.nonEmpty) {
+            val legacyDf = withBucket(spark.read.schema(RecordStore.schema)
+              .parquet(legacy.map(_.toString): _*))
+            val legacyKps = legacyDf.select("kp").distinct()
+              .collect().map(_.getInt(0))
+            (legacyDf, (touched ++ legacyKps).distinct.sorted)
+          } else
+            // STRICT read for a merge: this path READS existing rows to
+            // REWRITE them, so a missing referenced leaf must fail the
+            // attempt — the non-strict exist-filter (benign for reads,
+            // where re-resolving picks the newer manifest) would here
+            // commit a table missing every key of the vanished bucket.
+            // A leaf of the CURRENT manifest cannot be vacuumed, so this
+            // only fires on external deletion or a flaky filesystem —
+            // exactly when losing loudly beats losing silently.
+            (withBucket(readBuckets(entries, touched, strict = true)), touched)
+        val newV = baseV + 1
+        // the data dir carries a writer nonce (see ManifestLog.newDataDirName):
+        // two racing writers may both target manifest version N, and their
+        // Spark write jobs must not collide on one directory
+        val newDataVersion = log.newDataDirName(newV)
+        val merged = existing.unionByName(batchWinners)
+          .withColumn("__rn", row_number().over(w))
+          .filter($"__rn" === 1).drop("__rn")
+        // one shuffle partition per touched bucket -> one file per kp dir
+        merged.repartition(touchedAll.size, col("kp"))
+          .write.mode(SaveMode.Overwrite).partitionBy("kp")
+          .parquet(log.dataPath(newDataVersion).toString)
+        val newEntries = entries ++ touchedAll.map(_ -> newDataVersion)
+        committed = log.tryCommit(newV,
+          newEntries.map { case (k, d) => k.toString -> Seq(d) })
+        if (!committed)
+          // lost the race: another writer committed baseV+1 first; drop our
+          // orphaned data version and re-merge against the new state
+          f.delete(log.dataPath(newDataVersion), true)
+        else legacy.foreach(p => f.delete(p, false))
+      } catch {
+        // the first-ever-commit race over a LEGACY flat table has a
+        // second losing mode: the winner deletes the flat files after
+        // committing while the loser's merge job is still SCANNING
+        // them, so the loser dies with FileNotFound instead of a clean
+        // tryCommit=false. If a newer manifest exists, that is exactly
+        // what happened — a benign lost race; retry the loop, which
+        // now reads the winner's manifest instead of the flat files.
+        // Without a newer manifest the failure is real and rethrows.
+        case scala.util.control.NonFatal(e)
+            if legacy.nonEmpty && log.resolve().exists(_._1 > baseV) =>
+          ()
+      }
     }
     log.vacuum()
   }

@@ -42,7 +42,10 @@ final class ManifestLog(spark: SparkSession, path: String,
   private[store] val root = new Path(path)
   private[store] val manifestsDir = new Path(root, "manifests")
   private[store] val dataRoot = new Path(root, "data")
-  private[store] def f = Fs.fs(spark, path)
+  // lazy val, not def: each Fs.fs call clones the full Hadoop
+  // Configuration (hundreds of entries) just to hit the FileSystem
+  // cache — per-cell metadata loops were paying O(cells) conf clones
+  private[store] lazy val f = Fs.fs(spark, path)
   private val committer = committerOverride.getOrElse(
     new RenameCommitter(spark, path))
 
@@ -362,7 +365,14 @@ final class ManifestLog(spark: SparkSession, path: String,
     while (attempts < 10) {
       attempts += 1
       val (v, entries) = resolve().getOrElse((0L, Map.empty[String, Seq[String]]))
-      if (tryCommit(v + 1, mutate(entries))) {
+      val next = mutate(entries)
+      // no-op short-circuit: a mutate that yields everything (replay
+      // race lost, fully-yielded compact, rebuild yield) returns its
+      // input unchanged — publishing it anyway would burn a retention
+      // slot and vacuum a REAL old snapshot out from under a pinned
+      // time-travel reader, all for a byte-identical manifest
+      if ((next eq entries) || next == entries) return v
+      if (tryCommit(v + 1, next)) {
         vacuum()
         return v + 1
       }
@@ -432,12 +442,35 @@ final class ManifestLog(spark: SparkSession, path: String,
     val cutoff = System.currentTimeMillis() - olderThanMs
     val orphans = f.listStatus(dataRoot).toSeq
       .filter(st => st.isDirectory &&
-        !referenced.contains(st.getPath.getName) &&
-        st.getModificationTime < cutoff)
+        !referenced.contains(st.getPath.getName))
+      .filter { st =>
+        // object stores report SYNTHETIC directory mtimes (S3A: often
+        // 0), so the dir entry alone cannot prove age — take the newest
+        // timestamp across the dir AND every file under it (an
+        // in-flight writer's staging has fresh FILE mtimes everywhere).
+        // An age that still reads 0 is UNKNOWN, not old: never delete
+        // on unknown age.
+        val newest = newestMtimeUnder(st)
+        newest > 0L && newest < cutoff
+      }
       .map(_.getPath.getName)
     orphans.foreach(d => f.delete(dataPath(d), true))
     orphans
   }
+
+  /** Newest modification time of a dir and everything under it; 0 when
+    * nothing carries a real timestamp, Long.MaxValue (= "fresh, skip")
+    * when the listing fails mid-walk — a dir vanishing under the lister
+    * is being touched by SOMEONE and must not be swept. */
+  private def newestMtimeUnder(
+      st: org.apache.hadoop.fs.FileStatus): Long =
+    try {
+      var newest = st.getModificationTime
+      val it = f.listFiles(st.getPath, true)
+      while (it.hasNext)
+        newest = math.max(newest, it.next().getModificationTime)
+      newest
+    } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
 }
 
 object ManifestLog {

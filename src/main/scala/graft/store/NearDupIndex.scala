@@ -83,7 +83,7 @@ final class NearDupIndex(spark: SparkSession, path: String,
   require(maxDist >= 0 && normChars >= 1, "maxDist/normChars out of range")
 
   private val log = new ManifestLog(spark, path, keepVersions, committer)
-  private def f = Fs.fs(spark, path)
+  private lazy val f = Fs.fs(spark, path)
 
   import NearDupIndex._
 
@@ -134,11 +134,18 @@ final class NearDupIndex(spark: SparkSession, path: String,
     * monitoring) must never rewrite the marker — its parameters are
     * just as unverifiable as anyone's, and pinning THEM would lock
     * out the tuned writer that actually built the store. */
-  private def ensureBuckets(upgradeLegacy: Boolean = false): Unit = {
+  private def ensureBuckets(upgradeLegacy: Boolean = false,
+      createIfMissing: Boolean = true): Unit = {
     val want =
       s"buckets=$buckets;numHashes=$numHashes;" +
         s"rowsPerBand=$rowsPerBand;normChars=$normChars"
-    val stored = Fs.ensureMarker(f, bucketsMarker, want)
+    // createIfMissing = false is the READ-ONLY contract (probe): a
+    // virgin store must not get the PROBER's parameters pinned as its
+    // permanent identity — that locks out the tuned writer that
+    // arrives later — and a probe must work on a read-only filesystem
+    val stored =
+      if (createIfMissing) Fs.ensureMarker(f, bucketsMarker, want)
+      else Fs.readMarker(f, bucketsMarker).getOrElse(want)
     val legacy = stored != want &&
       scala.util.Try(stored.toInt).toOption.contains(buckets)
     require(stored == want || legacy,
@@ -209,7 +216,7 @@ final class NearDupIndex(spark: SparkSession, path: String,
       idCol: String = "doc_id"): DataFrame = {
     requireNoCollisions(batch, WorkingCols)
     requireIntegralId(batch, idCol)
-    ensureBuckets()
+    ensureBuckets(createIfMissing = false)
     val clean = batch.filter(col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("__id"),
         col(textCol).as("__text"), normCol(textCol).as("__t"))

@@ -77,7 +77,7 @@ final class RecordStore(spark: SparkSession, path: String,
   import spark.implicits._
 
   private val log = new ManifestLog(spark, path, keepVersions, committer)
-  private def f = Fs.fs(spark, path)
+  private lazy val f = Fs.fs(spark, path)
 
   /** Append records idempotently: within-batch duplicate (id, time_bucket)
     * pairs collapse to one row, mirroring the dup-tolerant DynamoDB put
@@ -140,11 +140,17 @@ final class RecordStore(spark: SparkSession, path: String,
       f.delete(log.dataPath(dirName), true)
       return
     }
-    log.commitRetry(RecordStore.appendMutate(cells, dirName))
     // every writer maintains the secondary index — hooking here (not in
     // individual callers) keeps the index consistent for push, uploader,
-    // and streaming alike
+    // and streaming alike. Index append comes BEFORE the record commit:
+    // a crash between them then leaves only a harmless duplicate-
+    // tolerated index entry that the replay repeats, whereas the old
+    // commit-then-index order could never be repaired — the replay
+    // dedups the already-committed rows to an empty batch and early-
+    // returns before ever reaching the index append, so lookup() missed
+    // those rows forever.
     workIdIndex.foreach(_.append(finalRows))
+    log.commitRetry(RecordStore.appendMutate(cells, dirName))
   }
 
   def exists: Boolean =
@@ -270,7 +276,7 @@ final class WorkIdIndex(spark: SparkSession, path: String,
     committer: Option[ManifestCommitter] = None) {
 
   private val log = new ManifestLog(spark, path, keepVersions, committer)
-  private def f = Fs.fs(spark, path)
+  private lazy val f = Fs.fs(spark, path)
 
   def exists: Boolean =
     log.hasAny || log.legacyCells(WorkIdIndex.LevelPrefixes).nonEmpty

@@ -45,7 +45,7 @@ final class SketchStore(spark: SparkSession, path: String,
   import SketchStore._
 
   private val log = new ManifestLog(spark, path, keepVersions, committer)
-  private def f = Fs.fs(spark, path)
+  private lazy val f = Fs.fs(spark, path)
 
   def exists: Boolean = log.hasAny
 
@@ -203,7 +203,14 @@ final class SketchStore(spark: SparkSession, path: String,
     }
     if (yielded.size == foldable.size) {
       f.delete(log.dataPath(newDir), true); 0
-    } else dirs.size
+    } else {
+      // a PARTIAL yield (a racing compaction took some cells first)
+      // leaves the yielded cells' old dirs live — report only what this
+      // call actually folded, or a maintenance scheduler gating on the
+      // return value concludes the store collapsed when it didn't
+      val stillLive = yielded.flatMap(snapshot.getOrElse(_, Nil))
+      (dirs -- stillLive).size
+    }
   }
 
   /** Store economics from filesystem metadata only — see

@@ -87,9 +87,37 @@ class GramIndexSpec extends SparkSuite {
     val got = spans(idx.probe(eval))
     assert(got === Seq((99L, 1L, 9L)))
     assert(idx.grams.count() === 3) // probe registered nothing
-    // an empty index probes cleanly too
-    val empty = new GramIndex(spark, tmp(), w = 8, buckets = 8)
+    // an empty index probes cleanly too — and WITHOUT creating the
+    // config marker: a probe of a virgin store must not pin the
+    // PROBER's parameters as the store's identity (that would wedge a
+    // differently-tuned writer arriving later)
+    val emptyPath = tmp()
+    val empty = new GramIndex(spark, emptyPath, w = 8, buckets = 8)
     assert(spans(empty.probe(eval)).isEmpty)
+    val fs = new org.apache.hadoop.fs.Path(emptyPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(emptyPath, "_gramindex")),
+      "probe created a marker on a virgin store")
+    // the real writer then opens with ITS tuning, unobstructed
+    new GramIndex(spark, emptyPath, w = 4, buckets = 16)
+      .ingest(Seq((1L, "t1 t2 t3 t4 t5")).toDF("doc_id", "text"))
+  }
+
+  test("commitRetry is a no-op when mutate yields everything: no new " +
+    "manifest version, no retention slot burned, no vacuum of a real " +
+    "old snapshot") {
+    import spark.implicits._
+    val path = tmp()
+    val idx = new GramIndex(spark, path, w = 8, buckets = 8)
+    idx.ingest(Seq((1L, s"$S x1")).toDF("doc_id", "text"))
+    val log = new ManifestLog(spark, path, 3, None)
+    val v0 = log.currentVersion.get
+    // identity mutate = the fully-yielded compact / lost-replay shape
+    assert(log.commitRetry(identity) === v0,
+      "a no-op mutate must report the current version")
+    assert(log.currentVersion.get === v0,
+      "a no-op mutate must not publish a new manifest")
   }
 
   test("history scan is partition-pruned to the batch's gram buckets") {

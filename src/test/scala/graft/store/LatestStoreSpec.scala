@@ -204,6 +204,35 @@ class LatestStoreSpec extends SparkSuite {
     assert(store.latest.count() === 1)
   }
 
+  test("vacuumOrphans never deletes on UNKNOWN age: an object store's " +
+    "synthetic zero mtimes must not make an in-flight writer's dir " +
+    "look ancient") {
+    val dir = tmpDir("lat-orphan0") + "/t"
+    val store = new LatestStore(spark, dir, nBuckets = 2)
+    store.upsert(batch(Seq(("a", "b")), 100L * day, 1L))
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // an unreferenced dir whose every timestamp reads 0 — what S3A
+    // reports for directories (and a just-created empty marker file)
+    val unknown = new org.apache.hadoop.fs.Path(dir, "data/v0000000044-00000000")
+    f.mkdirs(unknown)
+    f.setTimes(unknown, 0L, -1)
+    assert(store.vacuumOrphans(24 * 3600 * 1000L) === Nil,
+      "zero mtime is unknown age, not old age")
+    assert(f.exists(unknown))
+    // but a dir whose FILES carry old timestamps is provably old even
+    // when the dir entry itself reads 0
+    val old = new org.apache.hadoop.fs.Path(dir, "data/v0000000045-11111111")
+    f.mkdirs(old)
+    val out = f.create(new org.apache.hadoop.fs.Path(old, "part-0"), true)
+    out.write("x".getBytes("UTF-8")); out.close()
+    f.setTimes(new org.apache.hadoop.fs.Path(old, "part-0"),
+      System.currentTimeMillis() - 48 * 3600 * 1000L, -1)
+    f.setTimes(old, 0L, -1)
+    assert(store.vacuumOrphans(24 * 3600 * 1000L) ===
+      Seq("v0000000045-11111111"))
+  }
+
   test("empty store: exists is false and latest is empty") {
     val store = new LatestStore(spark, tmpDir("lat-empty") + "/t")
     assert(!store.exists)

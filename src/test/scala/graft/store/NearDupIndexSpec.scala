@@ -179,6 +179,19 @@ class NearDupIndexSpec extends SparkSuite {
       .probe(Seq((9L, base)).toDF("doc_id", "text")).count()
     assert(marker(p2) === "8",
       "probe must leave the legacy marker untouched")
+    // ... and probing a VIRGIN store must not create a marker at all:
+    // pinning the PROBER's params as the store's permanent identity
+    // would lock out the differently-tuned writer that arrives later
+    val p3 = tmp()
+    val probed = new NearDupIndex(spark, p3, buckets = 16)
+      .probe(Seq((9L, base)).toDF("doc_id", "text"))
+    assert(probed.count() === 0, "virgin store probes as empty")
+    assert(!f.exists(new org.apache.hadoop.fs.Path(p3, "_buckets")),
+      "probe created a marker on a virgin store")
+    // the real writer then opens with ITS tuning, unobstructed
+    new NearDupIndex(spark, p3, buckets = 8)
+      .append(Seq((1L, base)).toDF("doc_id", "text"))
+    assert(marker(p3).startsWith("buckets=8;"))
   }
 
   test("bloom prefilter parity: probe and ingest verdicts identical " +
