@@ -24,12 +24,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a failure must stay LOUD end to end: the old per-query catch
+    // swallowed the error with exit code 0 and left no output dir, which
+    // a compare that iterates existing dirs silently skips — a runtime
+    // regression would make the battery vacuously green (the same class
+    // the unknown-name guard above exists for). Keep draining the other
+    // queries (one regression must not hide the rest of the battery),
+    // but record every failure and exit nonzero at the end.
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -50,5 +59,11 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[verify] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} " +
+          s"FAILED: ${failed.sorted.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

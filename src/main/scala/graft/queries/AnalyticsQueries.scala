@@ -150,13 +150,6 @@ object AnalyticsQueries {
         .orderBy($"c_mktsegment")
     }),
 
-    // Z-order layout audit: interleave two 8-bit key dims into a Morton
-    // key, cut the keyspace into 16 coarse buckets (the file boundaries a
-    // clusterByZOrder write would realize), and report per-bucket min-max
-    // spans of BOTH dims — each bucket's top 4 key bits pin both dims to
-    // a 64-wide quarter, the narrow-span property that lets row-group
-    // stats prune scans filtered on EITHER dimension. Map-side key math +
-    // one hash agg.
     // Hilbert-curve layout audit, the q_zorder pairing: distances along
     // the 8-bit Hilbert curve (native expression — the per-level
     // rotation is data-dependent, no Morton-style mask cascade exists),
@@ -178,6 +171,13 @@ object AnalyticsQueries {
         .orderBy($"bucket")
     }),
 
+    // Z-order layout audit: interleave two 8-bit key dims into a Morton
+    // key, cut the keyspace into 16 coarse buckets (the file boundaries a
+    // clusterByZOrder write would realize), and report per-bucket min-max
+    // spans of BOTH dims — each bucket's top 4 key bits pin both dims to
+    // a 64-wide quarter, the narrow-span property that lets row-group
+    // stats prune scans filtered on EITHER dimension. Map-side key math +
+    // one hash agg.
     "q_zorder" -> ((s, dir) => {
       import s.implicits._
       val x = ($"l_orderkey" % 256).cast("long")

@@ -74,10 +74,16 @@ object ArchiveQueries {
     // J1/C3 — explode day buckets spanned by each interval (record.py:184-192)
     "q_bucket_explode" -> ((s, dir) => {
       import s.implicits._
+      // guard the degenerate end < start: Spark's sequence(a, b) steps
+      // DOWN when b < a while the oracle's generate_series returns
+      // empty — such a row must contribute no buckets in both engines
+      // (the reference validates it away upstream; metadata.py:166-173)
       ev(s, dir)
+        .withColumn("__a", expr("start_ms div 86400000"))
+        .withColumn("__b", expr("coalesce(end_ms, start_ms) div 86400000"))
         .withColumn("time_bucket",
-          explode(sequence(expr("start_ms div 86400000"),
-            expr("coalesce(end_ms, start_ms) div 86400000"))))
+          explode(expr("CASE WHEN __b >= __a THEN sequence(__a, __b) " +
+            "ELSE CAST(array() AS ARRAY<BIGINT>) END")))
         .groupBy($"time_bucket")
         .agg(count(lit(1)).as("n_records"),
           countDistinct($"event_id").as("n_files"))

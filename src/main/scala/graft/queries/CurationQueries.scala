@@ -331,7 +331,7 @@ object CurationQueries {
       val deduped = corpus.join(
         canonical.select($"doc_id"), Seq("doc_id"), "left_semi")
       val withWords = deduped.withColumn("n_words",
-        size(split(trim($"text"), "\\s+")))
+        size(split(trim($"text"), "[ \\t\\n\\x0B\\f\\r]+")))
       val flags = Curation.repetitionStats(deduped, n = 3)
         .select($"doc_id", ($"dup_grams" * 5 > $"n_grams").as("__flagged"))
       val quality = withWords.join(flags, Seq("doc_id"), "left")

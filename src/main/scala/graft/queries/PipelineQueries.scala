@@ -29,8 +29,7 @@ object PipelineQueries {
 
   private def cellIndex(s: SparkSession, dir: String): CellIndex =
     cellIndexCache.getOrElseUpdate(dir, {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft-cellindex-").toString
+      val path = TempDirs.managed("graft-cellindex-").toString
       val idx = new CellIndex(s, path)
       idx.build(Tables.read(s, dir, "embeddings"))
       idx
@@ -45,8 +44,7 @@ object PipelineQueries {
 
   private def learnedIndex(s: SparkSession, dir: String): CellIndex =
     learnedIndexCache.getOrElseUpdate(dir, {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft-cellindex-learned-").toString
+      val path = TempDirs.managed("graft-cellindex-learned-").toString
       val idx = new CellIndex(s, path)
       idx.buildLearned(Tables.read(s, dir, "embeddings"), k = 4, iters = 2)
       idx
@@ -125,8 +123,7 @@ object PipelineQueries {
   private def nearDupProbeIndex(s: SparkSession, dir: String)
       : graft.store.NearDupIndex =
     nearDupProbeCache.getOrElseUpdate(dir, {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft-neardup-probe-").toString
+      val path = TempDirs.managed("graft-neardup-probe-").toString
       val idx = new graft.store.NearDupIndex(s, path)
       idx.append(docs(s, dir))
       idx
@@ -142,8 +139,7 @@ object PipelineQueries {
   private def nearDupIngestIndex(s: SparkSession, dir: String)
       : graft.store.NearDupIndex =
     nearDupIngestCache.getOrElseUpdate(dir, {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft-neardup-ingest-").toString
+      val path = TempDirs.managed("graft-neardup-ingest-").toString
       val idx = new graft.store.NearDupIndex(s, path)
       val d = docs(s, dir)
       idx.ingest(d.filter(col("doc_id") % 2 === 0))
@@ -431,15 +427,7 @@ object PipelineQueries {
       : org.apache.spark.sql.Dataset[graft.operators.MediaAsset] = {
     import s.implicits._
     val p = imageAssetCache.getOrElseUpdate(dir, {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-imgassets-")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        import scala.jdk.CollectionConverters._
-        if (java.nio.file.Files.exists(tmp))
-          java.nio.file.Files.walk(tmp)
-            .sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala
-            .foreach(f => java.nio.file.Files.deleteIfExists(f))
-      }))
+      val tmp = TempDirs.managed("graft-imgassets-")
       val out = tmp.resolve("assets").toString
       Multimodal.renderBlockAssets(imageBlocks(s, dir))
         .write.mode("overwrite").parquet(out)
@@ -496,7 +484,7 @@ object PipelineQueries {
     s"""tok AS (
        |  SELECT doc_id, ('0x' || substring(md5(token), 1, 15))::BIGINT AS h
        |  FROM (SELECT doc_id,
-       |          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+       |          unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS token
        |        FROM $src)),
        |votes AS (
        |  SELECT doc_id,
@@ -521,7 +509,7 @@ object PipelineQueries {
        |      generate_series(1, greatest(len(w) - 2, 1)),
        |      i -> concat_ws(' ', w[i], w[i+1], w[i+2])) AS shingles
        |  FROM (SELECT doc_id,
-       |          string_split_regex(lower(trim(text)), '\\s+') AS w
+       |          string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS w
        |        FROM $src)),
        |sig AS (
        |  SELECT doc_id,

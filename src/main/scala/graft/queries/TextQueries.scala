@@ -29,7 +29,7 @@ object TextQueries {
     import s.implicits._
     val base = docs(s, dir).select(
       $"doc_id", $"lang", expr("n_chars div 100").cast("int").as("size_bucket"),
-      array_distinct(split(lower(trim($"text")), "\\s+")).as("words"))
+      array_distinct(split(lower(trim($"text")), "[ \\t\\n\\x0B\\f\\r]+")).as("words"))
       .withColumn("n_words", size($"words"))
     val words = base.select($"doc_id", $"lang", $"size_bucket", $"n_words",
       explode($"words").as("word"))
@@ -71,15 +71,7 @@ object TextQueries {
 
   private def jaccardEdges(s: SparkSession, dir: String): DataFrame = {
     val p = jaccardEdgesCache.getOrElseUpdate(dir, {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-jedges-")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        import scala.jdk.CollectionConverters._
-        if (java.nio.file.Files.exists(tmp))
-          java.nio.file.Files.walk(tmp)
-            .sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala
-            .foreach(f => java.nio.file.Files.deleteIfExists(f))
-      }))
+      val tmp = TempDirs.managed("graft-jedges-")
       val out = tmp.resolve("edges").toString
       jaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
         .write.mode("overwrite").parquet(out)
@@ -94,15 +86,7 @@ object TextQueries {
   private def clusterTable(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val store = clusterTableCache.getOrElseUpdate(dir, {
-      val p = java.nio.file.Files.createTempDirectory("graft-clusters-")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        import scala.jdk.CollectionConverters._
-        if (java.nio.file.Files.exists(p))
-          java.nio.file.Files.walk(p)
-            .sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala
-            .foreach(f => java.nio.file.Files.deleteIfExists(f))
-      }))
+      val p = TempDirs.managed("graft-clusters-")
       val st = new graft.store.ClusterStore(s, p.toString)
       st.write(graft.operators.Dedup.connectedComponents(
         docs(s, dir).select($"doc_id"),
@@ -126,8 +110,7 @@ object TextQueries {
   private def gramHistoryIndex(s: SparkSession, dir: String)
       : graft.store.GramIndex =
     gramIndexCache.getOrElseUpdate(dir, {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft-gramindex-").toString
+      val path = TempDirs.managed("graft-gramindex-").toString
       val idx = new graft.store.GramIndex(s, path, w = 8, buckets = 64)
       idx.ingest(docs(s, dir).filter(col("doc_id") % 2 === 0))
       idx
@@ -139,8 +122,6 @@ object TextQueries {
     * store. */
   private val sketchStoreCache =
     scala.collection.concurrent.TrieMap.empty[String, graft.store.SketchStore]
-
-  private val SlugRe = "^[a-z0-9_-]+$"
 
   /** The BPE-ish token class shared by q_token_count, q_pack_bins and
     * q_token_budget — one definition so the three token counts can
@@ -211,7 +192,7 @@ object TextQueries {
       docs(s, dir).select(
         $"doc_id",
         length($"text").as("n_chars_actual"),
-        size(split(trim($"text"), "\\s+")).as("n_words"),
+        size(split(trim($"text"), "[ \\t\\n\\x0B\\f\\r]+")).as("n_words"),
         regexp_count($"text", lit("[.,!?;:]")).as("n_punct"),
         regexp_count(lower($"text"), lit(Stopwords)).as("n_stopwords"),
         regexp_count($"text", lit("[0-9]")).as("n_digits"))
@@ -285,7 +266,7 @@ object TextQueries {
       import s.implicits._
       docs(s, dir).select(
         $"doc_id",
-        md5(lower(regexp_replace(trim($"text"), "\\s+", " ")))
+        md5(lower(regexp_replace(trim($"text"), "[ \\t\\n\\x0B\\f\\r]+", " ")))
           .as("fingerprint"))
         .orderBy($"doc_id")
     }),
@@ -384,7 +365,7 @@ object TextQueries {
       val d = docs(s, dir)
       val nDocs = d.count()
       val terms = d
-        .select($"doc_id", explode(split(lower(trim($"text")), "\\s+")).as("word"))
+        .select($"doc_id", explode(split(lower(trim($"text")), "[ \\t\\n\\x0B\\f\\r]+")).as("word"))
         .groupBy($"doc_id", $"word")
         .agg(count(lit(1)).as("tf"))
       val dfreq = terms.groupBy($"word")
@@ -406,7 +387,7 @@ object TextQueries {
     "q_vocab_topk" -> ((s, dir) => {
       import s.implicits._
       docs(s, dir)
-        .select($"doc_id", explode(split(lower(trim($"text")), "\\s+")).as("word"))
+        .select($"doc_id", explode(split(lower(trim($"text")), "[ \\t\\n\\x0B\\f\\r]+")).as("word"))
         .groupBy($"word")
         .agg(count(lit(1)).as("term_freq"),
           countDistinct($"doc_id").as("doc_freq"))
@@ -422,7 +403,7 @@ object TextQueries {
     "q_hll_registers" -> ((s, dir) => {
       import s.implicits._
       val words = docs(s, dir).select($"source",
-        explode(split(lower(trim($"text")), "\\s+")).as("word"))
+        explode(split(lower(trim($"text")), "[ \\t\\n\\x0B\\f\\r]+")).as("word"))
       graft.operators.Hll.registers(words, Seq("source"), "word")
         .orderBy($"source", $"bucket")
     }),
@@ -433,7 +414,7 @@ object TextQueries {
     "q_hll_estimate" -> ((s, dir) => {
       import s.implicits._
       val words = docs(s, dir).select($"source",
-        explode(split(lower(trim($"text")), "\\s+")).as("word"))
+        explode(split(lower(trim($"text")), "[ \\t\\n\\x0B\\f\\r]+")).as("word"))
       val regs = graft.operators.Hll.registers(words, Seq("source"), "word")
       val ind = graft.operators.Hll.indicator(regs, Seq("source"))
       val exact = words.groupBy($"source")
@@ -490,13 +471,12 @@ object TextQueries {
     "q_hll_store" -> ((s, dir) => {
       import s.implicits._
       val store = sketchStoreCache.getOrElseUpdate(dir, {
-        val path = java.nio.file.Files
-          .createTempDirectory("graft-sketchstore-").toString
+        val path = TempDirs.managed("graft-sketchstore-").toString
         val st = new graft.store.SketchStore(s, path,
           graft.store.SketchStore.HllKind)
         def regs(half: Long) = graft.operators.Hll.registers(
           docs(s, dir).filter($"doc_id" % 2 === half)
-            .select($"source", explode(split(lower(trim($"text")), "\\s+"))
+            .select($"source", explode(split(lower(trim($"text")), "[ \\t\\n\\x0B\\f\\r]+"))
               .as("word")),
           Seq("source"), "word").withColumnRenamed("source", "group")
         st.ingest(regs(0L), "even-half")
@@ -516,7 +496,7 @@ object TextQueries {
     "q_hll_union" -> ((s, dir) => {
       import s.implicits._
       val words = docs(s, dir).select($"source",
-        explode(split(lower(trim($"text")), "\\s+")).as("word"))
+        explode(split(lower(trim($"text")), "[ \\t\\n\\x0B\\f\\r]+")).as("word"))
       val perSource = graft.operators.Hll.registers(words, Seq("source"), "word")
       graft.operators.Hll.merge(perSource, Seq.empty)
         .orderBy($"bucket")
@@ -573,7 +553,7 @@ object TextQueries {
     "q_kmv_registers" -> ((s, dir) => {
       import s.implicits._
       val words = docs(s, dir).select($"source",
-        explode(split(lower(trim($"text")), "\\s+")).as("word"))
+        explode(split(lower(trim($"text")), "[ \\t\\n\\x0B\\f\\r]+")).as("word"))
       graft.operators.Kmv.sketch(words, Seq("source"), "word")
         .select($"source", posexplode($"kmv").as(Seq("rank", "h")))
         .orderBy($"source", $"rank")
@@ -585,7 +565,7 @@ object TextQueries {
     "q_kmv_estimate" -> ((s, dir) => {
       import s.implicits._
       val words = docs(s, dir).select($"source",
-        explode(split(lower(trim($"text")), "\\s+")).as("word"))
+        explode(split(lower(trim($"text")), "[ \\t\\n\\x0B\\f\\r]+")).as("word"))
       val sk = graft.operators.Kmv.sketch(words, Seq("source"), "word")
       val exact = words.groupBy($"source")
         .agg(countDistinct($"word").as("n_exact"))
@@ -606,7 +586,7 @@ object TextQueries {
     "q_kmv_jaccard" -> ((s, dir) => {
       import s.implicits._
       val words = docs(s, dir).select($"source",
-        explode(split(lower(trim($"text")), "\\s+")).as("word"))
+        explode(split(lower(trim($"text")), "[ \\t\\n\\x0B\\f\\r]+")).as("word"))
       val ws = words.distinct()
       val sk = graft.operators.Kmv.sketch(words, Seq("source"), "word")
       val a = sk.select($"source".as("src_a"), $"kmv".as("kmv_a"))
@@ -705,10 +685,16 @@ object TextQueries {
     "q_minhash_sig" -> ((s, dir) => {
       import s.implicits._
       val shingles = docs(s, dir)
-        .withColumn("w", split(lower(trim($"text")), "\\s+"))
+        .withColumn("w", split(lower(trim($"text")), "[ \\t\\n\\x0B\\f\\r]+"))
+        // try_element_at (1-based), not w[i+1]: under Spark 4's default
+        // ANSI mode an out-of-bounds array index THROWS, so a 1-2-token
+        // doc would fail the query where the DuckDB oracle's list index
+        // yields NULL and concat_ws skips it — try_element_at returns
+        // the same NULL, keeping the partial-shingle parity
         .select($"doc_id", explode(expr(
           "transform(sequence(0, greatest(size(w) - 3, 0)), " +
-            "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("s"))
+            "i -> concat_ws(' ', try_element_at(w, i+1), " +
+            "try_element_at(w, i+2), try_element_at(w, i+3)))")).as("s"))
       val minCols = (0 until 8).map { k =>
         min(md5(concat($"s", lit(s"#$k")))).as(s"h$k")
       }
@@ -782,7 +768,7 @@ object TextQueries {
     }.mkString(",\n")
     s"""words AS (
        |  SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
-       |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+       |    SELECT unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS word
        |    FROM documents)
        |  WHERE length(word) > 0 GROUP BY word),
        |w0 AS (
@@ -811,7 +797,7 @@ object TextQueries {
     // happens to start with '|' — e.g. a leading '||' concat operator
     val rep0 =
       "(SELECT array_to_string(list_transform(" +
-        "filter(string_split_regex(lower(trim(text)), '\\s+'), " +
+        "filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'), " +
         "w -> length(w) > 0), " +
         "w -> array_to_string(list_transform(string_split(w, ''), " +
         "c -> chr(30) || c || chr(31)), '') " +
@@ -843,7 +829,7 @@ object TextQueries {
   private def tokenPackOracle(k: Int, capacity: Long): String = {
     val rep0 =
       "(SELECT array_to_string(list_transform(" +
-        "filter(string_split_regex(lower(trim(text)), '\\s+'), " +
+        "filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'), " +
         "w -> length(w) > 0), " +
         "w -> array_to_string(list_transform(string_split(w, ''), " +
         "c -> chr(30) || c || chr(31)), '') " +
@@ -955,7 +941,7 @@ object TextQueries {
     }
     s"""WITH base AS (
        |  SELECT doc_id, lang, CAST(n_chars // 100 AS INT) AS size_bucket,
-       |    list_distinct(string_split_regex(lower(trim(text)), '\\s+'))
+       |    list_distinct(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'))
        |      AS words
        |  FROM documents),
        |pairs AS (

@@ -79,6 +79,12 @@ def main(out_dir, sf_dir):
 
     failures, passed, rows_only, nonint = [], 0, 0, []
     names = sorted(d.name for d in out_dir.iterdir() if d.is_dir())
+    # every oracle key must have an output dir: a query that threw inside
+    # Verify leaves none, and iterating only existing dirs would skip it
+    # silently — the vacuously-green failure mode this gate exists to stop
+    for missing in sorted(set(oracle) - set(names)):
+        failures.append((missing, "no output dir — the Spark query failed "
+                                  "or was never run"))
     for name in names:
         files = list((out_dir / name).glob("*.parquet"))
         if not files:
