@@ -24,24 +24,23 @@ object TextQueries {
     * shape as LSH banding). Threshold 4·|∩| ≥ |∪| (J ≥ 0.25) in exact
     * integer arithmetic. ONE copy shared by `q_ngram_jaccard` (which
     * reports the sizes), `q_dedup_clusters` and `q_canonical_select`
-    * (which consume the edges) — same edges, three downstream uses. */
+    * (which consume the edges) — same edges, three downstream uses.
+    *
+    * r13 (VERDICT r12 #1): candidates come from prefix filtering
+    * ([[graft.operators.Dedup.jaccardSelfJoin]]) instead of joining on
+    * every token — the old join had no document-frequency defense, so
+    * stopword hot keys ("the" in nearly every doc of a block) generated
+    * per-block-quadratic candidate volume, the first thing to die at
+    * 100×. Prefix filtering is provably lossless at the J ≥ 0.25
+    * threshold and the exact integer verify keeps the output
+    * bit-identical to the old formulation. */
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val base = docs(s, dir).select(
       $"doc_id", $"lang", expr("n_chars div 100").cast("int").as("size_bucket"),
       array_distinct(split(lower(trim($"text")), "[ \\t\\n\\x0B\\f\\r]+")).as("words"))
-      .withColumn("n_words", size($"words"))
-    val words = base.select($"doc_id", $"lang", $"size_bucket", $"n_words",
-      explode($"words").as("word"))
-    val a = words.toDF("doc_a", "lang", "size_bucket", "n_a", "word")
-    val b = words.toDF("doc_b", "lang", "size_bucket", "n_b", "word")
-    a.join(b, Seq("lang", "size_bucket", "word"))
-      .filter($"doc_a" < $"doc_b")
-      .groupBy($"doc_a", $"doc_b", $"n_a", $"n_b")
-      .agg(count(lit(1)).cast("int").as("inter_size"))
-      .select($"doc_a", $"doc_b", $"inter_size",
-        ($"n_a" + $"n_b" - $"inter_size").as("union_size"))
-      .filter($"inter_size" * 4 >= $"union_size")
+    graft.operators.Dedup.jaccardSelfJoin(
+      base, "doc_id", "words", Seq("lang", "size_bucket"), num = 1, den = 4)
   }
 
   /** One materialized cluster-assignment table per scale-factor dir
