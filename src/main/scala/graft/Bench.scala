@@ -152,6 +152,15 @@ object Bench {
     // minutes later, when a burst has likely passed — and BOTH numbers
     // are recorded so the reader can see the burst rather than infer it.
     val (prev, rerunBase) = previousRun(new java.io.File("."), sfTag(sfDir))
+    // the base's own run quality, stamped into both output lines so a
+    // reader can judge the 3x threshold's footing (VERDICT r12 #1: an
+    // inflated base weakens the outlier test exactly when it's needed)
+    val rerunBaseSteal =
+      if (rerunBase == "none") -1.0
+      else (try Some(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(rerunBase)), "UTF-8"))
+        catch { case _: Throwable => None })
+        .flatMap(maxSteal).getOrElse(-1.0)
     val rerun = scala.collection.mutable.Map.empty[String, Double]
     for (name <- outliersToRerun(best.toMap, failedQ.toSet, prev)) {
       val before = best(name)
@@ -177,7 +186,8 @@ object Bench {
     // an error can never improve the reported aggregate
     val failedCount = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"load":$loads,"outlier_rerun":$reruns,"rerun_base":"$rerunBase","passes":$stamp,"failed":$failedCount,"sf":"$sfDir"}"""
+    var archived = false
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"load":$loads,"outlier_rerun":$reruns,"rerun_base":"$rerunBase","rerun_base_steal":$rerunBaseSteal%.1f,"passes":$stamp,"failed":$failedCount,"sf":"$sfDir"}"""
     // The full per-query/load/rerun line goes ONLY to BENCH_LOCAL.json
     // (VERDICT r10 #4): printing the ~8 KB map to stdout — first OR
     // last — overflowed the driver's fixed-size tail capture five rounds
@@ -185,12 +195,32 @@ object Bench {
     // summary line below. A per-round archive copy survives the next
     // run's overwrite — it is the next run's outlier-comparison base
     // (VERDICT r11 #1 / missing #3).
-    for (f <- Seq("BENCH_LOCAL.json", archiveName(new java.io.File("."),
-        sfTag(sfDir)))) {
+    try java.nio.file.Files.write(java.nio.file.Paths.get(
+      "BENCH_LOCAL.json"), (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH_LOCAL.json: $e") }
+    // the round archive is PROTECTED best-of-by-steal (VERDICT r12
+    // missing #1): a steal-contaminated run must not clobber a cleaner
+    // same-round archive — r12's driver run (steal 12-15 s/pass) replaced
+    // the builder's clean 96 s base and would have inflated r13's 3x
+    // outlier threshold by ~1.27x. The dirty run is still fully recorded
+    // in BENCH_LOCAL.json and the driver's own artifact.
+    val archive = archiveName(new java.io.File("."), sfTag(sfDir))
+    val incumbent =
+      try Some(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(archive)), "UTF-8"))
+      catch { case _: Throwable => None }
+    archived = shouldReplaceArchive(incumbent, line)
+    if (archived) {
       try java.nio.file.Files.write(
-        java.nio.file.Paths.get(f), (line + "\n").getBytes("UTF-8"))
+        java.nio.file.Paths.get(archive), (line + "\n").getBytes("UTF-8"))
       catch { case e: Throwable =>
-        System.err.println(s"[bench] could not write $f: $e") }
+        archived = false
+        System.err.println(s"[bench] could not write $archive: $e") }
+    } else {
+      System.err.println(s"[bench] keeping cleaner incumbent $archive " +
+        s"(incumbent steal ${incumbent.flatMap(maxSteal).getOrElse(-1.0)} s" +
+        s" vs this run's ${maxSteal(line).getOrElse(-1.0)} s)")
     }
     // Stop BEFORE the final line so Spark's shutdown logging cannot land
     // after it: the LAST stdout line (before sbt's own footer) is then
@@ -198,7 +228,7 @@ object Bench {
     // `run / outputStrategy := StdoutOutput` in build.sbt.
     // BENCH_LOCAL.json holds the full per-query/load/rerun detail.
     spark.stop()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failedCount,"rerun_base":"$rerunBase","reran":${rerun.size},"passes":$stamp,"sf":"$sfDir","full":"BENCH_LOCAL.json"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failedCount,"rerun_base":"$rerunBase","rerun_base_steal":$rerunBaseSteal%.1f,"reran":${rerun.size},"archived":$archived,"passes":$stamp,"sf":"$sfDir","full":"BENCH_LOCAL.json"}""")
   }
 
   final case class PassStamp(
@@ -279,6 +309,60 @@ object Bench {
       .collectFirst { case hit => hit }
       .getOrElse((Map.empty, "none"))
   }
+
+  /** Worst per-pass steal seconds in a bench line's run-quality stamp —
+    * the one number that says "this run was taken under hypervisor
+    * contention". None when the text has no parsable pass with a
+    * non-negative `steal_sec` (pre-r12 lines, off-Linux runs, driver
+    * wrappers with a truncated tail). Checks a top-level `passes` first,
+    * then a bench line embedded in a driver `tail`. */
+  def maxSteal(text: String): Option[Double] = {
+    import org.json4s._
+    def fromPasses(v: JValue): Option[Double] = v \ "passes" match {
+      case JArray(ps) =>
+        val steals = ps.flatMap(p => p \ "steal_sec" match {
+          case JDouble(x) => Some(x)
+          case JDecimal(x) => Some(x.toDouble)
+          case JInt(x) => Some(x.toDouble)
+          case _ => None
+        }).filter(_ >= 0)
+        if (steals.isEmpty) None else Some(steals.max)
+      case _ => None
+    }
+    try {
+      val v = org.json4s.jackson.JsonMethods.parse(text)
+      fromPasses(v).orElse(v \ "tail" match {
+        case JString(tail) =>
+          """\{"metric":"total"""".r.findAllMatchIn(tail).map(_.start)
+            .toSeq.reverse.iterator
+            .flatMap(i => balancedJson(tail, i).flatMap(s =>
+              try fromPasses(org.json4s.jackson.JsonMethods.parse(s))
+              catch { case _: Throwable => None }))
+            .collectFirst { case hit => hit }
+        case _ => None
+      })
+    } catch { case _: Throwable => None }
+  }
+
+  /** Archive-protection policy (VERDICT r12 missing #1): may `newLine`
+    * replace the incumbent same-round archive? Yes when there is no
+    * incumbent, the incumbent's run quality is unknown, or the new run
+    * is at least as clean; NO only when both steal stamps parse and the
+    * new run's worst-pass steal is materially higher (> incumbent +
+    * `marginSec`) — best-of-by-steal with a tolerance so two clean runs
+    * keep the newer (fresher code) line. A new run with UNKNOWN steal
+    * never displaces a known-clean incumbent. */
+  def shouldReplaceArchive(
+      incumbent: Option[String],
+      newLine: String,
+      marginSec: Double = 1.0): Boolean =
+    incumbent.flatMap(maxSteal) match {
+      case None => true
+      case Some(inc) => maxSteal(newLine) match {
+        case Some(nw) => nw <= inc + marginSec
+        case None => false
+      }
+    }
 
   /** Per-query seconds + sf tag from one artifact's text. Accepts a bare
     * bench line, a driver wrapper with a (future) top-level `"queries"`,

@@ -15,6 +15,12 @@ object Verify {
     require(unknown.isEmpty,
       s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")} — " +
         "a typo here would emit an empty (vacuously green) battery")
+    // run-quality stamp (VERDICT r12 polish #6): Verify runs the same
+    // queries the bench does, so carrying the steal counter here makes a
+    // slow-but-green correctness run distinguishable from a hung one —
+    // and a contaminated box visible in the driver's verify log too.
+    val steal0 = Bench.stealTicks()
+    val wall0 = System.nanoTime()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -59,6 +65,11 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    val stealSec = (for (a <- steal0; b <- Bench.stealTicks())
+      yield (b - a) / Bench.userHz).getOrElse(-1.0)
+    System.err.println(f"[verify] wall ${(System.nanoTime() - wall0) / 1e9}%.1f s, " +
+      f"steal $stealSec%.1f s (nonzero steal = external contention, not a " +
+      "slow battery)")
     if (failed.nonEmpty) {
       System.err.println(
         s"[verify] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} " +

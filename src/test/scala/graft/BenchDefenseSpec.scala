@@ -157,4 +157,44 @@ class BenchDefenseSpec extends AnyFunSuite {
     assert(Bench.parseBenchLine("not json") === None)
     assert(Bench.parseBenchLine("""{"queries":{}}""") === None)
   }
+
+  private def stamped(steals: Double*): String = {
+    val ps = steals.map(s =>
+      s"""{"wall":100.0,"job_sum":90.0,"steal_sec":$s,"load_end":30.0}""")
+      .mkString("[", ",", "]")
+    s"""{"metric":"total","value":96.1,"unit":"sec","queries":{"q":1.0},""" +
+      s""""passes":$ps,"failed":0,"sf":"/root/testdata/sf0.1"}"""
+  }
+
+  test("maxSteal: worst pass wins; unknown (-1) stamps and stampless " +
+    "lines report None; driver-tail-embedded stamps parse") {
+    assert(Bench.maxSteal(stamped(0.2, 12.1)) === Some(12.1))
+    assert(Bench.maxSteal(stamped(-1.0, -1.0)) === None)
+    assert(Bench.maxSteal(stamped(-1.0, 0.3)) === Some(0.3))
+    assert(Bench.maxSteal("""{"metric":"total","value":1.0}""") === None)
+    assert(Bench.maxSteal("not json") === None)
+    val tail = stamped(5.5).replace("\\", "\\\\").replace("\"", "\\\"")
+    assert(Bench.maxSteal(s"""{"n":12,"tail":"noise $tail more"}""") ===
+      Some(5.5))
+  }
+
+  test("archive protection: a steal-contaminated run cannot replace a " +
+    "clean same-round archive (the r12 clobber, VERDICT r12 #1)") {
+    val clean = stamped(0.2, 0.1) // the builder's committed clean base
+    val dirty = stamped(12.1, 14.8) // the driver's contaminated run
+    assert(!Bench.shouldReplaceArchive(Some(clean), dirty),
+      "dirty must not clobber clean")
+    assert(Bench.shouldReplaceArchive(Some(dirty), clean),
+      "a cleaner rerun reclaims the archive")
+    // two clean runs: keep the newer line (fresher code) within margin
+    assert(Bench.shouldReplaceArchive(Some(stamped(0.1)), stamped(0.8)))
+    // no incumbent / unparsable incumbent: archive freely
+    assert(Bench.shouldReplaceArchive(None, dirty))
+    assert(Bench.shouldReplaceArchive(Some("not json"), dirty))
+    assert(Bench.shouldReplaceArchive(Some(stamped(-1.0)), dirty),
+      "incumbent with unknown quality is replaceable")
+    // a new run with UNKNOWN steal never displaces a known-clean base
+    assert(!Bench.shouldReplaceArchive(Some(clean),
+      """{"metric":"total","value":1.0,"sf":"sf0.1"}"""))
+  }
 }

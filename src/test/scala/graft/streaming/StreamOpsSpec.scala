@@ -891,4 +891,95 @@ class StreamOpsSpec extends SparkSuite {
     assert(got.exists(r => r._1 == 2L && r._3.contains("too_few_words")))
     assert(got.exists(r => r._1 == 3L && r._3.contains("repetition")))
   }
+
+  test("streaming leak gate: gate/exact/near-dup/span/semantic drains " +
+    "leave no persisted non-checkpoint frames") {
+    // VERDICT r12 #4: LeakFreeBatterySpec covers the 121 BATCH queries,
+    // but the r12 leak find (winnowPairs' corpus-order checkpoint) was
+    // in operator code reached via STREAMING. Drain each pipeline entry
+    // point, then assert the LeakFreeBatterySpec contract: after stop(),
+    // getPersistentRDDs may hold only locally-checkpointed blocks (the
+    // sanctioned frame-freezing tool, reclaimed by the ContextCleaner);
+    // a bare .persist() surviving a drain is a leak that lives until
+    // the streaming driver dies — days, at 1000-executor scale.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def cleanSlate(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.catalog.clearCache()
+    }
+    def assertNoLeak(label: String): Unit = {
+      val leaked = spark.sparkContext.getPersistentRDDs.values
+        .filterNot(_.isCheckpointed)
+      assert(leaked.isEmpty, s"$label drain leaked ${leaked.size} " +
+        s"persisted non-checkpoint RDD(s): " +
+        leaked.map(_.name).mkString(", "))
+    }
+    def ckpt(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+
+    cleanSlate()
+    locally { // gate
+      val input = MemoryStream[(Long, String)]
+      val q = StreamOps.qualityGateStream(
+        input.toDF().toDF("doc_id", "text"), ckpt("leak-gate"),
+        CurateGate) { (out, _) => out.count(); () }
+      input.addData((1L, CurateBase), (2L, "tiny"))
+      q.processAllAvailable(); q.stop()
+      assertNoLeak("gate")
+    }
+
+    cleanSlate()
+    locally { // exact history
+      val input = MemoryStream[(java.sql.Timestamp, Long, String, String)]
+      val idx = new graft.store.FingerprintIndex(spark,
+        ckpt("leak-fp"), buckets = 8)
+      val q = StreamOps.curateWithHistory(
+        input.toDF().toDF("ts", "doc_id", "text", "lang"), idx,
+        boilerplate = Seq.empty, checkpointDir = ckpt("leak-fp-ck"),
+        minWords = 3) { (out, _) => out.count(); () }
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      input.addData((t0, 1L, CurateBase, "en"), (t0, 2L, CurateBase, "en"))
+      q.processAllAvailable(); q.stop()
+      assertNoLeak("exact")
+    }
+
+    cleanSlate()
+    locally { // near-dup history
+      val input = MemoryStream[(java.sql.Timestamp, Long, String, String)]
+      val exact = new graft.store.FingerprintIndex(spark,
+        ckpt("leak-nd-fp"), buckets = 8)
+      val near = new graft.store.NearDupIndex(spark,
+        ckpt("leak-nd"), buckets = 8)
+      val q = StreamOps.curateWithNearDupHistory(
+        input.toDF().toDF("ts", "doc_id", "text", "lang"), exact, near,
+        boilerplate = Seq.empty, checkpointDir = ckpt("leak-nd-ck"),
+        minWords = 3) { (out, _) => out.count(); () }
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      input.addData((t0, 1L, CurateBase, "en"),
+        (t0, 2L, CurateBase.replace("fox", "zesty"), "en"))
+      q.processAllAvailable(); q.stop()
+      assertNoLeak("near-dup")
+    }
+
+    cleanSlate()
+    locally { // span + semantic (the full five-stage pipeline, with the
+      // between-batch maintenance sweep — compaction must not pin either)
+      val st = freshCurateStores()
+      val input = MemoryStream[(Long, String, Array[Float])]
+      val q = StreamOps.curateAllWithHistory(
+        input.toDF().toDF("doc_id", "text", "embedding"),
+        st.exact, st.near, st.grams, st.cell, boilerplate = Seq.empty,
+        checkpointDir = ckpt("leak-all-ck"), minKeptTokens = 3,
+        thresholdMicro = 900000L, gate = Some(CurateGate),
+        maintenanceEvery = 1) { (out, _) => out.count(); () }
+      input.addData(curateSeed: _*)
+      q.processAllAvailable()
+      input.addData(curateVictim: _*)
+      q.processAllAvailable()
+      q.stop()
+      assertNoLeak("span+semantic")
+    }
+    cleanSlate()
+  }
 }
