@@ -411,9 +411,13 @@ object Dedup {
     * every prefix with more than `ceil(n*num/den) - 1` tokens, which
     * kills the hot join keys: candidate volume tracks the RARE-token df
     * distribution, not the stopword one. A length filter
-    * (`den*min(|x|,|y|) >= num*max`) prunes size-incompatible survivors
-    * before the distinct. All arithmetic is integer-exact (num/den is a
-    * rational threshold), so candidates are deterministic.
+    * (`den*min(|x|,|y|) >= num*max`) and the PPJoin positional filter
+    * (at a shared token ranked r_x/r_y, overlap cannot exceed
+    * `1 + min(|x|-r_x, |y|-r_y)`, which must reach
+    * `ceil(num*(|x|+|y|)/(num+den))`; every qualifying pair keeps its
+    * FIRST-shared-token row) prune survivors before the distinct. All
+    * arithmetic is integer-exact (num/den is a rational threshold), so
+    * candidates are deterministic.
     *
     * `base` must carry one row per record: `idCol`, the `blockCols` a
     * pair must agree on (pairs crossing blocks are out of scope by
@@ -426,6 +430,24 @@ object Dedup {
     * blowup of the naive join cannot occur because a token with df above
     * a record's rare-token count never becomes a key. */
   def prefixFilterCandidates(
+      base: DataFrame,
+      idCol: String,
+      wordsCol: String,
+      blockCols: Seq[String],
+      num: Int,
+      den: Int): DataFrame = {
+    val prefix = prefixPinned(base, idCol, wordsCol, blockCols, num, den)
+    try rawCandidates(prefix, idCol, blockCols, num, den)
+      .localCheckpoint(true)
+    finally Checkpoints.release(prefix)
+  }
+
+  /** The df-ordered prefix table, MATERIALIZED (the winnowPairs barrier
+    * discipline): it fans out into both self-join sides, and without the
+    * pin the whole scan → explode → df-agg → df-join → rank-window
+    * pipeline runs TWICE — measured ~2x the candidate cost at sf0.1.
+    * Callers must release it once their result is pinned. */
+  private def prefixPinned(
       base: DataFrame,
       idCol: String,
       wordsCol: String,
@@ -450,28 +472,54 @@ object Dedup {
     val ranked = words.join(dfreq, "__w")
       .withColumn("__rank", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("__df"), col("__w"))))
-    val prefix = ranked.filter(col("__rank") <= col("__plen"))
+    ranked.filter(col("__rank") <= col("__plen"))
       .select((col(idCol) +: blockCols.map(col) :+ col("__n") :+
-        col("__w")): _*)
-    val a = prefix.toDF(("doc_a" +: blockCols :+ "n_a" :+ "__w"): _*)
-    val b = prefix.toDF(("doc_b" +: blockCols :+ "n_b" :+ "__w"): _*)
+        col("__rank") :+ col("__w")): _*)
+      .localCheckpoint(true)
+  }
+
+  /** Lazy candidate pairs over a pinned prefix table — shared by
+    * [[prefixFilterCandidates]] (which pins the result) and
+    * [[jaccardSelfJoin]] (whose verify consumes the candidates exactly
+    * once, so a second barrier would only add a write). */
+  private def rawCandidates(
+      prefix: DataFrame,
+      idCol: String,
+      blockCols: Seq[String],
+      num: Int,
+      den: Int): DataFrame = {
+    val a = prefix.toDF(("doc_a" +: blockCols :+ "n_a" :+ "r_a" :+ "__w"): _*)
+    val b = prefix.toDF(("doc_b" +: blockCols :+ "n_b" :+ "r_b" :+ "__w"): _*)
     a.join(b, blockCols :+ "__w")
       .filter(col("doc_a") < col("doc_b"))
       // length filter: J >= num/den forces den*min(|x|,|y|) >= num*max
       .filter(least(col("n_a"), col("n_b")) * den >=
         greatest(col("n_a"), col("n_b")) * num)
+      // positional filter (PPJoin): J >= num/den forces the overlap
+      // alpha = ceil(num*(n_a+n_b)/(num+den)); all common tokens besides
+      // this one sit AFTER rank r_a in x and r_b in y (same global
+      // order), so overlap <= 1 + min(n_a - r_a, n_b - r_b). Rows where
+      // even that bound misses alpha cannot be a qualifying pair's FIRST
+      // shared token — and every qualifying pair keeps its first-token
+      // row, so the distinct below still sees it (lossless, integer-
+      // exact: a*(num+den) >= num*(n_a+n_b) <=> a >= alpha)
+      .filter((lit(1) + least(col("n_a") - col("r_a"),
+        col("n_b") - col("r_b"))) * (num + den) >=
+        (col("n_a") + col("n_b")) * num)
       .select(col("doc_a"), col("doc_b"))
       .distinct()
   }
 
   /** Exact Jaccard self-join: [[prefixFilterCandidates]] to generate a
     * lossless candidate superset, then an exact verify — join each
-    * candidate pair back to its two word sets and compute
-    * `|∩| = size(array_intersect)` (codegen'd; the pair table is
+    * candidate pair back to its two word sets (sorted ONCE at source)
+    * and compute `|∩|` with the zero-allocation codegen'd merge
+    * [[graft.functions.SortedIntersectSizeExpr]]; the pair table is
     * candidate-proportional, so the two id-keyed verify joins are
-    * linear). Keeps exactly the pairs with `inter*den >= union*num`
-    * (J >= num/den) in integer arithmetic — bit-identical to the naive
-    * join-on-every-token formulation, without its stopword quadratic.
+    * linear (and broadcast when the set table is small). Keeps exactly
+    * the pairs with `inter*den >= union*num` (J >= num/den) in integer
+    * arithmetic — bit-identical to the naive join-on-every-token
+    * formulation, without its stopword quadratic.
     * Returns `(doc_a, doc_b, inter_size, union_size)`. */
   def jaccardSelfJoin(
       base: DataFrame,
@@ -480,19 +528,27 @@ object Dedup {
       blockCols: Seq[String],
       num: Int = 1,
       den: Int = 4): DataFrame = {
-    val cands = prefixFilterCandidates(base, idCol, wordsCol, blockCols,
-      num, den)
-    val sets = base.select(col(idCol), size(col(wordsCol)).as("__n"),
-      col(wordsCol).as("__ws"))
-    cands
-      .join(sets.toDF("doc_a", "n_a", "w_a"), "doc_a")
-      .join(sets.toDF("doc_b", "n_b", "w_b"), "doc_b")
-      .withColumn("inter_size",
-        size(array_intersect(col("w_a"), col("w_b"))))
-      .filter(col("inter_size") * den >=
-        (col("n_a") + col("n_b") - col("inter_size")) * num)
-      .select(col("doc_a"), col("doc_b"), col("inter_size"),
-        (col("n_a") + col("n_b") - col("inter_size")).as("union_size"))
+    val prefix = prefixPinned(base, idCol, wordsCol, blockCols, num, den)
+    try {
+      val cands = rawCandidates(prefix, idCol, blockCols, num, den)
+      val sets = base.select(col(idCol), size(col(wordsCol)).as("__n"),
+        sort_array(col(wordsCol)).as("__ws"))
+      cands
+        .join(sets.toDF("doc_a", "n_a", "w_a"), "doc_a")
+        .join(sets.toDF("doc_b", "n_b", "w_b"), "doc_b")
+        .withColumn("inter_size",
+          graft.functions.functions.sortedIntersectSize(
+            col("w_a"), col("w_b")))
+        .filter(col("inter_size") * den >=
+          (col("n_a") + col("n_b") - col("inter_size")) * num)
+        .select(col("doc_a"), col("doc_b"), col("inter_size"),
+          (col("n_a") + col("n_b") - col("inter_size")).as("union_size"))
+        // eager result checkpoint + prefix release, the winnowPairs
+        // shape: the pair table is the OUTPUT (pair-proportional by
+        // definition), and consumers re-sort or iterate over it —
+        // re-reading blocks, never re-running the verify
+        .localCheckpoint(true)
+    } finally Checkpoints.release(prefix)
   }
 
   /** MinHash-LSH candidate pairs on top of the md5 minhash signatures

@@ -81,28 +81,26 @@ class PrefixJoinSpec extends SparkSuite {
     //     rank order by (df asc, word) = 9 uniques, then "of" at rank 10,
     //     "a"/"the" at 11/12 → prefix = uniques + "of";
     //   docs without have n=11 → plen = 9 → uniques only.
-    // So the ONLY shared key is "of" among its ~200 carriers: candidates
-    // are exactly C(nOf,2) ≈ 20k, two orders of magnitude under the old
-    // 2M — the assert pins the exact count so a regression back to
-    // every-token joining is unmissable. The exact verify then drops all
-    // of them (inter={the,a,of}=3, union=21, J=1/7 < 1/4).
+    // So the ONLY shared key is "of" among its ~200 carriers — the pure
+    // prefix bound would be C(nOf,2) ≈ 20k, two orders of magnitude
+    // under the old 2M. The positional filter then kills even those:
+    // "of" sits at rank 10 of n=12 on both sides, so the best remaining
+    // overlap is 1 + min(12-10, 12-10) = 3 < alpha = ceil(24/5) = 5 —
+    // no qualifying pair can have "of" as its first shared token, and
+    // the uniques are unshared, so candidates are exactly ZERO where
+    // every-token joining produced ~2M. The assert pins the count so a
+    // regression to hot-key joining is unmissable.
     val rnd = new scala.util.Random(7)
     val rows = (1L to 2000L).map { id =>
       val stops = Seq("the", "a") ++ (if (rnd.nextInt(10) == 0) Seq("of") else Seq())
       (id, "en", 0, stops ++ (1 to 9).map(k => s"uniq${id}x$k"))
     }
-    val nOf = rows.count(_._4.contains("of"))
     val cands = Dedup.prefixFilterCandidates(
       mkBase(rows), "doc_id", "words", Seq("lang", "size_bucket"), 1, 4)
     val got = cands.count()
-    // docs WITH "of": n=12, plen=10, ranks: 9 uniques (df=1) then "of"
-    // (df≈200) at rank 10 → "of" is a key. docs WITHOUT: n=11,
-    // plen=11-3+1=9 → uniques only, no shared keys. So candidates are
-    // exactly C(nOf, 2) — and NONE survive the exact verify (J≈3/21).
-    assert(got === nOf.toLong * (nOf - 1) / 2,
-      s"candidate count $got; expected C($nOf,2); every-token joining " +
+    assert(got === 0L,
+      s"candidate count $got; expected 0; every-token joining " +
         "would have produced ~2M")
-    assert(got < 40000L)
     val verified = Dedup.jaccardSelfJoin(
       mkBase(rows), "doc_id", "words", Seq("lang", "size_bucket"), 1, 4)
     assert(verified.count() === 0L)
