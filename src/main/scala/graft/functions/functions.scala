@@ -146,12 +146,16 @@ case class DotProductExpr(left: Expression, right: Expression)
   * of q_ngram_jaccard (4 s of a ~6 s query at sf0.1). This expression is
   * a zero-allocation two-pointer merge inside whole-stage codegen.
   *
-  * PRECONDITION: both arrays sorted ascending by UTF8String binary order
-  * (`sort_array`'s StringType ordering) with distinct elements — the
-  * caller sorts; this is an internal kernel, not a general function. For
-  * such inputs the count is identical to `size(array_intersect(a, b))`.
-  * Null ELEMENTS sort last and terminate the merge (SQL equality never
-  * matches null, so no further matches are possible); null INPUTS yield
+  * PRECONDITION: both arrays' NON-NULL elements sorted ascending by
+  * UTF8String binary order (`sort_array`'s StringType ordering) and
+  * distinct — the caller sorts; this is an internal kernel, not a
+  * general function. For null-free inputs the count is identical to
+  * `size(array_intersect(a, b))`. Null ELEMENTS are SKIPPED wherever
+  * they sit (`sort_array` asc puts them FIRST, `array_sort` LAST — the
+  * merge tolerates both): SQL equality never matches null, which is the
+  * join-on-token semantics this kernel replaces (`array_intersect`, by
+  * contrast, treats null∩null as a match — callers with nullable
+  * elements get the JOIN count here, deliberately). Null INPUTS yield
   * null via the standard null-intolerant contract. */
 case class SortedIntersectSizeExpr(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
@@ -169,11 +173,15 @@ case class SortedIntersectSizeExpr(left: Expression, right: Expression)
     var i = 0
     var j = 0
     var c = 0
-    while (i < n && j < m && !x.isNullAt(i) && !y.isNullAt(j)) {
-      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
-      if (cmp == 0) { c += 1; i += 1; j += 1 }
-      else if (cmp < 0) i += 1
-      else j += 1
+    while (i < n && j < m) {
+      if (x.isNullAt(i)) i += 1
+      else if (y.isNullAt(j)) j += 1
+      else {
+        val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
     }
     c
   }
@@ -191,12 +199,15 @@ case class SortedIntersectSizeExpr(left: Expression, right: Expression)
          |int $n = $a.numElements();
          |int $m = $b.numElements();
          |int $i = 0, $j = 0, $c = 0;
-         |while ($i < $n && $j < $m &&
-         |    !$a.isNullAt($i) && !$b.isNullAt($j)) {
-         |  int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
-         |  if ($cmp == 0) { $c++; $i++; $j++; }
-         |  else if ($cmp < 0) $i++;
-         |  else $j++;
+         |while ($i < $n && $j < $m) {
+         |  if ($a.isNullAt($i)) { $i++; }
+         |  else if ($b.isNullAt($j)) { $j++; }
+         |  else {
+         |    int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |    if ($cmp == 0) { $c++; $i++; $j++; }
+         |    else if ($cmp < 0) $i++;
+         |    else $j++;
+         |  }
          |}
          |${ev.value} = $c;
        """.stripMargin

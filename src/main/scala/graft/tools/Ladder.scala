@@ -89,14 +89,20 @@ object Ladder {
       sec
     }
 
+    val samples = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_LADDER_RUNS", "2").toInt)
     val fits = for ((name, table) <- names) yield {
       val times = for (dir <- rungs) yield {
         // warm pass per (query, dir): plan compilation lands on rung 1,
         // per-dir one-time artifact builds (jaccardEdgesCache,
         // clusterTableCache) land in each rung's warm pass — measured
-        // runs see steady state, so the curve is pure data scaling
+        // runs see steady state, so the curve is pure data scaling.
+        // best-of-N measured runs (the Bench discipline): a single
+        // sample under an external-contention window bends the fitted
+        // exponent — observed 4.5x on one rung vs the bench's
+        // best-of-2 for the same query
         run(name, dir)
-        val sec = run(name, dir)
+        val sec = (1 to samples).map(_ => run(name, dir)).min
         val n = rowsOf(dir, table)
         println(f"LADDER q=$name dir=$dir rows=$n sec=$sec%.2f")
         (n, sec)

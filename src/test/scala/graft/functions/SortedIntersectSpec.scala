@@ -43,6 +43,26 @@ class SortedIntersectSpec extends SparkSuite {
     assert(got === 0L)
   }
 
+  test("null ELEMENTS are skipped (join-count semantics), wherever the " +
+    "sort placed them") {
+    // sort_array asc puts nulls FIRST, array_sort puts them LAST — the
+    // merge must tolerate both and never count null = null as a match
+    // (the join-on-token semantics this kernel replaces; array_intersect
+    // would count it)
+    import spark.implicits._
+    val rows = Seq(
+      // nulls first (the sort_array placement)
+      (1, Seq(null, "a", "b"), Seq(null, "b", "c"), 1),
+      // nulls last (the array_sort placement)
+      (2, Seq("a", "b", null), Seq("b", "c", null), 1),
+      // all-null vs real
+      (3, Seq[String](null, null), Seq("a", "b"), 0))
+    val got = rows.toDF("id", "a", "b", "want")
+      .withColumn("got", gf.sortedIntersectSize($"a", $"b"))
+      .filter($"got" =!= $"want").count()
+    assert(got === 0L)
+  }
+
   test("null inputs yield null (null-intolerant binary contract)") {
     import spark.implicits._
     val df = Seq((1, Some(Seq("a")), Option.empty[Seq[String]]),

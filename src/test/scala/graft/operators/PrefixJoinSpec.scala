@@ -50,7 +50,7 @@ class PrefixJoinSpec extends SparkSuite {
         else rare(rnd.nextInt(rare.size)))
       (id, if (rnd.nextBoolean()) "en" else "de", rnd.nextInt(3), ws)
     }
-    for ((num, den) <- Seq((1, 4), (1, 2), (3, 4))) {
+    for ((num, den) <- Seq((1, 4), (1, 2), (3, 4), (1, 1))) {
       val got = collected(Dedup.jaccardSelfJoin(
         mkBase(rows), "doc_id", "words", Seq("lang", "size_bucket"), num, den))
       assert(got === bruteForce(rows, num, den), s"threshold $num/$den")
