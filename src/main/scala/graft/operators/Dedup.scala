@@ -437,7 +437,7 @@ object Dedup {
       num: Int,
       den: Int): DataFrame = {
     val prefix = prefixPinned(base, idCol, wordsCol, blockCols, num, den)
-    try rawCandidates(prefix, idCol, blockCols, num, den)
+    try rawCandidates(prefix, blockCols, num, den)
       .localCheckpoint(true)
     finally Checkpoints.release(prefix)
   }
@@ -484,7 +484,6 @@ object Dedup {
     * once, so a second barrier would only add a write). */
   private def rawCandidates(
       prefix: DataFrame,
-      idCol: String,
       blockCols: Seq[String],
       num: Int,
       den: Int): DataFrame = {
@@ -510,8 +509,10 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact Jaccard self-join: [[prefixFilterCandidates]] to generate a
-    * lossless candidate superset, then an exact verify — join each
+  /** Exact Jaccard self-join: the [[prefixFilterCandidates]] plan (run
+    * unpinned off the shared prefix barrier — the verify consumes the
+    * candidates exactly once) generates a lossless superset, then an
+    * exact verify — join each
     * candidate pair back to its two word sets (sorted ONCE at source)
     * and compute `|∩|` with the zero-allocation codegen'd merge
     * [[graft.functions.SortedIntersectSizeExpr]]; the pair table is
@@ -520,7 +521,15 @@ object Dedup {
     * the pairs with `inter*den >= union*num` (J >= num/den) in integer
     * arithmetic — bit-identical to the naive join-on-every-token
     * formulation, without its stopword quadratic.
-    * Returns `(doc_a, doc_b, inter_size, union_size)`. */
+    * Returns `(doc_a, doc_b, inter_size, union_size)`.
+    *
+    * Cluster-mode note (the [[GraphOps.pageRank]] trade, same terms):
+    * the barriers are `localCheckpoint` — executor-local blocks,
+    * fastest, NOT recomputable after executor loss. On a cluster with
+    * dynamic allocation, run the job with reliable checkpointing or
+    * accept a retry-from-scratch on lost blocks; the prefix pin lives
+    * only for the duration of one build, the result pin until the
+    * caller's clearCache. */
   def jaccardSelfJoin(
       base: DataFrame,
       idCol: String,
@@ -530,7 +539,7 @@ object Dedup {
       den: Int = 4): DataFrame = {
     val prefix = prefixPinned(base, idCol, wordsCol, blockCols, num, den)
     try {
-      val cands = rawCandidates(prefix, idCol, blockCols, num, den)
+      val cands = rawCandidates(prefix, blockCols, num, den)
       val sets = base.select(col(idCol), size(col(wordsCol)).as("__n"),
         sort_array(col(wordsCol)).as("__ws"))
       cands
