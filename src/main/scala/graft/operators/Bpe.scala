@@ -42,7 +42,7 @@ object Bpe {
     * symbol sequence (characters + end marker). */
   private def wordTable(docs: DataFrame, textCol: String): DataFrame =
     docs
-      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .select(explode(split(lower(trim(col(textCol))), "[ \\t\\n\\x0B\\f\\r]+")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("n"))
       .withColumn("symbols",
@@ -133,7 +133,7 @@ object Bpe {
       : DataFrame =
     docs
       .withColumn("__words",
-        expr(s"filter(split(lower(trim($textCol)), '\\\\s+'), " +
+        expr(s"filter(split(lower(trim($textCol)), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), " +
           "w -> length(w) > 0)"))
       .withColumn("tokens", graft.functions.functions.bpeEncode(
         col("__words"), model.map(m => (m.left, m.right))))

@@ -31,7 +31,7 @@ object Curation {
     val gramExpr = (0 until n).map(j => s"__words[i + $j]").mkString(", ")
     docs
       .withColumn("__words",
-        split(regexp_replace(trim(col(textCol)), "\\s+", " "), " "))
+        split(regexp_replace(trim(col(textCol)), "[ \\t\\n\\x0B\\f\\r]+", " "), " "))
       .where(size(col("__words")) >= n)
       .select(col(idCol), explode(expr(
         s"transform(sequence(0, size(__words) - $n), " +
@@ -65,7 +65,7 @@ object Curation {
     val stride = chunkTokens - overlapTokens
     docs
       .withColumn("__toks",
-        expr(s"filter(split(trim($textCol), '\\\\s+'), " +
+        expr(s"filter(split(trim($textCol), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), " +
           "t -> length(t) > 0)"))
       .withColumn("__n", size(col("__toks")))
       .where(col("__n") > 0)

@@ -36,7 +36,7 @@ object Dedup {
     // source — Tables.read)
     val tokens = docs
       .select(col(idCol),
-        explode(split(lower(trim(col(textCol))), "\\s+")).as("__token"))
+        explode(split(lower(trim(col(textCol))), "[ \\t\\n\\x0B\\f\\r]+")).as("__token"))
       .withColumn("__h", expr(tokenHashExpr))
     val voteCols = (0 until nBits).map { j =>
       sum(when(expr(s"(shiftright(__h, $j) & 1) = 1"), 1).otherwise(-1))
@@ -98,7 +98,7 @@ object Dedup {
     // never replicates Spark's lower/trim semantics.
     docs.select(col(idCol),
       graft.functions.functions.winnowFps(
-        regexp_replace(lower(trim(col(textCol))), "\\s+", " "), k, w)
+        regexp_replace(lower(trim(col(textCol))), "[ \\t\\n\\x0B\\f\\r]+", " "), k, w)
         .as("fingerprints"))
   }
 
@@ -372,7 +372,7 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val shingles = docs
-      .withColumn("__w", split(lower(trim(col(textCol))), "\\s+"))
+      .withColumn("__w", split(lower(trim(col(textCol))), "[ \\t\\n\\x0B\\f\\r]+"))
       .select(col(idCol).as("doc_id"), explode(expr(
         "transform(sequence(0, greatest(size(__w) - 3, 0)), " +
           "i -> concat_ws(' ', __w[i], __w[i+1], __w[i+2]))")).as("__s"))

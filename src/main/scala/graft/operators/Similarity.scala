@@ -822,7 +822,7 @@ object Similarity {
     require(dim >= 1, s"dim must be >= 1, got $dim")
     docs
       .select(col(idCol),
-        explode(split(lower(trim(col(textCol))), "\\s+")).as("__t"))
+        explode(split(lower(trim(col(textCol))), "[ \\t\\n\\x0B\\f\\r]+")).as("__t"))
       .withColumn("__h",
         conv(substring(md5(col("__t")), 1, 15), 16, 10).cast("long"))
       .withColumn("bucket", pmod(col("__h"), lit(dim.toLong)).cast("int"))

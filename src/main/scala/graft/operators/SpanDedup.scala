@@ -48,7 +48,7 @@ object SpanDedup {
       textCol: String, idCol: String): DataFrame =
     docs
       .select(col(idCol).as("doc_id"),
-        split(lower(trim(col(textCol))), "\\s+").as("__toks"))
+        split(lower(trim(col(textCol))), "[ \\t\\n\\x0B\\f\\r]+").as("__toks"))
       .filter(size(col("__toks")) >= w)
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(0, size(__toks) - $w),
@@ -124,7 +124,7 @@ object SpanDedup {
       explode(expr("sequence(span_start, span_end - 1)")).as("pos"))
     docs
       .select(col(idCol).as("doc_id"),
-        posexplode(split(lower(trim(col(textCol))), "\\s+"))
+        posexplode(split(lower(trim(col(textCol))), "[ \\t\\n\\x0B\\f\\r]+"))
           .as(Seq("pos", "tok")))
       .join(covered, Seq("doc_id", "pos"), "left_anti")
   }

@@ -581,7 +581,7 @@ object CurationQueries {
   private val DecontaminateOracle: String =
     """WITH words AS (
       |  SELECT doc_id,
-      |    string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS w
+      |    string_split(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ') AS w
       |  FROM documents
       |), grams AS (
       |  SELECT doc_id,
@@ -664,7 +664,7 @@ object CurationQueries {
       |      AS stop
       |  FROM sig),
       |rwords AS (
-      |  SELECT doc_id, string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')
+      |  SELECT doc_id, string_split(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ')
       |    AS w
       |  FROM __CORPUS__),
       |rgrams AS (
@@ -760,7 +760,7 @@ object CurationQueries {
         |  FROM documents),
         |words AS (
         |  SELECT doc_id,
-        |    string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS w
+        |    string_split(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ') AS w
         |  FROM planted),
         |grams AS (
         |  SELECT doc_id,
@@ -833,7 +833,7 @@ object CurationQueries {
     "q_chunk" ->
       """WITH toks AS (
         |  SELECT doc_id,
-        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |    list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'),
         |                t -> length(t) > 0) AS toks
         |  FROM documents),
         |sized AS (
@@ -861,7 +861,7 @@ object CurationQueries {
     "q_decontaminate_eval" ->
       """WITH words AS (
         |  SELECT doc_id,
-        |    string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')
+        |    string_split(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ')
         |      AS w
         |  FROM documents
         |), grams AS (
@@ -952,7 +952,7 @@ object CurationQueries {
         |  FROM documents
         |), words AS (
         |  SELECT doc_id,
-        |    string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS w
+        |    string_split(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ') AS w
         |  FROM planted
         |), grams AS (
         |  SELECT doc_id,
@@ -991,9 +991,9 @@ object CurationQueries {
         |  SELECT c.* FROM corpus c JOIN canonical USING (doc_id)
         |), words AS (
         |  SELECT doc_id, lang,
-        |    len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '))
+        |    len(string_split(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' '))
         |      AS n_words,
-        |    string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS w
+        |    string_split(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ') AS w
         |  FROM deduped
         |), grams AS (
         |  SELECT doc_id,

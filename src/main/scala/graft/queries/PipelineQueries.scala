@@ -167,6 +167,33 @@ object PipelineQueries {
       Dedup.minhashCandidates(planted(s, dir))
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // banding-recall measurement (r13): how much of the EXACT word-set
+    // Jaccard truth does the MinHash-LSH banding recover, per J decile —
+    // the tuning measurement behind every band-width knob. At 100 TB
+    // exact truth is uncomputable corpus-wide, so the production shape
+    // is exactly this: a deterministic doc sample (doc_id % 5 = 0 —
+    // includes every planted copy, so the J=1 decile is populated),
+    // exact prefix-filtered Jaccard on the sample as truth, the SAME
+    // banding as q_minhash_lsh_pairs as the candidate set, and a
+    // per-decile (found / true) table. Integer-exact: the decile is
+    // (10*|∩|) div |∪|, counts are counts.
+    "q_banding_recall" -> ((s, dir) => {
+      val sample = planted(s, dir).filter(col("doc_id") % 5 === 0)
+      val base = sample.select(col("doc_id"), col("lang"),
+        expr("n_chars div 100").cast("int").as("size_bucket"),
+        array_distinct(split(lower(trim(col("text"))),
+          "[ \\t\\n\\x0B\\f\\r]+")).as("words"))
+      val truth = Dedup.jaccardSelfJoin(base, "doc_id", "words",
+        Seq("lang", "size_bucket"), num = 1, den = 4)
+      val cands = Dedup.minhashCandidates(sample)
+        .select(col("doc_a"), col("doc_b"), lit(1).as("__hit"))
+      truth.join(cands, Seq("doc_a", "doc_b"), "left")
+        .groupBy(expr("(inter_size * 10) div union_size").as("j_decile"))
+        .agg(count(lit(1)).as("n_true_pairs"),
+          count(col("__hit")).as("n_found"))
+        .orderBy(col("j_decile"))
+    }),
+
     // exact edit-distance CONFIRM pass over the MinHash-LSH candidates —
     // the production two-stage fuzzy dedup (sparse LSH candidate
     // generation bounds the pair count; q_ngram_jaccard's blocked join
@@ -1025,6 +1052,48 @@ object PipelineQueries {
         "JOIN sig sb ON sb.doc_id = p.doc_b\n" +
         "ORDER BY doc_a, doc_b")),
 
+    // truth = exact blocked word-set Jaccard on the % 5 sample (DuckDB
+    // computes it all-pairs — fine at oracle scale; Spark uses the
+    // prefix-filtered join, same answer by the lossless lemma);
+    // candidates = the same banding as q_minhash_lsh_pairs over the
+    // same sample; one left join + decile aggregate
+    "q_banding_recall" -> ("WITH pl AS (\n" +
+      "  SELECT doc_id, text, lang, n_chars FROM documents\n" +
+      "  UNION ALL\n" +
+      "  SELECT doc_id + 1000000000 AS doc_id, text, lang, n_chars\n" +
+      "  FROM documents WHERE doc_id % 10 = 0),\n" +
+      "samp AS (SELECT * FROM pl WHERE doc_id % 5 = 0),\n" +
+      """ws AS (
+        |  SELECT doc_id, lang, CAST(n_chars // 100 AS INT) AS size_bucket,
+        |    list_distinct(string_split_regex(lower(trim(text)),
+        |      '[ \t\n\x0B\f\r]+')) AS w
+        |  FROM samp),
+        |truth AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    len(list_intersect(a.w, b.w)) AS inter_size,
+        |    len(a.w) + len(b.w) - len(list_intersect(a.w, b.w)) AS union_size
+        |  FROM ws a JOIN ws b
+        |    ON a.lang = b.lang AND a.size_bucket = b.size_bucket
+        |   AND a.doc_id < b.doc_id
+        |  WHERE 4 * len(list_intersect(a.w, b.w)) >=
+        |        len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))),
+        |""".stripMargin + minhashCtes("samp") +
+      """,
+        |banded AS (
+        |  SELECT doc_id, 0 AS band, md5(h0 || h1 || h2 || h3) AS key FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, 1 AS band, md5(h4 || h5 || h6 || h7) AS key FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+        |SELECT CAST((t.inter_size * 10) // t.union_size AS BIGINT) AS j_decile,
+        |  COUNT(*) AS n_true_pairs,
+        |  COUNT(c.doc_a) AS n_found
+        |FROM truth t LEFT JOIN cand c
+        |  ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // the LSH band join of q_minhash_lsh_pairs feeding the banded
     // levenshtein confirm; ASCII projection + CASE band as in the
     // Spark side's comment
@@ -1182,7 +1251,7 @@ object PipelineQueries {
     "q_winnow_pairs" ->
       ("""WITH """ + PlantedCte + """,
         |norm AS (
-        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g') AS t
         |  FROM d),
         |grams AS (
         |  SELECT doc_id, list_transform(generate_series(1, length(t) - 7),
@@ -1207,7 +1276,7 @@ object PipelineQueries {
     // an empty list is NULL where Spark concat_ws gives ''
     "q_winnow" ->
       """WITH norm AS (
-        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g') AS t
         |  FROM documents),
         |grams AS (
         |  SELECT doc_id, CASE WHEN length(t) < 8 THEN CAST([] AS BIGINT[])

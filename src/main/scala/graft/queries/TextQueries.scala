@@ -711,7 +711,7 @@ object TextQueries {
     * q_dup_spans (span aggregate) and q_dup_scrub (excision) extend it. */
   private def dupSpanCte =
     """WITH toks AS (
-      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS t
       |  FROM documents),
       |pos AS (
       |  SELECT doc_id, i - 1 AS pos, md5(array_to_string(t[i:i+7], ' ')) AS k
@@ -734,7 +734,8 @@ object TextQueries {
   private def jaccardCte =
     """WITH base AS (
       |  SELECT doc_id, lang, CAST(n_chars // 100 AS INT) AS size_bucket,
-      |         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS words
+      |         list_distinct(string_split_regex(lower(trim(text)),
+      |           '[ \t\n\x0B\f\r]+')) AS words
       |  FROM documents)
       |""".stripMargin
 
@@ -869,7 +870,7 @@ object TextQueries {
   private val HllRegistersCte: String =
     """WITH words AS (
       |  SELECT source,
-      |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+      |    unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS word
       |  FROM documents
       |), h AS (
       |  SELECT source, word,
@@ -890,7 +891,7 @@ object TextQueries {
   private val HashEmbedCte: String =
     """WITH toks AS (
       |  SELECT doc_id,
-      |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+      |    unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS t
       |  FROM documents
       |), h AS (
       |  SELECT doc_id,
@@ -909,7 +910,7 @@ object TextQueries {
   private val KmvCte: String =
     """WITH words AS (
       |  SELECT source,
-      |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+      |    unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS word
       |  FROM documents
       |), d AS (
       |  SELECT DISTINCT source,
@@ -963,7 +964,7 @@ object TextQueries {
   private val ClusterCte: String =
     """WITH RECURSIVE base AS (
       |  SELECT doc_id, lang, CAST(n_chars // 100 AS INT) AS size_bucket,
-      |         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS words
+      |         list_distinct(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS words
       |  FROM documents),
       |pairs AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1035,7 +1036,7 @@ object TextQueries {
 
     "q_hll_union" ->
       """WITH words AS (
-        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS word
         |  FROM documents
         |), h AS (
         |  SELECT ('0x' || substring(md5(word), 1, 15))::BIGINT AS hv
@@ -1189,7 +1190,7 @@ object TextQueries {
       """WITH terms AS (
         |  SELECT doc_id, word, count(*) AS tf
         |  FROM (SELECT doc_id,
-        |          unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |          unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS word
         |        FROM documents)
         |  GROUP BY doc_id, word),
         |dfreq AS (
@@ -1209,7 +1210,7 @@ object TextQueries {
       """SELECT word, count(*) AS term_freq,
         |       count(DISTINCT doc_id) AS doc_freq
         |FROM (SELECT doc_id,
-        |        unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |        unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS word
         |      FROM documents)
         |GROUP BY word ORDER BY term_freq DESC, word LIMIT 50""".stripMargin,
 
@@ -1303,7 +1304,7 @@ object TextQueries {
 
     "q_text_quality" ->
       """SELECT doc_id, length(text) AS n_chars_actual,
-        |  len(string_split_regex(trim(text), '\s+')) AS n_words,
+        |  len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS n_words,
         |  len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
         |  len(regexp_extract_all(lower(text),
         |      '\b(the|a|an|of|and|to|in|is|it|for)\b')) AS n_stopwords,
@@ -1333,7 +1334,7 @@ object TextQueries {
 
     "q_fingerprint" ->
       """SELECT doc_id,
-        |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+        |  md5(lower(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_pagerank" -> pageRankOracle(3),
@@ -1361,7 +1362,7 @@ object TextQueries {
 
     "q_dup_spans_history" ->
       """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS t
         |  FROM documents),
         |pos AS (
         |  SELECT doc_id, i - 1 AS pos, md5(array_to_string(t[i:i+7], ' ')) AS k
@@ -1408,7 +1409,7 @@ object TextQueries {
         |      generate_series(1, greatest(len(w) - 2, 1)),
         |      i -> concat_ws(' ', w[i], w[i+1], w[i+2])) AS shingles
         |  FROM (SELECT doc_id,
-        |          string_split_regex(lower(trim(text)), '\s+') AS w
+        |          string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS w
         |        FROM documents))
         |SELECT doc_id, """ +
         (0 until 8).map(k =>

@@ -103,7 +103,7 @@ object StreamOps {
       .drop("__text_hash")
     val redacted = Curation.redact(deduped)
     val quality = redacted.filter(
-      size(split(trim(col("redacted")), "\\s+")) >= minWords)
+      size(split(trim(col("redacted")), "[ \\t\\n\\x0B\\f\\r]+")) >= minWords)
     Curation.stratifiedSample(quality, stratumCol, "doc_id",
       rates, defaultPct)
   }
@@ -304,7 +304,7 @@ object StreamOps {
           val canonical = index.ingestResolved(cleaned)
           val redacted = Curation.redact(canonical)
           sink(redacted.filter(
-            size(split(trim(col("redacted")), "\\s+")) >= minWords),
+            size(split(trim(col("redacted")), "[ \\t\\n\\x0B\\f\\r]+")) >= minWords),
             batchId)
         } finally cleaned.unpersist(false)
       }
@@ -352,7 +352,7 @@ object StreamOps {
             .drop("canonical_id")
           val redacted = Curation.redact(survivors)
           sink(redacted.filter(
-            size(split(trim(col("redacted")), "\\s+")) >= minWords),
+            size(split(trim(col("redacted")), "[ \\t\\n\\x0B\\f\\r]+")) >= minWords),
             batchId)
         } finally cleaned.unpersist(false)
       }
