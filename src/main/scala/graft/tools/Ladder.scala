@@ -37,7 +37,8 @@ object Ladder {
     "q_edit_distance" -> "documents", // banded candidates + bounded confirm
     "q_semdedup" -> "embeddings", // cluster-blocked cosine pairs
     "q_cosine_dup_pairs" -> "embeddings", // hot-label-guarded cosine pairs
-    "q_pagerank" -> "documents") // broadcast-round rank over jaccard edges
+    "q_pagerank" -> "documents", // broadcast-round rank over jaccard edges
+    "q_banding_recall" -> "documents") // sampled-truth recall harness (r13)
 
   /** Top-leg exponent above which a query is flagged by name: 1.0 is
     * linear, candidate/pair families legitimately run slightly above
