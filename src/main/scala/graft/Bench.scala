@@ -76,9 +76,30 @@ object Bench {
     // not absorb session startup
     spark.range(1000000).selectExpr("sum(id)").collect()
 
+    // quiet-window launcher (VERDICT r13 missing #1): this box shows
+    // multi-minute hypervisor-steal bursts that uniformly inflate a
+    // battery ~1.2x. Rather than always measuring into the weather,
+    // sample /proc/stat steal over short windows and start the battery
+    // only inside a measured-quiet one — bounded by a max wait so an
+    // all-day-dirty box still produces a (stamped) result. Env knobs:
+    // SPARK_GRAFT_QUIET_{WINDOW_SEC,STEAL_SEC,MAX_WAIT_SEC}; max wait 0
+    // disables. The wait + last window's steal ride both output lines.
+    val (quietWaitSec, quietLastSteal) = awaitQuietWindow(
+      windowSec = sys.env.getOrElse("SPARK_GRAFT_QUIET_WINDOW_SEC", "45").toInt,
+      stealBudgetSec =
+        sys.env.getOrElse("SPARK_GRAFT_QUIET_STEAL_SEC", "0.5").toDouble,
+      maxWaitSec =
+        sys.env.getOrElse("SPARK_GRAFT_QUIET_MAX_WAIT_SEC", "900").toInt)
+
     val selected =
       if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
       else SparkEntry.queries
+    // a subset run (local iteration on named queries) must leave the
+    // round's comparison artifacts alone: a 1-query archive would become
+    // the newest same-sf base and silently strip the other queries'
+    // 3x defense (observed live in r14 — a q_ngram_jaccard solo run
+    // archived itself as BENCH_LOCAL_r14.json)
+    val subset = selected.keySet != SparkEntry.queries.keySet
     args.filterNot(SparkEntry.queries.keySet).foreach(a =>
       System.err.println(s"[bench] unknown query name ignored: $a"))
     // best-of-N per query (default 2), measured as N INTERLEAVED battery
@@ -187,18 +208,21 @@ object Bench {
     val failedCount = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
     var archived = false
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"load":$loads,"outlier_rerun":$reruns,"rerun_base":"$rerunBase","rerun_base_steal":$rerunBaseSteal%.1f,"passes":$stamp,"failed":$failedCount,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"load":$loads,"outlier_rerun":$reruns,"rerun_base":"$rerunBase","rerun_base_steal":$rerunBaseSteal%.1f,"passes":$stamp,"failed":$failedCount,"quiet_wait_sec":$quietWaitSec%.1f,"quiet_last_steal":$quietLastSteal%.1f,"sf":"$sfDir"}"""
     // The full per-query/load/rerun line goes ONLY to BENCH_LOCAL.json
     // (VERDICT r10 #4): printing the ~8 KB map to stdout — first OR
     // last — overflowed the driver's fixed-size tail capture five rounds
     // running ("parsed": null). Stdout carries nothing but the slim
     // summary line below. A per-round archive copy survives the next
     // run's overwrite — it is the next run's outlier-comparison base
-    // (VERDICT r11 #1 / missing #3).
+    // (VERDICT r11 #1 / missing #3). SUBSET runs write a _partial file
+    // instead: neither discovery tier parses it, so local iteration can
+    // never shrink the comparison base.
+    val localOut = if (subset) "BENCH_LOCAL_partial.json" else "BENCH_LOCAL.json"
     try java.nio.file.Files.write(java.nio.file.Paths.get(
-      "BENCH_LOCAL.json"), (line + "\n").getBytes("UTF-8"))
+      localOut), (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write BENCH_LOCAL.json: $e") }
+      System.err.println(s"[bench] could not write $localOut: $e") }
     // the round archive is PROTECTED best-of-by-steal (VERDICT r12
     // missing #1): a steal-contaminated run must not clobber a cleaner
     // same-round archive — r12's driver run (steal 12-15 s/pass) replaced
@@ -206,21 +230,25 @@ object Bench {
     // outlier threshold by ~1.27x. The dirty run is still fully recorded
     // in BENCH_LOCAL.json and the driver's own artifact.
     val archive = archiveName(new java.io.File("."), sfTag(sfDir))
-    val incumbent =
-      try Some(new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(archive)), "UTF-8"))
-      catch { case _: Throwable => None }
-    archived = shouldReplaceArchive(incumbent, line)
-    if (archived) {
-      try java.nio.file.Files.write(
-        java.nio.file.Paths.get(archive), (line + "\n").getBytes("UTF-8"))
-      catch { case e: Throwable =>
-        archived = false
-        System.err.println(s"[bench] could not write $archive: $e") }
+    if (subset) {
+      System.err.println(s"[bench] subset run: not archiving to $archive")
     } else {
-      System.err.println(s"[bench] keeping cleaner incumbent $archive " +
-        s"(incumbent steal ${incumbent.flatMap(maxSteal).getOrElse(-1.0)} s" +
-        s" vs this run's ${maxSteal(line).getOrElse(-1.0)} s)")
+      val incumbent =
+        try Some(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(archive)), "UTF-8"))
+        catch { case _: Throwable => None }
+      archived = shouldReplaceArchive(incumbent, line)
+      if (archived) {
+        try java.nio.file.Files.write(
+          java.nio.file.Paths.get(archive), (line + "\n").getBytes("UTF-8"))
+        catch { case e: Throwable =>
+          archived = false
+          System.err.println(s"[bench] could not write $archive: $e") }
+      } else {
+        System.err.println(s"[bench] keeping cleaner incumbent $archive " +
+          s"(incumbent steal ${incumbent.flatMap(maxSteal).getOrElse(-1.0)} s" +
+          s" vs this run's ${maxSteal(line).getOrElse(-1.0)} s)")
+      }
     }
     // Stop BEFORE the final line so Spark's shutdown logging cannot land
     // after it: the LAST stdout line (before sbt's own footer) is then
@@ -228,7 +256,41 @@ object Bench {
     // `run / outputStrategy := StdoutOutput` in build.sbt.
     // BENCH_LOCAL.json holds the full per-query/load/rerun detail.
     spark.stop()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failedCount,"rerun_base":"$rerunBase","rerun_base_steal":$rerunBaseSteal%.1f,"reran":${rerun.size},"archived":$archived,"passes":$stamp,"sf":"$sfDir","full":"BENCH_LOCAL.json"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failedCount,"rerun_base":"$rerunBase","rerun_base_steal":$rerunBaseSteal%.1f,"reran":${rerun.size},"archived":$archived,"quiet_wait_sec":$quietWaitSec%.1f,"quiet_last_steal":$quietLastSteal%.1f,"passes":$stamp,"sf":"$sfDir","full":"$localOut"}""")
+  }
+
+  /** Block until a measured-quiet window or the wait budget runs out:
+    * sample the /proc/stat steal delta over `windowSec`-second windows
+    * and return as soon as one stays within `stealBudgetSec`. Returns
+    * (seconds waited BEFORE the final window, last window's steal; -1
+    * when steal is unreadable or the launcher is disabled). The final
+    * sampled-quiet window sits immediately before the first battery
+    * pass, so the measurement starts in weather the stamp just
+    * certified. */
+  def awaitQuietWindow(
+      windowSec: Int, stealBudgetSec: Double, maxWaitSec: Int): (Double, Double) = {
+    if (maxWaitSec <= 0 || windowSec <= 0 || stealTicks().isEmpty)
+      return (0.0, -1.0)
+    val t0 = System.nanoTime()
+    var last = -1.0
+    var done = false
+    while (!done) {
+      val s0 = stealTicks()
+      Thread.sleep(windowSec * 1000L)
+      last = (for (a <- s0; b <- stealTicks())
+        yield (b - a) / userHz).getOrElse(-1.0)
+      val waited = (System.nanoTime() - t0) / 1e9
+      if (last < 0 || last <= stealBudgetSec) done = true
+      else if (waited + windowSec > maxWaitSec) {
+        System.err.println(f"[bench] no quiet window within $maxWaitSec s " +
+          f"(last ${windowSec}s window: steal $last%.1f s) — proceeding; " +
+          "the per-pass stamps carry the weather")
+        done = true
+      } else System.err.println(
+        f"[bench] waiting out contention (steal $last%.1f s / ${windowSec}s " +
+          f"window, ${waited}%.0f s waited)")
+    }
+    (((System.nanoTime() - t0) / 1e9) - windowSec, last)
   }
 
   final case class PassStamp(
@@ -274,15 +336,30 @@ object Bench {
         prev.get(name).exists(p => p > 0 && b > 3 * p) => name
     }
 
-  /** The newest compatible per-query comparison base in `dir`, plus the
-    * file name it came from (`"none"` when nothing compatible exists).
-    * Preference order (newest first within each tier):
+  /** Steal tolerance (seconds) under which two runs count as equally
+    * clean — shared by the archive-replacement policy and the
+    * cleanest-base preference so "clean" means one thing. */
+  val CleanMarginSec = 1.0
+
+  /** The CLEANEST compatible per-query comparison base in `dir`, plus
+    * the file name it came from (`"none"` when nothing compatible
+    * exists). Candidate discovery order (newest first within each tier):
     *   1. `BENCH_LOCAL_r*.json` archives — full lines this bench wrote;
     *   2. `BENCH_LOCAL.json` — the previous run's overwritten line (it
     *      is read BEFORE this run rewrites it);
     *   3. driver `BENCH_r*.json` artifacts — a top-level `"queries"` key
     *      if one ever appears, else a bench line embedded in the `tail`
     *      string (the shape every actual driver artifact has).
+    * Among candidates with a parsable run-quality stamp, the one with
+    * the LOWEST worst-pass steal wins (ties within [[CleanMarginSec]] →
+    * the earliest in discovery order, i.e. newest archive): VERDICT r13
+    * missing #1 — when the current round's base is ~1.2x steal-inflated
+    * but a clean cross-round archive is committed, the 3x outlier test
+    * should anchor on the clean map, not inherit the weather. (This is
+    * also r13 polish #7 resolved at the root: instead of scaling the 3x
+    * threshold by the base's measured inflation, the base itself is the
+    * cleanest available.) Candidates with NO stamp are used only when
+    * no stamped candidate exists (newest first — the pre-r12 behavior).
     * A candidate only qualifies if its `"sf"` tag matches `tag` —
     * cross-scale bases mass-misfire the 3x test — so a candidate with
     * no parsable sf is skipped, not trusted. */
@@ -303,30 +380,47 @@ object Bench {
       case DriverArtifact(n) => n.toLongOption.map(r => (r, f))
       case _ => None
     }).sortBy(-_._1).map(_._2)
-    (archives.iterator ++ local.iterator ++ drivers.iterator)
-      .flatMap(f => readText(f).flatMap(parseBenchLine)
-        .filter(_._2 == tag).map { case (qs, _) => (qs, f.getName) })
-      .collectFirst { case hit => hit }
+    val candidates =
+      (archives.iterator ++ local.iterator ++ drivers.iterator)
+        .flatMap { f =>
+          readText(f).flatMap { text =>
+            parseBenchLine(text).filter(_._2 == tag)
+              .map { case (qs, _) => (qs, f.getName, maxSteal(text)) }
+          }
+        }.toSeq
+    val stamped = candidates.filter(_._3.isDefined)
+    val pick =
+      if (stamped.isEmpty) candidates.headOption
+      else {
+        val cleanest = stamped.map(_._3.get).min
+        stamped.find(_._3.get <= cleanest + CleanMarginSec)
+      }
+    pick.map { case (qs, name, _) => (qs, name) }
       .getOrElse((Map.empty, "none"))
   }
 
   /** Worst per-pass steal seconds in a bench line's run-quality stamp —
     * the one number that says "this run was taken under hypervisor
-    * contention". None when the text has no parsable pass with a
-    * non-negative `steal_sec` (pre-r12 lines, off-Linux runs, driver
-    * wrappers with a truncated tail). Checks a top-level `passes` first,
-    * then a bench line embedded in a driver `tail`. */
+    * contention". None when the text has no parsable `passes`, or when
+    * ANY pass's `steal_sec` is missing or the -1 unknown sentinel
+    * (pre-r12 lines, off-Linux runs, driver wrappers with a truncated
+    * tail, a /proc read that failed mid-run): a run whose contaminated
+    * pass went unstamped must read as UNKNOWN, not as the max of the
+    * passes that happened to stamp — "unknown never displaces
+    * known-clean" stays strict (ADVICE r13). Checks a top-level
+    * `passes` first, then a bench line embedded in a driver `tail`. */
   def maxSteal(text: String): Option[Double] = {
     import org.json4s._
     def fromPasses(v: JValue): Option[Double] = v \ "passes" match {
-      case JArray(ps) =>
-        val steals = ps.flatMap(p => p \ "steal_sec" match {
+      case JArray(ps) if ps.nonEmpty =>
+        val steals = ps.map(p => p \ "steal_sec" match {
           case JDouble(x) => Some(x)
           case JDecimal(x) => Some(x.toDouble)
           case JInt(x) => Some(x.toDouble)
           case _ => None
-        }).filter(_ >= 0)
-        if (steals.isEmpty) None else Some(steals.max)
+        })
+        if (steals.exists(s => s.isEmpty || s.get < 0)) None
+        else Some(steals.flatten.max)
       case _ => None
     }
     try {
@@ -355,7 +449,7 @@ object Bench {
   def shouldReplaceArchive(
       incumbent: Option[String],
       newLine: String,
-      marginSec: Double = 1.0): Boolean =
+      marginSec: Double = CleanMarginSec): Boolean =
     incumbent.flatMap(maxSteal) match {
       case None => true
       case Some(inc) => maxSteal(newLine) match {

@@ -218,6 +218,112 @@ case class SortedIntersectSizeExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Static kernel behind [[DfPrefixExpr]] — kept as a plain object so the
+  * generated code calls one method (the Blake2b static-forwarder
+  * pattern) and eval/codegen share the single implementation. */
+object DfPrefix {
+
+  /** The All-Pairs prefix of one record's word set under the broadcast
+    * df order: the first `|x| - ceil(|x|*num/den) + 1` words sorted by
+    * (document frequency asc, word asc in UTF8String binary order) —
+    * exactly the rows the shuffle-path `row_number` window keeps in
+    * [[graft.operators.Dedup]]. `vocab`/`dfs` are parallel arrays,
+    * `vocab` sorted ascending (binary search). Null elements are
+    * skipped (they can never join — SQL equality never matches null —
+    * matching the shuffle path, where a null token drops out of the
+    * dfreq join) but still count toward `|x|` for the prefix length,
+    * as `size(words)` does. A word absent from the vocab violates the
+    * caller's contract (the df map is built from the SAME frame) and
+    * fails loud: silently assigning it a rank would desync the two
+    * paths. */
+  def compute(words: ArrayData, num: Int, den: Int,
+      vocab: Array[UTF8String], dfs: Array[Long]): ArrayData = {
+    val n = words.numElements()
+    val plenL = n.toLong - ((n.toLong * num + (den - 1)) / den) + 1L
+    if (n == 0 || plenL <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val ws = new Array[UTF8String](n)
+    val ds = new Array[Long](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!words.isNullAt(i)) {
+        val w = words.getUTF8String(i)
+        val at = java.util.Arrays.binarySearch(
+          vocab.asInstanceOf[Array[AnyRef]], w)
+        if (at < 0) throw new IllegalStateException(
+          s"df_prefix: token '$w' missing from the broadcast df map — " +
+            "the base frame must be DETERMINISTIC (the map is collected " +
+            "from the same frame the prefixes are derived from; a " +
+            "re-evaluated random sample breaks that)")
+        ws(m) = w
+        ds(m) = dfs(at)
+        m += 1
+      }
+      i += 1
+    }
+    val take = math.min(plenL, m.toLong).toInt
+    if (take <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val idx = new Array[Integer](m)
+    i = 0
+    while (i < m) { idx(i) = Integer.valueOf(i); i += 1 }
+    java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
+      override def compare(a: Integer, b: Integer): Int = {
+        val c = java.lang.Long.compare(ds(a), ds(b))
+        if (c != 0) c else ws(a).compareTo(ws(b))
+      }
+    })
+    val out = new Array[Any](take)
+    i = 0
+    while (i < take) { out(i) = ws(idx(i)); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** The map-side prefix derivation of the All-Pairs join
+  * ([[graft.operators.Dedup]] `prefixPinned`, VERDICT r13 #1): when the
+  * corpus vocabulary fits a driver map, the global df order rides into
+  * every task as two parallel reference arrays and each record's prefix
+  * is derived locally — no df join, no per-record rank window, no
+  * id-keyed shuffle. Output is bit-identical to the shuffle path:
+  * (df asc, word asc) is a TOTAL order over a record's distinct words,
+  * so the window's `row_number` and this sort select the same rows in
+  * the same order. The model rides `ctx.addReferenceObj` (task-binary
+  * broadcast), the [[BpeEncodeExpr]] pattern. */
+case class DfPrefixExpr(child: Expression, num: Int, den: Int,
+    vocab: Array[UTF8String], dfs: Array[Long])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(num > 0 && den > 0 && num <= den,
+    s"threshold num/den must be a rational in (0, 1]: $num/$den")
+  require(vocab.length == dfs.length,
+    s"vocab (${vocab.length}) and dfs (${dfs.length}) must align")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "df_prefix"
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+
+  override protected def nullSafeEval(input: Any): Any =
+    DfPrefix.compute(input.asInstanceOf[ArrayData], num, den, vocab, dfs)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vocabRef = ctx.addReferenceObj("dfPrefixVocab", vocab,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    val dfsRef = ctx.addReferenceObj("dfPrefixDfs", dfs, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.DfPrefix.compute($c, $num, $den, $vocabRef, $dfsRef)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): DfPrefixExpr =
+    copy(child = newChild)
+}
+
 /** Nearest-centroid argmin over a LITERAL centroid model as one native
   * expression — the assignment kernel of every k-means-shaped operator
   * ([[graft.operators.Similarity]] kmeans / SemDeDup blocking,
@@ -528,6 +634,14 @@ object functions {
   def sortedIntersectSize(a: Column, b: Column): Column =
     Bridge.column(SortedIntersectSizeExpr(
       Bridge.expression(a), Bridge.expression(b)))
+
+  /** All-Pairs prefix of a word-array column under a literal df order
+    * (see [[DfPrefixExpr]]). `vocab` must be sorted ascending and align
+    * with `dfs`. */
+  def dfPrefix(words: Column, num: Int, den: Int,
+      vocab: Array[UTF8String], dfs: Array[Long]): Column =
+    Bridge.column(DfPrefixExpr(Bridge.expression(words), num, den,
+      vocab, dfs))
 
   /** Arity-checked builder for SQL registration. */
   def vectorDotBuilder(exprs: Seq[Expression]): DotProductExpr = {

@@ -126,9 +126,8 @@ object Dedup {
     // long-lived session (the langId leak class). The returned frame
     // rides its own result-sized checkpoint (released by any
     // clearCache, as the bench does per query).
-    val fp = winnow(docs, k, w, textCol, idCol)
-      .select(col(idCol), explode(col("fingerprints")).as("fp"))
-      .localCheckpoint(true)
+    val fp = Checkpoints.pin(winnow(docs, k, w, textCol, idCol)
+      .select(col(idCol), explode(col("fingerprints")).as("fp")))
     try {
       val rare = fp.groupBy("fp")
         .agg(count(lit(1)).as("__df"))
@@ -142,7 +141,7 @@ object Dedup {
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).cast("int").as("shared_fingerprints"))
         .filter(col("shared_fingerprints") >= minShared)
-        .localCheckpoint(true)
+        .transform(Checkpoints.pin(_))
     } finally Checkpoints.release(fp)
   }
 
@@ -437,16 +436,40 @@ object Dedup {
       num: Int,
       den: Int): DataFrame = {
     val prefix = prefixPinned(base, idCol, wordsCol, blockCols, num, den)
-    try rawCandidates(prefix, blockCols, num, den)
-      .localCheckpoint(true)
+    try Checkpoints.pin(rawCandidates(prefix, blockCols, num, den))
     finally Checkpoints.release(prefix)
   }
 
+  /** Session conf key: vocabulary-size cap for the broadcast-df fast
+    * path of [[prefixPinned]] (VERDICT r13 #1). When the corpus has at
+    * most this many distinct tokens, the (token → df) map is collected
+    * to the driver (two parallel sorted arrays, ~40 B + payload per
+    * entry — the default 1M tokens ≈ tens of MB riding the task-binary
+    * broadcast) and each record's prefix is derived MAP-SIDE by
+    * [[graft.functions.DfPrefixExpr]] — no df join, no rank window, no
+    * id-keyed shuffle; the shuffle path cost 1.41 s of fixed stage
+    * dribble per build at sf0.1 (PROFILE round-13b). Vocabularies past
+    * the cap fall back LOUDLY (one WARN) to the shuffle path, which
+    * handles unbounded vocab at the cost of two extra linear shuffles.
+    * `0` disables the fast path outright (the crossover-test hook). */
+  val BroadcastVocabCapKey = "spark.graft.prefixJoin.broadcastVocabCap"
+  private val DefaultVocabCap = 1000000L
+
   /** The df-ordered prefix table, MATERIALIZED (the winnowPairs barrier
     * discipline): it fans out into both self-join sides, and without the
-    * pin the whole scan → explode → df-agg → df-join → rank-window
-    * pipeline runs TWICE — measured ~2x the candidate cost at sf0.1.
-    * Callers must release it once their result is pinned. */
+    * pin the whole prefix-derivation pipeline runs TWICE — measured ~2x
+    * the candidate cost at sf0.1. Callers must release it once their
+    * result is pinned.
+    *
+    * Two equivalent derivations (bit-identical output — (df asc, word
+    * asc) is a total order over a record's distinct words, so window
+    * row_number and the map-side sort select the same rows):
+    *   - BROADCAST (vocab ≤ [[BroadcastVocabCapKey]]): one partial-agg
+    *     shuffle of distinct tokens for df, one driver collect, then a
+    *     single map-side pass deriving prefixes locally;
+    *   - SHUFFLE (unbounded vocab): df join against the exploded words
+    *     plus a per-record rank window — two additional linear shuffles.
+    */
   private def prefixPinned(
       base: DataFrame,
       idCol: String,
@@ -456,7 +479,7 @@ object Dedup {
       den: Int): DataFrame = {
     require(num > 0 && den > 0 && num <= den,
       s"threshold num/den must be a rational in (0, 1]: $num/$den")
-    import org.apache.spark.sql.expressions.Window
+    val spark = base.sparkSession
     val withLen = base
       .withColumn("__n", size(col(wordsCol)))
       // prefix length |x| - ceil(|x|*num/den) + 1, integer-exact
@@ -469,13 +492,54 @@ object Dedup {
     // global document frequency: words arrays are distinct per record, so
     // count == number of records containing the token
     val dfreq = words.groupBy(col("__w")).agg(count(lit(1)).as("__df"))
-    val ranked = words.join(dfreq, "__w")
-      .withColumn("__rank", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(col("__df"), col("__w"))))
-    ranked.filter(col("__rank") <= col("__plen"))
-      .select((col(idCol) +: blockCols.map(col) :+ col("__n") :+
-        col("__rank") :+ col("__w")): _*)
-      .localCheckpoint(true)
+    val cap = spark.conf.getOption(BroadcastVocabCapKey)
+      .map(_.toLong).getOrElse(DefaultVocabCap)
+    // vocab probe: collect at most cap+1 df rows — bounded driver memory
+    // even when the real vocabulary is unbounded
+    val collected =
+      if (cap <= 0) None
+      else {
+        val probeN = math.min(cap + 1, Int.MaxValue.toLong).toInt
+        val rows = dfreq.limit(probeN).collect()
+        if (rows.length <= cap) Some(rows)
+        else {
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"prefix join: vocabulary exceeds $BroadcastVocabCapKey=$cap " +
+              "— falling back to the shuffle-path prefix derivation " +
+              "(df join + rank window; correct at any vocab size, two " +
+              "extra linear shuffles per build)")
+          None
+        }
+      }
+    val prefix = collected match {
+      case Some(rows) =>
+        // broadcast path: (vocab, df) as parallel arrays sorted by token
+        // binary order; DfPrefixExpr derives each record's prefix locally.
+        // Null tokens (possible only from containsNull inputs) are
+        // dropped from the map — they can never be join keys, matching
+        // the shuffle path's null-rejecting dfreq join.
+        val sorted = rows.iterator
+          .filter(!_.isNullAt(0))
+          .map(r => (org.apache.spark.unsafe.types.UTF8String
+            .fromString(r.getString(0)), r.getLong(1)))
+          .toArray.sortBy(_._1)
+        val pre = graft.functions.functions.dfPrefix(
+          col(wordsCol), num, den, sorted.map(_._1), sorted.map(_._2))
+        withLen
+          .select((col(idCol) +: blockCols.map(col) :+ col("__n") :+
+            posexplode(pre)): _*)
+          .select((col(idCol) +: blockCols.map(col) :+ col("__n") :+
+            (col("pos") + 1).as("__rank") :+ col("col").as("__w")): _*)
+      case None =>
+        import org.apache.spark.sql.expressions.Window
+        words.join(dfreq, "__w")
+          .withColumn("__rank", row_number().over(
+            Window.partitionBy(col(idCol)).orderBy(col("__df"), col("__w"))))
+          .filter(col("__rank") <= col("__plen"))
+          .select((col(idCol) +: blockCols.map(col) :+ col("__n") :+
+            col("__rank") :+ col("__w")): _*)
+    }
+    Checkpoints.pin(prefix)
   }
 
   /** Lazy candidate pairs over a pinned prefix table — shared by
@@ -523,13 +587,25 @@ object Dedup {
     * formulation, without its stopword quadratic.
     * Returns `(doc_a, doc_b, inter_size, union_size)`.
     *
+    * Contract (both latent by construction at every current call site):
+    * `base` must be DETERMINISTIC across evaluations — the candidate
+    * build, the broadcast df map, and the verify below each re-derive
+    * from it, so a nondeterministic frame (e.g. an unseeded random
+    * sample) would verify against different rows than the candidates
+    * were built from (the broadcast path fails loud on the resulting
+    * vocab mismatch; the shuffle path would not). Records whose
+    * `wordsCol` is EMPTY never pair: an empty set has no prefix tokens
+    * (and Jaccard against it is 0/|y| < any positive threshold), so
+    * they are absent from both sides of the join by design.
+    *
     * Cluster-mode note (the [[GraphOps.pageRank]] trade, same terms):
-    * the barriers are `localCheckpoint` — executor-local blocks,
+    * barriers default to `localCheckpoint` — executor-local blocks,
     * fastest, NOT recomputable after executor loss. On a cluster with
-    * dynamic allocation, run the job with reliable checkpointing or
-    * accept a retry-from-scratch on lost blocks; the prefix pin lives
-    * only for the duration of one build, the result pin until the
-    * caller's clearCache. */
+    * dynamic allocation set [[Checkpoints.ReliableDirKey]]
+    * (`spark.graft.checkpoint.dir`) to switch every barrier here to
+    * reliable checkpoints (identical results; JaccardReliableSpec pins
+    * that); the prefix pin lives only for the duration of one build,
+    * the result pin until the caller's clearCache. */
   def jaccardSelfJoin(
       base: DataFrame,
       idCol: String,
@@ -552,11 +628,11 @@ object Dedup {
           (col("n_a") + col("n_b") - col("inter_size")) * num)
         .select(col("doc_a"), col("doc_b"), col("inter_size"),
           (col("n_a") + col("n_b") - col("inter_size")).as("union_size"))
-        // eager result checkpoint + prefix release, the winnowPairs
-        // shape: the pair table is the OUTPUT (pair-proportional by
+        // eager result pin + prefix release, the winnowPairs shape:
+        // the pair table is the OUTPUT (pair-proportional by
         // definition), and consumers re-sort or iterate over it —
-        // re-reading blocks, never re-running the verify
-        .localCheckpoint(true)
+        // re-reading the barrier, never re-running the verify
+        .transform(Checkpoints.pin(_))
     } finally Checkpoints.release(prefix)
   }
 

@@ -170,12 +170,66 @@ class BenchDefenseSpec extends AnyFunSuite {
     "lines report None; driver-tail-embedded stamps parse") {
     assert(Bench.maxSteal(stamped(0.2, 12.1)) === Some(12.1))
     assert(Bench.maxSteal(stamped(-1.0, -1.0)) === None)
-    assert(Bench.maxSteal(stamped(-1.0, 0.3)) === Some(0.3))
+    // ANY unknown pass makes the whole run unknown (ADVICE r13): the
+    // contaminated pass may be exactly the one that failed to stamp, so
+    // a partial stamp must not read as known-clean
+    assert(Bench.maxSteal(stamped(-1.0, 0.3)) === None)
     assert(Bench.maxSteal("""{"metric":"total","value":1.0}""") === None)
     assert(Bench.maxSteal("not json") === None)
     val tail = stamped(5.5).replace("\\", "\\\\").replace("\"", "\\\"")
     assert(Bench.maxSteal(s"""{"n":12,"tail":"noise $tail more"}""") ===
       Some(5.5))
+  }
+
+  private def stampedLine(qs: Map[String, Double], steals: Double*): String = {
+    val ps = steals.map(s =>
+      s"""{"wall":100.0,"job_sum":90.0,"steal_sec":$s,"load_end":30.0}""")
+      .mkString("[", ",", "]")
+    qs.map { case (k, v) => s""""$k":$v""" }
+      .mkString(
+        s"""{"metric":"total","value":${qs.values.sum},"queries":{""",
+        ",",
+        s"""},"passes":$ps,"failed":0,"sf":"/root/testdata/sf0.1"}""")
+  }
+
+  test("previousRun prefers the cleanest stamped base across rounds over " +
+    "a newer dirtier one (VERDICT r13 missing #1)") {
+    val d = dir(
+      // r12: the committed clean map (steal 0.2/0.1)
+      "BENCH_LOCAL_r12.json" ->
+        stampedLine(Map("q_a" -> 1.0), 0.2, 0.1),
+      // r13: newer but ~1.2x steal-inflated (4.2/8.3)
+      "BENCH_LOCAL_r13.json" ->
+        stampedLine(Map("q_a" -> 1.2), 4.2, 8.3))
+    val (qs, base) = Bench.previousRun(d, "sf0.1")
+    assert(base === "BENCH_LOCAL_r12.json")
+    assert(qs === Map("q_a" -> 1.0))
+    // two equally-clean (within the margin) runs: the NEWEST wins
+    val d2 = dir(
+      "BENCH_LOCAL_r12.json" -> stampedLine(Map("q_a" -> 1.0), 0.1),
+      "BENCH_LOCAL_r13.json" -> stampedLine(Map("q_a" -> 1.2), 0.6))
+    assert(Bench.previousRun(d2, "sf0.1")._2 === "BENCH_LOCAL_r13.json")
+    // a stamped base (even dirty) beats any unstamped one; unstamped
+    // only serves when no stamp exists anywhere (newest first)
+    val d3 = dir(
+      "BENCH_LOCAL_r12.json" -> stampedLine(Map("q_a" -> 1.0), 7.7),
+      "BENCH_LOCAL_r13.json" ->
+        benchLine(Map("q_a" -> 1.2), "/root/testdata/sf0.1"))
+    assert(Bench.previousRun(d3, "sf0.1")._2 === "BENCH_LOCAL_r12.json")
+  }
+
+  test("awaitQuietWindow: disabled or steal-less environments return " +
+    "immediately without blocking") {
+    // maxWaitSec=0 disables; windowSec=0 degrades; neither may sleep
+    val t0 = System.nanoTime()
+    assert(Bench.awaitQuietWindow(45, 0.5, 0) === ((0.0, -1.0)))
+    assert(Bench.awaitQuietWindow(0, 0.5, 900) === ((0.0, -1.0)))
+    assert((System.nanoTime() - t0) / 1e9 < 5.0)
+    // a 1-second window with an unmissable budget samples exactly once
+    // and reports that window's steal (>= 0 on Linux, -1 off it)
+    val (waited, last) = Bench.awaitQuietWindow(1, 1e9, 10)
+    assert(waited >= 0.0 && waited < 5.0)
+    assert(last >= -1.0)
   }
 
   test("archive protection: a steal-contaminated run cannot replace a " +
