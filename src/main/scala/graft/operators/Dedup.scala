@@ -435,9 +435,13 @@ object Dedup {
       blockCols: Seq[String],
       num: Int,
       den: Int): DataFrame = {
-    val prefix = prefixPinned(base, idCol, wordsCol, blockCols, num, den)
-    try Checkpoints.pin(rawCandidates(prefix, blockCols, num, den))
-    finally Checkpoints.release(prefix)
+    val words = pinnedWords(base, idCol, wordsCol, blockCols, num, den)
+    try {
+      val (prefix, prefixPin) = prefixOf(words, idCol, wordsCol, blockCols,
+        num, den)
+      try Checkpoints.pin(rawCandidates(prefix, blockCols, num, den))
+      finally prefixPin.foreach(Checkpoints.release)
+    } finally Checkpoints.release(words)
   }
 
   /** Session conf key: vocabulary-size cap for the broadcast-df fast
@@ -455,22 +459,15 @@ object Dedup {
   val BroadcastVocabCapKey = "spark.graft.prefixJoin.broadcastVocabCap"
   private val DefaultVocabCap = 1000000L
 
-  /** The df-ordered prefix table, MATERIALIZED (the winnowPairs barrier
-    * discipline): it fans out into both self-join sides, and without the
-    * pin the whole prefix-derivation pipeline runs TWICE — measured ~2x
-    * the candidate cost at sf0.1. Callers must release it once their
-    * result is pinned.
-    *
-    * Two equivalent derivations (bit-identical output — (df asc, word
-    * asc) is a total order over a record's distinct words, so window
-    * row_number and the map-side sort select the same rows):
-    *   - BROADCAST (vocab ≤ [[BroadcastVocabCapKey]]): one partial-agg
-    *     shuffle of distinct tokens for df, one driver collect, then a
-    *     single map-side pass deriving prefixes locally;
-    *   - SHUFFLE (unbounded vocab): df join against the exploded words
-    *     plus a per-record rank window — two additional linear shuffles.
-    */
-  private def prefixPinned(
+  /** The tokenized base, MATERIALIZED once: `(idCol, blockCols..., words,
+    * __n, __plen)`. Every downstream consumer — the df aggregate, the
+    * prefix derivation, and jaccardSelfJoin's verify word-sets — reads
+    * these blocks instead of re-running the caller's tokenization
+    * (typically a regex split over full documents, the single most
+    * expensive map in the pipeline; before r14 it ran up to three
+    * times per join). Corpus-sized like the winnowPairs fingerprint
+    * barrier; callers must release it. */
+  private def pinnedWords(
       base: DataFrame,
       idCol: String,
       wordsCol: String,
@@ -479,19 +476,45 @@ object Dedup {
       den: Int): DataFrame = {
     require(num > 0 && den > 0 && num <= den,
       s"threshold num/den must be a rational in (0, 1]: $num/$den")
-    val spark = base.sparkSession
-    val withLen = base
+    Checkpoints.pin(base
+      .select((col(idCol) +: blockCols.map(col) :+ col(wordsCol)): _*)
       .withColumn("__n", size(col(wordsCol)))
       // prefix length |x| - ceil(|x|*num/den) + 1, integer-exact
       .withColumn("__plen",
-        expr(s"__n - ((__n * $num + ${den - 1}) div $den) + 1"))
-    val words = withLen.select(
+        expr(s"__n - ((__n * $num + ${den - 1}) div $den) + 1")))
+  }
+
+  /** The df-ordered prefix table over a [[pinnedWords]] frame, plus its
+    * own barrier when one was needed (the caller releases it).
+    *
+    * Two equivalent derivations (bit-identical output — (df asc, word
+    * asc) is a total order over a record's distinct words, so window
+    * row_number and the map-side sort select the same rows):
+    *   - BROADCAST (vocab ≤ [[BroadcastVocabCapKey]]): one partial-agg
+    *     shuffle of distinct tokens for df, one driver collect, then a
+    *     map-side [[graft.functions.DfPrefixExpr]] pass. Returned
+    *     UNPINNED: both self-join sides re-derive it from the pinned
+    *     words blocks — a cheap local pass, cheaper than writing the
+    *     exploded prefix table to a second barrier;
+    *   - SHUFFLE (unbounded vocab): df join against the exploded words
+    *     plus a per-record rank window — two extra linear shuffles,
+    *     expensive enough that the result IS pinned (without it the
+    *     whole pipeline runs once per join side — measured ~2x). */
+  private def prefixOf(
+      words: DataFrame,
+      idCol: String,
+      wordsCol: String,
+      blockCols: Seq[String],
+      num: Int,
+      den: Int): (DataFrame, Option[DataFrame]) = {
+    val spark = words.sparkSession
+    val exploded = words.select(
       (col(idCol) +: blockCols.map(col) :+
         col("__n") :+ col("__plen") :+
         explode(col(wordsCol)).as("__w")): _*)
     // global document frequency: words arrays are distinct per record, so
     // count == number of records containing the token
-    val dfreq = words.groupBy(col("__w")).agg(count(lit(1)).as("__df"))
+    val dfreq = exploded.groupBy(col("__w")).agg(count(lit(1)).as("__df"))
     val cap = spark.conf.getOption(BroadcastVocabCapKey)
       .map(_.toLong).getOrElse(DefaultVocabCap)
     // vocab probe: collect at most cap+1 df rows — bounded driver memory
@@ -511,7 +534,7 @@ object Dedup {
           None
         }
       }
-    val prefix = collected match {
+    collected match {
       case Some(rows) =>
         // broadcast path: (vocab, df) as parallel arrays sorted by token
         // binary order; DfPrefixExpr derives each record's prefix locally.
@@ -525,21 +548,22 @@ object Dedup {
           .toArray.sortBy(_._1)
         val pre = graft.functions.functions.dfPrefix(
           col(wordsCol), num, den, sorted.map(_._1), sorted.map(_._2))
-        withLen
+        val prefix = words
           .select((col(idCol) +: blockCols.map(col) :+ col("__n") :+
             posexplode(pre)): _*)
           .select((col(idCol) +: blockCols.map(col) :+ col("__n") :+
             (col("pos") + 1).as("__rank") :+ col("col").as("__w")): _*)
+        (prefix, None)
       case None =>
         import org.apache.spark.sql.expressions.Window
-        words.join(dfreq, "__w")
+        val prefix = Checkpoints.pin(exploded.join(dfreq, "__w")
           .withColumn("__rank", row_number().over(
             Window.partitionBy(col(idCol)).orderBy(col("__df"), col("__w"))))
           .filter(col("__rank") <= col("__plen"))
           .select((col(idCol) +: blockCols.map(col) :+ col("__n") :+
-            col("__rank") :+ col("__w")): _*)
+            col("__rank") :+ col("__w")): _*))
+        (prefix, Some(prefix))
     }
-    Checkpoints.pin(prefix)
   }
 
   /** Lazy candidate pairs over a pinned prefix table — shared by
@@ -603,9 +627,9 @@ object Dedup {
     * fastest, NOT recomputable after executor loss. On a cluster with
     * dynamic allocation set [[Checkpoints.ReliableDirKey]]
     * (`spark.graft.checkpoint.dir`) to switch every barrier here to
-    * reliable checkpoints (identical results; JaccardReliableSpec pins
-    * that); the prefix pin lives only for the duration of one build,
-    * the result pin until the caller's clearCache. */
+    * reliable checkpoints (identical results; PrefixJoinSpec pins
+    * that); the words/prefix pins live only for the duration of one
+    * build, the result pin until the caller's clearCache. */
   def jaccardSelfJoin(
       base: DataFrame,
       idCol: String,
@@ -613,27 +637,35 @@ object Dedup {
       blockCols: Seq[String],
       num: Int = 1,
       den: Int = 4): DataFrame = {
-    val prefix = prefixPinned(base, idCol, wordsCol, blockCols, num, den)
+    val words = pinnedWords(base, idCol, wordsCol, blockCols, num, den)
     try {
-      val cands = rawCandidates(prefix, blockCols, num, den)
-      val sets = base.select(col(idCol), size(col(wordsCol)).as("__n"),
-        sort_array(col(wordsCol)).as("__ws"))
-      cands
-        .join(sets.toDF("doc_a", "n_a", "w_a"), "doc_a")
-        .join(sets.toDF("doc_b", "n_b", "w_b"), "doc_b")
-        .withColumn("inter_size",
-          graft.functions.functions.sortedIntersectSize(
-            col("w_a"), col("w_b")))
-        .filter(col("inter_size") * den >=
-          (col("n_a") + col("n_b") - col("inter_size")) * num)
-        .select(col("doc_a"), col("doc_b"), col("inter_size"),
-          (col("n_a") + col("n_b") - col("inter_size")).as("union_size"))
-        // eager result pin + prefix release, the winnowPairs shape:
-        // the pair table is the OUTPUT (pair-proportional by
-        // definition), and consumers re-sort or iterate over it —
-        // re-reading the barrier, never re-running the verify
-        .transform(Checkpoints.pin(_))
-    } finally Checkpoints.release(prefix)
+      val (prefix, prefixPin) = prefixOf(words, idCol, wordsCol, blockCols,
+        num, den)
+      try {
+        val cands = rawCandidates(prefix, blockCols, num, den)
+        // verify word-sets come from the SAME pinned blocks the prefixes
+        // were derived from — no re-tokenization, and the
+        // deterministic-base contract is structurally enforced within
+        // one call
+        val sets = words.select(col(idCol), col("__n"),
+          sort_array(col(wordsCol)).as("__ws"))
+        cands
+          .join(sets.toDF("doc_a", "n_a", "w_a"), "doc_a")
+          .join(sets.toDF("doc_b", "n_b", "w_b"), "doc_b")
+          .withColumn("inter_size",
+            graft.functions.functions.sortedIntersectSize(
+              col("w_a"), col("w_b")))
+          .filter(col("inter_size") * den >=
+            (col("n_a") + col("n_b") - col("inter_size")) * num)
+          .select(col("doc_a"), col("doc_b"), col("inter_size"),
+            (col("n_a") + col("n_b") - col("inter_size")).as("union_size"))
+          // eager result pin + barrier release, the winnowPairs shape:
+          // the pair table is the OUTPUT (pair-proportional by
+          // definition), and consumers re-sort or iterate over it —
+          // re-reading the barrier, never re-running the verify
+          .transform(Checkpoints.pin(_))
+      } finally prefixPin.foreach(Checkpoints.release)
+    } finally Checkpoints.release(words)
   }
 
   /** MinHash-LSH candidate pairs on top of the md5 minhash signatures
