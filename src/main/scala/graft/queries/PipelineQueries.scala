@@ -194,6 +194,47 @@ object PipelineQueries {
         .orderBy(col("j_decile"))
     }),
 
+    // band-width TUNING CURVE (r14, VERDICT r13 #5): the banding-recall
+    // measurement swept across the band configurations of the same
+    // 8-hash signature — 2 bands x 4 rows, 4x2, 8x1 — emitting per
+    // (config, J-decile) recall AND the config's total candidate count,
+    // so the band-width knob has a measured recall/cost trade-off table
+    // instead of one point. Narrower bands are strictly more permissive
+    // (equality of a 4-hash band implies equality of its 2-hash halves),
+    // so candidates(2x4) ⊆ candidates(4x2) ⊆ candidates(8x1) — the
+    // curve's monotonicity is a BandingCurveSpec invariant, as is
+    // recall 1.0 at J=1 for every config (exact TEXT duplicates share
+    // all 8 minhashes). Exact truth is computed once on the sample;
+    // per-config candidates are pinned so the count and the recall join
+    // read one materialization.
+    "q_banding_curve" -> ((s, dir) => {
+      val sample = planted(s, dir).filter(col("doc_id") % 5 === 0)
+      val base = sample.select(col("doc_id"), col("lang"),
+        expr("n_chars div 100").cast("int").as("size_bucket"),
+        array_distinct(split(lower(trim(col("text"))),
+          "[ \\t\\n\\x0B\\f\\r]+")).as("words"))
+      val truth = Dedup.jaccardSelfJoin(base, "doc_id", "words",
+        Seq("lang", "size_bucket"), num = 1, den = 4)
+      Seq(4, 2, 1).map { rowsPerBand =>
+        val bands = 8 / rowsPerBand
+        val cands = graft.operators.Checkpoints.pin(
+          Dedup.minhashCandidates(sample, 8, rowsPerBand)
+            .select(col("doc_a"), col("doc_b")))
+        val nCand = cands.agg(count(lit(1)).as("n_candidates"))
+        truth.join(cands.withColumn("__hit", lit(1)),
+            Seq("doc_a", "doc_b"), "left")
+          .groupBy(expr("(inter_size * 10) div union_size").as("j_decile"))
+          .agg(count(lit(1)).as("n_true_pairs"),
+            count(col("__hit")).as("n_found"))
+          .withColumn("bands", lit(bands))
+          .withColumn("rows_per_band", lit(rowsPerBand))
+          .crossJoin(broadcast(nCand))
+      }.reduce(_.unionByName(_))
+        .select(col("bands"), col("rows_per_band"), col("j_decile"),
+          col("n_true_pairs"), col("n_found"), col("n_candidates"))
+        .orderBy(col("bands"), col("j_decile"))
+    }),
+
     // exact edit-distance CONFIRM pass over the MinHash-LSH candidates —
     // the production two-stage fuzzy dedup (sparse LSH candidate
     // generation bounds the pair count; q_ngram_jaccard's blocked join
@@ -542,6 +583,43 @@ object PipelineQueries {
        |  SELECT doc_id,
        |    MINS
        |  FROM sh)""".stripMargin.replace("MINS", mins)
+  }
+
+  /** Shared truth-side CTEs of the banding recall/curve oracles: the
+    * planted corpus, its deterministic %5 sample, exact blocked word-set
+    * Jaccard truth at J >= 0.25, and the 8-hash minhash signature table
+    * (`sig`) over the sample. */
+  private val BandingTruthCtes: String = "WITH pl AS (\n" +
+    "  SELECT doc_id, text, lang, n_chars FROM documents\n" +
+    "  UNION ALL\n" +
+    "  SELECT doc_id + 1000000000 AS doc_id, text, lang, n_chars\n" +
+    "  FROM documents WHERE doc_id % 10 = 0),\n" +
+    "samp AS (SELECT * FROM pl WHERE doc_id % 5 = 0),\n" +
+    """ws AS (
+      |  SELECT doc_id, lang, CAST(n_chars // 100 AS INT) AS size_bucket,
+      |    list_distinct(string_split_regex(lower(trim(text)),
+      |      '[ \t\n\x0B\f\r]+')) AS w
+      |  FROM samp),
+      |truth AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    len(list_intersect(a.w, b.w)) AS inter_size,
+      |    len(a.w) + len(b.w) - len(list_intersect(a.w, b.w)) AS union_size
+      |  FROM ws a JOIN ws b
+      |    ON a.lang = b.lang AND a.size_bucket = b.size_bucket
+      |   AND a.doc_id < b.doc_id
+      |  WHERE 4 * len(list_intersect(a.w, b.w)) >=
+      |        len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))),
+      |""".stripMargin + minhashCtes("samp")
+
+  /** One banding CTE over `sig`: `8 / rowsPerBand` bands, band b keyed
+    * by md5 of its consecutive `rowsPerBand` component hashes — the SQL
+    * mirror of [[graft.operators.Dedup.minhashBands]]'s band keys. */
+  private def bandedCteSql(name: String, rowsPerBand: Int): String = {
+    val bands = 8 / rowsPerBand
+    (0 until bands).map { b =>
+      val parts = (0 until rowsPerBand).map(k => s"h${b * rowsPerBand + k}")
+      s"  SELECT doc_id, $b AS band, md5(${parts.mkString(" || ")}) AS key FROM sig"
+    }.mkString(s"$name AS (\n", "\n  UNION ALL\n", ")")
   }
 
   /** Per-vector projections onto the md5-derived hyperplanes, mirroring
@@ -1057,32 +1135,9 @@ object PipelineQueries {
     // prefix-filtered join, same answer by the lossless lemma);
     // candidates = the same banding as q_minhash_lsh_pairs over the
     // same sample; one left join + decile aggregate
-    "q_banding_recall" -> ("WITH pl AS (\n" +
-      "  SELECT doc_id, text, lang, n_chars FROM documents\n" +
-      "  UNION ALL\n" +
-      "  SELECT doc_id + 1000000000 AS doc_id, text, lang, n_chars\n" +
-      "  FROM documents WHERE doc_id % 10 = 0),\n" +
-      "samp AS (SELECT * FROM pl WHERE doc_id % 5 = 0),\n" +
-      """ws AS (
-        |  SELECT doc_id, lang, CAST(n_chars // 100 AS INT) AS size_bucket,
-        |    list_distinct(string_split_regex(lower(trim(text)),
-        |      '[ \t\n\x0B\f\r]+')) AS w
-        |  FROM samp),
-        |truth AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    len(list_intersect(a.w, b.w)) AS inter_size,
-        |    len(a.w) + len(b.w) - len(list_intersect(a.w, b.w)) AS union_size
-        |  FROM ws a JOIN ws b
-        |    ON a.lang = b.lang AND a.size_bucket = b.size_bucket
-        |   AND a.doc_id < b.doc_id
-        |  WHERE 4 * len(list_intersect(a.w, b.w)) >=
-        |        len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))),
-        |""".stripMargin + minhashCtes("samp") +
-      """,
-        |banded AS (
-        |  SELECT doc_id, 0 AS band, md5(h0 || h1 || h2 || h3) AS key FROM sig
-        |  UNION ALL
-        |  SELECT doc_id, 1 AS band, md5(h4 || h5 || h6 || h7) AS key FROM sig),
+    "q_banding_recall" -> (BandingTruthCtes +
+      s""",
+        |${bandedCteSql("banded", 4)},
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM banded a JOIN banded b
@@ -1093,6 +1148,30 @@ object PipelineQueries {
         |FROM truth t LEFT JOIN cand c
         |  ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // the tuning-curve sweep: same truth, three band configurations,
+    // per-config recall deciles + total candidate count
+    "q_banding_curve" -> (BandingTruthCtes + ",\n" +
+      Seq(4, 2, 1).map { r =>
+        s"""${bandedCteSql(s"banded_$r", r)},
+           |cand_$r AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM banded_$r a JOIN banded_$r b
+           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)"""
+          .stripMargin
+      }.mkString(",\n") + "\n" +
+      Seq(4, 2, 1).map { r =>
+        s"""SELECT CAST(${8 / r} AS INT) AS bands,
+           |  CAST($r AS INT) AS rows_per_band,
+           |  CAST((t.inter_size * 10) // t.union_size AS BIGINT) AS j_decile,
+           |  COUNT(*) AS n_true_pairs,
+           |  COUNT(c.doc_a) AS n_found,
+           |  (SELECT COUNT(*) FROM cand_$r) AS n_candidates
+           |FROM truth t LEFT JOIN cand_$r c
+           |  ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+           |GROUP BY 1, 2, 3""".stripMargin
+      }.mkString("\nUNION ALL\n") +
+      "\nORDER BY bands, j_decile"),
 
     // the LSH band join of q_minhash_lsh_pairs feeding the banded
     // levenshtein confirm; ASCII projection + CASE band as in the
