@@ -205,8 +205,10 @@ object Profile {
   private[graft] def buildSynthetic(spark: SparkSession, sfDir: String,
       mult: Int): String = {
     val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    // v2: events are now SCALED (not symlinked) so the archive-query
+    // family can ladder; the version bump invalidates stale v1 caches
     val syn = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft-profile-$tag-x$mult")
+      sys.props("java.io.tmpdir"), s"graft-profile-$tag-x$mult-v2")
     val done = new java.io.File(syn, "_READY")
     if (done.exists()) return syn.toString
     if (syn.exists()) {
@@ -243,8 +245,22 @@ object Profile {
       .repartition(spark.sparkContext.defaultParallelism)
       .write.mode("overwrite").parquet(s"$syn/lineitem.parquet")
 
+    // events scale like documents: copies keep their timestamps (the
+    // archive queries' time-window selectivity stays a constant
+    // fraction) under fresh event_ids, so interval/cursor scans see
+    // mult x the rows they'd see at sfDir
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .crossJoin(broadcast(copies))
+      .select(
+        (col("event_id") + col("__k").cast("long") * 1000000000L)
+          .as("event_id"),
+        col("ts"), col("user_id"), col("event_type"), col("value"),
+        col("props"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$syn/events.parquet")
+
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "events")) {
+        "orders")) {
       val link = java.nio.file.Paths.get(syn.toString, s"$t.parquet")
       if (!java.nio.file.Files.exists(link))
         // absolute target: a relative sf dir would resolve against the

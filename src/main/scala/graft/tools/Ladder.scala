@@ -23,11 +23,20 @@ import org.apache.spark.sql.SparkSession
   * query, and a closing JSON summary. PROFILE.md holds the analysis. */
 object Ladder {
 
-  /** The pair/join family — queries whose cost is a function of
-    * CANDIDATE volume, where a missing frequency/banding defense turns
-    * 10x data into 100x pairs. Each names the table whose row count is
-    * the scaling denominator. */
+  /** The laddered battery (r14 widens the original pair/join family
+    * with the sketch, curation-gate, ANN/index-probe, and archive
+    * families — VERDICT r13 #4: "cost independent of corpus by design"
+    * was asserted for probes and sketches, not laddered). Each entry
+    * names the table whose row count is the scaling denominator.
+    *
+    * Expected top-leg shapes: pair/join families ≤ ~1.0
+    * (candidate/output-proportional); single-scan families ~≤ 1.0
+    * (sketch builds, gates, decontamination scan the corpus once);
+    * probe families well under (the probed-cell / banded-posting read
+    * is bounded by the batch, not the corpus — only the warm pass pays
+    * the per-dir index build). */
   private val Family: Seq[(String, String)] = Seq(
+    // pair/join family — candidate volume is the hazard
     "q_ngram_jaccard" -> "documents", // prefix-filtered jaccard (r13 fix)
     "q_dedup_clusters" -> "documents", // jaccard edges -> pointer-jumping CC
     "q_canonical_select" -> "documents", // cluster table + argmax join
@@ -38,7 +47,25 @@ object Ladder {
     "q_semdedup" -> "embeddings", // cluster-blocked cosine pairs
     "q_cosine_dup_pairs" -> "embeddings", // hot-label-guarded cosine pairs
     "q_pagerank" -> "documents", // broadcast-round rank over jaccard edges
-    "q_banding_recall" -> "documents") // sampled-truth recall harness (r13)
+    "q_banding_recall" -> "documents", // sampled-truth recall harness (r13)
+    "q_banding_curve" -> "documents", // 3-config tuning sweep (r14)
+    // sketch family — one corpus scan in, constant-size state out
+    "q_hll_store" -> "documents", // two loads into a SketchStore + union
+    "q_hll_union" -> "documents", // register-wise max merge
+    "q_cms_merge" -> "documents", // register-wise sum merge
+    "q_kmv_estimate" -> "documents", // k-min-values distinct estimate
+    // curation-gate family — map-side rules + small aggregates
+    "q_quality_gate" -> "documents",
+    "q_score_gate" -> "documents", // char-LM scoring, 2 corpus passes
+    "q_bloom_decontaminate" -> "documents", // broadcast Bloom prefilter
+    // ANN/index-probe family — reads bounded by probes, not corpus
+    "q_ann_ivf_topk" -> "embeddings", // full-scan IVF variant (linear)
+    "q_ann_cell_topk" -> "embeddings", // partition-pruned probed cells
+    "q_ann_pq_rerank_topk" -> "embeddings", // ADC shortlist + exact re-rank
+    "q_neardup_probe" -> "documents", // banded postings probe vs history
+    // archive family — pushed-filter scans + TakeOrdered pages
+    "q_time_interval" -> "events",
+    "q_cursor_page" -> "events")
 
   /** Top-leg exponent above which a query is flagged by name: 1.0 is
     * linear, candidate/pair families legitimately run slightly above

@@ -152,6 +152,49 @@ class CurateSpec extends SparkSuite {
       !l.contains("fragmented")), s"unexpected stats: $lines")
   }
 
+  test("leak gate: a full front-door drain (bootstrap, both gate sinks, " +
+    "maintenance sweep, second-generation resume) leaves no persisted " +
+    "non-checkpoint frames") {
+    // VERDICT r13 #6: StreamOpsSpec gates the four pipeline ENTRY
+    // POINTS; this drives the assembled tools/Curate front door — the
+    // wiring (gateSink report/rejected writers, warm start, epoch
+    // sinks, maintenanceEvery sweeps) could pin frames the bare
+    // pipeline does not. Contract as in LeakFreeBatterySpec: after the
+    // drains, getPersistentRDDs may hold only locally-checkpointed
+    // blocks; a bare .persist() surviving here lives until the
+    // streaming driver dies.
+    import spark.implicits._
+    def cleanSlate(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.catalog.clearCache()
+    }
+    cleanSlate()
+    val in = tmpDir("curate-leak-in")
+    val root = tmpDir("curate-leak-root")
+    val cfg = Curate.Config(
+      inputDir = in, root = root, out = root + "/curate/out", once = true,
+      gate = Some(GateConfig(
+        minWords = 3L, maxWords = 1000L, minStopwords = 0)),
+      maintenanceEvery = 1, minKeptTokens = 3, thresholdMicro = 900000L)
+    dropFile(Seq(
+      (1L, textA, Array(1f, 0f, 0f, 0f), "s1"),
+      (2L, textB, Array(0f, 1f, 0f, 0f), "s1"))
+      .toDF("doc_id", "text", "embedding", "source"), in, "seed.parquet")
+    Curate.run(spark, cfg).awaitTermination(180000)
+    // second drain resumes the checkpoint: warm start + history reads
+    // + the maintenance sweep all run again over committed stores
+    dropFile(Seq(
+      (10L, textA, Array(1f, 0f, 0f, 0f), "s2"),
+      (11L, textNovel, Array(0f, 0f, 1f, 0f), "s2"))
+      .toDF("doc_id", "text", "embedding", "source"), in, "victim.parquet")
+    Curate.run(spark, cfg).awaitTermination(180000)
+    val leaked = spark.sparkContext.getPersistentRDDs.values
+      .filterNot(_.isCheckpointed)
+    assert(leaked.isEmpty, s"front-door drain leaked ${leaked.size} " +
+      s"persisted non-checkpoint RDD(s): ${leaked.map(_.name).mkString(", ")}")
+    cleanSlate()
+  }
+
   test("exactly-once output: a crash between the sink write and the " +
     "checkpoint commit re-drains into the SAME batch dir — rewritten, " +
     "never duplicated (VERDICT r11 #2)") {
