@@ -89,7 +89,7 @@ object Bpe {
     // corpus re-scan per round AND caps the per-round lineage; each
     // round's checkpoint releases its predecessor so a long training
     // run holds ONE copy of the word table, not one per merge
-    var words = wordTable(docs, textCol).localCheckpoint(true)
+    var words = Checkpoints.pin(wordTable(docs, textCol))
     val learned = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var done = false
     try {
@@ -103,11 +103,10 @@ object Bpe {
         else {
           val (a, b) = (top.head.getString(0), top.head.getString(1))
           learned += Merge(a, b, top.head.getLong(2))
-          val next = words
+          val next = Checkpoints.pin(words
             .withColumn("symbols", graft.functions.functions
               .bpeApply(col("symbols"), Seq((a, b))))
-            .select(col("symbols"), col("n"))
-            .localCheckpoint(true) // eager: safe to drop the source now
+            .select(col("symbols"), col("n"))) // eager: drop the source now
           releaseCheckpoint(words)
           words = next
         }

@@ -790,7 +790,7 @@ final class CellIndex(spark: SparkSession, path: String) {
       // cuts the parquet dependency.
       val survivors = batch.join(flagged.select("vec_id"),
         Seq("vec_id"), "left_anti")
-        .localCheckpoint(true)
+        .transform(Checkpoints.pin(_))
       // within-batch min-id pass, blocked on this index's cells (the
       // routing every survivor is about to take anyway)
       val routed = survivors.withColumn("cell",
@@ -815,13 +815,13 @@ final class CellIndex(spark: SparkSession, path: String) {
         // checkpoint-backed, but the anti-join result is what callers
         // re-read after the append — freeze it so the emission is one
         // stable row set, not a plan
-        .localCheckpoint(true)
+        .transform(Checkpoints.pin(_))
       // replayed rows are canonical BY STATE (their stored copy is
       // themselves); pin them before the append for the same reason
       val replayRows = batch.join(
         flagged.filter(col("is_replay")).select("vec_id"),
         Seq("vec_id"))
-        .localCheckpoint(true)
+        .transform(Checkpoints.pin(_))
       val stats = append(kept)
       (kept.unionByName(replayRows), CellIndex.SemanticIngestStats(
         appended = stats.n, replays = nReplay,

@@ -10,12 +10,24 @@ import org.apache.spark.sql.DataFrame
   * it is `localCheckpoint` — executor-local blocks, fastest, and fine in
   * local mode — but localCheckpoint blocks are NOT recomputable, so on a
   * cluster with dynamic allocation or executor loss a lost block fails
-  * the query. Setting `spark.graft.checkpoint.dir` switches every
-  * pinned barrier (jaccardSelfJoin, prefixFilterCandidates, winnowPairs;
-  * [[GraphOps.pageRank]] takes the same choice as a parameter) to
-  * RELIABLE checkpoints under that directory, which survive executor
-  * death and arbitrary recomputation. Results are identical in both
-  * modes — the barrier only changes where the materialized frame lives.
+  * the query. Setting `spark.graft.checkpoint.dir` switches EVERY
+  * library barrier to RELIABLE checkpoints under that directory, which
+  * survive executor death and arbitrary recomputation: the Dedup pair
+  * generators (jaccardSelfJoin, prefixFilterCandidates, winnowPairs) and
+  * the connectedComponents loop, [[GraphOps.pageRank]] (an explicit
+  * `checkpointDir` argument takes precedence), [[Bpe.train]]'s merge
+  * loop, the streaming curation stages (StreamOps), and the incremental
+  * stores (FingerprintIndex, NearDupIndex, GramIndex, CellIndex,
+  * RecordStore, LatestStore). Results are identical in both modes — the
+  * barrier only changes where the materialized frame lives. The
+  * measurement harnesses under `tools/` deliberately stay
+  * executor-local: they pin to EXCLUDE scan cost from a measurement,
+  * and durability would change what they measure.
+  *
+  * Long-running reliable mode (a streaming ingester): checkpoint files
+  * accumulate under the dir until context shutdown. Set
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` so files are
+  * reclaimed when their frames are garbage-collected.
   */
 private[graft] object Checkpoints {
 

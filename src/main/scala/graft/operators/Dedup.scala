@@ -234,8 +234,10 @@ object Dedup {
     * jump turns O(diameter) convergence into O(log diameter) — a
     * 1000-link chain of near-dups (the adversarial shape at 100 TB)
     * converges in ~10 rounds instead of 1000, and each round stays a
-    * constant number of shuffle joins. Lineage is cut with
-    * localCheckpoint so the loop does not compound the plan; the
+    * constant number of shuffle joins. Lineage is cut through
+    * [[Checkpoints.pin]] (executor-local by default, reliable under
+    * `spark.graft.checkpoint.dir`) so the loop does not compound the
+    * plan; the
     * per-row changed flag rides through the checkpoint so convergence
     * detection is a trivial scan, not an extra join.
     *
@@ -246,13 +248,11 @@ object Dedup {
       vertices: DataFrame,
       edges: DataFrame,
       maxIterations: Int = 25): DataFrame = {
-    val undirected = edges.select(col("doc_a"), col("doc_b"))
+    val undirected = Checkpoints.pin(edges.select(col("doc_a"), col("doc_b"))
       .union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .distinct()
-      .localCheckpoint()
-    var labels = vertices
-      .select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .localCheckpoint()
+      .distinct())
+    var labels = Checkpoints.pin(vertices
+      .select(col("doc_id"), col("doc_id").as("cluster_id")))
     var iteration = 0
     var converged = false
     while (!converged && iteration < maxIterations) {
@@ -312,7 +312,7 @@ object Dedup {
       // round). Block accumulation is bounded: maxIterations copies of
       // the (doc_id, cluster_id) vertex table — O(|V|), dwarfed by the
       // one |E|-sized edge checkpoint — and spills to disk under pressure.
-      val updated = jumped.localCheckpoint(false)
+      val updated = Checkpoints.pin(jumped, eager = false)
       val changed = updated
         .agg(count(when(col("__changed"), lit(1)))).first().getLong(0)
       converged = changed == 0L

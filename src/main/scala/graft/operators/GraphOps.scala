@@ -41,13 +41,16 @@ import org.apache.spark.sql.functions._
   * ranking, not convergence to 1e-12), so the plan stays bounded like
   * [[Dedup.connectedComponents]]'s rounds.
   *
-  * Checkpointing: loop lineage is truncated each round. By default
-  * this uses `localCheckpoint` (executor-local blocks — fastest, and
-  * fine in local mode), but localCheckpoint blocks are NOT
-  * recomputable: on a cluster with dynamic allocation or executor
-  * loss, a lost block fails the query. Pass `checkpointDir` for
-  * cluster runs — rounds then write RELIABLE checkpoints that survive
-  * executor death and arbitrary recomputation.
+  * Checkpointing: loop lineage is truncated each round through the
+  * [[Checkpoints.pin]] seam. By default that is `localCheckpoint`
+  * (executor-local blocks — fastest, and fine in local mode), but
+  * localCheckpoint blocks are NOT recomputable: on a cluster with
+  * dynamic allocation or executor loss, a lost block fails the query.
+  * Either pass `checkpointDir` (takes precedence) or set the
+  * session-wide `spark.graft.checkpoint.dir` — rounds then write
+  * RELIABLE checkpoints that survive executor death and arbitrary
+  * recomputation, under the same flag that switches every other
+  * barrier in the library.
   */
 object GraphOps {
 
@@ -56,7 +59,9 @@ object GraphOps {
     * teleport rank). Returns (id, rank_micro).
     *
     * @param checkpointDir reliable checkpoint directory for cluster
-    *   mode (see object doc); None = executor-local checkpoints
+    *   mode (see object doc); None = defer to [[Checkpoints.pin]]
+    *   (reliable when `spark.graft.checkpoint.dir` is set,
+    *   executor-local otherwise)
     * @param broadcastMaxNodes broadcast the per-round rank table up to
     *   this many vertices (16 B/row payload; 4M ≈ tens of MB built)
     * @param edgesPerPartition co-partitioned fallback's edge rows per
@@ -110,7 +115,7 @@ object GraphOps {
     // sizes with identical shuffle bytes at every scale
     def cp(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(false)
-      else df.localCheckpoint(false)
+      else Checkpoints.pin(df, eager = false)
     val ids = cp(nodes.select(col("id")))
     // counts run over the materialized checkpoints, not the derivations
     val small = ids.count() <= broadcastMaxNodes

@@ -181,7 +181,7 @@ final class FingerprintIndex(spark: SparkSession, path: String,
       // write, and the caller's consumption of the returned frame would
       // otherwise EACH re-run the md5 + min-id shuffle join — 3-4 full
       // batch recomputations per ingest
-      .localCheckpoint(true)
+      .transform(graft.operators.Checkpoints.pin(_))
     // pin the pre-ingest snapshot: the anti-join must keep reading THESE
     // dirs even when recomputed after our own commit advances the table
     val newDocs = log.resolve() match {

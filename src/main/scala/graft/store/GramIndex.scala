@@ -217,7 +217,7 @@ final class GramIndex(spark: SparkSession, path: String,
     // bloom build, and the span join would otherwise each re-tokenize
     // and re-hash the whole batch (the NearDupIndex.batchBands
     // one-signature-computation discipline)
-    val g = batchGrams(batch, textCol, idCol).localCheckpoint(true)
+    val g = batchGrams(batch, textCol, idCol).transform(graft.operators.Checkpoints.pin(_))
     spansAgainst(g, prunedHistory(g, log.resolve()))
   }
 
@@ -232,7 +232,7 @@ final class GramIndex(spark: SparkSession, path: String,
     // pin the batch grams ONCE — four consumers (prunedHistory's
     // bucket collect, the bloom build, the span join, the newGrams
     // write) would otherwise each re-tokenize and re-hash the batch
-    val g = batchGrams(batch, textCol, idCol).localCheckpoint(true)
+    val g = batchGrams(batch, textCol, idCol).transform(graft.operators.Checkpoints.pin(_))
     val snapshot = log.resolve()
     val history = prunedHistory(g, snapshot)
     val spans = spansAgainst(g, history)

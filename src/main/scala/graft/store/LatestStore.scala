@@ -120,7 +120,7 @@ final class LatestStore(spark: SparkSession, path: String,
     val batchWinners = bucketed
       .withColumn("__rn", row_number().over(w))
       .filter($"__rn" === 1).drop("__rn")
-      .localCheckpoint(true) // merge input is stable across commit retries
+      .transform(graft.operators.Checkpoints.pin(_)) // stable across commit retries
     val touched = batchWinners.select("kp").distinct()
       .collect().map(_.getInt(0)).toSeq.sorted // ≤ nBuckets rows
     if (touched.isEmpty) return

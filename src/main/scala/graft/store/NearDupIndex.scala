@@ -238,7 +238,7 @@ final class NearDupIndex(spark: SparkSession, path: String,
       textCol = "__text", idCol = "__id")
       .select(col("doc_id"), col("band"), col("key"))
       .withColumn("bucket", keyBucket(col("key")))
-      .localCheckpoint(true)
+      .transform(graft.operators.Checkpoints.pin(_))
 
   /** Shared candidate→confirm pipeline: band join against the PINNED
     * snapshot's postings, then banded-Levenshtein confirm against the
@@ -281,7 +281,7 @@ final class NearDupIndex(spark: SparkSession, path: String,
     val cands = bands.join(hist, Seq("band", "key"))
       .filter(col("doc_id") =!= col("hist_id"))
       .select(col("doc_id"), col("hist_id")).distinct()
-      .localCheckpoint(true)
+      .transform(graft.operators.Checkpoints.pin(_))
     // one action serves BOTH the bucket pruning list and the broadcast
     // gate's candidate count: the probe is job-overhead-bound at small
     // batch sizes (measured 25 jobs ≤ 0.33 s each at sf0.1), so every
@@ -350,7 +350,7 @@ final class NearDupIndex(spark: SparkSession, path: String,
       .select(col(idCol).cast("long").as("__id"),
         col(textCol).as("__text"), normCol(textCol).as("__t"))
       .dropDuplicates("__id")
-      .localCheckpoint(true)
+      .transform(graft.operators.Checkpoints.pin(_))
     val assign = clean.select(col("__id").as("doc_id"),
       col("__id").as("canonical_id"))
     commitBatch(clean, batchBands(clean), assign)
@@ -380,7 +380,7 @@ final class NearDupIndex(spark: SparkSession, path: String,
       .select(col(idCol).cast("long").as("__id"),
         col(textCol).as("__text"), normCol(textCol).as("__t"))
       .dropDuplicates("__id")
-      .localCheckpoint(true)
+      .transform(graft.operators.Checkpoints.pin(_))
     val entries = log.resolve().map(_._2)
       .getOrElse(Map.empty[String, Seq[String]])
 
@@ -404,7 +404,7 @@ final class NearDupIndex(spark: SparkSession, path: String,
     }
     val fresh = clean
       .join(already.select(col("doc_id").as("__id")), Seq("__id"), "left_anti")
-      .localCheckpoint(true)
+      .transform(graft.operators.Checkpoints.pin(_))
 
     // 2. history matches for the fresh docs (pinned snapshot) — ONE
     //    signature pass: the same checkpointed band rows feed the
@@ -444,7 +444,7 @@ final class NearDupIndex(spark: SparkSession, path: String,
     val assign = clusters.join(clusterHist, Seq("cluster_id"))
       .select(col("doc_id"),
         coalesce(col("__ch"), col("cluster_id")).as("canonical_id"))
-      .localCheckpoint(true)
+      .transform(graft.operators.Checkpoints.pin(_))
 
     // 5. one atomic commit: postings for the new canonicals, verdict
     //    rows for every fresh doc (replay commits nothing — `fresh` is

@@ -126,7 +126,7 @@ final class RecordStore(spark: SparkSession, path: String,
     // consumer (the LatestStore.upsert merge-input discipline)
     val finalRows = {
       val rows = toWrite.drop("__dedup_id")
-      if (workIdIndex.isDefined) rows.localCheckpoint(true) else rows
+      if (workIdIndex.isDefined) rows.transform(graft.operators.Checkpoints.pin(_)) else rows
     }
     val dirName = log.newDataDirName(log.currentVersion.getOrElse(0L) + 1)
     finalRows

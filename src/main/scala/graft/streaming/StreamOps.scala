@@ -597,12 +597,12 @@ object StreamOps {
       // recompute-stable, so pinning changes cost, never content (the
       // kill-point contract is unaffected: a crash replays the batch)
       val exactCanonical = exact.ingestResolved(cleaned)
-        .localCheckpoint(true)
+        .transform(graft.operators.Checkpoints.pin(_))
       onStage("exact")
       val ndSurvivors = nearDup.ingest(exactCanonical)
         .filter(col("canonical_id") === col("doc_id"))
         .drop("canonical_id")
-        .localCheckpoint(true)
+        .transform(graft.operators.Checkpoints.pin(_))
       onStage("neardup")
       val spans = grams.ingest(ndSurvivors)
       val scrubbed = graft.operators.SpanDedup
@@ -614,7 +614,7 @@ object StreamOps {
         // four index probes + two joins above: freeze the row set
         // once so the semantic leg and the sink read ONE stable
         // frame (and never re-probe post-commit index state)
-        .localCheckpoint(true)
+        .transform(graft.operators.Checkpoints.pin(_))
       val vecs = keptDocs.select(col("doc_id").as("vec_id"),
         col("embedding"))
       // Lazy quantizer bootstrap on a FRESH semantic store: train from

@@ -218,6 +218,19 @@ class BenchDefenseSpec extends AnyFunSuite {
     assert(Bench.previousRun(d3, "sf0.1")._2 === "BENCH_LOCAL_r12.json")
   }
 
+  test("previousRun never parses a subset run's _partial file — local " +
+    "iteration cannot shrink or dirty the comparison base") {
+    val d = dir(
+      "BENCH_LOCAL_partial.json" ->
+        stampedLine(Map("q_a" -> 0.1), 0.0))
+    assert(Bench.previousRun(d, "sf0.1") === ((Map.empty, "none")))
+    // and it never outranks a real archive, however clean its stamp
+    val d2 = dir(
+      "BENCH_LOCAL_partial.json" -> stampedLine(Map("q_a" -> 0.1), 0.0),
+      "BENCH_LOCAL_r13.json" -> stampedLine(Map("q_a" -> 1.2), 4.2))
+    assert(Bench.previousRun(d2, "sf0.1")._2 === "BENCH_LOCAL_r13.json")
+  }
+
   test("awaitQuietWindow: disabled or steal-less environments return " +
     "immediately without blocking") {
     // maxWaitSec=0 disables; windowSec=0 degrades; neither may sleep

@@ -165,13 +165,18 @@ class PrefixJoinSpec extends SparkSuite {
       assert(reliable === local)
       assert(reliable === bruteForce(rows, 1, 4))
       // the reliable mode actually wrote checkpoint files (the flag is
-      // live, not silently ignored)
+      // live, not silently ignored). The context checkpoint dir is
+      // process-global and SET ONCE — another suite may have won the
+      // race — and getCheckpointDir returns a file:-schemed URI that
+      // java.io.File cannot resolve, so strip the scheme and check the
+      // GLOBAL dir (wherever this JVM's reliable checkpoints land).
       def anyFile(f: java.io.File): Boolean =
         f.isFile || Option(f.listFiles()).getOrElse(Array.empty).exists(anyFile)
       assert(spark.sparkContext.getCheckpointDir.isDefined)
-      assert(anyFile(new java.io.File(
-        spark.sparkContext.getCheckpointDir.get)) ||
-        anyFile(new java.io.File(dir)))
+      val globalDir = new org.apache.hadoop.fs.Path(
+        spark.sparkContext.getCheckpointDir.get).toUri.getPath
+      assert(anyFile(new java.io.File(globalDir)),
+        s"no checkpoint files under $globalDir")
     } finally spark.conf.unset(Checkpoints.ReliableDirKey)
   }
 
