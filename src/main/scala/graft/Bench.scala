@@ -274,13 +274,24 @@ object Bench {
     val t0 = System.nanoTime()
     var last = -1.0
     var done = false
+    var lastWindow = windowSec.toLong
     while (!done) {
       val s0 = stealTicks()
-      Thread.sleep(windowSec * 1000L)
+      // never sleep past the configured bound: the first window used to
+      // run full-length regardless, so maxWaitSec < windowSec silently
+      // floored the wait at one whole window (45 s for a 10 s budget)
+      val remaining = maxWaitSec - (System.nanoTime() - t0) / 1e9
+      val thisWindow = math.max(1L, math.min(windowSec.toLong,
+        math.ceil(remaining).toLong))
+      lastWindow = thisWindow
+      Thread.sleep(thisWindow * 1000L)
       last = (for (a <- s0; b <- stealTicks())
         yield (b - a) / userHz).getOrElse(-1.0)
+      // a short final window sees proportionally less steal: scale the
+      // budget so the pass/fail bar means the same rate
+      val budget = stealBudgetSec * thisWindow / windowSec
       val waited = (System.nanoTime() - t0) / 1e9
-      if (last < 0 || last <= stealBudgetSec) done = true
+      if (last < 0 || last <= budget) done = true
       else if (waited + windowSec > maxWaitSec) {
         System.err.println(f"[bench] no quiet window within $maxWaitSec s " +
           f"(last ${windowSec}s window: steal $last%.1f s) — proceeding; " +
@@ -290,7 +301,9 @@ object Bench {
         f"[bench] waiting out contention (steal $last%.1f s / ${windowSec}s " +
           f"window, ${waited}%.0f s waited)")
     }
-    (((System.nanoTime() - t0) / 1e9) - windowSec, last)
+    // report wait EXCLUDING the final (possibly truncated) window — the
+    // sample that passed is measurement, not waiting
+    (math.max(0.0, ((System.nanoTime() - t0) / 1e9) - lastWindow), last)
   }
 
   final case class PassStamp(
@@ -341,6 +354,11 @@ object Bench {
     * cleanest-base preference so "clean" means one thing. */
   val CleanMarginSec = 1.0
 
+  /** How many rounds back the cleanest-base search may reach: archives
+    * more than this many rounds behind the newest are too stale to be a
+    * 3x comparison base (queries evolve), however clean their stamp. */
+  val MaxBaseAgeRounds = 4L
+
   /** The CLEANEST compatible per-query comparison base in `dir`, plus
     * the file name it came from (`"none"` when nothing compatible
     * exists). Candidate discovery order (newest first within each tier):
@@ -362,7 +380,12 @@ object Bench {
     * no stamped candidate exists (newest first — the pre-r12 behavior).
     * A candidate only qualifies if its `"sf"` tag matches `tag` —
     * cross-scale bases mass-misfire the 3x test — so a candidate with
-    * no parsable sf is skipped, not trusted. */
+    * no parsable sf is skipped, not trusted. Archives older than
+    * [[MaxBaseAgeRounds]] rounds behind the newest are excluded
+    * outright: the queries themselves evolve round over round, and on
+    * a chronically noisy box one lucky zero-steal archive would
+    * otherwise pin the 3x test to an arbitrarily stale map, flagging
+    * every intentionally-slowed query forever. */
   def previousRun(dir: java.io.File, tag: String)
       : (Map[String, Double], String) = {
     val all = Option(dir.listFiles()).getOrElse(Array.empty)
@@ -371,10 +394,13 @@ object Bench {
       try Some(new String(
         java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
       catch { case _: Throwable => None }
-    val archives = all.flatMap(f => f.getName match {
+    val numbered = all.flatMap(f => f.getName match {
       case Archive(n, _) => n.toLongOption.map(r => (r, f))
       case _ => None
-    }).sortBy(-_._1).map(_._2)
+    }).sortBy(-_._1)
+    val newestRound = numbered.headOption.map(_._1).getOrElse(0L)
+    val archives = numbered
+      .filter(_._1 > newestRound - MaxBaseAgeRounds).map(_._2)
     val local = all.filter(_.getName == "BENCH_LOCAL.json")
     val drivers = all.flatMap(f => f.getName match {
       case DriverArtifact(n) => n.toLongOption.map(r => (r, f))

@@ -211,14 +211,23 @@ object Profile {
       sys.props("java.io.tmpdir"), s"graft-profile-$tag-x$mult-v2")
     val done = new java.io.File(syn, "_READY")
     if (done.exists()) return syn.toString
-    if (syn.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory && java.nio.file.Files.isSymbolicLink(f.toPath) == false)
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete()
-      }
-      rm(syn)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory && java.nio.file.Files.isSymbolicLink(f.toPath) == false)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
     }
+    if (syn.exists()) rm(syn)
+    // sweep superseded-version caches for the same (sf, mult): the v1→v2
+    // rename otherwise strands the old multi-GB corpus in tmpdir forever
+    // (the delete-and-rebuild branch above only ever sees the NEW name)
+    Option(new java.io.File(sys.props("java.io.tmpdir")).listFiles())
+      .getOrElse(Array.empty)
+      .filter { f =>
+        val n = f.getName
+        n != syn.getName && (n == s"graft-profile-$tag-x$mult" ||
+          n.startsWith(s"graft-profile-$tag-x$mult-v"))
+      }
+      .foreach(rm)
     syn.mkdirs()
     val copies = spark.range(mult).select(col("id").cast("int").as("__k"))
 

@@ -507,22 +507,48 @@ object Dedup {
       blockCols: Seq[String],
       num: Int,
       den: Int): (DataFrame, Option[DataFrame]) = {
-    val spark = words.sparkSession
     val exploded = words.select(
       (col(idCol) +: blockCols.map(col) :+
         col("__n") :+ col("__plen") :+
         explode(col(wordsCol)).as("__w")): _*)
     // global document frequency: words arrays are distinct per record, so
-    // count == number of records containing the token
-    val dfreq = exploded.groupBy(col("__w")).agg(count(lit(1)).as("__df"))
+    // count == number of records containing the token. Pinned ONCE: the
+    // vocab probe below AND the over-cap fallback's join both read it —
+    // without the pin an over-cap corpus (the production case past 1M
+    // tokens) paid the full token aggregation twice per build, once for
+    // the discarded probe and once inside the join.
+    val dfreq = Checkpoints.pin(
+      exploded.groupBy(col("__w")).agg(count(lit(1)).as("__df")))
+    try prefixFrom(words, dfreq, idCol, wordsCol, blockCols, num, den)
+    finally Checkpoints.release(dfreq)
+  }
+
+  /** [[prefixOf]] continued: path choice + derivation over a PINNED df
+    * table (released by the caller). */
+  private def prefixFrom(
+      words: DataFrame,
+      dfreq: DataFrame,
+      idCol: String,
+      wordsCol: String,
+      blockCols: Seq[String],
+      num: Int,
+      den: Int): (DataFrame, Option[DataFrame]) = {
+    val spark = words.sparkSession
+    val exploded = words.select(
+      (col(idCol) +: blockCols.map(col) :+
+        col("__n") :+ col("__plen") :+
+        explode(col(wordsCol)).as("__w")): _*)
     val cap = spark.conf.getOption(BroadcastVocabCapKey)
       .map(_.toLong).getOrElse(DefaultVocabCap)
     // vocab probe: collect at most cap+1 df rows — bounded driver memory
-    // even when the real vocabulary is unbounded
+    // even when the real vocabulary is unbounded. The +1 saturates (a
+    // cap of Long.MaxValue means "broadcast regardless", not a wrap to
+    // probeN=0, which would select the broadcast path with an EMPTY map
+    // and fail every lookup)
     val collected =
       if (cap <= 0) None
       else {
-        val probeN = math.min(cap + 1, Int.MaxValue.toLong).toInt
+        val probeN = (math.min(cap, Int.MaxValue.toLong - 1) + 1).toInt
         val rows = dfreq.limit(probeN).collect()
         if (rows.length <= cap) Some(rows)
         else {

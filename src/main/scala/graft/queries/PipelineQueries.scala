@@ -179,12 +179,8 @@ object PipelineQueries {
     // (10*|∩|) div |∪|, counts are counts.
     "q_banding_recall" -> ((s, dir) => {
       val sample = planted(s, dir).filter(col("doc_id") % 5 === 0)
-      val base = sample.select(col("doc_id"), col("lang"),
-        expr("n_chars div 100").cast("int").as("size_bucket"),
-        array_distinct(split(lower(trim(col("text"))),
-          "[ \\t\\n\\x0B\\f\\r]+")).as("words"))
-      val truth = Dedup.jaccardSelfJoin(base, "doc_id", "words",
-        Seq("lang", "size_bucket"), num = 1, den = 4)
+      val truth = Dedup.jaccardSelfJoin(TextQueries.jaccardBase(sample),
+        "doc_id", "words", Seq("lang", "size_bucket"), num = 1, den = 4)
       val cands = Dedup.minhashCandidates(sample)
         .select(col("doc_a"), col("doc_b"), lit(1).as("__hit"))
       truth.join(cands, Seq("doc_a", "doc_b"), "left")
@@ -209,12 +205,8 @@ object PipelineQueries {
     // read one materialization.
     "q_banding_curve" -> ((s, dir) => {
       val sample = planted(s, dir).filter(col("doc_id") % 5 === 0)
-      val base = sample.select(col("doc_id"), col("lang"),
-        expr("n_chars div 100").cast("int").as("size_bucket"),
-        array_distinct(split(lower(trim(col("text"))),
-          "[ \\t\\n\\x0B\\f\\r]+")).as("words"))
-      val truth = Dedup.jaccardSelfJoin(base, "doc_id", "words",
-        Seq("lang", "size_bucket"), num = 1, den = 4)
+      val truth = Dedup.jaccardSelfJoin(TextQueries.jaccardBase(sample),
+        "doc_id", "words", Seq("lang", "size_bucket"), num = 1, den = 4)
       Seq(4, 2, 1).map { rowsPerBand =>
         val bands = 8 / rowsPerBand
         val cands = graft.operators.Checkpoints.pin(

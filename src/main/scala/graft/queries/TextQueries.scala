@@ -34,14 +34,25 @@ object TextQueries {
     * 100×. Prefix filtering is provably lossless at the J ≥ 0.25
     * threshold and the exact integer verify keeps the output
     * bit-identical to the old formulation. */
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val base = docs(s, dir).select(
-      $"doc_id", $"lang", expr("n_chars div 100").cast("int").as("size_bucket"),
-      array_distinct(split(lower(trim($"text")), "[ \\t\\n\\x0B\\f\\r]+")).as("words"))
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.jaccardSelfJoin(
-      base, "doc_id", "words", Seq("lang", "size_bucket"), num = 1, den = 4)
-  }
+      jaccardBase(docs(s, dir)),
+      "doc_id", "words", Seq("lang", "size_bucket"), num = 1, den = 4)
+
+  /** The ONE spelling of the jaccard tokenized base over a
+    * documents-shaped frame (doc_id, lang, n_chars, text):
+    * (lang, n_chars-bucket) blocking keys + the whitespace-class word
+    * set. The tokenizer regex and the bucket formula are LOAD-BEARING
+    * — the banding-recall specs' text-identity precondition and the
+    * DuckDB oracles mirror them exactly — so every consumer
+    * (q_ngram_jaccard, q_banding_recall/curve, BandingRecallSpec,
+    * tools/SeamTax) must read this definition, not restate it. */
+  private[graft] def jaccardBase(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"), col("lang"),
+      expr("n_chars div 100").cast("int").as("size_bucket"),
+      array_distinct(split(lower(trim(col("text"))),
+        "[ \\t\\n\\x0B\\f\\r]+")).as("words"))
 
   /** One materialized cluster-assignment table per scale-factor dir
     * (the `cellIndexCache` pattern): [[jaccardPairs]] edges closed into

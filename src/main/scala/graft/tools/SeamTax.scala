@@ -34,13 +34,9 @@ object SeamTax {
     // jaccard join (eager pins + fan-out), CC (lazy per-round pins),
     // pageRank (lazy pins + broadcast rounds)
     def jaccard(): Long = {
-      import org.apache.spark.sql.functions._
-      // the q_ngram_jaccard base (TextQueries.jaccardPairs), verbatim
-      val docs = spark.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), col("lang"),
-          expr("n_chars div 100").cast("int").as("size_bucket"),
-          array_distinct(split(lower(trim(col("text"))),
-            "[ \\t\\n\\x0B\\f\\r]+")).as("words"))
+      // the q_ngram_jaccard base, from its one spelling
+      val docs = graft.queries.TextQueries.jaccardBase(
+        spark.read.parquet(s"$dir/documents.parquet"))
       graft.operators.Dedup.jaccardSelfJoin(
         docs, "doc_id", "words", Seq("lang", "size_bucket"), 1, 4).count()
     }

@@ -218,6 +218,20 @@ class BenchDefenseSpec extends AnyFunSuite {
     assert(Bench.previousRun(d3, "sf0.1")._2 === "BENCH_LOCAL_r12.json")
   }
 
+  test("cleanest-base search is bounded to MaxBaseAgeRounds: a lucky " +
+    "clean archive cannot pin the 3x test to a stale query map") {
+    // r8 is 5 rounds behind r13 — excluded despite the perfect stamp
+    val d = dir(
+      "BENCH_LOCAL_r8.json" -> stampedLine(Map("q_a" -> 1.0), 0.0),
+      "BENCH_LOCAL_r13.json" -> stampedLine(Map("q_a" -> 1.2), 4.2))
+    assert(Bench.previousRun(d, "sf0.1")._2 === "BENCH_LOCAL_r13.json")
+    // r10 is within the bound (13 - 4 < 10) — the clean stamp wins
+    val d2 = dir(
+      "BENCH_LOCAL_r10.json" -> stampedLine(Map("q_a" -> 1.0), 0.0),
+      "BENCH_LOCAL_r13.json" -> stampedLine(Map("q_a" -> 1.2), 4.2))
+    assert(Bench.previousRun(d2, "sf0.1")._2 === "BENCH_LOCAL_r10.json")
+  }
+
   test("previousRun never parses a subset run's _partial file — local " +
     "iteration cannot shrink or dirty the comparison base") {
     val d = dir(
@@ -243,6 +257,12 @@ class BenchDefenseSpec extends AnyFunSuite {
     val (waited, last) = Bench.awaitQuietWindow(1, 1e9, 10)
     assert(waited >= 0.0 && waited < 5.0)
     assert(last >= -1.0)
+    // maxWaitSec BELOW the window length bounds the sleep — the first
+    // window used to run full-length regardless (45 s for a 2 s budget)
+    val t1 = System.nanoTime()
+    Bench.awaitQuietWindow(3600, 0.0, 2)
+    assert((System.nanoTime() - t1) / 1e9 < 10.0,
+      "wait must be bounded by maxWaitSec, not windowSec")
   }
 
   test("archive protection: a steal-contaminated run cannot replace a " +

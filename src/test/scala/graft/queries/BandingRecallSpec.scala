@@ -33,12 +33,9 @@ class BandingRecallSpec extends SparkSuite {
       d.filter($"doc_id" % 10 === 0)
         .withColumn("doc_id", $"doc_id" + 1000000000L))
       .filter($"doc_id" % 5 === 0)
-    val base = pl.select($"doc_id", $"lang",
-      expr("n_chars div 100").cast("int").as("size_bucket"),
-      array_distinct(split(lower(trim($"text")),
-        "[ \\t\\n\\x0B\\f\\r]+")).as("words"))
     val truth = graft.operators.Dedup.jaccardSelfJoin(
-      base, "doc_id", "words", Seq("lang", "size_bucket"), 1, 4)
+      graft.queries.TextQueries.jaccardBase(pl),
+      "doc_id", "words", Seq("lang", "size_bucket"), 1, 4)
       .filter(expr("(inter_size * 10) div union_size") === 10)
     val seqs = pl.select($"doc_id",
       split(lower(trim($"text")), "[ \\t\\n\\x0B\\f\\r]+").as("__seq"))
