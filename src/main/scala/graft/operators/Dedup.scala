@@ -253,6 +253,12 @@ object Dedup {
       .distinct())
     var labels = Checkpoints.pin(vertices
       .select(col("doc_id"), col("doc_id").as("cluster_id")))
+    // the pin whose blocks back the CURRENT `labels` — released once the
+    // round that consumed it has fully materialized, so peak block
+    // storage is 2 vertex-table copies + the edge pin, not one copy per
+    // round (O(maxIterations·|V|) mattered exactly on the adversarial
+    // long-chain graphs that need many rounds)
+    var labelsPin = labels
     var iteration = 0
     var converged = false
     while (!converged && iteration < maxIterations) {
@@ -309,18 +315,28 @@ object Dedup {
       // checkpoint materialization piggybacks on it and lineage is cut —
       // convergence detection costs no second pass over the data (the old
       // eager-checkpoint-then-isEmpty spelling ran one extra job per
-      // round). Block accumulation is bounded: maxIterations copies of
-      // the (doc_id, cluster_id) vertex table — O(|V|), dwarfed by the
-      // one |E|-sized edge checkpoint — and spills to disk under pressure.
+      // round). Superseded rounds release below, so live blocks are two
+      // vertex-table copies + the edge pin at any moment — not one copy
+      // per round — and spill to disk under pressure.
       val updated = Checkpoints.pin(jumped, eager = false)
       val changed = updated
         .agg(count(when(col("__changed"), lit(1)))).first().getLong(0)
       converged = changed == 0L
+      // the count computed EVERY partition of `updated` (lazy pins
+      // complete any stragglers at end-of-action), so the previous
+      // round's blocks — which only fed the join inside that plan —
+      // are now dead; release them before they stack up
+      Checkpoints.release(labelsPin)
+      labelsPin = updated
       labels = updated
         .select(col("doc_id"), col("new_cluster_id").as("cluster_id"))
       iteration += 1
     }
     Dedup.lastConnectedComponentsRounds = iteration
+    // the returned frame reads only the FINAL round's blocks (labels is
+    // a projection over labelsPin's LogicalRDD), so the |E|-sized edge
+    // pin is dead weight from here — release it in both exits
+    Checkpoints.release(undirected)
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIterations rounds " +

@@ -194,6 +194,27 @@ class OperatorsSpec extends SparkSuite {
     assert(got === Array(1L))
   }
 
+  test("connectedComponents releases superseded round pins: live blocks " +
+    "stay O(1) frames, not one per round") {
+    import spark.implicits._
+    // 64-link descending chain: needs ~7 pointer-jump rounds, so the
+    // old keep-every-round behavior would leave ~8 pinned RDDs
+    val n = 64L
+    val vertices = (1L to n).toDF("doc_id")
+    val edges = (1L until n).map(i => (n - i + 1, n - i)).toDF("doc_a", "doc_b")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val got = Dedup.connectedComponents(vertices, edges, maxIterations = 20)
+      .collect().map(_.getLong(1)).distinct
+    assert(got === Array(1L))
+    assert(Dedup.lastConnectedComponentsRounds >= 4, "chain must loop")
+    val leftover = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // final-round pin only (the edge pin and every superseded labels
+    // pin are released in-loop); tolerate one extra for the initial
+    // pin when the loop never ran
+    assert(leftover.size <= 2,
+      s"expected <=2 live pins after CC, found ${leftover.size}")
+  }
+
   test("connectedComponents runs one action per round (convergence " +
     "count folded into the round aggregate)") {
     import spark.implicits._
