@@ -472,6 +472,30 @@ object Bench {
     * `marginSec`) — best-of-by-steal with a tolerance so two clean runs
     * keep the newer (fresher code) line. A new run with UNKNOWN steal
     * never displaces a known-clean incumbent. */
+  /** Median per-query ratio challenger/incumbent over their common
+    * query keys — the second cleanliness signal behind
+    * [[shouldReplaceArchive]]. None when either side has no parsable
+    * query map or fewer than half the challenger's keys are shared
+    * (a code change mid-round can legitimately reshape the battery —
+    * an incomparable map must not veto). */
+  def medianRatio(incumbent: String, newLine: String): Option[Double] =
+    for {
+      (inc, _) <- parseBenchLine(incumbent)
+      (nw, _) <- parseBenchLine(newLine)
+      common = nw.keySet.intersect(inc.keySet)
+        .filter(k => nw(k) > 0 && inc(k) > 0)
+      if common.nonEmpty && common.size * 2 >= nw.size
+    } yield {
+      val rs = common.toSeq.map(k => nw(k) / inc(k)).sorted
+      rs(rs.size / 2)
+    }
+
+  /** A steal-cleaner challenger whose battery nevertheless ran this
+    * much slower per-query (median) carries contention /proc steal
+    * cannot see (memory-bandwidth or frequency theft books as user
+    * time) — the mixed signature keeps the incumbent. */
+  val MixedSignatureRatio = 1.10
+
   def shouldReplaceArchive(
       incumbent: Option[String],
       newLine: String,
@@ -479,7 +503,10 @@ object Bench {
     incumbent.flatMap(maxSteal) match {
       case None => true
       case Some(inc) => maxSteal(newLine) match {
-        case Some(nw) => nw <= inc + marginSec
+        case Some(nw) =>
+          nw <= inc + marginSec &&
+            incumbent.flatMap(medianRatio(_, newLine))
+              .forall(_ <= MixedSignatureRatio)
         case None => false
       }
     }

@@ -265,6 +265,27 @@ class BenchDefenseSpec extends AnyFunSuite {
       "wait must be bounded by maxWaitSec, not windowSec")
   }
 
+  test("archive protection: a steal-cleaner challenger that ran the " +
+    "battery materially slower is a mixed signature and keeps the " +
+    "incumbent (bandwidth theft books as user time, not steal)") {
+    val incumbent = stampedLine(
+      Map("q_a" -> 1.0, "q_b" -> 2.0, "q_c" -> 0.5), 15.7, 6.7)
+    val slower = stampedLine(
+      Map("q_a" -> 1.5, "q_b" -> 3.1, "q_c" -> 0.8), 7.9, 6.5)
+    assert(Bench.medianRatio(incumbent, slower).exists(_ > 1.4))
+    assert(!Bench.shouldReplaceArchive(Some(incumbent), slower),
+      "steal-cleaner but 1.5x-slower must not displace")
+    // steal-cleaner AND per-query comparable: displaces as before
+    val comparable = stampedLine(
+      Map("q_a" -> 1.02, "q_b" -> 1.98, "q_c" -> 0.51), 7.9, 6.5)
+    assert(Bench.shouldReplaceArchive(Some(incumbent), comparable))
+    // disjoint query maps (the battery changed mid-round): the ratio
+    // abstains and the steal rule alone decides
+    val reshaped = stampedLine(Map("q_new" -> 9.9), 7.9)
+    assert(Bench.medianRatio(incumbent, reshaped).isEmpty)
+    assert(Bench.shouldReplaceArchive(Some(incumbent), reshaped))
+  }
+
   test("archive protection: a steal-contaminated run cannot replace a " +
     "clean same-round archive (the r12 clobber, VERDICT r12 #1)") {
     val clean = stamped(0.2, 0.1) // the builder's committed clean base
