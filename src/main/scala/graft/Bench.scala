@@ -117,12 +117,21 @@ object Bench {
     // 1-minute system load average at the moment each query's BEST sample
     // finished — the "was this number taken under external load?" stamp
     val loadAtBest = scala.collection.mutable.Map.empty[String, Double]
+    // SEGMENT-level steal stamp (VERDICT r14 #1): /proc/stat steal
+    // accrued DURING the best sample's own execution. Pass-level stamps
+    // forced the whole ~150-280 s battery into one quiet window, which
+    // this box rarely offers; per-query stamps let each query's floor be
+    // individually certified by whichever short quiet window it landed
+    // in — the archive's quality is then max over floor providers, not
+    // worst pass.
+    val stealAtBest = scala.collection.mutable.Map.empty[String, Double]
     val failedQ = scala.collection.mutable.Set.empty[String]
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
 
     def timeOne(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Option[Double] = {
+      val st0 = stealTicks()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
@@ -130,6 +139,8 @@ object Bench {
         if (t < best.getOrElse(name, Double.MaxValue)) {
           best(name) = t
           loadAtBest(name) = os.getSystemLoadAverage
+          stealAtBest(name) = (for (a <- st0; b <- stealTicks())
+            yield (b - a) / userHz).getOrElse(-1.0)
         }
         failedQ -= name // any successful pass clears earlier failures
         Some(t)
@@ -193,11 +204,14 @@ object Bench {
     val results = ordered.map { case (name, _) =>
       name -> (if (failedQ(name)) -1.0 else best(name))
     }
-    def jmap(m: Seq[(String, Double)]): String =
-      m.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val qs = jmap(results)
     val loads = jmap(results.map { case (k, _) =>
       k -> loadAtBest.getOrElse(k, -1.0) })
+    // steal_q carries entries ONLY for succeeded queries (a failed query
+    // has no best sample to stamp); within those, a -1 still means
+    // "unreadable" and makes the whole map's quality unknown (maxSteal)
+    val stealQJson = jmap(results.collect { case (k, v) if v >= 0 =>
+      k -> stealAtBest.getOrElse(k, -1.0) })
     val reruns = jmap(rerun.toSeq.sorted)
     val stamp = passes.map(p =>
       f"""{"wall":${p.wall}%.1f,"job_sum":${p.jobSum}%.1f""" +
@@ -208,7 +222,7 @@ object Bench {
     val failedCount = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
     var archived = false
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"load":$loads,"outlier_rerun":$reruns,"rerun_base":"$rerunBase","rerun_base_steal":$rerunBaseSteal%.1f,"passes":$stamp,"failed":$failedCount,"quiet_wait_sec":$quietWaitSec%.1f,"quiet_last_steal":$quietLastSteal%.1f,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"load":$loads,"steal_q":$stealQJson,"outlier_rerun":$reruns,"rerun_base":"$rerunBase","rerun_base_steal":$rerunBaseSteal%.1f,"passes":$stamp,"failed":$failedCount,"quiet_wait_sec":$quietWaitSec%.1f,"quiet_last_steal":$quietLastSteal%.1f,"sf":"$sfDir"}"""
     // The full per-query/load/rerun line goes ONLY to BENCH_LOCAL.json
     // (VERDICT r10 #4): printing the ~8 KB map to stdout — first OR
     // last — overflowed the driver's fixed-size tail capture five rounds
@@ -223,32 +237,61 @@ object Bench {
       localOut), (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $localOut: $e") }
-    // the round archive is PROTECTED best-of-by-steal (VERDICT r12
-    // missing #1): a steal-contaminated run must not clobber a cleaner
-    // same-round archive — r12's driver run (steal 12-15 s/pass) replaced
-    // the builder's clean 96 s base and would have inflated r13's 3x
-    // outlier threshold by ~1.27x. The dirty run is still fully recorded
-    // in BENCH_LOCAL.json and the driver's own artifact.
+    // the round archive is a COMPOSITE FLOOR MAP (VERDICT r14 #1): two
+    // rounds of evidence say this box never offers a quiet window long
+    // enough for a whole battery pass, so instead of hoping for one, the
+    // archive merges per-query MINIMA across the round's runs — the
+    // ladder's rung-level best-of-N estimator generalized to the
+    // battery. Contention only ever INFLATES a query (steal, bandwidth
+    // theft, frequency theft all slow it down), so a lower observed time
+    // is strictly better evidence for the floor regardless of the run's
+    // overall weather; each floor carries the segment steal of the
+    // sample that provided it, and the archive's quality (maxSteal =
+    // max over steal_q) IMPROVES monotonically as short quiet windows
+    // are harvested. This subsumes the old whole-line protections per
+    // segment: a dirty run cannot raise a clean floor (min), a
+    // mixed-signature slower run contributes nothing (min), an
+    // unknown-steal sample never displaces a known-stamped floor
+    // (mergeFloors), and local subset runs can only IMPROVE floors of
+    // queries they ran, never record failures or shrink the battery.
+    // After a code change that legitimately slows queries, set
+    // SPARK_GRAFT_BENCH_FRESH=1 to reseed the composite from this run
+    // (the explicit override ADVICE r14 #3 asked for — without it the
+    // floors would pin superseded-code timings for the round).
     val archive = archiveName(new java.io.File("."), sfTag(sfDir))
-    if (subset) {
-      System.err.println(s"[bench] subset run: not archiving to $archive")
-    } else {
-      val incumbent =
-        try Some(new String(java.nio.file.Files.readAllBytes(
+    val fresh = sys.env.get("SPARK_GRAFT_BENCH_FRESH").contains("1")
+    val runFloors = Floors(
+      queries = results.toMap,
+      stealQ = results.collect { case (k, v) if v >= 0 =>
+        k -> stealAtBest.getOrElse(k, -1.0) }.toMap,
+      load = results.collect { case (k, v) if v >= 0 =>
+        k -> loadAtBest.getOrElse(k, -1.0) }.toMap,
+      sf = sfTag(sfDir),
+      mergedRuns = 1L)
+    val incFloors =
+      if (fresh) None
+      else (try Some(new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(archive)), "UTF-8"))
-        catch { case _: Throwable => None }
-      archived = shouldReplaceArchive(incumbent, line)
-      if (archived) {
-        try java.nio.file.Files.write(
-          java.nio.file.Paths.get(archive), (line + "\n").getBytes("UTF-8"))
+        catch { case _: Throwable => None })
+        .flatMap(parseFloors).filter(_.sf == runFloors.sf)
+    val merged: Option[Floors] =
+      if (subset) incFloors.map(mergeFloors(_, runFloors, subset = true))
+      else Some(incFloors.map(mergeFloors(_, runFloors, subset = false))
+        .getOrElse(runFloors))
+    merged match {
+      case Some(f) =>
+        archived = true
+        try java.nio.file.Files.write(java.nio.file.Paths.get(archive),
+          (renderFloors(f, sfDir) + "\n").getBytes("UTF-8"))
         catch { case e: Throwable =>
           archived = false
           System.err.println(s"[bench] could not write $archive: $e") }
-      } else {
-        System.err.println(s"[bench] keeping cleaner incumbent $archive " +
-          s"(incumbent steal ${incumbent.flatMap(maxSteal).getOrElse(-1.0)} s" +
-          s" vs this run's ${maxSteal(line).getOrElse(-1.0)} s)")
-      }
+        System.err.println(f"[bench] archive $archive: merged_runs=" +
+          f"${f.mergedRuns} floors_quality=${f.quality.getOrElse(-1.0)}%.2f" +
+          (if (fresh) " (FRESH reseed)" else ""))
+      case None =>
+        System.err.println(s"[bench] subset run with no same-sf composite " +
+          s"incumbent: not archiving to $archive")
     }
     // Stop BEFORE the final line so Spark's shutdown logging cannot land
     // after it: the LAST stdout line (before sbt's own footer) is then
@@ -256,7 +299,135 @@ object Bench {
     // `run / outputStrategy := StdoutOutput` in build.sbt.
     // BENCH_LOCAL.json holds the full per-query/load/rerun detail.
     spark.stop()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failedCount,"rerun_base":"$rerunBase","rerun_base_steal":$rerunBaseSteal%.1f,"reran":${rerun.size},"archived":$archived,"quiet_wait_sec":$quietWaitSec%.1f,"quiet_last_steal":$quietLastSteal%.1f,"passes":$stamp,"sf":"$sfDir","full":"$localOut"}""")
+    // the slim line surfaces the COMPOSITE's state too (total over
+    // floors, merged-run count, worst floor-provider steal): the driver
+    // artifact's tail then records the harvested-floor quality without
+    // carrying the ~8 KB maps
+    val floorsTotal = merged.map(_.total).getOrElse(-1.0)
+    val floorsSteal = merged.flatMap(_.quality).getOrElse(-1.0)
+    val mergedRuns = merged.map(_.mergedRuns).getOrElse(0L)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failedCount,"rerun_base":"$rerunBase","rerun_base_steal":$rerunBaseSteal%.1f,"reran":${rerun.size},"archived":$archived,"merged_runs":$mergedRuns,"floors_total":$floorsTotal%.3f,"floors_steal":$floorsSteal%.2f,"quiet_wait_sec":$quietWaitSec%.1f,"quiet_last_steal":$quietLastSteal%.1f,"passes":$stamp,"sf":"$sfDir","full":"$localOut"}""")
+  }
+
+  /** Render a per-query seconds map as a compact JSON object. */
+  private def jmap(m: Seq[(String, Double)]): String =
+    m.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+
+  /** A composite per-query floor map (VERDICT r14 #1): for each query
+    * the LOWEST time any of the round's runs observed, with the segment
+    * steal and load stamped at the sample that provided it. `queries`
+    * uses -1 as the failed marker; `stealQ`/`load` carry entries only
+    * for non-failed queries (-1 inside them = stamp unreadable). */
+  final case class Floors(
+      queries: Map[String, Double],
+      stealQ: Map[String, Double],
+      load: Map[String, Double],
+      sf: String,
+      mergedRuns: Long) {
+    def total: Double = queries.values.filter(_ >= 0).sum
+    def failed: Int = queries.values.count(_ < 0)
+    /** Worst floor-provider segment steal — the composite's quality
+      * stamp. None when any non-failed floor is unstamped (strict:
+      * unknown never reads as clean). */
+    def quality: Option[Double] = {
+      val ss = queries.collect { case (k, v) if v >= 0 =>
+        stealQ.getOrElse(k, -1.0) }
+      if (ss.isEmpty || ss.exists(_ < 0)) None else Some(ss.max)
+    }
+  }
+
+  /** Parse a top-level bench/archive line into [[Floors]]. Accepts both
+    * composite archives (merged_runs present) and plain run lines (r14-
+    * era lines without steal_q parse with an empty stamp map — their
+    * floors then read as unstamped and any stamped sample may take
+    * them). Fails soft. */
+  def parseFloors(text: String): Option[Floors] = {
+    import org.json4s._
+    def numMap(v: JValue): Map[String, Double] = v match {
+      case JObject(kvs) => kvs.collect {
+        case (k, JDouble(x)) => k -> x
+        case (k, JDecimal(x)) => k -> x.toDouble
+        case (k, JInt(x)) => k -> x.toDouble
+      }.toMap
+      case _ => Map.empty
+    }
+    try {
+      val v = org.json4s.jackson.JsonMethods.parse(text)
+      val qs = numMap(v \ "queries")
+      val tag = v \ "sf" match {
+        case JString(s) => Some(sfTag(s))
+        case _ => None
+      }
+      tag.filter(_ => qs.nonEmpty).map(t => Floors(
+        queries = qs,
+        stealQ = numMap(v \ "steal_q"),
+        load = numMap(v \ "load"),
+        sf = t,
+        mergedRuns = v \ "merged_runs" match {
+          case JInt(n) => n.toLong
+          case JDouble(n) => n.toLong
+          case _ => 1L
+        }))
+    } catch { case _: Throwable => None }
+  }
+
+  /** Merge one run into the incumbent composite — the per-segment floor
+    * estimator (VERDICT r14 #1). Rules, per query:
+    *   - lower time wins (contention only inflates, so the min is always
+    *     admissible evidence for the floor) — EXCEPT a sample with an
+    *     UNKNOWN segment steal never displaces a stamped floor: an
+    *     unreadable /proc means an environment this box's comparisons
+    *     don't cover, and "unknown never displaces known" stays strict
+    *     per segment (the whole-line rule's successor);
+    *   - a full run DEFINES the battery: its key set replaces the
+    *     incumbent's (renamed/removed queries do not linger), and a
+    *     query that failed every pass records -1 honestly (the next
+    *     successful run self-heals the floor);
+    *   - a SUBSET run (local iteration) may only IMPROVE floors of the
+    *     queries it ran: incumbent keys are kept, no failures recorded,
+    *     nothing added — the r14 solo-run base-shrink incident stays
+    *     impossible while short quiet windows can still be harvested
+    *     one query at a time. */
+  def mergeFloors(inc: Floors, run: Floors, subset: Boolean): Floors = {
+    val keys = if (subset) inc.queries.keySet else run.queries.keySet
+    val picked = keys.toSeq.map { q =>
+      val rv = run.queries.get(q).filter(_ >= 0)
+      val iv = inc.queries.get(q).filter(_ >= 0)
+      val takeRun = (rv, iv) match {
+        case (Some(_), None) => true
+        case (None, _) => false
+        case (Some(r), Some(i)) =>
+          val sN = run.stealQ.getOrElse(q, -1.0)
+          val sI = inc.stealQ.getOrElse(q, -1.0)
+          r < i && !(sN < 0 && sI >= 0)
+      }
+      if (takeRun) (q, rv.get, run.stealQ.get(q), run.load.get(q))
+      else if (iv.isDefined) (q, iv.get, inc.stealQ.get(q), inc.load.get(q))
+      else if (subset)
+        (q, inc.queries.getOrElse(q, -1.0), inc.stealQ.get(q),
+          inc.load.get(q))
+      else (q, -1.0, Option.empty[Double], Option.empty[Double])
+    }
+    Floors(
+      queries = picked.map(p => p._1 -> p._2).toMap,
+      stealQ = picked.flatMap(p => p._3.map(p._1 -> _)).toMap,
+      load = picked.flatMap(p => p._4.map(p._1 -> _)).toMap,
+      sf = inc.sf,
+      mergedRuns = inc.mergedRuns + 1)
+  }
+
+  /** The composite archive line. Shape-compatible with every consumer:
+    * `queries`+`sf` for [[parseBenchLine]], `steal_q` for [[maxSteal]]
+    * (whose strict per-segment rule replaces the pass-level one when the
+    * key is present), `merged_runs` for the next merge. */
+  def renderFloors(f: Floors, sfDir: String): String = {
+    val ordered = f.queries.toSeq.sortBy(_._1)
+    val qs = jmap(ordered)
+    val stealQ = jmap(ordered.collect { case (k, v) if v >= 0 =>
+      k -> f.stealQ.getOrElse(k, -1.0) })
+    val loads = jmap(ordered.collect { case (k, v) if v >= 0 =>
+      k -> f.load.getOrElse(k, -1.0) })
+    f"""{"metric":"total","value":${f.total}%.3f,"unit":"sec","composite":true,"merged_runs":${f.mergedRuns},"queries":$qs,"load":$loads,"steal_q":$stealQ,"failed":${f.failed},"sf":"$sfDir"}"""
   }
 
   /** Block until a measured-quiet window or the wait budget runs out:
@@ -274,32 +445,45 @@ object Bench {
     val t0 = System.nanoTime()
     var last = -1.0
     var done = false
-    var lastWindow = windowSec.toLong
+    var lastWindow = 0L
     while (!done) {
-      val s0 = stealTicks()
       // never sleep past the configured bound: the first window used to
       // run full-length regardless, so maxWaitSec < windowSec silently
       // floored the wait at one whole window (45 s for a 10 s budget)
       val remaining = maxWaitSec - (System.nanoTime() - t0) / 1e9
-      val thisWindow = math.max(1L, math.min(windowSec.toLong,
-        math.ceil(remaining).toLong))
-      lastWindow = thisWindow
-      Thread.sleep(thisWindow * 1000L)
-      last = (for (a <- s0; b <- stealTicks())
-        yield (b - a) / userHz).getOrElse(-1.0)
-      // a short final window sees proportionally less steal: scale the
-      // budget so the pass/fail bar means the same rate
-      val budget = stealBudgetSec * thisWindow / windowSec
-      val waited = (System.nanoTime() - t0) / 1e9
-      if (last < 0 || last <= budget) done = true
-      else if (waited + windowSec > maxWaitSec) {
+      val thisWindow = math.min(windowSec.toLong, math.ceil(remaining).toLong)
+      // a truncated window below HALF length cannot certify anything
+      // meaningful — its pro-rated budget drops under the 10 ms steal
+      // tick and a 1 s sample would pass on no evidence (ADVICE r14 #2)
+      // — so give up and proceed on the unstamped-weather path instead
+      if (thisWindow * 2 < windowSec) {
         System.err.println(f"[bench] no quiet window within $maxWaitSec s " +
-          f"(last ${windowSec}s window: steal $last%.1f s) — proceeding; " +
-          "the per-pass stamps carry the weather")
+          f"(remaining budget $remaining%.0f s is under half a " +
+          f"${windowSec}s window) — proceeding; the stamps carry the " +
+          "weather")
         done = true
-      } else System.err.println(
-        f"[bench] waiting out contention (steal $last%.1f s / ${windowSec}s " +
-          f"window, ${waited}%.0f s waited)")
+      } else {
+        val s0 = stealTicks()
+        lastWindow = thisWindow
+        Thread.sleep(thisWindow * 1000L)
+        last = (for (a <- s0; b <- stealTicks())
+          yield (b - a) / userHz).getOrElse(-1.0)
+        // a short final window sees proportionally less steal: scale the
+        // budget so the pass/fail bar means the same rate (only ever
+        // down to half, per the guard above)
+        val budget = stealBudgetSec * thisWindow / windowSec
+        val waited = (System.nanoTime() - t0) / 1e9
+        if (last < 0 || last <= budget) done = true
+        else if (waited + windowSec > maxWaitSec &&
+            maxWaitSec - waited < windowSec / 2.0) {
+          System.err.println(f"[bench] no quiet window within $maxWaitSec s " +
+            f"(last ${thisWindow}s window: steal $last%.1f s) — " +
+            "proceeding; the stamps carry the weather")
+          done = true
+        } else System.err.println(
+          f"[bench] waiting out contention (steal $last%.1f s / " +
+            f"${thisWindow}s window, ${waited}%.0f s waited)")
+      }
     }
     // report wait EXCLUDING the final (possibly truncated) window — the
     // sample that passed is measurement, not waiting
@@ -398,14 +582,22 @@ object Bench {
       case Archive(n, _) => n.toLongOption.map(r => (r, f))
       case _ => None
     }).sortBy(-_._1)
-    val newestRound = numbered.headOption.map(_._1).getOrElse(0L)
+    val driversNumbered = all.flatMap(f => f.getName match {
+      case DriverArtifact(n) => n.toLongOption.map(r => (r, f))
+      case _ => None
+    }).sortBy(-_._1)
+    // the staleness cutoff applies to BOTH numbered tiers, against the
+    // newest round seen in EITHER (ADVICE r14 #1): driver artifacts
+    // carry embedded steal stamps and accumulate forever, so without
+    // the cutoff a stale-but-lucky-clean BENCH_r12 would re-open the
+    // exact stale-base 3x-misfire the bound exists to prevent
+    val newestRound = (numbered.headOption.map(_._1) ++
+      driversNumbered.headOption.map(_._1)).maxOption.getOrElse(0L)
     val archives = numbered
       .filter(_._1 > newestRound - MaxBaseAgeRounds).map(_._2)
     val local = all.filter(_.getName == "BENCH_LOCAL.json")
-    val drivers = all.flatMap(f => f.getName match {
-      case DriverArtifact(n) => n.toLongOption.map(r => (r, f))
-      case _ => None
-    }).sortBy(-_._1).map(_._2)
+    val drivers = driversNumbered
+      .filter(_._1 > newestRound - MaxBaseAgeRounds).map(_._2)
     val candidates =
       (archives.iterator ++ local.iterator ++ drivers.iterator)
         .flatMap { f =>
@@ -425,38 +617,52 @@ object Bench {
       .getOrElse((Map.empty, "none"))
   }
 
-  /** Worst per-pass steal seconds in a bench line's run-quality stamp —
-    * the one number that says "this run was taken under hypervisor
-    * contention". None when the text has no parsable `passes`, or when
-    * ANY pass's `steal_sec` is missing or the -1 unknown sentinel
-    * (pre-r12 lines, off-Linux runs, driver wrappers with a truncated
-    * tail, a /proc read that failed mid-run): a run whose contaminated
-    * pass went unstamped must read as UNKNOWN, not as the max of the
-    * passes that happened to stamp — "unknown never displaces
-    * known-clean" stays strict (ADVICE r13). Checks a top-level
-    * `passes` first, then a bench line embedded in a driver `tail`. */
+  /** Worst contamination evidence (seconds) in a bench line's
+    * run-quality stamp — the one number that says "this artifact's
+    * query map was taken under hypervisor contention".
+    *
+    * Granularity (VERDICT r14 #1): a line carrying a `steal_q` map —
+    * per-query SEGMENT steal at each floor's providing sample — is
+    * judged by max over those segments, because the map's numbers only
+    * ever came from those segments; the between-query weather a
+    * pass-level stamp would include is irrelevant to them. Lines
+    * without `steal_q` (r14 and older, driver wrappers) fall back to
+    * worst-pass steal from `passes`. Either way the strict rule holds:
+    * ANY missing or -1 entry at the chosen granularity makes the whole
+    * artifact UNKNOWN (None), never the max of the entries that
+    * happened to stamp — "unknown never displaces known-clean"
+    * (ADVICE r13). Checks the top level first, then a bench line
+    * embedded in a driver `tail`. */
   def maxSteal(text: String): Option[Double] = {
     import org.json4s._
-    def fromPasses(v: JValue): Option[Double] = v \ "passes" match {
-      case JArray(ps) if ps.nonEmpty =>
-        val steals = ps.map(p => p \ "steal_sec" match {
-          case JDouble(x) => Some(x)
-          case JDecimal(x) => Some(x.toDouble)
-          case JInt(x) => Some(x.toDouble)
-          case _ => None
-        })
-        if (steals.exists(s => s.isEmpty || s.get < 0)) None
-        else Some(steals.flatten.max)
+    def strictMax(vals: Seq[Option[Double]]): Option[Double] =
+      if (vals.isEmpty || vals.exists(s => s.isEmpty || s.get < 0)) None
+      else Some(vals.flatten.max)
+    def num(v: JValue): Option[Double] = v match {
+      case JDouble(x) => Some(x)
+      case JDecimal(x) => Some(x.toDouble)
+      case JInt(x) => Some(x.toDouble)
       case _ => None
+    }
+    def fromLine(v: JValue): Option[Double] = v \ "steal_q" match {
+      // steal_q present (even all-unknown): it IS the quality source —
+      // falling back to passes would let a partially-stamped floor map
+      // read as pass-clean
+      case JObject(kvs) if kvs.nonEmpty => strictMax(kvs.map(kv => num(kv._2)))
+      case _ => v \ "passes" match {
+        case JArray(ps) if ps.nonEmpty =>
+          strictMax(ps.map(p => num(p \ "steal_sec")))
+        case _ => None
+      }
     }
     try {
       val v = org.json4s.jackson.JsonMethods.parse(text)
-      fromPasses(v).orElse(v \ "tail" match {
+      fromLine(v).orElse(v \ "tail" match {
         case JString(tail) =>
           """\{"metric":"total"""".r.findAllMatchIn(tail).map(_.start)
             .toSeq.reverse.iterator
             .flatMap(i => balancedJson(tail, i).flatMap(s =>
-              try fromPasses(org.json4s.jackson.JsonMethods.parse(s))
+              try fromLine(org.json4s.jackson.JsonMethods.parse(s))
               catch { case _: Throwable => None }))
             .collectFirst { case hit => hit }
         case _ => None
@@ -464,52 +670,14 @@ object Bench {
     } catch { case _: Throwable => None }
   }
 
-  /** Archive-protection policy (VERDICT r12 missing #1): may `newLine`
-    * replace the incumbent same-round archive? Yes when there is no
-    * incumbent, the incumbent's run quality is unknown, or the new run
-    * is at least as clean; NO only when both steal stamps parse and the
-    * new run's worst-pass steal is materially higher (> incumbent +
-    * `marginSec`) — best-of-by-steal with a tolerance so two clean runs
-    * keep the newer (fresher code) line. A new run with UNKNOWN steal
-    * never displaces a known-clean incumbent. */
-  /** Median per-query ratio challenger/incumbent over their common
-    * query keys — the second cleanliness signal behind
-    * [[shouldReplaceArchive]]. None when either side has no parsable
-    * query map or fewer than half the challenger's keys are shared
-    * (a code change mid-round can legitimately reshape the battery —
-    * an incomparable map must not veto). */
-  def medianRatio(incumbent: String, newLine: String): Option[Double] =
-    for {
-      (inc, _) <- parseBenchLine(incumbent)
-      (nw, _) <- parseBenchLine(newLine)
-      common = nw.keySet.intersect(inc.keySet)
-        .filter(k => nw(k) > 0 && inc(k) > 0)
-      if common.nonEmpty && common.size * 2 >= nw.size
-    } yield {
-      val rs = common.toSeq.map(k => nw(k) / inc(k)).sorted
-      rs(rs.size / 2)
-    }
-
-  /** A steal-cleaner challenger whose battery nevertheless ran this
-    * much slower per-query (median) carries contention /proc steal
-    * cannot see (memory-bandwidth or frequency theft books as user
-    * time) — the mixed signature keeps the incumbent. */
-  val MixedSignatureRatio = 1.10
-
-  def shouldReplaceArchive(
-      incumbent: Option[String],
-      newLine: String,
-      marginSec: Double = CleanMarginSec): Boolean =
-    incumbent.flatMap(maxSteal) match {
-      case None => true
-      case Some(inc) => maxSteal(newLine) match {
-        case Some(nw) =>
-          nw <= inc + marginSec &&
-            incumbent.flatMap(medianRatio(_, newLine))
-              .forall(_ <= MixedSignatureRatio)
-        case None => false
-      }
-    }
+  // The r12-r14 whole-line archive protections (shouldReplaceArchive's
+  // best-of-by-steal, the medianRatio mixed-signature veto) are
+  // SUBSUMED by the composite floor merge ([[mergeFloors]]): min-merge
+  // means a dirty run cannot raise a clean floor, a steal-clean-but-
+  // uniformly-slower run (bandwidth theft) contributes nothing, and
+  // the ADVICE r14 #3 deadlock — a legitimate code slowdown that the
+  // veto blocked forever — is handled by the explicit
+  // SPARK_GRAFT_BENCH_FRESH reseed instead of a heuristic.
 
   /** Per-query seconds + sf tag from one artifact's text. Accepts a bare
     * bench line, a driver wrapper with a (future) top-level `"queries"`,

@@ -207,8 +207,9 @@ object Profile {
     val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     // v2: events are now SCALED (not symlinked) so the archive-query
     // family can ladder; the version bump invalidates stale v1 caches
+    val synVersion = 2
     val syn = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft-profile-$tag-x$mult-v2")
+      sys.props("java.io.tmpdir"), s"graft-profile-$tag-x$mult-v$synVersion")
     val done = new java.io.File(syn, "_READY")
     if (done.exists()) return syn.toString
     def rm(f: java.io.File): Unit = {
@@ -219,13 +220,28 @@ object Profile {
     if (syn.exists()) rm(syn)
     // sweep superseded-version caches for the same (sf, mult): the v1→v2
     // rename otherwise strands the old multi-GB corpus in tmpdir forever
-    // (the delete-and-rebuild branch above only ever sees the NEW name)
+    // (the delete-and-rebuild branch above only ever sees the NEW name).
+    // Only versions STRICTLY BELOW this build's are swept (ADVICE r14
+    // #4): a -v3 left by a newer build must survive a downgrade's run,
+    // and an unparsable suffix is left alone rather than guessed at.
+    // A candidate with no _READY but a recent mtime is a build in
+    // progress by a concurrent JVM — yanking a multi-GB corpus out from
+    // under it would fail that run, so it is skipped too (an abandoned
+    // half-build ages past the grace window and gets swept next time).
+    val Versioned = (java.util.regex.Pattern.quote(
+      s"graft-profile-$tag-x$mult") + "-v(\\d+)").r
+    val graceMs = 6L * 3600 * 1000
     Option(new java.io.File(sys.props("java.io.tmpdir")).listFiles())
       .getOrElse(Array.empty)
       .filter { f =>
-        val n = f.getName
-        n != syn.getName && (n == s"graft-profile-$tag-x$mult" ||
-          n.startsWith(s"graft-profile-$tag-x$mult-v"))
+        val below = f.getName match {
+          case n if n == s"graft-profile-$tag-x$mult" => true // pre-v era
+          case Versioned(v) => v.toIntOption.exists(_ < synVersion)
+          case _ => false
+        }
+        val inProgress = !new java.io.File(f, "_READY").exists() &&
+          System.currentTimeMillis() - f.lastModified() < graceMs
+        below && !inProgress
       }
       .foreach(rm)
     syn.mkdirs()

@@ -556,25 +556,23 @@ object Dedup {
         explode(col(wordsCol)).as("__w")): _*)
     val cap = spark.conf.getOption(BroadcastVocabCapKey)
       .map(_.toLong).getOrElse(DefaultVocabCap)
-    // vocab probe: collect at most cap+1 df rows — bounded driver memory
-    // even when the real vocabulary is unbounded. The +1 saturates (a
-    // cap of Long.MaxValue means "broadcast regardless", not a wrap to
-    // probeN=0, which would select the broadcast path with an EMPTY map
-    // and fail every lookup)
+    // vocab probe: a COUNT on the pinned df table decides the path, and
+    // only an under-cap vocabulary is ever collected (VERDICT r14 #7:
+    // the previous limit(cap+1).collect() shipped ~cap rows — tens of
+    // MB at the 1M default — to the driver on every over-cap build just
+    // to discard them; the count answers the predicate from the barrier
+    // blocks without shipping tokens, and driver memory stays bounded
+    // by construction at ANY vocab size)
     val collected =
       if (cap <= 0) None
+      else if (dfreq.count() <= cap) Some(dfreq.collect())
       else {
-        val probeN = (math.min(cap, Int.MaxValue.toLong - 1) + 1).toInt
-        val rows = dfreq.limit(probeN).collect()
-        if (rows.length <= cap) Some(rows)
-        else {
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            s"prefix join: vocabulary exceeds $BroadcastVocabCapKey=$cap " +
-              "— falling back to the shuffle-path prefix derivation " +
-              "(df join + rank window; correct at any vocab size, two " +
-              "extra linear shuffles per build)")
-          None
-        }
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"prefix join: vocabulary exceeds $BroadcastVocabCapKey=$cap " +
+            "— falling back to the shuffle-path prefix derivation " +
+            "(df join + rank window; correct at any vocab size, two " +
+            "extra linear shuffles per build)")
+        None
       }
     collected match {
       case Some(rows) =>

@@ -18,9 +18,20 @@ import org.apache.spark.sql.SparkSession
   * quadratic (VERDICT r12 finding #1) without a code audit.
   *
   * Small-rung exponents undershoot (fixed overhead dominates 500-doc
-  * runs); the TOP leg (5 000 → 50 000+) is the graded signal. Output:
-  * one `LADDER` line per (query, rung), one `LADDER-FIT` line per
-  * query, and a closing JSON summary. PROFILE.md holds the analysis. */
+  * runs); the TOP leg (5 000 → 50 000+) is the graded signal.
+  *
+  * r15 (VERDICT r14 #5/#6): every rung carries a SEGMENT steal stamp
+  * (steal accrued during the best sample alone), and a rung whose floor
+  * was taken under steal past `SPARK_GRAFT_LADDER_STEAL_SEC` (0.5) is
+  * re-sampled up to `SPARK_GRAFT_LADDER_RETRIES` (4) extra times — the
+  * r14 artifact shipped a rung whose best-of-3 all sat inside one
+  * burst (q_minhash_lsh_pairs @500: 6.0 s vs 0.9 s @5000, exponent
+  * −0.83), which per-rung stamps make visible and retries usually heal.
+  * A `q_neardup_probe_fixed` pseudo-query ladders the probe in its PURE
+  * probe-independence form: fixed ~50-doc batch against 500/5k/50k
+  * histories. Output: one `LADDER` line per (query, rung), one
+  * `LADDER-FIT` line per query, and a closing JSON summary (per-rung
+  * `steal` included). PROFILE.md holds the analysis. */
 object Ladder {
 
   /** The laddered battery (r14 widens the original pair/join family
@@ -107,36 +118,59 @@ object Ladder {
       rowCount.getOrElseUpdate((dir, table),
         spark.read.parquet(s"$dir/$table.parquet").count())
 
-    def run(name: String, dir: String): Double = {
-      val t0 = System.nanoTime()
-      graft.SparkEntry.queries(name)(spark, dir)
-        .write.mode("overwrite").format("noop").save()
-      val sec = (System.nanoTime() - t0) / 1e9
+    def clearPins(): Unit = {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       spark.catalog.clearCache()
-      sec
     }
+
+    // one measured sample with its SEGMENT steal stamp (the Bench r15
+    // discipline at rung granularity): /proc/stat steal accrued during
+    // this sample alone, -1 when unreadable
+    def sample(body: () => Unit): (Double, Double) = {
+      val s0 = graft.Bench.stealTicks()
+      val t0 = System.nanoTime()
+      body()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val steal = (for (a <- s0; b <- graft.Bench.stealTicks())
+        yield (b - a) / graft.Bench.userHz).getOrElse(-1.0)
+      clearPins()
+      (sec, steal)
+    }
+
+    def run(name: String, dir: String): (Double, Double) =
+      sample(() => graft.SparkEntry.queries(name)(spark, dir)
+        .write.mode("overwrite").format("noop").save())
 
     val samples = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_LADDER_RUNS", "2").toInt)
-    val fits = for ((name, table) <- names) yield {
-      val times = for (dir <- rungs) yield {
-        // warm pass per (query, dir): plan compilation lands on rung 1,
-        // per-dir one-time artifact builds (jaccardEdgesCache,
-        // clusterTableCache) land in each rung's warm pass — measured
-        // runs see steady state, so the curve is pure data scaling.
-        // best-of-N measured runs (the Bench discipline): a single
-        // sample under an external-contention window bends the fitted
-        // exponent — observed 4.5x on one rung vs the bench's
-        // best-of-2 for the same query
-        run(name, dir)
-        val sec = (1 to samples).map(_ => run(name, dir)).min
-        val n = rowsOf(dir, table)
-        println(f"LADDER q=$name dir=$dir rows=$n sec=$sec%.2f")
-        (n, sec)
+    // a rung whose BEST sample still carries steal past this budget is
+    // re-sampled up to `retries` more times (VERDICT r14 #5: the
+    // published r14 ladder carried a rung-1 sample 6.8x inflated by a
+    // burst both its best-of-3 samples sat inside — per-rung stamps
+    // plus bounded retries harvest a quiet window per RUNG, the same
+    // estimator the bench's composite floors use per query)
+    val stealBudget =
+      sys.env.getOrElse("SPARK_GRAFT_LADDER_STEAL_SEC", "0.5").toDouble
+    val retries = math.max(0,
+      sys.env.getOrElse("SPARK_GRAFT_LADDER_RETRIES", "4").toInt)
+
+    // best-of-N with per-rung quality: min sec wins (contention only
+    // inflates); retry while the floor's own segment was dirty
+    def floorOf(one: () => (Double, Double)): (Double, Double) = {
+      var best = (1 to samples).map(_ => one()).minBy(_._1)
+      var extra = 0
+      while (best._2 > stealBudget && extra < retries) {
+        extra += 1
+        val s = one()
+        if (s._1 < best._1) best = s
       }
+      best
+    }
+
+    def fitAndPrint(name: String,
+        times: Seq[(Long, Double, Double)]): (String, Seq[(Long, Double, Double)], Seq[Double]) = {
       val legs = times.sliding(2).collect {
-        case Seq((n1, t1), (n2, t2)) if n2 > n1 && t1 > 0 =>
+        case Seq((n1, t1, _), (n2, t2, _)) if n2 > n1 && t1 > 0 =>
           math.log(t2 / t1) / math.log(n2.toDouble / n1)
       }.toSeq
       val top = legs.lastOption.getOrElse(Double.NaN)
@@ -146,12 +180,67 @@ object Ladder {
       (name, times, legs)
     }
 
-    val qjson = fits.map { case (n, times, legs) =>
-      s""""$n":{"rungs":${times.map { case (r, t) =>
-        s"""{"rows":$r,"sec":${f"$t%.3f"}}""" }.mkString("[", ",", "]")},""" +
+    val fits = for ((name, table) <- names) yield {
+      val times = for (dir <- rungs) yield {
+        // warm pass per (query, dir): plan compilation lands on rung 1,
+        // per-dir one-time artifact builds (jaccardEdgesCache,
+        // clusterTableCache) land in each rung's warm pass — measured
+        // runs see steady state, so the curve is pure data scaling
+        run(name, dir)
+        val (sec, steal) = floorOf(() => run(name, dir))
+        val n = rowsOf(dir, table)
+        println(f"LADDER q=$name dir=$dir rows=$n sec=$sec%.2f steal=$steal%.2f")
+        (n, sec, steal)
+      }
+      fitAndPrint(name, times)
+    }
+
+    // the PURE probe-independence rung for q_neardup_probe (VERDICT r14
+    // #6): the battery query's batch is 10% of each dir's corpus, so its
+    // ladder exponent tracks the BATCH, which scales with the rung. Here
+    // the batch is pinned to rung 1's 10% sample (~50 docs) while the
+    // HISTORY grows 500 → 5 000 → 50 000 — the construction the ANN
+    // queries already use — so the fitted exponent is probe cost against
+    // history size alone. Expected ≤ ~0.1: the probe reads only the
+    // batch's own band-key posting buckets, never the corpus.
+    val probeFixed = "q_neardup_probe_fixed"
+    val fits2 = if (args.nonEmpty && !args.contains(probeFixed)) fits
+    else fits :+ {
+      val batch = spark.read.parquet(s"$rung1/documents.parquet")
+        .filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0)
+        .withColumn("doc_id",
+          org.apache.spark.sql.functions.col("doc_id") + 2000000000L)
+      val times = for (dir <- rungs) yield {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-ladder-neardup-").toFile
+        val idx = new graft.store.NearDupIndex(spark, root.toString)
+        idx.append(spark.read.parquet(s"$dir/documents.parquet"))
+        clearPins()
+        def probe(): Unit =
+          idx.probe(batch).write.mode("overwrite").format("noop").save()
+        probe() // warm: plan + postings footer reads
+        val (sec, steal) = floorOf(() => sample(() => probe()))
+        val n = rowsOf(dir, "documents")
+        println(f"LADDER q=$probeFixed dir=$dir rows=$n sec=$sec%.2f " +
+          f"steal=$steal%.2f")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete()
+        }
+        rm(root)
+        (n, sec, steal)
+      }
+      fitAndPrint(probeFixed, times)
+    }
+
+    val qjson = fits2.map { case (n, times, legs) =>
+      s""""$n":{"rungs":${times.map { case (r, t, s) =>
+        s"""{"rows":$r,"sec":${f"$t%.3f"},"steal":${f"$s%.2f"}}"""
+      }.mkString("[", ",", "]")},""" +
         s""""exponents":${legs.map(l => f"$l%.3f").mkString("[", ",", "]")}}"""
     }.mkString("{", ",", "}")
-    val worst = fits.flatMap { case (n, _, legs) =>
+    val worst = fits2.flatMap { case (n, _, legs) =>
       legs.lastOption.map(n -> _) }.sortBy(-_._2)
     println(s"""{"metric":"ladder","mult":$mult,"queries":$qjson,""" +
       s""""worst_top_leg":${worst.headOption.map { case (n, e) =>

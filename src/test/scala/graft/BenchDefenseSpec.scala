@@ -265,44 +265,151 @@ class BenchDefenseSpec extends AnyFunSuite {
       "wait must be bounded by maxWaitSec, not windowSec")
   }
 
-  test("archive protection: a steal-cleaner challenger that ran the " +
-    "battery materially slower is a mixed signature and keeps the " +
-    "incumbent (bandwidth theft books as user time, not steal)") {
-    val incumbent = stampedLine(
-      Map("q_a" -> 1.0, "q_b" -> 2.0, "q_c" -> 0.5), 15.7, 6.7)
-    val slower = stampedLine(
-      Map("q_a" -> 1.5, "q_b" -> 3.1, "q_c" -> 0.8), 7.9, 6.5)
-    assert(Bench.medianRatio(incumbent, slower).exists(_ > 1.4))
-    assert(!Bench.shouldReplaceArchive(Some(incumbent), slower),
-      "steal-cleaner but 1.5x-slower must not displace")
-    // steal-cleaner AND per-query comparable: displaces as before
-    val comparable = stampedLine(
-      Map("q_a" -> 1.02, "q_b" -> 1.98, "q_c" -> 0.51), 7.9, 6.5)
-    assert(Bench.shouldReplaceArchive(Some(incumbent), comparable))
-    // disjoint query maps (the battery changed mid-round): the ratio
-    // abstains and the steal rule alone decides
-    val reshaped = stampedLine(Map("q_new" -> 9.9), 7.9)
-    assert(Bench.medianRatio(incumbent, reshaped).isEmpty)
-    assert(Bench.shouldReplaceArchive(Some(incumbent), reshaped))
+  // ---- composite floor merge (VERDICT r14 #1): the per-segment
+  // successor of the whole-line archive protections ----
+
+  private def floors(
+      qs: Map[String, Double],
+      steal: Map[String, Double] = Map.empty,
+      runs: Long = 1L): Bench.Floors =
+    Bench.Floors(qs, steal, load = Map.empty, sf = "sf0.1",
+      mergedRuns = runs)
+
+  test("mergeFloors: per-query minima with travelling stamps — a dirty " +
+    "run cannot RAISE a clean floor, and a dirty-but-faster sample is " +
+    "still admissible (contention only ever inflates)") {
+    val inc = floors(Map("q_a" -> 1.0, "q_b" -> 2.0),
+      Map("q_a" -> 0.0, "q_b" -> 0.1))
+    // uniformly slower challenger (diffuse contention or bandwidth
+    // theft, steal-clean or not): contributes nothing — the old
+    // mixed-signature veto's property, now structural
+    val slower = floors(Map("q_a" -> 1.5, "q_b" -> 3.1),
+      Map("q_a" -> 0.0, "q_b" -> 0.0))
+    val m1 = Bench.mergeFloors(inc, slower, subset = false)
+    assert(m1.queries === Map("q_a" -> 1.0, "q_b" -> 2.0))
+    assert(m1.stealQ === Map("q_a" -> 0.0, "q_b" -> 0.1))
+    assert(m1.mergedRuns === 2L)
+    // a faster sample takes the floor and brings ITS stamp — even a
+    // dirty one (steal can only have made it slower than truth)
+    val faster = floors(Map("q_a" -> 0.8, "q_b" -> 2.4),
+      Map("q_a" -> 7.7, "q_b" -> 0.0))
+    val m2 = Bench.mergeFloors(inc, faster, subset = false)
+    assert(m2.queries === Map("q_a" -> 0.8, "q_b" -> 2.0))
+    assert(m2.stealQ === Map("q_a" -> 7.7, "q_b" -> 0.1))
   }
 
-  test("archive protection: a steal-contaminated run cannot replace a " +
-    "clean same-round archive (the r12 clobber, VERDICT r12 #1)") {
-    val clean = stamped(0.2, 0.1) // the builder's committed clean base
-    val dirty = stamped(12.1, 14.8) // the driver's contaminated run
-    assert(!Bench.shouldReplaceArchive(Some(clean), dirty),
-      "dirty must not clobber clean")
-    assert(Bench.shouldReplaceArchive(Some(dirty), clean),
-      "a cleaner rerun reclaims the archive")
-    // two clean runs: keep the newer line (fresher code) within margin
-    assert(Bench.shouldReplaceArchive(Some(stamped(0.1)), stamped(0.8)))
-    // no incumbent / unparsable incumbent: archive freely
-    assert(Bench.shouldReplaceArchive(None, dirty))
-    assert(Bench.shouldReplaceArchive(Some("not json"), dirty))
-    assert(Bench.shouldReplaceArchive(Some(stamped(-1.0)), dirty),
-      "incumbent with unknown quality is replaceable")
-    // a new run with UNKNOWN steal never displaces a known-clean base
-    assert(!Bench.shouldReplaceArchive(Some(clean),
-      """{"metric":"total","value":1.0,"sf":"sf0.1"}"""))
+  test("mergeFloors: an UNKNOWN-steal sample never displaces a stamped " +
+    "floor; unknown-vs-unknown keeps the min") {
+    val inc = floors(Map("q_a" -> 1.0), Map("q_a" -> 0.2))
+    val unknown = floors(Map("q_a" -> 0.5)) // no stamp at all
+    val m = Bench.mergeFloors(inc, unknown, subset = false)
+    assert(m.queries === Map("q_a" -> 1.0),
+      "unknown must not displace known (ADVICE r13, per segment)")
+    // both unstamped (r14-era incumbent): min wins
+    val incOld = floors(Map("q_a" -> 1.0))
+    assert(Bench.mergeFloors(incOld, unknown, subset = false)
+      .queries === Map("q_a" -> 0.5))
+  }
+
+  test("mergeFloors: a FULL run defines the battery's key set and " +
+    "records failures honestly; the next success self-heals") {
+    val inc = floors(Map("q_old" -> 1.0, "q_keep" -> 2.0),
+      Map("q_old" -> 0.0, "q_keep" -> 0.0))
+    val run = floors(Map("q_keep" -> 3.0, "q_new" -> 4.0, "q_fail" -> -1.0),
+      Map("q_keep" -> 0.0, "q_new" -> 0.0))
+    val m = Bench.mergeFloors(inc, run, subset = false)
+    assert(m.queries === Map(
+      "q_keep" -> 2.0, "q_new" -> 4.0, "q_fail" -> -1.0),
+      "removed queries drop, failures record as -1")
+    assert(m.quality === Some(0.0), "failed queries don't poison quality")
+    // the failure self-heals on the next successful run
+    val heal = floors(Map("q_keep" -> 3.0, "q_new" -> 5.0, "q_fail" -> 9.0),
+      Map("q_keep" -> 0.0, "q_new" -> 0.0, "q_fail" -> 0.3))
+    val m2 = Bench.mergeFloors(m, heal, subset = false)
+    assert(m2.queries("q_fail") === 9.0)
+  }
+
+  test("mergeFloors: a SUBSET run may only improve floors it ran — no " +
+    "new keys, no failures, no battery shrink (the r14 solo-run " +
+    "incident stays impossible)") {
+    val inc = floors(Map("q_a" -> 1.0, "q_b" -> 2.0),
+      Map("q_a" -> 0.1, "q_b" -> 0.1))
+    val solo = floors(Map("q_a" -> 0.6, "q_rogue" -> 0.1, "q_b" -> -1.0),
+      Map("q_a" -> 0.0, "q_rogue" -> 0.0))
+    val m = Bench.mergeFloors(inc, solo, subset = true)
+    assert(m.queries === Map("q_a" -> 0.6, "q_b" -> 2.0),
+      "improvement taken, no rogue key, b's failure NOT recorded")
+    assert(m.stealQ === Map("q_a" -> 0.0, "q_b" -> 0.1))
+  }
+
+  test("renderFloors/parseFloors round-trip; quality is max provider " +
+    "steal, None when any non-failed floor is unstamped") {
+    val f = floors(Map("q_a" -> 1.25, "q_b" -> -1.0),
+      Map("q_a" -> 0.3), runs = 4L)
+    val line = Bench.renderFloors(f, "/root/testdata/sf0.1")
+    val back = Bench.parseFloors(line).get
+    assert(back.queries === f.queries)
+    assert(back.stealQ === Map("q_a" -> 0.3))
+    assert(back.mergedRuns === 4L)
+    assert(back.sf === "sf0.1")
+    assert(back.quality === Some(0.3))
+    assert(Bench.maxSteal(line) === Some(0.3),
+      "maxSteal reads the composite's steal_q")
+    // an unstamped non-failed floor makes quality unknown
+    assert(floors(Map("q_a" -> 1.0, "q_b" -> 2.0), Map("q_a" -> 0.0))
+      .quality === None)
+    // parseBenchLine accepts the composite as an outlier base
+    assert(Bench.parseBenchLine(line) ===
+      Some((Map("q_a" -> 1.25, "q_b" -> -1.0), "sf0.1")))
+  }
+
+  test("maxSteal: steal_q is authoritative when present — a clean " +
+    "passes stamp cannot mask a partially-stamped floor map") {
+    val ps = """[{"wall":9.0,"job_sum":8.0,"steal_sec":0.0,"load_end":1.0}]"""
+    def line(stealQ: String) =
+      s"""{"metric":"total","value":1.0,"queries":{"q_a":1.0},""" +
+        s""""steal_q":$stealQ,"passes":$ps,"sf":"sf0.1"}"""
+    assert(Bench.maxSteal(line("""{"q_a":0.4}""")) === Some(0.4))
+    assert(Bench.maxSteal(line("""{"q_a":-1.0}""")) === None,
+      "unknown segment must not fall back to the clean pass stamp")
+    // empty steal_q object → fall back to passes (a pre-segment line)
+    assert(Bench.maxSteal(line("{}")) === Some(0.0))
+  }
+
+  test("previousRun: the staleness bound also covers driver artifacts " +
+    "(ADVICE r14 #1) — a stale-but-clean BENCH_r* cannot outrank the " +
+    "round's base") {
+    val inner = stampedLine(Map("q_a" -> 1.0), 0.0)
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val staleDriver = s"""{"n":8,"sf":0.1,"tail":${jstr(inner)}}"""
+    val d = dir(
+      "BENCH_r8.json" -> staleDriver, // clean stamp, 5 rounds stale
+      "BENCH_LOCAL_r13.json" -> stampedLine(Map("q_a" -> 1.2), 4.2))
+    assert(Bench.previousRun(d, "sf0.1")._2 === "BENCH_LOCAL_r13.json",
+      "stale driver tier must be age-filtered like the archive tier")
+    // a driver artifact WITHIN the bound still competes on cleanliness
+    val d2 = dir(
+      "BENCH_r11.json" -> staleDriver.replace(""""n":8""", """"n":11"""),
+      "BENCH_LOCAL_r13.json" -> stampedLine(Map("q_a" -> 1.2), 4.2))
+    assert(Bench.previousRun(d2, "sf0.1")._2 === "BENCH_r11.json")
+    // and the newest round is computed across BOTH tiers: a driver
+    // artifact far ahead of any local archive ages the archives out
+    val d3 = dir(
+      "BENCH_r14.json" -> s"""{"n":14,"sf":0.1,"tail":${jstr(
+        stampedLine(Map("q_a" -> 2.0), 3.0))}}""",
+      "BENCH_LOCAL_r9.json" -> stampedLine(Map("q_a" -> 1.0), 0.0))
+    assert(Bench.previousRun(d3, "sf0.1")._2 === "BENCH_r14.json")
+  }
+
+  test("awaitQuietWindow: a wait budget under half a window gives up " +
+    "immediately instead of certifying on a sub-scale sample " +
+    "(ADVICE r14 #2)") {
+    val t0 = System.nanoTime()
+    val (waited, last) = Bench.awaitQuietWindow(45, 0.5, 10)
+    assert((System.nanoTime() - t0) / 1e9 < 5.0,
+      "10 s budget vs 45 s window: must not sleep a truncated window")
+    assert(last === -1.0, "nothing was sampled, so nothing is certified")
+    assert(waited >= 0.0)
   }
 }

@@ -106,6 +106,26 @@ class PrefixJoinSpec extends SparkSuite {
     assert(verified.count() === 0L)
   }
 
+  test("empty-words rows never pair and never break the build " +
+    "(the documented jaccardSelfJoin contract, ADVICE r14 #3)") {
+    // an empty set has no prefix tokens and Jaccard 0 against anything,
+    // so empty-words rows are absent from BOTH sides by design — even
+    // when every other row in the block would pair with a non-empty twin
+    val rows = Seq(
+      (1L, "en", 0, Seq("k1", "k2", "k3", "k4")),
+      (2L, "en", 0, Seq("k1", "k2", "k3", "k4")),
+      (3L, "en", 0, Seq.empty[String]), // empty words
+      (4L, "en", 0, Seq.empty[String])) // two: an empty-empty pair bait
+    for (cap <- Seq("0", "1000000")) { // both prefix paths
+      spark.conf.set(Dedup.BroadcastVocabCapKey, cap)
+      try {
+        val got = collected(Dedup.jaccardSelfJoin(
+          mkBase(rows), "doc_id", "words", Seq("lang", "size_bucket"), 1, 4))
+        assert(got === Set((1L, 2L, 4, 4)), s"cap=$cap")
+      } finally spark.conf.unset(Dedup.BroadcastVocabCapKey)
+    }
+  }
+
   test("threshold boundary: J exactly num/den kept, just below dropped") {
     // |a|=|b|=5, inter=2 → union=8, 2*4 >= 8*1 → J=0.25 exactly: KEPT
     // |a|=5,|b|=6, inter=2 → union=9, 8 < 9: DROPPED

@@ -7,15 +7,18 @@ import org.apache.spark.sql.functions._
   * VALUES; these pin the PROPERTIES a reader acts on):
   *   - exact TEXT duplicates (identical normalized word sequence ⇒
   *     identical shingle set ⇒ identical minhash signature) are ALWAYS
-  *     candidates, so recall@10 below 1.0 means the banding or the
-  *     truth side broke, not "tuning". NOTE the ADVICE r13 subtlety:
-  *     decile 10 means equal word SETS — a permutation or multiplicity
-  *     change has J=1 on sets but different 3-word shingles, and its
-  *     bands need NOT collide. The structural guarantee therefore only
-  *     covers exact text dups, and the first test verifies the planted
-  *     corpus's decile-10 pairs are all of that kind — if the corpus
-  *     ever gains a permutation pair, THAT assert fails with the right
-  *     message instead of the recall one;
+  *     candidates — pinned CORPUS-INDEPENDENTLY by the structural test,
+  *     whose truth side is computed from text identity itself (r15,
+  *     closing ADVICE r14 #1), for every band configuration of the
+  *     curve. NOTE the ADVICE r13 subtlety the published decile-10
+  *     recall additionally leans on: the QUERY's decile 10 means equal
+  *     word SETS — a permutation or multiplicity change has J=1 on sets
+  *     but different 3-word shingles, and its bands need NOT collide —
+  *     so recall@10 = 1.0 in the artifact also needs the corpus
+  *     precondition that all its decile-10 pairs are text dups, which
+  *     decile10PairsAreTextDups() verifies; if the corpus ever gains a
+  *     permutation pair, THAT assert fails with the right message
+  *     instead of the recall one;
   *   - found never exceeds truth per decile (it is a LEFT join from
   *     truth);
   *   - deciles stay in the J >= 0.25 support: 2..10. */
@@ -44,6 +47,36 @@ class BandingRecallSpec extends SparkSuite {
       .join(seqs.toDF("doc_b", "seq_b"), "doc_b")
       .filter($"seq_a" =!= $"seq_b")
       .isEmpty
+  }
+
+  test("STRUCTURAL (corpus-independent): every text-identical pair is " +
+    "a banding candidate, under every band configuration of the curve " +
+    "(ADVICE r14 #1 closed at the root)") {
+    import spark.implicits._
+    // text-dup truth derived from TEXT IDENTITY itself — the same
+    // normalization minhashBands applies — so this invariant cannot be
+    // corpus-lucky: identical normalized word sequences force identical
+    // shingle sets, identical signatures, and collision in EVERY band
+    val d = spark.read.parquet(s"$Dir/documents.parquet")
+    val pl = d.unionByName(
+      d.filter($"doc_id" % 10 === 0)
+        .withColumn("doc_id", $"doc_id" + 1000000000L))
+      .filter($"doc_id" % 5 === 0)
+    val seqs = pl.select($"doc_id",
+      md5(concat_ws("\u0001", // separator a word can never contain
+        split(lower(trim($"text")), "[ \\t\\n\\x0B\\f\\r]+"))).as("__h"))
+    val textDups = seqs.toDF("doc_a", "h_a")
+      .join(seqs.toDF("doc_b", "h_b"),
+        $"h_a" === $"h_b" && $"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b")
+    assert(textDups.count() > 0, "planted corpus must contain text dups")
+    for (rowsPerBand <- Seq(4, 2, 1)) {
+      val cands = graft.operators.Dedup.minhashCandidates(pl, 8, rowsPerBand)
+        .select($"doc_a", $"doc_b")
+      val missed = textDups.join(cands, Seq("doc_a", "doc_b"), "left_anti")
+      assert(missed.isEmpty,
+        s"rowsPerBand=$rowsPerBand: banding missed a text-identical pair")
+    }
   }
 
   test("recall@J=1.0 is exactly 1; found <= true; deciles in 2..10") {
