@@ -26,7 +26,16 @@ import org.apache.spark.sql.SparkSession
   *     steal seconds, load at pass end) so a weather-inflated run
   *     self-identifies: uniform job inflation with flat shuffle and/or
   *     nonzero steal is the external-contention signature
-  *     (PROFILE round-11c).
+  *     (PROFILE round-11c);
+  *   - (r15) the full line additionally stamps steal PER QUERY SEGMENT
+  *     (`steal_q`: steal accrued during each query's best sample), and
+  *     the round archive is a COMPOSITE FLOOR MAP merged across the
+  *     round's runs — see the archive section in main() and
+  *     [[mergeFloors]]. The quality stamp is steal-only: contention
+  *     that books as user time (memory-bandwidth/frequency theft,
+  *     PROFILE round-14c) can inflate a segment-clean floor, and the
+  *     estimator for THAT is the min across many runs in different
+  *     weather, which the merge is.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -533,9 +542,9 @@ object Bench {
         prev.get(name).exists(p => p > 0 && b > 3 * p) => name
     }
 
-  /** Steal tolerance (seconds) under which two runs count as equally
-    * clean — shared by the archive-replacement policy and the
-    * cleanest-base preference so "clean" means one thing. */
+  /** Steal tolerance (seconds) under which two artifacts count as
+    * equally clean in the cleanest-base preference (ties go to the
+    * newest). */
   val CleanMarginSec = 1.0
 
   /** How many rounds back the cleanest-base search may reach: archives
