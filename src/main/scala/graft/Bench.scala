@@ -85,6 +85,16 @@ object Bench {
     // not absorb session startup
     spark.range(1000000).selectExpr("sum(id)").collect()
 
+    // machine-speed canary (r15): /proc steal cannot see contention that
+    // books as user time (memory-bandwidth or frequency theft — the r14
+    // run-5 signature), so every run also times two FIXED single-thread
+    // loops whose true cost never changes: a register-only LCG (CPU
+    // frequency) and a 256 MB stream-sum (memory bandwidth). Cross-round
+    // canary deltas separate "the code got slower" from "the box got
+    // slower" without any Spark in the loop; the composite archive keeps
+    // the round's best (minimum) pair.
+    val (canaryCpu, canaryMem) = canary()
+
     // quiet-window launcher (VERDICT r13 missing #1): this box shows
     // multi-minute hypervisor-steal bursts that uniformly inflate a
     // battery ~1.2x. Rather than always measuring into the weather,
@@ -231,7 +241,7 @@ object Bench {
     val failedCount = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
     var archived = false
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"load":$loads,"steal_q":$stealQJson,"outlier_rerun":$reruns,"rerun_base":"$rerunBase","rerun_base_steal":$rerunBaseSteal%.1f,"passes":$stamp,"failed":$failedCount,"quiet_wait_sec":$quietWaitSec%.1f,"quiet_last_steal":$quietLastSteal%.1f,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","canary_cpu":$canaryCpu%.3f,"canary_mem":$canaryMem%.3f,"queries":$qs,"load":$loads,"steal_q":$stealQJson,"outlier_rerun":$reruns,"rerun_base":"$rerunBase","rerun_base_steal":$rerunBaseSteal%.1f,"passes":$stamp,"failed":$failedCount,"quiet_wait_sec":$quietWaitSec%.1f,"quiet_last_steal":$quietLastSteal%.1f,"sf":"$sfDir"}"""
     // The full per-query/load/rerun line goes ONLY to BENCH_LOCAL.json
     // (VERDICT r10 #4): printing the ~8 KB map to stdout — first OR
     // last — overflowed the driver's fixed-size tail capture five rounds
@@ -276,7 +286,9 @@ object Bench {
       load = results.collect { case (k, v) if v >= 0 =>
         k -> loadAtBest.getOrElse(k, -1.0) }.toMap,
       sf = sfTag(sfDir),
-      mergedRuns = 1L)
+      mergedRuns = 1L,
+      canaryCpu = canaryCpu,
+      canaryMem = canaryMem)
     val incFloors =
       if (fresh) None
       else (try Some(new String(java.nio.file.Files.readAllBytes(
@@ -315,12 +327,49 @@ object Bench {
     val floorsTotal = merged.map(_.total).getOrElse(-1.0)
     val floorsSteal = merged.flatMap(_.quality).getOrElse(-1.0)
     val mergedRuns = merged.map(_.mergedRuns).getOrElse(0L)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failedCount,"rerun_base":"$rerunBase","rerun_base_steal":$rerunBaseSteal%.1f,"reran":${rerun.size},"archived":$archived,"merged_runs":$mergedRuns,"floors_total":$floorsTotal%.3f,"floors_steal":$floorsSteal%.2f,"quiet_wait_sec":$quietWaitSec%.1f,"quiet_last_steal":$quietLastSteal%.1f,"passes":$stamp,"sf":"$sfDir","full":"$localOut"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failedCount,"canary_cpu":$canaryCpu%.3f,"canary_mem":$canaryMem%.3f,"rerun_base":"$rerunBase","rerun_base_steal":$rerunBaseSteal%.1f,"reran":${rerun.size},"archived":$archived,"merged_runs":$mergedRuns,"floors_total":$floorsTotal%.3f,"floors_steal":$floorsSteal%.2f,"quiet_wait_sec":$quietWaitSec%.1f,"quiet_last_steal":$quietLastSteal%.1f,"passes":$stamp,"sf":"$sfDir","full":"$localOut"}""")
   }
 
   /** Render a per-query seconds map as a compact JSON object. */
   private def jmap(m: Seq[(String, Double)]): String =
     m.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+
+  /** Best-of-3 of the two fixed machine-speed loops: (register-LCG
+    * seconds, 256 MB stream-sum seconds). Pure JVM, single-thread, no
+    * allocation inside the timed region — the measured work is
+    * identical on every run forever, so any delta is the machine. */
+  def canary(): (Double, Double) = {
+    val mem = new Array[Long](32 * 1024 * 1024) // 256 MB, touched once
+    java.util.Arrays.fill(mem, 0x9E3779B97F4A7C15L)
+    var sink = 0L
+    def cpuOnce(): Double = {
+      val t0 = System.nanoTime()
+      var x = 88172645463325252L
+      var i = 0
+      while (i < 200000000) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        i += 1
+      }
+      sink ^= x
+      (System.nanoTime() - t0) / 1e9
+    }
+    def memOnce(): Double = {
+      val t0 = System.nanoTime()
+      var pass = 0
+      var s = 0L
+      while (pass < 4) {
+        var i = 0
+        while (i < mem.length) { s += mem(i); i += 1 }
+        pass += 1
+      }
+      sink ^= s
+      (System.nanoTime() - t0) / 1e9
+    }
+    val r = ((1 to 3).map(_ => cpuOnce()).min,
+      (1 to 3).map(_ => memOnce()).min)
+    if (sink == 42L) System.err.println("[bench] canary sink") // keep live
+    r
+  }
 
   /** A composite per-query floor map (VERDICT r14 #1): for each query
     * the LOWEST time any of the round's runs observed, with the segment
@@ -332,7 +381,11 @@ object Bench {
       stealQ: Map[String, Double],
       load: Map[String, Double],
       sf: String,
-      mergedRuns: Long) {
+      mergedRuns: Long,
+      // best (minimum) machine-speed canary pair seen by any merged run:
+      // the round's cleanest weather, -1 unknown (see [[canary]])
+      canaryCpu: Double = -1.0,
+      canaryMem: Double = -1.0) {
     def total: Double = queries.values.filter(_ >= 0).sum
     def failed: Int = queries.values.count(_ < 0)
     /** Worst floor-provider segment steal — the composite's quality
@@ -367,6 +420,12 @@ object Bench {
         case JString(s) => Some(sfTag(s))
         case _ => None
       }
+      def num(x: JValue): Double = x match {
+        case JDouble(d) => d
+        case JDecimal(d) => d.toDouble
+        case JInt(n) => n.toDouble
+        case _ => -1.0
+      }
       tag.filter(_ => qs.nonEmpty).map(t => Floors(
         queries = qs,
         stealQ = numMap(v \ "steal_q"),
@@ -376,7 +435,9 @@ object Bench {
           case JInt(n) => n.toLong
           case JDouble(n) => n.toLong
           case _ => 1L
-        }))
+        },
+        canaryCpu = num(v \ "canary_cpu"),
+        canaryMem = num(v \ "canary_mem")))
     } catch { case _: Throwable => None }
   }
 
@@ -417,12 +478,19 @@ object Bench {
           inc.load.get(q))
       else (q, -1.0, Option.empty[Double], Option.empty[Double])
     }
+    def minPos(a: Double, b: Double): Double =
+      Seq(a, b).filter(_ > 0) match {
+        case Nil => -1.0
+        case xs => xs.min
+      }
     Floors(
       queries = picked.map(p => p._1 -> p._2).toMap,
       stealQ = picked.flatMap(p => p._3.map(p._1 -> _)).toMap,
       load = picked.flatMap(p => p._4.map(p._1 -> _)).toMap,
       sf = inc.sf,
-      mergedRuns = inc.mergedRuns + 1)
+      mergedRuns = inc.mergedRuns + 1,
+      canaryCpu = minPos(inc.canaryCpu, run.canaryCpu),
+      canaryMem = minPos(inc.canaryMem, run.canaryMem))
   }
 
   /** The composite archive line. Shape-compatible with every consumer:
@@ -436,7 +504,7 @@ object Bench {
       k -> f.stealQ.getOrElse(k, -1.0) })
     val loads = jmap(ordered.collect { case (k, v) if v >= 0 =>
       k -> f.load.getOrElse(k, -1.0) })
-    f"""{"metric":"total","value":${f.total}%.3f,"unit":"sec","composite":true,"merged_runs":${f.mergedRuns},"queries":$qs,"load":$loads,"steal_q":$stealQ,"failed":${f.failed},"sf":"$sfDir"}"""
+    f"""{"metric":"total","value":${f.total}%.3f,"unit":"sec","composite":true,"merged_runs":${f.mergedRuns},"canary_cpu":${f.canaryCpu}%.3f,"canary_mem":${f.canaryMem}%.3f,"queries":$qs,"load":$loads,"steal_q":$stealQ,"failed":${f.failed},"sf":"$sfDir"}"""
   }
 
   /** Block until a measured-quiet window or the wait budget runs out:

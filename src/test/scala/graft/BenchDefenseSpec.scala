@@ -363,6 +363,28 @@ class BenchDefenseSpec extends AnyFunSuite {
       Some((Map("q_a" -> 1.25, "q_b" -> -1.0), "sf0.1")))
   }
 
+  test("machine-speed canary: positive timings, and the composite " +
+    "keeps the minimum positive pair (cleanest weather seen)") {
+    val (c, m) = Bench.canary()
+    assert(c > 0 && m > 0)
+    val inc = floors(Map("q" -> 1.0), Map("q" -> 0.0), runs = 2L)
+      .copy(canaryCpu = 0.5, canaryMem = 0.8)
+    val run = floors(Map("q" -> 2.0), Map("q" -> 0.0))
+      .copy(canaryCpu = 0.4, canaryMem = -1.0) // mem unreadable this run
+    val merged = Bench.mergeFloors(inc, run, subset = false)
+    assert(merged.canaryCpu === 0.4 && merged.canaryMem === 0.8)
+    val back = Bench.parseFloors(
+      Bench.renderFloors(merged, "/root/testdata/sf0.1")).get
+    assert(back.canaryCpu === 0.4 && back.canaryMem === 0.8)
+    // a line without canary fields parses as unknown, and unknown
+    // never overwrites a known canary in the merge
+    assert(Bench.parseFloors(stampedLine(Map("q" -> 1.0), 0.0))
+      .get.canaryCpu === -1.0)
+    assert(Bench.mergeFloors(merged,
+      floors(Map("q" -> 3.0), Map("q" -> 0.0)), subset = false)
+      .canaryCpu === 0.4)
+  }
+
   test("maxSteal: steal_q is authoritative when present — a clean " +
     "passes stamp cannot mask a partially-stamped floor map") {
     val ps = """[{"wall":9.0,"job_sum":8.0,"steal_sec":0.0,"load_end":1.0}]"""
