@@ -87,13 +87,15 @@ object Bench {
 
     // machine-speed canary (r15): /proc steal cannot see contention that
     // books as user time (memory-bandwidth or frequency theft — the r14
-    // run-5 signature), so every run also times two FIXED single-thread
-    // loops whose true cost never changes: a register-only LCG (CPU
-    // frequency) and a 256 MB stream-sum (memory bandwidth). Cross-round
-    // canary deltas separate "the code got slower" from "the box got
-    // slower" without any Spark in the loop; the composite archive keeps
-    // the round's best (minimum) pair.
-    val (canaryCpu, canaryMem) = canary()
+    // run-5 signature), so every run also times three FIXED loops whose
+    // true cost never changes: a register-only LCG (CPU frequency), a
+    // single-thread 256 MB stream-sum (per-core bandwidth), and an
+    // all-cores parallel stream-sum (aggregate bandwidth — the leg that
+    // sees neighbor-VM pressure the single-thread pair misses).
+    // Cross-round canary deltas separate "the code got slower" from
+    // "the box got slower" without any Spark in the loop; the composite
+    // archive keeps the round's best (minimum) triple.
+    val (canaryCpu, canaryMem, canaryPar) = canary()
 
     // quiet-window launcher (VERDICT r13 missing #1): this box shows
     // multi-minute hypervisor-steal bursts that uniformly inflate a
@@ -241,7 +243,7 @@ object Bench {
     val failedCount = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
     var archived = false
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","canary_cpu":$canaryCpu%.3f,"canary_mem":$canaryMem%.3f,"queries":$qs,"load":$loads,"steal_q":$stealQJson,"outlier_rerun":$reruns,"rerun_base":"$rerunBase","rerun_base_steal":$rerunBaseSteal%.1f,"passes":$stamp,"failed":$failedCount,"quiet_wait_sec":$quietWaitSec%.1f,"quiet_last_steal":$quietLastSteal%.1f,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","canary_cpu":$canaryCpu%.3f,"canary_mem":$canaryMem%.3f,"canary_par":$canaryPar%.3f,"queries":$qs,"load":$loads,"steal_q":$stealQJson,"outlier_rerun":$reruns,"rerun_base":"$rerunBase","rerun_base_steal":$rerunBaseSteal%.1f,"passes":$stamp,"failed":$failedCount,"quiet_wait_sec":$quietWaitSec%.1f,"quiet_last_steal":$quietLastSteal%.1f,"sf":"$sfDir"}"""
     // The full per-query/load/rerun line goes ONLY to BENCH_LOCAL.json
     // (VERDICT r10 #4): printing the ~8 KB map to stdout — first OR
     // last — overflowed the driver's fixed-size tail capture five rounds
@@ -288,7 +290,8 @@ object Bench {
       sf = sfTag(sfDir),
       mergedRuns = 1L,
       canaryCpu = canaryCpu,
-      canaryMem = canaryMem)
+      canaryMem = canaryMem,
+      canaryPar = canaryPar)
     val incFloors =
       if (fresh) None
       else (try Some(new String(java.nio.file.Files.readAllBytes(
@@ -327,21 +330,27 @@ object Bench {
     val floorsTotal = merged.map(_.total).getOrElse(-1.0)
     val floorsSteal = merged.flatMap(_.quality).getOrElse(-1.0)
     val mergedRuns = merged.map(_.mergedRuns).getOrElse(0L)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failedCount,"canary_cpu":$canaryCpu%.3f,"canary_mem":$canaryMem%.3f,"rerun_base":"$rerunBase","rerun_base_steal":$rerunBaseSteal%.1f,"reran":${rerun.size},"archived":$archived,"merged_runs":$mergedRuns,"floors_total":$floorsTotal%.3f,"floors_steal":$floorsSteal%.2f,"quiet_wait_sec":$quietWaitSec%.1f,"quiet_last_steal":$quietLastSteal%.1f,"passes":$stamp,"sf":"$sfDir","full":"$localOut"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failedCount,"canary_cpu":$canaryCpu%.3f,"canary_mem":$canaryMem%.3f,"canary_par":$canaryPar%.3f,"rerun_base":"$rerunBase","rerun_base_steal":$rerunBaseSteal%.1f,"reran":${rerun.size},"archived":$archived,"merged_runs":$mergedRuns,"floors_total":$floorsTotal%.3f,"floors_steal":$floorsSteal%.2f,"quiet_wait_sec":$quietWaitSec%.1f,"quiet_last_steal":$quietLastSteal%.1f,"passes":$stamp,"sf":"$sfDir","full":"$localOut"}""")
   }
 
   /** Render a per-query seconds map as a compact JSON object. */
   private def jmap(m: Seq[(String, Double)]): String =
     m.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
 
-  /** Best-of-3 of the two fixed machine-speed loops: (register-LCG
-    * seconds, 256 MB stream-sum seconds). Pure JVM, single-thread, no
-    * allocation inside the timed region — the measured work is
-    * identical on every run forever, so any delta is the machine. */
-  def canary(): (Double, Double) = {
+  /** Best-of-3 of three fixed machine-speed loops: (register-LCG
+    * seconds, single-thread 256 MB stream-sum seconds, ALL-CORES
+    * parallel stream-sum seconds). Pure JVM, no allocation inside the
+    * timed regions — the measured work is identical on every run
+    * forever, so any delta is the machine. The parallel leg exists
+    * because the single-thread pair can read clean while the box is
+    * still slow: neighbor-VM pressure on the shared memory controllers
+    * only shows when all cores pull at once (observed live in r15 —
+    * canary_cpu/mem flat across runs whose floors sat ~1.5x over the
+    * clean r12 base). */
+  def canary(): (Double, Double, Double) = {
     val mem = new Array[Long](32 * 1024 * 1024) // 256 MB, touched once
     java.util.Arrays.fill(mem, 0x9E3779B97F4A7C15L)
-    var sink = 0L
+    val sink = new java.util.concurrent.atomic.AtomicLong
     def cpuOnce(): Double = {
       val t0 = System.nanoTime()
       var x = 88172645463325252L
@@ -350,24 +359,42 @@ object Bench {
         x = x * 6364136223846793005L + 1442695040888963407L
         i += 1
       }
-      sink ^= x
+      sink.addAndGet(x)
       (System.nanoTime() - t0) / 1e9
+    }
+    def sumRange(from: Int, until: Int, passes: Int): Long = {
+      var s = 0L
+      var pass = 0
+      while (pass < passes) {
+        var i = from
+        while (i < until) { s += mem(i); i += 1 }
+        pass += 1
+      }
+      s
     }
     def memOnce(): Double = {
       val t0 = System.nanoTime()
-      var pass = 0
-      var s = 0L
-      while (pass < 4) {
-        var i = 0
-        while (i < mem.length) { s += mem(i); i += 1 }
-        pass += 1
+      sink.addAndGet(sumRange(0, mem.length, 4))
+      (System.nanoTime() - t0) / 1e9
+    }
+    def parOnce(): Double = {
+      val n = Runtime.getRuntime.availableProcessors()
+      val slice = mem.length / n
+      val t0 = System.nanoTime()
+      val threads = (0 until n).map { k =>
+        val th = new Thread(() => {
+          val until = if (k == n - 1) mem.length else (k + 1) * slice
+          sink.addAndGet(sumRange(k * slice, until, 16))
+        })
+        th.start(); th
       }
-      sink ^= s
+      threads.foreach(_.join())
       (System.nanoTime() - t0) / 1e9
     }
     val r = ((1 to 3).map(_ => cpuOnce()).min,
-      (1 to 3).map(_ => memOnce()).min)
-    if (sink == 42L) System.err.println("[bench] canary sink") // keep live
+      (1 to 3).map(_ => memOnce()).min,
+      (1 to 3).map(_ => parOnce()).min)
+    if (sink.get == 42L) System.err.println("[bench] canary sink") // live
     r
   }
 
@@ -382,10 +409,11 @@ object Bench {
       load: Map[String, Double],
       sf: String,
       mergedRuns: Long,
-      // best (minimum) machine-speed canary pair seen by any merged run:
-      // the round's cleanest weather, -1 unknown (see [[canary]])
+      // best (minimum) machine-speed canary triple seen by any merged
+      // run: the round's cleanest weather, -1 unknown (see [[canary]])
       canaryCpu: Double = -1.0,
-      canaryMem: Double = -1.0) {
+      canaryMem: Double = -1.0,
+      canaryPar: Double = -1.0) {
     def total: Double = queries.values.filter(_ >= 0).sum
     def failed: Int = queries.values.count(_ < 0)
     /** Worst floor-provider segment steal — the composite's quality
@@ -437,7 +465,8 @@ object Bench {
           case _ => 1L
         },
         canaryCpu = num(v \ "canary_cpu"),
-        canaryMem = num(v \ "canary_mem")))
+        canaryMem = num(v \ "canary_mem"),
+        canaryPar = num(v \ "canary_par")))
     } catch { case _: Throwable => None }
   }
 
@@ -490,7 +519,8 @@ object Bench {
       sf = inc.sf,
       mergedRuns = inc.mergedRuns + 1,
       canaryCpu = minPos(inc.canaryCpu, run.canaryCpu),
-      canaryMem = minPos(inc.canaryMem, run.canaryMem))
+      canaryMem = minPos(inc.canaryMem, run.canaryMem),
+      canaryPar = minPos(inc.canaryPar, run.canaryPar))
   }
 
   /** The composite archive line. Shape-compatible with every consumer:
@@ -504,7 +534,7 @@ object Bench {
       k -> f.stealQ.getOrElse(k, -1.0) })
     val loads = jmap(ordered.collect { case (k, v) if v >= 0 =>
       k -> f.load.getOrElse(k, -1.0) })
-    f"""{"metric":"total","value":${f.total}%.3f,"unit":"sec","composite":true,"merged_runs":${f.mergedRuns},"canary_cpu":${f.canaryCpu}%.3f,"canary_mem":${f.canaryMem}%.3f,"queries":$qs,"load":$loads,"steal_q":$stealQ,"failed":${f.failed},"sf":"$sfDir"}"""
+    f"""{"metric":"total","value":${f.total}%.3f,"unit":"sec","composite":true,"merged_runs":${f.mergedRuns},"canary_cpu":${f.canaryCpu}%.3f,"canary_mem":${f.canaryMem}%.3f,"canary_par":${f.canaryPar}%.3f,"queries":$qs,"load":$loads,"steal_q":$stealQ,"failed":${f.failed},"sf":"$sfDir"}"""
   }
 
   /** Block until a measured-quiet window or the wait budget runs out:

@@ -364,18 +364,20 @@ class BenchDefenseSpec extends AnyFunSuite {
   }
 
   test("machine-speed canary: positive timings, and the composite " +
-    "keeps the minimum positive pair (cleanest weather seen)") {
-    val (c, m) = Bench.canary()
-    assert(c > 0 && m > 0)
+    "keeps the minimum positive triple (cleanest weather seen)") {
+    val (c, m, p) = Bench.canary()
+    assert(c > 0 && m > 0 && p > 0)
     val inc = floors(Map("q" -> 1.0), Map("q" -> 0.0), runs = 2L)
-      .copy(canaryCpu = 0.5, canaryMem = 0.8)
+      .copy(canaryCpu = 0.5, canaryMem = 0.8, canaryPar = 0.3)
     val run = floors(Map("q" -> 2.0), Map("q" -> 0.0))
       .copy(canaryCpu = 0.4, canaryMem = -1.0) // mem unreadable this run
     val merged = Bench.mergeFloors(inc, run, subset = false)
     assert(merged.canaryCpu === 0.4 && merged.canaryMem === 0.8)
+    assert(merged.canaryPar === 0.3)
     val back = Bench.parseFloors(
       Bench.renderFloors(merged, "/root/testdata/sf0.1")).get
     assert(back.canaryCpu === 0.4 && back.canaryMem === 0.8)
+    assert(back.canaryPar === 0.3)
     // a line without canary fields parses as unknown, and unknown
     // never overwrites a known canary in the merge
     assert(Bench.parseFloors(stampedLine(Map("q" -> 1.0), 0.0))
