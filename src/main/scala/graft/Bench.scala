@@ -330,7 +330,12 @@ object Bench {
     val floorsTotal = merged.map(_.total).getOrElse(-1.0)
     val floorsSteal = merged.flatMap(_.quality).getOrElse(-1.0)
     val mergedRuns = merged.map(_.mergedRuns).getOrElse(0L)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failedCount,"canary_cpu":$canaryCpu%.3f,"canary_mem":$canaryMem%.3f,"canary_par":$canaryPar%.3f,"rerun_base":"$rerunBase","rerun_base_steal":$rerunBaseSteal%.1f,"reran":${rerun.size},"archived":$archived,"merged_runs":$mergedRuns,"floors_total":$floorsTotal%.3f,"floors_steal":$floorsSteal%.2f,"quiet_wait_sec":$quietWaitSec%.1f,"quiet_last_steal":$quietLastSteal%.1f,"passes":$stamp,"sf":"$sfDir","full":"$localOut"}""")
+    // canary-normalized view of the composite (VERDICT r15 #1) so the
+    // driver artifact's tail records both raw and normalized totals
+    val (consScale, parScale) = merged.map(f => canaryScales(canaryRef(),
+      (f.canaryCpu, f.canaryMem, f.canaryPar))).getOrElse((1.0, 1.0))
+    val lastFailedN = merged.map(_.lastFailed.size).getOrElse(0)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failedCount,"canary_cpu":$canaryCpu%.3f,"canary_mem":$canaryMem%.3f,"canary_par":$canaryPar%.3f,"canary_scale_cons":$consScale%.3f,"canary_scale_par":$parScale%.3f,"floors_norm_cons":${if (floorsTotal > 0) floorsTotal / consScale else -1.0}%.3f,"floors_norm_par":${if (floorsTotal > 0) floorsTotal / parScale else -1.0}%.3f,"rerun_base":"$rerunBase","rerun_base_steal":$rerunBaseSteal%.1f,"reran":${rerun.size},"archived":$archived,"merged_runs":$mergedRuns,"floors_total":$floorsTotal%.3f,"floors_steal":$floorsSteal%.2f,"last_failed":$lastFailedN,"quiet_wait_sec":$quietWaitSec%.1f,"quiet_last_steal":$quietLastSteal%.1f,"passes":$stamp,"sf":"$sfDir","full":"$localOut"}""")
   }
 
   /** Render a per-query seconds map as a compact JSON object. */
@@ -413,7 +418,13 @@ object Bench {
       // run: the round's cleanest weather, -1 unknown (see [[canary]])
       canaryCpu: Double = -1.0,
       canaryMem: Double = -1.0,
-      canaryPar: Double = -1.0) {
+      canaryPar: Double = -1.0,
+      // queries that FAILED in the most recent merged run while their
+      // floor survived on older evidence (ADVICE r15 #1): the floor map
+      // alone would read failed=0 for a query newly broken mid-round —
+      // this marker surfaces the run-level failure without discarding
+      // the still-valid floor evidence; a later success clears it
+      lastFailed: Set[String] = Set.empty) {
     def total: Double = queries.values.filter(_ >= 0).sum
     def failed: Int = queries.values.count(_ < 0)
     /** Worst floor-provider segment steal — the composite's quality
@@ -466,7 +477,11 @@ object Bench {
         },
         canaryCpu = num(v \ "canary_cpu"),
         canaryMem = num(v \ "canary_mem"),
-        canaryPar = num(v \ "canary_par")))
+        canaryPar = num(v \ "canary_par"),
+        lastFailed = v \ "last_failed" match {
+          case JArray(xs) => xs.collect { case JString(s) => s }.toSet
+          case _ => Set.empty
+        }))
     } catch { case _: Throwable => None }
   }
 
@@ -479,16 +494,32 @@ object Bench {
     *     don't cover, and "unknown never displaces known" stays strict
     *     per segment (the whole-line rule's successor);
     *   - a full run DEFINES the battery: its key set replaces the
-    *     incumbent's (renamed/removed queries do not linger), and a
-    *     query that failed every pass records -1 honestly (the next
-    *     successful run self-heals the floor);
+    *     incumbent's (renamed/removed queries do not linger). A query
+    *     that failed every pass and has NO incumbent floor records -1
+    *     honestly; one that failed but HAS an incumbent floor keeps it —
+    *     past floor evidence stays valid (contention and flakes only
+    *     ever inflate or break a run, never make the true floor higher)
+    *     — and the run-level failure is surfaced in `lastFailed`
+    *     instead, so a query newly broken mid-round is visible without
+    *     a FRESH reseed (ADVICE r15 #1). Any success clears the marker;
     *   - a SUBSET run (local iteration) may only IMPROVE floors of the
-    *     queries it ran: incumbent keys are kept, no failures recorded,
-    *     nothing added — the r14 solo-run base-shrink incident stays
-    *     impossible while short quiet windows can still be harvested
-    *     one query at a time. */
+    *     queries it ran and SEED floors for queries registered since the
+    *     incumbent's last full run (VERDICT r15 #7 — without seeding,
+    *     every battery addition would demand a full run in a quiet
+    *     window, re-creating the problem floors solved): incumbent keys
+    *     are kept, a successful new-to-the-composite query is added, no
+    *     failures are ever recorded as -1 (they surface in `lastFailed`
+    *     only), nothing shrinks — the r14 solo-run base-shrink incident
+    *     stays impossible while short quiet windows can still be
+    *     harvested one query at a time. */
   def mergeFloors(inc: Floors, run: Floors, subset: Boolean): Floors = {
-    val keys = if (subset) inc.queries.keySet else run.queries.keySet
+    val keys =
+      if (subset)
+        // seed only SUCCEEDED new queries: a failed unknown query must
+        // not enter the battery as -1 from local iteration
+        inc.queries.keySet ++
+          run.queries.collect { case (q, v) if v >= 0 => q }
+      else run.queries.keySet
     val picked = keys.toSeq.map { q =>
       val rv = run.queries.get(q).filter(_ >= 0)
       val iv = inc.queries.get(q).filter(_ >= 0)
@@ -512,6 +543,11 @@ object Bench {
         case Nil => -1.0
         case xs => xs.min
       }
+    // run-level failure markers: a failure in THIS run sets the marker,
+    // a success in this run clears it, untouched queries keep theirs;
+    // markers are pruned to the merged key set so renamed queries drop
+    val succeeded = run.queries.collect { case (q, v) if v >= 0 => q }.toSet
+    val failedNow = run.queries.collect { case (q, v) if v < 0 => q }.toSet
     Floors(
       queries = picked.map(p => p._1 -> p._2).toMap,
       stealQ = picked.flatMap(p => p._3.map(p._1 -> _)).toMap,
@@ -520,13 +556,18 @@ object Bench {
       mergedRuns = inc.mergedRuns + 1,
       canaryCpu = minPos(inc.canaryCpu, run.canaryCpu),
       canaryMem = minPos(inc.canaryMem, run.canaryMem),
-      canaryPar = minPos(inc.canaryPar, run.canaryPar))
+      canaryPar = minPos(inc.canaryPar, run.canaryPar),
+      lastFailed = ((inc.lastFailed -- succeeded) ++ failedNow) & keys)
   }
 
   /** The composite archive line. Shape-compatible with every consumer:
     * `queries`+`sf` for [[parseBenchLine]], `steal_q` for [[maxSteal]]
     * (whose strict per-segment rule replaces the pass-level one when the
-    * key is present), `merged_runs` for the next merge. */
+    * key is present), `merged_runs` for the next merge. Also stamps the
+    * canary-normalized view (VERDICT r15 #1): the raw total, the
+    * per-leg canary ratios vs [[canaryRef]], and the two normalized
+    * totals [[canaryScales]] defines — recomputed at render time so the
+    * archive always reflects the current reference. */
   def renderFloors(f: Floors, sfDir: String): String = {
     val ordered = f.queries.toSeq.sortBy(_._1)
     val qs = jmap(ordered)
@@ -534,7 +575,59 @@ object Bench {
       k -> f.stealQ.getOrElse(k, -1.0) })
     val loads = jmap(ordered.collect { case (k, v) if v >= 0 =>
       k -> f.load.getOrElse(k, -1.0) })
-    f"""{"metric":"total","value":${f.total}%.3f,"unit":"sec","composite":true,"merged_runs":${f.mergedRuns},"canary_cpu":${f.canaryCpu}%.3f,"canary_mem":${f.canaryMem}%.3f,"canary_par":${f.canaryPar}%.3f,"queries":$qs,"load":$loads,"steal_q":$stealQ,"failed":${f.failed},"sf":"$sfDir"}"""
+    val lastFailed = f.lastFailed.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val (cons, par) = canaryScales(canaryRef(),
+      (f.canaryCpu, f.canaryMem, f.canaryPar))
+    f"""{"metric":"total","value":${f.total}%.3f,"unit":"sec","composite":true,"merged_runs":${f.mergedRuns},"canary_cpu":${f.canaryCpu}%.3f,"canary_mem":${f.canaryMem}%.3f,"canary_par":${f.canaryPar}%.3f,"canary_scale_cons":$cons%.3f,"canary_scale_par":$par%.3f,"floors_norm_cons":${f.total / cons}%.3f,"floors_norm_par":${f.total / par}%.3f,"queries":$qs,"load":$loads,"steal_q":$stealQ,"failed":${f.failed},"last_failed":$lastFailed,"sf":"$sfDir"}"""
+  }
+
+  /** Reference machine-speed canary triple — the cleanest weather this
+    * box has ever committed: the round-15 composite's merged minima
+    * (BENCH_LOCAL_r15.json, merged_runs=19, canary_cpu/mem/par). All
+    * canary-ratio telemetry anchors here; override with
+    * SPARK_GRAFT_CANARY_REF="cpu,mem,par" after a hardware change. */
+  val CanaryRefDefault: (Double, Double, Double) = (0.248, 0.161, 0.021)
+
+  def canaryRef(): (Double, Double, Double) =
+    sys.env.get("SPARK_GRAFT_CANARY_REF").flatMap { s =>
+      s.split(',') match {
+        case Array(a, b, c) =>
+          for (x <- a.trim.toDoubleOption; y <- b.trim.toDoubleOption;
+               z <- c.trim.toDoubleOption) yield (x, y, z)
+        case _ => None
+      }
+    }.getOrElse(CanaryRefDefault)
+
+  /** Canary-normalized floor scales (VERDICT r15 #1): how much of a
+    * composite's inflation over a clean-day archive is attributable to
+    * the MACHINE being slower, per the fixed-work canary triple.
+    *
+    * Returns (consScale, parScale), both >= 1; divide raw floors by a
+    * scale to get its normalized view:
+    *   - consScale = the SMALLEST per-leg slowdown vs the reference —
+    *     the machine-attributable inflation every leg agrees on, so
+    *     floors/consScale is the CONSERVATIVE normalized total (a lower
+    *     bound on the credit: a flat single-thread leg caps it at ~1
+    *     even when the parallel leg is swinging);
+    *   - parScale = the all-cores parallel leg's slowdown alone — the
+    *     leg that tracks neighbor-VM aggregate-bandwidth pressure
+    *     (PROFILE round-15a), so floors/parScale is the UPPER bound on
+    *     the credit (exact only if the workload were purely
+    *     bandwidth-bound; Spark batteries are not, so the truth sits
+    *     between the two normalized totals).
+    * A faster-than-reference leg clamps to 1 (normalization must never
+    * INFLATE floors), and any unreadable leg (-1) makes its scale 1 —
+    * no credit without evidence. This makes the weather-attribution
+    * claim self-testing: on a genuinely quiet day both scales read 1.0
+    * and normalized == raw. */
+  def canaryScales(ref: (Double, Double, Double),
+      c: (Double, Double, Double)): (Double, Double) = {
+    def leg(t: Double, r: Double): Option[Double] =
+      if (t > 0 && r > 0) Some(math.max(1.0, t / r)) else None
+    val legs = Seq(leg(c._1, ref._1), leg(c._2, ref._2), leg(c._3, ref._3))
+    val cons = if (legs.exists(_.isEmpty)) 1.0 else legs.flatten.min
+    (cons, leg(c._3, ref._3).getOrElse(1.0))
   }
 
   /** Block until a measured-quiet window or the wait budget runs out:
@@ -553,6 +646,7 @@ object Bench {
     var last = -1.0
     var done = false
     var lastWindow = 0L
+    var passed = false
     while (!done) {
       // never sleep past the configured bound: the first window used to
       // run full-length regardless, so maxWaitSec < windowSec silently
@@ -580,7 +674,12 @@ object Bench {
         // down to half, per the guard above)
         val budget = stealBudgetSec * thisWindow / windowSec
         val waited = (System.nanoTime() - t0) / 1e9
-        if (last < 0 || last <= budget) done = true
+        if (last < 0 || last <= budget) {
+          // only a readable sample within budget is a PASS — an
+          // unreadable /proc mid-loop proceeds unstamped, not certified
+          passed = last >= 0
+          done = true
+        }
         else if (waited + windowSec > maxWaitSec &&
             maxWaitSec - waited < windowSec / 2.0) {
           System.err.println(f"[bench] no quiet window within $maxWaitSec s " +
@@ -592,9 +691,13 @@ object Bench {
             f"${thisWindow}s window, ${waited}%.0f s waited)")
       }
     }
-    // report wait EXCLUDING the final (possibly truncated) window — the
-    // sample that passed is measurement, not waiting
-    (math.max(0.0, ((System.nanoTime() - t0) / 1e9) - lastWindow), last)
+    // report wait EXCLUDING the final window ONLY when it passed (the
+    // sample that passed is measurement, not waiting); on the give-up
+    // paths every window was waiting, so the full elapsed time is the
+    // honest quiet_wait_sec (ADVICE r15 #3 — the old unconditional
+    // subtraction undercounted a refused wait by up to windowSec)
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    (math.max(0.0, if (passed) elapsed - lastWindow else elapsed), last)
   }
 
   final case class PassStamp(
@@ -752,10 +855,14 @@ object Bench {
       case _ => None
     }
     def fromLine(v: JValue): Option[Double] = v \ "steal_q" match {
-      // steal_q present (even all-unknown): it IS the quality source —
-      // falling back to passes would let a partially-stamped floor map
-      // read as pass-clean
-      case JObject(kvs) if kvs.nonEmpty => strictMax(kvs.map(kv => num(kv._2)))
+      // steal_q PRESENT (even empty or all-unknown): it IS the quality
+      // source — falling back to passes would let a partially-stamped
+      // floor map read as pass-clean. An EMPTY object (the shape a full
+      // run where every query failed writes) means no floor was ever
+      // segment-stamped, so the artifact's quality is unknown, not
+      // whatever the pass stamps happen to say (ADVICE r15 #4); only a
+      // line that predates steal_q entirely (key absent) falls back.
+      case JObject(kvs) => strictMax(kvs.map(kv => num(kv._2)))
       case _ => v \ "passes" match {
         case JArray(ps) if ps.nonEmpty =>
           strictMax(ps.map(p => num(p \ "steal_sec")))

@@ -219,6 +219,12 @@ object Ladder {
         def probe(): Unit =
           idx.probe(batch).write.mode("overwrite").format("noop").save()
         probe() // warm: plan + postings footer reads
+        // drop the warm pass's Checkpoints pins (ADVICE r15 #2): the
+        // battery path's warm run() clears pins via sample(), but a bare
+        // probe() leaves its pinned frames in the CacheManager, and the
+        // first measured sample's semantically-identical plans could hit
+        // that cache — publishing a cached-read time as the floor
+        clearPins()
         val (sec, steal) = floorOf(() => sample(() => probe()))
         val n = rowsOf(dir, "documents")
         println(f"LADDER q=$probeFixed dir=$dir rows=$n sec=$sec%.2f " +

@@ -320,32 +320,92 @@ class BenchDefenseSpec extends AnyFunSuite {
     val m = Bench.mergeFloors(inc, run, subset = false)
     assert(m.queries === Map(
       "q_keep" -> 2.0, "q_new" -> 4.0, "q_fail" -> -1.0),
-      "removed queries drop, failures record as -1")
+      "removed queries drop, a no-incumbent failure records as -1")
     assert(m.quality === Some(0.0), "failed queries don't poison quality")
-    // the failure self-heals on the next successful run
+    assert(m.lastFailed === Set("q_fail"))
+    // the failure self-heals on the next successful run — marker clears
     val heal = floors(Map("q_keep" -> 3.0, "q_new" -> 5.0, "q_fail" -> 9.0),
       Map("q_keep" -> 0.0, "q_new" -> 0.0, "q_fail" -> 0.3))
     val m2 = Bench.mergeFloors(m, heal, subset = false)
     assert(m2.queries("q_fail") === 9.0)
+    assert(m2.lastFailed === Set.empty)
   }
 
-  test("mergeFloors: a SUBSET run may only improve floors it ran — no " +
-    "new keys, no failures, no battery shrink (the r14 solo-run " +
-    "incident stays impossible)") {
+  test("mergeFloors: a FULL-run failure with an incumbent floor keeps " +
+    "the floor (past evidence survives) and surfaces the break in " +
+    "lastFailed (ADVICE r15 #1)") {
     val inc = floors(Map("q_a" -> 1.0, "q_b" -> 2.0),
       Map("q_a" -> 0.1, "q_b" -> 0.1))
-    val solo = floors(Map("q_a" -> 0.6, "q_rogue" -> 0.1, "q_b" -> -1.0),
-      Map("q_a" -> 0.0, "q_rogue" -> 0.0))
+    // q_b newly broken mid-round: this run failed it on every pass
+    val run = floors(Map("q_a" -> 1.4, "q_b" -> -1.0), Map("q_a" -> 0.0))
+    val m = Bench.mergeFloors(inc, run, subset = false)
+    assert(m.queries === Map("q_a" -> 1.0, "q_b" -> 2.0),
+      "the incumbent floor is still valid evidence of the achievable time")
+    assert(m.lastFailed === Set("q_b"),
+      "but the composite must not read as failed=0 for a broken query")
+    // the marker survives a merge that does not run q_b (subset on q_a)
+    val solo = floors(Map("q_a" -> 0.9), Map("q_a" -> 0.0))
+    val m2 = Bench.mergeFloors(m, solo, subset = true)
+    assert(m2.lastFailed === Set("q_b"))
+    // and clears the moment any run succeeds on q_b
+    val heal = floors(Map("q_b" -> 2.4), Map("q_b" -> 0.0))
+    assert(Bench.mergeFloors(m2, heal, subset = true).lastFailed === Set.empty)
+  }
+
+  test("mergeFloors: a SUBSET run may improve floors it ran and SEED a " +
+    "newly-registered query, but never records failures or shrinks " +
+    "the battery (the r14 solo-run incident stays impossible)") {
+    val inc = floors(Map("q_a" -> 1.0, "q_b" -> 2.0),
+      Map("q_a" -> 0.1, "q_b" -> 0.1))
+    val solo = floors(Map("q_a" -> 0.6, "q_new" -> 0.1, "q_b" -> -1.0),
+      Map("q_a" -> 0.0, "q_new" -> 0.0))
     val m = Bench.mergeFloors(inc, solo, subset = true)
-    assert(m.queries === Map("q_a" -> 0.6, "q_b" -> 2.0),
-      "improvement taken, no rogue key, b's failure NOT recorded")
-    assert(m.stealQ === Map("q_a" -> 0.0, "q_b" -> 0.1))
+    assert(m.queries === Map("q_a" -> 0.6, "q_b" -> 2.0, "q_new" -> 0.1),
+      "improvement taken, NEW query seeded (VERDICT r15 #7), b's " +
+        "failure NOT recorded as -1")
+    assert(m.stealQ === Map("q_a" -> 0.0, "q_b" -> 0.1, "q_new" -> 0.0))
+    assert(m.lastFailed === Set("q_b"),
+      "the failure surfaces as a marker, not a floor")
+    // a FAILED unknown query must not enter the battery from local
+    // iteration — not as a floor, not as a -1
+    val soloFail = floors(Map("q_broken" -> -1.0))
+    val m2 = Bench.mergeFloors(inc, soloFail, subset = true)
+    assert(m2.queries === inc.queries)
+    assert(m2.lastFailed === Set.empty,
+      "markers are pruned to the merged battery's key set")
+  }
+
+  test("canaryScales: conservative = smallest per-leg slowdown, par = " +
+    "parallel leg alone; clamped at 1, no credit on unknown legs " +
+    "(VERDICT r15 #1)") {
+    val ref = (0.25, 0.16, 0.02)
+    // box uniformly 2x slower on par, 1.2x on cpu, 1.5x on mem
+    val (cons, par) = Bench.canaryScales(ref, (0.30, 0.24, 0.04))
+    assert(math.abs(cons - 1.2) < 1e-9,
+      "conservative credit is what EVERY leg agrees on")
+    assert(math.abs(par - 2.0) < 1e-9)
+    // a flat (or faster) leg caps the conservative scale at exactly 1 —
+    // the r15 signature: cpu/mem flat while par swings 5x
+    val (cons2, par2) = Bench.canaryScales(ref, (0.25, 0.15, 0.10))
+    assert(cons2 === 1.0, "normalization must never inflate floors")
+    assert(math.abs(par2 - 5.0) < 1e-9)
+    // unknown legs give no credit
+    assert(Bench.canaryScales(ref, (-1.0, 0.32, 0.04)) === ((1.0, 2.0)))
+    assert(Bench.canaryScales(ref, (0.5, 0.32, -1.0)) === ((1.0, 1.0)))
+    // a clean day reads (1, 1): normalized == raw, the self-test the
+    // weather-attribution claim needs
+    assert(Bench.canaryScales(ref, ref) === ((1.0, 1.0)))
+    // the env-less reference is the documented r15 committed minimum
+    assert(Bench.canaryRef() === Bench.CanaryRefDefault ||
+      sys.env.contains("SPARK_GRAFT_CANARY_REF"))
   }
 
   test("renderFloors/parseFloors round-trip; quality is max provider " +
     "steal, None when any non-failed floor is unstamped") {
     val f = floors(Map("q_a" -> 1.25, "q_b" -> -1.0),
       Map("q_a" -> 0.3), runs = 4L)
+      .copy(lastFailed = Set("q_b"), canaryCpu = 0.496, canaryMem = 0.161,
+        canaryPar = 0.042)
     val line = Bench.renderFloors(f, "/root/testdata/sf0.1")
     val back = Bench.parseFloors(line).get
     assert(back.queries === f.queries)
@@ -353,8 +413,19 @@ class BenchDefenseSpec extends AnyFunSuite {
     assert(back.mergedRuns === 4L)
     assert(back.sf === "sf0.1")
     assert(back.quality === Some(0.3))
+    assert(back.lastFailed === Set("q_b"),
+      "run-level failure markers survive the archive round-trip")
     assert(Bench.maxSteal(line) === Some(0.3),
       "maxSteal reads the composite's steal_q")
+    // the rendered line carries the canary-normalized view: with the
+    // default reference (0.248, 0.161, 0.021) this triple is cpu 2x,
+    // mem 1x, par 2x slower → cons scale 1.0, par scale 2.0
+    if (!sys.env.contains("SPARK_GRAFT_CANARY_REF")) {
+      assert(line.contains(""""canary_scale_cons":1.000"""))
+      assert(line.contains(""""canary_scale_par":2.000"""))
+      assert(line.contains(""""floors_norm_par":0.625"""), line)
+      assert(line.contains(""""floors_norm_cons":1.250"""))
+    }
     // an unstamped non-failed floor makes quality unknown
     assert(floors(Map("q_a" -> 1.0, "q_b" -> 2.0), Map("q_a" -> 0.0))
       .quality === None)
@@ -396,8 +467,15 @@ class BenchDefenseSpec extends AnyFunSuite {
     assert(Bench.maxSteal(line("""{"q_a":0.4}""")) === Some(0.4))
     assert(Bench.maxSteal(line("""{"q_a":-1.0}""")) === None,
       "unknown segment must not fall back to the clean pass stamp")
-    // empty steal_q object → fall back to passes (a pre-segment line)
-    assert(Bench.maxSteal(line("{}")) === Some(0.0))
+    // steal_q PRESENT but EMPTY (the shape a full run where every query
+    // failed writes) → quality unknown, NOT the clean pass stamp
+    // (ADVICE r15 #4: none of this line's floors were segment-stamped)
+    assert(Bench.maxSteal(line("{}")) === None)
+    // only a line that PREDATES steal_q (key absent) falls back to passes
+    val preSegment =
+      s"""{"metric":"total","value":1.0,"queries":{"q_a":1.0},""" +
+        s""""passes":$ps,"sf":"sf0.1"}"""
+    assert(Bench.maxSteal(preSegment) === Some(0.0))
   }
 
   test("previousRun: the staleness bound also covers driver artifacts " +
