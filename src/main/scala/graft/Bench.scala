@@ -146,12 +146,18 @@ object Bench {
     // in — the archive's quality is then max over floor providers, not
     // worst pass.
     val stealAtBest = scala.collection.mutable.Map.empty[String, Double]
+    // SEGMENT-level machine-speed stamp (VERDICT r15 #1): the parallel
+    // canary leg probed immediately before the best sample — per-floor
+    // ratio-to-canary evidence, temporally aligned with the sample
+    // itself rather than with the run's startup
+    val parAtBest = scala.collection.mutable.Map.empty[String, Double]
     val failedQ = scala.collection.mutable.Set.empty[String]
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
 
     def timeOne(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Option[Double] = {
+      val par0 = canaryParProbe()
       val st0 = stealTicks()
       val t0 = System.nanoTime()
       try {
@@ -160,6 +166,7 @@ object Bench {
         if (t < best.getOrElse(name, Double.MaxValue)) {
           best(name) = t
           loadAtBest(name) = os.getSystemLoadAverage
+          parAtBest(name) = par0
           stealAtBest(name) = (for (a <- st0; b <- stealTicks())
             yield (b - a) / userHz).getOrElse(-1.0)
         }
@@ -233,6 +240,8 @@ object Bench {
     // "unreadable" and makes the whole map's quality unknown (maxSteal)
     val stealQJson = jmap(results.collect { case (k, v) if v >= 0 =>
       k -> stealAtBest.getOrElse(k, -1.0) })
+    val parQJson = jmap(results.collect { case (k, v) if v >= 0 =>
+      k -> parAtBest.getOrElse(k, -1.0) })
     val reruns = jmap(rerun.toSeq.sorted)
     val stamp = passes.map(p =>
       f"""{"wall":${p.wall}%.1f,"job_sum":${p.jobSum}%.1f""" +
@@ -243,7 +252,7 @@ object Bench {
     val failedCount = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
     var archived = false
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","canary_cpu":$canaryCpu%.3f,"canary_mem":$canaryMem%.3f,"canary_par":$canaryPar%.3f,"queries":$qs,"load":$loads,"steal_q":$stealQJson,"outlier_rerun":$reruns,"rerun_base":"$rerunBase","rerun_base_steal":$rerunBaseSteal%.1f,"passes":$stamp,"failed":$failedCount,"quiet_wait_sec":$quietWaitSec%.1f,"quiet_last_steal":$quietLastSteal%.1f,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","canary_cpu":$canaryCpu%.3f,"canary_mem":$canaryMem%.3f,"canary_par":$canaryPar%.3f,"queries":$qs,"load":$loads,"steal_q":$stealQJson,"canary_par_q":$parQJson,"outlier_rerun":$reruns,"rerun_base":"$rerunBase","rerun_base_steal":$rerunBaseSteal%.1f,"passes":$stamp,"failed":$failedCount,"quiet_wait_sec":$quietWaitSec%.1f,"quiet_last_steal":$quietLastSteal%.1f,"sf":"$sfDir"}"""
     // The full per-query/load/rerun line goes ONLY to BENCH_LOCAL.json
     // (VERDICT r10 #4): printing the ~8 KB map to stdout — first OR
     // last — overflowed the driver's fixed-size tail capture five rounds
@@ -291,7 +300,9 @@ object Bench {
       mergedRuns = 1L,
       canaryCpu = canaryCpu,
       canaryMem = canaryMem,
-      canaryPar = canaryPar)
+      canaryPar = canaryPar,
+      parQ = results.collect { case (k, v) if v >= 0 =>
+        k -> parAtBest.getOrElse(k, -1.0) }.toMap)
     val incFloors =
       if (fresh) None
       else (try Some(new String(java.nio.file.Files.readAllBytes(
@@ -334,8 +345,9 @@ object Bench {
     // driver artifact's tail records both raw and normalized totals
     val (consScale, parScale) = merged.map(f => canaryScales(canaryRef(),
       (f.canaryCpu, f.canaryMem, f.canaryPar))).getOrElse((1.0, 1.0))
+    val normParq = merged.map(normParQ(_, canaryRef()._3)).getOrElse(-1.0)
     val lastFailedN = merged.map(_.lastFailed.size).getOrElse(0)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failedCount,"canary_cpu":$canaryCpu%.3f,"canary_mem":$canaryMem%.3f,"canary_par":$canaryPar%.3f,"canary_scale_cons":$consScale%.3f,"canary_scale_par":$parScale%.3f,"floors_norm_cons":${if (floorsTotal > 0) floorsTotal / consScale else -1.0}%.3f,"floors_norm_par":${if (floorsTotal > 0) floorsTotal / parScale else -1.0}%.3f,"rerun_base":"$rerunBase","rerun_base_steal":$rerunBaseSteal%.1f,"reran":${rerun.size},"archived":$archived,"merged_runs":$mergedRuns,"floors_total":$floorsTotal%.3f,"floors_steal":$floorsSteal%.2f,"last_failed":$lastFailedN,"quiet_wait_sec":$quietWaitSec%.1f,"quiet_last_steal":$quietLastSteal%.1f,"passes":$stamp,"sf":"$sfDir","full":"$localOut"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failedCount,"canary_cpu":$canaryCpu%.3f,"canary_mem":$canaryMem%.3f,"canary_par":$canaryPar%.3f,"canary_scale_cons":$consScale%.3f,"canary_scale_par":$parScale%.3f,"floors_norm_cons":${if (floorsTotal > 0) floorsTotal / consScale else -1.0}%.3f,"floors_norm_par":${if (floorsTotal > 0) floorsTotal / parScale else -1.0}%.3f,"floors_norm_parq":$normParq%.3f,"rerun_base":"$rerunBase","rerun_base_steal":$rerunBaseSteal%.1f,"reran":${rerun.size},"archived":$archived,"merged_runs":$mergedRuns,"floors_total":$floorsTotal%.3f,"floors_steal":$floorsSteal%.2f,"last_failed":$lastFailedN,"quiet_wait_sec":$quietWaitSec%.1f,"quiet_last_steal":$quietLastSteal%.1f,"passes":$stamp,"sf":"$sfDir","full":"$localOut"}""")
   }
 
   /** Render a per-query seconds map as a compact JSON object. */
@@ -403,6 +415,49 @@ object Bench {
     r
   }
 
+  // shared buffer for the per-segment parallel-leg probe: allocated once
+  // per process so probing before every sample costs memory traffic, not
+  // allocation + page faults
+  private lazy val probeBuf: Array[Long] = {
+    val a = new Array[Long](32 * 1024 * 1024) // 256 MB
+    java.util.Arrays.fill(a, 0x9E3779B97F4A7C15L)
+    a
+  }
+  private val probeSink = new java.util.concurrent.atomic.AtomicLong
+
+  /** One-shot all-cores parallel stream-sum over the shared buffer — the
+    * [[canary]] parallel leg as a ~tens-of-ms probe, cheap enough to run
+    * immediately BEFORE every measured sample. The run-level canary is
+    * measured once at startup, but floors are per SEGMENT and this box's
+    * weather turns in minutes (PROFILE round-15a), so a run-level triple
+    * cannot say what the machine looked like when a particular floor was
+    * taken; this probe can, and its stamp travels with the floor like
+    * the segment steal does. */
+  def canaryParProbe(): Double = {
+    val mem = probeBuf
+    val n = Runtime.getRuntime.availableProcessors()
+    val slice = mem.length / n
+    val t0 = System.nanoTime()
+    val threads = (0 until n).map { k =>
+      val th = new Thread(() => {
+        var s = 0L
+        var pass = 0
+        val until = if (k == n - 1) mem.length else (k + 1) * slice
+        while (pass < 16) {
+          var i = k * slice
+          while (i < until) { s += mem(i); i += 1 }
+          pass += 1
+        }
+        probeSink.addAndGet(s)
+      })
+      th.start(); th
+    }
+    threads.foreach(_.join())
+    val sec = (System.nanoTime() - t0) / 1e9
+    if (probeSink.get == 42L) System.err.println("[bench] probe sink")
+    sec
+  }
+
   /** A composite per-query floor map (VERDICT r14 #1): for each query
     * the LOWEST time any of the round's runs observed, with the segment
     * steal and load stamped at the sample that provided it. `queries`
@@ -424,7 +479,12 @@ object Bench {
       // alone would read failed=0 for a query newly broken mid-round —
       // this marker surfaces the run-level failure without discarding
       // the still-valid floor evidence; a later success clears it
-      lastFailed: Set[String] = Set.empty) {
+      lastFailed: Set[String] = Set.empty,
+      // per-floor machine-speed stamp: the parallel canary leg probed
+      // immediately before each floor's providing sample (VERDICT r15
+      // #1 — travels with the floor like stealQ; absent on floors from
+      // pre-r16 lines, which then get NO normalization credit)
+      parQ: Map[String, Double] = Map.empty) {
     def total: Double = queries.values.filter(_ >= 0).sum
     def failed: Int = queries.values.count(_ < 0)
     /** Worst floor-provider segment steal — the composite's quality
@@ -481,7 +541,11 @@ object Bench {
         lastFailed = v \ "last_failed" match {
           case JArray(xs) => xs.collect { case JString(s) => s }.toSet
           case _ => Set.empty
-        }))
+        },
+        // -1 entries mean "probe unreadable at the providing sample" —
+        // drop them so absent and unreadable read the same way (no
+        // normalization credit, [[normParQ]])
+        parQ = numMap(v \ "canary_par_q").filter(_._2 > 0)))
     } catch { case _: Throwable => None }
   }
 
@@ -531,12 +595,15 @@ object Bench {
           val sI = inc.stealQ.getOrElse(q, -1.0)
           r < i && !(sN < 0 && sI >= 0)
       }
-      if (takeRun) (q, rv.get, run.stealQ.get(q), run.load.get(q))
-      else if (iv.isDefined) (q, iv.get, inc.stealQ.get(q), inc.load.get(q))
+      if (takeRun)
+        (q, rv.get, run.stealQ.get(q), run.load.get(q), run.parQ.get(q))
+      else if (iv.isDefined)
+        (q, iv.get, inc.stealQ.get(q), inc.load.get(q), inc.parQ.get(q))
       else if (subset)
         (q, inc.queries.getOrElse(q, -1.0), inc.stealQ.get(q),
-          inc.load.get(q))
-      else (q, -1.0, Option.empty[Double], Option.empty[Double])
+          inc.load.get(q), inc.parQ.get(q))
+      else (q, -1.0, Option.empty[Double], Option.empty[Double],
+        Option.empty[Double])
     }
     def minPos(a: Double, b: Double): Double =
       Seq(a, b).filter(_ > 0) match {
@@ -557,7 +624,8 @@ object Bench {
       canaryCpu = minPos(inc.canaryCpu, run.canaryCpu),
       canaryMem = minPos(inc.canaryMem, run.canaryMem),
       canaryPar = minPos(inc.canaryPar, run.canaryPar),
-      lastFailed = ((inc.lastFailed -- succeeded) ++ failedNow) & keys)
+      lastFailed = ((inc.lastFailed -- succeeded) ++ failedNow) & keys,
+      parQ = picked.flatMap(p => p._5.map(p._1 -> _)).toMap)
   }
 
   /** The composite archive line. Shape-compatible with every consumer:
@@ -577,10 +645,26 @@ object Bench {
       k -> f.load.getOrElse(k, -1.0) })
     val lastFailed = f.lastFailed.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val parQ = jmap(ordered.collect { case (k, v) if v >= 0 =>
+      k -> f.parQ.getOrElse(k, -1.0) })
     val (cons, par) = canaryScales(canaryRef(),
       (f.canaryCpu, f.canaryMem, f.canaryPar))
-    f"""{"metric":"total","value":${f.total}%.3f,"unit":"sec","composite":true,"merged_runs":${f.mergedRuns},"canary_cpu":${f.canaryCpu}%.3f,"canary_mem":${f.canaryMem}%.3f,"canary_par":${f.canaryPar}%.3f,"canary_scale_cons":$cons%.3f,"canary_scale_par":$par%.3f,"floors_norm_cons":${f.total / cons}%.3f,"floors_norm_par":${f.total / par}%.3f,"queries":$qs,"load":$loads,"steal_q":$stealQ,"failed":${f.failed},"last_failed":$lastFailed,"sf":"$sfDir"}"""
+    f"""{"metric":"total","value":${f.total}%.3f,"unit":"sec","composite":true,"merged_runs":${f.mergedRuns},"canary_cpu":${f.canaryCpu}%.3f,"canary_mem":${f.canaryMem}%.3f,"canary_par":${f.canaryPar}%.3f,"canary_scale_cons":$cons%.3f,"canary_scale_par":$par%.3f,"floors_norm_cons":${f.total / cons}%.3f,"floors_norm_par":${f.total / par}%.3f,"floors_norm_parq":${normParQ(f, canaryRef()._3)}%.3f,"queries":$qs,"load":$loads,"steal_q":$stealQ,"canary_par_q":$parQ,"failed":${f.failed},"last_failed":$lastFailed,"sf":"$sfDir"}"""
   }
+
+  /** Per-floor canary-normalized total: each floor divided by ITS
+    * providing sample's parallel-leg slowdown vs the reference —
+    * `max(1, par_q / refPar)` — so the normalization is temporally
+    * aligned with the sample instead of with the run's startup triple.
+    * A floor with no stamp (pre-r16 provider, or an unreadable probe)
+    * gets NO credit: unknown weather never discounts a floor. Like the
+    * par scale, this is the bandwidth-bound UPPER bound on credit per
+    * floor; the composite cons scale stays the lower bound. */
+  def normParQ(f: Floors, refPar: Double): Double =
+    f.queries.collect { case (q, v) if v >= 0 =>
+      val p = f.parQ.getOrElse(q, -1.0)
+      if (p > 0 && refPar > 0) v / math.max(1.0, p / refPar) else v
+    }.sum
 
   /** Reference machine-speed canary triple — the cleanest weather this
     * box has ever committed: the round-15 composite's merged minima

@@ -375,6 +375,41 @@ class BenchDefenseSpec extends AnyFunSuite {
       "markers are pruned to the merged battery's key set")
   }
 
+  test("per-segment canary stamps: par_q travels with the winning " +
+    "floor, round-trips through the archive, and normParQ credits " +
+    "only stamped floors (VERDICT r15 #1)") {
+    // the probe itself: positive, and cheap enough to ride every sample
+    val p = Bench.canaryParProbe()
+    assert(p > 0 && p < 5.0)
+    val inc = floors(Map("q_a" -> 1.0, "q_b" -> 2.0),
+      Map("q_a" -> 0.0, "q_b" -> 0.0))
+      .copy(parQ = Map("q_a" -> 0.021, "q_b" -> 0.021))
+    // run improves q_a; its par stamp must travel with the new floor,
+    // and q_b keeps the incumbent's
+    val run = floors(Map("q_a" -> 0.8, "q_b" -> 3.0),
+      Map("q_a" -> 0.0, "q_b" -> 0.0))
+      .copy(parQ = Map("q_a" -> 0.084, "q_b" -> 0.042))
+    val m = Bench.mergeFloors(inc, run, subset = false)
+    assert(m.parQ === Map("q_a" -> 0.084, "q_b" -> 0.021))
+    // per-floor normalization vs refPar=0.021: q_a's provider ran 4x
+    // slow (credit /4), q_b's at reference (no credit)
+    assert(math.abs(Bench.normParQ(m, 0.021) - (0.8 / 4 + 2.0)) < 1e-9)
+    // an unstamped floor gets NO credit, whatever the weather was
+    val bare = floors(Map("q_c" -> 5.0), Map("q_c" -> 0.0))
+    assert(Bench.normParQ(bare, 0.021) === 5.0)
+    // stamps survive the archive round-trip; -1 (unreadable probe)
+    // reads back as absent so it can never grant credit
+    val withUnknown = m.copy(
+      queries = m.queries + ("q_c" -> 1.0),
+      stealQ = m.stealQ + ("q_c" -> 0.0),
+      parQ = m.parQ + ("q_c" -> -1.0))
+    val back = Bench.parseFloors(
+      Bench.renderFloors(withUnknown, "/root/testdata/sf0.1")).get
+    assert(back.parQ === Map("q_a" -> 0.084, "q_b" -> 0.021))
+    assert(math.abs(Bench.normParQ(back, 0.021) - (0.8 / 4 + 2.0 + 1.0))
+      < 1e-9)
+  }
+
   test("canaryScales: conservative = smallest per-leg slowdown, par = " +
     "parallel leg alone; clamped at 1, no credit on unknown legs " +
     "(VERDICT r15 #1)") {
