@@ -166,9 +166,18 @@ object Bench {
         if (t < best.getOrElse(name, Double.MaxValue)) {
           best(name) = t
           loadAtBest(name) = os.getSystemLoadAverage
-          parAtBest(name) = par0
+          // steal first (the stamp covers exactly the sample), THEN the
+          // closing probe — a probe between timer-stop and the steal
+          // read would book its own ~25 ms into the segment stamp
           stealAtBest(name) = (for (a <- st0; b <- stealTicks())
             yield (b - a) / userHz).getOrElse(-1.0)
+          // stamp = min over the sample's two endpoint probes (ADVICE
+          // r16 #1): a single pre-sample probe only covers the first
+          // instant — weather turning mid-sample escaped it in either
+          // direction. Min is the conservative side: credit is granted
+          // only for slowdown BOTH endpoints agree on, so a burst that
+          // started or ended mid-sample discounts less, never more.
+          parAtBest(name) = math.min(par0, canaryParProbe())
         }
         failedQ -= name // any successful pass clears earlier failures
         Some(t)
@@ -309,10 +318,12 @@ object Bench {
           java.nio.file.Paths.get(archive)), "UTF-8"))
         catch { case _: Throwable => None })
         .flatMap(parseFloors).filter(_.sf == runFloors.sf)
+    val registered = Some(SparkEntry.queries.keySet)
     val merged: Option[Floors] =
-      if (subset) incFloors.map(mergeFloors(_, runFloors, subset = true))
-      else Some(incFloors.map(mergeFloors(_, runFloors, subset = false))
-        .getOrElse(runFloors))
+      if (subset) incFloors.map(mergeFloors(_, runFloors, subset = true,
+        registered))
+      else Some(incFloors.map(mergeFloors(_, runFloors, subset = false,
+        registered)).getOrElse(runFloors))
     merged match {
       case Some(f) =>
         archived = true
@@ -347,12 +358,28 @@ object Bench {
       (f.canaryCpu, f.canaryMem, f.canaryPar))).getOrElse((1.0, 1.0))
     val normParq = merged.map(normParQ(_, canaryRef()._3)).getOrElse(-1.0)
     val lastFailedN = merged.map(_.lastFailed.size).getOrElse(0)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failedCount,"canary_cpu":$canaryCpu%.3f,"canary_mem":$canaryMem%.3f,"canary_par":$canaryPar%.3f,"canary_scale_cons":$consScale%.3f,"canary_scale_par":$parScale%.3f,"floors_norm_cons":${if (floorsTotal > 0) floorsTotal / consScale else -1.0}%.3f,"floors_norm_par":${if (floorsTotal > 0) floorsTotal / parScale else -1.0}%.3f,"floors_norm_parq":$normParq%.3f,"rerun_base":"$rerunBase","rerun_base_steal":$rerunBaseSteal%.1f,"reran":${rerun.size},"archived":$archived,"merged_runs":$mergedRuns,"floors_total":$floorsTotal%.3f,"floors_steal":$floorsSteal%.2f,"last_failed":$lastFailedN,"quiet_wait_sec":$quietWaitSec%.1f,"quiet_last_steal":$quietLastSteal%.1f,"passes":$stamp,"sf":"$sfDir","full":"$localOut"}""")
+    val brokenN = merged.map(_.broken).getOrElse(failedCount)
+    println(tailHead(total, normParq, failedCount, brokenN) +
+      f""","canary_cpu":$canaryCpu%.3f,"canary_mem":$canaryMem%.3f,"canary_par":$canaryPar%.3f,"canary_scale_cons":$consScale%.3f,"canary_scale_par":$parScale%.3f,"floors_norm_cons":${if (floorsTotal > 0) floorsTotal / consScale else -1.0}%.3f,"floors_norm_par":${if (floorsTotal > 0) floorsTotal / parScale else -1.0}%.3f,"rerun_base":"$rerunBase","rerun_base_steal":$rerunBaseSteal%.1f,"reran":${rerun.size},"archived":$archived,"merged_runs":$mergedRuns,"floors_total":$floorsTotal%.3f,"floors_steal":$floorsSteal%.2f,"last_failed":$lastFailedN,"quiet_wait_sec":$quietWaitSec%.1f,"quiet_last_steal":$quietLastSteal%.1f,"passes":$stamp,"sf":"$sfDir","full":"$localOut"}""")
   }
 
   /** Render a per-query seconds map as a compact JSON object. */
   private def jmap(m: Seq[(String, Double)]): String =
     m.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+
+  /** Head of the slim stdout summary line (VERDICT r16 #7): the raw
+    * total stays FIRST — it has been the driver tail's anchor since r1
+    * and is never replaced — but the sharpest normalized view
+    * (`floors_norm_parq`, the composite total with each floor divided
+    * by its own sample's probed machine slowdown) is promoted from
+    * mid-line to ride directly beside it, and the combined broken
+    * count (`failed` this run + surviving `last_failed` markers, as a
+    * set — ADVICE r16 #3) follows, so a reader anchoring on the front
+    * of the line can miss neither the normalized story nor a query
+    * that is broken behind a healthy-looking floor. */
+  def tailHead(total: Double, normParq: Double, failed: Int,
+      broken: Int): String =
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","floors_norm_parq":$normParq%.3f,"failed":$failed,"broken":$broken"""
 
   /** Best-of-3 of three fixed machine-speed loops: (register-LCG
     * seconds, single-thread 256 MB stream-sum seconds, ALL-CORES
@@ -427,12 +454,32 @@ object Bench {
 
   /** One-shot all-cores parallel stream-sum over the shared buffer — the
     * [[canary]] parallel leg as a ~tens-of-ms probe, cheap enough to run
-    * immediately BEFORE every measured sample. The run-level canary is
-    * measured once at startup, but floors are per SEGMENT and this box's
-    * weather turns in minutes (PROFILE round-15a), so a run-level triple
-    * cannot say what the machine looked like when a particular floor was
-    * taken; this probe can, and its stamp travels with the floor like
-    * the segment steal does. */
+    * immediately BEFORE and AFTER every measured sample (the stamp is
+    * the MIN of the two endpoint probes — ADVICE r16 #1). The run-level
+    * canary is measured once at startup, but floors are per SEGMENT and
+    * this box's weather turns in minutes (PROFILE round-15a), so a
+    * run-level triple cannot say what the machine looked like when a
+    * particular floor was taken; the endpoint pair can, and its stamp
+    * travels with the floor like the segment steal does.
+    *
+    * Interpretation caveats (ADVICE r16 #1, measured in PROFILE r17):
+    *   - the PRE-sample probe runs ~4 GB of all-core memory traffic
+    *     right before the timed query, so it evicts up to 256 MB of
+    *     cache and briefly saturates the cores the sample is about to
+    *     use. Measured against probe-free runs this perturbs trivial
+    *     (<0.5 s) queries by low single-digit ms and is lost in noise
+    *     on multi-second ones — but floors for sub-100 ms segments
+    *     should be read as carrying that overhead;
+    *   - the buffer deliberately stays at 256 MB, NOT the 32-64 MB a
+    *     smaller-pin redesign would suggest: this box advertises a
+    *     260 MB shared L3 with 2 MB per-core L2 (lscpu), so a 64 MB
+    *     buffer means 2 MB per-thread slices that go L2-resident on
+    *     re-pass and stop measuring the SHARED resource the probe
+    *     exists to sense; and any change to the probe's work would
+    *     split stamp units against every canary_par_q already merged
+    *     into the round's composite (normParQ divides floor-by-floor,
+    *     so one archive must carry one unit). The 256 MB pin is 0.4%
+    *     of the 64 g bench heap. */
   def canaryParProbe(): Double = {
     val mem = probeBuf
     val n = Runtime.getRuntime.availableProcessors()
@@ -487,6 +534,16 @@ object Bench {
       parQ: Map[String, Double] = Map.empty) {
     def total: Double = queries.values.filter(_ >= 0).sum
     def failed: Int = queries.values.count(_ < 0)
+    /** Queries currently believed broken: a -1 floor OR a run-level
+      * failure marker, counted as a set union (a no-incumbent failure
+      * carries both). With keep-incumbent-on-failure semantics a
+      * composite can read failed=0 while a query is broken right now
+      * (only `lastFailed` reveals it) — this is the single combined
+      * count an external consumer can key off without knowing about
+      * the marker field (ADVICE r16 #3). */
+    def broken: Int =
+      (queries.collect { case (q, v) if v < 0 => q }.toSet ++
+        lastFailed).size
     /** Worst floor-provider segment steal — the composite's quality
       * stamp. None when any non-failed floor is unstamped (strict:
       * unknown never reads as clean). */
@@ -575,14 +632,24 @@ object Bench {
     *     failures are ever recorded as -1 (they surface in `lastFailed`
     *     only), nothing shrinks — the r14 solo-run base-shrink incident
     *     stays impossible while short quiet windows can still be
-    *     harvested one query at a time. */
-  def mergeFloors(inc: Floors, run: Floors, subset: Boolean): Floors = {
+    *     harvested one query at a time. When `registered` is given
+    *     (main passes the battery's key set), a subset run may only
+    *     seed keys that are REGISTERED queries — a typo'd or
+    *     since-removed experimental key from local iteration must not
+    *     enter the composite and later read as a legitimate floor
+    *     (ADVICE r16 #2; main's filterKeys already drops unknown args,
+    *     so this is the merge-layer backstop for floors built by other
+    *     tools). */
+  def mergeFloors(inc: Floors, run: Floors, subset: Boolean,
+      registered: Option[Set[String]] = None): Floors = {
     val keys =
       if (subset)
-        // seed only SUCCEEDED new queries: a failed unknown query must
-        // not enter the battery as -1 from local iteration
+        // seed only SUCCEEDED new queries that the battery actually
+        // registers: a failed or unregistered key must not enter the
+        // battery from local iteration
         inc.queries.keySet ++
-          run.queries.collect { case (q, v) if v >= 0 => q }
+          run.queries.collect { case (q, v)
+            if v >= 0 && registered.forall(_.contains(q)) => q }
       else run.queries.keySet
     val picked = keys.toSeq.map { q =>
       val rv = run.queries.get(q).filter(_ >= 0)
@@ -649,7 +716,7 @@ object Bench {
       k -> f.parQ.getOrElse(k, -1.0) })
     val (cons, par) = canaryScales(canaryRef(),
       (f.canaryCpu, f.canaryMem, f.canaryPar))
-    f"""{"metric":"total","value":${f.total}%.3f,"unit":"sec","composite":true,"merged_runs":${f.mergedRuns},"canary_cpu":${f.canaryCpu}%.3f,"canary_mem":${f.canaryMem}%.3f,"canary_par":${f.canaryPar}%.3f,"canary_scale_cons":$cons%.3f,"canary_scale_par":$par%.3f,"floors_norm_cons":${f.total / cons}%.3f,"floors_norm_par":${f.total / par}%.3f,"floors_norm_parq":${normParQ(f, canaryRef()._3)}%.3f,"queries":$qs,"load":$loads,"steal_q":$stealQ,"canary_par_q":$parQ,"failed":${f.failed},"last_failed":$lastFailed,"sf":"$sfDir"}"""
+    f"""{"metric":"total","value":${f.total}%.3f,"unit":"sec","composite":true,"merged_runs":${f.mergedRuns},"canary_cpu":${f.canaryCpu}%.3f,"canary_mem":${f.canaryMem}%.3f,"canary_par":${f.canaryPar}%.3f,"canary_scale_cons":$cons%.3f,"canary_scale_par":$par%.3f,"floors_norm_cons":${f.total / cons}%.3f,"floors_norm_par":${f.total / par}%.3f,"floors_norm_parq":${normParQ(f, canaryRef()._3)}%.3f,"queries":$qs,"load":$loads,"steal_q":$stealQ,"canary_par_q":$parQ,"failed":${f.failed},"broken":${f.broken},"last_failed":$lastFailed,"sf":"$sfDir"}"""
   }
 
   /** Per-floor canary-normalized total: each floor divided by ITS
@@ -721,10 +788,13 @@ object Bench {
     * when steal is unreadable or the launcher is disabled). The final
     * sampled-quiet window sits immediately before the first battery
     * pass, so the measurement starts in weather the stamp just
-    * certified. */
+    * certified. `ticks` is the steal source — injectable so the
+    * give-up paths (a box that never goes quiet) are spec-drivable
+    * without a real contention burst (VERDICT r16 #6). */
   def awaitQuietWindow(
-      windowSec: Int, stealBudgetSec: Double, maxWaitSec: Int): (Double, Double) = {
-    if (maxWaitSec <= 0 || windowSec <= 0 || stealTicks().isEmpty)
+      windowSec: Int, stealBudgetSec: Double, maxWaitSec: Int,
+      ticks: () => Option[Long] = () => stealTicks()): (Double, Double) = {
+    if (maxWaitSec <= 0 || windowSec <= 0 || ticks().isEmpty)
       return (0.0, -1.0)
     val t0 = System.nanoTime()
     var last = -1.0
@@ -748,10 +818,10 @@ object Bench {
           "weather")
         done = true
       } else {
-        val s0 = stealTicks()
+        val s0 = ticks()
         lastWindow = thisWindow
         Thread.sleep(thisWindow * 1000L)
-        last = (for (a <- s0; b <- stealTicks())
+        last = (for (a <- s0; b <- ticks())
           yield (b - a) / userHz).getOrElse(-1.0)
         // a short final window sees proportionally less steal: scale the
         // budget so the pass/fail bar means the same rate (only ever
