@@ -1,0 +1,41 @@
+#!/bin/bash
+# Standing quiet-harvest loop (VERDICT r16 #1): alternate full battery
+# runs with subset runs on whatever floors are still DIRTY (segment
+# steal >= 0.5 s, the certification bar) in the round's composite
+# archive. Every run can only improve floors (mergeFloors min-merge),
+# so the loop is safe to leave running in any weather; the quiet-window
+# launcher inside each run prefers quiet starts, and per-segment stamps
+# certify whichever queries land in short quiet windows.
+#
+#   tools/snapshot_classes.sh && nohup tools/harvest.sh &
+#   touch /tmp/graft-bench/stop     # to stop after the current run
+cd "$(dirname "$0")/.." || exit 1
+LOG=${GRAFT_HARVEST_LOG:-/tmp/graft-bench/harvest.log}
+mkdir -p "$(dirname "$LOG")"
+export SPARK_GRAFT_QUIET_MAX_WAIT_SEC=${SPARK_GRAFT_QUIET_MAX_WAIT_SEC:-240}
+ARCHIVE=$(python3 -c "
+import re, os
+rounds = [int(m.group(1)) for f in os.listdir('.')
+          if (m := re.fullmatch(r'BENCH_r(\d+)\.json', f))]
+print(f'BENCH_LOCAL_r{max(rounds, default=0) + 1}.json')")
+while [ ! -f /tmp/graft-bench/stop ]; do
+  echo "=== full run start $(date -u +%F' '%H:%M:%S) ===" >> "$LOG"
+  tools/run_bench.sh >> "$LOG" 2>&1
+  [ -f /tmp/graft-bench/stop ] && break
+  DIRTY=$(python3 -c "
+import json
+try:
+    d = json.load(open('$ARCHIVE'))
+    q, s = d.get('queries', {}), d.get('steal_q', {})
+    dirty = [k for k, v in q.items()
+             if v >= 0 and not (0 <= s.get(k, -1) < 0.5)]
+    print(' '.join(sorted(dirty)))
+except Exception:
+    pass")
+  if [ -n "$DIRTY" ]; then
+    echo "=== subset run start $(date -u +%F' '%H:%M:%S) on: $DIRTY ===" >> "$LOG"
+    tools/run_bench.sh $DIRTY >> "$LOG" 2>&1
+  fi
+  sleep 30
+done
+echo "=== harvest loop stopped $(date -u +%F' '%H:%M:%S) ===" >> "$LOG"
