@@ -716,7 +716,13 @@ object Bench {
       k -> f.parQ.getOrElse(k, -1.0) })
     val (cons, par) = canaryScales(canaryRef(),
       (f.canaryCpu, f.canaryMem, f.canaryPar))
-    f"""{"metric":"total","value":${f.total}%.3f,"unit":"sec","composite":true,"merged_runs":${f.mergedRuns},"canary_cpu":${f.canaryCpu}%.3f,"canary_mem":${f.canaryMem}%.3f,"canary_par":${f.canaryPar}%.3f,"canary_scale_cons":$cons%.3f,"canary_scale_par":$par%.3f,"floors_norm_cons":${f.total / cons}%.3f,"floors_norm_par":${f.total / par}%.3f,"floors_norm_parq":${normParQ(f, canaryRef()._3)}%.3f,"queries":$qs,"load":$loads,"steal_q":$stealQ,"canary_par_q":$parQ,"failed":${f.failed},"broken":${f.broken},"last_failed":$lastFailed,"sf":"$sfDir"}"""
+    // record the REFERENCE the normalized fields were rendered under:
+    // without it, a SPARK_GRAFT_CANARY_REF re-anchor leaves old
+    // archives' floors_norm_* silently computed against a different
+    // anchor than new ones, and no reader can tell (r17 self-review)
+    val refStr = { val r = canaryRef()
+      f"""[${r._1}%.3f,${r._2}%.3f,${r._3}%.3f]""" }
+    f"""{"metric":"total","value":${f.total}%.3f,"unit":"sec","composite":true,"merged_runs":${f.mergedRuns},"canary_cpu":${f.canaryCpu}%.3f,"canary_mem":${f.canaryMem}%.3f,"canary_par":${f.canaryPar}%.3f,"canary_ref":$refStr,"canary_scale_cons":$cons%.3f,"canary_scale_par":$par%.3f,"floors_norm_cons":${f.total / cons}%.3f,"floors_norm_par":${f.total / par}%.3f,"floors_norm_parq":${normParQ(f, canaryRef()._3)}%.3f,"queries":$qs,"load":$loads,"steal_q":$stealQ,"canary_par_q":$parQ,"failed":${f.failed},"broken":${f.broken},"last_failed":$lastFailed,"sf":"$sfDir"}"""
   }
 
   /** Per-floor canary-normalized total: each floor divided by ITS

@@ -125,19 +125,26 @@ object Ladder {
 
     // one measured sample with its SEGMENT steal stamp (the Bench r15
     // discipline at rung granularity): /proc/stat steal accrued during
-    // this sample alone, -1 when unreadable
-    def sample(body: () => Unit): (Double, Double) = {
+    // this sample alone, -1 when unreadable. r17 adds the machine-speed
+    // probe pair (min over the sample's endpoints, the Bench r17
+    // discipline): steal-clean user-time contention — bandwidth or
+    // frequency theft — inflated a probe-independence rung 3x with a
+    // 0.02 s steal stamp in this round's first invocation, and only a
+    // probe stamp makes that visible and retryable
+    def sample(body: () => Unit): (Double, Double, Double) = {
+      val p0 = graft.Bench.canaryParProbe()
       val s0 = graft.Bench.stealTicks()
       val t0 = System.nanoTime()
       body()
       val sec = (System.nanoTime() - t0) / 1e9
       val steal = (for (a <- s0; b <- graft.Bench.stealTicks())
         yield (b - a) / graft.Bench.userHz).getOrElse(-1.0)
+      val par = math.min(p0, graft.Bench.canaryParProbe())
       clearPins()
-      (sec, steal)
+      (sec, steal, par)
     }
 
-    def run(name: String, dir: String): (Double, Double) =
+    def run(name: String, dir: String): (Double, Double, Double) =
       sample(() => graft.SparkEntry.queries(name)(spark, dir)
         .write.mode("overwrite").format("noop").save())
 
@@ -151,15 +158,25 @@ object Ladder {
     // estimator the bench's composite floors use per query)
     val stealBudget =
       sys.env.getOrElse("SPARK_GRAFT_LADDER_STEAL_SEC", "0.5").toDouble
+    // probe-stamp budget as a RATIO to the canary reference par leg
+    // (r17): a rung whose best sample's endpoint probes read the
+    // machine >1.35x its reference speed is dirty even when
+    // steal-clean, and earns the same bounded retries
+    val parBudget = sys.env.getOrElse("SPARK_GRAFT_LADDER_PAR_MAX",
+      "1.35").toDouble * graft.Bench.canaryRef()._3
     val retries = math.max(0,
       sys.env.getOrElse("SPARK_GRAFT_LADDER_RETRIES", "4").toInt)
 
     // best-of-N with per-rung quality: min sec wins (contention only
-    // inflates); retry while the floor's own segment was dirty
-    def floorOf(one: () => (Double, Double)): (Double, Double) = {
+    // inflates); retry while the floor's own segment was dirty —
+    // by steal OR by probe
+    def dirty(s: (Double, Double, Double)): Boolean =
+      s._2 > stealBudget || s._3 > parBudget
+    def floorOf(one: () => (Double, Double, Double))
+        : (Double, Double, Double) = {
       var best = (1 to samples).map(_ => one()).minBy(_._1)
       var extra = 0
-      while (best._2 > stealBudget && extra < retries) {
+      while (dirty(best) && extra < retries) {
         extra += 1
         val s = one()
         if (s._1 < best._1) best = s
@@ -168,9 +185,10 @@ object Ladder {
     }
 
     def fitAndPrint(name: String,
-        times: Seq[(Long, Double, Double)]): (String, Seq[(Long, Double, Double)], Seq[Double]) = {
+        times: Seq[(Long, Double, Double, Double)])
+        : (String, Seq[(Long, Double, Double, Double)], Seq[Double]) = {
       val legs = times.sliding(2).collect {
-        case Seq((n1, t1, _), (n2, t2, _)) if n2 > n1 && t1 > 0 =>
+        case Seq((n1, t1, _, _), (n2, t2, _, _)) if n2 > n1 && t1 > 0 =>
           math.log(t2 / t1) / math.log(n2.toDouble / n1)
       }.toSeq
       val top = legs.lastOption.getOrElse(Double.NaN)
@@ -187,10 +205,11 @@ object Ladder {
         // clusterTableCache) land in each rung's warm pass — measured
         // runs see steady state, so the curve is pure data scaling
         run(name, dir)
-        val (sec, steal) = floorOf(() => run(name, dir))
+        val (sec, steal, par) = floorOf(() => run(name, dir))
         val n = rowsOf(dir, table)
-        println(f"LADDER q=$name dir=$dir rows=$n sec=$sec%.2f steal=$steal%.2f")
-        (n, sec, steal)
+        println(f"LADDER q=$name dir=$dir rows=$n sec=$sec%.2f " +
+          f"steal=$steal%.2f par=$par%.3f")
+        (n, sec, steal, par)
       }
       fitAndPrint(name, times)
     }
@@ -225,24 +244,25 @@ object Ladder {
         // first measured sample's semantically-identical plans could hit
         // that cache — publishing a cached-read time as the floor
         clearPins()
-        val (sec, steal) = floorOf(() => sample(() => probe()))
+        val (sec, steal, par) = floorOf(() => sample(() => probe()))
         val n = rowsOf(dir, "documents")
         println(f"LADDER q=$probeFixed dir=$dir rows=$n sec=$sec%.2f " +
-          f"steal=$steal%.2f")
+          f"steal=$steal%.2f par=$par%.3f")
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory)
             Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
           f.delete()
         }
         rm(root)
-        (n, sec, steal)
+        (n, sec, steal, par)
       }
       fitAndPrint(probeFixed, times)
     }
 
     val qjson = fits2.map { case (n, times, legs) =>
-      s""""$n":{"rungs":${times.map { case (r, t, s) =>
-        s"""{"rows":$r,"sec":${f"$t%.3f"},"steal":${f"$s%.2f"}}"""
+      s""""$n":{"rungs":${times.map { case (r, t, s, p) =>
+        s"""{"rows":$r,"sec":${f"$t%.3f"},"steal":${f"$s%.2f"},""" +
+          s""""par":${f"$p%.3f"}}"""
       }.mkString("[", ",", "]")},""" +
         s""""exponents":${legs.map(l => f"$l%.3f").mkString("[", ",", "]")}}"""
     }.mkString("{", ",", "}")

@@ -59,9 +59,16 @@ object ProbeTax {
       timeQuery(name) // warm: plan + codegen
       val probed = scala.collection.mutable.ArrayBuffer.empty[Double]
       val bare = scala.collection.mutable.ArrayBuffer.empty[Double]
-      for (i <- 1 to 2 * samples) {
-        if (i % 2 == 1) { graft.Bench.canaryParProbe(); probed += timeQuery(name) }
-        else bare += timeQuery(name)
+      // ABBA pair ordering: strict alternation would put the probed arm
+      // at a fixed phase of any periodic external burst; flipping the
+      // order every pair cancels linear weather drift across the run
+      for (pair <- 0 until samples) {
+        def probedOne(): Unit = {
+          graft.Bench.canaryParProbe(); probed += timeQuery(name)
+        }
+        def bareOne(): Unit = bare += timeQuery(name)
+        if (pair % 2 == 0) { probedOne(); bareOne() }
+        else { bareOne(); probedOne() }
       }
       val (pMin, bMin) = (probed.min, bare.min)
       println(f"PROBETAX q=$name probed_min=$pMin%.4f bare_min=$bMin%.4f " +

@@ -492,12 +492,15 @@ class BenchDefenseSpec extends AnyFunSuite {
     assert(kept.failed === 0 && kept.broken === 1)
     // the rendered line carries the canary-normalized view: with the
     // default reference (0.248, 0.161, 0.021) this triple is cpu 2x,
-    // mem 1x, par 2x slower → cons scale 1.0, par scale 2.0
+    // mem 1x, par 2x slower → cons scale 1.0, par scale 2.0 — and
+    // RECORDS the reference it was rendered under (r17: a re-anchor
+    // must not silently split old archives from new ones)
     if (!sys.env.contains("SPARK_GRAFT_CANARY_REF")) {
       assert(line.contains(""""canary_scale_cons":1.000"""))
       assert(line.contains(""""canary_scale_par":2.000"""))
       assert(line.contains(""""floors_norm_par":0.625"""), line)
       assert(line.contains(""""floors_norm_cons":1.250"""))
+      assert(line.contains(""""canary_ref":[0.248,0.161,0.021]"""), line)
     }
     // an unstamped non-failed floor makes quality unknown
     assert(floors(Map("q_a" -> 1.0, "q_b" -> 2.0), Map("q_a" -> 0.0))

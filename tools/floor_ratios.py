@@ -102,7 +102,13 @@ def scales(d, ref):
 def seg_scale(d, q, ref_par):
     """Per-floor machine scale from the providing sample's own parallel-
     leg probe (canary_par_q, r16+): temporally aligned with the sample.
-    Absent/unreadable stamps get no credit (scale 1)."""
+    Absent/unreadable stamps get no credit (scale 1). An archive that
+    RECORDS the reference it was rendered under (canary_ref, r17+) is
+    normalized under its own recorded anchor — a later re-anchor can
+    then never silently split this tool from the bench's own fields."""
+    rec = d.get("canary_ref")
+    if isinstance(rec, list) and len(rec) == 3 and rec[2] > 0:
+        ref_par = rec[2]
     p = d.get("canary_par_q", {}).get(q, -1.0)
     return max(1.0, p / ref_par) if p > 0 and ref_par > 0 else 1.0
 

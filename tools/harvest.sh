@@ -13,12 +13,15 @@ cd "$(dirname "$0")/.." || exit 1
 LOG=${GRAFT_HARVEST_LOG:-/tmp/graft-bench/harvest.log}
 mkdir -p "$(dirname "$LOG")"
 export SPARK_GRAFT_QUIET_MAX_WAIT_SEC=${SPARK_GRAFT_QUIET_MAX_WAIT_SEC:-240}
-ARCHIVE=$(python3 -c "
+while [ ! -f /tmp/graft-bench/stop ]; do
+  # recompute per iteration: a driver round-rollover (a new
+  # BENCH_r<N>.json landing) mid-loop must move the dirty-list source
+  # to the archive the bench itself is now writing
+  ARCHIVE=$(python3 -c "
 import re, os
 rounds = [int(m.group(1)) for f in os.listdir('.')
           if (m := re.fullmatch(r'BENCH_r(\d+)\.json', f))]
 print(f'BENCH_LOCAL_r{max(rounds, default=0) + 1}.json')")
-while [ ! -f /tmp/graft-bench/stop ]; do
   echo "=== full run start $(date -u +%F' '%H:%M:%S) ===" >> "$LOG"
   tools/run_bench.sh >> "$LOG" 2>&1
   [ -f /tmp/graft-bench/stop ] && break
@@ -27,8 +30,15 @@ import json
 try:
     d = json.load(open('$ARCHIVE'))
     q, s = d.get('queries', {}), d.get('steal_q', {})
+    p = d.get('canary_par_q', {})
+    ref = d.get('canary_ref', [0, 0, 0.021])[2]
+    # dirty = steal-stamped >= 0.5 s (the certification bar), stamp
+    # missing, or taken while the probe read the machine >1.35x its
+    # reference speed (steal-clean user-time contention: the floor is
+    # certified but likely inflated -- worth another lottery ticket)
     dirty = [k for k, v in q.items()
-             if v >= 0 and not (0 <= s.get(k, -1) < 0.5)]
+             if v >= 0 and (not (0 <= s.get(k, -1) < 0.5)
+                            or p.get(k, -1) > 1.35 * ref)]
     print(' '.join(sorted(dirty)))
 except Exception:
     pass")
