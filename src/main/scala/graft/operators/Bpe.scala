@@ -79,12 +79,49 @@ object Bpe {
   private def releaseCheckpoint(df: DataFrame): Unit =
     Checkpoints.release(df)
 
+  /** Session conf key: word-vocabulary cap for the driver-local
+    * training fast path of [[train]] (r17; the
+    * [[Dedup.BroadcastVocabCapKey]] precedent). BPE training runs over
+    * the word-FREQUENCY table, which is vocab-sized regardless of
+    * corpus size — when it fits under the cap it is collected once
+    * (`(word, n)` rows, ~tens of MB at the 1M default) and the greedy
+    * merge loop runs on the driver: zero Spark jobs per round instead
+    * of an aggregate + argmax-collect + re-pinned fold per round (the
+    * per-round job dribble was most of q_bpe_merges' wall at bench
+    * scale). Vocabularies past the cap fall back LOUDLY (one WARN) to
+    * the distributed round loop, which handles unbounded vocab; `0`
+    * disables the fast path outright (the crossover-test hook). Both
+    * paths learn the IDENTICAL merge sequence: same greedy fold, same
+    * (count desc, pair lexicographic) argmax with ties compared in
+    * UTF-8 binary order exactly as Spark orders strings. */
+  val LocalVocabCapKey = "spark.graft.bpe.localVocabCap"
+  private val DefaultLocalVocabCap = 1000000L
+
   /** Learn up to `merges` BPE merges from the corpus. Stops early when
     * no pair reaches `minCount`. Returns merges in training order —
     * the tokenizer model. */
   def train(docs: DataFrame, textCol: String = "text",
       merges: Int = 50, minCount: Long = 2L): Seq[Merge] = {
     require(merges >= 1, s"merges must be >= 1, got $merges")
+    val cap = docs.sparkSession.conf.getOption(LocalVocabCapKey)
+      .map(_.toLong).getOrElse(DefaultLocalVocabCap)
+    if (cap > 0) {
+      // one aggregation pass, bounded collect (the charLmScore
+      // boundedCollect shape: the limit rides the same pass)
+      val capInt = math.min(cap, (Int.MaxValue - 1).toLong).toInt
+      val rows = docs
+        .select(explode(split(lower(trim(col(textCol))),
+          "[ \\t\\n\\x0B\\f\\r]+")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .limit(capInt + 1).collect()
+      if (rows.length <= capInt)
+        return trainLocal(rows, merges, minCount)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"BPE train: word vocabulary exceeds $LocalVocabCapKey=$cap — " +
+          "falling back to the distributed merge loop (correct at any " +
+          "vocab size; one aggregate + argmax round per merge)")
+    }
     // the word table is vocab-sized: one materialization replaces a
     // corpus re-scan per round AND caps the per-round lineage; each
     // round's checkpoint releases its predecessor so a long training
@@ -113,6 +150,111 @@ object Bpe {
       }
       learned.toSeq
     } finally releaseCheckpoint(words)
+  }
+
+  /** The driver-local merge loop over a collected `(word, n)` frequency
+    * table — semantics bit-identical to the distributed rounds (and so
+    * to the DuckDB oracle's unrolled CTE chain):
+    *   - initial symbols = one symbol per CODEPOINT + [[EndMark]]
+    *     (replicating Spark's `split(w, '')`, which keeps astral
+    *     characters whole — [[graft.core.BpeCodec.encodeWords]]'s rule);
+    *   - per round: adjacent-pair counts weighted by word frequency,
+    *     argmax by (count desc, then pair lexicographic with strings
+    *     compared in UTF-8 BINARY order via [[UTF8String]] — Scala's
+    *     String ordering compares UTF-16 units and would diverge from
+    *     Spark's `orderBy(a, b)` on astral-vs-BMP ties);
+    *   - the greedy left-to-right fold of [[graft.core.BpeCodec]]
+    *     applies the winning merge;
+    *   - stop early when no pair reaches `minCount`.
+    * CheckpointSeamSpec pins local-vs-distributed merge equality. */
+  private def trainLocal(
+      rows: Array[org.apache.spark.sql.Row],
+      merges: Int,
+      minCount: Long): Seq[Merge] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val words = new Array[Array[String]](rows.length)
+    val freq = new Array[Long](rows.length)
+    var wi = 0
+    while (wi < rows.length) {
+      val cps = rows(wi).getString(0).codePoints().toArray
+      val syms = new Array[String](cps.length + 1)
+      var ci = 0
+      while (ci < cps.length) {
+        syms(ci) = new String(cps, ci, 1)
+        ci += 1
+      }
+      syms(cps.length) = EndMark
+      words(wi) = syms
+      freq(wi) = rows(wi).getLong(1)
+      wi += 1
+    }
+    def utf8Lt(x: (String, String), y: (String, String)): Boolean = {
+      val c = UTF8String.fromString(x._1).compareTo(UTF8String.fromString(y._1))
+      c < 0 || (c == 0 &&
+        UTF8String.fromString(x._2).compareTo(UTF8String.fromString(y._2)) < 0)
+    }
+    val learned = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var done = false
+    while (!done && learned.size < merges) {
+      val counts = new java.util.HashMap[(String, String), java.lang.Long]()
+      var i = 0
+      while (i < words.length) {
+        val syms = words(i)
+        val n = freq(i)
+        var j = 0
+        while (j < syms.length - 1) {
+          val key = (syms(j), syms(j + 1))
+          val prev = counts.get(key)
+          counts.put(key, if (prev == null) n else prev + n)
+          j += 1
+        }
+        i += 1
+      }
+      var best: (String, String) = null
+      var bestCnt = 0L
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val cnt = e.getValue
+        if (cnt >= minCount &&
+          (best == null || cnt > bestCnt ||
+            (cnt == bestCnt && utf8Lt(e.getKey, best)))) {
+          best = e.getKey
+          bestCnt = cnt
+        }
+      }
+      if (best == null) done = true
+      else {
+        val (a, b) = best
+        learned += Merge(a, b, bestCnt)
+        val ab = a + b
+        var k = 0
+        while (k < words.length) {
+          val syms = words(k)
+          // greedy left-to-right fold (the BpeCodec.applyMerges loop)
+          var touches = false
+          var j = 0
+          while (!touches && j < syms.length - 1) {
+            touches = syms(j) == a && syms(j + 1) == b
+            j += 1
+          }
+          if (touches) {
+            val out = new java.util.ArrayList[String](syms.length)
+            var p = 0
+            while (p < syms.length) {
+              val s = syms(p)
+              if (out.size > 0 && out.get(out.size - 1) == a && s == b)
+                out.set(out.size - 1, ab)
+              else out.add(s)
+              p += 1
+            }
+            words(k) = out.toArray(new Array[String](out.size))
+          }
+          k += 1
+        }
+      }
+    }
+    learned.toSeq
   }
 
   /** Tokenize `textCol` with a trained merge list: per word, apply the

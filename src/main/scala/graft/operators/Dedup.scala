@@ -385,6 +385,23 @@ object Dedup {
       numHashes: Int = 8,
       rowsPerBand: Int = 4,
       textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    minhashBandsOfSigs(minhashSigs(docs, numHashes, textCol, idCol),
+      numHashes, rowsPerBand)
+
+  /** The SIGNATURE half of [[minhashBands]]: per-doc 3-word shingles
+    * hashed through `numHashes` md5 families and min-aggregated —
+    * `(doc_id, h0..h{n-1})`, one row per doc. Split out (r17) so a
+    * caller sweeping several band layouts over ONE signature table
+    * (q_banding_curve: 3 configs of the same 8-hash signature) can pin
+    * this frame once instead of re-running the shingle explode + 8
+    * min-aggregates per config — the signature is the expensive leg
+    * (full corpus scan + tokenize + hash), the banding a cheap local
+    * projection over numHashes columns. */
+  def minhashSigs(
+      docs: DataFrame,
+      numHashes: Int = 8,
+      textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val shingles = docs
       .withColumn("__w", split(lower(trim(col(textCol))), "[ \\t\\n\\x0B\\f\\r]+"))
@@ -394,18 +411,36 @@ object Dedup {
     val minCols = (0 until numHashes).map { k =>
       min(md5(concat(col("__s"), lit(s"#$k")))).as(s"h$k")
     }
-    val sigs = shingles.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    shingles.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** Band rows from a precomputed [[minhashSigs]] table — the banding
+    * half of [[minhashBands]], bit-identical band keys. `carrySig`
+    * controls whether the full signature array rides along: candidate
+    * generators that only emit pairs (the banding recall/curve sweeps,
+    * the edit-distance confirm feed) drop it, which removes the
+    * ~numHashes·32-byte array from every row of the band self-join's
+    * shuffle (guide §2.3: shuffle fewer bytes). */
+  def minhashBandsOfSigs(
+      sigs: DataFrame,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 4,
+      carrySig: Boolean = true): DataFrame = {
     val nBands = numHashes / rowsPerBand
     val bandCol = (0 until nBands).map { bnd =>
       val parts = (0 until rowsPerBand).map(r => s"h${bnd * rowsPerBand + r}")
       expr(s"struct($bnd AS band, md5(concat(${parts.mkString(", ")})) AS key)")
     }
-    sigs
+    val banded = sigs
       .select((col("doc_id") +: (0 until numHashes).map(k => col(s"h$k"))): _*)
       .withColumn("bk", explode(array(bandCol: _*)))
-      .select(col("doc_id"), col("bk.band").as("band"),
+    if (carrySig)
+      banded.select(col("doc_id"), col("bk.band").as("band"),
         col("bk.key").as("key"),
         array((0 until numHashes).map(k => col(s"h$k")): _*).as("sig"))
+    else
+      banded.select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
   }
 
   /** Prefix-filtered candidate pairs for an exact set-similarity self-join
@@ -724,6 +759,39 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))")
           .as("matching_hashes"))
+      .distinct()
+  }
+
+  /** [[minhashCandidates]] restricted to the PAIRS — `(doc_a, doc_b)`
+    * distinct, `doc_a < doc_b` — for consumers that never read
+    * `matching_hashes` (the banding recall/curve truth joins, the
+    * edit-distance confirm feed). Exactly the projection of
+    * [[minhashCandidates]]'s output (`matching_hashes` is a function of
+    * the pair, so the 2-column distinct selects the same pair set), but
+    * the band self-join shuffles only `(doc_id, band, key)` rows — no
+    * signature array on either side and no per-pair zip_with. */
+  def minhashCandidatePairs(
+      docs: DataFrame,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 4,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    minhashCandidatePairsOfSigs(
+      minhashSigs(docs, numHashes, textCol, idCol), numHashes, rowsPerBand)
+
+  /** [[minhashCandidatePairs]] over a precomputed (typically pinned)
+    * [[minhashSigs]] table — the band-layout sweep entry point. */
+  def minhashCandidatePairsOfSigs(
+      sigs: DataFrame,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 4): DataFrame = {
+    val banded = minhashBandsOfSigs(sigs, numHashes, rowsPerBand,
+      carrySig = false)
+    val a = banded.toDF("doc_a", "band", "key")
+    val b = banded.toDF("doc_b", "band", "key")
+    a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
       .distinct()
   }
 }

@@ -197,18 +197,21 @@ object Selection {
       s"keepAboveQuantile needs an integral score column (the exactKth " +
         s"contract; micro-scale fractional scores first — the charLmScore " +
         s"discipline): $scoreCol is $scoreType")
-    // Pin the scored frame only for as long as the threshold takes:
-    // exactKth reads it twice (histogram chain + refine join) and for
-    // an expensive scorer (char-LM) each unpersisted materialization
-    // re-ran the whole scoring job. The threshold is ONE row, so it is
-    // taken eagerly while the cache is warm, the cache is released
-    // immediately (no leaked blocks in long-lived sessions — the
-    // lazy-persist version had no unpersist path), and the returned
-    // flag pass compares against the collected literal. Net scorings:
-    // one for the threshold, one when the caller materializes.
-    val s = scored.persist()
+    // PIN the scored frame and flag over the PIN (r17; guide §1.2 —
+    // don't compute things twice): the scorer runs exactly ONCE, into
+    // the pin; exactKth's two reads (histogram chain + refine join) and
+    // the caller's materialization all read pinned blocks. The previous
+    // persist/unpersist spelling avoided a cache leak but paid the
+    // scorer TWICE — once materializing the cache for the threshold and
+    // once more when the caller materialized the returned (unpersisted)
+    // plan; for the char-LM scorer that second pass was the single
+    // biggest job in q_score_gate (QueryJobs r17: 2.3 s of 7.1). The
+    // pin rides the returned frame the way jaccardSelfJoin's result pin
+    // does — released by the caller's clearCache (the bench does this
+    // per query), result-sized at one row of 4 integers per document.
+    val s = Checkpoints.pin(scored)
     val thrValue =
-      try Quantiles.exactKth(
+      Quantiles.exactKth(
         s.withColumn("__all", lit(0)), "__all", scoreCol,
         Seq("q" ->
           expr(s"greatest(1L, (__n * $dropPpm + 999999) div 1000000)")))
@@ -217,8 +220,7 @@ object Selection {
         // empty input has no order statistic — and no rows to flag;
         // MinValue keeps the (vacuous) "ties keep" shape
         .getOrElse(Long.MinValue)
-      finally { s.unpersist(); () }
-    scored.withColumn("kept",
+    s.withColumn("kept",
       when(col(scoreCol) >= lit(thrValue), 1).otherwise(0))
   }
 }

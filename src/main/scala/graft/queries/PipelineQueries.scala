@@ -181,7 +181,11 @@ object PipelineQueries {
       val sample = planted(s, dir).filter(col("doc_id") % 5 === 0)
       val truth = Dedup.jaccardSelfJoin(TextQueries.jaccardBase(sample),
         "doc_id", "words", Seq("lang", "size_bucket"), num = 1, den = 4)
-      val cands = Dedup.minhashCandidates(sample)
+      // pairs-only candidates (r17): this query never reads
+      // matching_hashes, so the band self-join shuffles (doc_id, band,
+      // key) rows without the 8x32-byte signature array — same pair
+      // set, same oracle
+      val cands = Dedup.minhashCandidatePairs(sample)
         .select(col("doc_a"), col("doc_b"), lit(1).as("__hit"))
       truth.join(cands, Seq("doc_a", "doc_b"), "left")
         .groupBy(expr("(inter_size * 10) div union_size").as("j_decile"))
@@ -207,21 +211,34 @@ object PipelineQueries {
       val sample = planted(s, dir).filter(col("doc_id") % 5 === 0)
       val truth = Dedup.jaccardSelfJoin(TextQueries.jaccardBase(sample),
         "doc_id", "words", Seq("lang", "size_bucket"), num = 1, den = 4)
-      Seq(4, 2, 1).map { rowsPerBand =>
-        val bands = 8 / rowsPerBand
-        val cands = graft.operators.Checkpoints.pin(
-          Dedup.minhashCandidates(sample, 8, rowsPerBand)
-            .select(col("doc_a"), col("doc_b")))
-        val nCand = cands.agg(count(lit(1)).as("n_candidates"))
-        truth.join(cands.withColumn("__hit", lit(1)),
-            Seq("doc_a", "doc_b"), "left")
-          .groupBy(expr("(inter_size * 10) div union_size").as("j_decile"))
-          .agg(count(lit(1)).as("n_true_pairs"),
-            count(col("__hit")).as("n_found"))
-          .withColumn("bands", lit(bands))
-          .withColumn("rows_per_band", lit(rowsPerBand))
-          .crossJoin(broadcast(nCand))
-      }.reduce(_.unionByName(_))
+      // ONE signature build for all three band layouts (r17): the three
+      // configs band the SAME 8-hash signature, so the shingle explode +
+      // 8 min-aggregates — the expensive corpus-scan leg — runs once
+      // into a pin and each config derives its band keys from the
+      // pinned columns (before: one full signature build per config,
+      // 3x the scan/tokenize/hash work; band keys and so the candidate
+      // sets are bit-identical). The pin is released as soon as the
+      // three candidate pins are materialized — the per-config pair
+      // tables below are what the returned plan reads.
+      val sigs = graft.operators.Checkpoints.pin(
+        Dedup.minhashSigs(sample, 8))
+      val perConfig = try {
+        Seq(4, 2, 1).map { rowsPerBand =>
+          val bands = 8 / rowsPerBand
+          val cands = graft.operators.Checkpoints.pin(
+            Dedup.minhashCandidatePairsOfSigs(sigs, 8, rowsPerBand))
+          val nCand = cands.agg(count(lit(1)).as("n_candidates"))
+          truth.join(cands.withColumn("__hit", lit(1)),
+              Seq("doc_a", "doc_b"), "left")
+            .groupBy(expr("(inter_size * 10) div union_size").as("j_decile"))
+            .agg(count(lit(1)).as("n_true_pairs"),
+              count(col("__hit")).as("n_found"))
+            .withColumn("bands", lit(bands))
+            .withColumn("rows_per_band", lit(rowsPerBand))
+            .crossJoin(broadcast(nCand))
+        }
+      } finally graft.operators.Checkpoints.release(sigs)
+      perConfig.reduce(_.unionByName(_))
         .select(col("bands"), col("rows_per_band"), col("j_decile"),
           col("n_true_pairs"), col("n_found"), col("n_candidates"))
         .orderBy(col("bands"), col("j_decile"))
@@ -241,13 +258,20 @@ object PipelineQueries {
     // computes the full distance and applies the band as a CASE — the
     // exact values the band contract promises)
     "q_edit_distance" -> ((s, dir) => {
-      val pairs = Dedup.minhashCandidates(planted(s, dir))
-        .select(col("doc_a"), col("doc_b"))
-      val norm = planted(s, dir).select(col("doc_id"),
-        regexp_replace(
-          regexp_replace(lower(trim(col("text"))),
-            "[ \\t\\n\\x0B\\f\\r]+", " "),
-          "[^\\x20-\\x7E]", "").as("__t"))
+      // pairs-only candidates (r17, the q_banding_recall note): the
+      // confirm feed never reads matching_hashes, so the band self-join
+      // drops the signature array from its shuffle. The normalized-text
+      // table is PINNED once: both confirm-join legs consume it, and
+      // unpinned each leg re-ran the two regexp_replace passes over the
+      // whole planted corpus (the jaccardSelfJoin verify-sets
+      // discipline). Pair set, confirm arithmetic, and oracle unchanged.
+      val pairs = Dedup.minhashCandidatePairs(planted(s, dir))
+      val norm = graft.operators.Checkpoints.pin(
+        planted(s, dir).select(col("doc_id"),
+          regexp_replace(
+            regexp_replace(lower(trim(col("text"))),
+              "[ \\t\\n\\x0B\\f\\r]+", " "),
+            "[^\\x20-\\x7E]", "").as("__t")))
       pairs
         .join(norm.select(col("doc_id").as("doc_a"), col("__t").as("__ta")),
           Seq("doc_a"))

@@ -78,10 +78,17 @@ object ScalarQueries {
     // the group count no matter the cluster size
     "q_percentiles" -> ((s, dir) => {
       import s.implicits._
-      val li = s.read.parquet(s"$dir/lineitem.parquet").select(
-        $"l_returnflag",
-        expr("CAST(round(l_quantity * 100) AS BIGINT)").as("qty_c"),
-        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c"))
+      // PINNED (r17): five legs consume this frame (two exactKth
+      // histogram chains, their refine joins, and the totals aggregate)
+      // and each unpinned leg re-ran the parquet scan + the two
+      // decimal-round casts; the pin is three numeric columns per row —
+      // cheaper to write once than to recompute per leg. Values and
+      // oracle unchanged.
+      val li = graft.operators.Checkpoints.pin(
+        s.read.parquet(s"$dir/lineitem.parquet").select(
+          $"l_returnflag",
+          expr("CAST(round(l_quantity * 100) AS BIGINT)").as("qty_c"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c")))
       val medQty = graft.operators.Quantiles.exactKth(
         li, "l_returnflag", "qty_c",
         Seq("median" -> expr("(__n + 1) div 2")))

@@ -425,10 +425,18 @@ object TextQueries {
       import s.implicits._
       val words = docs(s, dir).select($"source",
         explode(split(lower(trim($"text")), "[ \\t\\n\\x0B\\f\\r]+")).as("word"))
-      val regs = graft.operators.Hll.registers(words, Seq("source"), "word")
+      // ONE distinct (source, word) pass feeds both legs (r17): HLL
+      // registers are max-rho per bucket, so duplicate words cannot
+      // change them, and the exact leg's countDistinct IS a count over
+      // this table — the two legs' identical distinct exchange is
+      // computed once (ReuseExchange) where the old spelling exploded
+      // and shuffled the corpus twice. Registers, counts, oracle
+      // unchanged.
+      val ws = words.distinct()
+      val regs = graft.operators.Hll.registers(ws, Seq("source"), "word")
       val ind = graft.operators.Hll.indicator(regs, Seq("source"))
-      val exact = words.groupBy($"source")
-        .agg(countDistinct($"word").as("n_exact"))
+      val exact = ws.groupBy($"source")
+        .agg(count(lit(1)).as("n_exact"))
       exact.join(ind, Seq("source"))
         .select($"source", $"n_exact", $"n_buckets_hit", $"hll_indicator",
           graft.operators.Hll.estimateMicro($"hll_indicator")
@@ -576,9 +584,14 @@ object TextQueries {
       import s.implicits._
       val words = docs(s, dir).select($"source",
         explode(split(lower(trim($"text")), "[ \\t\\n\\x0B\\f\\r]+")).as("word"))
-      val sk = graft.operators.Kmv.sketch(words, Seq("source"), "word")
-      val exact = words.groupBy($"source")
-        .agg(countDistinct($"word").as("n_exact"))
+      // shared distinct pass (r17, the q_hll_estimate note): the KMV
+      // sketch keeps the k smallest DISTINCT hashes, so building it
+      // from the distinct (source, word) table both legs share cannot
+      // change it, and the exact leg is a count over the same table
+      val ws = words.distinct()
+      val sk = graft.operators.Kmv.sketch(ws, Seq("source"), "word")
+      val exact = ws.groupBy($"source")
+        .agg(count(lit(1)).as("n_exact"))
       exact.join(sk, Seq("source"))
         .select($"source", $"n_exact",
           size($"kmv").as("sketch_size"),
@@ -598,7 +611,10 @@ object TextQueries {
       val words = docs(s, dir).select($"source",
         explode(split(lower(trim($"text")), "[ \\t\\n\\x0B\\f\\r]+")).as("word"))
       val ws = words.distinct()
-      val sk = graft.operators.Kmv.sketch(words, Seq("source"), "word")
+      // sketch from the SAME distinct table the n/inter legs read (r17):
+      // k-smallest-distinct is duplicate-insensitive, and the shared
+      // distinct exchange then materializes once for all four consumers
+      val sk = graft.operators.Kmv.sketch(ws, Seq("source"), "word")
       val a = sk.select($"source".as("src_a"), $"kmv".as("kmv_a"))
       val b = sk.select($"source".as("src_b"), $"kmv".as("kmv_b"))
       val n = ws.groupBy($"source").agg(count(lit(1)).as("n"))

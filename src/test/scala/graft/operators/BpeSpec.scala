@@ -76,6 +76,36 @@ class BpeSpec extends SparkSuite {
     assert(scaled.map(_.count) === small.map(_.count * 100))
   }
 
+  test("driver-local fast path (r17) learns the identical merges as the " +
+    "distributed round loop, including unicode tie-breaks") {
+    // astral + BMP symbols in one corpus: the local argmax must break
+    // count ties in UTF-8 BINARY order (Spark's string order), where
+    // Scala's default String ordering (UTF-16 units) would flip an
+    // astral-vs-BMP tie — 😀 (U+1F600) sorts AFTER � in
+    // UTF-8 but BEFORE it in UTF-16 units
+    val uni = Seq(
+      "😀x 😀x �x �x low low lower")
+      .toDF("text")
+    def distTrain(df: org.apache.spark.sql.DataFrame, m: Int) = {
+      spark.conf.set(Bpe.LocalVocabCapKey, "0")
+      try Bpe.train(df, merges = m)
+      finally spark.conf.unset(Bpe.LocalVocabCapKey)
+    }
+    assert(Bpe.train(corpus, merges = 5) === distTrain(corpus, 5))
+    // 5 merges reaches the round whose argmax is the astral-vs-BMP tie
+    val uniLocal = Bpe.train(uni, merges = 5)
+    assert(uniLocal === distTrain(uni, 5))
+    // the discriminating merge really is in the list: U+FFFD sorts
+    // before U+1F600 in UTF-8 bytes (a UTF-16-unit comparison would
+    // have merged 😀 first)
+    assert(uniLocal.map(_.left).contains("�"))
+    // over-cap vocabularies fall back to the distributed loop with the
+    // identical result (the loud-WARN path)
+    spark.conf.set(Bpe.LocalVocabCapKey, "1")
+    try assert(Bpe.train(corpus, merges = 5) === distTrain(corpus, 5))
+    finally spark.conf.unset(Bpe.LocalVocabCapKey)
+  }
+
   test("native bpe_encode is value-identical to the nested-aggregate " +
     "fold spelling, including unicode, greedy runs and empty docs") {
     import org.apache.spark.sql.functions._

@@ -159,6 +159,22 @@ class OperatorsSpec extends SparkSuite {
     assert(!cands.contains((1L, 3L)), "unrelated docs must not collide")
   }
 
+  test("minhashCandidatePairs (r17) is exactly the pair projection of " +
+    "minhashCandidates, per band layout") {
+    for (rowsPerBand <- Seq(4, 2, 1)) {
+      val full = Dedup.minhashCandidates(docs, 8, rowsPerBand).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val pairs = Dedup.minhashCandidatePairs(docs, 8, rowsPerBand)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs === full, s"rowsPerBand=$rowsPerBand")
+      // and the sigs-sharing entry point agrees with the one-shot form
+      val sigs = Dedup.minhashSigs(docs, 8)
+      val shared = Dedup.minhashCandidatePairsOfSigs(sigs, 8, rowsPerBand)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(shared === full, s"sigs-shared rowsPerBand=$rowsPerBand")
+    }
+  }
+
   test("connectedComponents closes chains transitively, keeps singletons") {
     import spark.implicits._
     val vertices = (1L to 7L).toDF("doc_id")
