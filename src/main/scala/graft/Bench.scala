@@ -220,7 +220,13 @@ object Bench {
     // 3x its previous run's time is re-run once, solo, at the end —
     // minutes later, when a burst has likely passed — and BOTH numbers
     // are recorded so the reader can see the burst rather than infer it.
-    val (prev, rerunBase) = previousRun(new java.io.File("."), sfTag(sfDir))
+    // The base must match this run's CORE COUNT too (VERDICT r17 #2):
+    // the driver's 8-core scaling run produces LOWER totals for most
+    // queries at this SF, so an 8-core base under a 32-core run (or vice
+    // versa) mass-skews the 3x test.
+    val cpusN = cpus.toIntOption.getOrElse(-1)
+    val (prev, rerunBase) =
+      previousRun(new java.io.File("."), sfTag(sfDir), Some(cpusN))
     // the base's own run quality, stamped into both output lines so a
     // reader can judge the 3x threshold's footing (VERDICT r12 #1: an
     // inflated base weakens the outlier test exactly when it's needed)
@@ -261,7 +267,7 @@ object Bench {
     val failedCount = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
     var archived = false
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","canary_cpu":$canaryCpu%.3f,"canary_mem":$canaryMem%.3f,"canary_par":$canaryPar%.3f,"queries":$qs,"load":$loads,"steal_q":$stealQJson,"canary_par_q":$parQJson,"outlier_rerun":$reruns,"rerun_base":"$rerunBase","rerun_base_steal":$rerunBaseSteal%.1f,"passes":$stamp,"failed":$failedCount,"quiet_wait_sec":$quietWaitSec%.1f,"quiet_last_steal":$quietLastSteal%.1f,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpus":$cpusN,"canary_cpu":$canaryCpu%.3f,"canary_mem":$canaryMem%.3f,"canary_par":$canaryPar%.3f,"queries":$qs,"load":$loads,"steal_q":$stealQJson,"canary_par_q":$parQJson,"outlier_rerun":$reruns,"rerun_base":"$rerunBase","rerun_base_steal":$rerunBaseSteal%.1f,"passes":$stamp,"failed":$failedCount,"quiet_wait_sec":$quietWaitSec%.1f,"quiet_last_steal":$quietLastSteal%.1f,"sf":"$sfDir"}"""
     // The full per-query/load/rerun line goes ONLY to BENCH_LOCAL.json
     // (VERDICT r10 #4): printing the ~8 KB map to stdout — first OR
     // last — overflowed the driver's fixed-size tail capture five rounds
@@ -297,7 +303,7 @@ object Bench {
     // SPARK_GRAFT_BENCH_FRESH=1 to reseed the composite from this run
     // (the explicit override ADVICE r14 #3 asked for — without it the
     // floors would pin superseded-code timings for the round).
-    val archive = archiveName(new java.io.File("."), sfTag(sfDir))
+    val archive = archiveName(new java.io.File("."), sfTag(sfDir), cpus)
     val fresh = sys.env.get("SPARK_GRAFT_BENCH_FRESH").contains("1")
     val runFloors = Floors(
       queries = results.toMap,
@@ -311,13 +317,25 @@ object Bench {
       canaryMem = canaryMem,
       canaryPar = canaryPar,
       parQ = results.collect { case (k, v) if v >= 0 =>
-        k -> parAtBest.getOrElse(k, -1.0) }.toMap)
+        k -> parAtBest.getOrElse(k, -1.0) }.toMap,
+      cpus = cpusN)
+    // an incumbent stamped with a DIFFERENT core count never merges
+    // (VERDICT r17 #2: the driver's 8-core run self-archived under the
+    // next round's canonical name and its lower floors would poison a
+    // 32-core composite); an unstamped incumbent (pre-r18 archive) is
+    // accepted — every committed canonical archive was 32-core.
     val incFloors =
       if (fresh) None
       else (try Some(new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(archive)), "UTF-8"))
         catch { case _: Throwable => None })
         .flatMap(parseFloors).filter(_.sf == runFloors.sf)
+        .filter { f =>
+          val ok = f.cpus <= 0 || f.cpus == cpusN
+          if (!ok) System.err.println(s"[bench] incumbent $archive is a " +
+            s"${f.cpus}-core composite, this run is $cpusN-core: reseeding")
+          ok
+        }
     val registered = Some(SparkEntry.queries.keySet)
     val merged: Option[Floors] =
       if (subset) incFloors.map(mergeFloors(_, runFloors, subset = true,
@@ -359,13 +377,40 @@ object Bench {
     val normParq = merged.map(normParQ(_, canaryRef()._3)).getOrElse(-1.0)
     val lastFailedN = merged.map(_.lastFailed.size).getOrElse(0)
     val brokenN = merged.map(_.broken).getOrElse(failedCount)
-    println(tailHead(total, normParq, failedCount, brokenN) +
-      f""","canary_cpu":$canaryCpu%.3f,"canary_mem":$canaryMem%.3f,"canary_par":$canaryPar%.3f,"canary_scale_cons":$consScale%.3f,"canary_scale_par":$parScale%.3f,"floors_norm_cons":${if (floorsTotal > 0) floorsTotal / consScale else -1.0}%.3f,"floors_norm_par":${if (floorsTotal > 0) floorsTotal / parScale else -1.0}%.3f,"rerun_base":"$rerunBase","rerun_base_steal":$rerunBaseSteal%.1f,"reran":${rerun.size},"archived":$archived,"merged_runs":$mergedRuns,"floors_total":$floorsTotal%.3f,"floors_steal":$floorsSteal%.2f,"last_failed":$lastFailedN,"quiet_wait_sec":$quietWaitSec%.1f,"quiet_last_steal":$quietLastSteal%.1f,"passes":$stamp,"sf":"$sfDir","full":"$localOut"}""")
+    val slimTail =
+      f""","canary_cpu":$canaryCpu%.3f,"canary_mem":$canaryMem%.3f,"canary_par":$canaryPar%.3f,"canary_scale_cons":$consScale%.3f,"canary_scale_par":$parScale%.3f,"floors_norm_cons":${if (floorsTotal > 0) floorsTotal / consScale else -1.0}%.3f,"floors_norm_par":${if (floorsTotal > 0) floorsTotal / parScale else -1.0}%.3f,"rerun_base":"$rerunBase","rerun_base_steal":$rerunBaseSteal%.1f,"reran":${rerun.size},"archived":$archived,"merged_runs":$mergedRuns,"floors_total":$floorsTotal%.3f,"floors_steal":$floorsSteal%.2f,"last_failed":$lastFailedN,"quiet_wait_sec":$quietWaitSec%.1f,"quiet_last_steal":$quietLastSteal%.1f,"passes":$stamp,"sf":"$sfDir","full":"$localOut"}"""
+    println(slimLine(tailHead(total, normParq, failedCount, brokenN) +
+      s""","cpus":$cpusN""", slimTail, results))
   }
 
-  /** Render a per-query seconds map as a compact JSON object. */
-  private def jmap(m: Seq[(String, Double)]): String =
-    m.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+  /** The driver's stdout capture keeps only the LAST [[TailCaptureChars]]
+    * characters and parses the bench line out of THAT (every committed
+    * `BENCH_r*.json` carries a tail of exactly 2000 chars; the r10-era
+    * full-map line overflowed it and parsed as null for five rounds).
+    * A per-query map therefore rides the stdout line ONLY when the whole
+    * line still fits the capture with room for the runner's footer
+    * (VERDICT r17 #1 asked for the map back; for the full 123-query
+    * battery the query NAMES alone sum past the budget — see
+    * OPTIMIZATION_r18.md for the byte math — so the full battery keeps
+    * the slim line + `"full"` file pointer, while subset runs, which DO
+    * fit, carry their map inline). */
+  val TailCaptureChars = 2000
+  val TailFooterReserveChars = 120
+  def slimLine(head: String, tail: String,
+      results: Seq[(String, Double)]): String = {
+    val withMap = head + s""","queries":${jmap(results, 2)}""" + tail
+    if (withMap.length <= TailCaptureChars - TailFooterReserveChars) withMap
+    else head + tail
+  }
+
+  /** Render a per-query seconds map as a compact JSON object.
+    * `decimals` trades precision for line length (the stdout slim line
+    * uses 2, the archived full lines keep 3). */
+  private def jmap(m: Seq[(String, Double)], decimals: Int = 3): String = {
+    val fmt = s"%.${decimals}f"
+    m.map { case (k, v) => "\"" + k + "\":" + fmt.format(v) }
+      .mkString("{", ",", "}")
+  }
 
   /** Head of the slim stdout summary line (VERDICT r16 #7): the raw
     * total stays FIRST — it has been the driver tail's anchor since r1
@@ -421,23 +466,9 @@ object Bench {
       sink.addAndGet(sumRange(0, mem.length, 4))
       (System.nanoTime() - t0) / 1e9
     }
-    def parOnce(): Double = {
-      val n = Runtime.getRuntime.availableProcessors()
-      val slice = mem.length / n
-      val t0 = System.nanoTime()
-      val threads = (0 until n).map { k =>
-        val th = new Thread(() => {
-          val until = if (k == n - 1) mem.length else (k + 1) * slice
-          sink.addAndGet(sumRange(k * slice, until, 16))
-        })
-        th.start(); th
-      }
-      threads.foreach(_.join())
-      (System.nanoTime() - t0) / 1e9
-    }
     val r = ((1 to 3).map(_ => cpuOnce()).min,
       (1 to 3).map(_ => memOnce()).min,
-      (1 to 3).map(_ => parOnce()).min)
+      (1 to 3).map(_ => parStreamSumSeconds(mem, sink)).min)
     if (sink.get == 42L) System.err.println("[bench] canary sink") // live
     r
   }
@@ -481,7 +512,20 @@ object Bench {
     *     so one archive must carry one unit). The 256 MB pin is 0.4%
     *     of the 64 g bench heap. */
   def canaryParProbe(): Double = {
-    val mem = probeBuf
+    val sec = parStreamSumSeconds(probeBuf, probeSink)
+    if (probeSink.get == 42L) System.err.println("[bench] probe sink")
+    sec
+  }
+
+  /** THE parallel canary leg's measured work, defined once: all cores
+    * stream-sum disjoint slices of `mem`, 16 passes each (last thread
+    * takes the remainder), elapsed seconds returned. [[canary]]'s
+    * run-level leg and [[canaryParProbe]]'s per-segment probe both call
+    * this — two private copies of the loop could silently de-calibrate
+    * the run triple against the per-floor stamps that normalize every
+    * committed composite (VERDICT r17 next-round #7 / ADVICE r17). */
+  def parStreamSumSeconds(mem: Array[Long],
+      sink: java.util.concurrent.atomic.AtomicLong): Double = {
     val n = Runtime.getRuntime.availableProcessors()
     val slice = mem.length / n
     val t0 = System.nanoTime()
@@ -495,14 +539,12 @@ object Bench {
           while (i < until) { s += mem(i); i += 1 }
           pass += 1
         }
-        probeSink.addAndGet(s)
+        sink.addAndGet(s)
       })
       th.start(); th
     }
     threads.foreach(_.join())
-    val sec = (System.nanoTime() - t0) / 1e9
-    if (probeSink.get == 42L) System.err.println("[bench] probe sink")
-    sec
+    (System.nanoTime() - t0) / 1e9
   }
 
   /** A composite per-query floor map (VERDICT r14 #1): for each query
@@ -531,7 +573,11 @@ object Bench {
       // immediately before each floor's providing sample (VERDICT r15
       // #1 — travels with the floor like stealQ; absent on floors from
       // pre-r16 lines, which then get NO normalization credit)
-      parQ: Map[String, Double] = Map.empty) {
+      parQ: Map[String, Double] = Map.empty,
+      // core count the floors were measured at (VERDICT r17 #2: an
+      // 8-core scaling run must never merge into — or silently BE — the
+      // canonical 32-core composite); -1 = pre-r18 archive, unknown
+      cpus: Int = -1) {
     def total: Double = queries.values.filter(_ >= 0).sum
     def failed: Int = queries.values.count(_ < 0)
     /** Queries currently believed broken: a -1 floor OR a run-level
@@ -602,7 +648,12 @@ object Bench {
         // -1 entries mean "probe unreadable at the providing sample" —
         // drop them so absent and unreadable read the same way (no
         // normalization credit, [[normParQ]])
-        parQ = numMap(v \ "canary_par_q").filter(_._2 > 0)))
+        parQ = numMap(v \ "canary_par_q").filter(_._2 > 0),
+        cpus = v \ "cpus" match {
+          case JInt(n) => n.toInt
+          case JDouble(n) => n.toInt
+          case _ => -1
+        }))
     } catch { case _: Throwable => None }
   }
 
@@ -692,7 +743,11 @@ object Bench {
       canaryMem = minPos(inc.canaryMem, run.canaryMem),
       canaryPar = minPos(inc.canaryPar, run.canaryPar),
       lastFailed = ((inc.lastFailed -- succeeded) ++ failedNow) & keys,
-      parQ = picked.flatMap(p => p._5.map(p._1 -> _)).toMap)
+      parQ = picked.flatMap(p => p._5.map(p._1 -> _)).toMap,
+      // the caller guarantees inc/run core counts are compatible (main
+      // discards cpu-mismatched incumbents); a stamped run upgrades an
+      // unstamped legacy incumbent
+      cpus = if (run.cpus > 0) run.cpus else inc.cpus)
   }
 
   /** The composite archive line. Shape-compatible with every consumer:
@@ -722,7 +777,7 @@ object Bench {
     // anchor than new ones, and no reader can tell (r17 self-review)
     val refStr = { val r = canaryRef()
       f"""[${r._1}%.3f,${r._2}%.3f,${r._3}%.3f]""" }
-    f"""{"metric":"total","value":${f.total}%.3f,"unit":"sec","composite":true,"merged_runs":${f.mergedRuns},"canary_cpu":${f.canaryCpu}%.3f,"canary_mem":${f.canaryMem}%.3f,"canary_par":${f.canaryPar}%.3f,"canary_ref":$refStr,"canary_scale_cons":$cons%.3f,"canary_scale_par":$par%.3f,"floors_norm_cons":${f.total / cons}%.3f,"floors_norm_par":${f.total / par}%.3f,"floors_norm_parq":${normParQ(f, canaryRef()._3)}%.3f,"queries":$qs,"load":$loads,"steal_q":$stealQ,"canary_par_q":$parQ,"failed":${f.failed},"broken":${f.broken},"last_failed":$lastFailed,"sf":"$sfDir"}"""
+    f"""{"metric":"total","value":${f.total}%.3f,"unit":"sec","composite":true,"merged_runs":${f.mergedRuns},"cpus":${f.cpus},"canary_cpu":${f.canaryCpu}%.3f,"canary_mem":${f.canaryMem}%.3f,"canary_par":${f.canaryPar}%.3f,"canary_ref":$refStr,"canary_scale_cons":$cons%.3f,"canary_scale_par":$par%.3f,"floors_norm_cons":${f.total / cons}%.3f,"floors_norm_par":${f.total / par}%.3f,"floors_norm_parq":${normParQ(f, canaryRef()._3)}%.3f,"queries":$qs,"load":$loads,"steal_q":$stealQ,"canary_par_q":$parQ,"failed":${f.failed},"broken":${f.broken},"last_failed":$lastFailed,"sf":"$sfDir"}"""
   }
 
   /** Per-floor canary-normalized total: each floor divided by ITS
@@ -874,20 +929,30 @@ object Bench {
   def sfTag(sfDir: String): String =
     sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
 
+  /** Core count of the driver's canonical bench runs; archives at any
+    * other count are name-suffixed like non-canonical scales are. */
+  val CanonicalCpus = "32"
+
   /** Archive file name for this run: `BENCH_LOCAL_r<round>.json` at the
     * driver's canonical sf0.1 scale (the name VERDICT r11 prescribes),
     * `BENCH_LOCAL_r<round>_<tag>.json` at any other scale so a local
-    * sf0.01 ladder run can never clobber the round's canonical archive.
+    * sf0.01 ladder run can never clobber the round's canonical archive,
+    * and `..._c<cpus>.json` at any non-canonical core count (VERDICT
+    * r17 #2: the driver's 8-core scaling run archived itself under the
+    * canonical next-round name and would have min-merged its — mostly
+    * LOWER at this SF — floors into the 32-core composite).
     * The round is the newest driver `BENCH_r<N>.json` + 1 (the driver
     * writes its artifact AFTER the round ends, so during round N+1 the
     * newest is N); 1 when no driver artifact exists. */
-  def archiveName(dir: java.io.File, tag: String): String = {
+  def archiveName(dir: java.io.File, tag: String,
+      cpus: String = CanonicalCpus): String = {
     val newest = Option(dir.listFiles()).getOrElse(Array.empty)
       .flatMap(f => f.getName match {
         case DriverArtifact(n) => n.toLongOption
         case _ => None
       }).sorted.lastOption.getOrElse(0L)
-    val suffix = if (tag == "sf0.1") "" else s"_$tag"
+    val suffix = (if (tag == "sf0.1") "" else s"_$tag") +
+      (if (cpus == CanonicalCpus) "" else s"_c$cpus")
     s"BENCH_LOCAL_r${newest + 1}$suffix.json"
   }
 
@@ -934,14 +999,20 @@ object Bench {
     * no stamped candidate exists (newest first — the pre-r12 behavior).
     * A candidate only qualifies if its `"sf"` tag matches `tag` —
     * cross-scale bases mass-misfire the 3x test — so a candidate with
-    * no parsable sf is skipped, not trusted. Archives older than
+    * no parsable sf is skipped, not trusted. When `cpus` is given, a
+    * candidate stamped with a DIFFERENT core count (top level on both
+    * driver wrappers and r18+ bench lines) is likewise skipped: the
+    * driver's own 8-core runs are faster than 32-core for most queries
+    * at this SF (VERDICT r17 scaling note), so a cross-cpu base skews
+    * the 3x test; an unstamped candidate is accepted (every pre-r18
+    * canonical artifact was 32-core). Archives older than
     * [[MaxBaseAgeRounds]] rounds behind the newest are excluded
     * outright: the queries themselves evolve round over round, and on
     * a chronically noisy box one lucky zero-steal archive would
     * otherwise pin the 3x test to an arbitrarily stale map, flagging
     * every intentionally-slowed query forever. */
-  def previousRun(dir: java.io.File, tag: String)
-      : (Map[String, Double], String) = {
+  def previousRun(dir: java.io.File, tag: String,
+      cpus: Option[Int] = None): (Map[String, Double], String) = {
     val all = Option(dir.listFiles()).getOrElse(Array.empty)
     val Archive = """BENCH_LOCAL_r(\d+)(_.*)?\.json""".r
     def readText(f: java.io.File): Option[String] =
@@ -971,7 +1042,7 @@ object Bench {
     val candidates =
       (archives.iterator ++ local.iterator ++ drivers.iterator)
         .flatMap { f =>
-          readText(f).flatMap { text =>
+          readText(f).filter(t => cpusCompatible(t, cpus)).flatMap { text =>
             parseBenchLine(text).filter(_._2 == tag)
               .map { case (qs, _) => (qs, f.getName, maxSteal(text)) }
           }
@@ -986,6 +1057,22 @@ object Bench {
     pick.map { case (qs, name, _) => (qs, name) }
       .getOrElse((Map.empty, "none"))
   }
+
+  /** True when an artifact's top-level `"cpus"` stamp is compatible with
+    * the given core count: absent/unreadable stamps are accepted (pre-r18
+    * bench lines never carried one; every committed canonical artifact
+    * was 32-core), a present stamp must match. Driver wrappers
+    * (`BENCH_r*_c8.json`) and r18+ bench/archive lines both stamp it at
+    * the top level, so one check covers every candidate tier. */
+  def cpusCompatible(text: String, cpus: Option[Int]): Boolean =
+    cpus.forall { want =>
+      import org.json4s._
+      try org.json4s.jackson.JsonMethods.parse(text) \ "cpus" match {
+        case JInt(n) => n.toInt == want
+        case JDouble(n) => n.toInt == want
+        case _ => true
+      } catch { case _: Throwable => true }
+    }
 
   /** Worst contamination evidence (seconds) in a bench line's
     * run-quality stamp — the one number that says "this artifact's

@@ -631,4 +631,85 @@ class BenchDefenseSpec extends AnyFunSuite {
     assert(waited >= 1.5, f"refused wait undercounted: $waited%.2f s")
     assert(waited <= elapsed + 0.1)
   }
+
+  // ---- core-count contract (VERDICT r17 #2): the driver's 8-core
+  // scaling run archived itself as next round's canonical composite ----
+
+  test("archiveName: non-canonical core counts are name-suffixed like " +
+    "non-canonical scales, composing with the sf suffix") {
+    val d = dir("BENCH_r17.json" -> "{}")
+    assert(Bench.archiveName(d, "sf0.1", "32") === "BENCH_LOCAL_r18.json")
+    assert(Bench.archiveName(d, "sf0.1", "8") === "BENCH_LOCAL_r18_c8.json")
+    assert(Bench.archiveName(d, "sf0.01", "8") ===
+      "BENCH_LOCAL_r18_sf0.01_c8.json")
+  }
+
+  test("renderFloors/parseFloors round-trip the cpus stamp; a merge " +
+    "carries the run's stamp over a legacy unstamped incumbent") {
+    val f = floors(Map("q_a" -> 1.0), Map("q_a" -> 0.0)).copy(cpus = 32)
+    val line = Bench.renderFloors(f, "/root/testdata/sf0.1")
+    assert(line.contains(""""cpus":32"""), line)
+    assert(Bench.parseFloors(line).get.cpus === 32)
+    // pre-r18 archive (no cpus key) parses as unknown
+    assert(Bench.parseFloors(stampedLine(Map("q" -> 1.0), 0.0))
+      .get.cpus === -1)
+    // a stamped run upgrades an unstamped incumbent; the stamp survives
+    // a later unstamped-run merge (floors-tool-built runs)
+    val legacy = floors(Map("q_a" -> 2.0), Map("q_a" -> 0.0))
+    assert(Bench.mergeFloors(legacy, f, subset = false).cpus === 32)
+    assert(Bench.mergeFloors(f, legacy, subset = false).cpus === 32)
+  }
+
+  test("cpusCompatible: a present top-level stamp must match; absent " +
+    "or unreadable stamps are accepted (pre-r18 artifacts)") {
+    assert(Bench.cpusCompatible("""{"cpus":8,"sf":0.1}""", Some(8)))
+    assert(!Bench.cpusCompatible("""{"cpus":8,"sf":0.1}""", Some(32)))
+    assert(Bench.cpusCompatible("""{"sf":0.1}""", Some(32)))
+    assert(Bench.cpusCompatible("not json at all", Some(32)))
+    assert(Bench.cpusCompatible("""{"cpus":8}""", None))
+  }
+
+  test("previousRun: a cpu-stamped candidate at another core count is " +
+    "skipped — the driver's 8-core run (faster at this SF) must not " +
+    "become the 32-core 3x base") {
+    // the exact shape of BENCH_r17_c8.json: driver wrapper, cpus:8 at
+    // the top level, full bench line in the tail
+    val inner = stampedLine(Map("q_a" -> 0.5), 0.0)
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val d = dir(
+      "BENCH_r17.json" -> s"""{"n":17,"rc":0,"cpus":8,"sf":0.1,
+        "tail":${jstr(inner)}}""",
+      // dirty archive: without the cpu filter the CLEANER 8-core
+      // wrapper would win the cleanest-base preference
+      "BENCH_LOCAL_r17.json" -> stampedLine(Map("q_a" -> 1.2), 4.2))
+    assert(Bench.previousRun(d, "sf0.1", Some(32))._2 ===
+      "BENCH_LOCAL_r17.json",
+      "the 8-core wrapper must be filtered for a 32-core run")
+    assert(Bench.previousRun(d, "sf0.1", Some(8))._2 === "BENCH_r17.json",
+      "and accepted for an 8-core run")
+    // no cpu filter (legacy callers): cleanest stamp still wins
+    assert(Bench.previousRun(d, "sf0.1")._2 === "BENCH_r17.json")
+  }
+
+  test("slimLine: the per-query map rides stdout only when the whole " +
+    "line fits the driver's 2000-char tail capture (VERDICT r17 #1)") {
+    val head = Bench.tailHead(10.0, 9.0, 0, 0) + ""","cpus":32"""
+    val tail = ""","sf":"/root/testdata/sf0.1","full":"BENCH_LOCAL.json"}"""
+    val few = Seq("q_a" -> 1.234, "q_b" -> 2.0)
+    val small = Bench.slimLine(head, tail, few)
+    assert(small.contains(""""queries":{"q_a":1.23,"q_b":2.00}"""), small)
+    assert(org.json4s.jackson.JsonMethods.parse(small) != null)
+    // the full 123-query battery: names alone exceed the budget — the
+    // map is dropped, the line still parses, the "full" pointer stays
+    val many = (1 to 123).map(i => f"q_really_long_name_$i%03d" -> 1.0)
+    val big = Bench.slimLine(head, tail, many)
+    assert(!big.contains(""""queries""""),
+      "an overflowing map would clip the line's FRONT out of the tail " +
+        "and parse as null (the five dark rounds)")
+    assert(big.length <=
+      Bench.TailCaptureChars - Bench.TailFooterReserveChars ||
+      big === head + tail)
+    assert(org.json4s.jackson.JsonMethods.parse(big) != null)
+  }
 }
