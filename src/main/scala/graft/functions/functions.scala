@@ -283,6 +283,72 @@ object DfPrefix {
   }
 }
 
+/** Static kernel behind [[VocabMaskExpr]] (the [[DfPrefix]] pattern:
+  * eval and codegen share one implementation). */
+object VocabMask {
+
+  /** One record's word set as a bitmask over a sorted ≤64-token
+    * vocabulary: bit i set iff `vocab(i)` occurs in `words`. Null
+    * elements are skipped (they can never join — the same null
+    * semantics as [[DfPrefix.compute]] and the dfreq join). A word
+    * absent from the vocab violates the caller's deterministic-base
+    * contract and fails loud, exactly like [[DfPrefix.compute]]. */
+  def compute(words: ArrayData, vocab: Array[UTF8String]): Long = {
+    val n = words.numElements()
+    var mask = 0L
+    var i = 0
+    while (i < n) {
+      if (!words.isNullAt(i)) {
+        val w = words.getUTF8String(i)
+        val at = java.util.Arrays.binarySearch(
+          vocab.asInstanceOf[Array[AnyRef]], w)
+        if (at < 0) throw new IllegalStateException(
+          s"vocab_mask: token '$w' missing from the broadcast vocab — " +
+            "the base frame must be DETERMINISTIC (the vocab is " +
+            "collected from the same frame the masks are derived from)")
+        mask |= 1L << at
+      }
+      i += 1
+    }
+    mask
+  }
+}
+
+/** A record's word set as a 64-bit vocabulary bitmask — the dense
+  * fast path of [[graft.operators.Dedup.jaccardSelfJoin]] (r18): when
+  * the corpus vocabulary has ≤64 distinct tokens, every word set is one
+  * long, `|∩|` is `bit_count(m_a & m_b)`, and the whole prefix-filter /
+  * candidate-distinct / verify-join pipeline collapses to a block-keyed
+  * all-pairs join over 8-byte masks. `vocab` must be sorted ascending in
+  * UTF8String binary order (binary search); it rides into tasks via
+  * `ctx.addReferenceObj` like [[DfPrefixExpr]]'s df map. */
+case class VocabMaskExpr(child: Expression, vocab: Array[UTF8String])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(vocab.length <= 64,
+    s"vocab_mask needs a <=64-token vocabulary, got ${vocab.length}")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "vocab_mask"
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+
+  override protected def nullSafeEval(input: Any): Any =
+    VocabMask.compute(input.asInstanceOf[ArrayData], vocab)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vocabRef = ctx.addReferenceObj("vocabMaskVocab", vocab,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VocabMask.compute($c, $vocabRef)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): VocabMaskExpr =
+    copy(child = newChild)
+}
+
 /** The map-side prefix derivation of the All-Pairs join
   * ([[graft.operators.Dedup]] `prefixPinned`, VERDICT r13 #1): when the
   * corpus vocabulary fits a driver map, the global df order rides into
@@ -642,6 +708,9 @@ object functions {
       vocab: Array[UTF8String], dfs: Array[Long]): Column =
     Bridge.column(DfPrefixExpr(Bridge.expression(words), num, den,
       vocab, dfs))
+
+  def vocabMask(words: Column, vocab: Array[UTF8String]): Column =
+    Bridge.column(VocabMaskExpr(Bridge.expression(words), vocab))
 
   /** Arity-checked builder for SQL registration. */
   def vectorDotBuilder(exprs: Seq[Expression]): DotProductExpr = {
