@@ -46,6 +46,14 @@ object Verify {
       catch { case e: Throwable =>
         failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // the Bench.timeOne discipline (ADVICE r17): the eager pins some
+        // queries ride (keepAboveQuantile, the banding candidate pins)
+        // are localCheckpoint blocks that catalog.clearCache does NOT
+        // free — without the unpersist-all they accumulate across the
+        // 123-query battery until GC, pure memory pressure at scale
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        spark.catalog.clearCache()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -103,11 +103,26 @@ object Bpe {
   def train(docs: DataFrame, textCol: String = "text",
       merges: Int = 50, minCount: Long = 2L): Seq[Merge] = {
     require(merges >= 1, s"merges must be >= 1, got $merges")
+    // loud parse failure naming the key (ADVICE r17; the Dedup.longConf
+    // idiom) — a bare NumberFormatException names only the value
     val cap = docs.sparkSession.conf.getOption(LocalVocabCapKey)
-      .map(_.toLong).getOrElse(DefaultLocalVocabCap)
+      .map { s =>
+        try s.toLong
+        catch { case e: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"$LocalVocabCapKey must be a long, got '$s'", e)
+        }
+      }.getOrElse(DefaultLocalVocabCap)
     if (cap > 0) {
       // one aggregation pass, bounded collect (the charLmScore
-      // boundedCollect shape: the limit rides the same pass)
+      // boundedCollect shape: the limit rides the same pass). An
+      // over-cap vocabulary pays this probe pass once and the
+      // distributed fallback re-aggregates — deliberate (ADVICE r17):
+      // pinning the aggregate BEFORE the probe would make the over-cap
+      // path single-pass but would turn the common under-cap path's one
+      // collect job into pin-materialize + collect-from-pin, taxing
+      // every bench-scale training run to spare the rare fallback one
+      // vocab-sized aggregate.
       val capInt = math.min(cap, (Int.MaxValue - 1).toLong).toInt
       val rows = docs
         .select(explode(split(lower(trim(col(textCol))),

@@ -426,6 +426,17 @@ object Dedup {
       numHashes: Int = 8,
       rowsPerBand: Int = 4,
       carrySig: Boolean = true): DataFrame = {
+    // fail loud on a sigs frame from a DIFFERENT minhashSigs build
+    // (ADVICE r17): a table built with more hashes would silently band
+    // only its first numHashes columns — not an error Spark can see,
+    // since the select below only asks for h0..h{numHashes-1}
+    val hCols = sigs.columns.filter(_.matches("h\\d+")).toSet
+    val expected = (0 until numHashes).map(k => s"h$k").toSet
+    require(hCols == expected,
+      s"minhashBandsOfSigs(numHashes=$numHashes) expects signature " +
+        s"columns ${expected.toSeq.sorted.mkString(", ")} exactly; the " +
+        s"sigs frame carries ${hCols.toSeq.sorted.mkString(", ")} — pass " +
+        "the matching minhashSigs(docs, numHashes) build")
     val nBands = numHashes / rowsPerBand
     val bandCol = (0 until nBands).map { bnd =>
       val parts = (0 until rowsPerBand).map(r => s"h${bnd * rowsPerBand + r}")

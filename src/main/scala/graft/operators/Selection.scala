@@ -207,11 +207,15 @@ object Selection {
     // plan; for the char-LM scorer that second pass was the single
     // biggest job in q_score_gate (QueryJobs r17: 2.3 s of 7.1). The
     // pin rides the returned frame the way jaccardSelfJoin's result pin
-    // does — released by the caller's clearCache (the bench does this
-    // per query), result-sized at one row of 4 integers per document.
+    // does, result-sized at one row of 4 integers per document. Release:
+    // the harnesses' per-query getPersistentRDDs unpersist-all (Bench,
+    // Verify) or ContextCleaner GC of the returned frame —
+    // spark.catalog.clearCache() alone does NOT free localCheckpoint
+    // blocks (ADVICE r17). If the threshold computation throws, the pin
+    // is released here instead of stranding until GC.
     val s = Checkpoints.pin(scored)
     val thrValue =
-      Quantiles.exactKth(
+      try Quantiles.exactKth(
         s.withColumn("__all", lit(0)), "__all", scoreCol,
         Seq("q" ->
           expr(s"greatest(1L, (__n * $dropPpm + 999999) div 1000000)")))
@@ -220,6 +224,7 @@ object Selection {
         // empty input has no order statistic — and no rows to flag;
         // MinValue keeps the (vacuous) "ties keep" shape
         .getOrElse(Long.MinValue)
+      catch { case e: Throwable => Checkpoints.release(s); throw e }
     s.withColumn("kept",
       when(col(scoreCol) >= lit(thrValue), 1).otherwise(0))
   }
