@@ -36,15 +36,23 @@ final case class BloomBits(numBits: Int, numHashes: Int, words: Array[Long]) {
     * bitwise-and) over a literal array. */
   def mightContain(key: Column): Column =
     if (numBits == 0) lit(false)
-    else (0 until numHashes).map { i =>
-      val pos = pmod(xxhash64(key, lit(i)), lit(numBits.toLong))
-      val word = element_at(lit(words), (pos / 64).cast("int") + lit(1))
-      // 1L << (pos % 64) via a 64-entry power-of-two literal: the
-      // Scala `shiftleft` helper only takes a constant shift amount
-      val mask = element_at(lit(BloomBits.Pow2),
-        pmod(pos, lit(64L)).cast("int") + lit(1))
-      word.bitwiseAND(mask) =!= lit(0L)
-    }.reduce(_ && _)
+    else {
+      // ONE words literal shared by all probes (r18): `lit(words)` per
+      // probe converted the bit array to Catalyst form numHashes times
+      // and embedded numHashes distinct Literal copies in the plan —
+      // same data, k× the plan weight and conversion work
+      val wordsLit = lit(words)
+      val pow2Lit = lit(BloomBits.Pow2)
+      (0 until numHashes).map { i =>
+        val pos = pmod(xxhash64(key, lit(i)), lit(numBits.toLong))
+        val word = element_at(wordsLit, (pos / 64).cast("int") + lit(1))
+        // 1L << (pos % 64) via a 64-entry power-of-two literal: the
+        // Scala `shiftleft` helper only takes a constant shift amount
+        val mask = element_at(pow2Lit,
+          pmod(pos, lit(64L)).cast("int") + lit(1))
+        word.bitwiseAND(mask) =!= lit(0L)
+      }.reduce(_ && _)
+    }
 
   /** Bits set / total — the load factor driving the false-positive
     * rate ((set/total)^k). */
@@ -97,9 +105,18 @@ object Bloom {
       keyCol: String,
       n: Long,
       bitsPerKey: Int = 10,
-      numHashes: Int = 3): BloomBits =
-    fill(keys.select(col(keyCol)).na.drop().distinct(), keyCol, n,
-      bitsPerKey, numHashes)
+      numHashes: Int = 3,
+      assumeDistinct: Boolean = false): BloomBits =
+    // assumeDistinct skips the defensive dedup exchange when the caller
+    // hands an already-distinct non-null key frame (e.g. a pinned
+    // `.distinct()` — contaminationStatsBloom): duplicate or null keys
+    // under the flag never break the no-false-negative contract (the
+    // positions pass distincts and na-drops nothing — nulls hash), they
+    // only waste position-derivation work, so the flag is a pure
+    // plan-shape promise
+    fill(if (assumeDistinct) keys.select(col(keyCol))
+      else keys.select(col(keyCol)).na.drop().distinct(),
+      keyCol, n, bitsPerKey, numHashes)
 
   private def fill(distinctKeys: DataFrame, keyCol: String, n: Long,
       bitsPerKey: Int, numHashes: Int): BloomBits = {

@@ -38,6 +38,32 @@ object Curation {
           s"i -> concat_ws(' ', $gramExpr))")).as("__gram"))
   }
 
+  /** [[wordGrams]] that KEEPS gramless documents: a doc with fewer than
+    * `n` words emits exactly one `(idCol, NULL)` row (`explode_outer`
+    * over an empty gram array — the size guard must be a CASE, not a
+    * filter, because `sequence(0, size - n)` runs DESCENDING when
+    * `size < n`). Lets per-doc aggregates over the gram table cover
+    * every input doc in the SAME pass, replacing the second corpus scan
+    * + id-keyed restore join the contamination stats used to pay
+    * (r18, guide §2.4 remove shuffles outright): a NULL gram never
+    * equi-joins and `count(__gram)` skips it, so totals and hit counts
+    * are unchanged. */
+  private def wordGramsOuter(
+      docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    Seq("__words", "__gram").foreach(c => require(!docs.columns.contains(c),
+      s"input column '$c' collides with an n-gram working column"))
+    val gramExpr = (0 until n).map(j => s"__words[i + $j]").mkString(", ")
+    docs
+      .withColumn("__words",
+        split(regexp_replace(trim(col(textCol)), "[ \\t\\n\\x0B\\f\\r]+", " "), " "))
+      .select(col(idCol), explode_outer(expr(
+        s"CASE WHEN size(__words) >= $n THEN " +
+          s"transform(sequence(0, size(__words) - $n), " +
+          s"i -> concat_ws(' ', $gramExpr)) " +
+          s"ELSE CAST(array() AS ARRAY<STRING>) END")).as("__gram"))
+  }
+
   /** Split documents into fixed-size token windows with overlap — the
     * chunking pass that precedes embedding or context packing (RAG
     * indexing, pretraining with long documents). Windows start every
@@ -210,9 +236,15 @@ object Curation {
       .withColumn("__alpha", size(filter(col("__w"),
         x => lower(x).rlike("[a-z]"))).cast("long"))
       .withColumn("__nlines", size(col("__l")).cast("long"))
+      // presence, not count, is what the rule needs (r18 codegen audit):
+      // rlike stops at the FIRST match where regexp_count scanned the
+      // whole document per stopword — 8 full-text regex passes become 8
+      // early-exit probes over ONE shared lowercased copy (lower(t) per
+      // stopword re-lowercased the text 8 times)
+      .withColumn("__lower", lower(t))
       .withColumn("__stop",
         QualityStopwords.map(w =>
-          when(regexp_count(lower(t), lit("\\b" + w + "\\b")) > 0, 1)
+          when(col("__lower").rlike("\\b" + w + "\\b"), 1)
             .otherwise(0))
           .reduce(_ + _))
       .withColumn("__badenc",
@@ -248,8 +280,8 @@ object Curation {
         array_join(filter(reasons, x => x.isNotNull), ","))
       .withColumn("keep",
         when(col("reasons") === "", 1).otherwise(0))
-      .drop("__w", "__l", "__wchars", "__hashc", "__ellsym", "__bullet",
-        "__ellip",
+      .drop("__w", "__l", "__lower", "__wchars", "__hashc", "__ellsym",
+        "__bullet", "__ellip",
         "__alpha", "__nlines", "__stop", "__badenc", "__ng", "__dg")
   }
 
@@ -439,18 +471,22 @@ object Curation {
       idCol: String = "doc_id"): DataFrame = {
     val evalGrams = wordGrams(evalSet, textCol, idCol, n)
       .select("__gram").distinct()
-    val corpusGrams = wordGrams(corpus, textCol, idCol, n)
-    val hits = corpusGrams
+    // gramless docs ride the SAME pass as one NULL-gram row
+    // ([[wordGramsOuter]]) instead of a second corpus scan + id-keyed
+    // restore join: count(__gram) skips the NULL, the NULL key never
+    // matches the broadcast — identical rows, one scan and one join
+    // fewer (r18, guide §2.4)
+    wordGramsOuter(corpus, textCol, idCol, n)
       .join(broadcast(evalGrams.withColumn("__hit", lit(1))),
         Seq("__gram"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_grams"),
+      .agg(count(col("__gram")).as("n_grams"),
+        // a NULL-gram row never matched, so its coalesced __hit is 0 —
+        // no special-casing needed
         sum(coalesce(col("__hit"), lit(0))).as("n_hits"))
-    // docs too short to produce grams still get a row (0 grams, 0 hits)
-    corpus.select(col(idCol))
-      .join(hits, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+      // sum() is nullable in the schema even though every group has
+      // rows; keep the old restore-join projection's non-null columns
+      .select(col(idCol), col("n_grams"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"))
   }
 
@@ -498,8 +534,9 @@ object Curation {
 
   /** [[contaminationStats]] with a Bloom-filter prefilter on the corpus
     * side — the shape that survives an eval/reference set too large to
-    * broadcast as an exact set. The filter ([[Bloom.build]] over the
-    * eval grams, ~10 bits/gram) rides the plan as a literal bit array;
+    * broadcast as an exact set. The filter ([[Bloom.buildWithKnownCount]]
+    * over the pinned distinct eval grams, ~10 bits/gram) rides the plan
+    * as a literal bit array;
     * corpus grams first pass the no-false-negative `mightContain`
     * probe (map-side, codegen'd, kills ~99% of non-members), and only
     * the survivors meet the exact broadcast semi-join that removes
@@ -527,22 +564,38 @@ object Curation {
       idCol: String = "doc_id",
       bitsPerKey: Int = 10,
       numHashes: Int = 3): DataFrame = {
-    val evalGrams = wordGrams(evalSet, textCol, idCol, n)
-      .select("__gram").distinct()
-    val bloom = Bloom.build(evalGrams, "__gram", bitsPerKey, numHashes)
-    val hits = wordGrams(corpus, textCol, idCol, n)
+    // ONE eval gram explode+distinct for all three consumers (r18,
+    // guide §1.2): the filter's sizing count, the filter's bit
+    // positions, and the confirm join's broadcast previously derived
+    // the distinct eval grams from scratch twice (Bloom.build persisted
+    // its own copy for count+fill; the broadcast re-ran explode +
+    // distinct at the caller's action). The pin is the distinct gram
+    // table — the narrowest form of the eval side — and rides the
+    // returned frame (the keepAboveQuantile discipline: released by the
+    // harnesses' unpersist-all or ContextCleaner GC, since the
+    // broadcast leg materializes at the caller's action).
+    val evalGrams = Checkpoints.pin(wordGrams(evalSet, textCol, idCol, n)
+      .select("__gram").distinct())
+    val bloom =
+      try Bloom.buildWithKnownCount(evalGrams, "__gram", evalGrams.count(),
+        bitsPerKey, numHashes, assumeDistinct = true)
+      catch { case e: Throwable => Checkpoints.release(evalGrams); throw e }
+    // gramless docs ride the same pass as one NULL-gram row
+    // ([[wordGramsOuter]]): a NULL gram probes the filter harmlessly
+    // (xxhash64 skips null children; whatever __k it yields is NULL
+    // because the gram is), never matches the confirm join, and is
+    // skipped by count(__gram) — identical rows to the old second
+    // corpus scan + id-keyed restore join, one scan and one join fewer
+    wordGramsOuter(corpus, textCol, idCol, n)
       .withColumn("__k",
         when(bloom.mightContain(col("__gram")), col("__gram")))
       .join(broadcast(evalGrams
         .select(col("__gram").as("__k"), lit(1).as("__hit"))),
         Seq("__k"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_grams"),
+      .agg(count(col("__gram")).as("n_grams"),
         sum(coalesce(col("__hit"), lit(0))).as("n_hits"))
-    corpus.select(col(idCol))
-      .join(hits, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+      .select(col(idCol), col("n_grams"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"))
   }
 
@@ -825,12 +878,17 @@ object Curation {
     * everything after is exact integer products/sums, so scores and
     * the argmax they drive replay bit-identically in any engine.
     *
-    * Scale shape: the model is ≤ |langs| · charset² cells and
-    * broadcasts; per-doc grams aggregate map-side before the one
-    * shuffle on (doc, gram); scoring fans each doc-gram row out
-    * |langs|× against the broadcast model — linear in corpus × langs,
-    * never a corpus self-join. For hundreds of candidate languages,
-    * prefilter with the marker heuristic and score the shortlist.
+    * Scale shape (r18, guide §2.3/§2.4): the model is ≤ |langs| ·
+    * charset² cells and broadcasts PIVOTED — one row per gram carrying
+    * every language's log-prob — so scoring is a single map-side
+    * broadcast-hash lookup per gram occurrence followed by ONE
+    * (doc, lang) hash aggregate with |langs| sum columns: one exchange
+    * total, carrying one row per document. The previous shape shuffled
+    * three times (a per-doc gram histogram, a |langs|×-fanned
+    * score table, the final argmax) and fanned every histogram row out
+    * |langs|× through a crossJoin. Linear in corpus × langs, never a
+    * corpus self-join. For hundreds of candidate languages, prefilter
+    * with the marker heuristic and score the shortlist.
     *
     * EAGER (since the r11 two-pass rework): constructing the returned
     * frame trains the model — one full corpus aggregation runs at CALL
@@ -891,11 +949,25 @@ object Curation {
     val totals = counts.groupBy(col("__lang"))
       .agg(sum(col("__cnt")).as("__total"))
     val vocab = countRows.map(_.get(1)).distinct.length
-    val docGrams = docs
-      .select(col(idCol), col(langCol), explode(charGramsExpr(textCol))
-        .as("__g"))
-      .groupBy(col(idCol), col(langCol), col("__g"))
-      .agg(count(lit(1)).as("__n"))
+    // candidate languages, known driver-side from the collected model
+    // (order only names working columns — the argmax below compares
+    // language VALUES, so tie-breaks do not depend on this sequence)
+    val langVals: Seq[Any] =
+      countRows.map(_.get(0)).distinct.sortBy(String.valueOf(_))
+    if (langVals.isEmpty)
+      // no grams anywhere ⇒ no scorable documents (each doc-gram row
+      // would have trained the model) — the empty frame the fan-out
+      // shape produced, same column types
+      return docs.select(col(idCol), col(langCol))
+        .where(lit(false))
+        .withColumn("predicted_lang",
+          lit(null).cast(docs.schema(langCol).dataType))
+        .withColumn("score_micro", lit(null).cast("long"))
+        .withColumn("correct", lit(null).cast("int"))
+    // the per-cell ln/round stays IN Spark (the charLmScore discipline:
+    // a driver-side math.round would differ on negative .5 ties), but
+    // the model ships PIVOTED — one broadcast row per gram with one
+    // log-prob column per language — so scoring needs no fan-out
     val model = counts.join(totals, Seq("__lang"))
       .select(col("__lang"), col("__g"),
         expr(s"CAST(round(1000000.0 * ln((__cnt + 1) / " +
@@ -903,18 +975,33 @@ object Curation {
     val oov = totals.select(col("__lang"),
       expr(s"CAST(round(1000000.0 * ln(1 / " +
         s"CAST(__total + $vocab AS DOUBLE))) AS BIGINT)").as("__oov"))
-    val scored = docGrams
-      .join(broadcast(oov.select(col("__lang").as("__cand"), col("__oov"))),
-        lit(true))
-      .join(broadcast(model.select(col("__lang").as("__cand"),
-        col("__g"), col("__lp"))), Seq("__cand", "__g"), "left")
-      .withColumn("__cell", coalesce(col("__lp"), col("__oov")))
-      .groupBy(col(idCol), col(langCol), col("__cand"))
-      .agg(sum(col("__n") * col("__cell")).as("__score"))
-    scored
+    // (lang, gram) is unique after the training groupBy, so first() is
+    // exact; pivot columns are renamed positionally (__lp0..__lpK) —
+    // language values never have to be legal column names
+    val pivoted = model.groupBy(col("__g")).pivot("__lang", langVals)
+      .agg(first(col("__lp")))
+      .toDF("__g" +: langVals.indices.map(i => s"__lp$i"): _*)
+    // per-lang OOV cells, computed by the same Spark expression, then
+    // collected (|langs| rows off a local relation) into literals
+    val oovByLang = oov.collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    val oovArr = langVals.map(oovByLang)
+    val scoreCols = langVals.indices.map(i =>
+      sum(coalesce(col(s"__lp$i"), lit(oovArr(i)))).as(s"__s$i"))
+    val perDoc = docs
+      .select(col(idCol), col(langCol), explode(charGramsExpr(textCol))
+        .as("__g"))
+      .join(broadcast(pivoted), Seq("__g"), "left")
       .groupBy(col(idCol), col(langCol))
-      .agg(min(struct((-col("__score")).as("__neg"), col("__cand"),
-        col("__score"))).as("__best"))
+      .agg(scoreCols.head, scoreCols.tail: _*)
+    // argmax over the |langs| score columns — least(struct(-score,
+    // lang, score)) is row-for-row the min(struct(...)) the fan-out
+    // shape aggregated: same (count desc, lang asc) order, same ties
+    val best = least(langVals.indices.map(i =>
+      struct((-col(s"__s$i")).as("__neg"),
+        lit(langVals(i)).as("__cand"),
+        col(s"__s$i").as("__score"))): _*)
+    perDoc
+      .select(col(idCol), col(langCol), best.as("__best"))
       .select(col(idCol), col(langCol),
         col("__best.__cand").as("predicted_lang"),
         col("__best.__score").as("score_micro"),

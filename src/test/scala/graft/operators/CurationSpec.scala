@@ -193,7 +193,8 @@ class CurationSpec extends SparkSuite {
     import spark.implicits._
     val corpus = (0L until 300L).map { i =>
       val text =
-        if (i % 13 == 0) s"shared eval phrase number ${i % 3} tail tail"
+        if (i % 7 == 3) "short doc" // gramless at n = 5: zero row, both paths
+        else if (i % 13 == 0) s"shared eval phrase number ${i % 3} tail tail"
         else s"unique corpus document $i with plenty of ordinary words $i"
       (i, text)
     }.toDF("doc_id", "text")
@@ -203,6 +204,11 @@ class CurationSpec extends SparkSuite {
     val bloomed = Curation.contaminationStatsBloom(corpus, evalSet, n = 5)
       .orderBy($"doc_id").collect().toSeq
     assert(bloomed === exact)
+    // the r18 single-pass shape still reports EVERY doc, including the
+    // gramless ones (explode_outer NULL-gram rows, not a restore join)
+    assert(exact.size === 300)
+    assert(exact.count(r => r.getLong(1) == 0L && r.getLong(2) == 0L) ===
+      (0L until 300L).count(_ % 7 == 3))
     // the prefilter itself: non-member grams are (almost all) rejected
     // before the confirm join — measure directly on the same grams
     val evalGrams = Curation.contaminationStats(evalSet, evalSet, n = 5)
