@@ -124,15 +124,31 @@ def base_round(path):
 def main():
     argv = sys.argv[1:]
     ref, ref_src = canary_ref(argv)
+    # --base-round N: explicit base round for the plan-change exclusions
+    # when the base archive's name does not carry one (ADVICE r17 —
+    # e.g. a copied/renamed archive); the filename inference stays the
+    # default
+    forced_round = None
+    if "--base-round" in argv:
+        i = argv.index("--base-round")
+        if i + 1 >= len(argv):
+            sys.exit("--base-round needs a round number")
+        try:
+            forced_round = int(argv[i + 1])
+        except ValueError:
+            sys.exit(f"--base-round must be an int, got {argv[i + 1]!r}")
+        del argv[i:i + 2]
     if len(argv) != 2:
         sys.exit("usage: floor_ratios.py [--ref cpu,mem,par] "
-                 "<this_archive> <base_archive>")
+                 "[--base-round N] <this_archive> <base_archive>")
     this = json.load(open(argv[0]))
     base = json.load(open(argv[1]))
     tq, bq = this["queries"], base["queries"]
     common = sorted(q for q in tq if q in bq and tq[q] > 0 and bq[q] > 0)
+    b_round = forced_round if forced_round is not None \
+        else base_round(argv[1])
     excluded = {q: cite for q, (upto, cite) in PLAN_CHANGED.items()
-                if q in common and 0 < base_round(argv[1]) <= upto}
+                if q in common and 0 < b_round <= upto}
     raw = {q: tq[q] / bq[q] for q in common}
     t_cons, t_par, t_src = scales(this, ref)
     b_cons, b_par, b_src = scales(base, ref)
