@@ -21,9 +21,10 @@ import org.apache.spark.sql.functions._
 object AnalyticsQueries {
 
   // plain reads: these queries are scan+agg/join shaped with low per-row
-  // CPU, so an extra re-parallelizing exchange costs more than it saves
+  // CPU, so an extra re-parallelizing exchange costs more than it saves.
+  // Cached per (session, path) — plan reuse only, see Tables.readPlain.
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
-    s.read.parquet(s"$dir/$n.parquet")
+    Tables.readPlain(s, dir, n)
 
   // per-row scaled-integer projections (round() is half-away-from-zero in
   // both Spark and DuckDB, and the input doubles are bit-identical parquet)

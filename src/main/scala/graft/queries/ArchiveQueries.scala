@@ -31,21 +31,30 @@ object ArchiveQueries {
     * (The NTZ→TIMESTAMP cast is exact because the session timezone is
     * pinned to UTC in Verify/Bench/tests.)
     */
-  def ev(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    val startMs = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
-      case _ => expr("unix_micros(cast(ts as timestamp)) div 1000")
-    }
-    raw
-      .select($"event_id", $"user_id", $"event_type", $"value", $"props",
-        startMs.as("start_ms"))
-      .withColumn("end_ms",
-        when($"event_id" % 3 === 0, lit(null).cast("long"))
-          .otherwise($"start_ms" + floor($"value" * 3600000).cast("long")))
-  }
+  // one analyzed plan per (session, dir) — the Tables.frameCache
+  // discipline (r18): a lazy frame over the immutable test table, so
+  // every action still scans parquet; only the per-call re-listing,
+  // footer read, and analysis are saved (they rode every timed archive
+  // query — OverheadProbe measured ~0.1 s/query of construct)
+  private val evCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  def ev(spark: SparkSession, dir: String): DataFrame =
+    evCache.getOrElseUpdate((spark, dir), {
+      import spark.implicits._
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val startMs = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
+        case _ => expr("unix_micros(cast(ts as timestamp)) div 1000")
+      }
+      raw
+        .select($"event_id", $"user_id", $"event_type", $"value", $"props",
+          startMs.as("start_ms"))
+        .withColumn("end_ms",
+          when($"event_id" % 3 === 0, lit(null).cast("long"))
+            .otherwise($"start_ms" + floor($"value" * 3600000).cast("long")))
+    })
 
   /** Shared DuckDB CTE matching `ev` — referenced by every events-based
     * oracle so the two derivations can never drift apart. */

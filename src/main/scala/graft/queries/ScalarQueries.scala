@@ -85,7 +85,7 @@ object ScalarQueries {
       // cheaper to write once than to recompute per leg. Values and
       // oracle unchanged.
       val li = graft.operators.Checkpoints.pin(
-        s.read.parquet(s"$dir/lineitem.parquet").select(
+        Tables.readPlain(s, dir, "lineitem").select(
           $"l_returnflag",
           expr("CAST(round(l_quantity * 100) AS BIGINT)").as("qty_c"),
           expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c")))
