@@ -513,10 +513,21 @@ object Curation {
       n: Int = 8,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val eg = wordGrams(evalSet, textCol, idCol, n)
-      .select(col(idCol).as("eval_id"), col("__gram")).distinct()
+    // pinned ONCE (r18): the matches broadcast and the totals aggregate
+    // both read the distinct eval grams; unpinned, each re-ran the eval
+    // explode+distinct (the contaminationStatsBloom discipline — the
+    // pin rides the returned frame, released by the harnesses'
+    // unpersist-all or GC)
+    val eg = Checkpoints.pin(wordGrams(evalSet, textCol, idCol, n)
+      .select(col(idCol).as("eval_id"), col("__gram")).distinct())
+    // NO corpus-side distinct (r18, guide §2.3 aggregate after the
+    // selective join, not before): both output measures are
+    // countDistinct, which is duplicate-insensitive, so pre-deduping
+    // corpus grams paid a CORPUS-SIZED exchange to dedup rows of which
+    // only the eval-matching sliver survives the broadcast join — the
+    // multi-distinct aggregate now dedups the matched rows only
     val cg = wordGrams(corpus, textCol, idCol, n)
-      .select(col(idCol).as("__corpus_id"), col("__gram")).distinct()
+      .select(col(idCol).as("__corpus_id"), col("__gram"))
     val matches = cg.join(broadcast(eg), Seq("__gram"))
     val agg = matches.groupBy(col("eval_id"))
       .agg(countDistinct(col("__gram")).as("n_contaminated_grams"),
@@ -627,21 +638,24 @@ object Curation {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
-    val grams = wordGrams(docs, textCol, idCol, n)
+    // gramless docs ride the same pass as one NULL-gram row (the r18
+    // contaminationStats treatment): no second corpus scan, no id-keyed
+    // restore join. The vocabulary aggregate must SKIP the NULL rows —
+    // a NULL "gram" with one row per gramless doc could otherwise buy a
+    // vocab slot.
+    val grams = wordGramsOuter(docs, textCol, idCol, n)
     val vocab = grams
+      .where(col("__gram").isNotNull)
       .groupBy(col("__gram")).agg(count(lit(1)).as("__cnt"))
       .orderBy(col("__cnt").desc, col("__gram").asc)
       .limit(vocabSize)
       .select(col("__gram"), lit(1).as("__known"))
-    val hits = grams
+    grams
       .join(broadcast(vocab), Seq("__gram"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_grams"),
+      .agg(count(col("__gram")).as("n_grams"),
         sum(coalesce(col("__known"), lit(0))).as("n_known"))
-    docs.select(col(idCol))
-      .join(hits, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+      .select(col(idCol), col("n_grams"),
         coalesce(col("n_known"), lit(0L)).as("n_known"))
       .withColumn("coverage_pct",
         when(col("n_grams") > 0, expr("n_known * 100 DIV n_grams"))
@@ -817,10 +831,14 @@ object Curation {
     val model = sess.createDataFrame(
       java.util.Arrays.asList(countRows: _*), modelSchema)
     grams
-      .join(broadcast(model), Seq("__g"))
-      .select(col(idCol),
+      // per-cell micro score computed on the MODEL side (r18 codegen
+      // audit): one round() per distinct bigram in the broadcast
+      // relation instead of one multiply+divide+round per gram
+      // OCCURRENCE; same expression over the same inputs, so values —
+      // and the oracle hashes — are bit-identical
+      .join(broadcast(model.select(col("__g"),
         round(col("__cnt") * lit(1000000.0) / lit(total))
-          .cast("long").as("__p"))
+          .cast("long").as("__p"))), Seq("__g"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("__p")).as("score_sum"))
       .withColumn("avg_micro", expr("score_sum DIV n_bigrams"))
